@@ -1,13 +1,324 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.model.IrcParser
+import graft.operators.{Dedup, KVTable, LabelPrep, Similarity, WordCount}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2
+  * (plus the large-scale training-data-pipeline extensions), each with an
+  * equivalent DuckDB oracle SQL.
+  *
+  * Numeric discipline for the hash-compare: every SUM over a double
+  * column casts to DECIMAL first (exact, order-independent — a parallel
+  * double sum is neither), LIMIT queries carry a total tie-break order,
+  * and cross-engine hashing uses md5 (never engine-specific hash
+  * functions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    WordCount.wordCounts(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+
+  private val dec = "decimal(18,2)"
+
+  /** SQL literal list with quote escaping, for embedding stop-word lists
+    * into the oracle.
+    */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  private val stopEn = TextFunctions.stopWords("english")
+
+  /** DuckDB fragment: lower-cased whitespace tokens of `c`, empties
+    * dropped — mirrors `TextFunctions.tokens`.
+    */
+  private def sqlTokens(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), x -> length(x) > 0)"
+
+  // =========================================================================
+  // Queries
+  // =========================================================================
+
+  private def q01_tpch_q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private def q02_kv_merge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldT = o.filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val newT = o.filter(col("o_orderstatus") =!= "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    KVTable.merge(oldT, newT, "o_custkey", "cnt")
+  }
+
+  private def q03_star_join(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("revenue"))
+
+  private def q04_wordcount(s: SparkSession, dir: String): DataFrame =
+    WordCount.wordCounts(Tables.documents(s, dir), "text")
+
+  private def q05_topk_words(s: SparkSession, dir: String): DataFrame =
+    KVTable.topK(q04_wordcount(s, dir), "word", "count", 100)
+
+  private def q06_filter_pushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  private def q07_string_clean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(translate(col("text"), "[]\"'", ""), "\\s+", " "))
+        .as("clean_text"),
+      upper(substring(col("text"), 1, 10)).as("prefix10"))
+
+  private val q08Keep = Seq("table", "scan", "join", "merge", "sort", "filter")
+  private val q08Out = Seq("the", "a")
+
+  private def q08_array_ops(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      explode(
+        array_intersect(
+          array_except(array_distinct(TextFunctions.tokens(col("text"))), typedlit(q08Out)),
+          typedlit(q08Keep))).as("label"))
+
+  private def q09_running_total(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      sum(col("value").cast(dec)).over(w).as("running"))
+  }
+
+  private def q10_tumbling_window(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("v"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("v"))
+
+  private def q11_distinct_users(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+
+  private def q12_label_prep(s: SparkSession, dir: String): DataFrame =
+    LabelPrep.prepare(
+      Tables.documents(s, dir), "doc_id", "text",
+      outlierLabels = q08Out, minTextLength = 50, maxLabels = 30)
+
+  private def q13_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val events = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn(
+        "session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  private def q14_semi_join(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  private def q15_anti_join(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  private def q16_irc_parse(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(s, dir).select(
+      col("event_id"),
+      concat(
+        lit(":user"), col("user_id"), lit("!user"), col("user_id"),
+        lit("@user.tmi.twitch.tv PRIVMSG #"), col("event_type"),
+        lit(" :"), col("props")).as("value"))
+    IrcParser.parse(lines)
+      .select("event_id", "user", "channel", "text")
+  }
+
+  // =========================================================================
+  // Registry
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_tpch_q1" -> (q01_tpch_q1 _),
+    "q02_kv_merge" -> (q02_kv_merge _),
+    "q03_star_join" -> (q03_star_join _),
+    "q04_wordcount" -> (q04_wordcount _),
+    "q05_topk_words" -> (q05_topk_words _),
+    "q06_filter_pushdown" -> (q06_filter_pushdown _),
+    "q07_string_clean" -> (q07_string_clean _),
+    "q08_array_ops" -> (q08_array_ops _),
+    "q09_running_total" -> (q09_running_total _),
+    "q10_tumbling_window" -> (q10_tumbling_window _),
+    "q11_distinct_users" -> (q11_distinct_users _),
+    "q12_label_prep" -> (q12_label_prep _),
+    "q13_sessionize" -> (q13_sessionize _),
+    "q14_semi_join" -> (q14_semi_join _),
+    "q15_anti_join" -> (q15_anti_join _),
+    "q16_irc_parse" -> (q16_irc_parse _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_kv_merge" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+              b AS (SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey)
+         SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""",
+    "q03_star_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q04_wordcount" ->
+      s"""SELECT w AS word, count(*) AS count
+          FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+          WHERE length(w) > 3 AND w NOT IN ${sqlList(stopEn)}
+          GROUP BY w""",
+    "q05_topk_words" ->
+      s"""SELECT w AS word, count(*) AS count
+          FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+          WHERE length(w) > 3 AND w NOT IN ${sqlList(stopEn)}
+          GROUP BY w
+          ORDER BY count DESC, word ASC LIMIT 100""",
+    "q06_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_quantity < 25""",
+    "q07_string_clean" ->
+      """SELECT doc_id,
+                trim(regexp_replace(translate(text, '[]"''', ''), '\s+', ' ', 'g')) AS clean_text,
+                upper(substr(text, 1, 10)) AS prefix10
+         FROM documents""",
+    "q08_array_ops" ->
+      s"""SELECT DISTINCT doc_id, w AS label
+          FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS w FROM documents)
+          WHERE w IN ${sqlList(q08Keep)} AND w NOT IN ${sqlList(q08Out)}""",
+    "q09_running_total" ->
+      """SELECT user_id, event_id, ts,
+                sum(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         FROM events""",
+    "q10_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
+         FROM events GROUP BY hour_start, event_type""",
+    "q11_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q12_label_prep" -> {
+      val cleanExpr =
+        """trim(regexp_replace(regexp_replace(translate(text, '[]"''', ''), '< br / >', ' ', 'g'), '\s+', ' ', 'g'))"""
+      s"""WITH cleaned AS (
+            SELECT doc_id, $cleanExpr AS ct FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          flt AS (SELECT * FROM cleaned WHERE length(ct) > 50),
+          cand AS (
+            SELECT DISTINCT doc_id, w AS label
+            FROM (SELECT doc_id, unnest(${sqlTokens("ct")}) AS w FROM flt)
+            WHERE w NOT IN ${sqlList(q08Out)}),
+          top AS (
+            SELECT label FROM (
+              SELECT label, count(*) AS c FROM cand GROUP BY label
+              ORDER BY c DESC, label ASC LIMIT 30))
+          SELECT doc_id, label FROM cand WHERE label IN (SELECT label FROM top)"""
+    },
+    "q13_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM sessions GROUP BY user_id, session_id""",
+    "q14_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q16_irc_parse" ->
+      """WITH lines AS (
+           SELECT event_id,
+                  ':user' || user_id || '!user' || user_id ||
+                  '@user.tmi.twitch.tv PRIVMSG #' || event_type || ' :' || props AS value
+           FROM events)
+         SELECT event_id,
+                string_split(string_split(regexp_extract(value, '^:([^:]*):', 1), ' ')[1], '!')[1] AS user,
+                string_split(regexp_extract(value, '^:([^:]*):', 1), ' ')[3] AS channel,
+                lower(regexp_extract(value, '^:[^:]*:(.*)$', 1)) AS text
+         FROM lines"""
+  )
 }

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.ml.feature.StopWordsRemover
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale training-data
+  * pipeline: tokenization, stop-words, language-ID, quality scoring,
+  * token counting, fingerprinting, shingling, MinHash and SimHash.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * higher-order array expressions — no UDFs — so every column stays
+  * inside WholeStageCodegen and needs **no shuffle**: one pass over the
+  * documents computes all per-row features. At 100 TB that matters: the
+  * only shuffles in the downstream dedup/similarity pipelines are the
+  * ones semantically required (the group-bys / joins on hash keys).
+  *
+  * Replaces the reference's Spark-NLP pipeline
+  * (`/root/reference/src/main/scala/TwitchStream/pipelines.scala:42-67`,
+  * `DocumentAssembler → Tokenizer → StopWordsCleaner → Finisher`) with the
+  * same `text → Array[String]` contract.
+  */
+object TextFunctions {
+
+  /** Stop-word lists ship with spark-mllib (public Snowball lists); the
+    * reference hard-codes French (`pipelines.scala:21,53` — SURVEY.md
+    * §2.11.4); we honor the language argument.
+    */
+  def stopWords(language: String): Seq[String] =
+    StopWordsRemover.loadDefaultStopWords(language).toSeq
+
+  /** Lower-case whitespace tokens, empties dropped.
+    * Contract: `text: String → tokens: Array[String]`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Remove stop-words, preserving multiplicity and order (unlike
+    * `array_except`, which dedups — wordcount semantics need the
+    * multiset).
+    */
+  def removeStopWords(toks: Column, language: String): Column = {
+    val sw = typedlit(stopWords(language))
+    filter(toks, t => !array_contains(sw, t))
+  }
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: word-chunks plus number/punct
+    * runs, the classic `\w+|[^\w\s]+` regex family.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Characters outside `[a-z0-9 ]` (lower-cased) — punctuation mass. */
+  def punctChars(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+
+  def punctRatio(text: Column): Column =
+    punctChars(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are stop-words — high for natural prose,
+    * low for boilerplate/code/gibberish.
+    */
+  def stopwordRatio(text: Column, language: String): Column = {
+    val n = tokenCount(text)
+    val sw = typedlit(stopWords(language))
+    val hits = size(filter(tokens(text), t => array_contains(sw, t)))
+    hits.cast("double") / greatest(n, lit(1)).cast("double")
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  // --- language identification ---------------------------------------------
+
+  /** Languages scored by the stop-word-overlap heuristic. */
+  val LangIdLanguages: Seq[String] = Seq("english", "french", "german", "spanish")
+  val LangIdCodes: Map[String, String] =
+    Map("english" -> "en", "french" -> "fr", "german" -> "de", "spanish" -> "es")
+
+  /** Stop-word overlap count for one language. */
+  def langScore(toks: Column, language: String): Column = {
+    val sw = typedlit(stopWords(language))
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** Predicted language code via argmax of stop-word overlap with a fixed
+    * priority tie-break (en > fr > de > es) — deterministic, and exactly
+    * expressible in ANSI SQL for the oracle.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val s = LangIdLanguages.map(l => l -> langScore(toks, l)).toMap
+    val (en, fr, de, es) =
+      (s("english"), s("french"), s("german"), s("spanish"))
+    when(en >= fr && en >= de && en >= es, lit("en"))
+      .when(fr >= de && fr >= es, lit("fr"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  // --- fingerprinting --------------------------------------------------------
+
+  /** Canonical content fingerprint: md5 of the normalized token join.
+    * Stable across engines (md5 is md5 everywhere) → oracle-checkable.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** 60-bit integer hash of a string derived from md5 — the cross-engine
+    * hash primitive used by MinHash/SimHash (15 hex chars = 60 bits keeps
+    * it positive in a signed int64 on both engines).
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Fast 64-bit fingerprint for engine-internal use (xxhash64 is
+    * codegen'd and ~10× md5; not oracle-portable).
+    */
+  def fastFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  // --- shingling / MinHash / SimHash ----------------------------------------
+
+  /** Word n-gram shingles: `["a","b","c","d"]`, n=3 →
+    * `["a b c","b c d"]`. Documents shorter than n shingle to the full
+    * token join so they still participate in dedup.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** MinHash signature: k independent hash functions
+    * `h_i(s) = md5Hash60(i || ':' || s)`, each min-reduced over the
+    * shingle set. Computed entirely per-row (no shuffle).
+    */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(
+          transform(shingleCol, s => md5Hash60(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys from a MinHash signature: `bands` bands of
+    * `rows = k/bands` signature values, each band hashed to one key.
+    * Docs sharing any band key are candidate near-duplicates.
+    */
+  def minHashBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        struct(
+          b.alias("band"),
+          md5(concat_ws("_", slice(signature, b * rows + 1, lit(rows)))).alias("key")))
+
+  /** 60-bit SimHash over the token multiset, computed per-row with a
+    * 60-wide counter array folded by `aggregate`/`zip_with` — no shuffle,
+    * no UDF. Bit j of the result is 1 iff the sum over tokens of
+    * `(bit_j(md5Hash60(token))*2 - 1)` is positive.
+    */
+  def simHash60(toks: Column): Column = {
+    val bitIdx = sequence(lit(0L), lit(59L))
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n.cast("int"))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = md5Hash60(t)
+        zip_with(acc, bitIdx, (a, j) => a + shr(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      }
+    )
+    aggregate(
+      zip_with(counts, bitIdx, (c, j) => when(c > 0, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two SimHash values (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

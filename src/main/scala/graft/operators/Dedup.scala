@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication for training-data pipelines, at 100 TB shapes:
+  *
+  *  - `exact`        — one hash aggregate on the content fingerprint.
+  *  - `ngramJaccard` — exact n-gram Jaccard over an inverted shingle
+  *                     index (explode → self-join on shingle → count),
+  *                     the brute-force-correct baseline.
+  *  - `minHashLsh`   — MinHash signatures + banded LSH bucketing; only
+  *                     docs sharing a band key are compared, so the join
+  *                     fans out per-bucket instead of per-shingle. The
+  *                     scale path: candidate volume is tunable via
+  *                     (k, bands) independent of corpus size.
+  *  - `simHashPairs` — 60-bit SimHash fingerprints; near-dups = small
+  *                     hamming distance, candidate-gen by exact match on
+  *                     rotated bit-blocks.
+  *
+  * All hashing is md5-derived (`TextFunctions.md5Hash60`) so every stage
+  * is reproducible across engines for the correctness oracle; swap
+  * `xxhash64` in via `hashFn` when raw speed matters more than
+  * portability.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per distinct text.
+    * One shuffle on the 128-bit fingerprint — never on the full text,
+    * which matters when documents are megabytes.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).alias("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("dup_count"))
+
+  /** Distinct (doc, shingle) pairs — the inverted-index rows. */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs
+      .select(col(idCol).alias("id"), explode(shingles(tokens(col(textCol)), n)).alias("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-duplicate pairs: J(A,B) ≥ threshold,
+    * id_a < id_b. The self-join key is the shingle, so co-occurrence is
+    * computed where the data lives; common-shingle skew is the known
+    * hazard at scale — `maxShingleFreq` drops shingles shared by more
+    * than that many docs (stop-shingles contribute almost no Jaccard
+    * signal but quadratic join fan-out).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val filtered = maxShingleFreq match {
+      case Some(maxF) =>
+        val hot = ds.groupBy("sh").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
+        ds.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+      case None => ds
+    }
+
+    val sizes = ds.groupBy("id").agg(count(lit(1)).alias("sz"))
+
+    val a = filtered.toDF("id_a", "sh")
+    val b = filtered.toDF("id_b", "sh")
+    val common = a
+      .join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).alias("common"))
+
+    common
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures, exploded to `(id, i, sig)` rows. */
+  def minHashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16): DataFrame =
+    docs
+      .select(
+        col(idCol).alias("id"),
+        posexplode(minHashSignature(shingles(tokens(col(textCol)), n), k))
+          .as(Seq("i", "sig")))
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * Stage 1 (candidate-gen) shuffles `(band, key) → ids` — each doc
+    * contributes `bands` rows regardless of length. Stage 2 verifies
+    * candidates with the exact shingle-set Jaccard, so the output has no
+    * false positives (false negatives bounded by the (k, bands) collision
+    * probability curve).
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+
+    val rows = k / bands
+    val sigs = docs.select(
+      col(idCol).alias("id"),
+      explode(minHashBands(minHashSignature(shingles(tokens(col(textCol)), n), k), bands, rows))
+        .alias("bk"))
+
+    val buckets = sigs.select(col("id"), col("bk.band").alias("band"), col("bk.key").alias("key"))
+    val cand = buckets.alias("x")
+      .join(buckets.alias("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+      .distinct()
+
+    // exact verification of the candidate set only
+    val ds = docShingles(docs, idCol, textCol, n)
+    val sizes = ds.groupBy("id").agg(count(lit(1)).alias("sz"))
+    val common = cand
+      .join(ds.toDF("id_a", "sh"), Seq("id_a"))
+      .join(ds.toDF("id_b", "sh2").withColumnRenamed("sh2", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).alias("common"))
+
+    common
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash fingerprints per doc. */
+  def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).alias("id"), simHash60(tokens(col(textCol))).alias("simhash"))
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDistance. Candidate
+    * generation by exact match on each of `blocks` bit-blocks (pigeonhole:
+    * any pair within `blocks-1` bits agrees on ≥1 block), then exact
+    * hamming verification — same two-stage shape as LSH.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      blocks: Int = 4): DataFrame = {
+
+    val fps = simHashFingerprints(docs, idCol, textCol)
+    val blockWidth = 60 / blocks
+    val blocked = fps.select(
+      col("id"),
+      col("simhash"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(blocks - 1)),
+          b =>
+            call_function(
+              "shiftright",
+              col("simhash"),
+              (b * blockWidth).cast("int")).bitwiseAND(lit((1L << blockWidth) - 1))))
+        .as(Seq("block", "bkey")))
+
+    blocked.alias("x")
+      .join(blocked.alias("y"), Seq("block", "bkey"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").alias("id_a"),
+        col("y.id").alias("id_b"),
+        hammingDistance(col("x.simhash"), col("y.simhash")).alias("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDistance)
+  }
+
+  /** Embedding-cosine near-dup pairs (exact within an id-range block, or
+    * over LSH buckets for the scale path — see `Similarity`).
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).alias("id"), col(vecCol).alias("vec"))
+    v.alias("a")
+      .join(v.alias("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").alias("id_a"),
+        col("b.id").alias("id_b"),
+        VectorFunctions.cosineSimilarity(col("a.vec"), col("b.vec")).alias("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship computation — word counting over cleaned,
+  * stop-word-filtered tokens (`/root/reference/src/main/scala/TwitchStream/SparkRunner.scala:121-127`)
+  * — as a single declarative plan: tokenize → stop-words → explode →
+  * length filter → hash aggregate.
+  *
+  * Scale notes: the explode multiplies rows but Catalyst pushes the
+  * `length > minLength` filter into the generate; the count is a partial
+  * (map-side) + final hash aggregate, so the shuffle carries one row per
+  * distinct word per partition — the natural minimum. The reference did
+  * this by hand with `reduceByKey` (`SparkRunner.scala:126`); Catalyst
+  * does it automatically.
+  */
+object WordCount {
+
+  /** tokens column after clean + stop-word removal (U4 parity). */
+  def cleanTokens(text: Column, language: String): Column =
+    removeStopWords(tokens(text), language)
+
+  def wordCounts(
+      df: DataFrame,
+      textCol: String,
+      language: String = "english",
+      minLength: Int = 3): DataFrame =
+    df.select(explode(cleanTokens(col(textCol), language)).alias("word"))
+      .filter(length(col("word")) > minLength)
+      .groupBy("word")
+      .agg(count(lit(1)).alias("count"))
+}
