@@ -25,6 +25,8 @@ object SparkEntry {
     WordCount.wordCounts(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
 
   private val dec = "decimal(18,2)"
+  private val dec38 = "decimal(38,2)"
+  private val dec384 = "decimal(38,4)"
 
   /** SQL literal list with quote escaping, for embedding stop-word lists
     * into the oracle.
@@ -49,10 +51,14 @@ object SparkEntry {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        // final casts pin the engine-independent output type: Spark's
+        // sum(decimal(18,2)) is decimal(28,2) while DuckDB's is
+        // DECIMAL(38,2) — same values, different parquet schema, and the
+        // driver's hash is type-sensitive.
+        sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .as("sum_disc_price"),
+          .cast(dec384).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   private def q02_kv_merge(s: SparkSession, dir: String): DataFrame = {
@@ -72,7 +78,7 @@ object SparkEntry {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(dec)).as("revenue"))
+        sum(col("o_totalprice").cast(dec)).cast(dec38).as("revenue"))
 
   private def q04_wordcount(s: SparkSession, dir: String): DataFrame =
     WordCount.wordCounts(Tables.documents(s, dir), "text")
@@ -111,13 +117,13 @@ object SparkEntry {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir).select(
       col("user_id"), col("event_id"), col("ts"),
-      sum(col("value").cast(dec)).over(w).as("running"))
+      sum(col("value").cast(dec)).over(w).cast(dec38).as("running"))
   }
 
   private def q10_tumbling_window(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(dec38).as("v"))
       .select(
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("v"))
@@ -206,9 +212,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -221,7 +227,7 @@ object SparkEntry {
          FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""",
     "q03_star_join" ->
       """SELECT r_name, count(*) AS n_orders,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -255,14 +261,15 @@ object SparkEntry {
           WHERE w IN ${sqlList(q08Keep)} AND w NOT IN ${sqlList(q08Out)}""",
     "q09_running_total" ->
       """SELECT user_id, event_id, ts,
-                sum(CAST(value AS DECIMAL(18,2))) OVER (
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-         FROM events""",
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)""",
     "q10_tumbling_window" ->
-      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-                count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS v
-         FROM events GROUP BY hour_start, event_type""",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+                count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+         FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         GROUP BY hour_start, event_type""",
     "q11_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
          FROM events GROUP BY event_type""",
@@ -289,7 +296,7 @@ object SparkEntry {
                   CASE WHEN lag(ts) OVER w IS NULL
                          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END AS new_session
-           FROM events
+           FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts,
@@ -297,7 +304,7 @@ object SparkEntry {
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM marked)
-         SELECT user_id, session_id, count(*) AS n_events,
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end
          FROM sessions GROUP BY user_id, session_id""",
     "q14_semi_join" ->
@@ -317,7 +324,7 @@ object SparkEntry {
            FROM events)
          SELECT event_id,
                 string_split(string_split(regexp_extract(value, '^:([^:]*):', 1), ' ')[1], '!')[1] AS user,
-                string_split(regexp_extract(value, '^:([^:]*):', 1), ' ')[3] AS channel,
+                list_filter(string_split(regexp_extract(value, '^:([^:]*):', 1), ' '), t -> t LIKE '#%')[1] AS channel,
                 lower(regexp_extract(value, '^:[^:]*:(.*)$', 1)) AS text
          FROM lines"""
   )

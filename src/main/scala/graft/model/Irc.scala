@@ -58,8 +58,12 @@ object IrcParser {
     Seq(
       metadata.alias("metadata"),
       split(metaTokens.getItem(0), "!").getItem(0).alias("user"),
-      // channel is the third space token of `nick!nick@host PRIVMSG #chan `
-      metaTokens.getItem(2).alias("channel"),
+      // channel = first '#'-prefixed metadata token — the SAME rule as the
+      // pure parseLine above (not a fixed index, which diverges on lines
+      // carrying extra metadata tokens such as IRC tags)
+      coalesce(
+        element_at(filter(metaTokens, t => t.startsWith("#")), 1),
+        lit("")).alias("channel"),
       lower(parts.getItem(2)).alias("text")
     )
   }

@@ -58,15 +58,22 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = None): DataFrame = {
 
-    val ds = docShingles(docs, idCol, textCol, n).cache()
-    val filtered = maxShingleFreq match {
+    val ds = docShingles(docs, idCol, textCol, n)
+    // materialize the (possibly filtered) inverted index ONCE: it feeds
+    // three plan branches (sizes + both self-join sides). localCheckpoint
+    // truncates lineage and is released with the DataFrame — no cache to
+    // leak (round-1 advisor finding).
+    val filtered = (maxShingleFreq match {
       case Some(maxF) =>
         val hot = ds.groupBy("sh").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
         ds.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
       case None => ds
-    }
+    }).localCheckpoint()
 
-    val sizes = ds.groupBy("id").agg(count(lit(1)).alias("sz"))
+    // sizes come from the SAME (filtered) universe as the common counts —
+    // mixing universes would systematically underestimate Jaccard for docs
+    // containing dropped hot shingles
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).alias("sz"))
 
     val a = filtered.toDF("id_a", "sh")
     val b = filtered.toDF("id_b", "sh")
