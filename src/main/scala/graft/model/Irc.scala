@@ -41,7 +41,9 @@ object IrcParser {
     else {
       val metadata = parts(1)
       val metaTokens = metadata.split(" ")
-      val user = metaTokens.headOption.map(_.split("!").head).getOrElse("")
+      // takeWhile, not split().head — split("!") on a token of only '!'
+      // yields an empty array (Java drops trailing empties)
+      val user = metaTokens.headOption.map(_.takeWhile(_ != '!')).getOrElse("")
       val channel = metaTokens.find(_.startsWith("#")).getOrElse("")
       Some(Parsed(metadata, user, channel, parts(2).toLowerCase))
     }

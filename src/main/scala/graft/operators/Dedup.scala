@@ -66,7 +66,9 @@ object Dedup {
     val filtered = (maxShingleFreq match {
       case Some(maxF) =>
         val hot = ds.groupBy("sh").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
-        ds.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+        // re-select: a USING join puts the join key first, and downstream
+        // toDF renames are positional
+        ds.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti").select("id", "sh")
       case None => ds
     }).localCheckpoint()
 

@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def evalTokens(s: String): Seq[String] =
+    Seq(s).toDF("t").select(TextFunctions.tokens(col("t"))).as[Seq[String]].head()
+
+  test("tokens: lower-cases, splits on whitespace runs, drops empties") {
+    assert(evalTokens("  Hello   WORLD\tfoo\nbar ") == Seq("hello", "world", "foo", "bar"))
+    assert(evalTokens("") == Seq.empty)
+    assert(evalTokens("   ") == Seq.empty)
+  }
+
+  test("removeStopWords keeps multiplicity and order") {
+    val got = Seq("the cat the cat sat")
+      .toDF("t")
+      .select(TextFunctions.removeStopWords(TextFunctions.tokens(col("t")), "english"))
+      .as[Seq[String]]
+      .head()
+    assert(got == Seq("cat", "cat", "sat"))
+  }
+
+  test("shingles: n-grams, and short docs shingle to the full join") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3).as("sh"))
+      .as[Seq[String]]
+      .collect()
+    assert(df(0) == Seq("a b c", "b c d"))
+    assert(df(1) == Seq("a b"))
+  }
+
+  test("md5Hash60 is deterministic, 60-bit positive") {
+    val vals = Seq("x", "x", "y").toDF("s")
+      .select(TextFunctions.md5Hash60(col("s"))).as[Long].collect()
+    assert(vals(0) == vals(1))
+    assert(vals(0) != vals(2))
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("minHashSignature: k values, equal for equal docs, mostly equal for near-dups") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "totally different words here now")
+      .toDF("t")
+      .select(
+        TextFunctions
+          .minHashSignature(TextFunctions.shingles(TextFunctions.tokens(col("t")), 2), 8)
+          .as("sig"))
+      .as[Seq[Long]]
+      .collect()
+    assert(df(0).size == 8)
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("simHash60: deterministic, in range, identical docs collide, hamming works") {
+    val df = Seq("spark makes big data simple", "spark makes big data simple", "unrelated text entirely")
+      .toDF("t")
+      .select(TextFunctions.simHash60(TextFunctions.tokens(col("t"))).as("h"))
+      .as[Long]
+      .collect()
+    assert(df(0) == df(1))
+    assert(df.forall(h => h >= 0 && h < (1L << 60)))
+    val d = Seq((df(0), df(1)), (df(0), df(2))).toDF("a", "b")
+      .select(TextFunctions.hammingDistance(col("a"), col("b"))).as[Int].collect()
+    assert(d(0) == 0)
+    assert(d(1) > 0)
+  }
+
+  test("langId picks the language with most stop-word overlap") {
+    val got = Seq(
+      "the quick brown fox jumps over the lazy dog and then it was done",
+      "le chat est sur la table et il y a des choses que nous avons",
+      "der hund und die katze sind nicht auf dem tisch aber sie waren")
+      .toDF("t")
+      .select(TextFunctions.langId(col("t")))
+      .as[String]
+      .collect()
+    assert(got(0) == "en")
+    assert(got(1) == "fr")
+    assert(got(2) == "de")
+  }
+
+  test("quality metrics: punctRatio, stopwordRatio, meanTokenLength, counts") {
+    val row = Seq("The cat, the hat!!")
+      .toDF("t")
+      .select(
+        TextFunctions.punctRatio(col("t")).as("p"),
+        TextFunctions.stopwordRatio(col("t"), "english").as("s"),
+        TextFunctions.meanTokenLength(col("t")).as("m"),
+        TextFunctions.tokenCount(col("t")).as("n"),
+        TextFunctions.regexTokenCount(col("t")).as("rn"))
+      .collect()
+      .head
+    // punct: ',' '!' '!' = 3 of 18 chars
+    assert(math.abs(row.getDouble(0) - 3.0 / 18.0) < 1e-12)
+    // tokens: the cat, the hat!! → stopwords: the, the = 2/4
+    assert(math.abs(row.getDouble(1) - 0.5) < 1e-12)
+    assert(row.getInt(3) == 4)
+    // regex tokens of "the cat the hat" → 4
+    assert(row.getInt(4) == 4)
+  }
+
+  test("contentFingerprint: normalization-invariant md5") {
+    val fps = Seq("Hello   World", "hello world", "hello worlds")
+      .toDF("t")
+      .select(TextFunctions.contentFingerprint(col("t")))
+      .as[String]
+      .collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class LabelPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cleanText strips <br>, bracket junk and collapses whitespace") {
+    val got = LabelPrep.cleanText(
+      Seq("""hello < br / > [world]  "quoted"   text""").toDF("text"), "text")
+      .as[String].head()
+    assert(got == "hello world quoted text")
+  }
+
+  test("prepare: drops short/null docs, removes outliers, keeps top-K labels only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta something else entirely here"),
+      (3L, "short text"), // dropped: < 50 chars
+      (4L, "alpha alpha alpha beta beta gamma rare1 rare2 rare3 rare4 rare5 words")
+    ).toDF("doc_id", "text")
+
+    val out = LabelPrep.prepare(docs, "doc_id", "text",
+      outlierLabels = Seq("else"), minTextLength = 50, maxLabels = 3)
+      .as[(Long, String)].collect().toSet
+
+    // doc 3 gone
+    assert(!out.exists(_._1 == 3L))
+    // outlier label never appears
+    assert(!out.exists(_._2 == "else"))
+    // only 3 distinct labels survive (top by doc frequency: alpha, beta, gamma)
+    assert(out.map(_._2) == Set("alpha", "beta", "gamma"))
+    // label arrays are distinct per doc: doc4's triple alpha → one row
+    assert(out.count(_._1 == 4L) == 3)
+  }
+}
