@@ -35,12 +35,62 @@ object SparkEntry {
     words.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   private val stopEn = TextFunctions.stopWords("english")
+  private val stopFr = TextFunctions.stopWords("french")
+  private val stopDe = TextFunctions.stopWords("german")
+  private val stopEs = TextFunctions.stopWords("spanish")
 
   /** DuckDB fragment: lower-cased whitespace tokens of `c`, empties
     * dropped — mirrors `TextFunctions.tokens`.
     */
   private def sqlTokens(c: String): String =
     s"list_filter(string_split_regex(lower($c), '\\s+'), x -> length(x) > 0)"
+
+  /** DuckDB fragment: `TextFunctions.md5Hash60` — 60-bit integer from the
+    * first 15 hex chars of md5 (DuckDB parses '0x…' strings as integers).
+    */
+  private def sqlMd5h60(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB fragment: word 3-gram shingles of token-list column `t` —
+    * mirrors `TextFunctions.shingles(_, 3)` incl. the short-doc rule.
+    */
+  private val sqlShingles3 =
+    "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END"
+
+  /** Shared CTE prefix for shingle-based dedup oracles: tokens → 3-gram
+    * shingles → distinct inverted index `ds(id, sh)` → set sizes `sz`.
+    */
+  private def sqlShingleCtes: String =
+    s"""tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+        shv AS (SELECT doc_id, $sqlShingles3 AS shs FROM tk),
+        ds AS (SELECT DISTINCT doc_id AS id, unnest(shs) AS sh FROM shv),
+        sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id)"""
+
+  /** Shared CTE: 16-value MinHash signature per doc — same affine family
+    * and seeded coefficients as `TextFunctions.minHashSignature(k = 16)`.
+    */
+  private def sqlMinHashSigCte: String = {
+    val p = TextFunctions.MinHashPrime
+    val mins = TextFunctions.minHashCoeffs(16)
+      .map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))" }
+      .mkString(", ")
+    s"""hsv AS (SELECT doc_id, list_transform(shs, s -> ${sqlMd5h60("s")} % $p) AS hs FROM shv),
+        sg AS (SELECT doc_id AS id, [$mins] AS sig FROM hsv)"""
+  }
+
+  /** DuckDB fragment: ordered-fold dot product of two float-list columns,
+    * cast element-wise to DOUBLE — the same left-to-right evaluation order
+    * as `VectorFunctions.dot`, so results are bit-identical.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
   // =========================================================================
   // Queries
@@ -186,6 +236,61 @@ object SparkEntry {
       .select("event_id", "user", "channel", "text")
   }
 
+  // --- training-data-pipeline extensions: dedup / similarity / text ---------
+
+  private def q17_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  private def q18_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+
+  private def q19_minhash_sig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignatures(Tables.documents(s, dir), "doc_id", "text", n = 3, k = 16)
+
+  private def q20_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(
+      Tables.documents(s, dir), "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+
+  private def q21_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashFingerprints(Tables.documents(s, dir), "doc_id", "text")
+
+  private def q22_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    // query vector = embedding of vec_id 0: a single-row driver lookup
+    // (the literal then ships inside the plan — no join, no shuffle)
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .map(_.toDouble)
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
+  }
+
+  private def q23_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+
+  private def q24_langid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  private def q25_quality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
+      TextFunctions.regexTokenCount(t).cast("long").as("n_subtokens"),
+      TextFunctions.punctRatio(t).as("punct_ratio"),
+      TextFunctions.stopwordRatio(t, "english").as("stopword_ratio"),
+      TextFunctions.meanTokenLength(t).as("mean_token_len"))
+  }
+
+  private def q26_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.contentFingerprint(col("text")).as("fp"),
+      TextFunctions.md5Hash60(col("text")).as("fp60"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -206,7 +311,17 @@ object SparkEntry {
     "q13_sessionize" -> (q13_sessionize _),
     "q14_semi_join" -> (q14_semi_join _),
     "q15_anti_join" -> (q15_anti_join _),
-    "q16_irc_parse" -> (q16_irc_parse _)
+    "q16_irc_parse" -> (q16_irc_parse _),
+    "q17_dedup_exact" -> (q17_dedup_exact _),
+    "q18_ngram_jaccard" -> (q18_ngram_jaccard _),
+    "q19_minhash_sig" -> (q19_minhash_sig _),
+    "q20_minhash_lsh" -> (q20_minhash_lsh _),
+    "q21_simhash" -> (q21_simhash _),
+    "q22_cosine_topk" -> (q22_cosine_topk _),
+    "q23_embedding_neardup" -> (q23_embedding_neardup _),
+    "q24_langid" -> (q24_langid _),
+    "q25_quality" -> (q25_quality _),
+    "q26_fingerprint" -> (q26_fingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,6 +441,91 @@ object SparkEntry {
                 string_split(string_split(regexp_extract(value, '^:([^:]*):', 1), ' ')[1], '!')[1] AS user,
                 list_filter(string_split(regexp_extract(value, '^:([^:]*):', 1), ' '), t -> t LIKE '#%')[1] AS channel,
                 lower(regexp_extract(value, '^:[^:]*:(.*)$', 1)) AS text
-         FROM lines"""
+         FROM lines""",
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY fp""",
+    "q18_ngram_jaccard" ->
+      s"""WITH $sqlShingleCtes,
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                 FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+            FROM cm JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b)
+          WHERE jaccard >= 0.5""",
+    "q19_minhash_sig" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          shv AS (SELECT doc_id, $sqlShingles3 AS shs FROM tk),
+          $sqlMinHashSigCte
+          SELECT id, CAST(j AS INTEGER) AS i, sig[j + 1] AS sig
+          FROM sg, (SELECT unnest(range(0, 16)) AS j) idx""",
+    "q20_minhash_lsh" ->
+      s"""WITH $sqlShingleCtes,
+          $sqlMinHashSigCte,
+          bd AS (SELECT id, b, md5(array_to_string(sig[b*4+1:b*4+4], '_')) AS key
+                 FROM sg, (SELECT unnest(range(0, 4)) AS b) bb),
+          cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                   FROM bd x JOIN bd y ON x.b = y.b AND x.key = y.key AND x.id < y.id),
+          cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+                 FROM cand c
+                 JOIN ds a ON a.id = c.id_a
+                 JOIN ds b ON b.id = c.id_b AND b.sh = a.sh
+                 GROUP BY 1, 2)
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+            FROM cm JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b)
+          WHERE jaccard >= 0.5""",
+    "q21_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
+          SELECT doc_id AS id,
+                 CAST(list_sum(list_transform(range(0, 60), j ->
+                   CASE WHEN list_sum(list_transform(t, tok ->
+                          ((${sqlMd5h60("tok")} >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM tk""",
+    "q22_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
+          FROM embeddings, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+    "q23_embedding_neardup" ->
+      s"""SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${sqlCos("a.embedding", "b.embedding")} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE cos >= 0.4""",
+    "q24_langid" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT doc_id,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS s_en,
+                   len(list_filter(t, x -> x IN ${sqlList(stopFr)})) AS s_fr,
+                   len(list_filter(t, x -> x IN ${sqlList(stopDe)})) AS s_de,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEs)})) AS s_es
+                 FROM tk)
+          SELECT doc_id,
+                 CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                      WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                      WHEN s_de >= s_es THEN 'de'
+                      ELSE 'es' END AS lang_pred
+          FROM sc""",
+    "q25_quality" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents)
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_subtokens,
+                 CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+                 CAST(len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS stopword_ratio,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_token_len
+          FROM tk""",
+    "q26_fingerprint" ->
+      s"""SELECT doc_id,
+                 md5(array_to_string(${sqlTokens("text")}, ' ')) AS fp,
+                 ${sqlMd5h60("text")} AS fp60
+          FROM documents"""
   )
 }

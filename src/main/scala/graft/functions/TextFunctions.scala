@@ -140,16 +140,46 @@ object TextFunctions {
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature: k independent hash functions
-    * `h_i(s) = md5Hash60(i || ':' || s)`, each min-reduced over the
-    * shingle set. Computed entirely per-row (no shuffle).
+  /** MinHash uses the classic pairwise-independent affine family
+    * `h_i(x) = (a_i * x + b_i) mod p` over a base 60-bit md5 hash reduced
+    * mod p = 2^31 - 1 (Mersenne). One md5 per shingle + k multiply-adds —
+    * 16× less hashing than k independent md5s, and every intermediate
+    * stays < 2^62 so the arithmetic is overflow-free (and therefore
+    * portable: DuckDB raises on BIGINT overflow where the JVM wraps).
+    */
+  val MinHashPrime: Long = 2147483647L
+
+  /** Deterministic (seeded) affine coefficients `(a_i, b_i)`,
+    * a_i ∈ [1, p), b_i ∈ [0, p) — embedded as literals in both the Spark
+    * plan and the DuckDB oracle SQL.
+    */
+  def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    Seq.fill(k)((1L + next(MinHashPrime - 1), next(MinHashPrime)))
+  }
+
+  /** Base hash per shingle: md5-derived, reduced mod p. Materialize this
+    * ONCE per row (own projection) before fanning out to k permutations —
+    * md5 is the expensive part.
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => md5Hash60(s) % lit(MinHashPrime))
+
+  /** k-value MinHash signature from a pre-computed base-hash array. */
+  def minHashFromHashes(hashesCol: Column, k: Int, seed: Long = 42L): Column = {
+    val exprs = minHashCoeffs(k, seed).map { case (a, b) =>
+      array_min(transform(hashesCol, h => (lit(a) * h + lit(b)) % lit(MinHashPrime)))
+    }
+    array(exprs: _*)
+  }
+
+  /** MinHash signature straight from shingles (single-expression form;
+    * prefer shingleHashes + minHashFromHashes in operators so the md5
+    * pass is materialized once).
     */
   def minHashSignature(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(
-          transform(shingleCol, s => md5Hash60(concat(i.cast("string"), lit(":"), s)))))
+    minHashFromHashes(shingleHashes(shingleCol), k)
 
   /** LSH band keys from a MinHash signature: `bands` bands of
     * `rows = k/bands` signature values, each band hashed to one key.

@@ -96,18 +96,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures, exploded to `(id, i, sig)` rows. */
+  /** `(id, sig: Array[Long])` — one row per doc, with the md5 base-hash
+    * pass materialized in its own projection so it runs once per shingle
+    * regardless of k.
+    */
+  def minHashSignatureTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame =
+    docs
+      .select(col(idCol).alias("id"), shingleHashes(shingles(tokens(col(textCol)), n)).alias("hs"))
+      .select(col("id"), minHashFromHashes(col("hs"), k).alias("sig"))
+
+  /** MinHash signatures, exploded to `(id, i, sig)` rows.
+    *
+    * Shape note: the explode fans out a LITERAL coefficient array and the
+    * per-permutation min is computed above the Generate, rather than
+    * posexploding a computed signature array. Exploding a computed array
+    * makes `InferFiltersFromGenerate` synthesize a `size(expr) > 0`
+    * filter with the whole expensive expression inlined (HOFs are
+    * CodegenFallback → interpreted → ~k× redundant hashing); a literal
+    * generator input constant-folds that filter away.
+    */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 16): DataFrame =
+      k: Int = 16): DataFrame = {
+    val coeffArr = array(minHashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
     docs
+      .select(col(idCol).alias("id"), shingleHashes(shingles(tokens(col(textCol)), n)).alias("hs"))
+      .select(col("id"), col("hs"), explode(coeffArr).alias("c"))
       .select(
-        col(idCol).alias("id"),
-        posexplode(minHashSignature(shingles(tokens(col(textCol)), n), k))
-          .as(Seq("i", "sig")))
+        col("id"),
+        col("c.i").alias("i"),
+        array_min(transform(col("hs"), h => (col("c.a") * h + col("c.b")) % lit(MinHashPrime)))
+          .alias("sig"))
+  }
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -127,12 +157,14 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
 
     val rows = k / bands
-    val sigs = docs.select(
-      col(idCol).alias("id"),
-      explode(minHashBands(minHashSignature(shingles(tokens(col(textCol)), n), k), bands, rows))
-        .alias("bk"))
-
-    val buckets = sigs.select(col("id"), col("bk.band").alias("band"), col("bk.key").alias("key"))
+    // explode a literal band-index array (see minHashSignatures shape note)
+    val bandIdx = array((0 until bands).map(b => lit(b)): _*)
+    val buckets = minHashSignatureTable(docs, idCol, textCol, n, k)
+      .select(col("id"), col("sig"), explode(bandIdx).alias("band"))
+      .select(
+        col("id"),
+        col("band"),
+        md5(concat_ws("_", slice(col("sig"), col("band") * rows + 1, lit(rows)))).alias("key"))
     val cand = buckets.alias("x")
       .join(buckets.alias("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
