@@ -1,0 +1,66 @@
+package graft.classify
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Multi-label text classification surface — the reference calls a
+  * TensorFlow Serving endpoint per row and decodes index→label
+  * (`/root/reference/src/main/scala/TwitchStream/TFInterface.scala:18-92`).
+  * We keep the same UDF contract (`text → Array[String]` of labels whose
+  * score clears a threshold) behind a pluggable trait with a local,
+  * deterministic default — no RPC in the hot path, no per-call resource
+  * reloads (SURVEY.md §2.11.6).
+  */
+trait TextClassifier extends Serializable {
+
+  /** One score per label index, aligned with `labels`. */
+  def scores(text: String): Seq[Double]
+
+  def labels: IndexedSeq[String]
+
+  def threshold: Double = 0.5
+
+  /** Labels whose score clears the threshold. */
+  def classify(text: String): Seq[String] =
+    Predictions.decode(scores(text), labels, threshold)
+}
+
+object Predictions {
+
+  /** Threshold-filter + index→label decode as one pure function.
+    * `zipWithIndex`, not the reference's `scores.indexOf(score)`
+    * (`TFInterface.scala:63-66`) which returns the first index for
+    * duplicate scores (SURVEY.md §2.11.5).
+    */
+  def decode(scores: Seq[Double], labels: Int => String, threshold: Double): Seq[String] =
+    scores.zipWithIndex.collect { case (s, i) if s > threshold => labels(i) }
+}
+
+/** Deterministic keyword-overlap classifier: score(label) = fraction of
+  * that label's keywords present in the lower-cased token set.
+  */
+final case class KeywordClassifier(
+    labelKeywords: Seq[(String, Seq[String])],
+    override val threshold: Double = 0.5)
+    extends TextClassifier {
+
+  override val labels: IndexedSeq[String] = labelKeywords.map(_._1).toIndexedSeq
+
+  override def scores(text: String): Seq[Double] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    labelKeywords.map { case (_, kws) =>
+      if (kws.isEmpty) 0.0 else kws.count(toks.contains).toDouble / kws.size
+    }
+  }
+}
+
+object TextClassifier {
+
+  /** The classifier as a column function (scalar UDF — the classifier is
+    * arbitrary Scala by design; everything around it stays native).
+    */
+  def asUdf(clf: TextClassifier): Column => Column = {
+    val f = udf((text: String) => if (text == null) Seq.empty[String] else clf.classify(text))
+    (c: Column) => f(c)
+  }
+}

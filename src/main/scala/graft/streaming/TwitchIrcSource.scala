@@ -1,0 +1,191 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructType, TimestampType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+/** `twitch-irc` streaming source — DataSource V2 MicroBatchStream
+  * replacement for the reference's receiver
+  * (`/root/reference/src/main/scala/TwitchStream/IRCBot.scala:11-68`):
+  * TCP connect, PASS/NICK auth, JOIN channel, PING→PONG keepalive, each
+  * non-PING line tagged with receipt time. Unlike the reference's
+  * string-prepended epoch millis (`IRCBot.scala:52-53`), receipt time is
+  * a real `TimestampType` column.
+  *
+  * Offsets count lines received; data is buffered on the driver between
+  * offsets (the same architecture as Spark's built-in socket source).
+  * The live protocol is at-most-once across restarts — the reference's
+  * receiver has the same contract (SURVEY.md §7.4).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("twitch-irc")
+  *     .option("host", "irc.chat.twitch.tv").option("port", "6667")
+  *     .option("channel", "#somechannel")
+  *     .option("nick", "mynick").option("pass", "oauth:…")
+  *     .load()   // schema: value STRING, event_ts TIMESTAMP
+  * }}}
+  */
+class TwitchIrcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "twitch-irc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TwitchIrcSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TwitchIrcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object TwitchIrcSource {
+  val Schema: StructType = new StructType()
+    .add("value", StringType)
+    .add("event_ts", TimestampType)
+}
+
+final class TwitchIrcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"twitch-irc(${options.get("channel")})"
+  override def schema(): StructType = TwitchIrcSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = TwitchIrcSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TwitchIrcMicroBatchStream(
+            host = options.getOrDefault("host", "irc.chat.twitch.tv"),
+            port = options.getInt("port", 6667),
+            channel = options.get("channel"),
+            nick = options.getOrDefault("nick", "justinfan0"),
+            pass = options.getOrDefault("pass", ""))
+      }
+    }
+}
+
+/** Offset = total lines received since this stream started. */
+final case class LineOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class TwitchIrcMicroBatchStream(
+    host: String,
+    port: Int,
+    channel: String,
+    nick: String,
+    pass: String)
+    extends MicroBatchStream {
+
+  // (line, receipt micros); index i holds line number baseOffset + i
+  private val buffer = ArrayBuffer.empty[(String, Long)]
+  private var baseOffset = 0L
+  private var client: IrcLineClient = _
+
+  private def ensureConnected(): Unit = synchronized {
+    if (client == null) {
+      client = new IrcLineClient(host, port, channel, nick, pass, line =>
+        synchronized { buffer += ((line, System.currentTimeMillis() * 1000L)) })
+      client.start()
+    }
+  }
+
+  override def initialOffset(): Offset = LineOffset(0L)
+  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    ensureConnected()
+    synchronized(LineOffset(baseOffset + buffer.size))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[LineOffset].n
+      val e = end.asInstanceOf[LineOffset].n
+      val rows = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+      Array(IrcLinesPartition(rows))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[IrcLinesPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow(UTF8String.fromString(rows(i)._1), rows(i)._2)
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[LineOffset].n
+    val drop = (e - baseOffset).toInt
+    if (drop > 0) { buffer.dropInPlace(drop); baseOffset = e }
+  }
+
+  override def stop(): Unit = synchronized {
+    if (client != null) client.close()
+  }
+}
+
+final case class IrcLinesPartition(rows: Array[(String, Long)]) extends InputPartition
+
+/** Blocking-reader IRC client on a daemon thread. Auth handshake (PASS →
+  * NICK → JOIN, `IRCBot.scala:23-35`), PONG keepalive (`IRCBot.scala:47-50`),
+  * auth-phase retry on socket errors (`IRCBot.scala:37-39`).
+  */
+final class IrcLineClient(
+    host: String,
+    port: Int,
+    channel: String,
+    nick: String,
+    pass: String,
+    onLine: String => Unit)
+    extends Thread {
+
+  setDaemon(true)
+  @volatile private var closed = false
+  @volatile private var socket: Socket = _
+
+  override def run(): Unit = {
+    while (!closed) {
+      try {
+        val s = new Socket(host, port)
+        socket = s
+        val out = new PrintWriter(s.getOutputStream, true)
+        val in = new BufferedReader(
+          new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        if (pass.nonEmpty) out.println(s"PASS $pass")
+        out.println(s"NICK $nick")
+        out.println(s"JOIN $channel")
+        var line = in.readLine()
+        while (line != null && !closed) {
+          if (line.startsWith("PING")) out.println(line.replaceFirst("PING", "PONG"))
+          else onLine(line)
+          line = in.readLine()
+        }
+      } catch {
+        case _: Exception if !closed => Thread.sleep(200) // reconnect
+      }
+    }
+  }
+
+  def close(): Unit = {
+    closed = true
+    if (socket != null) { try socket.close() catch { case _: Exception => () } }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.streaming.Trigger
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import scala.collection.mutable.ArrayBuffer
+
+/** Fault-injecting fake IRC server (SURVEY.md §5.5): asserts the
+  * PASS/NICK/JOIN handshake, emits PRIVMSG lines, sends PING and expects
+  * PONG.
+  */
+class TwitchIrcSourceSpec extends SparkTestBase {
+
+  test("twitch-irc source: handshake, line delivery, PING→PONG") {
+    val server = new ServerSocket(0)
+    val received = ArrayBuffer.empty[String]
+    val pongSeen = new CountDownLatch(1)
+    val handshake = ArrayBuffer.empty[String]
+
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      // handshake: PASS, NICK, JOIN
+      handshake += in.readLine(); handshake += in.readLine(); handshake += in.readLine()
+      out.println(":tmi.twitch.tv 001 nick :Welcome")
+      out.println(":u1!u1@u1.tmi.twitch.tv PRIVMSG #chan :first message")
+      out.println(":u2!u2@u2.tmi.twitch.tv PRIVMSG #chan :second message")
+      out.println("PING :tmi.twitch.tv")
+      val pong = in.readLine()
+      if (pong != null && pong.startsWith("PONG")) pongSeen.countDown()
+      out.println(":u3!u3@u3.tmi.twitch.tv PRIVMSG #chan :after ping")
+      // hold the socket open until the test is done
+      Thread.sleep(30000)
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val ckpt = Files.createTempDirectory("graft-irc-src").toString
+    val stream = spark.readStream
+      .format("twitch-irc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("channel", "#chan")
+      .option("nick", "nick")
+      .option("pass", "oauth:test")
+      .load()
+
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("irc_lines")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    try {
+      // wait until the 4 lines (001 + 3 PRIVMSG) have flowed through
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.sql("SELECT value FROM irc_lines").collect().map(_.getString(0))
+      while (rows().count(_.contains("PRIVMSG")) < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+
+      assert(pongSeen.await(10, TimeUnit.SECONDS), "server never received PONG")
+      assert(handshake.toList == List("PASS oauth:test", "NICK nick", "JOIN #chan"))
+      val vals = rows()
+      assert(vals.count(_.contains("PRIVMSG")) == 3)
+      assert(!vals.exists(_.startsWith("PING")), "PING lines must not be emitted as data")
+      // receipt timestamps present
+      val ts = spark.sql("SELECT event_ts FROM irc_lines WHERE event_ts IS NOT NULL").count()
+      assert(ts == vals.length)
+    } finally {
+      query.stop()
+      server.close()
+    }
+  }
+}
