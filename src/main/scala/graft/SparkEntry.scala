@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.model.IrcParser
-import graft.operators.{Dedup, KVTable, LabelPrep, Similarity, WordCount}
+import graft.operators.{Dedup, KVTable, LabelPrep, Multimodal, Similarity, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -291,6 +291,19 @@ object SparkEntry {
       TextFunctions.contentFingerprint(col("text")).as("fp"),
       TextFunctions.md5Hash60(col("text")).as("fp60"))
 
+  private def q27_multimodal(s: SparkSession, dir: String): DataFrame = {
+    // opaque binary content column (UTF-8 bytes of text stands in for a
+    // media payload); byte stats + stub-decode features, all columnar
+    val withContent = Tables.documents(s, dir)
+      .withColumn("content", col("text").cast("binary"))
+    Multimodal.byteStats(withContent, "doc_id", "content")
+      .join(
+        withContent.select(
+          col("doc_id"),
+          Multimodal.fakeEmbedding(col("content"), 4).as("features")),
+        Seq("doc_id"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -321,7 +334,8 @@ object SparkEntry {
     "q23_embedding_neardup" -> (q23_embedding_neardup _),
     "q24_langid" -> (q24_langid _),
     "q25_quality" -> (q25_quality _),
-    "q26_fingerprint" -> (q26_fingerprint _)
+    "q26_fingerprint" -> (q26_fingerprint _),
+    "q27_multimodal" -> (q27_multimodal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +540,16 @@ object SparkEntry {
       s"""SELECT doc_id,
                  md5(array_to_string(${sqlTokens("text")}, ' ')) AS fp,
                  ${sqlMd5h60("text")} AS fp60
+          FROM documents""",
+    "q27_multimodal" -> {
+      val feats = (0 until 4)
+        .map(i => s"CAST(${sqlMd5h60(s"md5(text) || ':$i'")} % 1000000 AS DOUBLE) / 1000000.0")
+        .mkString(", ")
+      s"""SELECT doc_id,
+                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                 md5(text) AS content_md5,
+                 [$feats] AS features
           FROM documents"""
+    }
   )
 }

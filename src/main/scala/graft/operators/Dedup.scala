@@ -233,21 +233,42 @@ object Dedup {
       .filter(col("dist") <= maxDistance)
   }
 
-  /** Embedding-cosine near-dup pairs (exact within an id-range block, or
-    * over LSH buckets for the scale path — see `Similarity`).
+  /** Embedding-cosine near-dup pairs — exact all-pairs (use LSH buckets
+    * for the 100 TB path, see `Similarity.lshTopK`).
+    *
+    * Norms are computed ONCE per row before the self-join (the naive
+    * per-pair cosine evaluates three array folds per pair), and the pair
+    * dot product runs as a tight-loop UDF: higher-order functions are
+    * CodegenFallback, so on O(n²) pair volume the interpreted per-element
+    * dispatch dominates. The loop accumulates left-to-right over
+    * element-wise double casts — bit-identical to `VectorFunctions.dot`
+    * and the DuckDB oracle's `list_reduce`.
     */
   def embeddingNearDup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).alias("id"), col(vecCol).alias("vec"))
+    // Array[Float] (not Seq) params: the UDF input converter does one
+    // bulk primitive copy from UnsafeArrayData instead of boxing per
+    // element
+    val dotU = udf { (a: Array[Float], b: Array[Float]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val v = emb.select(
+      col(idCol).alias("id"),
+      col(vecCol).alias("vec"),
+      VectorFunctions.norm2(col(vecCol)).alias("nrm"))
     v.alias("a")
       .join(v.alias("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").alias("id_a"),
         col("b.id").alias("id_b"),
-        VectorFunctions.cosineSimilarity(col("a.vec"), col("b.vec")).alias("cos"))
+        (dotU(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).alias("cos"))
       .filter(col("cos") >= threshold)
   }
 }
