@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextFunctions
+import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
 import graft.operators.{Dedup, KVTable, LabelPrep, Multimodal, Similarity, WordCount}
 import graft.tables.Tables
@@ -304,6 +304,26 @@ object SparkEntry {
         Seq("doc_id"))
   }
 
+  private def q28_sentiment(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        // decimal-pinned sum: a parallel double sum is order-dependent;
+        // per-doc scores are quotients of small ints, which can never be
+        // exact 6-decimal rounding ties in binary, so both engines round
+        // identically
+        sum(Sentiment.score(col("text")).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sum_sentiment"),
+        count(lit(1)).as("n_docs"))
+
+  private def q29_sliding_window(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -335,7 +355,9 @@ object SparkEntry {
     "q24_langid" -> (q24_langid _),
     "q25_quality" -> (q25_quality _),
     "q26_fingerprint" -> (q26_fingerprint _),
-    "q27_multimodal" -> (q27_multimodal _)
+    "q27_multimodal" -> (q27_multimodal _),
+    "q28_sentiment" -> (q28_sentiment _),
+    "q29_sliding_window" -> (q29_sliding_window _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,6 +572,27 @@ object SparkEntry {
                  md5(text) AS content_md5,
                  [$feats] AS features
           FROM documents"""
-    }
+    },
+    "q28_sentiment" ->
+      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT source,
+                   CAST(len(list_filter(t, x -> x IN ${sqlList(Sentiment.PositiveWords)}))
+                        - len(list_filter(t, x -> x IN ${sqlList(Sentiment.NegativeWords)})) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS score
+                 FROM tk)
+          SELECT source,
+                 CAST(sum(CAST(score AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_sentiment,
+                 count(*) AS n_docs
+          FROM sc GROUP BY source""",
+    "q29_sliding_window" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         g AS (SELECT event_type, ts,
+                      make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS grid
+               FROM e),
+         w AS (SELECT event_type,
+                      unnest([grid, grid - INTERVAL 30 MINUTE]) AS window_start
+               FROM g)
+         SELECT window_start, event_type, count(*) AS n
+         FROM w GROUP BY window_start, event_type"""
   )
 }
