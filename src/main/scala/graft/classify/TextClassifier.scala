@@ -63,4 +63,27 @@ object TextClassifier {
     val f = udf((text: String) => if (text == null) Seq.empty[String] else clf.classify(text))
     (c: Column) => f(c)
   }
+
+  /** Default classifier from the bundled class map — loaded ONCE from the
+    * classpath (the reference re-read its `encoder_classes.json` resource
+    * on every UDF call, `TFInterface.scala:44-47` — SURVEY.md §2.11.6).
+    */
+  lazy val default: TextClassifier =
+    KeywordClassifier(loadLabelKeywords("/graft/classifier_classes.json"))
+
+  /** Parse a `{label: [keyword, …]}` JSON classpath resource (jackson
+    * ships with Spark).
+    */
+  def loadLabelKeywords(resource: String): Seq[(String, Seq[String])] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"classifier resource not found: $resource")
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(in)
+      import scala.jdk.CollectionConverters._
+      root.properties().asScala.toSeq.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }
+    } finally in.close()
+  }
 }
