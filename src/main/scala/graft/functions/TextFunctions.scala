@@ -166,6 +166,59 @@ object TextFunctions {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => md5Hash60(s) % lit(MinHashPrime))
 
+  // --- tight-loop twins ------------------------------------------------------
+  // Higher-order array functions are CodegenFallback (interpreted, boxed
+  // per element), which dominates the dedup pipelines' runtime. These
+  // UDFs compute the identical values in plain JVM loops — same
+  // tokenizer regex, same md5, same arithmetic — so oracle results are
+  // unchanged while the hashing pass runs ~10× faster. Deterministic, so
+  // ReuseExchange still dedups repeated subplans.
+
+  /** JVM twin of `tokens`: lower-case (root locale), split on whitespace
+    * runs, drop empties.
+    */
+  def tokensLocal(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** JVM twin of `shingles`. */
+  def shinglesLocal(toks: Array[String], n: Int): Array[String] =
+    if (toks.length < n) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+
+  /** JVM twin of `md5Hash60` (15 hex chars = 60 bits, fits a long). */
+  def md5Hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** `text → shingle strings` as one tight loop (for inverted-index
+    * explode paths).
+    */
+  def shinglesUdf(n: Int): Column => Column = {
+    val f = udf((text: String) => shinglesLocal(tokensLocal(text), n))
+    c => f(c)
+  }
+
+  /** `text → base shingle hashes mod p` as one tight loop (for MinHash
+    * signature paths).
+    */
+  def shingleHashesUdf(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      val sh = shinglesLocal(tokensLocal(text), n)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = md5Hash60Local(sh(i)) % MinHashPrime; i += 1 }
+      out
+    }
+    c => f(c)
+  }
+
   /** k-value MinHash signature from a pre-computed base-hash array. */
   def minHashFromHashes(hashesCol: Column, k: Int, seed: Long = 42L): Column = {
     val exprs = minHashCoeffs(k, seed).map { case (a, b) =>

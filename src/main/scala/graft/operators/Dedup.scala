@@ -37,10 +37,12 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("dup_count"))
 
-  /** Distinct (doc, shingle) pairs — the inverted-index rows. */
+  /** Distinct (doc, shingle) pairs — the inverted-index rows (tight-loop
+    * shingle construction; see TextFunctions "tight-loop twins").
+    */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs
-      .select(col(idCol).alias("id"), explode(shingles(tokens(col(textCol)), n)).alias("sh"))
+      .select(col(idCol).alias("id"), explode(shinglesUdf(n)(col(textCol))).alias("sh"))
       .distinct()
 
   /** Exact n-gram Jaccard near-duplicate pairs: J(A,B) ≥ threshold,
@@ -108,7 +110,7 @@ object Dedup {
       n: Int,
       k: Int): DataFrame =
     docs
-      .select(col(idCol).alias("id"), shingleHashes(shingles(tokens(col(textCol)), n)).alias("hs"))
+      .select(col(idCol).alias("id"), shingleHashesUdf(n)(col(textCol)).alias("hs"))
       .select(col("id"), minHashFromHashes(col("hs"), k).alias("sig"))
 
   /** MinHash signatures, exploded to `(id, i, sig)` rows.
@@ -131,7 +133,7 @@ object Dedup {
       struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
     }: _*)
     docs
-      .select(col(idCol).alias("id"), shingleHashes(shingles(tokens(col(textCol)), n)).alias("hs"))
+      .select(col(idCol).alias("id"), shingleHashesUdf(n)(col(textCol)).alias("hs"))
       .select(col("id"), col("hs"), explode(coeffArr).alias("c"))
       .select(
         col("id"),

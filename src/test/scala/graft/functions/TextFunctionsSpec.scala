@@ -103,6 +103,39 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(row.getInt(4) == 4)
   }
 
+  test("tight-loop twins agree with the columnar originals") {
+    val texts = Seq(
+      "The quick  Brown fox\tjumps over the lazy dog",
+      "short",
+      "a b",
+      "  leading and trailing  ",
+      "punct! and, symbols: everywhere; really?")
+    texts.foreach { t =>
+      val colToks = Seq(t).toDF("t")
+        .select(TextFunctions.tokens(col("t"))).as[Seq[String]].head()
+      assert(TextFunctions.tokensLocal(t).toSeq == colToks, s"tokens: $t")
+
+      val colSh = Seq(t).toDF("t")
+        .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3))
+        .as[Seq[String]].head()
+      assert(
+        TextFunctions.shinglesLocal(TextFunctions.tokensLocal(t), 3).toSeq == colSh,
+        s"shingles: $t")
+
+      val colHs = Seq(t).toDF("t")
+        .select(TextFunctions.shingleHashes(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3)))
+        .as[Seq[Long]].head()
+      val localHs = Seq(t).toDF("t")
+        .select(TextFunctions.shingleHashesUdf(3)(col("t"))).as[Seq[Long]].head()
+      assert(localHs == colHs, s"shingleHashes: $t")
+    }
+    // md5Hash60 twin against the conv(substring(md5)) expression
+    val vals = Seq("abc", "", "hello world", "ünïcödé")
+    val colVals = vals.toDF("s")
+      .select(TextFunctions.md5Hash60(col("s"))).as[Long].collect().toSeq
+    assert(vals.map(TextFunctions.md5Hash60Local) == colVals)
+  }
+
   test("contentFingerprint: normalization-invariant md5") {
     val fps = Seq("Hello   World", "hello world", "hello worlds")
       .toDF("t")
