@@ -324,6 +324,52 @@ object SparkEntry {
         col("window.start").as("window_start"),
         col("event_type"), col("n"))
 
+  private def q30_shipping_priority(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast(dec384).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  private def q31_local_supplier_volume(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(
+        Tables.orders(s, dir)
+          .filter(
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(
+        Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast(dec384).as("revenue"))
+
+  private def q32_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "value")
+      .select("event_id", "user_id", "ts", "asof_value")
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -357,7 +403,10 @@ object SparkEntry {
     "q26_fingerprint" -> (q26_fingerprint _),
     "q27_multimodal" -> (q27_multimodal _),
     "q28_sentiment" -> (q28_sentiment _),
-    "q29_sliding_window" -> (q29_sliding_window _)
+    "q29_sliding_window" -> (q29_sliding_window _),
+    "q30_shipping_priority" -> (q30_shipping_priority _),
+    "q31_local_supplier_volume" -> (q31_local_supplier_volume _),
+    "q32_asof_join" -> (q32_asof_join _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -593,6 +642,36 @@ object SparkEntry {
                       unnest([grid, grid - INTERVAL 30 MINUTE]) AS window_start
                FROM g)
          SELECT window_start, event_type, count(*) AS n
-         FROM w GROUP BY window_start, event_type"""
+         FROM w GROUP BY window_start, event_type""",
+    "q30_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q31_local_supplier_volume" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY n_name""",
+    "q32_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+         c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts, p.value AS asof_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
   )
 }

@@ -1,0 +1,26 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedSum equals plain groupBy sum, including a pathological hot key") {
+    val hot = Seq.fill(5000)(("hot", 1L))
+    val rest = (1 to 100).map(i => (s"k$i", i.toLong))
+    val df = (hot ++ rest).toDF("k", "v").repartition(8)
+
+    val salted = Skew.saltedSum(df, "k", "v", "total", saltBuckets = 16)
+      .as[(String, Long)].collect().toMap
+    val plain = df.groupBy("k").sum("v").as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("hot") == 5000L)
+  }
+
+  test("saltedCount equals plain count") {
+    val df = (Seq.fill(1000)("x") ++ Seq("a", "b", "a")).toDF("k")
+    val got = Skew.saltedCount(df, "k", "n", saltBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 1000L, "a" -> 2L, "b" -> 1L))
+  }
+}
