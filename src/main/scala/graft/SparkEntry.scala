@@ -370,6 +370,13 @@ object SparkEntry {
       .select("event_id", "user_id", "ts", "asof_value")
   }
 
+  private def q33_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
+        count(lit(1)).as("n"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -406,7 +413,8 @@ object SparkEntry {
     "q29_sliding_window" -> (q29_sliding_window _),
     "q30_shipping_priority" -> (q30_shipping_priority _),
     "q31_local_supplier_volume" -> (q31_local_supplier_volume _),
-    "q32_asof_join" -> (q32_asof_join _)
+    "q32_asof_join" -> (q32_asof_join _),
+    "q33_rollup" -> (q33_rollup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,6 +680,12 @@ object SparkEntry {
          c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
          p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
          SELECT c.event_id, c.user_id, c.ts, p.value AS asof_value
-         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
   )
 }
