@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked run output goes straight to stdout (no "[info] " log prefix) so
+// the Bench JSON line is machine-parseable by the caller
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
