@@ -267,7 +267,10 @@ object SparkEntry {
   }
 
   private def q23_embedding_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+    // block variant: the embedding table is broadcast-sized here (the
+    // 100 TB path LSH-buckets or id-range-blocks first, then runs the
+    // same kernel per block)
+    Dedup.embeddingNearDupBlock(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
 
   private def q24_langid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

@@ -278,4 +278,55 @@ object Dedup {
         (dotU(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).alias("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Broadcast-block variant of [[embeddingNearDup]]: when the embedding
+    * block fits in executor memory (the same admission rule as a
+    * broadcast join), ship it once and score pairs in a tight loop —
+    * no O(n²) join rows ever materialize, only the surviving pairs. At
+    * 100 TB this is the inner kernel: LSH-bucket or id-range-block the
+    * corpus first, then run this within each block.
+    *
+    * Arithmetic is identical to [[embeddingNearDup]] (left-to-right dot
+    * fold, `dot / (norm_a * norm_b)`), so results match the same oracle
+    * bit-for-bit.
+    */
+  def embeddingNearDupBlock(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val block: Array[(Long, Array[Float], Double)] = emb
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, vec) =>
+        var s = 0.0
+        var i = 0
+        while (i < vec.length) { s += vec(i).toDouble * vec(i).toDouble; i += 1 }
+        (id, vec, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(block)
+    val n = block.length
+    spark.range(0, n.toLong)
+      .mapPartitions { idxs =>
+        val arr = bc.value
+        idxs.flatMap { i0 =>
+          val i = i0.toInt
+          val (ida, va, na) = arr(i)
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (idb, vb, nb) = arr(j)
+            var s = 0.0
+            var d = 0
+            val len = math.min(va.length, vb.length)
+            while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+            val cos = s / (na * nb)
+            if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
 }

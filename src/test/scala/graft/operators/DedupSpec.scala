@@ -66,4 +66,17 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
+
+  test("embeddingNearDupBlock produces bit-identical pairs to the join variant") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    val joinV = Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val blockV = Dedup.embeddingNearDupBlock(emb, "id", "vec", threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blockV == joinV)
+    assert(blockV.nonEmpty)
+  }
 }
