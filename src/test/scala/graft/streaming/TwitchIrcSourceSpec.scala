@@ -78,4 +78,44 @@ class TwitchIrcSourceSpec extends SparkTestBase {
       server.close()
     }
   }
+
+  test("client reconnects after the server drops the connection") {
+    val server = new ServerSocket(0)
+    val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serverThread = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val s = server.accept()
+          val n = connections.incrementAndGet()
+          val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+          val out = new PrintWriter(s.getOutputStream, true)
+          in.readLine(); in.readLine(); in.readLine() // PASS/NICK/JOIN
+          out.println(s":u!u@h PRIVMSG #c :from connection $n")
+          if (n == 1) s.close() // drop first connection → client must retry
+          else Thread.sleep(30000)
+        } catch { case _: Exception => () }
+      }
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val received = ArrayBuffer.empty[String]
+    val client = new IrcLineClient(
+      "127.0.0.1", server.getLocalPort, "#c", "nick", "oauth:x",
+      line => received.synchronized { received += line })
+    client.start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (connections.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(connections.get() >= 2, "client never reconnected")
+      val d2 = System.currentTimeMillis() + 10000
+      while (!received.synchronized(received.exists(_.contains("connection 2"))) &&
+        System.currentTimeMillis() < d2) Thread.sleep(100)
+      assert(received.synchronized(received.exists(_.contains("connection 2"))))
+    } finally {
+      client.close()
+      server.close()
+    }
+  }
 }
