@@ -373,6 +373,14 @@ object SparkEntry {
       .select("event_id", "user_id", "ts", "asof_value")
   }
 
+  private def q34_ngram_jaccard_filtered(s: SparkSession, dir: String): DataFrame =
+    // maxShingleFreq = 3 genuinely drops stop-shingles at sf0.01 (max
+    // observed doc-frequency is 7), exercising the hot-shingle anti-join
+    // and the consistent-universe size computation
+    Dedup.ngramJaccard(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleFreq = Some(3))
+
   private def q33_rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
@@ -417,7 +425,8 @@ object SparkEntry {
     "q30_shipping_priority" -> (q30_shipping_priority _),
     "q31_local_supplier_volume" -> (q31_local_supplier_volume _),
     "q32_asof_join" -> (q32_asof_join _),
-    "q33_rollup" -> (q33_rollup _)
+    "q33_rollup" -> (q33_rollup _),
+    "q34_ngram_jaccard_filtered" -> (q34_ngram_jaccard_filtered _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -689,6 +698,18 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
                 count(*) AS n
          FROM lineitem
-         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q34_ngram_jaccard_filtered" ->
+      s"""WITH $sqlShingleCtes,
+          hot AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM ds GROUP BY sh) WHERE f > 3),
+          flt AS (SELECT id, sh FROM ds WHERE sh NOT IN (SELECT sh FROM hot)),
+          fsz AS (SELECT id, count(*) AS sz FROM flt GROUP BY id),
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                 FROM flt a JOIN flt b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+            FROM cm JOIN fsz x ON x.id = id_a JOIN fsz y ON y.id = id_b)
+          WHERE jaccard >= 0.5"""
   )
 }
