@@ -381,6 +381,11 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleFreq = Some(3))
 
+  private def q35_training_prep(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPrep.prepare(
+      Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 30, maxTokens = 90, language = "en")
+
   private def q33_rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
@@ -426,7 +431,8 @@ object SparkEntry {
     "q31_local_supplier_volume" -> (q31_local_supplier_volume _),
     "q32_asof_join" -> (q32_asof_join _),
     "q33_rollup" -> (q33_rollup _),
-    "q34_ngram_jaccard_filtered" -> (q34_ngram_jaccard_filtered _)
+    "q34_ngram_jaccard_filtered" -> (q34_ngram_jaccard_filtered _),
+    "q35_training_prep" -> (q35_training_prep _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -710,6 +716,24 @@ object SparkEntry {
             SELECT id_a, id_b,
                    CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
             FROM cm JOIN fsz x ON x.id = id_a JOIN fsz y ON y.id = id_b)
-          WHERE jaccard >= 0.5"""
+          WHERE jaccard >= 0.5""",
+    "q35_training_prep" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS s_en,
+                   len(list_filter(t, x -> x IN ${sqlList(stopFr)})) AS s_fr,
+                   len(list_filter(t, x -> x IN ${sqlList(stopDe)})) AS s_de,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEs)})) AS s_es,
+                   md5(array_to_string(t, ' ')) AS fp
+                 FROM tk),
+          kept AS (
+            SELECT * FROM sc
+            WHERE n_tokens BETWEEN 30 AND 90
+              AND (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                        WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                        WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = 'en')
+          SELECT min(doc_id) AS doc_id, fp, min(n_tokens) AS n_tokens,
+                 count(*) AS dup_count
+          FROM kept GROUP BY fp"""
   )
 }
