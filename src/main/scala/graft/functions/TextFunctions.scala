@@ -116,9 +116,19 @@ object TextFunctions {
 
   /** 60-bit integer hash of a string derived from md5 — the cross-engine
     * hash primitive used by MinHash/SimHash (15 hex chars = 60 bits keeps
-    * it positive in a signed int64 on both engines).
+    * it positive in a signed int64 on both engines). Backed by a native
+    * Catalyst expression with real codegen (`Md5Hash60Expr`); value-
+    * identical to the composed form below and to the DuckDB oracle's
+    * `CAST('0x' || substring(md5(s),1,15) AS BIGINT)`.
     */
   def md5Hash60(s: Column): Column =
+    graft.functions.expressions.Md5Hash60Expr.md5Hash60Native(s)
+
+  /** The composed built-in form of [[md5Hash60]] (hex-string roundtrip) —
+    * kept as the executable specification the native expression is
+    * parity-tested against.
+    */
+  def md5Hash60Composed(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Fast 64-bit fingerprint for engine-internal use (xxhash64 is

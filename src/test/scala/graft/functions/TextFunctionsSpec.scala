@@ -129,11 +129,19 @@ class TextFunctionsSpec extends SparkTestBase {
         .select(TextFunctions.shingleHashesUdf(3)(col("t"))).as[Seq[Long]].head()
       assert(localHs == colHs, s"shingleHashes: $t")
     }
-    // md5Hash60 twin against the conv(substring(md5)) expression
+    // md5Hash60: native codegen expression == composed conv(substring(md5))
+    // form == JVM twin
     val vals = Seq("abc", "", "hello world", "ünïcödé")
-    val colVals = vals.toDF("s")
+    val native = vals.toDF("s")
       .select(TextFunctions.md5Hash60(col("s"))).as[Long].collect().toSeq
-    assert(vals.map(TextFunctions.md5Hash60Local) == colVals)
+    val composed = vals.toDF("s")
+      .select(TextFunctions.md5Hash60Composed(col("s"))).as[Long].collect().toSeq
+    assert(native == composed)
+    assert(vals.map(TextFunctions.md5Hash60Local) == native)
+    // null propagates (UnaryExpression null-intolerant semantics)
+    val withNull = Seq(Some("x"), None).toDF("s")
+      .select(TextFunctions.md5Hash60(col("s"))).collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
   }
 
   test("contentFingerprint: normalization-invariant md5") {
