@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.expressions.Md5Hash60Expr
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SparkSessionExtensions entry point — makes the engine's native
+  * expressions callable from SQL:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT md5_hash60(text) FROM docs")
+  * }}}
+  *
+  * [[GraftFunctions.register]] does the same on an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(
+      (
+        FunctionIdentifier("md5_hash60"),
+        new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5_hash60"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Md5Hash60Expr(exprs.head)))
+}
+
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
+}

@@ -34,6 +34,53 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nLists` cells; a query probes only the `nProbe` cells
+    * whose centroids are nearest, scanning ≈ `nProbe/nLists` of the data.
+    * The index (cell assignments) is computed once and reusable — at
+    * 100 TB you'd persist it partitioned by cell so a probe is a
+    * partition-pruned scan.
+    *
+    * Deterministic: fixed seed, and final scoring uses the same cosine
+    * expression as the exact path.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val assembled = emb.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(assembled)
+
+    val qVec = org.apache.spark.ml.linalg.Vectors.dense(query.toArray)
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)
+        (i, d)
+      }
+      .sortBy(_._2)
+      .take(nProbe)
+      .map(_._1)
+      .toSeq
+
+    model
+      .transform(assembled)
+      .filter(col("__cell").isin(probeCells: _*))
+      .transform(withCosine(_, vecCol, query))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Bucketed ANN: assigns every vector (and the query) a hyperplane
     * bucket; only bucket-mates are scored. `nPlanes` trades recall for
     * selectivity (bucket population ≈ N / 2^nPlanes).

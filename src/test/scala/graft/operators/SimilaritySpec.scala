@@ -22,6 +22,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
   }
 
+  test("ivfTopK probes nearest cells and scores with the exact cosine") {
+    val rnd = new scala.util.Random(3)
+    // two well-separated clusters around +x and +y
+    val vecs = (1L to 30L).map { i =>
+      val base = if (i <= 15) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)
+      (i, base.map(b => (b + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0),
+      k = 5, nLists = 2, nProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(got.length == 5)
+    // probing the +x cell: every hit comes from the +x cluster
+    assert(got.forall(_._1 <= 15L))
+    // scores agree with the exact scan for those ids
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 30)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, cos) => assert(math.abs(brute(id) - cos) < 1e-12) }
+  }
+
   test("lshTopK returns a subset of brute-force candidates, including the query's bucket-mates") {
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
       .as[(Long, Double)].collect().toMap
