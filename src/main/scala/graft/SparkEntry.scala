@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   * double sum is neither), LIMIT queries carry a total tie-break order,
   * and cross-engine hashing uses md5 (never engine-specific hash
   * functions).
+  *
+  * Output-type discipline (round-2 lesson): the driver compares results
+  * through pandas, where a Spark parquet DECIMAL arrives as
+  * `decimal.Decimal` (str keeps trailing zeros: "137431.00") while the
+  * DuckDB oracle decimal arrives as float64 (str drops them: "137431.0")
+  * — so a DECIMAL output column hash-mismatches whenever any value has a
+  * trailing zero. Therefore: aggregate in DECIMAL for exactness, but CAST
+  * the final output column to DOUBLE on BOTH sides. The scaled integer
+  * behind each sum stays below 2^53, so the decimal→double conversion is
+  * exact and bit-identical in both engines. Array-typed output columns
+  * are also banned (the driver's pandas row sort can't hash ndarrays).
   */
 object SparkEntry {
 
@@ -25,8 +36,6 @@ object SparkEntry {
     WordCount.wordCounts(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
 
   private val dec = "decimal(18,2)"
-  private val dec38 = "decimal(38,2)"
-  private val dec384 = "decimal(38,4)"
 
   /** SQL literal list with quote escaping, for embedding stop-word lists
     * into the oracle.
@@ -101,14 +110,11 @@ object SparkEntry {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        // final casts pin the engine-independent output type: Spark's
-        // sum(decimal(18,2)) is decimal(28,2) while DuckDB's is
-        // DECIMAL(38,2) — same values, different parquet schema, and the
-        // driver's hash is type-sensitive.
-        sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
+        // exact decimal aggregation, double on the wire (see header note)
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .cast(dec384).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   private def q02_kv_merge(s: SparkSession, dir: String): DataFrame = {
@@ -128,7 +134,7 @@ object SparkEntry {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(dec)).cast(dec38).as("revenue"))
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
   private def q04_wordcount(s: SparkSession, dir: String): DataFrame =
     WordCount.wordCounts(Tables.documents(s, dir), "text")
@@ -167,13 +173,13 @@ object SparkEntry {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir).select(
       col("user_id"), col("event_id"), col("ts"),
-      sum(col("value").cast(dec)).over(w).cast(dec38).as("running"))
+      sum(col("value").cast(dec)).over(w).cast("double").as("running"))
   }
 
   private def q10_tumbling_window(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(dec38).as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("v"))
       .select(
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("v"))
@@ -296,14 +302,16 @@ object SparkEntry {
 
   private def q27_multimodal(s: SparkSession, dir: String): DataFrame = {
     // opaque binary content column (UTF-8 bytes of text stands in for a
-    // media payload); byte stats + stub-decode features, all columnar
+    // media payload); byte stats + stub-decode features, all columnar.
+    // Features land as one scalar column per dimension, not an array —
+    // the driver's pandas compare can't sort/hash array cells.
     val withContent = Tables.documents(s, dir)
       .withColumn("content", col("text").cast("binary"))
+    val feats = Multimodal.fakeEmbedding(col("content"), 4)
     Multimodal.byteStats(withContent, "doc_id", "content")
       .join(
         withContent.select(
-          col("doc_id"),
-          Multimodal.fakeEmbedding(col("content"), 4).as("features")),
+          col("doc_id") +: (0 until 4).map(i => feats.getItem(i).as(s"f$i")): _*),
         Seq("doc_id"))
   }
 
@@ -316,7 +324,7 @@ object SparkEntry {
         // exact 6-decimal rounding ties in binary, so both engines round
         // identically
         sum(Sentiment.score(col("text")).cast("decimal(18,6)"))
-          .cast("decimal(38,6)").as("sum_sentiment"),
+          .cast("double").as("sum_sentiment"),
         count(lit(1)).as("n_docs"))
 
   private def q29_sliding_window(s: SparkSession, dir: String): DataFrame =
@@ -340,7 +348,7 @@ object SparkEntry {
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .cast(dec384).as("revenue"))
+          .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
@@ -361,7 +369,7 @@ object SparkEntry {
       .groupBy("n_name")
       .agg(
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .cast(dec384).as("revenue"))
+          .cast("double").as("revenue"))
 
   private def q32_asof_join(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -390,7 +398,7 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
   // =========================================================================
@@ -438,9 +446,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -453,7 +461,7 @@ object SparkEntry {
          FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""",
     "q03_star_join" ->
       """SELECT r_name, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -489,11 +497,11 @@ object SparkEntry {
       """SELECT user_id, event_id, ts,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)""",
     "q10_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-                count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+                count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
          FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
          GROUP BY hour_start, event_type""",
     "q11_distinct_users" ->
@@ -640,12 +648,12 @@ object SparkEntry {
           FROM documents""",
     "q27_multimodal" -> {
       val feats = (0 until 4)
-        .map(i => s"CAST(${sqlMd5h60(s"md5(text) || ':$i'")} % 1000000 AS DOUBLE) / 1000000.0")
+        .map(i => s"CAST(${sqlMd5h60(s"md5(text) || ':$i'")} % 1000000 AS DOUBLE) / 1000000.0 AS f$i")
         .mkString(", ")
       s"""SELECT doc_id,
                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
                  md5(text) AS content_md5,
-                 [$feats] AS features
+                 $feats
           FROM documents"""
     },
     "q28_sentiment" ->
@@ -656,7 +664,7 @@ object SparkEntry {
                      / CAST(greatest(len(t), 1) AS DOUBLE) AS score
                  FROM tk)
           SELECT source,
-                 CAST(sum(CAST(score AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_sentiment,
+                 CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_sentiment,
                  count(*) AS n_docs
           FROM sc GROUP BY source""",
     "q29_sliding_window" ->
@@ -671,7 +679,7 @@ object SparkEntry {
          FROM w GROUP BY window_start, event_type""",
     "q30_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -682,7 +690,7 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q31_local_supplier_volume" ->
       """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
          FROM region
          JOIN nation ON r_regionkey = n_regionkey
          JOIN customer ON n_nationkey = c_nationkey
@@ -701,7 +709,7 @@ object SparkEntry {
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q33_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
