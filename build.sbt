@@ -27,6 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 35 queries × whole-stage codegen ≈ hundreds of generated classes; the
+  // default 240m code cache fills mid-run, the JIT disables itself, and
+  // hot loops (md5 shingle hashing) drop to interpreted — measured 2-3×
+  // slowdown on the dedup queries late in the bench sequence.
+  "-XX:ReservedCodeCacheSize=1g",
 )
 // forked run output goes straight to stdout (no "[info] " log prefix) so
 // the Bench JSON line is machine-parseable by the caller

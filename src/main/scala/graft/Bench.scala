@@ -19,10 +19,17 @@ object Bench {
       SparkEntry.queries("q04_wordcount")(spark, sfDir).count()
       SparkEntry.queries("q01_tpch_q1")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val gcDebug = sys.env.contains("SPARK_GRAFT_GC_DEBUG")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (gcDebug) System.err.println(f"[gc] $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
