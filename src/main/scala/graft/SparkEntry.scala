@@ -68,13 +68,20 @@ object SparkEntry {
       "ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END"
 
   /** Shared CTE prefix for shingle-based dedup oracles: tokens → 3-gram
-    * shingles → distinct inverted index `ds(id, sh)` → set sizes `sz`.
+    * shingles → sorted distinct 60-bit hash sets `ha(id, hs)` → inverted
+    * index `ds(id, h)` → set sizes `sz`. Hash-set semantics mirror
+    * `TextFunctions.distinctShingleHashesUdf` exactly (same md5-derived
+    * hash on both engines, so collisions — were any to occur — are
+    * identical on both sides).
     */
   private def sqlShingleCtes: String =
     s"""tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
         shv AS (SELECT doc_id, $sqlShingles3 AS shs FROM tk),
-        ds AS (SELECT DISTINCT doc_id AS id, unnest(shs) AS sh FROM shv),
-        sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id)"""
+        ha AS (SELECT doc_id AS id,
+                      list_sort(list_distinct(list_transform(shs, s -> ${sqlMd5h60("s")}))) AS hs
+               FROM shv),
+        ds AS (SELECT id, unnest(hs) AS h FROM ha),
+        sz AS (SELECT id, len(hs) AS sz FROM ha)"""
 
   /** Shared CTE: 16-value MinHash signature per doc — same affine family
     * and seeded coefficients as `TextFunctions.minHashSignature(k = 16)`.
@@ -567,7 +574,7 @@ object SparkEntry {
     "q18_ngram_jaccard" ->
       s"""WITH $sqlShingleCtes,
           cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-                 FROM ds a JOIN ds b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+                 FROM ds a JOIN ds b USING (h) WHERE a.id < b.id GROUP BY 1, 2)
           SELECT * FROM (
             SELECT id_a, id_b,
                    CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
@@ -586,15 +593,16 @@ object SparkEntry {
                  FROM sg, (SELECT unnest(range(0, 4)) AS b) bb),
           cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
                    FROM bd x JOIN bd y ON x.b = y.b AND x.key = y.key AND x.id < y.id),
-          cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+          jc AS (SELECT c.id_a, c.id_b,
+                        len(list_intersect(x.hs, y.hs)) AS common,
+                        len(x.hs) AS sza, len(y.hs) AS szb
                  FROM cand c
-                 JOIN ds a ON a.id = c.id_a
-                 JOIN ds b ON b.id = c.id_b AND b.sh = a.sh
-                 GROUP BY 1, 2)
+                 JOIN ha x ON x.id = c.id_a
+                 JOIN ha y ON y.id = c.id_b)
           SELECT * FROM (
             SELECT id_a, id_b,
-                   CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
-            FROM cm JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b)
+                   CAST(common AS DOUBLE) / CAST(sza + szb - common AS DOUBLE) AS jaccard
+            FROM jc)
           WHERE jaccard >= 0.5""",
     "q21_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
@@ -715,11 +723,11 @@ object SparkEntry {
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q34_ngram_jaccard_filtered" ->
       s"""WITH $sqlShingleCtes,
-          hot AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM ds GROUP BY sh) WHERE f > 3),
-          flt AS (SELECT id, sh FROM ds WHERE sh NOT IN (SELECT sh FROM hot)),
+          hot AS (SELECT h FROM (SELECT h, count(*) AS f FROM ds GROUP BY h) WHERE f > 3),
+          flt AS (SELECT id, h FROM ds WHERE h NOT IN (SELECT h FROM hot)),
           fsz AS (SELECT id, count(*) AS sz FROM flt GROUP BY id),
           cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-                 FROM flt a JOIN flt b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+                 FROM flt a JOIN flt b USING (h) WHERE a.id < b.id GROUP BY 1, 2)
           SELECT * FROM (
             SELECT id_a, id_b,
                    CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard

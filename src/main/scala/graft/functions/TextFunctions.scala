@@ -229,6 +229,101 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** `text → sorted distinct 60-bit shingle hashes` as one tight loop.
+    * The shingle-set identity each dedup pipeline actually needs: no
+    * string shuffle (longs on the wire), no `.distinct()` shuffle (dedup
+    * happens in-row), set sizes for free (`size(hs)` — no groupBy). The
+    * oracle mirrors it with
+    * `list_sort(list_distinct(list_transform(shs, md5h60)))`, so both
+    * engines run the same hash-set semantics (collisions, were any to
+    * occur, would be identical on both sides).
+    */
+  def distinctShingleHashesUdf(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      val sh = shinglesLocal(tokensLocal(text), n)
+      val hs = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { hs(i) = md5Hash60Local(sh(i)); i += 1 }
+      java.util.Arrays.sort(hs)
+      var w = 0
+      i = 0
+      while (i < hs.length) {
+        if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+    }
+    c => f(c)
+  }
+
+  /** Intersection size of two sorted distinct long arrays (linear merge). */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** JVM twin of Spark/DuckDB `md5(...)`: lowercase hex digest. */
+  def md5HexLocal(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private lazy val langStopSets: Array[(String, Set[String])] =
+    LangIdLanguages.map(l => LangIdCodes(l) -> stopWords(l).toSet).toArray
+
+  /** JVM twin of `langId`: stop-word-overlap argmax with the same fixed
+    * tie-break (en > fr > de > es).
+    */
+  def langIdLocal(toks: Array[String]): String = {
+    val sets = langStopSets
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j)._2.contains(toks(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    // argmax with first-wins tie-break — identical to the when-chain
+    var best = 0
+    var j = 1
+    while (j < counts.length) {
+      if (counts(j) > counts(best)) best = j
+      j += 1
+    }
+    sets(best)._1
+  }
+
+  /** One-pass corpus stats for the training-prep pipeline:
+    * `text → (n_tokens, lang_pred, fp)` — tokenize once, count stop-word
+    * overlap for all languages, fingerprint the token join. The columnar
+    * form evaluates `tokens()` per derived column through interpreted
+    * HOFs; this is the tight-loop twin (identical values, one pass).
+    */
+  val corpusStatsUdf: Column => Column = {
+    val f = udf { (text: String) =>
+      val toks = tokensLocal(text)
+      (toks.length.toLong, langIdLocal(toks), md5HexLocal(toks.mkString(" ")))
+    }
+    c => f(c)
+  }
+
   /** k-value MinHash signature from a pre-computed base-hash array. */
   def minHashFromHashes(hashesCol: Column, k: Int, seed: Long = 42L): Column = {
     val exprs = minHashCoeffs(k, seed).map { case (a, b) =>

@@ -37,13 +37,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("dup_count"))
 
-  /** Distinct (doc, shingle) pairs — the inverted-index rows (tight-loop
-    * shingle construction; see TextFunctions "tight-loop twins").
+  /** `(id, hs: sorted distinct 60-bit shingle hashes)` — the per-doc
+    * shingle-set table every dedup pipeline starts from. Computed in one
+    * scan-side pass: no explode, no `.distinct()` shuffle, and set sizes
+    * are `size(hs)` (no groupBy). The inverted index, when needed, is a
+    * plain `explode(hs)` — longs on the shuffle wire instead of ~50-char
+    * shingle strings.
     */
-  private def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs
-      .select(col(idCol).alias("id"), explode(shinglesUdf(n)(col(textCol))).alias("sh"))
-      .distinct()
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(
+      col(idCol).alias("id"),
+      distinctShingleHashesUdf(n)(col(textCol)).alias("hs"))
+
+  /** Exact Jaccard of two sorted distinct hash arrays, as a tight loop. */
+  private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    val c = sortedIntersectCount(a, b)
+    val u = a.length + b.length - c
+    if (u == 0) 1.0 else c.toDouble / u.toDouble
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs: J(A,B) ≥ threshold,
     * id_a < id_b. The self-join key is the shingle, so co-occurrence is
@@ -60,30 +71,26 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = None): DataFrame = {
 
-    val ds = docShingles(docs, idCol, textCol, n)
-    // the (possibly filtered) inverted index feeds three plan branches
-    // (sizes + both self-join sides); Spark's ReuseExchange dedups the
-    // repeated subplan at runtime — measured as fast as materializing it
-    // with localCheckpoint, without holding executor storage (and no
-    // leaked cache, the round-1 advisor finding)
-    val filtered = maxShingleFreq match {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val ds = sets.select(col("id"), explode(col("hs")).alias("h"))
+
+    // with a hot-shingle cutoff, sizes must come from the SAME filtered
+    // universe as the common counts — mixing universes would
+    // systematically underestimate Jaccard for docs containing dropped
+    // hot shingles. Without one, set sizes are free (array length).
+    val (filtered, sizes) = maxShingleFreq match {
       case Some(maxF) =>
-        val hot = ds.groupBy("sh").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
-        // re-select: a USING join puts the join key first, and downstream
-        // toDF renames are positional
-        ds.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti").select("id", "sh")
-      case None => ds
+        val hot = ds.groupBy("h").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
+        val flt = ds.join(broadcast(hot.select("h")), Seq("h"), "left_anti").select("id", "h")
+        (flt, flt.groupBy("id").agg(count(lit(1)).alias("sz")))
+      case None =>
+        (ds, sets.select(col("id"), size(col("hs")).cast("long").alias("sz")))
     }
 
-    // sizes come from the SAME (filtered) universe as the common counts —
-    // mixing universes would systematically underestimate Jaccard for docs
-    // containing dropped hot shingles
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).alias("sz"))
-
-    val a = filtered.toDF("id_a", "sh")
-    val b = filtered.toDF("id_b", "sh")
+    val a = filtered.toDF("id_a", "h")
+    val b = filtered.toDF("id_b", "h")
     val common = a
-      .join(b, Seq("sh"))
+      .join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).alias("common"))
@@ -174,28 +181,20 @@ object Dedup {
       .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
       .distinct()
 
-    // exact verification of the candidate set only. The inverted index
-    // appears in three branches (sizes + both join sides); Spark's
-    // ReuseExchange dedups the repeated subplan, and AQE right-sizes the
-    // joins at runtime — measured faster than either localCheckpoint
-    // materialization or a broadcast hint on the candidate set.
-    val ds = docShingles(docs, idCol, textCol, n)
-    val sizes = ds.groupBy("id").agg(count(lit(1)).alias("sz"))
-    val common = cand
-      .join(ds.toDF("id_a", "sh"), Seq("id_a"))
-      .join(ds.toDF("id_b", "sh2").withColumnRenamed("sh2", "sh"), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).alias("common"))
-
-    common
-      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+    // exact verification of the candidate set only: fetch both docs'
+    // shingle-hash sets (two joins on id — AQE broadcasts the tiny
+    // candidate side) and intersect per pair in a tight loop. No inverted
+    // index, no pair-row fan-out, no groupBy — the verify cost is
+    // O(candidates × set size), independent of corpus shingle skew.
+    val sets = shingleSets(docs, idCol, textCol, n)
+    cand
+      .join(sets.toDF("id_a", "hs_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "hs_b"), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        jaccardUdf(col("hs_a"), col("hs_b")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash fingerprints per doc. */

@@ -25,17 +25,18 @@ object TrainingPrep {
       minTokens: Int,
       maxTokens: Int,
       language: String): DataFrame = {
+    // one tight-loop pass per document: tokenize once → (n_tokens,
+    // lang_pred, fp). The columnar HOF form re-tokenized per derived
+    // column in interpreted CodegenFallback — ~5× slower end-to-end.
     val scored = docs.select(
       col(idCol),
-      col(textCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      TextFunctions.langId(col(textCol)).as("lang_pred"))
+      TextFunctions.corpusStatsUdf(col(textCol)).as("st"))
 
     scored
       .filter(
-        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-          col("lang_pred") === language)
-      .withColumn("fp", TextFunctions.contentFingerprint(col(textCol)))
+        col("st._1") >= minTokens && col("st._1") <= maxTokens &&
+          col("st._2") === language)
+      .select(col(idCol), col("st._1").as("n_tokens"), col("st._3").as("fp"))
       .groupBy("fp")
       .agg(
         min(col(idCol)).as(idCol),

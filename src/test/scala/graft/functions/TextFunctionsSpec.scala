@@ -153,4 +153,26 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("corpusStatsUdf: one-pass twin matches the columnar forms") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog and then some",
+      "le chat est sur la table et il dort bien",
+      "der Hund ist im Haus und die Katze auch",
+      "el perro está en la casa y el gato también",
+      "x", "  ", "MIXED case WITH   runs\tof\nwhitespace")
+    val df = texts.toDF("t")
+    val columnar = df.select(
+      TextFunctions.tokenCount(col("t")).cast("long"),
+      TextFunctions.langId(col("t")),
+      TextFunctions.contentFingerprint(col("t"))
+    ).as[(Long, String, String)].collect().toSeq
+    val onePass = df.select(TextFunctions.corpusStatsUdf(col("t")).as("s"))
+      .select(col("s._1"), col("s._2"), col("s._3"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(onePass == columnar)
+    // md5HexLocal twins Spark md5()
+    val sparkMd5 = df.select(md5(col("t"))).as[String].collect().toSeq
+    assert(texts.map(TextFunctions.md5HexLocal) == sparkMd5)
+  }
 }
