@@ -408,6 +408,82 @@ object SparkEntry {
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
+  private def q36_cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Exact interpolated percentiles, computed from an explicitly shared
+    * formula (`lo + (hi - lo) * frac` over the sorted per-group array) so
+    * both engines evaluate identical double arithmetic — engine-native
+    * percentile implementations differ in interpolation form.
+    */
+  private def q37_percentile(s: SparkSession, dir: String): DataFrame = {
+    def pct(arr: Column, p: Double): Column = {
+      val n = size(arr)
+      val pos = (n - 1).cast("double") * lit(p)
+      val idx = floor(pos).cast("int")
+      val frac = pos - idx.cast("double")
+      val lo = element_at(arr, idx + 1)
+      val hi = element_at(arr, least(idx + lit(2), n))
+      lo + (hi - lo) * frac
+    }
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("value"))).as("arr"))
+      .select(
+        col("event_type"),
+        pct(col("arr"), 0.5).as("p50"),
+        pct(col("arr"), 0.9).as("p90"))
+  }
+
+  private def q38_rank_topn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  private def q39_session_window(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** HLL sketch distinct counts — approximation is engine-specific, so
+    * this is a rows-only query (no DuckDB oracle); `HllSpec`-style error
+    * bound asserted against exact counts in q11's oracle path.
+    */
+  private def q40_hll_users(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+
+  /** IVF ANN (seeded KMeans coarse quantizer) — the clustering is not
+    * SQL-expressible, so rows-only; recall vs brute force is spec-tested.
+    */
+  private def q41_ivf_ann(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .map(_.toDouble)
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -447,7 +523,13 @@ object SparkEntry {
     "q32_asof_join" -> (q32_asof_join _),
     "q33_rollup" -> (q33_rollup _),
     "q34_ngram_jaccard_filtered" -> (q34_ngram_jaccard_filtered _),
-    "q35_training_prep" -> (q35_training_prep _)
+    "q35_training_prep" -> (q35_training_prep _),
+    "q36_cube" -> (q36_cube _),
+    "q37_percentile" -> (q37_percentile _),
+    "q38_rank_topn" -> (q38_rank_topn _),
+    "q39_session_window" -> (q39_session_window _),
+    "q40_hll_users" -> (q40_hll_users _),
+    "q41_ivf_ann" -> (q41_ivf_ann _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,6 +803,54 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q36_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q37_percentile" -> {
+      // identical interpolation formula on both engines:
+      // lo + (hi - lo) * frac over the sorted per-group list. The
+      // percentile literal must be CAST to DOUBLE — DuckDB parses bare
+      // 0.9 as DECIMAL(2,1), which makes frac exact-decimal instead of
+      // the double arithmetic Spark runs, off by one ulp.
+      def pct(p: String, alias: String): String = {
+        val pos = s"(len(arr) - 1) * CAST($p AS DOUBLE)"
+        s"""arr[CAST(floor($pos) AS INTEGER) + 1]
+            + (arr[least(CAST(floor($pos) AS INTEGER) + 2, len(arr))]
+               - arr[CAST(floor($pos) AS INTEGER) + 1])
+              * ($pos - floor($pos)) AS $alias"""
+      }
+      s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS arr FROM events GROUP BY event_type)
+          SELECT event_type, ${pct("0.5", "p50")}, ${pct("0.9", "p90")} FROM g"""
+    },
+    "q38_rank_topn" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rnk <= 3""",
+    "q39_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked)
+         SELECT user_id,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_id""",
     "q34_ngram_jaccard_filtered" ->
       s"""WITH $sqlShingleCtes,
           hot AS (SELECT h FROM (SELECT h, count(*) AS f FROM ds GROUP BY h) WHERE f > 3),
