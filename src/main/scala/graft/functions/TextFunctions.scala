@@ -229,6 +229,30 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** `text → tokens minus stop-words, length > minLength` as one tight
+    * loop (wordcount's scan-side pass; multiplicity and order preserved).
+    */
+  def cleanTokensUdf(language: String, minLength: Int): Column => Column = {
+    val sw = stopWords(language).toSet
+    val f = udf { (text: String) =>
+      tokensLocal(text).filter(t => t.length > minLength && !sw.contains(t))
+    }
+    c => f(c)
+  }
+
+  /** `text → distinct tokens minus outliers` as one tight loop (label
+    * derivation; first-occurrence order, matching `array_distinct`).
+    */
+  def distinctTokensUdf(outliers: Seq[String]): Column => Column = {
+    val out = outliers.toSet
+    val f = udf { (text: String) =>
+      val seen = new java.util.LinkedHashSet[String]()
+      tokensLocal(text).foreach(t => if (!out.contains(t)) seen.add(t))
+      seen.toArray(new Array[String](seen.size))
+    }
+    c => f(c)
+  }
+
   /** `text → sorted distinct 60-bit shingle hashes` as one tight loop.
     * The shingle-set identity each dedup pipeline actually needs: no
     * string shuffle (longs on the wire), no `.distinct()` shuffle (dedup

@@ -47,11 +47,9 @@ object LabelPrep {
 
     val cleaned = cleanText(docs.na.drop(Seq(idCol, textCol)), textCol)
       .filter(length(col(textCol)) > minTextLength)
-      .withColumn(
-        "label",
-        array_except(
-          array_distinct(TextFunctions.tokens(col(textCol))),
-          typedlit(outlierLabels)))
+      // distinct-tokens-minus-outliers in one tight-loop pass (twin of
+      // array_except(array_distinct(tokens(..)), outliers))
+      .withColumn("label", TextFunctions.distinctTokensUdf(outlierLabels)(col(textCol)))
 
     val exploded = cleaned.select(col(idCol), explode(col("label")).alias("label"))
 

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object WordCount {
 
-  /** tokens column after clean + stop-word removal (U4 parity). */
+  /** tokens column after clean + stop-word removal (U4 parity) — the
+    * columnar form, used by the streaming pipeline and parity tests.
+    */
   def cleanTokens(text: Column, language: String): Column =
     removeStopWords(tokens(text), language)
 
@@ -27,8 +29,10 @@ object WordCount {
       textCol: String,
       language: String = "english",
       minLength: Int = 3): DataFrame =
-    df.select(explode(cleanTokens(col(textCol), language)).alias("word"))
-      .filter(length(col("word")) > minLength)
+    // tokenize + stop-words + length gate in one tight-loop pass (the
+    // columnar HOF form is CodegenFallback — interpreted per token with a
+    // linear stop-list scan); identical multiset out, explode stays native
+    df.select(explode(cleanTokensUdf(language, minLength)(col(textCol))).alias("word"))
       .groupBy("word")
       .agg(count(lit(1)).alias("count"))
 }

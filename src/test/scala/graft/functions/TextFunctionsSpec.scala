@@ -175,4 +175,26 @@ class TextFunctionsSpec extends SparkTestBase {
     val sparkMd5 = df.select(md5(col("t"))).as[String].collect().toSeq
     assert(texts.map(TextFunctions.md5HexLocal) == sparkMd5)
   }
+
+  test("cleanTokensUdf / distinctTokensUdf twin their columnar forms") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog again and again",
+      "a the an of short toks only", "  ", "Repeat repeat REPEAT word word")
+    val df = texts.toDF("t")
+    val colClean = df.select(
+      filter(
+        TextFunctions.removeStopWords(TextFunctions.tokens(col("t")), "english"),
+        w => length(w) > 3)).as[Seq[String]].collect().toSeq
+    val udfClean = df.select(TextFunctions.cleanTokensUdf("english", 3)(col("t")))
+      .as[Seq[String]].collect().toSeq
+    assert(udfClean == colClean)
+
+    val outliers = Seq("the", "word")
+    val colDistinct = df.select(
+      array_except(array_distinct(TextFunctions.tokens(col("t"))), typedlit(outliers)))
+      .as[Seq[String]].collect().toSeq
+    val udfDistinct = df.select(TextFunctions.distinctTokensUdf(outliers)(col("t")))
+      .as[Seq[String]].collect().toSeq
+    assert(udfDistinct == colDistinct)
+  }
 }
