@@ -460,6 +460,43 @@ object SparkEntry {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Two-phase skew-salted aggregation — value-identical to a plain
+    * groupBy count (the oracle checks exactly that), with any hot key's
+    * reducer fan-in bounded by the salt width at scale.
+    */
+  private def q42_skew_salted(s: SparkSession, dir: String): DataFrame =
+    operators.Skew.saltedCount(Tables.events(s, dir), "event_type", "n")
+
+  /** Range join: clicks within the hour preceding each purchase, per
+    * user — equi-key on user plus a range predicate (SMJ on the key; at
+    * scale, bucket by time to bound the per-key scan).
+    */
+  private def q43_range_join(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("ts"),
+        "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("click_ts")).as("n_clicks"))
+  }
+
+  private def q44_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
   /** HLL sketch distinct counts — approximation is engine-specific, so
     * this is a rows-only query (no DuckDB oracle); `HllSpec`-style error
     * bound asserted against exact counts in q11's oracle path.
@@ -529,7 +566,10 @@ object SparkEntry {
     "q38_rank_topn" -> (q38_rank_topn _),
     "q39_session_window" -> (q39_session_window _),
     "q40_hll_users" -> (q40_hll_users _),
-    "q41_ivf_ann" -> (q41_ivf_ann _)
+    "q41_ivf_ann" -> (q41_ivf_ann _),
+    "q42_skew_salted" -> (q42_skew_salted _),
+    "q43_range_join" -> (q43_range_join _),
+    "q44_grouping_sets" -> (q44_grouping_sets _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -803,6 +843,24 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q42_skew_salted" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    "q43_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+         c AS (SELECT user_id AS c_user, ts AS click_ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, count(c.click_ts) AS n_clicks
+         FROM p LEFT JOIN c
+           ON p.user_id = c.c_user
+          AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+          AND c.click_ts < p.ts
+         GROUP BY p.event_id, p.user_id, p.ts""",
+    "q44_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
     "q36_cube" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
