@@ -168,11 +168,13 @@ object SparkEntry {
   private val q08Out = Seq("the", "a")
 
   private def q08_array_ops(s: SparkSession, dir: String): DataFrame =
+    // distinct-minus-outliers runs as the tight-loop twin; the
+    // array_intersect stays native (codegen'd set op on a tiny literal)
     Tables.documents(s, dir).select(
       col("doc_id"),
       explode(
         array_intersect(
-          array_except(array_distinct(TextFunctions.tokens(col("text"))), typedlit(q08Out)),
+          TextFunctions.distinctTokensUdf(q08Out)(col("text")),
           typedlit(q08Keep))).as("label"))
 
   private def q09_running_total(s: SparkSession, dir: String): DataFrame = {
