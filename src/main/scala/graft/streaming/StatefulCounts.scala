@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Lower-level stateful running counts via `flatMapGroupsWithState` —
   * the explicit-state form of [[StreamingPipeline.wordCounts]]'s
@@ -41,5 +41,41 @@ object StatefulCounts {
             Iterator.single(KeyCount(key, next))
           }
       }
+  }
+
+  /** The same running counts on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4.x): typed named state via a
+    * `StatefulProcessor`, TTL declared as `TTLConfig` instead of manual
+    * timeout bookkeeping. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`).
+    */
+  final class RunningCountProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, String, KeyCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[String],
+        timerValues: TimerValues): Iterator[KeyCount] = {
+      val next = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(next)
+      Iterator.single(KeyCount(key, next))
+    }
+  }
+
+  def runningCountsV2(
+      keys: Dataset[String],
+      ttl: Option[java.time.Duration] = None): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    keys
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor(ttl), timeMode, OutputMode.Update())
   }
 }
