@@ -696,13 +696,22 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY fp""",
     "q18_ngram_jaccard" ->
+      // AllPairs prefix filtering (lossless): candidates from the
+      // prefix-only inverted index, exact Jaccard from the full hash sets
       s"""WITH $sqlShingleCtes,
-          cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-                 FROM ds a JOIN ds b USING (h) WHERE a.id < b.id GROUP BY 1, 2)
+          pf AS (SELECT id, unnest(hs[1 : CAST(floor(len(hs) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1]) AS h FROM ha),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM pf a JOIN pf b USING (h) WHERE a.id < b.id),
+          jc AS (SELECT c.id_a, c.id_b,
+                        len(list_intersect(x.hs, y.hs)) AS common,
+                        len(x.hs) AS sza, len(y.hs) AS szb
+                 FROM cand c
+                 JOIN ha x ON x.id = c.id_a
+                 JOIN ha y ON y.id = c.id_b)
           SELECT * FROM (
             SELECT id_a, id_b,
-                   CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
-            FROM cm JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b)
+                   CAST(common AS DOUBLE) / CAST(sza + szb - common AS DOUBLE) AS jaccard
+            FROM jc)
           WHERE jaccard >= 0.5""",
     "q19_minhash_sig" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),

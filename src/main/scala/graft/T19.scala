@@ -21,20 +21,17 @@ object T19 {
     val docs = Tables.documents(spark, dir)
     time("warm")(docs.count())
 
-    val ds = docs.select(col("doc_id").alias("id"),
-      explode(graft.functions.TextFunctions.shinglesUdf(3)(col("text"))).alias("sh")).distinct()
-    time("index_rows")(println("ds rows: " + ds.count()))
-    val a = ds.toDF("id_a", "sh")
-    val b = ds.toDF("id_b", "sh")
-    val joined = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-    time("join_fanout")(println("join rows: " + joined.count()))
-    val common = joined.groupBy("id_a", "id_b").agg(count(lit(1)).alias("common"))
-    time("common_pairs")(println("common rows: " + common.count()))
-
-    val q20 = operators.Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5)
-    println(q20.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan") || l.contains("Aggregate"))
-      .mkString("\n"))
+    val sets = docs.select(col("doc_id").alias("id"),
+      graft.functions.TextFunctions.distinctShingleHashesUdf(3)(col("text")).alias("hs"))
+    time("sets_pass")(sets.select(sum(size(col("hs")))).collect())
+    val prefixLen = (size(col("hs")).cast("double") * 0.5).cast("long") + lit(1L)
+    val pf = sets.select(col("id"), explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
+    time("prefix_rows")(println("pf rows: " + pf.count()))
+    val cand = pf.toDF("id_a", "h").join(pf.toDF("id_b", "h"), Seq("h"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    time("cand")(println("cand rows: " + cand.count()))
+    time("q18_full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count())
+    time("q18_again")(operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).count())
     spark.stop()
   }
 }

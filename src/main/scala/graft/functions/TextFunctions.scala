@@ -196,9 +196,19 @@ object TextFunctions {
     if (toks.length < n) Array(toks.mkString(" "))
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
 
+  /** Per-thread MD5 instance — `MessageDigest.getInstance` does a
+    * provider lookup per call (~1µs), which dominates when hashing
+    * hundreds of thousands of shingles; `digest()` resets the instance,
+    * so reuse is safe.
+    */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM twin of `md5Hash60` (15 hex chars = 60 bits, fits a long). */
   def md5Hash60Local(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Digest.get()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
     var v = 0L
@@ -293,7 +303,7 @@ object TextFunctions {
 
   /** JVM twin of Spark/DuckDB `md5(...)`: lowercase hex digest. */
   def md5HexLocal(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Digest.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = "0123456789abcdef"
     val out = new Array[Char](32)

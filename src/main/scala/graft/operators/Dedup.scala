@@ -72,38 +72,60 @@ object Dedup {
       maxShingleFreq: Option[Int] = None): DataFrame = {
 
     val sets = shingleSets(docs, idCol, textCol, n)
-    val ds = sets.select(col("id"), explode(col("hs")).alias("h"))
 
-    // with a hot-shingle cutoff, sizes must come from the SAME filtered
-    // universe as the common counts — mixing universes would
-    // systematically underestimate Jaccard for docs containing dropped
-    // hot shingles. Without one, set sizes are free (array length).
-    val (filtered, sizes) = maxShingleFreq match {
+    maxShingleFreq match {
       case Some(maxF) =>
+        // hot-shingle variant: drop shingles shared by > maxF docs, then
+        // brute-force over the filtered inverted index. Sizes must come
+        // from the SAME filtered universe as the common counts — mixing
+        // universes would systematically underestimate Jaccard for docs
+        // containing dropped hot shingles.
+        val ds = sets.select(col("id"), explode(col("hs")).alias("h"))
         val hot = ds.groupBy("h").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
         val flt = ds.join(broadcast(hot.select("h")), Seq("h"), "left_anti").select("id", "h")
-        (flt, flt.groupBy("id").agg(count(lit(1)).alias("sz")))
+        val sizes = flt.groupBy("id").agg(count(lit(1)).alias("sz"))
+        val common = flt.toDF("id_a", "h")
+          .join(flt.toDF("id_b", "h"), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).alias("common"))
+        common
+          .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+          .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+          .withColumn(
+            "jaccard",
+            col("common").cast("double") /
+              (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+
       case None =>
-        (ds, sets.select(col("id"), size(col("hs")).cast("long").alias("sz")))
+        // AllPairs prefix filtering: with hash arrays globally sorted,
+        // any pair with J >= t shares its smallest common element inside
+        // BOTH prefixes of length sz - ceil(t*sz) + 1 (were all >=
+        // ceil(t*sz) common elements outside a doc's prefix, they'd have
+        // to fit in its ceil(t*sz) - 1 suffix slots). So candidate-gen
+        // joins only prefixes (~(1-t)^2 of the brute-force fan-out) and
+        // verification computes the EXACT Jaccard from the full arrays —
+        // identical output to the all-pairs join, lossless by the
+        // standard AllPairs/PPJoin argument.
+        val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold))
+          .cast("long") + lit(1L) // sz - ceil(t*sz) + 1 == floor((1-t)*sz) + 1
+        val pf = sets.select(col("id"), explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
+        val cand = pf.toDF("id_a", "h")
+          .join(pf.toDF("id_b", "h"), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        cand
+          .join(sets.toDF("id_a", "hs_a"), Seq("id_a"))
+          .join(sets.toDF("id_b", "hs_b"), Seq("id_b"))
+          .select(
+            col("id_a"),
+            col("id_b"),
+            jaccardUdf(col("hs_a"), col("hs_b")).alias("jaccard"))
+          .filter(col("jaccard") >= threshold)
     }
-
-    val a = filtered.toDF("id_a", "h")
-    val b = filtered.toDF("id_b", "h")
-    val common = a
-      .join(b, Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).alias("common"))
-
-    common
-      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** `(id, sig: Array[Long])` — one row per doc, with the md5 base-hash
