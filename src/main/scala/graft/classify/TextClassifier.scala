@@ -23,6 +23,12 @@ trait TextClassifier extends Serializable {
   /** Labels whose score clears the threshold. */
   def classify(text: String): Seq[String] =
     Predictions.decode(scores(text), labels, threshold)
+
+  /** Batched hook — RPC-backed implementations override this to ship ONE
+    * request per batch (the reference made one HTTP call per row,
+    * `TFInterface.scala:81-92`). Default: per-item on the local model.
+    */
+  def classifyBatch(texts: Seq[String]): Seq[Seq[String]] = texts.map(classify)
 }
 
 object Predictions {
@@ -62,6 +68,33 @@ object TextClassifier {
   def asUdf(clf: TextClassifier): Column => Column = {
     val f = udf((text: String) => if (text == null) Seq.empty[String] else clf.classify(text))
     (c: Column) => f(c)
+  }
+
+  /** Partition-batched classification: the classifier's batch hook runs
+    * once per `batchSize` rows instead of per row — the shape an
+    * RPC/accelerator-backed model needs (amortized connection + request
+    * batching), with only `(id, labels)` leaving the stage.
+    */
+  def classifyPartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      clf: TextClassifier,
+      batchSize: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = new StructType()
+      .add("id", LongType)
+      .add("labels", ArrayType(StringType, containsNull = false))
+    val rdd = df.select(col(idCol).cast("long"), col(textCol)).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val labels = clf.classifyBatch(batch.map(r => r.getString(1)))
+        batch.iterator.zip(labels.iterator).map { case (r, ls) => Row(r.getLong(0), ls) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Default classifier from the bundled class map — loaded ONCE from the

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits over the actual registry queries (sf0.001
+  * fixtures): the properties that keep these plans viable at 1000× the
+  * data — scan-level filter pushdown, column pruning, broadcast joins
+  * for dimension tables, and bounded shuffle counts in the dedup
+  * pipelines — asserted on `explain` output, not assumed.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // force AQE to finalize the adaptive plan
+    // AdaptiveSparkPlan.toString prints the final plan followed by the
+    // initial plan — audit only the final section
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def shuffles(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+
+  test("q06: predicate pushdown and column pruning reach the parquet scan") {
+    val df = SparkEntry.queries("q06_filter_pushdown")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedFilters: ["), plan)
+    // shipdate and quantity predicates pushed to the reader
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined, plan)
+    // the scan reads only the referenced columns, not the whole table
+    val scanOutputs = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.output.map(_.name)
+    }.flatten
+    assert(scanOutputs.nonEmpty && scanOutputs.length <= 5, s"scan too wide: $scanOutputs")
+    assert(!scanOutputs.contains("l_comment"), s"unpruned column: $scanOutputs")
+    assert(shuffles(plan) == 0, s"pure filter+project must not shuffle:\n$plan")
+  }
+
+  test("q03: dimension joins execute as broadcast hash joins") {
+    val plan = planOf("q03_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q18: prefix-filtered Jaccard never shuffles shingle strings") {
+    val plan = planOf("q18_ngram_jaccard")
+    // every hash/range exchange in the plan carries long ids/hashes, so
+    // no partitioning expression references the raw text column
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    assert(!plan.contains("Distinct"), "set-dedup must happen in-row, not as a Distinct operator")
+  }
+
+  test("q20: LSH verify joins broadcast the candidate side (no index join)") {
+    val plan = planOf("q20_minhash_lsh")
+    // candidate verification joins are broadcast joins against the
+    // shingle-set arrays; the exact-verify stage adds no extra aggregate
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before the shuffle)") {
+    val plan = planOf("q01_tpch_q1")
+    assert("partial_sum".r.findFirstIn(plan).isDefined, plan)
+    assert(shuffles(plan) == 1, s"single-key aggregate needs exactly one shuffle:\n$plan")
+  }
+}

@@ -27,4 +27,41 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(clf.classify("a b") == Seq.empty) // 0.5 is not > 0.5
     assert(clf.classify("a b c") == Seq("x"))
   }
+
+}
+
+/** Recorder lives in a JVM singleton: task closures are serialized even
+  * in local mode, but statics aren't — the deserialized closure sees this
+  * same object.
+  */
+object BatchRecorder {
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
+final class CountingClassifier extends TextClassifier {
+  private val inner = KeywordClassifier(Seq("x" -> Seq("a", "b", "c", "d")))
+  override def scores(text: String): Seq[Double] = inner.scores(text)
+  override def labels: IndexedSeq[String] = inner.labels
+  override def classifyBatch(texts: Seq[String]): Seq[Seq[String]] = {
+    BatchRecorder.sizes.add(texts.size)
+    super.classifyBatch(texts)
+  }
+}
+
+class TextClassifierPartitionSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("classifyPartitioned: batch hook sees batches, results match per-row classify") {
+    BatchRecorder.sizes.clear()
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "a b c" else "z")).toDF("id", "text")
+    val got = TextClassifier
+      .classifyPartitioned(docs.repartition(2), "id", "text", new CountingClassifier, batchSize = 16)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got.size == 100)
+    assert(got(2L) == Seq("x") && got(1L).isEmpty)
+    // the hook ran per batch, not per row
+    import scala.jdk.CollectionConverters._
+    val sizes = BatchRecorder.sizes.asScala.toSeq
+    assert(sizes.sum == 100 && sizes.forall(_ <= 16) && sizes.exists(_ > 1))
+  }
 }
