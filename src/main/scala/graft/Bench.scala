@@ -49,7 +49,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count(), not count(): Dataset.count() lets Catalyst prune
+      // every column, so projection-only queries would be timed as bare
+      // scans — toRdd executes the full physical plan with all output
+      // columns materialized
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       if (gcDebug) System.err.println(f"[gc] $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
       name -> sec

@@ -160,8 +160,8 @@ object SparkEntry {
   private def q07_string_clean(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      trim(regexp_replace(translate(col("text"), "[]\"'", ""), "\\s+", " "))
-        .as("clean_text"),
+      // one-pass twin of trim(regexp_replace(translate(..), "\s+", " "))
+      TextFunctions.cleanTextUdf(col("text")).as("clean_text"),
       upper(substring(col("text"), 1, 10)).as("prefix10"))
 
   private val q08Keep = Seq("table", "scan", "join", "merge", "sort", "filter")
@@ -290,18 +290,20 @@ object SparkEntry {
   private def q24_langid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      TextFunctions.langId(col("text")).as("lang_pred"))
+      TextFunctions.langIdUdf(col("text")).as("lang_pred"))
 
-  private def q25_quality(s: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextFunctions.tokenCount(t).cast("long").as("n_tokens"),
-      TextFunctions.regexTokenCount(t).cast("long").as("n_subtokens"),
-      TextFunctions.punctRatio(t).as("punct_ratio"),
-      TextFunctions.stopwordRatio(t, "english").as("stopword_ratio"),
-      TextFunctions.meanTokenLength(t).as("mean_token_len"))
-  }
+  private def q25_quality(s: SparkSession, dir: String): DataFrame =
+    // one tight-loop pass computes all five metrics (the columnar forms
+    // re-tokenize per column through interpreted HOFs)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.qualityStatsUdf("english")(col("text")).as("q"))
+      .select(
+        col("doc_id"),
+        col("q._1").as("n_tokens"),
+        col("q._2").as("n_subtokens"),
+        col("q._3").as("punct_ratio"),
+        col("q._4").as("stopword_ratio"),
+        col("q._5").as("mean_token_len"))
 
   private def q26_fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -332,7 +334,7 @@ object SparkEntry {
         // per-doc scores are quotients of small ints, which can never be
         // exact 6-decimal rounding ties in binary, so both engines round
         // identically
-        sum(Sentiment.score(col("text")).cast("decimal(18,6)"))
+        sum(Sentiment.scoreUdf(col("text")).cast("decimal(18,6)"))
           .cast("double").as("sum_sentiment"),
         count(lit(1)).as("n_docs"))
 

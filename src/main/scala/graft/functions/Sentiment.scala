@@ -31,11 +31,26 @@ object Sentiment {
     size(filter(toks, t => array_contains(w, t)))
   }
 
-  /** Sentiment score of a text column: (pos − neg) / max(tokens, 1). */
+  /** Sentiment score of a text column: (pos − neg) / max(tokens, 1) —
+    * the columnar (HOF) form, kept as the executable specification.
+    */
   def score(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
     (hits(toks, PositiveWords) - hits(toks, NegativeWords)).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Tight-loop twin of [[score]] (one tokenize pass, set lookups). */
+  val scoreUdf: Column => Column = {
+    val pos = PositiveWords.toSet
+    val neg = NegativeWords.toSet
+    val f = udf { (text: String) =>
+      val toks = TextFunctions.tokensLocal(text)
+      var p = 0; var n = 0
+      toks.foreach { t => if (pos.contains(t)) p += 1; if (neg.contains(t)) n += 1 }
+      (p - n).toDouble / math.max(toks.length, 1).toDouble
+    }
+    c => f(c)
   }
 
   /** Typed mean aggregator over already-computed scores — use as

@@ -410,4 +410,103 @@ object TextFunctions {
 
   /** Hamming distance between two SimHash values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** JVM twin of `simHash60` over a token array. */
+  def simHash60Local(toks: Array[String]): Long = {
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Hash60Local(toks(i))
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) v |= (1L << j); j += 1 }
+    v
+  }
+
+  /** `text → 60-bit SimHash` as one tight loop (the columnar `simHash60`
+    * folds a 60-wide counter array through interpreted HOFs per token).
+    */
+  val simHashUdf: Column => Column = {
+    val f = udf((text: String) => simHash60Local(tokensLocal(text)))
+    c => f(c)
+  }
+
+  /** `text → language code` as one tight loop. */
+  val langIdUdf: Column => Column = {
+    val f = udf((text: String) => langIdLocal(tokensLocal(text)))
+    c => f(c)
+  }
+
+  /** One-pass quality metrics twin: `(n_tokens, n_subtokens, punct_ratio,
+    * stopword_ratio, mean_token_len)` — tokenize once, count everything in
+    * plain loops. Value-identical to the columnar forms (same regexes,
+    * same divisions; lengths count code points like Spark's `length`).
+    */
+  def qualityStatsUdf(language: String): Column => Column = {
+    val sw = stopWords(language).toSet
+    val f = udf { (text: String) =>
+      val lowered = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+      val toks = tokensLocal(text)
+      val nTokens = toks.length.toLong
+      val nSub = lowered.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+      var punct = 0L
+      var total = 0L
+      var i = 0
+      while (i < lowered.length) {
+        val cp = lowered.codePointAt(i)
+        val ok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+        if (!ok) punct += 1
+        total += 1
+        i += Character.charCount(cp)
+      }
+      var hits = 0L
+      var sumLen = 0L
+      toks.foreach { t =>
+        if (sw.contains(t)) hits += 1
+        sumLen += t.codePointCount(0, t.length)
+      }
+      (
+        nTokens,
+        nSub,
+        punct.toDouble / math.max(total, 1L).toDouble,
+        hits.toDouble / math.max(nTokens, 1L).toDouble,
+        sumLen.toDouble / math.max(nTokens, 1L).toDouble)
+    }
+    c => f(c)
+  }
+
+  /** One-pass string-clean twin of
+    * `trim(regexp_replace(translate(text, "[]\"'", ""), "\\s+", " "))`:
+    * drop the junk chars, collapse Java-`\s` runs to one space, trim
+    * spaces (Spark's `trim` strips spaces only).
+    */
+  val cleanTextUdf: Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0
+        var pendingSpace = false
+        while (i < text.length) {
+          val c = text.charAt(i)
+          val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+          if (isWs) { if (sb.length > 0) pendingSpace = true }
+          else if (c != '[' && c != ']' && c != '"' && c != '\'') {
+            if (pendingSpace) { sb.append(' '); pendingSpace = false }
+            sb.append(c)
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    }
+    c => f(c)
+  }
 }

@@ -219,9 +219,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash fingerprints per doc. */
+  /** SimHash fingerprints per doc (tight-loop twin of the columnar
+    * `simHash60`, which folds a 60-wide counter through interpreted HOFs
+    * per token — parity-tested, oracle-identical).
+    */
   def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).alias("id"), simHash60(tokens(col(textCol))).alias("simhash"))
+    docs.select(col(idCol).alias("id"), simHashUdf(col(textCol)).alias("simhash"))
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDistance. Candidate
     * generation by exact match on each of `blocks` bit-blocks (pigeonhole:

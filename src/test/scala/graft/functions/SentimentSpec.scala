@@ -18,6 +18,16 @@ class SentimentSpec extends SparkTestBase {
     assert(got(2) == 0.0)
   }
 
+  test("scoreUdf twins the columnar score") {
+    val texts = Seq(
+      "good good bad day", "all terrible awful hate", "", "neutral words only",
+      "love Win FUN", "  spaced   out  good ")
+    val df = texts.toDF("t")
+    val colS = df.select(Sentiment.score(col("t"))).as[Double].collect().toSeq
+    val udfS = df.select(Sentiment.scoreUdf(col("t"))).as[Double].collect().toSeq
+    assert(udfS == colS)
+  }
+
   test("score of empty text is 0 (no division by zero)") {
     val got = Seq("").toDF("t").select(Sentiment.score(col("t"))).as[Double].head()
     assert(got == 0.0)

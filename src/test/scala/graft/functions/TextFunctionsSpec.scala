@@ -176,6 +176,42 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(texts.map(TextFunctions.md5HexLocal) == sparkMd5)
   }
 
+  test("simHash / langId / quality / cleanText twins match their columnar forms") {
+    val texts = Seq(
+      "The quick brown fox, jumps over the lazy dog!",
+      "le chat est sur   la table et il dort",
+      "a [b] \"c\" 'd'   e\t\nf", "  leading and trailing  ",
+      "punct!!! ??? ###", "x", "", "ünïcödé tökens mit Ümlauten")
+    val df = texts.toDF("t")
+
+    val colSim = df.select(TextFunctions.simHash60(TextFunctions.tokens(col("t"))))
+      .as[Long].collect().toSeq
+    val udfSim = df.select(TextFunctions.simHashUdf(col("t"))).as[Long].collect().toSeq
+    assert(udfSim == colSim)
+
+    val colLang = df.select(TextFunctions.langId(col("t"))).as[String].collect().toSeq
+    val udfLang = df.select(TextFunctions.langIdUdf(col("t"))).as[String].collect().toSeq
+    assert(udfLang == colLang)
+
+    val colQ = df.select(
+      TextFunctions.tokenCount(col("t")).cast("long"),
+      TextFunctions.regexTokenCount(col("t")).cast("long"),
+      TextFunctions.punctRatio(col("t")),
+      TextFunctions.stopwordRatio(col("t"), "english"),
+      TextFunctions.meanTokenLength(col("t"))
+    ).as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val udfQ = df.select(TextFunctions.qualityStatsUdf("english")(col("t")).as("q"))
+      .select(col("q._1"), col("q._2"), col("q._3"), col("q._4"), col("q._5"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(udfQ == colQ)
+
+    val colClean = df.select(
+      trim(regexp_replace(translate(col("t"), "[]\"'", ""), "\\s+", " ")))
+      .as[String].collect().toSeq
+    val udfCleanT = df.select(TextFunctions.cleanTextUdf(col("t"))).as[String].collect().toSeq
+    assert(udfCleanT == colClean)
+  }
+
   test("cleanTokensUdf / distinctTokensUdf twin their columnar forms") {
     val texts = Seq(
       "The quick brown fox jumps over the lazy dog again and again",
