@@ -52,6 +52,33 @@ class StreamingPipelineSpec extends SparkTestBase {
     query.stop()
   }
 
+  test("checkpoint restart recovers running-count state (ST7)") {
+    val input = MemoryStream[String](spark)
+    val sink = new InMemoryKVSink
+    val cfg = StreamingPipeline.Config(channel = "rst")
+    val ckpt = Files.createTempDirectory("graft-ckpt-restart").toString
+
+    val q1 = StreamingPipeline.startSnapshotQuery(
+      StreamingPipeline.wordCounts(StreamingPipeline.parse(input.toDF()), cfg),
+      sink, "rst_wordcount", 0, ckpt, Trigger.ProcessingTime("100 milliseconds"))
+    input.addData(line("u1", "rst", "alpha alpha beta"))
+    q1.processAllAvailable()
+    assert(sink.snapshot("rst_wordcount").map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("alpha" -> 2L, "beta" -> 1L))
+    q1.stop()
+
+    // a NEW query from the SAME checkpoint must resume the state store,
+    // not restart counts from zero
+    val q2 = StreamingPipeline.startSnapshotQuery(
+      StreamingPipeline.wordCounts(StreamingPipeline.parse(input.toDF()), cfg),
+      sink, "rst_wordcount", 0, ckpt, Trigger.ProcessingTime("100 milliseconds"))
+    input.addData(line("u2", "rst", "beta gamma"))
+    q2.processAllAvailable()
+    assert(sink.snapshot("rst_wordcount").map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    q2.stop()
+  }
+
   test("running category counts via the classifier UDF") {
     val input = MemoryStream[String](spark)
     val sink = new InMemoryKVSink
