@@ -501,6 +501,16 @@ object SparkEntry {
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Rolling-hash winnowing fingerprints (MOSS-style): polynomial
+    * rolling hash over per-token md5 hashes, distinct window minima —
+    * any shared run of ≥ w+k−1 tokens between two docs yields a shared
+    * fingerprint, the substring-level dedup primitive.
+    */
+  private def q45_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      explode(TextFunctions.winnowFingerprintsUdf()(col("text"))).as("fp"))
+
   /** HLL sketch distinct counts — approximation is engine-specific, so
     * this is a rows-only query (no DuckDB oracle); `HllSpec`-style error
     * bound asserted against exact counts in q11's oracle path.
@@ -573,7 +583,8 @@ object SparkEntry {
     "q41_ivf_ann" -> (q41_ivf_ann _),
     "q42_skew_salted" -> (q42_skew_salted _),
     "q43_range_join" -> (q43_range_join _),
-    "q44_grouping_sets" -> (q44_grouping_sets _)
+    "q44_grouping_sets" -> (q44_grouping_sets _),
+    "q45_winnow_fingerprints" -> (q45_winnow_fingerprints _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -858,6 +869,24 @@ object SparkEntry {
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q42_skew_salted" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    "q45_winnow_fingerprints" -> {
+      val p = TextFunctions.MinHashPrime
+      val b = TextFunctions.WinnowBase
+      val k = TextFunctions.WinnowK
+      val w = TextFunctions.WinnowWindow
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          th AS (SELECT doc_id, list_transform(t, x -> ${sqlMd5h60("x")} % $p) AS th
+                 FROM tk WHERE len(t) >= $k),
+          rh AS (SELECT doc_id,
+                        list_transform(range(1, len(th) - $k + 2),
+                          j -> list_reduce(th[j : j + $k - 1], (a, c) -> (a * $b + c) % $p)) AS rh
+                 FROM th),
+          wn AS (SELECT doc_id,
+                        list_transform(range(1, greatest(len(rh) - $w + 1, 1) + 1),
+                          j -> list_min(rh[j : least(j + $w - 1, len(rh))])) AS wn
+                 FROM rh)
+          SELECT DISTINCT doc_id, unnest(wn) AS fp FROM wn"""
+    },
     "q43_range_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
          c AS (SELECT user_id AS c_user, ts AS click_ts FROM e WHERE event_type = 'click'),

@@ -411,6 +411,66 @@ object TextFunctions {
   /** Hamming distance between two SimHash values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // --- rolling-hash winnowing fingerprints -----------------------------------
+
+  /** Winnowing parameters: polynomial rolling hash over per-token 60-bit
+    * md5 hashes reduced mod p (Mersenne 2^31−1), fold form
+    * `acc = (acc*B + th) mod p` so every intermediate stays < 2^46
+    * (portable: DuckDB raises on BIGINT overflow). k tokens per gram,
+    * window w minima kept (MOSS-style winnowing: any shared substring of
+    * length ≥ w+k−1 tokens yields a shared fingerprint).
+    */
+  val WinnowBase: Long = 32768L
+  val WinnowK: Int = 3
+  val WinnowWindow: Int = 4
+
+  /** `text → sorted distinct winnowed fingerprints` as one tight loop.
+    * Docs shorter than k tokens produce no fingerprints.
+    */
+  def winnowFingerprintsUdf(
+      k: Int = WinnowK,
+      w: Int = WinnowWindow): Column => Column = {
+    val f = udf { (text: String) =>
+      val toks = tokensLocal(text)
+      val n = toks.length
+      if (n < k) Array.empty[Long]
+      else {
+        val th = new Array[Long](n)
+        var i = 0
+        while (i < n) { th(i) = md5Hash60Local(toks(i)) % MinHashPrime; i += 1 }
+        val m = n - k + 1
+        val rh = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          var acc = th(i)
+          var j = 1
+          while (j < k) { acc = (acc * WinnowBase + th(i + j)) % MinHashPrime; j += 1 }
+          rh(i) = acc
+          i += 1
+        }
+        val nw = math.max(m - w + 1, 1)
+        val mins = new Array[Long](nw)
+        i = 0
+        while (i < nw) {
+          var mn = rh(i)
+          var j = 1
+          while (j < w && i + j < m) { if (rh(i + j) < mn) mn = rh(i + j); j += 1 }
+          mins(i) = mn
+          i += 1
+        }
+        java.util.Arrays.sort(mins)
+        var wr = 0
+        i = 0
+        while (i < nw) {
+          if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
+          i += 1
+        }
+        if (wr == nw) mins else java.util.Arrays.copyOf(mins, wr)
+      }
+    }
+    c => f(c)
+  }
+
   /** JVM twin of `simHash60` over a token array. */
   def simHash60Local(toks: Array[String]): Long = {
     val counts = new Array[Int](60)

@@ -212,6 +212,21 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(udfCleanT == colClean)
   }
 
+  test("winnowFingerprintsUdf: shared long runs share fingerprints; short docs yield none") {
+    def fps(t: String): Set[Long] =
+      Seq(t).toDF("t").select(TextFunctions.winnowFingerprintsUdf()(col("t")))
+        .as[Seq[Long]].head().toSet
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa SUFFIX"
+    // winnowing guarantee: any shared run of >= w+k-1 = 6 tokens shares a fingerprint
+    assert(fps(a).intersect(fps(b)).nonEmpty)
+    assert(fps(a) == fps(a.toUpperCase)) // tokenization lower-cases
+    assert(fps("one two").isEmpty)       // shorter than k tokens
+    assert(fps("x y z").size == 1)       // exactly one gram, one window
+    // disjoint vocab -> disjoint fingerprints
+    assert(fps(a).intersect(fps("uno dos tres cuatro cinco seis siete ocho")).isEmpty)
+  }
+
   test("cleanTokensUdf / distinctTokensUdf twin their columnar forms") {
     val texts = Seq(
       "The quick brown fox jumps over the lazy dog again and again",
