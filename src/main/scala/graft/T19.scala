@@ -1,29 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-
-/** Scratch profiling main (not part of the library surface). */
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
 object T19 {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[prof] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    graft.tables.Tables.documents(spark, dir).count()
-    for (q <- Seq("q07_string_clean", "q16_irc_parse", "q21_simhash", "q24_langid",
-        "q25_quality", "q26_fingerprint", "q27_multimodal")) {
-      val df1 = SparkEntry.queries(q)(spark, dir)
-      time(s"$q count")(df1.count())
-      val df2 = SparkEntry.queries(q)(spark, dir)
-      time(s"$q full")(df2.queryExecution.toRdd.count())
-    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val sets = docs.select(col("doc_id").alias("id"),
+      graft.functions.TextFunctions.distinctShingleHashesUdf(3)(col("text")).alias("hs"))
+    val ds = sets.select(col("id"), explode(col("hs")).alias("h"))
+    val fr = ds.groupBy("h").agg(count(lit(1)).alias("f"))
+    val ordered = ds.join(fr, Seq("h")).groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).alias("fh"))
+    val plen = (size(col("fh")).cast("double") * 0.5).cast("long") + lit(1L)
+    val pf = ordered.select(col("id"),
+      explode(slice(transform(col("fh"), x => x.getField("h")), lit(1), plen.cast("int"))).alias("h"))
+    val cand = pf.toDF("id_a", "h").join(pf.toDF("id_b", "h"), Seq("h"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    println("freq-ordered cand: " + cand.count())
     spark.stop()
   }
 }
