@@ -511,6 +511,43 @@ object SparkEntry {
       col("doc_id"),
       explode(TextFunctions.winnowFingerprintsUdf()(col("text"))).as("fp"))
 
+  /** Relational set operators: SQL UNION (distinct) / INTERSECT /
+    * EXCEPT. Note Spark's `union` is UNION ALL — the `.distinct()` makes
+    * it SQL UNION.
+    */
+  private def q46_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val bigNation = c.filter(col("c_nationkey") >= 20).select(col("c_custkey"))
+    building.intersect(withOrders)
+      .union(machinery).distinct()
+      .except(bigNation)
+  }
+
+  private val q47EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private def q47_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .groupBy("user_bucket")
+      .pivot("event_type", q47EventTypes)
+      .agg(count(lit(1)))
+      // a bucket with no rows for some type pivots to null in Spark but
+      // counts 0 under the oracle's FILTER aggregation — pin to 0
+      .na.fill(0L)
+
+  private def q48_unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
   /** HLL sketch distinct counts — approximation is engine-specific, so
     * this is a rows-only query (no DuckDB oracle); `HllSpec`-style error
     * bound asserted against exact counts in q11's oracle path.
@@ -584,7 +621,10 @@ object SparkEntry {
     "q42_skew_salted" -> (q42_skew_salted _),
     "q43_range_join" -> (q43_range_join _),
     "q44_grouping_sets" -> (q44_grouping_sets _),
-    "q45_winnow_fingerprints" -> (q45_winnow_fingerprints _)
+    "q45_winnow_fingerprints" -> (q45_winnow_fingerprints _),
+    "q46_set_ops" -> (q46_set_ops _),
+    "q47_pivot" -> (q47_pivot _),
+    "q48_unpivot" -> (q48_unpivot _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -869,6 +909,30 @@ object SparkEntry {
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q42_skew_salted" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    "q46_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_nationkey >= 20""",
+    "q47_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+                count(*) FILTER (event_type = 'click') AS "click",
+                count(*) FILTER (event_type = 'view') AS "view",
+                count(*) FILTER (event_type = 'purchase') AS "purchase",
+                count(*) FILTER (event_type = 'signup') AS "signup",
+                count(*) FILTER (event_type = 'error') AS "error"
+         FROM events GROUP BY user_bucket""",
+    "q48_unpivot" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+                      FROM lineitem WHERE l_orderkey <= 1000)
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM base
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM base
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base""",
     "q45_winnow_fingerprints" -> {
       val p = TextFunctions.MinHashPrime
       val b = TextFunctions.WinnowBase
