@@ -91,6 +91,27 @@ object Multimodal {
     }: _*)
   }
 
+  /** Resize plumbing: target-dimension metadata plus a deterministic
+    * stand-in payload transform (byte count scaled by the area ratio —
+    * a real implementation swaps the payload lambda for a codec via
+    * [[MediaDecoder]]). Emits `struct(content, width, height)` so the
+    * schema contract downstream operators consume is the real one.
+    */
+  def resizeStub(
+      contentCol: org.apache.spark.sql.Column,
+      widthCol: org.apache.spark.sql.Column,
+      heightCol: org.apache.spark.sql.Column,
+      targetW: Int,
+      targetH: Int): org.apache.spark.sql.Column = {
+    val srcArea = greatest(widthCol * heightCol, lit(1)).cast("double")
+    val scaled = (length(contentCol).cast("double") * lit(targetW.toLong * targetH) / srcArea)
+      .cast("int")
+    struct(
+      contentCol.substr(lit(1), greatest(scaled, lit(1))).as("content"),
+      lit(targetW).as("width"),
+      lit(targetH).as("height"))
+  }
+
   /** Frame sampling plumbing: n fixed-size byte windows at evenly-spaced
     * offsets (for video, these would be keyframe offsets from the
     * container index). Pure columnar — `substr` on BINARY yields BINARY.

@@ -51,4 +51,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(frames.head, "UTF-8") == payload.substring(0, 10))
     assert(new String(frames.last, "UTF-8") == payload.substring(90, 100))
   }
+
+  test("resizeStub: target dims in metadata, payload scaled by area ratio") {
+    val payload = "x" * 800
+    val df = Seq((1L, payload, 40, 20)).toDF("id", "text", "w", "h")
+      .withColumn("content", col("text").cast("binary"))
+    val r = df.select(Multimodal.resizeStub(col("content"), col("w"), col("h"), 20, 10).as("r"))
+      .select(col("r.content"), col("r.width"), col("r.height"))
+      .collect().head
+    assert(r.getInt(1) == 20 && r.getInt(2) == 10)
+    // area ratio (20*10)/(40*20) = 1/4 → 200 bytes survive the stub
+    assert(r.getAs[Array[Byte]](0).length == 200)
+  }
 }
