@@ -20,17 +20,56 @@ import org.apache.spark.sql.functions._
   */
 object LabelPrep {
 
-  /** Strip `< br / >` markers, newlines, and `[]"'` junk; lower + trim.
-    * (F5/F6 de-UDF'd.)
+  /** Strip `< br / >` markers, newlines, and `[]"'` junk; collapse
+    * whitespace; trim. The columnar form (kept below as the executable
+    * specification) chains `translate` + two `regexp_replace` passes —
+    * the twin does the same three passes in plain string code (the
+    * `< br / >` pattern has no regex metacharacters, so a literal
+    * replace is exactly equivalent).
     */
   def cleanText(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn(
-      textCol,
-      trim(
-        regexp_replace(
-          regexp_replace(translate(col(textCol), "[]\"'", ""), "< br / >", " "),
-          "\\s+",
-          " ")))
+    df.withColumn(textCol, cleanTextFastUdf(col(textCol)))
+
+  /** Columnar specification of [[cleanText]] (parity-tested twin). */
+  def cleanTextColumnar(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(
+      regexp_replace(
+        regexp_replace(translate(text, "[]\"'", ""), "< br / >", " "),
+        "\\s+",
+        " "))
+
+  private[operators] val cleanTextFastUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else {
+        // pass 1+2: drop junk chars, then literal "< br / >" -> " "
+        val sb = new java.lang.StringBuilder(text.length)
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (c != '[' && c != ']' && c != '"' && c != '\'') sb.append(c)
+          i += 1
+        }
+        val replaced = sb.toString.replace("< br / >", " ")
+        // pass 3: collapse Java-\s runs, trim spaces
+        val out = new java.lang.StringBuilder(replaced.length)
+        var pendingSpace = false
+        i = 0
+        while (i < replaced.length) {
+          val c = replaced.charAt(i)
+          val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+          if (isWs) { if (out.length > 0) pendingSpace = true }
+          else {
+            if (pendingSpace) { out.append(' '); pendingSpace = false }
+            out.append(c)
+          }
+          i += 1
+        }
+        out.toString
+      }
+    }
+    c => f(c)
+  }
 
   /** Full pipeline over a corpus with a text column; labels are the
     * distinct cleaned tokens of the document (the fixtures have no

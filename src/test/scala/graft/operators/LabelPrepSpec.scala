@@ -12,6 +12,20 @@ class LabelPrepSpec extends SparkTestBase {
     assert(got == "hello world quoted text")
   }
 
+  test("cleanText fast twin matches the columnar specification") {
+    val texts = Seq(
+      """hello < br / > [world]  "quoted"   text""",
+      "no junk at all", "  lead and trail  ", "",
+      "[< br / >]", "tabs\tand\nnewlines < br / >< br / > done",
+      "a['] mixed [\"< br / >\"] case")
+    val df = texts.toDF("t")
+    val columnar = df.select(
+      LabelPrep.cleanTextColumnar(org.apache.spark.sql.functions.col("t")))
+      .as[String].collect().toSeq
+    val fast = LabelPrep.cleanText(df, "t").as[String].collect().toSeq
+    assert(fast == columnar)
+  }
+
   test("prepare: drops short/null docs, removes outliers, keeps top-K labels only") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
