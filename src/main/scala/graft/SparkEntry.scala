@@ -998,7 +998,7 @@ object SparkEntry {
          WHERE rnk <= 3""",
     "q39_session_window" ->
       """WITH marked AS (
-           SELECT user_id, ts,
+           SELECT user_id, event_id, ts,
                   CASE WHEN lag(ts) OVER w IS NULL
                          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END AS new_session
@@ -1007,7 +1007,7 @@ object SparkEntry {
          sessions AS (
            SELECT user_id, ts,
                   sum(new_session) OVER (
-                    PARTITION BY user_id ORDER BY ts
+                    PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM marked)
          SELECT user_id,

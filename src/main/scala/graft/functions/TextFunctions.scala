@@ -100,7 +100,11 @@ object TextFunctions {
     val s = LangIdLanguages.map(l => l -> langScore(toks, l)).toMap
     val (en, fr, de, es) =
       (s("english"), s("french"), s("german"), s("spanish"))
-    when(en >= fr && en >= de && en >= es, lit("en"))
+    // explicit null guard: without it, null text falls through every
+    // when-condition (null comparisons) into the "es" branch — an
+    // artifact, and divergent from the tight-loop twin
+    when(text.isNull, lit(null).cast("string"))
+      .when(en >= fr && en >= de && en >= es, lit("en"))
       .when(fr >= de && fr >= es, lit("fr"))
       .when(de >= es, lit("de"))
       .otherwise(lit("es"))
@@ -245,7 +249,10 @@ object TextFunctions {
   def cleanTokensUdf(language: String, minLength: Int): Column => Column = {
     val sw = stopWords(language).toSet
     val f = udf { (text: String) =>
-      tokensLocal(text).filter(t => t.length > minLength && !sw.contains(t))
+      // code points, not UTF-16 units: the columnar twin's
+      // `length(w) > minLength` (and the DuckDB oracle) count characters,
+      // so supplementary-plane tokens (emoji, rare CJK) must gate the same
+      tokensLocal(text).filter(t => t.codePointCount(0, t.length) > minLength && !sw.contains(t))
     }
     c => f(c)
   }
@@ -498,9 +505,12 @@ object TextFunctions {
     c => f(c)
   }
 
-  /** `text → language code` as one tight loop. */
+  /** `text → language code` as one tight loop (null text → null, matching
+    * the null-guarded columnar `langId`).
+    */
   val langIdUdf: Column => Column = {
-    val f = udf((text: String) => langIdLocal(tokensLocal(text)))
+    val f = udf((text: String) =>
+      if (text == null) Option.empty[String] else Some(langIdLocal(tokensLocal(text))))
     c => f(c)
   }
 
@@ -508,36 +518,44 @@ object TextFunctions {
     * stopword_ratio, mean_token_len)` — tokenize once, count everything in
     * plain loops. Value-identical to the columnar forms (same regexes,
     * same divisions; lengths count code points like Spark's `length`).
+    * Punct numerator counts over the LOWERED text (matching `punctChars`)
+    * but the denominator over the ORIGINAL text's code points (matching
+    * `punctRatio`'s `length(text)` — lowercasing can change code-point
+    * count, e.g. U+0130 'İ' → 'i' + combining dot). Null text → null row
+    * (the columnar forms propagate null the same way).
     */
   def qualityStatsUdf(language: String): Column => Column = {
     val sw = stopWords(language).toSet
     val f = udf { (text: String) =>
-      val lowered = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
-      val toks = tokensLocal(text)
-      val nTokens = toks.length.toLong
-      val nSub = lowered.split("[^a-z0-9]+").count(_.nonEmpty).toLong
-      var punct = 0L
-      var total = 0L
-      var i = 0
-      while (i < lowered.length) {
-        val cp = lowered.codePointAt(i)
-        val ok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
-        if (!ok) punct += 1
-        total += 1
-        i += Character.charCount(cp)
+      if (text == null) Option.empty[(Long, Long, Double, Double, Double)]
+      else {
+        val lowered = text.toLowerCase(java.util.Locale.ROOT)
+        val toks = tokensLocal(text)
+        val nTokens = toks.length.toLong
+        val nSub = lowered.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+        var punct = 0L
+        var i = 0
+        while (i < lowered.length) {
+          val cp = lowered.codePointAt(i)
+          val ok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+          if (!ok) punct += 1
+          i += Character.charCount(cp)
+        }
+        val total = text.codePointCount(0, text.length).toLong
+        var hits = 0L
+        var sumLen = 0L
+        toks.foreach { t =>
+          if (sw.contains(t)) hits += 1
+          sumLen += t.codePointCount(0, t.length)
+        }
+        Some(
+          (
+            nTokens,
+            nSub,
+            punct.toDouble / math.max(total, 1L).toDouble,
+            hits.toDouble / math.max(nTokens, 1L).toDouble,
+            sumLen.toDouble / math.max(nTokens, 1L).toDouble))
       }
-      var hits = 0L
-      var sumLen = 0L
-      toks.foreach { t =>
-        if (sw.contains(t)) hits += 1
-        sumLen += t.codePointCount(0, t.length)
-      }
-      (
-        nTokens,
-        nSub,
-        punct.toDouble / math.max(total, 1L).toDouble,
-        hits.toDouble / math.max(nTokens, 1L).toDouble,
-        sumLen.toDouble / math.max(nTokens, 1L).toDouble)
     }
     c => f(c)
   }

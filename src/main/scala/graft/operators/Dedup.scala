@@ -116,8 +116,14 @@ object Dedup {
         // candidates only ~28% while adding three shuffles (freq count,
         // freq join, re-sort) — net slower. On skew-heavy corpora
         // compose `maxShingleFreq` (the hot-shingle cutoff) instead.
-        val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold))
-          .cast("long") + lit(1L) // sz - ceil(t*sz) + 1 == floor((1-t)*sz) + 1
+        // sz - ceil(t*sz) + 1 == floor((1-t)*sz) + 1. The +1e-9 nudge
+        // absorbs binary-representation error in (1-t): e.g. t=0.8 gives
+        // (1-t)*5 == 0.9999999999999998, which would floor to 0 and drop
+        // the second (required) prefix slot for every sz divisible by 5.
+        // Over-long prefixes only add candidates (safe); short ones lose
+        // qualifying pairs.
+        val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold) + lit(1e-9))
+          .cast("long") + lit(1L)
         val pf = sets.select(col("id"), explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
         val cand = pf.toDF("id_a", "h")
           .join(pf.toDF("id_b", "h"), Seq("h"))

@@ -63,14 +63,20 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    // --- train on a bounded sample (deterministic order) ---
+    // --- train on a bounded sample: deterministic but UNIFORM ---
+    // Ordering by md5(id) is a seedless uniform shuffle: on corpora where
+    // embedding distribution correlates with id (time- or topic-ordered
+    // ingestion), a head-of-table sample would train centroids on one
+    // region only. The id stays opaque (string key, no numeric cast) so
+    // any id type works.
+    val idKey = col(idCol).cast("string")
     val sample: Array[Array[Double]] = emb
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .orderBy(md5(idKey), idKey)
       .limit(trainSample)
+      .as[Array[Float]]
       .collect()
-      .map(_._2.map(_.toDouble))
+      .map(_.map(_.toDouble))
     require(sample.nonEmpty, "ivfTopK: empty embedding table")
     val dim = sample.head.length
 

@@ -41,6 +41,68 @@ class DedupSpec extends SparkTestBase {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("ngramJaccard prefix filter is lossless at threshold 0.8 (sz divisible by 5)") {
+    // Adversarial construction for the (1-t)*sz floating-point regression:
+    // at t=0.8, (1-t)*5 == 0.9999999999999998, which floored the prefix of
+    // a 5-hash doc to length 1. Build a pair (A: 5 shingles, B: 4 of them,
+    // J = 4/5 = 0.8 exactly) where A's MINIMAL hash is the unshared
+    // shingle — then the pair's only common-prefix element is A's second
+    // slot, and a length-1 prefix misses the pair entirely.
+    import graft.functions.TextFunctions
+    def bigramHashes(toks: Seq[String]): Seq[Long] =
+      TextFunctions
+        .shinglesLocal(toks.toArray, 2)
+        .map(TextFunctions.md5Hash60Local)
+        .distinct
+    // find a 6-token doc whose min-hash bigram is the LAST one, so the
+    // 5-token prefix-doc B drops exactly that shingle
+    val aToks = (0 until 1000).iterator
+      .map(s => (0 until 6).map(i => s"w${s}_$i"))
+      .find { t =>
+        val hs = bigramHashes(t)
+        hs.length == 5 && hs.min == hs.last
+      }
+      .get
+    val bToks = aToks.init
+    assert(bigramHashes(aToks).toSet.intersect(bigramHashes(bToks).toSet).size == 4)
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.contains((1L, 2L)), "prefix filter lost the J=0.8 boundary pair")
+    assert(pairs((1L, 2L)) == 0.8)
+  }
+
+  test("ngramJaccard matches brute-force all-pairs at thresholds 0.8 and 0.9") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(11)
+    // overlapping windows over a shared token sequence → many partial-
+    // overlap pairs with shingle-set sizes that are multiples of 5
+    val base = (0 until 40).map(i => s"tok${rnd.nextInt(30)}_$i")
+    val docs = (0 until 25).map { i =>
+      val start = rnd.nextInt(30)
+      val len = 6 + rnd.nextInt(3) * 5 // 6, 11, 16 tokens → 5/10/15 shingles
+      (i.toLong, base.slice(start, math.min(start + len, base.length)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val local = docs.map { case (id, text) =>
+      id -> TextFunctions
+        .shinglesLocal(TextFunctions.tokensLocal(text), 2)
+        .map(TextFunctions.md5Hash60Local)
+        .toSet
+    }
+    for (t <- Seq(0.8, 0.9)) {
+      val expected = (for {
+        (ia, sa) <- local; (ib, sb) <- local if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramJaccard(df, "doc_id", "text", n = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(got == expected, s"threshold $t: prefix-filtered pairs != brute force")
+    }
+  }
+
   test("minHashLsh finds the exact-dup pair with jaccard 1.0 and no false positives") {
     val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", n = 2, k = 16, bands = 8, threshold = 0.8)
       .as[(Long, Long, Double)].collect()
