@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Dedup, KVTable, LabelPrep, Multimodal, Similarity, WordCount}
+import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, Sampling, Similarity, TfIdf, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -94,6 +94,26 @@ object SparkEntry {
     s"""hsv AS (SELECT doc_id, list_transform(shs, s -> ${sqlMd5h60("s")} % $p) AS hs FROM shv),
         sg AS (SELECT doc_id AS id, [$mins] AS sig FROM hsv)"""
   }
+
+  /** Shared CTE suffix (needs `sqlShingleCtes` in scope): AllPairs
+    * prefix-filtered exact-Jaccard pairs at threshold 0.5 — `pairs(id_a,
+    * id_b, jaccard)`. Mirrors `Dedup.ngramJaccard(n = 3, t = 0.5)`.
+    */
+  private val sqlJaccardPairCtes: String =
+    """pf AS (SELECT id, unnest(hs[1 : CAST(floor(len(hs) * CAST(0.5 AS DOUBLE) + 1e-9) AS BIGINT) + 1]) AS h FROM ha),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM pf a JOIN pf b USING (h) WHERE a.id < b.id),
+       jc AS (SELECT c.id_a, c.id_b,
+                     len(list_intersect(x.hs, y.hs)) AS common,
+                     len(x.hs) AS sza, len(y.hs) AS szb
+              FROM cand c
+              JOIN ha x ON x.id = c.id_a
+              JOIN ha y ON y.id = c.id_b),
+       pairs AS (SELECT * FROM (
+                   SELECT id_a, id_b,
+                          CAST(common AS DOUBLE) / CAST(sza + szb - common AS DOUBLE) AS jaccard
+                   FROM jc)
+                 WHERE jaccard >= 0.5)"""
 
   /** DuckDB fragment: ordered-fold dot product of two float-list columns,
     * cast element-wise to DOUBLE — the same left-to-right evaluation order
@@ -572,6 +592,84 @@ object SparkEntry {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
   }
 
+  /** Near-dup CLUSTERS from the exact-Jaccard PAIRS: connected
+    * components (min reachable id), singletons mapping to themselves —
+    * the step that turns pairwise dedup output into "keep one canonical
+    * doc per cluster".
+    */
+  private def q49_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    Components.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b",
+      docs.select("doc_id"), "doc_id")
+      .select(col("id").alias("doc_id"), col("cluster_id"))
+  }
+
+  /** Benchmark decontamination: training docs (doc_id % 20 ≠ 0) sharing
+    * any distinct 3-gram hash with the held-out benchmark slice
+    * (doc_id % 20 = 0), with the count of shared distinct grams.
+    */
+  private def q50_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.overlaps(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
+
+  /** Deterministic per-language stratified sample (keep-rates in ‰,
+    * md5-hash keyed) — reproducible across runs, partitionings, and
+    * engines; nested across rates.
+    */
+  private def q51_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang", q51Rates)
+      .select("doc_id", "lang", "source")
+
+  private def q52_tfidf(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+
+  /** Curriculum buckets: length quartile per language (`ntile` over a
+    * total order — ties broken by doc_id so both engines bucket
+    * identically).
+    */
+  private def q53_quantile_buckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      ntile(4).over(w).cast("long").as("bucket"))
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — outer join
+    * (customers with zero orders count 0) into a double aggregation.
+    */
+  private def q54_cust_order_dist(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Correlated EXISTS through the SQL front-end: exercises Spark's
+    * parser + subquery decorrelation (`RewritePredicateSubquery` plans
+    * it as a left semi join — same physical shape as q14, reached from
+    * SQL instead of the DataFrame API).
+    */
+  private def q55_exists_agg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q55")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q55")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders_q55
+         WHERE EXISTS (SELECT 1 FROM lineitem_q55
+                       WHERE l_orderkey = o_orderkey
+                         AND l_discount > CAST(0.08 AS DOUBLE))
+         GROUP BY o_orderpriority""")
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -624,7 +722,14 @@ object SparkEntry {
     "q45_winnow_fingerprints" -> (q45_winnow_fingerprints _),
     "q46_set_ops" -> (q46_set_ops _),
     "q47_pivot" -> (q47_pivot _),
-    "q48_unpivot" -> (q48_unpivot _)
+    "q48_unpivot" -> (q48_unpivot _),
+    "q49_dup_clusters" -> (q49_dup_clusters _),
+    "q50_decontaminate" -> (q50_decontaminate _),
+    "q51_stratified_sample" -> (q51_stratified_sample _),
+    "q52_tfidf" -> (q52_tfidf _),
+    "q53_quantile_buckets" -> (q53_quantile_buckets _),
+    "q54_cust_order_dist" -> (q54_cust_order_dist _),
+    "q55_exists_agg" -> (q55_exists_agg _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -752,20 +857,8 @@ object SparkEntry {
       // AllPairs prefix filtering (lossless): candidates from the
       // prefix-only inverted index, exact Jaccard from the full hash sets
       s"""WITH $sqlShingleCtes,
-          pf AS (SELECT id, unnest(hs[1 : CAST(floor(len(hs) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1]) AS h FROM ha),
-          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                   FROM pf a JOIN pf b USING (h) WHERE a.id < b.id),
-          jc AS (SELECT c.id_a, c.id_b,
-                        len(list_intersect(x.hs, y.hs)) AS common,
-                        len(x.hs) AS sza, len(y.hs) AS szb
-                 FROM cand c
-                 JOIN ha x ON x.id = c.id_a
-                 JOIN ha y ON y.id = c.id_b)
-          SELECT * FROM (
-            SELECT id_a, id_b,
-                   CAST(common AS DOUBLE) / CAST(sza + szb - common AS DOUBLE) AS jaccard
-            FROM jc)
-          WHERE jaccard >= 0.5""",
+          $sqlJaccardPairCtes
+          SELECT id_a, id_b, jaccard FROM pairs""",
     "q19_minhash_sig" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
           shv AS (SELECT doc_id, $sqlShingles3 AS shs FROM tk),
@@ -1044,6 +1137,65 @@ object SparkEntry {
                         WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = 'en')
           SELECT min(doc_id) AS doc_id, fp, min(n_tokens) AS n_tokens,
                  count(*) AS dup_count
-          FROM kept GROUP BY fp"""
+          FROM kept GROUP BY fp""",
+    "q49_dup_clusters" ->
+      // transitive closure of the undirected pair graph; min reachable
+      // id per doc = cluster id (the Spark side computes the same
+      // labeling via alternating min-propagation / pointer-jumping)
+      s"""WITH RECURSIVE $sqlShingleCtes,
+          $sqlJaccardPairCtes,
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id""",
+    "q50_decontaminate" ->
+      s"""WITH $sqlShingleCtes,
+          bh AS (SELECT DISTINCT unnest(hs) AS h FROM ha WHERE id % 20 = 0),
+          tr AS (SELECT id, unnest(hs) AS h FROM ha WHERE id % 20 <> 0)
+          SELECT id AS doc_id, count(*) AS n_shared
+          FROM tr JOIN bh USING (h)
+          GROUP BY id""",
+    "q51_stratified_sample" -> {
+      val cases = q51Rates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${sqlMd5h60("CAST(doc_id AS VARCHAR)")} % 1000
+                < CASE lang $cases ELSE 0 END"""
+    },
+    "q52_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS w FROM documents)
+                      GROUP BY doc_id, w),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT doc_id, term, tf, df, tfidf FROM (
+            SELECT doc_id, term, tf, df, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rn
+            FROM (SELECT doc_id, term, tf, df,
+                         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+                  FROM tf JOIN dfq USING (term), n))
+          WHERE rn <= 5""",
+    "q53_quantile_buckets" ->
+      """SELECT doc_id, lang, n_chars,
+                ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+         FROM documents""",
+    "q54_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q55_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_discount > CAST(0.08 AS DOUBLE))
+         GROUP BY o_orderpriority"""
   )
 }

@@ -221,6 +221,15 @@ object TextFunctions {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** `text → whitespace tokens` as one tight loop (for explode fan-out
+    * paths; under `explode`, the empty array for null text is equivalent
+    * to the columnar form's null — both produce no rows).
+    */
+  val tokensUdf: Column => Column = {
+    val f = udf((text: String) => tokensLocal(text))
+    c => f(c)
+  }
+
   /** `text → shingle strings` as one tight loop (for inverted-index
     * explode paths).
     */

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard pre-training hygiene step:
+  * flag (or drop) training documents that share word n-grams with an
+  * evaluation/benchmark set, so test data doesn't leak into training.
+  * (Reference analogue: none; training-data-pipeline extension.)
+  *
+  * Mechanics: both sides reduce to per-doc SORTED DISTINCT 60-bit n-gram
+  * hash sets in one scan-side pass (longs on the wire, no string
+  * shuffle, no `.distinct()` shuffle — same discipline as the dedup
+  * pipelines). The benchmark side collapses to its distinct hash
+  * universe and BROADCASTS: benchmarks are a few thousand documents
+  * against a 100 TB corpus, so the contamination check is a map-side
+  * hash-join — one corpus scan, zero corpus shuffles before the final
+  * per-doc count aggregation.
+  */
+object Decontaminate {
+
+  /** `(doc_id, n_shared)` for every training doc sharing ≥ 1 distinct
+    * n-gram with the benchmark set; `n_shared` counts distinct shared
+    * n-gram hashes.
+    */
+  def overlaps(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val hashes = TextFunctions.distinctShingleHashesUdf(n)
+    val benchHashes = benchmark
+      .select(explode(hashes(col(textCol))).alias("h"))
+      .distinct()
+    val trainHashes = train
+      .select(col(idCol).alias("doc_id"), explode(hashes(col(textCol))).alias("h"))
+    trainHashes
+      .join(broadcast(benchHashes), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).alias("n_shared"))
+  }
+
+  /** Training docs with every contaminated document removed — the
+    * filter form (left anti on the overlap set).
+    */
+  def clean(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    train.join(
+      overlaps(train, benchmark, idCol, textCol, n)
+        .select(col("doc_id").alias(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+/** Specs for the round-4 training-data operators: decontamination,
+  * deterministic sampling, TF-IDF.
+  */
+class TrainingDataOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Decontaminate.overlaps counts distinct shared n-grams; clean drops flagged docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma" etc.
+      (2L, "zeta eta theta iota kappa"), // disjoint
+      (3L, "alpha beta gamma zeta eta") // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+    val got = Decontaminate.overlaps(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // bench 3-grams: {abg, bgd}; doc1 shares both, doc3 shares abg only
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+
+    val cleaned = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned == Set(2L))
+  }
+
+  test("Sampling is deterministic, respects strata rates, and nests across rates") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val small = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 100, "fr" -> 300))
+    val large = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 200, "fr" -> 600))
+    val smallIds = small.select("id").as[Long].collect().toSet
+    val largeIds = large.select("id").as[Long].collect().toSet
+    // nested: raising every rate only adds rows
+    assert(smallIds.subsetOf(largeIds))
+    // deterministic: re-evaluation yields the identical set
+    assert(Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 100, "fr" -> 300))
+      .select("id").as[Long].collect().toSet == smallIds)
+    // rates roughly honored (md5 is uniform; 1000 draws per stratum)
+    val en = small.filter($"lang" === "en").count()
+    val fr = small.filter($"lang" === "fr").count()
+    assert(en > 50 && en < 200, s"en keep-count $en far from 10% of 1000")
+    assert(fr > 200 && fr < 400, s"fr keep-count $fr far from 30% of 1000")
+    // unknown strata drop by default
+    val other = Sampling.stratifiedSample(df, "id", "lang", Map("de" -> 500))
+    assert(other.count() == 0)
+  }
+
+  test("hashBucket matches the portable md5 arithmetic") {
+    val df = Seq(7L, 8L).toDF("id")
+      .select($"id", Sampling.hashBucket($"id", 1000).as("b"))
+    val got = df.as[(Long, Long)].collect().toMap
+    val expected = Seq(7L, 8L).map(i =>
+      i -> TextFunctions.md5Hash60Local(i.toString) % 1000).toMap
+    assert(got == expected)
+  }
+
+  test("TfIdf.topTerms ranks rarer terms higher at equal tf, bounded at k") {
+    val docs = Seq(
+      (1L, "apple banana banana common"),
+      (2L, "apple cherry common"),
+      (3L, "apple date common")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(r => (-r._5, r._2)).map(_._2).toList).toMap
+    // doc1: banana tf=2 df=1 → 6.0; apple/common tf=1 df=3 → 1.0 (tie → apple)
+    assert(byDoc(1L) == List("banana", "apple"))
+    // doc2: cherry df=1 → 3.0 beats apple/common 1.0
+    assert(byDoc(2L).head == "cherry")
+    assert(got.count(_._1 == 1L) == 2)
+    // exact ratio check: tf * N / df
+    val banana = got.find(r => r._1 == 1L && r._2 == "banana").get
+    assert(banana._3 == 2L && banana._4 == 1L && banana._5 == 6.0)
+  }
+}
