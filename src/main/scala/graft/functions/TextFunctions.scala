@@ -230,6 +230,26 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** `text → token → count` map as one tight loop — the scan-side
+    * pre-aggregation of `explode(tokens) |> groupBy(doc, term).count()`:
+    * exploding the MAP yields the per-(doc, term) counts directly, so
+    * the term-frequency shuffle disappears (what crosses the wire is one
+    * already-aggregated row per distinct term, not one per token).
+    */
+  val termCountsUdf: Column => Column = {
+    val f = udf { (text: String) =>
+      val toks = tokensLocal(text)
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      var i = 0
+      while (i < toks.length) {
+        m.update(toks(i), m.getOrElse(toks(i), 0L) + 1L)
+        i += 1
+      }
+      m.toMap
+    }
+    c => f(c)
+  }
+
   /** `text → shingle strings` as one tight loop (for inverted-index
     * explode paths).
     */

@@ -22,11 +22,10 @@ import org.apache.spark.sql.functions._
   * round, so convergence is O(log d) rounds — at 100 TB that is the
   * difference between 40 shuffles and 6. Each round is two shuffles
   * (neighbor-min groupBy + label-of-label join), both on long keys.
-  * `localCheckpoint` truncates the growing lineage per round so the
-  * plan doesn't deepen (and AQE re-plans each round on real sizes).
-  *
-  * Convergence is detected by an exact changed-label count (a one-row
-  * aggregate per round, not a collect of the labels).
+  * `localCheckpoint` truncates the growing lineage
+  * per round so the plan doesn't deepen, and the convergence check is an
+  * exact changed-label count over the just-materialized blocks (a
+  * one-row aggregate, not a collect of the labels).
   */
 object Components {
 
@@ -46,45 +45,59 @@ object Components {
       vertices: DataFrame,
       idCol: String,
       maxIterations: Int = 20): DataFrame = {
-    val src = col(srcCol).alias("s")
-    val dst = col(dstCol).alias("d")
-    // both orientations once, up front — propagation is symmetric
-    val und = edges.select(src, dst)
-      .union(edges.select(col(dstCol).alias("s"), col(srcCol).alias("d")))
+    // materialize the (possibly expensive — e.g. a whole dedup pipeline)
+    // edge frame ONCE, then derive both orientations from the
+    // checkpointed blocks; a union of two projections of the raw plan
+    // would execute it twice
+    val e = edges.select(col(srcCol).alias("s"), col(dstCol).alias("d"))
       .localCheckpoint(true)
+    val und = e.union(e.select(col("d").alias("s"), col("s").alias("d")))
 
-    var labels = vertices.select(col(idCol).alias("id"), col(idCol).alias("label"))
+    // Iterate ONLY over edge-incident vertices: a vertex with no edges
+    // can never change label, and in a dedup pipeline the pair graph is
+    // orders of magnitude smaller than the corpus (at 100 TB the
+    // difference between looping over ~10^7 near-dup members and the
+    // full 10^10-doc universe). Singletons rejoin at the end via a
+    // single left join with coalesce-to-self.
+    var labels = und.select(col("s").alias("id")).distinct()
+      .select(col("id"), col("id").alias("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // 1. propagate: min label over the neighborhood
+      // 1. propagate: min label over the neighborhood (old label rides
+      //    along so convergence needs no extra join afterwards)
       val nbrMin = und
         .join(labels, und("s") === labels("id"))
         .groupBy(col("d").alias("id"))
         .agg(min(col("label")).alias("nbr_min"))
       val propagated = labels
+        .withColumnRenamed("label", "old_label")
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).alias("label"))
+          col("old_label"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).alias("label"))
       // 2. compress: label ← label(label) (pointer jumping)
       val lab2 = propagated.select(col("id").alias("l_id"), col("label").alias("l_label"))
       val compressed = propagated
         .join(lab2, propagated("label") === lab2("l_id"), "left")
         .select(
           col("id"),
+          col("old_label"),
           coalesce(col("l_label"), col("label")).alias("label"))
         .localCheckpoint(true)
-      val changed = compressed
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = compressed
+      // convergence: one tiny aggregate over the just-materialized blocks
+      val changed = compressed.filter(col("label") =!= col("old_label")).count()
+      labels = compressed.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter changed=$changed")
     }
-    labels.select(col("id"), col("label").alias("cluster_id"))
+    vertices.select(col(idCol).alias("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).alias("cluster_id"))
   }
 
   /** Deduplication view of a component labeling: one row per cluster

@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * keyword-extraction primitive (and the vectorization step feeding
   * classical-ML training pipelines).
   *
-  * Shape: one explode + two aggregations. Term frequency groups by
-  * (doc, term) — Catalyst runs it partial+final, so the shuffle carries
-  * pre-combined (doc, term) counts. Document frequency reuses the SAME
-  * tf frame (each (doc, term) row is one distinct document containing
-  * the term — no second scan, no count-distinct). The corpus size joins
-  * in as a broadcast one-row frame, keeping the whole computation in
-  * the plan (no driver-side count round-trip).
+  * Shape: term frequency is computed SCAN-SIDE — a one-pass UDF folds
+  * each document's tokens into a term→count map, and exploding the map
+  * yields the (doc, term, tf) rows directly, so there is no token-level
+  * explode and no (doc, term) groupBy shuffle at all (the classic
+  * "aggregate before you shuffle" move; at 100 TB the difference
+  * between shuffling every token occurrence and shuffling one row per
+  * distinct term per doc). Document frequency reuses the SAME tf frame
+  * (each (doc, term) row is one distinct document containing the term —
+  * no second scan, no count-distinct). The corpus size joins in as a
+  * broadcast one-row frame, keeping the whole computation in the plan
+  * (no driver-side count round-trip).
   *
   * Scoring uses the RATIO idf variant, `tf · N / df`, rather than a
   * log: integer products below 2^53 divide to bit-identical doubles in
@@ -36,9 +40,9 @@ object TfIdf {
       textCol: String,
       k: Int): DataFrame = {
     val tf = docs
-      .select(col(idCol).alias("doc_id"), explode(TextFunctions.tokensUdf(col(textCol))).alias("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).alias("tf"))
+      .select(
+        col(idCol).alias("doc_id"),
+        explode(TextFunctions.termCountsUdf(col(textCol))).as(Seq("term", "tf")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).alias("df"))
     val n = docs.agg(count(lit(1)).alias("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
