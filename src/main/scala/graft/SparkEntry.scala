@@ -670,6 +670,14 @@ object SparkEntry {
          GROUP BY o_orderpriority""")
   }
 
+  /** SRP-LSH embedding near-dup: banded signed-random-projection buckets
+    * → same-(band, bucket) candidate pairs → exact cosine ≥ 0.4. Same
+    * threshold as q23's exact all-pairs, so this output is that result's
+    * LSH-recall subset (expected recall `1-(1-p^3)^6`, `p = 1-acos(t)/π`).
+    */
+  private def q56_srp_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -729,7 +737,8 @@ object SparkEntry {
     "q52_tfidf" -> (q52_tfidf _),
     "q53_quantile_buckets" -> (q53_quantile_buckets _),
     "q54_cust_order_dist" -> (q54_cust_order_dist _),
-    "q55_exists_agg" -> (q55_exists_agg _)
+    "q55_exists_agg" -> (q55_exists_agg _),
+    "q56_srp_neardup" -> (q56_srp_neardup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1196,6 +1205,33 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey
                          AND l_discount > CAST(0.08 AS DOUBLE))
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    "q56_srp_neardup" ->
+      // the ±1 plane matrix is re-derived from the portable md5 hash
+      // (sign(p, j) = +1 iff md5Hash60("srp:p:j") even), so no plane
+      // literals ship; ±1 products keep the sketch fold exact, and the
+      // verify cosine reuses q23's bit-identical fragment
+      s"""WITH sk AS (
+            SELECT vec_id, p // 3 AS band, p % 3 AS k,
+                   list_reduce(list_transform(embedding, (x, i) ->
+                     CAST(x AS DOUBLE) *
+                     CASE WHEN ${sqlMd5h60("'srp:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 0
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+                     (acc, x) -> acc + x) AS d
+            FROM embeddings, range(18) t(p)),
+          bkt AS (
+            SELECT vec_id, band,
+                   CAST(sum(CASE WHEN d >= 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+            FROM sk GROUP BY vec_id, band),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bkt a JOIN bkt b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, cos FROM (
+            SELECT c.id_a, c.id_b, ${sqlCos("x.embedding", "y.embedding")} AS cos
+            FROM cand c
+            JOIN embeddings x ON x.vec_id = c.id_a
+            JOIN embeddings y ON y.vec_id = c.id_b)
+          WHERE cos >= CAST(0.4 AS DOUBLE)"""
   )
 }

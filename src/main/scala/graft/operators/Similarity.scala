@@ -135,6 +135,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Banded SRP-LSH near-duplicate pairs — the LSH-bucketed scale path
+    * for embedding near-dup (vs `Dedup.embeddingNearDup`'s exact
+    * all-pairs): signed-random-projection sketches (Charikar, STOC'02)
+    * bucket the corpus per band, candidates are same-(band, bucket)
+    * pairs, and survivors are verified with the exact cosine. Recall for
+    * cosine ≥ t is `1 - (1 - p^r)^b` with `p = 1 - acos(t)/π`.
+    *
+    * The hyperplanes are RADEMACHER (±1 entries), derived from the
+    * project's portable 60-bit md5 primitive — `sign(p, j) = +1 iff
+    * md5Hash60("srp:p:j")` is even — so the DuckDB oracle reconstructs
+    * the IDENTICAL matrix from scratch (no literal shipping) and ±1
+    * multiplication is exact in IEEE-754, keeping the sketch bits
+    * bit-identical across engines.
+    *
+    * Scale shape: sketching is one scan (signs precomputed driver-side,
+    * one tight-loop UDF — no per-row hashing); the candidate join
+    * shuffles by (band, bucket) so only bucket-mates meet; verification
+    * joins vectors back by id with norms computed once per row and the
+    * pair dot as a tight loop (HOFs are CodegenFallback — never on the
+    * O(pairs) path).
+    */
+  def srpNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBands: Int = 6,
+      rowsPerBand: Int = 3,
+      prefix: String = "srp"): DataFrame = {
+    require(rowsPerBand <= 62, "bucket bits must fit a long")
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val nPlanes = nBands * rowsPerBand
+    val signs: Array[Array[Double]] = Array.tabulate(nPlanes, dim)((p, j) =>
+      if (graft.functions.TextFunctions.md5Hash60Local(s"$prefix:$p:$j") % 2 == 0) 1.0 else -1.0)
+    val bandBuckets = udf { (vec: Array[Float]) =>
+      Array.tabulate(nBands) { b =>
+        var bucket = 0L
+        var k = 0
+        while (k < rowsPerBand) {
+          val s = signs(b * rowsPerBand + k)
+          var d = 0.0
+          var i = 0
+          val n = math.min(vec.length, dim)
+          while (i < n) { d += vec(i).toDouble * s(i); i += 1 }
+          if (d >= 0) bucket |= 1L << k
+          k += 1
+        }
+        bucket
+      }
+    }
+    val dotU = udf { (a: Array[Float], b: Array[Float]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val sk = emb.select(
+      col(idCol).alias("id"),
+      posexplode(bandBuckets(col(vecCol))).as(Seq("band", "bucket")))
+    val cand = sk.alias("a")
+      .join(
+        sk.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
+      .distinct()
+    val v = emb.select(
+      col(idCol).alias("id"),
+      col(vecCol).alias("vec"),
+      norm2(col(vecCol)).alias("nrm"))
+    cand
+      .join(v.select(col("id").alias("id_a"), col("vec").alias("va"), col("nrm").alias("na")), Seq("id_a"))
+      .join(v.select(col("id").alias("id_b"), col("vec").alias("vb"), col("nrm").alias("nb")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (dotU(col("va"), col("vb")) / (col("na") * col("nb"))).alias("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Bucketed ANN: assigns every vector (and the query) a hyperplane
     * bucket; only bucket-mates are scored. `nPlanes` trades recall for
     * selectivity (bucket population ≈ N / 2^nPlanes).

@@ -54,4 +54,34 @@ class SimilaritySpec extends SparkTestBase {
     // the identical vector always lands in the query's own bucket
     assert(lsh.map(_._1).contains(1L))
   }
+
+  test("srpNearDup pairs are a subset of exact all-pairs with identical cosines; near-identical vectors are found") {
+    val rnd = new scala.util.Random(7)
+    // 20 base vectors, each with a jittered near-duplicate (cos ≈ 1)
+    val vecs = (0L until 20L).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+      Seq((i * 2, base.toSeq), (i * 2 + 1, near.toSeq))
+    }.toDF("vec_id", "embedding")
+
+    val exact = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val srp = Similarity.srpNearDup(vecs, "vec_id", "embedding", threshold = 0.8,
+      nBands = 6, rowsPerBand = 3)
+      .as[(Long, Long, Double)].collect()
+
+    // subset with bit-identical scores
+    srp.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in exact result")
+      assert(exact((a, b)) == c, s"cosine mismatch for ($a,$b)")
+    }
+    // every planted near-identical pair collides in some band (p ≈ 1
+    // per bit at cos ≈ 1, so missing one would need a sign flip on a
+    // near-zero projection — astronomically unlikely with this seed)
+    val found = srp.map { case (a, b, _) => (a, b) }.toSet
+    val planted = (0L until 20L).map(i => (i * 2, i * 2 + 1))
+    assert(planted.count(found.contains) >= 18,
+      s"only ${planted.count(found.contains)}/20 planted near-dups recalled")
+  }
 }
