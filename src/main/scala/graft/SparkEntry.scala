@@ -678,6 +678,31 @@ object SparkEntry {
   private def q56_srp_neardup(s: SparkSession, dir: String): DataFrame =
     Similarity.srpNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
 
+  /** Time-series resample with gap fill: per-user hourly event counts
+    * including empty buckets (count 0) between each user's first and last
+    * event — the feature-pipeline regularization step before windowed
+    * models. The bucket spine is GENERATED per key (`sequence` explode
+    * over the key's own [min, max] range — no global calendar cross
+    * join), counts are pre-aggregated before the join, and both sides
+    * shuffle on the same (user, bucket) key.
+    */
+  private def q57_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"),
+      window(col("ts"), "1 hour").getField("start").alias("b"))
+    val counts = ev.groupBy("user_id", "b").agg(count(lit(1)).alias("n"))
+    val spine = ev.groupBy("user_id")
+      .agg(min(col("b")).alias("lo"), max(col("b")).alias("hi"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).alias("b"))
+    spine.join(counts, Seq("user_id", "b"), "left")
+      .select(
+        col("user_id"),
+        col("b").alias("bucket_start"),
+        coalesce(col("n"), lit(0L)).alias("n"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -738,7 +763,8 @@ object SparkEntry {
     "q53_quantile_buckets" -> (q53_quantile_buckets _),
     "q54_cust_order_dist" -> (q54_cust_order_dist _),
     "q55_exists_agg" -> (q55_exists_agg _),
-    "q56_srp_neardup" -> (q56_srp_neardup _)
+    "q56_srp_neardup" -> (q56_srp_neardup _),
+    "q57_gapfill" -> (q57_gapfill _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1232,6 +1258,21 @@ object SparkEntry {
             FROM cand c
             JOIN embeddings x ON x.vec_id = c.id_a
             JOIN embeddings y ON y.vec_id = c.id_b)
-          WHERE cos >= CAST(0.4 AS DOUBLE)"""
+          WHERE cos >= CAST(0.4 AS DOUBLE)""",
+    "q57_gapfill" ->
+      // hourly buckets via explicit epoch-micros integer division (same
+      // epoch-aligned flooring as Spark's window()); per-user spine from
+      // generate_series (inclusive ends, like Spark sequence)
+      """WITH e AS (
+           SELECT user_id,
+                  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000) AS b
+           FROM events),
+         c AS (SELECT user_id, b, count(*) AS n FROM e GROUP BY user_id, b),
+         spine AS (
+           SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+           FROM (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY user_id))
+         SELECT s.user_id, s.b AS bucket_start, coalesce(c.n, 0) AS n
+         FROM spine s
+         LEFT JOIN c ON c.user_id = s.user_id AND c.b = s.b"""
   )
 }
