@@ -59,8 +59,13 @@ object Components {
     // difference between looping over ~10^7 near-dup members and the
     // full 10^10-doc universe). Singletons rejoin at the end via a
     // single left join with coalesce-to-self.
-    var labels = und.select(col("s").alias("id")).distinct()
-      .select(col("id"), col("id").alias("label"))
+    // init fuses the first propagation: label(v) = min(v, min neighbor).
+    // Star/pair clusters (the bulk of near-dup graphs) are already at
+    // their fixpoint after this, so the loop's first changed-count hits
+    // zero one round earlier.
+    var labels = und.groupBy(col("s"))
+      .agg(min(col("d")).alias("nbr_min"))
+      .select(col("s").alias("id"), least(col("s"), col("nbr_min")).alias("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
