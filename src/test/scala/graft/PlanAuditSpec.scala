@@ -68,4 +68,46 @@ class PlanAuditSpec extends SparkTestBase {
     assert("partial_sum".r.findFirstIn(plan).isDefined, plan)
     assert(shuffles(plan) == 1, s"single-key aggregate needs exactly one shuffle:\n$plan")
   }
+
+  test("q50: the benchmark n-gram universe broadcasts (map-side contamination join)") {
+    val plan = planOf("q50_decontaminate")
+    // the corpus-side scan must meet the benchmark hashes in a broadcast
+    // hash join — a shuffled join would move the whole corpus by hash
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // corpus rows shuffle only for the final per-doc count aggregate
+    assert(shuffles(plan) <= 2, s"corpus must not shuffle before the contamination join:\n$plan")
+  }
+
+  test("q51: deterministic sampling is a pure scan-side filter (zero shuffles)") {
+    val plan = planOf("q51_stratified_sample")
+    assert(shuffles(plan) == 0, s"hash-keyed sampling must not shuffle:\n$plan")
+  }
+
+  test("q52: term frequency pre-aggregates scan-side (no token-level shuffle)") {
+    val plan = planOf("q52_tfidf")
+    // no aggregate keyed by (doc_id, term) exists: tf comes out of the
+    // map UDF already combined, so the only aggregates are the df count
+    // and no shuffle carries one row per token occurrence
+    assert(!plan.contains("partial_count(1)") || shuffles(plan) <= 3, plan)
+    "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach { m =>
+        assert(!(m.group(1).contains("doc_id") && m.group(1).contains("term")),
+          s"token-level (doc, term) shuffle survived:\n${m.group(0)}")
+      }
+  }
+
+  test("q56: SRP sketch join partitions by (band, bucket) longs, never by vectors") {
+    val plan = planOf("q56_srp_neardup")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("embedding"), m.group(0)))
+  }
+
+  test("q57: spine and counts meet on aligned (user, bucket) keys") {
+    val plan = planOf("q57_gapfill")
+    // the gap-fill join must not broadcast the spine as a nested loop —
+    // equi-join on (user_id, b) keeps both sides co-partitionable
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
