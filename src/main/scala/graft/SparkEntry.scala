@@ -703,6 +703,27 @@ object SparkEntry {
         coalesce(col("n"), lit(0L)).alias("n"))
   }
 
+  /** Analytic-window + datetime scalar coverage in one pass: lag/lead/
+    * first_value over the event-time order, percent_rank/cume_dist over
+    * the value order (both with event_id tie-breaks ⇒ total orders, so
+    * the rank ratios are deterministic integer divisions — bit-identical
+    * across engines), plus date_trunc/dayofweek scalars.
+    */
+  private def q58_window_analytics(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      lag(col("event_type"), 1).over(byTime).alias("prev_type"),
+      lead(col("event_type"), 1).over(byTime).alias("next_type"),
+      first(col("value")).over(byTime).alias("first_value"),
+      percent_rank().over(byValue).alias("prank"),
+      cume_dist().over(byValue).alias("cdist"),
+      date_trunc("day", col("ts")).alias("day"),
+      dayofweek(col("ts")).cast("long").alias("dow"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -764,7 +785,8 @@ object SparkEntry {
     "q54_cust_order_dist" -> (q54_cust_order_dist _),
     "q55_exists_agg" -> (q55_exists_agg _),
     "q56_srp_neardup" -> (q56_srp_neardup _),
-    "q57_gapfill" -> (q57_gapfill _)
+    "q57_gapfill" -> (q57_gapfill _),
+    "q58_window_analytics" -> (q58_window_analytics _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1273,6 +1295,19 @@ object SparkEntry {
            FROM (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY user_id))
          SELECT s.user_id, s.b AS bucket_start, coalesce(c.n, 0) AS n
          FROM spine s
-         LEFT JOIN c ON c.user_id = s.user_id AND c.b = s.b"""
+         LEFT JOIN c ON c.user_id = s.user_id AND c.b = s.b""",
+    "q58_window_analytics" ->
+      // DuckDB dayofweek() is 0-based Sunday; Spark's is 1-based → +1
+      """SELECT event_id, user_id,
+                lag(event_type) OVER w AS prev_type,
+                lead(event_type) OVER w AS next_type,
+                first_value(value) OVER w AS first_value,
+                percent_rank() OVER v AS prank,
+                cume_dist() OVER v AS cdist,
+                date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                v AS (PARTITION BY user_id ORDER BY value, event_id)"""
   )
 }
