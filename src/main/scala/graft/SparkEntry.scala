@@ -724,6 +724,22 @@ object SparkEntry {
       dayofweek(col("ts")).cast("long").alias("dow"))
   }
 
+  /** Gopher-style repetition quality gates: most-frequent word bigram
+    * (count + fraction) and duplicate-token fraction per document — the
+    * repetition-removal signals an LLM-corpus filter runs alongside q25's
+    * length/punct/stopword gates. One tight-loop pass per doc.
+    */
+  private def q59_repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.repetitionStatsUdf(col("text")).alias("r"))
+      .select(
+        col("doc_id"),
+        col("r._1").alias("top_bigram"),
+        col("r._2").alias("top_bigram_n"),
+        col("r._3").alias("n_bigrams"),
+        col("r._4").alias("top_bigram_frac"),
+        col("r._5").alias("dup_token_frac"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -786,7 +802,8 @@ object SparkEntry {
     "q55_exists_agg" -> (q55_exists_agg _),
     "q56_srp_neardup" -> (q56_srp_neardup _),
     "q57_gapfill" -> (q57_gapfill _),
-    "q58_window_analytics" -> (q58_window_analytics _)
+    "q58_window_analytics" -> (q58_window_analytics _),
+    "q59_repetition" -> (q59_repetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1308,6 +1325,25 @@ object SparkEntry {
                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-                v AS (PARTITION BY user_id ORDER BY value, event_id)"""
+                v AS (PARTITION BY user_id ORDER BY value, event_id)""",
+    "q59_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          bg AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS b
+                 FROM tk),
+          cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+          top AS (SELECT doc_id, b, n FROM (
+                    SELECT doc_id, b, n,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, b ASC) AS rn
+                    FROM cnt) WHERE rn = 1)
+          SELECT tk.doc_id,
+                 top.b AS top_bigram,
+                 coalesce(top.n, 0) AS top_bigram_n,
+                 CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+                 CASE WHEN len(t) <= 1 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(top.n AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE) END AS top_bigram_frac,
+                 CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS dup_token_frac
+          FROM tk LEFT JOIN top ON top.doc_id = tk.doc_id"""
   )
 }

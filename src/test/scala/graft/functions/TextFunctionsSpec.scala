@@ -248,4 +248,23 @@ class TextFunctionsSpec extends SparkTestBase {
       .as[Seq[String]].collect().toSeq
     assert(udfDistinct == colDistinct)
   }
+
+  test("repetitionStatsUdf: top bigram with lexicographic tie-break, duplicate-token fraction, degenerate guards") {
+    val df = Seq(
+      (1L, "a b a b c"), //          "a b"×2 of 4 bigrams; 3 distinct of 5 tokens
+      (2L, "x y z"), //              all bigrams tie → smallest "x y"
+      (3L, "solo"), //               no bigrams
+      (4L, "") //                    no tokens
+    ).toDF("id", "t")
+    val got = df
+      .select(col("id"), TextFunctions.repetitionStatsUdf(col("t")).alias("r"))
+      .select(col("id"), col("r._1"), col("r._2"), col("r._3"), col("r._4"), col("r._5"))
+      .as[(Long, Option[String], Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    assert(got(1L) == ((Some("a b"), 2L, 4L, 0.5, 0.4)))
+    assert(got(2L) == ((Some("x y"), 1L, 2L, 0.5, 0.0)))
+    assert(got(3L) == ((None, 0L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((None, 0L, 0L, 0.0, 0.0)))
+  }
 }
