@@ -740,6 +740,43 @@ object SparkEntry {
         col("r._4").alias("top_bigram_frac"),
         col("r._5").alias("dup_token_frac"))
 
+  /** JSON-column parsing (SURVEY.md §2.8 F8, columnar form): the events
+    * `props` column is a JSON string; `from_json` with an explicit schema
+    * parses it into a typed struct inside the plan (codegen'd, no UDF),
+    * then a standard aggregate runs over the extracted field.
+    */
+  private def q60_json_props(s: SparkSession, dir: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), schema).getField("k").alias("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double")).as("avg_k"))
+  }
+
+  /** TPC-H Q14 shape (promo revenue): one month of lineitem joined to the
+    * broadcast `part` dimension; conditional decimal-exact revenue sums,
+    * final ratio in double (both engines: `100 * promo / total`, same
+    * association order).
+    */
+  private def q61_promo_revenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100).cast("double")
+          * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec))).cast("double")
+          / sum(rev).cast("double")).as("promo_revenue"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -803,7 +840,9 @@ object SparkEntry {
     "q56_srp_neardup" -> (q56_srp_neardup _),
     "q57_gapfill" -> (q57_gapfill _),
     "q58_window_analytics" -> (q58_window_analytics _),
-    "q59_repetition" -> (q59_repetition _)
+    "q59_repetition" -> (q59_repetition _),
+    "q60_json_props" -> (q60_json_props _),
+    "q61_promo_revenue" -> (q61_promo_revenue _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1344,6 +1383,25 @@ object SparkEntry {
                       ELSE CAST(top.n AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE) END AS top_bigram_frac,
                  CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
                       ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS dup_token_frac
-          FROM tk LEFT JOIN top ON top.doc_id = tk.doc_id"""
+          FROM tk LEFT JOIN top ON top.doc_id = tk.doc_id""",
+    "q60_json_props" ->
+      """SELECT event_type,
+                count(k) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
+    "q61_promo_revenue" ->
+      """SELECT CAST(100 AS DOUBLE)
+                * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-02-01'"""
   )
 }
