@@ -47,4 +47,38 @@ class LabelPrepSpec extends SparkTestBase {
     // label arrays are distinct per doc: doc4's triple alpha → one row
     assert(out.count(_._1 == 4L) == 3)
   }
+
+  test("S5: the reference's CSV scan — multiline quoted fields, header, explicit schema — feeds the prep pipeline") {
+    // the exact reader configuration of ProcessingWorkSheet.sc:35-43
+    // (wholeFile + multiline + header + escape '"' + supplied schema)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val csv =
+      "title,text,discussions,categories\n" +
+        "\"Page \"\"one\"\"\",\"body\",\"alpha beta gamma delta epsilon zeta eta theta iota kappa\nsecond line of the same quoted discussion\",\"[cat1, cat2]\"\n" +
+        "\"page two\",\"body\",\"short\",\"[cat1]\"\n"
+    java.nio.file.Files.write(dir.resolve("d.csv"), csv.getBytes("UTF-8"))
+
+    val schema = new StructType()
+      .add("title", StringType).add("text", StringType)
+      .add("discussions", StringType).add("categories", StringType)
+    val df = spark.read.format("csv")
+      .option("wholeFile", "true").option("multiline", value = true)
+      .option("header", "true").option("escape", "\"")
+      .schema(schema).load(dir.toString)
+
+    assert(df.count() == 2)
+    // escaped quotes and the embedded newline both survive the parse
+    val multi = df.filter(col("title") === "Page \"one\"")
+      .select("discussions").as[String].head()
+    assert(multi.contains("\nsecond line"))
+
+    // and the parsed frame runs through the label-prep pipeline
+    val prepped = LabelPrep.prepare(
+      df.select(col("title"), col("discussions")), "title", "discussions",
+      outlierLabels = Nil, minTextLength = 50, maxLabels = 10)
+      .as[(String, String)].collect()
+    assert(prepped.nonEmpty && prepped.forall(_._1 == "Page \"one\""))
+  }
 }
