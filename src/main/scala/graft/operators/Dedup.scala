@@ -124,10 +124,21 @@ object Dedup {
         // qualifying pairs.
         val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold) + lit(1e-9))
           .cast("long") + lit(1L)
-        val pf = sets.select(col("id"), explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
-        val cand = pf.toDF("id_a", "h")
-          .join(pf.toDF("id_b", "h"), Seq("h"))
-          .filter(col("id_a") < col("id_b"))
+        val pf = sets.select(
+          col("id"),
+          size(col("hs")).cast("long").alias("sz"),
+          explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
+        // AllPairs length filter: J = |∩|/|∪| ≤ min(sz)/max(sz), so a
+        // size-incompatible pair can never reach the threshold — prune
+        // BEFORE the distinct (less pair-shuffle) and before the O(sz)
+        // exact merge. The -1e-9 keeps the bound conservative under
+        // double rounding (over-keeping is safe, over-pruning is not).
+        val cand = pf.toDF("id_a", "sz_a", "h")
+          .join(pf.toDF("id_b", "sz_b", "h"), Seq("h"))
+          .filter(
+            col("id_a") < col("id_b") &&
+              least(col("sz_a"), col("sz_b")).cast("double") >=
+                greatest(col("sz_a"), col("sz_b")).cast("double") * threshold - lit(1e-9))
           .select("id_a", "id_b")
           .distinct()
         cand
