@@ -777,6 +777,27 @@ object SparkEntry {
           / sum(rev).cast("double")).as("promo_revenue"))
   }
 
+  /** Dedup retention report: after normalization-fingerprint dedup
+    * (keep the min doc_id per fingerprint), what fraction of each
+    * source survives — the per-slice accounting every dedup run ships
+    * with. Kept-flag via a window min (no self-join), ratio as an exact
+    * small-int division.
+    */
+  private def q62_dedup_retention(s: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy("fp")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        TextFunctions.contentFingerprint(col("text")).as("fp"))
+      .withColumn("kept", (col("doc_id") === min(col("doc_id")).over(byFp)).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1)).cast("double")).as("retention"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -842,7 +863,8 @@ object SparkEntry {
     "q58_window_analytics" -> (q58_window_analytics _),
     "q59_repetition" -> (q59_repetition _),
     "q60_json_props" -> (q60_json_props _),
-    "q61_promo_revenue" -> (q61_promo_revenue _)
+    "q61_promo_revenue" -> (q61_promo_revenue _),
+    "q62_dedup_retention" -> (q62_dedup_retention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1402,6 +1424,20 @@ object SparkEntry {
                 AS promo_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate < TIMESTAMP '1996-02-01'"""
+           AND l_shipdate < TIMESTAMP '1996-02-01'""",
+    "q62_dedup_retention" ->
+      s"""WITH f AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(${sqlTokens("text")}, ' ')) AS fp
+            FROM documents),
+          k AS (SELECT doc_id, source,
+                       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                            THEN 1 ELSE 0 END AS kept
+                FROM f)
+          SELECT source,
+                 count(*) AS n_docs,
+                 CAST(sum(kept) AS BIGINT) AS n_kept,
+                 CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention
+          FROM k GROUP BY source"""
   )
 }
