@@ -55,4 +55,40 @@ object Decontaminate {
       overlaps(train, benchmark, idCol, textCol, n)
         .select(col("doc_id").alias(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filter variant of [[clean]] — the scale path when the
+    * benchmark hash universe itself is too large to broadcast exactly
+    * (e.g. decontaminating against a full eval SUITE of millions of
+    * n-grams): build a Bloom filter over the benchmark hashes with
+    * `DataFrameStatFunctions.bloomFilter` (distributed build, sketch to
+    * the driver, broadcast once — `expectedItems`/`fpp` bound its size
+    * independent of the corpus), probe it scan-side.
+    *
+    * One-sided error: false POSITIVES only, so the result is a SUBSET of
+    * the exact [[clean]] output — decontamination stays sound (no
+    * contaminated doc survives); at most `fpp` of clean docs are
+    * over-dropped. That direction is the one a careful pipeline wants.
+    */
+  def cleanApprox(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val hashes = TextFunctions.distinctShingleHashesUdf(n)
+    val bloom = benchmark
+      .select(explode(hashes(col(textCol))).alias("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val spark = train.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val flagged = train
+      .select(col(idCol), explode(hashes(col(textCol))).alias("h"))
+      .filter(mightContain(col("h")))
+      .select(idCol)
+      .distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -27,6 +27,29 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(cleaned == Set(2L))
   }
 
+  test("Decontaminate.cleanApprox is sound: subset of exact clean, catches all true contamination") {
+    val train = (1L to 60L).map { i =>
+      val words =
+        if (i % 3 == 0) s"alpha beta gamma token$i extra words here padding" // contaminated
+        else s"unique$i only$i words$i nothing$i shared$i at$i all$i done$i"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma shared benchmark fragment")).toDF("doc_id", "text")
+
+    val exact = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Decontaminate.cleanApprox(train, bench, "doc_id", "text", n = 3,
+      expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+
+    // one-sided error: nothing contaminated survives, survivors ⊆ exact
+    assert(approx.subsetOf(exact))
+    assert(approx.forall(_ % 3 != 0))
+    // at fpp=1% on 60 docs, over-dropping everything would be a bug
+    assert(approx.size >= exact.size - 5,
+      s"implausible over-drop: ${exact.size - approx.size} of ${exact.size}")
+  }
+
   test("Sampling is deterministic, respects strata rates, and nests across rates") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
     val small = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 100, "fr" -> 300))
