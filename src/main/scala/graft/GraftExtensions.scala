@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.Md5Hash60Expr
+import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,21 +13,31 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or: spark.sql.extensions=graft.GraftExtensions
   *   spark.sql("SELECT md5_hash60(text) FROM docs")
+  *   spark.sql("SELECT dot_f(embedding, embedding) FROM embeddings")
   * }}}
   *
   * [[GraftFunctions.register]] does the same on an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (
         FunctionIdentifier("md5_hash60"),
         new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5_hash60"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           Md5Hash60Expr(exprs.head)))
+    e.injectFunction(
+      (
+        FunctionIdentifier("dot_f"),
+        new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProductFloat(exprs.head, exprs(1))))
+  }
 }
 
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
+    Bridge.registerTempFunction(spark, "dot_f", exprs => DotProductFloat(exprs.head, exprs(1)))
+  }
 }

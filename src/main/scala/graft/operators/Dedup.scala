@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
+import graft.functions.expressions.DotProductFloat
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -293,27 +294,20 @@ object Dedup {
     *
     * Norms are computed ONCE per row before the self-join (the naive
     * per-pair cosine evaluates three array folds per pair), and the pair
-    * dot product runs as a tight-loop UDF: higher-order functions are
-    * CodegenFallback, so on O(n²) pair volume the interpreted per-element
-    * dispatch dominates. The loop accumulates left-to-right over
-    * element-wise double casts — bit-identical to `VectorFunctions.dot`
-    * and the DuckDB oracle's `list_reduce`.
+    * dot product runs as the native `DotProductFloat` expression:
+    * higher-order functions are CodegenFallback, so on O(n²) pair volume
+    * the interpreted per-element dispatch dominates, and a UDF would pay
+    * per-row array conversion at the boundary — the expression's
+    * generated loop reads the columnar `ArrayData` in place inside the
+    * fused stage. Accumulation is left-to-right over element-wise double
+    * casts — bit-identical to `VectorFunctions.dot` and the DuckDB
+    * oracle's `list_reduce`.
     */
   def embeddingNearDup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    // Array[Float] (not Seq) params: the UDF input converter does one
-    // bulk primitive copy from UnsafeArrayData instead of boxing per
-    // element
-    val dotU = udf { (a: Array[Float], b: Array[Float]) =>
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val v = emb.select(
       col(idCol).alias("id"),
       col(vecCol).alias("vec"),
@@ -323,7 +317,8 @@ object Dedup {
       .select(
         col("a.id").alias("id_a"),
         col("b.id").alias("id_b"),
-        (dotU(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).alias("cos"))
+        (DotProductFloat.dotF(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .alias("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -153,8 +153,8 @@ object Similarity {
     * one tight-loop UDF — no per-row hashing); the candidate join
     * shuffles by (band, bucket) so only bucket-mates meet; verification
     * joins vectors back by id with norms computed once per row and the
-    * pair dot as a tight loop (HOFs are CodegenFallback — never on the
-    * O(pairs) path).
+    * pair dot as the native codegen `DotProductFloat` expression (HOFs
+    * are CodegenFallback — never on the O(pairs) path).
     */
   def srpNearDup(
       emb: DataFrame,
@@ -185,13 +185,6 @@ object Similarity {
         bucket
       }
     }
-    val dotU = udf { (a: Array[Float], b: Array[Float]) =>
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val sk = emb.select(
       col(idCol).alias("id"),
       posexplode(bandBuckets(col(vecCol))).as(Seq("band", "bucket")))
@@ -212,7 +205,8 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        (dotU(col("va"), col("vb")) / (col("na") * col("nb"))).alias("cos"))
+        (graft.functions.expressions.DotProductFloat.dotF(col("va"), col("vb"))
+          / (col("na") * col("nb"))).alias("cos"))
       .filter(col("cos") >= threshold)
   }
 

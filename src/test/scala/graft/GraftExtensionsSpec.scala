@@ -16,4 +16,43 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows("x") == TextFunctions.md5Hash60Local("x"))
     assert(rows("y") == TextFunctions.md5Hash60Local("y"))
   }
+
+  test("dot_f native expression: bit-identical to the HOF fold, null-safe, SQL-callable, codegen'd") {
+    import graft.functions.{VectorFunctions => VF}
+    import graft.functions.expressions.DotProductFloat
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+
+    val df = Seq(
+      (1L, Seq(1.0f, 2.5f, -3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (2L, Seq(0.1f, 0.2f), Seq(0.3f, 0.4f, 9.9f)), // length mismatch → shorter prefix
+      (3L, null.asInstanceOf[Seq[Float]], Seq(1.0f)) // null side → null result
+    ).toDF("id", "a", "b")
+
+    val native = df.select(col("id"), DotProductFloat.dotF(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    val hof = df.select(col("id"), VF.dot(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+
+    assert(native(1L).get == hof(1L).get) // identical fold order ⇒ bit-equal
+    assert(native(1L).get == 1.0f.toDouble * 0.5f + 2.5f.toDouble * -1.0f + -3.0f.toDouble * 2.0f)
+    assert(native(2L).get == 0.1f.toDouble * 0.3f + 0.2f.toDouble * 0.4f)
+    assert(native(3L).isEmpty)
+
+    // SQL registration
+    df.createOrReplaceTempView("t_dot")
+    val sql = spark.sql("SELECT id, dot_f(a, b) AS d FROM t_dot")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(sql == native)
+
+    // participates in WholeStageCodegen (not CodegenFallback) — a local
+    // relation constant-folds to LocalTableScan, so force a real stage
+    // and let AQE finalize before inspecting
+    val staged = df.repartition(2).select(DotProductFloat.dotF(col("a"), col("b")))
+    staged.collect()
+    val plan = staged.queryExecution.executedPlan.toString
+    // the "*(n)" operator prefix is the WholeStageCodegen marker in the
+    // AQE tree string — the projection computing dot_f must carry it
+    assert("\\*\\(\\d+\\) Project \\[dot_f".r.findFirstIn(plan).isDefined, plan)
+  }
 }
