@@ -20,8 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Scan-side cosine against a literal query vector. When every query
+    * component is exactly float-representable (always true when the
+    * query comes from a float embedding table), the projection runs on
+    * the native codegen expressions ([[graft.functions.expressions.DotProductFloat]]
+    * + [[graft.functions.expressions.Norm2Float]], query norm folded
+    * driver-side in the same order) — bit-identical to the HOF form and
+    * the DuckDB oracle, but fused into WholeStageCodegen instead of
+    * interpreted HOF dispatch per row. Falls back to the HOF form for
+    * general double queries.
+    */
   def withCosine(emb: DataFrame, vecCol: String, query: Seq[Double]): DataFrame =
-    emb.withColumn("cos", cosineSimilarity(col(vecCol), typedlit(query)))
+    if (query.nonEmpty && query.forall(d => d.toFloat.toDouble == d)) {
+      var qn = 0.0
+      query.foreach(d => qn += d * d)
+      emb.withColumn(
+        "cos",
+        graft.functions.expressions.DotProductFloat.dotF(
+          col(vecCol), typedlit(query.map(_.toFloat)))
+          / (graft.functions.expressions.Norm2Float.norm2F(col(vecCol)) * lit(math.sqrt(qn))))
+    } else
+      emb.withColumn("cos", cosineSimilarity(col(vecCol), typedlit(query)))
 
   def bruteForceTopK(
       emb: DataFrame,
