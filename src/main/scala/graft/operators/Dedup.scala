@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
 import graft.functions.expressions.DotProductFloat
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -311,7 +310,7 @@ object Dedup {
     val v = emb.select(
       col(idCol).alias("id"),
       col(vecCol).alias("vec"),
-      VectorFunctions.norm2(col(vecCol)).alias("nrm"))
+      graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"))
     v.alias("a")
       .join(v.alias("b"), col("a.id") < col("b.id"))
       .select(

@@ -217,7 +217,7 @@ object Similarity {
     val v = emb.select(
       col(idCol).alias("id"),
       col(vecCol).alias("vec"),
-      norm2(col(vecCol)).alias("nrm"))
+      graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"))
     cand
       .join(v.select(col("id").alias("id_a"), col("vec").alias("va"), col("nrm").alias("na")), Seq("id_a"))
       .join(v.select(col("id").alias("id_b"), col("vec").alias("vb"), col("nrm").alias("nb")), Seq("id_b"))
