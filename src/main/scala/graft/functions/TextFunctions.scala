@@ -596,36 +596,39 @@ object TextFunctions {
     * are small-integer divisions — bit-identical across engines.
     * Null/short texts return zero-counts with a null top bigram.
     */
-  val repetitionStatsUdf: Column => Column = {
-    val f = udf { (text: String) =>
-      val toks = tokensLocal(text)
-      val nTokens = toks.length.toLong
-      val nBigrams = math.max(nTokens - 1, 0L)
-      val distinct = new scala.collection.mutable.HashSet[String]
-      val bigrams = new scala.collection.mutable.HashMap[String, Long]
-      var i = 0
-      while (i < toks.length) {
-        distinct.add(toks(i))
-        if (i + 1 < toks.length) {
-          val b = toks(i) + " " + toks(i + 1)
-          bigrams.update(b, bigrams.getOrElse(b, 0L) + 1L)
-        }
-        i += 1
+  /** JVM body of [[repetitionStatsUdf]] (exposed for property tests). */
+  def repetitionStatsLocal(text: String): (String, Long, Long, Double, Double) = {
+    val toks = tokensLocal(text)
+    val nTokens = toks.length.toLong
+    val nBigrams = math.max(nTokens - 1, 0L)
+    val distinct = new scala.collection.mutable.HashSet[String]
+    val bigrams = new scala.collection.mutable.HashMap[String, Long]
+    var i = 0
+    while (i < toks.length) {
+      distinct.add(toks(i))
+      if (i + 1 < toks.length) {
+        val b = toks(i) + " " + toks(i + 1)
+        bigrams.update(b, bigrams.getOrElse(b, 0L) + 1L)
       }
-      var topB: String = null
-      var topN = 0L
-      bigrams.foreach { case (b, n) =>
-        if (n > topN || (n == topN && (topB == null || b.compareTo(topB) < 0))) {
-          topB = b; topN = n
-        }
-      }
-      (
-        topB,
-        topN,
-        nBigrams,
-        if (nBigrams == 0L) 0.0 else topN.toDouble / nBigrams.toDouble,
-        if (nTokens == 0L) 0.0 else (nTokens - distinct.size).toDouble / nTokens.toDouble)
+      i += 1
     }
+    var topB: String = null
+    var topN = 0L
+    bigrams.foreach { case (b, n) =>
+      if (n > topN || (n == topN && (topB == null || b.compareTo(topB) < 0))) {
+        topB = b; topN = n
+      }
+    }
+    (
+      topB,
+      topN,
+      nBigrams,
+      if (nBigrams == 0L) 0.0 else topN.toDouble / nBigrams.toDouble,
+      if (nTokens == 0L) 0.0 else (nTokens - distinct.size).toDouble / nTokens.toDouble)
+  }
+
+  val repetitionStatsUdf: Column => Column = {
+    val f = udf((text: String) => repetitionStatsLocal(text))
     c => f(c)
   }
 

@@ -81,4 +81,34 @@ class PropertySpec extends AnyFunSuite {
       merge(a, Map.empty) == a
     })
   }
+
+  test("repetitionStatsLocal matches a naive groupBy recompute on arbitrary token soup") {
+    val word = Gen.oneOf("a", "b", "ab", "ba", "x", "yz")
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(textGen) { s =>
+      val (topB, topN, nBigrams, topFrac, dupFrac) = TextFunctions.repetitionStatsLocal(s)
+      val toks = TextFunctions.tokensLocal(s).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val naiveTop = counts.toSeq.sortBy { case (b, n) => (-n, b) }.headOption
+      nBigrams == bigrams.size.toLong &&
+      naiveTop.forall { case (b, n) => topB == b && topN == n } &&
+      (naiveTop.nonEmpty || (topB == null && topN == 0L)) &&
+      topFrac == (if (bigrams.isEmpty) 0.0 else topN.toDouble / bigrams.size) &&
+      dupFrac == (if (toks.isEmpty) 0.0
+                  else (toks.size - toks.distinct.size).toDouble / toks.size)
+    })
+  }
+
+  test("stratified-sample keep decision is monotone in the rate (nesting) and rate-faithful in expectation") {
+    val keyGen = Gen.choose(0L, 1000000L)
+    val rateGen = Gen.choose(0, 1000)
+    check(Prop.forAll(keyGen, rateGen, rateGen) { (key, r1, r2) =>
+      val lo = math.min(r1, r2)
+      val hi = math.max(r1, r2)
+      val bucket = TextFunctions.md5Hash60Local(key.toString) % 1000
+      // kept at the low rate ⇒ kept at every higher rate (nesting)
+      !(bucket < lo) || (bucket < hi)
+    })
+  }
 }
