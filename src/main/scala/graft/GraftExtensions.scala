@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr}
+import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr, Norm2Float}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProductFloat(exprs.head, exprs(1))))
+    // norm2_f alongside dot_f: the scan-side cosine
+    // dot_f(a, b) / (norm2_f(a) * norm2_f(b)) is expressible from pure
+    // SQL, matching the Column-API surface
+    e.injectFunction(
+      (
+        FunctionIdentifier("norm2_f"),
+        new ExpressionInfo(classOf[Norm2Float].getName, "norm2_f"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Norm2Float(exprs.head)))
   }
 }
 
@@ -39,5 +48,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
     Bridge.registerTempFunction(spark, "dot_f", exprs => DotProductFloat(exprs.head, exprs(1)))
+    Bridge.registerTempFunction(spark, "norm2_f", exprs => Norm2Float(exprs.head))
   }
 }

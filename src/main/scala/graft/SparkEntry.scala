@@ -1038,15 +1038,16 @@ object SparkEntry {
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
           WHERE cos >= 0.4""",
     "q24_langid" ->
-      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
-          sc AS (SELECT doc_id,
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT doc_id, text,
                    len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS s_en,
                    len(list_filter(t, x -> x IN ${sqlList(stopFr)})) AS s_fr,
                    len(list_filter(t, x -> x IN ${sqlList(stopDe)})) AS s_de,
                    len(list_filter(t, x -> x IN ${sqlList(stopEs)})) AS s_es
                  FROM tk)
           SELECT doc_id,
-                 CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                 CASE WHEN text IS NULL THEN NULL
+                      WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
                       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
                       WHEN s_de >= s_es THEN 'de'
                       ELSE 'es' END AS lang_pred
@@ -1267,7 +1268,8 @@ object SparkEntry {
           kept AS (
             SELECT * FROM sc
             WHERE n_tokens BETWEEN 30 AND 90
-              AND (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+              AND (CASE WHEN text IS NULL THEN NULL
+                        WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
                         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
                         WHEN s_de >= s_es THEN 'de' ELSE 'es' END) = 'en')
           SELECT min(doc_id) AS doc_id, fp, min(n_tokens) AS n_tokens,

@@ -590,12 +590,31 @@ object TextFunctions {
   }
 
   /** Gopher-style repetition metrics in one pass: the most frequent word
-    * bigram (ties → lexicographically smallest; ASCII tokens, so JVM
-    * UTF-16 order == DuckDB byte order), its count, the bigram total,
-    * and the duplicate-token fraction `(n - distinct) / n`. The ratios
-    * are small-integer divisions — bit-identical across engines.
+    * bigram (ties → smallest by code point, which equals DuckDB's UTF-8
+    * byte order for every token — including supplementary-plane
+    * characters where UTF-16 code-unit order would diverge), its count,
+    * the bigram total, and the duplicate-token fraction
+    * `(n - distinct) / n`. The ratios are small-integer divisions —
+    * bit-identical across engines.
     * Null/short texts return zero-counts with a null top bigram.
     */
+  /** Code-point string order (== UTF-8 byte order), NOT UTF-16 code-unit
+    * order: surrogate pairs (U+10000+) compare above U+E000..U+FFFF here,
+    * below them in plain `String.compareTo`.
+    */
+  private def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** JVM body of [[repetitionStatsUdf]] (exposed for property tests). */
   def repetitionStatsLocal(text: String): (String, Long, Long, Double, Double) = {
     val toks = tokensLocal(text)
@@ -615,7 +634,7 @@ object TextFunctions {
     var topB: String = null
     var topN = 0L
     bigrams.foreach { case (b, n) =>
-      if (n > topN || (n == topN && (topB == null || b.compareTo(topB) < 0))) {
+      if (n > topN || (n == topN && (topB == null || compareCodePoints(b, topB) < 0))) {
         topB = b; topN = n
       }
     }

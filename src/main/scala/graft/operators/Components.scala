@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The RDD whose blocks back an eagerly `localCheckpoint`ed frame, so
+    * a finished round's storage can be freed instead of accumulating for
+    * the whole loop (None when the plan isn't a checkpoint scan).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   /** `(id, cluster_id)` for every vertex, where `cluster_id` is the
     * minimum vertex id reachable in the undirected graph
     * `vertices ∪ edges` — singletons map to themselves.
@@ -94,12 +108,24 @@ object Components {
         .localCheckpoint(true)
       // convergence: one tiny aggregate over the just-materialized blocks
       val changed = compressed.filter(col("label") =!= col("old_label")).count()
+      // the new round is materialized — the previous round's checkpoint
+      // blocks are dead weight now; free them instead of accumulating
+      // executor storage across every round
+      freeCheckpoint(labels)
       labels = compressed.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $iter changed=$changed")
     }
+    if (!converged)
+      log.warn(
+        s"connectedComponents exhausted maxIterations=$maxIterations without converging; " +
+          "the returned labeling may still contain unmerged components " +
+          "(raise maxIterations for graphs with very large diameter)")
+    // the loop is done with the edge frame; only the (checkpointed)
+    // labels feed the final join
+    freeCheckpoint(e)
     vertices.select(col(idCol).alias("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).alias("cluster_id"))

@@ -184,7 +184,12 @@ object Similarity {
       rowsPerBand: Int = 3,
       prefix: String = "srp"): DataFrame = {
     require(rowsPerBand <= 62, "bucket bits must fit a long")
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // Uniform dimensionality is assumed: the sketch truncates longer
+    // vectors to the first row's dim (verification always uses the full
+    // vectors, so emitted pairs stay exact — only candidate recall dips).
+    val firstRow = emb.select(size(col(vecCol))).head(1)
+    require(firstRow.nonEmpty, s"srpNearDup: input table has no rows (cannot infer $vecCol dimension)")
+    val dim = firstRow(0).getInt(0)
     val nPlanes = nBands * rowsPerBand
     val signs: Array[Array[Double]] = Array.tabulate(nPlanes, dim)((p, j) =>
       if (graft.functions.TextFunctions.md5Hash60Local(s"$prefix:$p:$j") % 2 == 0) 1.0 else -1.0)

@@ -55,4 +55,33 @@ class GraftExtensionsSpec extends SparkTestBase {
     // AQE tree string — the projection computing dot_f must carry it
     assert("\\*\\(\\d+\\) Project \\[dot_f".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("norm2_f registered alongside dot_f: the scan-side cosine is expressible from pure SQL") {
+    import graft.functions.expressions.Norm2Float
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 2.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "v")
+    df.createOrReplaceTempView("t_norm")
+
+    val sql = spark.sql("SELECT id, norm2_f(v) AS n FROM t_norm")
+      .as[(Long, Option[Double])].collect().toMap
+    val nativeCol = df.select(col("id"), Norm2Float.norm2F(col("v")).as("n"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(sql == nativeCol)
+    assert(sql(1L).get == 5.0)
+    assert(sql(2L).get == 3.0)
+    assert(sql(3L).isEmpty)
+
+    // full cosine from SQL only — the expression surface the Column API uses
+    val cos = spark.sql(
+      """SELECT a.id, dot_f(a.v, b.v) / (norm2_f(a.v) * norm2_f(b.v)) AS c
+         FROM t_norm a JOIN t_norm b ON b.id = 1 WHERE a.id = 1""")
+      .as[(Long, Double)].head()
+    assert(cos == ((1L, 1.0)))
+  }
 }

@@ -267,4 +267,14 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got(3L) == ((None, 0L, 0L, 0.0, 0.0)))
     assert(got(4L) == ((None, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("repetitionStats tie-break uses code-point (UTF-8 byte) order for supplementary-plane tokens") {
+    // tokens: q, U+FFFD, q, U+1F600 → three bigrams, all count 1.
+    // Code-point order: "q �" < "q 😀"  (0xFFFD < 0x1F600).
+    // UTF-16 code-unit order would flip them (surrogate 0xD83D < 0xFFFD),
+    // which is what DuckDB's byte-order tie-break must NOT see.
+    val (top, n, total, _, _) = TextFunctions.repetitionStatsLocal("q � q 😀")
+    assert(top == "q �", s"got $top")
+    assert(n == 1L && total == 3L)
+  }
 }
