@@ -798,6 +798,174 @@ object SparkEntry {
         (sum(col("kept")).cast("double") / count(lit(1)).cast("double")).as("retention"))
   }
 
+  /** BPE-ish pre-tokenization piece counting (the token-budget estimate a
+    * training pipeline runs before any real BPE merge pass): pieces are
+    * maximal runs of letters / digits / punctuation (each optionally
+    * space-prefixed, GPT-2 pre-tokenizer style) or whitespace. The
+    * alternates have disjoint first-character classes, so Java (Spark)
+    * and RE2 (DuckDB) regex engines produce identical matches despite
+    * their different alternation strategies — and no lookahead is used
+    * (RE2 has none). All native codegen expressions, no UDF.
+    */
+  private val bpePiecePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  private def q63_token_count(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        lower(col("text")).alias("lt"),
+        regexp_extract_all(lower(col("text")), lit(bpePiecePattern), lit(0)).alias("pieces"))
+      .select(
+        col("doc_id"),
+        size(col("pieces")).cast("long").alias("n_pieces"),
+        size(array_distinct(col("pieces"))).cast("long").alias("n_distinct_pieces"),
+        array_max(transform(col("pieces"), p => length(p))).cast("long").alias("max_piece_len"),
+        (length(col("lt")).cast("double") / size(col("pieces")).cast("double"))
+          .alias("chars_per_piece"))
+
+  /** PII scrubbing: redact emails / URLs / phone numbers and count each
+    * class — the privacy pass every training corpus goes through. The
+    * fixture text is synthetic word-salad with no PII, so the input is
+    * synthesized deterministically from the `customer` table (same
+    * construction in the oracle — both engines scrub the same strings).
+    * Counting + redaction are native `regexp_extract_all` /
+    * `regexp_replace` (RE2-compatible patterns: no lookarounds).
+    */
+  private val piiEmail = "[a-z0-9.]+@[a-z][a-z.]+"
+  private val piiUrl = "https?://[^ ]+"
+  private val piiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        concat(
+          lit("reach "),
+          lower(regexp_replace(col("c_name"), "#", ".")),
+          lit("@corp.example"),
+          when(
+            col("c_custkey") % 2 === 0,
+            concat(lit(" or "), lower(regexp_replace(col("c_name"), "#", ".")), lit("@mail.test")))
+            .otherwise(lit("")),
+          lit(" visit https://shop.example/item/"),
+          col("c_custkey").cast("string"),
+          when(
+            col("c_custkey") % 3 === 0,
+            concat(lit(" call 415-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).alias("synth"))
+      .select(
+        col("c_custkey"),
+        size(regexp_extract_all(col("synth"), lit(piiEmail), lit(0))).cast("long").alias("n_emails"),
+        size(regexp_extract_all(col("synth"), lit(piiUrl), lit(0))).cast("long").alias("n_urls"),
+        size(regexp_extract_all(col("synth"), lit(piiPhone), lit(0))).cast("long").alias("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("synth"), piiUrl, "[URL]"),
+            piiEmail, "[EMAIL]"),
+          piiPhone, "[PHONE]").alias("redacted"))
+
+  /** TPC-H Q19 shape (disjunctive predicate join): revenue per brand under
+    * three OR'd brand/size/quantity configurations. Catalyst's CNF
+    * conversion extracts the part-only disjunction
+    * `(brand=A AND size…) OR (brand=B AND size…) OR …` below the join, so
+    * the broadcast dimension is pre-filtered at its scan instead of after
+    * the join — the plan-quality point of this query at 100 TB.
+    */
+  private def q65_disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val pred =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(5, 25) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 50) &&
+          col("l_quantity").between(20.0, 30.0))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .groupBy("p_brand")
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q10 shape (returned items): revenue lost to returns per
+    * customer over one quarter, top 20. Fact-to-fact join shuffles on
+    * orderkey; customer and nation dimensions broadcast; the limit is a
+    * TakeOrderedAndProject with a total tie-broken order.
+    */
+  private def q66_returned_items(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** TPC-H Q22 shape (sales opportunity): high-balance customers with no
+    * recent orders, per market segment. The global threshold is an exact
+    * decimal sum / count divided in double (bit-identical across
+    * engines), shipped as a broadcast one-row frame (no collect); the
+    * "no recent orders" predicate is a left anti join against the
+    * date-filtered orders.
+    */
+  private def q67_sales_opportunity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(
+        (sum(col("c_acctbal").cast(dec)).cast("double") / count(lit(1)).cast("double"))
+          .alias("thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"))
+  }
+
+  /** Sequence packing to a context budget (the "concat then split at N
+    * tokens" step that turns filtered documents into fixed-length
+    * training rows): documents are sharded deterministically
+    * (`doc_id % 32` — in production, the shard count matches writer
+    * parallelism), ordered within shard, and assigned chunk ids by
+    * integer-dividing the running token cumsum by the budget. The window
+    * partitions by shard, so packing parallelizes across shards — no
+    * global single-partition window at 100 TB.
+    */
+  private def q68_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 32).alias("shard"),
+        size(TextFunctions.tokens(col("text"))).cast("long").alias("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("shard"),
+        (col("cum_before") / budget).cast("long").alias("chunk_id"),
+        col("n_tokens"))
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_packed"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -864,7 +1032,13 @@ object SparkEntry {
     "q59_repetition" -> (q59_repetition _),
     "q60_json_props" -> (q60_json_props _),
     "q61_promo_revenue" -> (q61_promo_revenue _),
-    "q62_dedup_retention" -> (q62_dedup_retention _)
+    "q62_dedup_retention" -> (q62_dedup_retention _),
+    "q63_token_count" -> (q63_token_count _),
+    "q64_pii_scrub" -> (q64_pii_scrub _),
+    "q65_disjunctive" -> (q65_disjunctive _),
+    "q66_returned_items" -> (q66_returned_items _),
+    "q67_sales_opportunity" -> (q67_sales_opportunity _),
+    "q68_pack_sequences" -> (q68_pack_sequences _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1440,6 +1614,91 @@ object SparkEntry {
                  count(*) AS n_docs,
                  CAST(sum(kept) AS BIGINT) AS n_kept,
                  CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention
-          FROM k GROUP BY source"""
+          FROM k GROUP BY source""",
+    "q63_token_count" ->
+      s"""WITH p AS (
+            SELECT doc_id, lower(text) AS lt,
+                   regexp_extract_all(lower(text), '$bpePiecePattern') AS pieces
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(pieces) AS BIGINT) AS n_pieces,
+                 CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+                 CAST(list_max(list_transform(pieces, x -> length(x))) AS BIGINT) AS max_piece_len,
+                 CAST(length(lt) AS DOUBLE) / CAST(len(pieces) AS DOUBLE) AS chars_per_piece
+          FROM p""",
+    "q64_pii_scrub" ->
+      s"""WITH synth AS (
+            SELECT c_custkey,
+                   'reach ' || lower(replace(c_name, '#', '.')) || '@corp.example'
+                   || CASE WHEN c_custkey % 2 = 0
+                           THEN ' or ' || lower(replace(c_name, '#', '.')) || '@mail.test'
+                           ELSE '' END
+                   || ' visit https://shop.example/item/' || CAST(c_custkey AS VARCHAR)
+                   || CASE WHEN c_custkey % 3 = 0
+                           THEN ' call 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS s
+            FROM customer)
+          SELECT c_custkey,
+                 CAST(len(regexp_extract_all(s, '$piiEmail')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(s, '$piiUrl')) AS BIGINT) AS n_urls,
+                 CAST(len(regexp_extract_all(s, '$piiPhone')) AS BIGINT) AS n_phones,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(s, '$piiUrl', '[URL]', 'g'),
+                     '$piiEmail', '[EMAIL]', 'g'),
+                   '$piiPhone', '[PHONE]', 'g') AS redacted
+          FROM synth""",
+    "q65_disjunctive" ->
+      """SELECT p_brand,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+            OR (p_brand = 'Brand#14' AND p_size BETWEEN 5  AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 20 AND 30)
+         GROUP BY p_brand""",
+    "q66_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+    "q67_sales_opportunity" ->
+      """WITH thr AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS t
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment,
+                count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer, thr
+         WHERE c_acctbal > t
+           AND NOT EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY c_mktsegment""",
+    "q68_pack_sequences" ->
+      s"""WITH d AS (
+            SELECT doc_id, doc_id % 32 AS shard,
+                   CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT shard, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM d)
+          SELECT shard,
+                 CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
+          FROM c GROUP BY shard, chunk_id"""
   )
 }

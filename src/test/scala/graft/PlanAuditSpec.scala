@@ -110,4 +110,53 @@ class PlanAuditSpec extends SparkTestBase {
     // equi-join on (user_id, b) keeps both sides co-partitionable
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q63/q64: regex token counting and PII scrubbing are shuffle-free codegen scans") {
+    for (q <- Seq("q63_token_count", "q64_pii_scrub")) {
+      val plan = planOf(q)
+      assert(shuffles(plan) == 0, s"$q is per-row — must not shuffle:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction"), plan)
+      // regexp_extract_all/regexp_replace are native expressions inside a
+      // WholeStageCodegen span, not UDF black boxes
+      assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"$q lost codegen:\n$plan")
+    }
+  }
+
+  test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
+    val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // CNF extraction: part rows are filtered by the brand disjunction at
+    // (or before) their scan — the join must not see the whole dimension
+    val partFiltered = "Filter [^\\n]*p_brand".r.findFirstIn(plan).isDefined ||
+      "PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(plan).isDefined
+    assert(partFiltered, s"brand disjunction not extracted to the part side:\n$plan")
+    // and the lineitem side keeps its quantity bounds scan-level
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined
+      || "Filter [^\\n]*l_quantity".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q66: dimensions broadcast; the order is a TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q66_returned_items")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$plan")
+  }
+
+  test("q67: the global threshold joins as a broadcast, never a shuffled join") {
+    val plan = planOf("q67_sales_opportunity")
+    // one-row threshold frame × customer: broadcast nested loop is the
+    // right shape (no equi-key exists); the anti join must be hash-based
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("q68: packing windows partition by shard (no single-partition global window)") {
+    val plan = planOf("q68_pack_sequences")
+    // the cumsum window must run partitioned by shard — a windowing step
+    // that funnels through SinglePartition serializes the whole corpus
+    // through one task at scale
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), s"global window detected:\n$plan")
+  }
 }
