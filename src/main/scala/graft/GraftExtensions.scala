@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr, Norm2Float}
+import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr, Norm2Float, SortedIntersectCountLong}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[Norm2Float].getName, "norm2_f"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           Norm2Float(exprs.head)))
+    e.injectFunction(
+      (
+        FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "sorted_intersect_count"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SortedIntersectCountLong(exprs.head, exprs(1))))
   }
 }
 
@@ -49,5 +55,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
     Bridge.registerTempFunction(spark, "dot_f", exprs => DotProductFloat(exprs.head, exprs(1)))
     Bridge.registerTempFunction(spark, "norm2_f", exprs => Norm2Float(exprs.head))
+    Bridge.registerTempFunction(spark, "sorted_intersect_count",
+      exprs => SortedIntersectCountLong(exprs.head, exprs(1)))
   }
 }

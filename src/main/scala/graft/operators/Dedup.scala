@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import graft.functions.expressions.DotProductFloat
-import org.apache.spark.sql.DataFrame
+import graft.functions.expressions.{DotProductFloat, SortedIntersectCountLong}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication for training-data pipelines, at 100 TB shapes:
@@ -49,11 +49,17 @@ object Dedup {
       col(idCol).alias("id"),
       distinctShingleHashesUdf(n)(col(textCol)).alias("hs"))
 
-  /** Exact Jaccard of two sorted distinct hash arrays, as a tight loop. */
-  private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
-    val c = sortedIntersectCount(a, b)
-    val u = a.length + b.length - c
-    if (u == 0) 1.0 else c.toDouble / u.toDouble
+  /** Exact Jaccard of two sorted distinct hash arrays. The intersection
+    * count is the native codegen `SortedIntersectCountLong` expression
+    * (evaluated once per candidate pair — a UDF here would pay a per-pair
+    * array copy at the boundary); the union/ratio arithmetic stays in
+    * plain codegen'd column expressions. Two empty sets are defined as
+    * Jaccard 1 (same convention as the previous UDF and the oracle).
+    */
+  private def jaccardSorted(a: Column, b: Column): Column = {
+    val c = SortedIntersectCountLong.intersectCountF(a, b)
+    val u = size(a).cast("long") + size(b).cast("long") - c
+    when(u === 0L, lit(1.0)).otherwise(c.cast("double") / u.cast("double"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs: J(A,B) ≥ threshold,
@@ -147,7 +153,7 @@ object Dedup {
           .select(
             col("id_a"),
             col("id_b"),
-            jaccardUdf(col("hs_a"), col("hs_b")).alias("jaccard"))
+            jaccardSorted(col("hs_a"), col("hs_b")).alias("jaccard"))
           .filter(col("jaccard") >= threshold)
     }
   }
@@ -239,7 +245,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        jaccardUdf(col("hs_a"), col("hs_b")).alias("jaccard"))
+        jaccardSorted(col("hs_a"), col("hs_b")).alias("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
