@@ -966,6 +966,51 @@ object SparkEntry {
         sum(col("n_tokens")).as("n_tokens_packed"))
   }
 
+  /** Cohort retention over the event log: users are cohorted by the week
+    * of their first event; each (cohort, weeks-since) cell counts the
+    * distinct users still active. Two shuffles — the per-user cohort
+    * aggregate and the events⋈cohort join share the `user_id` key, so
+    * the join co-locates without a third exchange; weeks are UTC
+    * `date_trunc` boundaries, making the day-diff an exact multiple of 7
+    * in both engines.
+    */
+  private def q69_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).alias("wk"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).alias("cohort_wk"))
+    ev.join(cohort, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").alias("weeks_since"))
+      .groupBy("cohort_wk", "weeks_since")
+      .agg(countDistinct(col("user_id")).alias("n_users"))
+  }
+
+  /** Overlapping-window chunking (RAG / long-context prep): each document
+    * splits into chunks of ≤100 tokens starting every 80 (20-token
+    * overlap). The chunk spine is a per-row `sequence` explode — row-local
+    * fan-out, zero shuffles, and the generator input is a bounded
+    * arithmetic range (never a computed array, per the
+    * InferFiltersFromGenerate rule).
+    */
+  private def q70_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
+    val (chunk, stride) = (100, 80)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").alias("n"))
+      .select(
+        col("doc_id"),
+        col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(stride.toLong)))
+          .alias("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").alias("chunk_idx"),
+        least(lit(chunk.toLong), col("n") - col("start")).alias("n_chunk_tokens"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1038,7 +1083,9 @@ object SparkEntry {
     "q65_disjunctive" -> (q65_disjunctive _),
     "q66_returned_items" -> (q66_returned_items _),
     "q67_sales_opportunity" -> (q67_sales_opportunity _),
-    "q68_pack_sequences" -> (q68_pack_sequences _)
+    "q68_pack_sequences" -> (q68_pack_sequences _),
+    "q69_cohort_retention" -> (q69_cohort_retention _),
+    "q70_chunk_overlap" -> (q70_chunk_overlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1699,6 +1746,21 @@ object SparkEntry {
                  CAST(cum_before // 512 AS BIGINT) AS chunk_id,
                  count(*) AS n_docs,
                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
-          FROM c GROUP BY shard, chunk_id"""
+          FROM c GROUP BY shard, chunk_id""",
+    "q69_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+          ch AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+         SELECT cohort_wk,
+                CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS weeks_since,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN ch ON ev.user_id = ch.user_id
+         GROUP BY cohort_wk, weeks_since""",
+    "q70_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n FROM documents),
+          c AS (SELECT doc_id, n, unnest(range(0, greatest(n, 1), 80)) AS start FROM d)
+          SELECT doc_id,
+                 CAST(start // 80 AS BIGINT) AS chunk_idx,
+                 CAST(least(100, n - start) AS BIGINT) AS n_chunk_tokens
+          FROM c"""
   )
 }

@@ -159,4 +159,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("Exchange SinglePartition"), s"global window detected:\n$plan")
   }
+
+  test("q69: cohort join and aggregate share the user_id partitioning (bounded shuffles)") {
+    val plan = planOf("q69_cohort_retention")
+    // events shuffle on user_id once for the cohort aggregate; the join
+    // reuses that co-location; the distinct-count aggregate adds its own
+    // two-phase exchange — anything beyond that is a wasted pass over the
+    // event log at scale
+    assert(shuffles(plan) <= 4, s"too many exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q70: overlapping chunking is a pure row-local generate (zero shuffles)") {
+    val plan = planOf("q70_chunk_overlap")
+    assert(shuffles(plan) == 0, s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+  }
 }
