@@ -823,19 +823,21 @@ object SparkEntry {
         (length(col("lt")).cast("double") / size(col("pieces")).cast("double"))
           .alias("chars_per_piece"))
 
-  /** PII scrubbing: redact emails / URLs / phone numbers and count each
-    * class — the privacy pass every training corpus goes through. The
-    * fixture text is synthetic word-salad with no PII, so the input is
-    * synthesized deterministically from the `customer` table (same
-    * construction in the oracle — both engines scrub the same strings).
-    * Counting + redaction are native `regexp_extract_all` /
-    * `regexp_replace` (RE2-compatible patterns: no lookarounds).
+  /** PII scrubbing via `functions.Pii`: redact emails / URLs / phone
+    * numbers and count each class — the privacy pass every training
+    * corpus goes through. The fixture text is synthetic word-salad with
+    * no PII, so the input is synthesized deterministically from the
+    * `customer` table (same construction in the oracle — both engines
+    * scrub the same strings). Counting + redaction are native
+    * `regexp_extract_all` / `regexp_replace` (RE2-compatible patterns:
+    * no lookarounds).
     */
-  private val piiEmail = "[a-z0-9.]+@[a-z][a-z.]+"
-  private val piiUrl = "https?://[^ ]+"
-  private val piiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val piiEmail = graft.functions.Pii.emailPattern
+  private val piiUrl = graft.functions.Pii.urlPattern
+  private val piiPhone = graft.functions.Pii.phonePattern
 
-  private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame =
+  private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Pii
     Tables.customer(s, dir)
       .select(
         col("c_custkey"),
@@ -855,14 +857,11 @@ object SparkEntry {
             .otherwise(lit(""))).alias("synth"))
       .select(
         col("c_custkey"),
-        size(regexp_extract_all(col("synth"), lit(piiEmail), lit(0))).cast("long").alias("n_emails"),
-        size(regexp_extract_all(col("synth"), lit(piiUrl), lit(0))).cast("long").alias("n_urls"),
-        size(regexp_extract_all(col("synth"), lit(piiPhone), lit(0))).cast("long").alias("n_phones"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("synth"), piiUrl, "[URL]"),
-            piiEmail, "[EMAIL]"),
-          piiPhone, "[PHONE]").alias("redacted"))
+        Pii.emailCount(col("synth")).alias("n_emails"),
+        Pii.urlCount(col("synth")).alias("n_urls"),
+        Pii.phoneCount(col("synth")).alias("n_phones"),
+        Pii.redact(col("synth")).alias("redacted"))
+  }
 
   /** TPC-H Q19 shape (disjunctive predicate join): revenue per brand under
     * three OR'd brand/size/quantity configurations. Catalyst's CNF
@@ -946,25 +945,10 @@ object SparkEntry {
     * partitions by shard, so packing parallelizes across shards — no
     * global single-partition window at 100 TB.
     */
-  private def q68_pack_sequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 512L
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        (col("doc_id") % 32).alias("shard"),
-        size(TextFunctions.tokens(col("text"))).cast("long").alias("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(
-        col("shard"),
-        (col("cum_before") / budget).cast("long").alias("chunk_id"),
-        col("n_tokens"))
-      .groupBy("shard", "chunk_id")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens_packed"))
-  }
+  private def q68_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    operators.Chunker.packSummary(
+      operators.Chunker.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", budget = 512L, shards = 32))
 
   /** Cohort retention over the event log: users are cohorted by the week
     * of their first event; each (cohort, weeks-since) cell counts the
@@ -994,22 +978,10 @@ object SparkEntry {
     * arithmetic range (never a computed array, per the
     * InferFiltersFromGenerate rule).
     */
-  private def q70_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
-    val (chunk, stride) = (100, 80)
-    Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).cast("long").alias("n"))
-      .select(
-        col("doc_id"),
-        col("n"),
-        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(stride.toLong)))
-          .alias("start"))
-      .select(
-        col("doc_id"),
-        (col("start") / stride).cast("long").alias("chunk_idx"),
-        least(lit(chunk.toLong), col("n") - col("start")).alias("n_chunk_tokens"))
-  }
+  private def q70_chunk_overlap(s: SparkSession, dir: String): DataFrame =
+    operators.Chunker.chunkOverlap(
+      Tables.documents(s, dir), "doc_id", "text", chunkSize = 100, stride = 80)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
 
   // =========================================================================
   // Registry

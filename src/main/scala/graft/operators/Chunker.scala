@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window shaping for training/RAG pipelines: turning variable-
+  * length documents into fixed-budget training rows. Two primitives:
+  *
+  *  - [[packSequences]] — "concat then split at N tokens": documents are
+  *    packed greedily, in deterministic order, into chunks whose token
+  *    budget is `budget`. The pack assignment is a window cumsum ÷
+  *    budget, partitioned by a deterministic shard key, so packing
+  *    parallelizes across shards (in production the shard count matches
+  *    writer parallelism); no single-partition global window exists at
+  *    any scale.
+  *
+  *  - [[chunkOverlap]] — sliding-window chunking with overlap (RAG /
+  *    long-context prep): chunks of ≤ `chunkSize` tokens starting every
+  *    `stride`. Row-local `sequence` explode — zero shuffles, and the
+  *    generator input is a bounded arithmetic range, never a computed
+  *    array (the InferFiltersFromGenerate hazard).
+  *
+  * Reference analogue: none (the reference preps a classification set,
+  * not an LM corpus); training-data-pipeline extension per SURVEY.md §7.8.
+  */
+object Chunker {
+
+  /** `(shard, chunk_id, doc_id, n_tokens, cum_before)` — one row per doc
+    * with its pack assignment. `chunk_id` is the running-token cumsum
+    * before the doc, integer-divided by `budget`: docs never reorder
+    * within a shard (ordered by id), and a doc straddling a boundary
+    * belongs to the chunk its first token falls in (GPT-style
+    * concat-split semantics).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col(idCol).alias("doc_id"),
+        (col(idCol) % shards).alias("shard"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").alias("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("shard"),
+        (col("cum_before") / budget).cast("long").alias("chunk_id"),
+        col("doc_id"),
+        col("n_tokens"),
+        col("cum_before"))
+  }
+
+  /** Per-(shard, chunk) pack summary — the row shape a writer consumes. */
+  def packSummary(packed: DataFrame): DataFrame =
+    packed
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_packed"))
+
+  /** `(doc_id, chunk_idx, start, n_chunk_tokens)` — one row per chunk.
+    * Chunks start at 0, stride, 2·stride, … while the start is inside
+    * the doc; every doc emits at least one chunk (empty docs emit one
+    * zero-token chunk), consecutive chunks overlap by
+    * `chunkSize - stride` tokens, and every token belongs to ≥ 1 chunk
+    * when `stride ≤ chunkSize`.
+    */
+  def chunkOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize, "stride > chunkSize would leave tokens uncovered")
+    docs
+      .select(
+        col(idCol).alias("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").alias("n"))
+      .select(
+        col("doc_id"),
+        col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(stride.toLong)))
+          .alias("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").alias("chunk_idx"),
+        col("start"),
+        least(lit(chunkSize.toLong), col("n") - col("start")).alias("n_chunk_tokens"))
+  }
+}
