@@ -85,7 +85,16 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIterations) {
       // 1. propagate: min label over the neighborhood (old label rides
-      //    along so convergence needs no extra join afterwards)
+      //    along so convergence needs no extra join afterwards).
+      //    Checkpoint BEFORE the convergence check and the compress
+      //    self-join: propagation stability is the exact fixpoint
+      //    criterion (a stable labeling is constant per component at the
+      //    component min — compress is only an accelerator), so a
+      //    converged round skips the compress join entirely; and in an
+      //    unconverged round both sides of the compress self-join read
+      //    the materialized blocks instead of recomputing the propagate
+      //    join+aggregate twice (the two sides exchange on different
+      //    keys, so ReuseExchange cannot dedup them).
       val nbrMin = und
         .join(labels, und("s") === labels("id"))
         .groupBy(col("d").alias("id"))
@@ -97,23 +106,29 @@ object Components {
           col("id"),
           col("old_label"),
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).alias("label"))
-      // 2. compress: label ← label(label) (pointer jumping)
-      val lab2 = propagated.select(col("id").alias("l_id"), col("label").alias("l_label"))
-      val compressed = propagated
-        .join(lab2, propagated("label") === lab2("l_id"), "left")
-        .select(
-          col("id"),
-          col("old_label"),
-          coalesce(col("l_label"), col("label")).alias("label"))
         .localCheckpoint(true)
       // convergence: one tiny aggregate over the just-materialized blocks
-      val changed = compressed.filter(col("label") =!= col("old_label")).count()
-      // the new round is materialized — the previous round's checkpoint
-      // blocks are dead weight now; free them instead of accumulating
-      // executor storage across every round
-      freeCheckpoint(labels)
-      labels = compressed.select(col("id"), col("label"))
-      converged = changed == 0
+      val changed = propagated.filter(col("label") =!= col("old_label")).count()
+      if (changed == 0) {
+        // labels are already the fixpoint — the propagated frame adds
+        // nothing; keep the previous round's blocks as the answer
+        freeCheckpoint(propagated)
+        converged = true
+      } else {
+        // 2. compress: label ← label(label) (pointer jumping) over the
+        //    checkpointed blocks — halves pointer depth per round
+        val lab2 = propagated.select(col("id").alias("l_id"), col("label").alias("l_label"))
+        val compressed = propagated
+          .join(lab2, propagated("label") === lab2("l_id"), "left")
+          .select(col("id"), coalesce(col("l_label"), col("label")).alias("label"))
+          .localCheckpoint(true)
+        // the new round is materialized — the previous round's blocks
+        // are dead weight now; free them instead of accumulating
+        // executor storage across every round
+        freeCheckpoint(labels)
+        freeCheckpoint(propagated)
+        labels = compressed
+      }
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $iter changed=$changed")
