@@ -49,6 +49,19 @@ object Dedup {
       col(idCol).alias("id"),
       distinctShingleHashesUdf(n)(col(textCol)).alias("hs"))
 
+  /** [[shingleSets]], materialized once. The set table appears in 3-4
+    * positions of every dedup plan (prefix/index explode + both verify
+    * joins), and those positions exchange on different keys, so
+    * ReuseExchange can never dedup them — without materialization the
+    * scan-side shingle hashing (the dominant cost for real KB-size
+    * documents) runs once PER POSITION. `localCheckpoint` measured ~20%
+    * faster than `persist` here (no InMemoryRelation/AQE re-analysis,
+    * see T19); blocks are freed by the ContextCleaner once the returned
+    * plan is unreferenced.
+    */
+  private def materializedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    shingleSets(docs, idCol, textCol, n).localCheckpoint(true)
+
   /** Exact Jaccard of two sorted distinct hash arrays. The intersection
     * count is the native codegen `SortedIntersectCountLong` expression
     * (evaluated once per candidate pair — a UDF here would pay a per-pair
@@ -77,7 +90,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = None): DataFrame = {
 
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = materializedShingleSets(docs, idCol, textCol, n)
 
     maxShingleFreq match {
       case Some(maxF) =>
@@ -238,7 +251,7 @@ object Dedup {
     // candidate side) and intersect per pair in a tight loop. No inverted
     // index, no pair-row fan-out, no groupBy — the verify cost is
     // O(candidates × set size), independent of corpus shingle skew.
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = materializedShingleSets(docs, idCol, textCol, n)
     cand
       .join(sets.toDF("id_a", "hs_a"), Seq("id_a"))
       .join(sets.toDF("id_b", "hs_b"), Seq("id_b"))
