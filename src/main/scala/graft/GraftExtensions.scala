@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, Md5Hash60Expr, Norm2Float, SortedIntersectCountLong}
+import graft.functions.expressions.{DotProductFloat, HeavyHittersAgg, Md5Hash60Expr, Norm2Float, SortedIntersectCountLong}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -47,15 +47,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "sorted_intersect_count"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           SortedIntersectCountLong(exprs.head, exprs(1))))
+    e.injectFunction(
+      (
+        FunctionIdentifier("heavy_hitters"),
+        new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+        GraftFunctions.heavyHittersBuilder))
   }
 }
 
 object GraftFunctions {
+
+  /** `heavy_hitters(item, capacity, k)` — capacity/k must be integer
+    * literals (the summary is sized at plan time).
+    */
+  private[graft] def heavyHittersBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters $name must be an INT literal, got $other")
+        }
+      HeavyHittersAgg(exprs.head, intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
+    }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
     Bridge.registerTempFunction(spark, "dot_f", exprs => DotProductFloat(exprs.head, exprs(1)))
     Bridge.registerTempFunction(spark, "norm2_f", exprs => Norm2Float(exprs.head))
     Bridge.registerTempFunction(spark, "sorted_intersect_count",
       exprs => SortedIntersectCountLong(exprs.head, exprs(1)))
+    Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
   }
 }

@@ -983,6 +983,28 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text", chunkSize = 100, stride = 80)
       .select("doc_id", "chunk_idx", "n_chunk_tokens")
 
+  /** Approximate group-wise heavy hitters via the native
+    * `TypedImperativeAggregate` Space-Saving summary — per-group top-k
+    * WITHOUT a (group, item)-keyed aggregation: summaries are
+    * capacity-bounded per group per partition, partial-aggregate
+    * map-side, and only summaries cross the shuffle. At the gate's
+    * cardinality (≤1500 users/group vs capacity 4096) the summary is
+    * provably exact (max_err 0), so the oracle checks it against the
+    * true top-5; the approximate regime's guarantees are spec-tested.
+    */
+  private def q71_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        graft.functions.expressions.HeavyHittersAgg
+          .heavyHitters(col("user_id").cast("string"), capacity = 4096, k = 5).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as("h"))
+      .select(
+        col("event_type"),
+        col("h.item").cast("long").as("user_id"),
+        col("h.est_count").as("est_count"),
+        col("h.max_err").as("max_err"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1057,7 +1079,8 @@ object SparkEntry {
     "q67_sales_opportunity" -> (q67_sales_opportunity _),
     "q68_pack_sequences" -> (q68_pack_sequences _),
     "q69_cohort_retention" -> (q69_cohort_retention _),
-    "q70_chunk_overlap" -> (q70_chunk_overlap _)
+    "q70_chunk_overlap" -> (q70_chunk_overlap _),
+    "q71_heavy_hitters" -> (q71_heavy_hitters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1733,6 +1756,18 @@ object SparkEntry {
           SELECT doc_id,
                  CAST(start // 80 AS BIGINT) AS chunk_idx,
                  CAST(least(100, n - start) AS BIGINT) AS n_chunk_tokens
-          FROM c"""
+          FROM c""",
+    "q71_heavy_hitters" ->
+      // the summary is exact at this cardinality (capacity 4096 ≥ 1500
+      // users/group), so the oracle is the true top-5; the string
+      // tie-break mirrors the sketch's (count desc, item-string asc)
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY n DESC, CAST(user_id AS VARCHAR) ASC) AS rn
+               FROM c)
+         SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                n AS est_count, CAST(0 AS BIGINT) AS max_err
+         FROM r WHERE rn <= 5"""
   )
 }

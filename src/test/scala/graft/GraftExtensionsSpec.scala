@@ -122,4 +122,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     val plan = staged.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[sorted_intersect_count".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("heavy_hitters aggregate callable from SQL with literal sizing") {
+    GraftFunctions.register(spark)
+    Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "item").createOrReplaceTempView("t_hh")
+    val rows = spark.sql(
+      """SELECT g, h.item, h.est_count
+         FROM (SELECT g, heavy_hitters(item, 8, 2) AS hh FROM t_hh GROUP BY g)
+         LATERAL VIEW explode(hh) AS h""")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("a", "x", 2L), ("a", "y", 1L), ("b", "z", 1L)))
+    // non-literal sizing is rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(item, length(item), 2) FROM t_hh").collect()
+    }
+    assert(err.getMessage.contains("INT literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("INT literal"), err.getMessage)
+  }
 }
