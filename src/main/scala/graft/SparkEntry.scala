@@ -1005,6 +1005,20 @@ object SparkEntry {
         col("h.est_count").as("est_count"),
         col("h.max_err").as("max_err"))
 
+  /** Incremental dedup: the docs arriving "today" (doc_id % 10 = 0)
+    * deduplicated against the standing corpus (the rest) by content
+    * fingerprint — intra-batch keep-min plus corpus anti-join, no corpus
+    * reprocessing. The delta-over-state pattern every recurring crawl
+    * ingest runs.
+    */
+  private def q72_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalExact(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text")
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1080,7 +1094,8 @@ object SparkEntry {
     "q68_pack_sequences" -> (q68_pack_sequences _),
     "q69_cohort_retention" -> (q69_cohort_retention _),
     "q70_chunk_overlap" -> (q70_chunk_overlap _),
-    "q71_heavy_hitters" -> (q71_heavy_hitters _)
+    "q71_heavy_hitters" -> (q71_heavy_hitters _),
+    "q72_incremental_dedup" -> (q72_incremental_dedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1768,6 +1783,14 @@ object SparkEntry {
                FROM c)
          SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
                 n AS est_count, CAST(0 AS BIGINT) AS max_err
-         FROM r WHERE rn <= 5"""
+         FROM r WHERE rn <= 5""",
+    "q72_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0),
+          k AS (SELECT fp, min(doc_id) AS id, count(*) AS batch_dup_count FROM b GROUP BY fp)
+         SELECT id, fp, batch_dup_count
+         FROM k
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents c
+           WHERE c.doc_id % 10 <> 0 AND md5(c.text) = k.fp)"""
   )
 }

@@ -37,6 +37,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("dup_count"))
 
+  /** Incremental exact dedup — the production shape: deduplicate a NEW
+    * batch against the existing corpus without reprocessing the corpus.
+    * Keeps each batch fingerprint's minimum-id doc (intra-batch dedup,
+    * one hash aggregate) and anti-joins against the corpus fingerprint
+    * table (inter-batch dedup). At scale the corpus side is the big one:
+    * the anti join shuffles both sides on the 128-bit fingerprint — the
+    * co-partitioned shape — and never moves document text; store the
+    * corpus as a bucketed fingerprint table and even that shuffle
+    * disappears. Emits `(id, fp, batch_dup_count)` for the kept docs.
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFps = corpus.select(md5(col(textCol)).alias("fp"))
+    batch
+      .select(col(idCol).alias("id"), md5(col(textCol)).alias("fp"))
+      .groupBy("fp")
+      .agg(min(col("id")).alias("id"), count(lit(1)).alias("batch_dup_count"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select("id", "fp", "batch_dup_count")
+  }
+
   /** `(id, hs: sorted distinct 60-bit shingle hashes)` — the per-doc
     * shingle-set table every dedup pipeline starts from. Computed in one
     * scan-side pass: no explode, no `.distinct()` shuffle, and set sizes

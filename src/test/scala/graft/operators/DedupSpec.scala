@@ -141,4 +141,18 @@ class DedupSpec extends SparkTestBase {
     assert(blockV == joinV)
     assert(blockV.nonEmpty)
   }
+
+  test("incrementalExact: intra-batch keep-min plus corpus anti-join") {
+    val corpus = Seq((1L, "already stored"), (2L, "other stored")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new"), //                 kept
+      (11L, "duplicate inside"), //          kept (min of 11/12)
+      (12L, "duplicate inside"), //          dropped intra-batch
+      (13L, "already stored") //             dropped: corpus collision
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select("id", "batch_dup_count")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 2L))
+  }
 }
