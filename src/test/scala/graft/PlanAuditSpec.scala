@@ -175,4 +175,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"chunking must not shuffle:\n$plan")
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("q71: heavy hitters partial-aggregate map-side (summaries, not rows, cross the shuffle)") {
+    val plan = planOf("q71_heavy_hitters")
+    // ObjectHashAggregate with a partial_heavy_hitters phase before the
+    // exchange: per-partition summaries combine map-side; no
+    // (group, item)-keyed exchange may exist
+    assert(plan.contains("partial_heavy_hitters"), plan)
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(1).contains("user_id"), s"item-level shuffle survived:\n${m.group(0)}")
+    }
+  }
+
+  test("q72: incremental dedup anti-join carries fingerprints, never document text") {
+    val plan = planOf("q72_incremental_dedup")
+    assert(plan.contains("LeftAnti"), plan)
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(2).contains("text"), s"text on the shuffle wire:\n${m.group(0)}")
+    }
+  }
 }
