@@ -111,4 +111,73 @@ class PropertySpec extends AnyFunSuite {
       !(bucket < lo) || (bucket < hi)
     })
   }
+
+  test("heavy-hitters buffer: exact when cardinality fits; Space-Saving bounds when it doesn't") {
+    val streamGen = Gen.listOf(Gen.choose(0, 30).map(i => s"i$i"))
+    val capGen = Gen.choose(1, 40)
+    check(Prop.forAll(streamGen, capGen) { (stream, cap) =>
+      val buf = new graft.functions.expressions.HeavyHittersBuffer(cap)
+      stream.foreach(buf.update)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val summary = buf.topK(cap).map(t => t._1 -> ((t._2, t._3))).toMap
+      val exactRegime = truth.size <= cap
+      val estsBound = summary.forall { case (item, (est, err)) =>
+        val t = truth.getOrElse(item, 0L)
+        est >= t && est - err <= t // never undercounts; over by at most err
+      }
+      val exactness = !exactRegime || summary.forall { case (item, (est, err)) =>
+        err == 0L && est == truth(item)
+      }
+      // pigeonhole: any item with true count > n/cap must be present
+      val guarantee = truth.forall { case (item, t) =>
+        t <= stream.size / cap || summary.contains(item)
+      }
+      estsBound && exactness && guarantee && summary.size <= cap
+    })
+  }
+
+  test("heavy-hitters merge keeps the over-count bound (est <= true + err) across splits") {
+    // no-undercount does NOT survive partial-side eviction (a partial may
+    // have dropped an item the other side kept); what merging preserves
+    // is est_i <= t_i + err_i summed over sides — so est <= true + err —
+    // plus exactness whenever total cardinality fits capacity
+    val streamGen = Gen.listOf(Gen.choose(0, 20).map(i => s"i$i"))
+    val capGen = Gen.choose(2, 24)
+    check(Prop.forAll(streamGen, Gen.choose(0, 100), capGen) { (stream, cutPct, cap) =>
+      val cut = stream.size * cutPct / 100
+      val (s1, s2) = stream.splitAt(cut)
+      val a = new graft.functions.expressions.HeavyHittersBuffer(cap)
+      val b = new graft.functions.expressions.HeavyHittersBuffer(cap)
+      s1.foreach(a.update)
+      s2.foreach(b.update)
+      a.merge(b)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val summary = a.topK(cap)
+      val overBound = summary.forall { case (item, est, err) =>
+        est <= truth.getOrElse(item, 0L) + err
+      }
+      val exactWhenFits = truth.size > cap || summary.forall { case (item, est, err) =>
+        err == 0L && est == truth(item)
+      }
+      overBound && exactWhenFits && summary.length <= cap
+    })
+  }
+
+  test("chunking arithmetic: full coverage, bounded size, fixed overlap") {
+    val nGen = Gen.choose(0L, 5000L)
+    val cfgGen = for {
+      chunk <- Gen.choose(1, 200)
+      stride <- Gen.choose(1, chunk)
+    } yield (chunk, stride)
+    check(Prop.forAll(nGen, cfgGen) { case (n, (chunk, stride)) =>
+      // replicate Chunker.chunkOverlap's start arithmetic
+      val starts = 0L.to(math.max(n - 1, 0L), stride.toLong)
+      val sizes = starts.map(s => math.min(chunk.toLong, n - s))
+      val covered = starts.zip(sizes).flatMap { case (s, len) => s until (s + len) }.toSet
+      starts.nonEmpty &&
+      sizes.forall(_ <= chunk.toLong) &&
+      (n == 0L || covered == (0L until n).toSet) &&
+      starts.zip(starts.drop(1)).forall { case (a, b) => b - a == stride.toLong }
+    })
+  }
 }
