@@ -1019,6 +1019,25 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** Target-mixture weights (‰) for q73: four named sources get most of
+    * the budget, the 16-source tail splits the rest. src0 is
+    * oversubscribed at this budget (rate caps at 1000‰ — keep all),
+    * tail sources sample down — both regimes exercised.
+    */
+  private val q73Weights: Seq[(String, Int)] =
+    Seq("src0" -> 300, "src1" -> 200, "src2" -> 150, "src3" -> 100) ++
+      (4 to 19).map(i => s"src$i" -> 15)
+
+  /** Mixture construction: per-source keep-rates hitting a target
+    * mixture under a half-corpus budget, availability-capped, sampled
+    * with the deterministic scan-side hash predicate (corpus never
+    * shuffles; rates broadcast back from one tiny aggregate).
+    */
+  private def q73_mixture_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(
+      Tables.documents(s, dir), "doc_id", "source", q73Weights, budgetPermille = 500)
+      .select("doc_id", "source", "rate_pm")
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1095,7 +1114,8 @@ object SparkEntry {
     "q69_cohort_retention" -> (q69_cohort_retention _),
     "q70_chunk_overlap" -> (q70_chunk_overlap _),
     "q71_heavy_hitters" -> (q71_heavy_hitters _),
-    "q72_incremental_dedup" -> (q72_incremental_dedup _)
+    "q72_incremental_dedup" -> (q72_incremental_dedup _),
+    "q73_mixture_sample" -> (q73_mixture_sample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1791,6 +1811,18 @@ object SparkEntry {
          FROM k
          WHERE NOT EXISTS (
            SELECT 1 FROM documents c
-           WHERE c.doc_id % 10 <> 0 AND md5(c.text) = k.fp)"""
+           WHERE c.doc_id % 10 <> 0 AND md5(c.text) = k.fp)""",
+    "q73_mixture_sample" -> {
+      val values = q73Weights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      s"""WITH w(source, w_pm) AS (VALUES $values),
+          n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+          t AS (SELECT count(*) AS n_total FROM documents),
+          r AS (SELECT n.source,
+                  least(1000, ((n_total * 500) // 1000) * w_pm // n_s) AS rate_pm
+                FROM n CROSS JOIN t JOIN w ON n.source = w.source)
+          SELECT d.doc_id, d.source, CAST(r.rate_pm AS BIGINT) AS rate_pm
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE ${sqlMd5h60("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_pm"""
+    }
   )
 }

@@ -44,4 +44,46 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 1000) < rate)
   }
+
+  /** Mixture construction: sample each source at the rate that hits a
+    * TARGET mixture (weights in ‰ of a corpus-fraction budget), capped
+    * by availability — `rate_s = min(1, budget·w_s / n_s)`. The step
+    * that turns "50% web, 30% books, 20% wiki" into per-source keep
+    * rates when sources have wildly different sizes: oversubscribed
+    * sources keep everything (capped at 1000‰), abundant ones sample
+    * down.
+    *
+    * Scale shape: one aggregate computes per-source counts; the rate
+    * table is a handful of rows, broadcast back; the keep decision is
+    * the same deterministic scan-side hash predicate as
+    * [[stratifiedSample]] — the corpus never shuffles, and the sample
+    * is reproducible and nested in the budget. All rate arithmetic is
+    * integer (exact and portable across engines); sources absent from
+    * `weightsPermille` are dropped.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      weightsPermille: Seq[(String, Int)],
+      budgetPermille: Int): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000, "budget in [0, 1000] permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weightsPermille.toDF(sourceCol, "w_pm")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).alias("n_s"))
+    val total = df.agg(count(lit(1)).alias("n_total"))
+    // budget = n_total·budgetPm/1000 docs; rate_s = min(1000‰, budget·w_s/n_s).
+    // Integer-exact: products stay < 2^53, and double-divide + truncate
+    // equals floor for positives (mirrors the oracle's // division).
+    val budget = ((col("n_total") * budgetPermille) / 1000).cast("long")
+    val rates = counts
+      .crossJoin(broadcast(total))
+      .join(broadcast(wDf), Seq(sourceCol))
+      .select(
+        col(sourceCol),
+        least(lit(1000L), ((budget * col("w_pm")) / col("n_s")).cast("long")).alias("rate_pm"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(keyCol), 1000) < col("rate_pm"))
+  }
 }

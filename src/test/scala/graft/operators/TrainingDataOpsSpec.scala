@@ -71,6 +71,31 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(other.count() == 0)
   }
 
+  test("mixtureSample: availability caps, integer rate math, nesting in the budget") {
+    // scarce source (20 docs) + abundant source (1000 docs)
+    val df = ((1L to 20L).map(i => (i, "scarce")) ++ (101L to 1100L).map(i => (i, "web")))
+      .toDF("id", "src")
+    val half = Sampling.mixtureSample(df, "id", "src",
+      Seq("scarce" -> 500, "web" -> 500), budgetPermille = 500)
+    // budget = 510; scarce rate = min(1000, 510*500/20) → capped: all 20 kept
+    val rates = half.select("src", "rate_pm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("scarce") == 1000L)
+    assert(rates("web") == 510L * 500L / 1000L) // 255‰
+    assert(half.filter($"src" === "scarce").count() == 20L)
+    val webKept = half.filter($"src" === "web").count()
+    assert(webKept > 180 && webKept < 330, s"web keep-count $webKept far from 25.5% of 1000")
+    // nesting: a smaller budget's sample is a subset of a larger one's
+    val quarter = Sampling.mixtureSample(df, "id", "src",
+      Seq("scarce" -> 500, "web" -> 500), budgetPermille = 250)
+    val qIds = quarter.select("id").as[Long].collect().toSet
+    val hIds = half.select("id").as[Long].collect().toSet
+    assert(qIds.subsetOf(hIds))
+    // unweighted sources drop
+    assert(Sampling.mixtureSample(df, "id", "src", Seq("web" -> 1000), 500)
+      .filter($"src" === "scarce").count() == 0L)
+  }
+
   test("hashBucket matches the portable md5 arithmetic") {
     val df = Seq(7L, 8L).toDF("id")
       .select($"id", Sampling.hashBucket($"id", 1000).as("b"))
