@@ -194,4 +194,17 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!m.group(2).contains("text"), s"text on the shuffle wire:\n${m.group(0)}")
     }
   }
+
+  test("q73: mixture rates broadcast back; corpus rows never shuffle") {
+    val plan = planOf("q73_mixture_sample")
+    // the only hash exchanges belong to the tiny per-source count
+    // aggregate (keyed by source); the corpus meets its rate via a
+    // broadcast join and the keep decision is scan-side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(1).contains("doc_id") && !m.group(1).contains("text"),
+        s"corpus rows on the shuffle wire:\n${m.group(0)}")
+    }
+  }
 }
