@@ -302,10 +302,11 @@ object SparkEntry {
   }
 
   private def q23_embedding_neardup(s: SparkSession, dir: String): DataFrame =
-    // block variant: the embedding table is broadcast-sized here (the
-    // 100 TB path LSH-buckets or id-range-blocks first, then runs the
-    // same kernel per block)
-    Dedup.embeddingNearDupBlock(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+    // distributed block-nested-loop: exact all-pairs with no driver
+    // collect; maxBlockRows=200 forces the multi-block path even at
+    // fixture scale so the plan under test is the plan at scale
+    Dedup.embeddingNearDupBlocked(
+      Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4, maxBlockRows = 200)
 
   private def q24_langid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

@@ -379,9 +379,17 @@ object Dedup {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 1000000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val cnt = emb.count()
+    require(
+      cnt <= maxRows,
+      s"embeddingNearDupBlock collects the block to the driver and is a " +
+        s"per-block primitive: got $cnt rows > maxRows=$maxRows. For a full " +
+        s"corpus use embeddingNearDupBlocked (exact, distributed block " +
+        s"pairs) or Similarity.srpNearDup (banded LSH, the 100 TB path).")
     val block: Array[(Long, Array[Float], Double)] = emb
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -409,6 +417,99 @@ object Dedup {
             while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
             val cos = s / (na * nb)
             if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
+
+  /** Exact all-pairs embedding near-dup as a fully distributed plan —
+    * the scale-safe default entry point. Classic block-nested-loop on
+    * Spark: rows are assigned to one of B blocks by `id % B` (B sized so
+    * a block fits comfortably in a task), each row is replicated to
+    * every block *pair* containing its block, and each of the B·(B+1)/2
+    * pair-groups scores its candidate pairs in a tight loop inside one
+    * task — O(n²) comparisons never materialize as join rows, only the
+    * surviving pairs are emitted, and nothing is ever collected to the
+    * driver.
+    *
+    * Cost model: shuffle volume is n·B vector rows (the unavoidable
+    * block-nested-loop replication for *exact* all-pairs); compute is
+    * n²/2 dot products spread over B·(B+1)/2 independent tasks. For a
+    * corpus too big for that (the 100 TB path), use the sub-quadratic
+    * candidate generators instead: [[Similarity.srpNearDup]] (banded
+    * SRP-LSH) or [[minHashLsh]].
+    *
+    * Arithmetic (left-to-right double dot fold over the shorter length,
+    * `dot / (norm_a · norm_b)`, `>= threshold`) is bit-identical to
+    * [[embeddingNearDup]] / [[embeddingNearDupBlock]], so all three
+    * match the same DuckDB oracle.
+    */
+  def embeddingNearDupBlocked(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBlockRows: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.select(col(idCol)).count()
+    val b = math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
+    // norm before the explode so it's computed once per row, not per replica
+    val base = emb.select(
+      col(idCol).cast("long").alias("id"),
+      col(vecCol).alias("vec"),
+      graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
+      pmod(col(idCol).cast("long"), lit(b.toLong)).cast("int").alias("blk"))
+    // replicate each row to every block pair containing its block:
+    // key(i,j) = i*B + j with i <= j; the literal-array explode keeps the
+    // generator out of InferFiltersFromGenerate's way
+    val replicated = base
+      .select(
+        col("id"), col("vec"), col("nrm"), col("blk"),
+        explode(lit((0 until b).toArray)).alias("o"))
+      .select(
+        col("id"), col("vec"), col("nrm"), col("blk"),
+        when(col("blk") <= col("o"), col("blk") * b + col("o"))
+          .otherwise(col("o") * b + col("blk"))
+          .cast("int")
+          .alias("pair_key"))
+    replicated
+      .as[(Long, Array[Float], Double, Int, Int)]
+      .groupByKey(_._5)
+      .flatMapGroups { (key: Int, it: Iterator[(Long, Array[Float], Double, Int, Int)]) =>
+        val i = key / b
+        val j = key % b
+        def dot(va: Array[Float], vb: Array[Float]): Double = {
+          var s = 0.0
+          var d = 0
+          val len = math.min(va.length, vb.length)
+          while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+          s
+        }
+        if (i == j) {
+          // intra-block: upper triangle in id order
+          val rows = it.map(r => (r._1, r._2, r._3)).toArray.sortBy(_._1)
+          rows.indices.iterator.flatMap { a =>
+            val (ida, va, na) = rows(a)
+            (a + 1 until rows.length).iterator.flatMap { c =>
+              val (idb, vb, nb) = rows(c)
+              val cos = dot(va, vb) / (na * nb)
+              if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+            }
+          }
+        } else {
+          // cross-block: full A×B, emit (min id, max id)
+          val (ai, bj) = it.toArray.partition(_._4 == i)
+          ai.iterator.flatMap { case (ida, va, na, _, _) =>
+            bj.iterator.flatMap { case (idb, vb, nb, _, _) =>
+              val cos = dot(va, vb) / (na * nb)
+              if (cos >= threshold) {
+                val lo = math.min(ida, idb)
+                val hi = math.max(ida, idb)
+                Iterator.single((lo, hi, cos))
+              } else Iterator.empty
+            }
           }
         }
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructType, TimestampType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,7 +70,9 @@ final class TwitchIrcTable(options: CaseInsensitiveStringMap) extends Table with
             port = options.getInt("port", 6667),
             channel = options.get("channel"),
             nick = options.getOrDefault("nick", "justinfan0"),
-            pass = options.getOrDefault("pass", ""))
+            pass = options.getOrDefault("pass", ""),
+            maxLinesPerTrigger = options.getLong("maxLinesPerTrigger", 0L),
+            linesPerPartition = options.getInt("linesPerPartition", 5000))
       }
     }
 }
@@ -80,13 +82,28 @@ final case class LineOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** @param maxLinesPerTrigger admission control: cap lines per micro-batch
+  *        (0 = unlimited). Surfaced to Spark via [[SupportsAdmissionControl]],
+  *        so after a stall the backlog drains across several bounded
+  *        batches instead of one batch swallowing everything through a
+  *        single task — the receiver rate-limiting the reference inherited
+  *        from `spark.streaming.receiver.maxRate`
+  *        (`/root/reference/src/main/scala/TwitchStream/IRCBot.scala:11-12`).
+  * @param linesPerPartition chunk size for `planInputPartitions`: a batch
+  *        of n lines plans `ceil(n / linesPerPartition)` input partitions
+  *        so parse/transform work fans out across executor threads
+  *        instead of one task per batch.
+  */
 final class TwitchIrcMicroBatchStream(
     host: String,
     port: Int,
     channel: String,
     nick: String,
-    pass: String)
-    extends MicroBatchStream {
+    pass: String,
+    maxLinesPerTrigger: Long = 0L,
+    linesPerPartition: Int = 5000)
+    extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   // (line, receipt micros); index i holds line number baseOffset + i
   private val buffer = ArrayBuffer.empty[(String, Long)]
@@ -104,9 +121,29 @@ final class TwitchIrcMicroBatchStream(
   override def initialOffset(): Offset = LineOffset(0L)
   override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
 
+  // MicroBatchExecution calls the admission-control overload below when
+  // SupportsAdmissionControl is implemented; the no-arg form is kept for
+  // direct callers and reports everything available.
   override def latestOffset(): Offset = {
     ensureConnected()
     synchronized(LineOffset(baseOffset + buffer.size))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxLinesPerTrigger > 0L) ReadLimit.maxRows(maxLinesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureConnected()
+    synchronized {
+      val available = baseOffset + buffer.size
+      limit match {
+        case rows: ReadMaxRows =>
+          val s = start.asInstanceOf[LineOffset].n
+          LineOffset(math.min(available, s + rows.maxRows()))
+        case _ => LineOffset(available)
+      }
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
@@ -114,7 +151,8 @@ final class TwitchIrcMicroBatchStream(
       val s = start.asInstanceOf[LineOffset].n
       val e = end.asInstanceOf[LineOffset].n
       val rows = buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
-      Array(IrcLinesPartition(rows))
+      if (rows.isEmpty) Array(IrcLinesPartition(rows))
+      else rows.grouped(math.max(1, linesPerPartition)).map(IrcLinesPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -97,6 +97,23 @@ class PlanAuditSpec extends SparkTestBase {
       }
   }
 
+  test("q23: embedding near-dup is source-driven — no driver-side collect of the table") {
+    val df = SparkEntry.queries("q23_embedding_neardup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the plan must read the embeddings parquet itself (a driver-collect
+    // kernel would show a Range/LocalTableScan source with the data
+    // smuggled in via broadcast instead of a file scan)
+    assert(plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    val ranges = df.queryExecution.executedPlan.collect {
+      case r: org.apache.spark.sql.execution.RangeExec => r
+    }
+    assert(ranges.isEmpty, "driver-collect kernel shape (Range over broadcast) in q23 plan")
+    // pair scoring happens inside the grouped tight loop, not as a join
+    assert(plan.contains("MapGroups"), plan)
+  }
+
   test("q56: SRP sketch join partitions by (band, bucket) longs, never by vectors") {
     val plan = planOf("q56_srp_neardup")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

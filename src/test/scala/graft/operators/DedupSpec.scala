@@ -142,6 +142,31 @@ class DedupSpec extends SparkTestBase {
     assert(blockV.nonEmpty)
   }
 
+  test("embeddingNearDupBlocked matches the join variant across block counts") {
+    val rnd = new scala.util.Random(11)
+    val emb = (1L to 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec")
+    val joinV = Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    // B=1 (single block), B=4, B=60 (every row its own block)
+    for (blockRows <- Seq(100, 17, 1)) {
+      val got = Dedup
+        .embeddingNearDupBlocked(emb, "id", "vec", threshold = 0.2, maxBlockRows = blockRows)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == joinV, s"maxBlockRows=$blockRows")
+    }
+    assert(joinV.nonEmpty)
+  }
+
+  test("embeddingNearDupBlock refuses a block over the row cap") {
+    val emb = (1L to 10L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupBlock(emb, "id", "vec", threshold = 0.5, maxRows = 5L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupBlocked"))
+  }
+
   test("incrementalExact: intra-batch keep-min plus corpus anti-join") {
     val corpus = Seq((1L, "already stored"), (2L, "other stored")).toDF("doc_id", "text")
     val batch = Seq(

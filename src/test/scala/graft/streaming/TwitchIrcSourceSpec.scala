@@ -79,6 +79,57 @@ class TwitchIrcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("maxLinesPerTrigger drains a backlog across bounded batches; chunks split partitions") {
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      in.readLine(); in.readLine(); in.readLine() // PASS/NICK/JOIN
+      (1 to 10).foreach(i => out.println(s":u!u@h PRIVMSG #c :line $i"))
+      Thread.sleep(30000)
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val stream = new TwitchIrcMicroBatchStream(
+      "127.0.0.1", server.getLocalPort, "#c", "nick", "oauth:x",
+      maxLinesPerTrigger = 4L, linesPerPartition = 2)
+    try {
+      // wait for the whole backlog to buffer (no-arg latestOffset reports
+      // everything available, ignoring admission control)
+      val deadline = System.currentTimeMillis() + 15000
+      while (stream.latestOffset().asInstanceOf[LineOffset].n < 10L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(stream.latestOffset() == LineOffset(10L), "backlog never buffered")
+
+      val limit = stream.getDefaultReadLimit
+      // trigger 1: capped at 4 lines, planned as 2 chunks of 2
+      val end1 = stream.latestOffset(LineOffset(0L), limit)
+      assert(end1 == LineOffset(4L), "first batch must be capped at maxLinesPerTrigger")
+      val parts1 = stream.planInputPartitions(LineOffset(0L), end1)
+      assert(parts1.length == 2, s"4 lines / linesPerPartition=2 must plan 2 partitions")
+      val factory = stream.createReaderFactory()
+      val batch1 = parts1.flatMap { p =>
+        val r = factory.createReader(p)
+        Iterator.continually(r).takeWhile(_.next()).map(_.get().getString(0)).toArray
+      }
+      assert(batch1.toList == (1 to 4).map(i => s":u!u@h PRIVMSG #c :line $i").toList)
+      stream.commit(end1)
+
+      // trigger 2 and 3: the rest drains in bounded steps
+      val end2 = stream.latestOffset(end1, limit)
+      assert(end2 == LineOffset(8L))
+      stream.commit(end2)
+      val end3 = stream.latestOffset(end2, limit)
+      assert(end3 == LineOffset(10L), "final partial batch takes what remains")
+      assert(stream.planInputPartitions(end2, end3).length == 1)
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("client reconnects after the server drops the connection") {
     val server = new ServerSocket(0)
     val connections = new java.util.concurrent.atomic.AtomicInteger(0)
