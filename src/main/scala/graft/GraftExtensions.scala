@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, HeavyHittersAgg, Md5Hash60Expr, Norm2Float, SortedIntersectCountLong}
+import graft.functions.expressions.{DotProductFloat, HeavyHittersAgg, Md5Hash60Expr, Norm2Float, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
         GraftFunctions.heavyHittersBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("shingle_hash_set"),
+        new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleHashSetExpr(exprs.head, GraftFunctions.intLit(exprs(1), "shingle_hash_set n"))))
+    e.injectFunction(
+      (
+        FunctionIdentifier("shingle_mod_hashes"),
+        new ExpressionInfo(classOf[ShingleModHashesExpr].getName, "shingle_mod_hashes"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ShingleModHashesExpr(exprs.head, GraftFunctions.intLit(exprs(1), "shingle_mod_hashes n"))))
   }
 }
 
@@ -60,18 +72,20 @@ object GraftFunctions {
   /** `heavy_hitters(item, capacity, k)` — capacity/k must be integer
     * literals (the summary is sized at plan time).
     */
+  private[graft] def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name must be an INT literal, got $other")
+    }
+
   private[graft] def heavyHittersBuilder
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression =
-    exprs => {
-      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
-        e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"heavy_hitters $name must be an INT literal, got $other")
-        }
-      HeavyHittersAgg(exprs.head, intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
-    }
+    exprs =>
+      HeavyHittersAgg(exprs.head,
+        intLit(exprs(1), "heavy_hitters capacity"), intLit(exprs(2), "heavy_hitters k"))
 
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
@@ -80,5 +94,9 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "sorted_intersect_count",
       exprs => SortedIntersectCountLong(exprs.head, exprs(1)))
     Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
+    Bridge.registerTempFunction(spark, "shingle_hash_set",
+      exprs => ShingleHashSetExpr(exprs.head, intLit(exprs(1), "shingle_hash_set n")))
+    Bridge.registerTempFunction(spark, "shingle_mod_hashes",
+      exprs => ShingleModHashesExpr(exprs.head, intLit(exprs(1), "shingle_mod_hashes n")))
   }
 }

@@ -573,15 +573,41 @@ object SparkEntry {
     * this is a rows-only query (no DuckDB oracle); `HllSpec`-style error
     * bound asserted against exact counts in q11's oracle path.
     */
+  /** HLL distinct-count with the error bound checked IN-PLAN: the HLL
+    * estimate itself is engine-specific (not oracle-comparable), so the
+    * output carries the exact count plus `hll_ok` = |approx - exact| ≤
+    * 10%·exact (rsd 0.02 → 5σ headroom), and the oracle asserts TRUE —
+    * the gate numerically checks the sketch's accuracy contract rather
+    * than skipping the query. (The exact count_distinct exists only to
+    * score the sketch; a production 100 TB query would run the HLL
+    * alone.)
+    */
   private def q40_hll_users(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("exact_users").cast("long").as("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          <= col("exact_users").cast("double") * 0.1).as("hll_ok"))
 
   /** IVF ANN (seeded KMeans coarse quantizer) — the clustering is not
-    * SQL-expressible, so rows-only; recall vs brute force is spec-tested.
+    * SQL-expressible, so the output is the RECALL CONTRACT checked
+    * in-plan: top-20 IVF hits vs the exact brute-force top-20, one row
+    * `(k, n_ivf, recall_ok)`. The fixture embeddings are isotropic
+    * random vectors (no cluster structure), where IVF recall has the
+    * probed-fraction baseline nProbe/nLists = 10/16 = 0.625; the bound
+    * asserts recall ≥ 0.65 — above that baseline, with margin under the
+    * deterministic measured overlaps (15/20 at sf0.01, 18/20 at
+    * sf0.001, 19/20 at sf0.1; seeded quantizer + md5-ordered training
+    * sample make these reproducible). The oracle asserts the row, so
+    * the gate numerically checks the ANN bound; score exactness per hit
+    * is additionally spec-tested in `SimilaritySpec`.
     */
   private def q41_ivf_ann(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir)
@@ -590,7 +616,18 @@ object SparkEntry {
       .head()
       .getSeq[Float](0)
       .map(_.toDouble)
-    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
+    val emb = Tables.embeddings(s, dir)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20, nProbe = 10)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+    val overlap = ivf.select("vec_id")
+      .join(brute.select("vec_id"), Seq("vec_id"))
+      .agg(count(lit(1)).as("overlap"))
+    ivf.agg(count(lit(1)).as("n_ivf"))
+      .crossJoin(overlap) // two one-row frames
+      .select(
+        lit(20L).as("k"),
+        col("n_ivf").cast("long").as("n_ivf"),
+        (col("overlap").cast("double") >= lit(13.0)).as("recall_ok"))
   }
 
   /** Near-dup CLUSTERS from the exact-Jaccard PAIRS: connected
@@ -1388,6 +1425,17 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // q40/q41: approximation queries — the approx VALUE is engine-specific,
+    // so the oracle checks the exact side plus the accuracy contract the
+    // Spark side computed in-plan (hll_ok / recall_ok must come out TRUE)
+    "q40_hll_users" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS hll_ok
+         FROM events GROUP BY event_type""",
+    "q41_ivf_ann" ->
+      """SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_ivf,
+                TRUE AS recall_ok""",
     "q42_skew_salted" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
     "q46_set_ops" ->

@@ -30,7 +30,8 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val hashes = TextFunctions.distinctShingleHashesUdf(n)
+    val hashes = (c: org.apache.spark.sql.Column) =>
+      graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
     val benchHashes = benchmark
       .select(explode(hashes(col(textCol))).alias("h"))
       .distinct()
@@ -77,16 +78,26 @@ object Decontaminate {
       n: Int,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val hashes = TextFunctions.distinctShingleHashesUdf(n)
+    val hashes = (c: org.apache.spark.sql.Column) =>
+      graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
     val bloom = benchmark
       .select(explode(hashes(col(textCol))).alias("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
-    val spark = train.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // probe via Spark's native BloomFilterMightContain (the expression
+    // runtime-filter joins use): the serialized sketch rides the plan as
+    // a binary literal and the probe stays inside whole-stage codegen —
+    // a closure UDF here would box a Long per n-gram occurrence
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    def probe(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Bridge.column(new BloomFilterMightContain(
+        Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(h)))
     val flagged = train
       .select(col(idCol), explode(hashes(col(textCol))).alias("h"))
-      .filter(mightContain(col("h")))
+      .filter(probe(col("h")))
       .select(idCol)
       .distinct()
     train.join(flagged, Seq(idCol), "left_anti")

@@ -71,7 +71,8 @@ object Dedup {
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(
       col(idCol).alias("id"),
-      distinctShingleHashesUdf(n)(col(textCol)).alias("hs"))
+      graft.functions.expressions.ShingleHashSetExpr
+        .shingleHashSet(col(textCol), n).alias("hs"))
 
   /** [[shingleSets]], materialized once. The set table appears in 3-4
     * positions of every dedup plan (prefix/index explode + both verify
@@ -206,7 +207,9 @@ object Dedup {
       n: Int,
       k: Int): DataFrame =
     docs
-      .select(col(idCol).alias("id"), shingleHashesUdf(n)(col(textCol)).alias("hs"))
+      .select(col(idCol).alias("id"),
+        graft.functions.expressions.ShingleModHashesExpr
+          .shingleModHashes(col(textCol), n).alias("hs"))
       .select(col("id"), minHashFromHashes(col("hs"), k).alias("sig"))
 
   /** MinHash signatures, exploded to `(id, i, sig)` rows.
@@ -229,7 +232,9 @@ object Dedup {
       struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
     }: _*)
     docs
-      .select(col(idCol).alias("id"), shingleHashesUdf(n)(col(textCol)).alias("hs"))
+      .select(col(idCol).alias("id"),
+        graft.functions.expressions.ShingleModHashesExpr
+          .shingleModHashes(col(textCol), n).alias("hs"))
       .select(col("id"), col("hs"), explode(coeffArr).alias("c"))
       .select(
         col("id"),

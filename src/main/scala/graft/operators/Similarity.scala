@@ -169,7 +169,8 @@ object Similarity {
     * bit-identical across engines.
     *
     * Scale shape: sketching is one scan (signs precomputed driver-side,
-    * one tight-loop UDF — no per-row hashing); the candidate join
+    * applied by the native codegen `SrpBandBucketsExpr` — no per-row
+    * hashing, no UDF boundary); the candidate join
     * shuffles by (band, bucket) so only bucket-mates meet; verification
     * joins vectors back by id with norms computed once per row and the
     * pair dot as the native codegen `DotProductFloat` expression (HOFs
@@ -191,27 +192,18 @@ object Similarity {
     require(firstRow.nonEmpty, s"srpNearDup: input table has no rows (cannot infer $vecCol dimension)")
     val dim = firstRow(0).getInt(0)
     val nPlanes = nBands * rowsPerBand
-    val signs: Array[Array[Double]] = Array.tabulate(nPlanes, dim)((p, j) =>
-      if (graft.functions.TextFunctions.md5Hash60Local(s"$prefix:$p:$j") % 2 == 0) 1.0 else -1.0)
-    val bandBuckets = udf { (vec: Array[Float]) =>
-      Array.tabulate(nBands) { b =>
-        var bucket = 0L
-        var k = 0
-        while (k < rowsPerBand) {
-          val s = signs(b * rowsPerBand + k)
-          var d = 0.0
-          var i = 0
-          val n = math.min(vec.length, dim)
-          while (i < n) { d += vec(i).toDouble * s(i); i += 1 }
-          if (d >= 0) bucket |= 1L << k
-          k += 1
-        }
-        bucket
-      }
+    // flat [plane*dim + j] layout for the native sketch expression
+    val signs: Array[Double] = Array.tabulate(nPlanes * dim) { pj =>
+      if (graft.functions.TextFunctions.md5Hash60Local(s"$prefix:${pj / dim}:${pj % dim}") % 2 == 0)
+        1.0
+      else -1.0
     }
     val sk = emb.select(
       col(idCol).alias("id"),
-      posexplode(bandBuckets(col(vecCol))).as(Seq("band", "bucket")))
+      posexplode(
+        graft.functions.expressions.SrpBandBucketsExpr
+          .srpBandBuckets(col(vecCol), signs, nBands, rowsPerBand, dim))
+        .as(Seq("band", "bucket")))
     val cand = sk.alias("a")
       .join(
         sk.alias("b"),

@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * for the AllPairs Jaccard pipeline — recompute the shingle-set table
   * in all three plan positions (current shape; scan-side hashing runs 3x)
   * vs localCheckpoint it once. Run:
-  * `sbt "runMain graft.T19 /root/testdata/sf0.1"`.
+  * `sbt "runMain graft.tools.T19 /root/testdata/sf0.1"`.
   */
 object T19 {
   def main(args: Array[String]): Unit = {

@@ -140,4 +140,109 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("INT literal") ||
       err.getCause != null && err.getCause.getMessage.contains("INT literal"), err.getMessage)
   }
+
+  test("shingle_hash_set / shingle_mod_hashes: bit-identical to the UDF twins incl. null text") {
+    import graft.functions.expressions.{ShingleHashSetExpr, ShingleModHashesExpr}
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "short"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "Émoji 🎉 and    runs\tof   whitespace and DUP dup DuP tokens dup"))
+      .toDF("id", "text")
+
+    for (n <- Seq(1, 3)) {
+      val fromExpr = texts
+        .select(col("id"), ShingleHashSetExpr.shingleHashSet(col("text"), n).alias("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val fromUdf = texts
+        .select(col("id"), TextFunctions.distinctShingleHashesUdf(n)(col("text")).alias("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fromExpr == fromUdf, s"shingle_hash_set n=$n diverged from UDF twin")
+
+      val modExpr = texts
+        .select(col("id"), ShingleModHashesExpr.shingleModHashes(col("text"), n).alias("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val modUdf = texts
+        .select(col("id"), TextFunctions.shingleHashesUdf(n)(col("text")).alias("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(modExpr == modUdf, s"shingle_mod_hashes n=$n diverged from UDF twin")
+    }
+
+    // null text behaves as empty text (the UDF twins' semantics): one
+    // hash (the empty shingle), never SQL NULL
+    val nullRow = texts.filter(col("id") === 4L)
+      .select(ShingleHashSetExpr.shingleHashSet(col("text"), 3))
+      .as[Seq[Long]].head()
+    assert(nullRow == Seq(TextFunctions.md5Hash60Local("")))
+
+    // SQL surface with literal n; non-literal n rejected at plan time
+    texts.createOrReplaceTempView("t_shingle")
+    val sqlRows = spark.sql("SELECT id, shingle_hash_set(text, 3) AS hs FROM t_shingle")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sqlRows(1L).nonEmpty && sqlRows(1L) == sqlRows(1L).sorted.distinct)
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hash_set(text, CAST(id AS INT)) FROM t_shingle").collect()
+    }
+    assert(err2.getMessage.contains("INT literal") ||
+      err2.getCause != null && err2.getCause.getMessage.contains("INT literal"), err2.getMessage)
+
+    // stays inside whole-stage codegen (no UDF boundary): over a real
+    // source (a local Seq would constant-fold to a LocalTableScan), the
+    // projection must sit inside a WholeStageCodegen span with no UDF
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planned = docs.select(ShingleHashSetExpr.shingleHashSet(col("text"), 3).alias("hs"))
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[shingle_hash_set".r.findFirstIn(plan).isDefined,
+      s"expected shingle_hash_set inside a WholeStageCodegen projection:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
+  test("srp_band_buckets: matches a reference loop, truncates long vectors, codegen'd") {
+    import graft.functions.expressions.SrpBandBucketsExpr
+    import org.apache.spark.sql.functions.col
+    val nBands = 3
+    val rowsPerBand = 4
+    val dim = 6
+    val signs = Array.tabulate(nBands * rowsPerBand * dim) { pj =>
+      if (TextFunctions.md5Hash60Local(s"srp:${pj / dim}:${pj % dim}") % 2 == 0) 1.0 else -1.0
+    }
+    val rnd = new scala.util.Random(3)
+    val vecs = (1L to 20L).map { i =>
+      // id 20 is longer than dim → must be truncated in the sketch
+      val len = if (i == 20L) dim + 3 else dim
+      (i, Seq.fill(len)(rnd.nextGaussian().toFloat))
+    }
+    def refBuckets(vec: Seq[Float]): Seq[Long] =
+      (0 until nBands).map { b =>
+        var bucket = 0L
+        for (k <- 0 until rowsPerBand) {
+          var d = 0.0
+          val n = math.min(vec.length, dim)
+          for (i <- 0 until n) d += vec(i).toDouble * signs((b * rowsPerBand + k) * dim + i)
+          if (d >= 0) bucket |= 1L << k
+        }
+        bucket
+      }
+    val got = vecs.toDF("id", "vec")
+      .select(col("id"),
+        SrpBandBucketsExpr.srpBandBuckets(col("vec"), signs, nBands, rowsPerBand, dim).alias("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refBuckets(v), s"id $id sketch diverged")
+    }
+
+    // no UDF boundary over a real source
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planned = emb.select(
+      SrpBandBucketsExpr.srpBandBuckets(col("embedding"), signs, nBands, rowsPerBand, dim))
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[srp_band_buckets".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
 }

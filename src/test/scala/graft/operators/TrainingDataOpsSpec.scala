@@ -38,8 +38,15 @@ class TrainingDataOpsSpec extends SparkTestBase {
 
     val exact = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
       .select("doc_id").as[Long].collect().toSet
-    val approx = Decontaminate.cleanApprox(train, bench, "doc_id", "text", n = 3,
+    val approxDf = Decontaminate.cleanApprox(train, bench, "doc_id", "text", n = 3,
       expectedItems = 1000L, fpp = 0.01)
+    // the bloom probe must be the native might_contain expression inside
+    // the codegen filter, not a closure UDF boxing a Long per n-gram
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(approxPlan.contains("might_contain"), approxPlan)
+    val filterLines = approxPlan.linesIterator.filter(_.contains("might_contain")).mkString("\n")
+    assert(!filterLines.contains("UDF"), s"bloom probe still a UDF:\n$filterLines")
+    val approx = approxDf
       .select("doc_id").as[Long].collect().toSet
 
     // one-sided error: nothing contaminated survives, survivors ⊆ exact
