@@ -61,10 +61,14 @@ abstract class ShingleHashesBase extends UnaryExpression {
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
-    compute(if (t == null) null else t.asInstanceOf[UTF8String])
+    evalCompute(if (t == null) null else t.asInstanceOf[UTF8String])
   }
 
-  protected def compute(text: UTF8String): ArrayData
+  // NOT named `compute`: a class member named `compute` would suppress
+  // the companion object's static forwarder, and the generated code's
+  // static call `<class>.compute(value, n)` would fail to janino-compile
+  // (silent whole-stage-codegen fallback to interpreted eval)
+  protected def evalCompute(text: UTF8String): ArrayData
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -83,7 +87,7 @@ case class ShingleHashSetExpr(child: Expression, n: Int) extends ShingleHashesBa
   override def prettyName: String = "shingle_hash_set"
   override def computeName: String =
     "graft.functions.expressions.ShingleHashSetExpr.compute"
-  override protected def compute(text: UTF8String): ArrayData =
+  override protected def evalCompute(text: UTF8String): ArrayData =
     ShingleHashSetExpr.compute(text, n)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpr =
     copy(child = newChild)
@@ -182,7 +186,7 @@ case class ShingleModHashesExpr(child: Expression, n: Int) extends ShingleHashes
   override def prettyName: String = "shingle_mod_hashes"
   override def computeName: String =
     "graft.functions.expressions.ShingleModHashesExpr.compute"
-  override protected def compute(text: UTF8String): ArrayData =
+  override protected def evalCompute(text: UTF8String): ArrayData =
     ShingleModHashesExpr.compute(text, n)
   override protected def withNewChildInternal(newChild: Expression): ShingleModHashesExpr =
     copy(child = newChild)

@@ -176,6 +176,22 @@ object Similarity {
     * pair dot as the native codegen `DotProductFloat` expression (HOFs
     * are CodegenFallback — never on the O(pairs) path).
     */
+  /** Bucket-granularity sizing for [[srpNearDup]]: candidate volume per
+    * band is ~`2^r · (n/2^r)²/2 = n²/2^(r+1)`, so a FIXED `rowsPerBand`
+    * is quadratic in corpus size — the bits must grow with `log2(n)` to
+    * hold bucket population (and thus per-bucket pair work) constant.
+    * Measured (tools/ScaleBench): at 10× corpus with r=3 the sketch
+    * stage went superlinear (exponent 1.11) purely from candidate
+    * fan-out; auto-sized bits restore ~linear scaling. Raising r lowers
+    * per-band recall (p^r), so pair it with more bands when recall
+    * matters: recall = 1-(1-p^r)^b.
+    */
+  def autoRowsPerBand(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    val r = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(62, math.max(1, r))
+  }
+
   def srpNearDup(
       emb: DataFrame,
       idCol: String,

@@ -1,0 +1,170 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness for the dedup/CC/LSH family: runs the
+  * text/embedding queries at sf0.1 and at a derived 10×-scaled corpus,
+  * and prints per-query wall times plus the scaling exponent
+  * `log10(T_10x / T_1x)` (1.0 = linear; iterative/log stages may sit
+  * slightly above).
+  *
+  * The scaled corpus is DERIVED from the sf0.1 fixtures (TESTDATA.md
+  * forbids inventing new input data; this is a measurement harness, not
+  * an oracle input) so that each of the 10 copies behaves like an
+  * independent sf0.1 corpus — per-unit dedup structure is preserved and
+  * output volume scales ~linearly, which is what makes the timing ratio
+  * interpretable as the operator's scaling behavior:
+  *
+  *  - documents: copy k prefixes every token with `c<k>`, so shingle
+  *    universes of different copies are DISJOINT — near-dup pairs exist
+  *    only within a copy, and per-copy Jaccard structure is isomorphic
+  *    to sf0.1's.
+  *  - embeddings: copy k multiplies element i by a ±1 sign derived from
+  *    md5("scale:<k>:<i>") — cosines WITHIN a copy are bit-identical to
+  *    sf0.1 (signs cancel), cosines ACROSS copies become near-zero
+  *    pseudo-random sums, so the near-dup threshold keeps cross-copy
+  *    pairs out.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleBench"` (env:
+  * SPARK_GRAFT_SF_DIR base fixture, default /root/testdata/sf0.1;
+  * SPARK_GRAFT_SCALE_OUT scaled-corpus dir, default /tmp/graft_scale10;
+  * SPARK_GRAFT_SCALE copies, default 10).
+  */
+object ScaleBench {
+
+  private val registryQueries = Seq(
+    "q17_dedup_exact",
+    "q18_ngram_jaccard",
+    "q19_minhash_sig",
+    "q20_minhash_lsh",
+    "q21_simhash",
+    "q34_ngram_jaccard_filtered",
+    "q45_winnow_fingerprints",
+    "q49_dup_clusters",
+    "q72_incremental_dedup")
+
+  /** The embedding near-dup queries run at threshold 0.8 here instead of
+    * the registry's 0.4: cross-copy cosines in the derived corpus are
+    * ~N(0, 1/64) (std 0.125), so 0.4 is only 3.2σ and the ~1.8·10⁸
+    * cross-copy pair tail swamps the output (measured: 107× rows, i.e.
+    * the exponent would measure data explosion, not the operator). 0.8
+    * is 6.4σ — cross-copy survivors ~0, so output weak-scales and the
+    * timing ratio is interpretable.
+    */
+  private def embeddingQueries(
+      spark: SparkSession): Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+    "srp_neardup(t0.8,r3)" -> ((dir: String) =>
+      graft.operators.Similarity.srpNearDup(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", threshold = 0.8)),
+    // bucket bits sized to the corpus (log2(n/64)): holds per-bucket pair
+    // work constant, the knob that keeps SRP linear at scale
+    "srp_neardup(t0.8,auto)" -> { (dir: String) =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val r = graft.operators.Similarity.autoRowsPerBand(emb.count())
+      graft.operators.Similarity.srpNearDup(
+        emb, "vec_id", "embedding", threshold = 0.8, rowsPerBand = r)
+    },
+    "emb_blocked(t0.8)" -> ((dir: String) =>
+      graft.operators.Dedup.embeddingNearDupBlocked(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.8, maxBlockRows = 500)))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale10")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      println(s"[scale] generating ${copies}x corpus at $outDir from $baseDir")
+      generate(spark, baseDir, outDir, copies)
+    }
+
+    val allQueries: Seq[(String, String => DataFrame)] =
+      registryQueries.map(q => q -> ((dir: String) => SparkEntry.queries(q)(spark, dir))) ++
+        embeddingQueries(spark)
+
+    // JVM warmup: one full pass over both dirs before timing
+    def run(fn: String => DataFrame, dir: String): (Long, Double) = {
+      val df = fn(dir)
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    allQueries.foreach { case (_, fn) => run(fn, baseDir); run(fn, outDir) }
+
+    println(f"${"query"}%-28s ${"rows1x"}%9s ${"t1x"}%7s ${"rows10x"}%10s ${"t10x"}%8s  exp")
+    val results = allQueries.map { case (q, fn) =>
+      val (n1, t1a) = run(fn, baseDir)
+      val (n10, t10a) = run(fn, outDir)
+      val (_, t1b) = run(fn, baseDir)
+      val (_, t10b) = run(fn, outDir)
+      val t1 = math.min(t1a, t1b)
+      val t10 = math.min(t10a, t10b)
+      val exp = math.log10(t10 / t1) / math.log10(copies.toDouble)
+      println(f"$q%-28s $n1%9d $t1%7.2f $n10%10d $t10%8.2f  $exp%.2f")
+      (q, n1, t1, n10, t10, exp)
+    }
+    val tot1 = results.map(_._3).sum
+    val tot10 = results.map(_._5).sum
+    println(f"${"TOTAL"}%-28s ${""}%9s $tot1%7.2f ${""}%10s $tot10%8.2f  ${math.log10(tot10 / tot1) / math.log10(copies.toDouble)}%.2f")
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    val idOffset = 1000000000L
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val docCols = docs.columns
+    val scaledDocs: DataFrame = docs
+      .select(col("*"), explode(lit((0 until copies).toArray)).as("cp"))
+      .select(docCols.map {
+        case "doc_id" => (col("doc_id").cast("long") + col("cp").cast("long") * idOffset).as("doc_id")
+        case "text" =>
+          // prefix every token with c<k>: per-copy shingle universes are disjoint
+          when(col("cp") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("c"), col("cp"), lit("$1"))))
+            .as("text")
+        case other => col(other)
+      }.toSeq: _*)
+    scaledDocs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // ±1 sign per (copy, element) from the portable md5 primitive
+    val signs = Array.tabulate(copies, dim)((k, i) =>
+      if (graft.functions.TextFunctions.md5Hash60Local(s"scale:$k:$i") % 2 == 0) 1.0f else -1.0f)
+    import spark.implicits._
+    val embCols = emb.columns
+    val scaledEmb = emb
+      .select(col("*"), explode(lit((0 until copies).toArray)).as("cp"))
+      .select(embCols.map {
+        case "vec_id" => (col("vec_id").cast("long") + col("cp").cast("long") * idOffset).as("vec_id")
+        case "embedding" => col("embedding")
+        case other => col(other)
+      }.toSeq :+ col("cp"): _*)
+      .as[ScaleRow]
+      .map { r =>
+        val s = signs(r.cp)
+        val v = new Array[Float](r.embedding.length)
+        var i = 0
+        while (i < v.length) { v(i) = r.embedding(i) * s(i % dim); i += 1 }
+        ScaledOut(r.vec_id, v, r.label)
+      }
+      .toDF("vec_id", "embedding", "label")
+    scaledEmb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[scale] wrote ${scaledDocs.count()} docs, ${scaledEmb.count()} embeddings")
+  }
+}
+
+private case class ScaleRow(vec_id: Long, embedding: Array[Float], label: Int, cp: Int)
+private case class ScaledOut(vec_id: Long, embedding: Array[Float], label: Int)

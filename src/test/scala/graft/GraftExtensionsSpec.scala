@@ -193,9 +193,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     // stays inside whole-stage codegen (no UDF boundary): over a real
     // source (a local Seq would constant-fold to a LocalTableScan), the
     // projection must sit inside a WholeStageCodegen span with no UDF
+    // codegen.fallback=false makes a janino compile failure FATAL instead
+    // of a silent interpreted fallback — this catches e.g. the generated
+    // static call not resolving (a class member shadowing the companion's
+    // static forwarder did exactly that)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val planned = docs.select(ShingleHashSetExpr.shingleHashSet(col("text"), 3).alias("hs"))
-    planned.collect()
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try planned.collect()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[shingle_hash_set".r.findFirstIn(plan).isDefined,
       s"expected shingle_hash_set inside a WholeStageCodegen projection:\n$plan")
@@ -240,7 +246,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planned = emb.select(
       SrpBandBucketsExpr.srpBandBuckets(col("embedding"), signs, nBands, rowsPerBand, dim))
-    planned.collect()
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try planned.collect()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[srp_band_buckets".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)

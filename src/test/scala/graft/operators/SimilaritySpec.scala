@@ -84,4 +84,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(planted.count(found.contains) >= 18,
       s"only ${planted.count(found.contains)}/20 planted near-dups recalled")
   }
+
+  test("autoRowsPerBand holds bucket population constant as the corpus grows") {
+    // n/2^r stays within [targetBucketSize/2, targetBucketSize]
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L, 1000000000L)) {
+      val r = Similarity.autoRowsPerBand(n, targetBucketSize = 64)
+      val pop = n.toDouble / math.pow(2.0, r.toDouble)
+      assert(pop <= 64.0 + 1e-9, s"n=$n r=$r pop=$pop exceeds target")
+      assert(pop > 16.0 || n < 64, s"n=$n r=$r pop=$pop oversharded")
+    }
+    // tiny corpora: at least 1 bit, never more than a long holds
+    assert(Similarity.autoRowsPerBand(1L) == 1)
+    assert(Similarity.autoRowsPerBand(Long.MaxValue) == 57) // 2^63/2^6, under the 62 cap
+
+    // planted near-dups still recalled with corpus-sized bits (r=5 at
+    // n=2048): cos ≈ 1 pairs collide in every band regardless of r
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 24L).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+      Seq((i * 2, base.toSeq), (i * 2 + 1, near.toSeq))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.autoRowsPerBand(2048L, targetBucketSize = 64)
+    assert(r == 5)
+    val found = Similarity.srpNearDup(vecs, "vec_id", "embedding", threshold = 0.8,
+      nBands = 6, rowsPerBand = r)
+      .as[(Long, Long, Double)].collect().map { case (a, b, _) => (a, b) }.toSet
+    val planted = (0L until 24L).map(i => (i * 2, i * 2 + 1))
+    assert(planted.count(found.contains) >= 22,
+      s"only ${planted.count(found.contains)}/24 planted near-dups recalled at r=$r")
+  }
 }
