@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+      // dev-only strict mode: a whole-stage-codegen compile failure
+      // aborts instead of silently running interpreted (catches e.g.
+      // generated static calls that don't resolve)
+      .config("spark.sql.codegen.fallback",
+        (!sys.env.contains("SPARK_GRAFT_STRICT_CODEGEN")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -32,7 +32,33 @@ object StreamingPipeline {
       minWordLength: Int = 3,
       batchInterval: String = "1 second",
       wordCountTtl: Int = 0,
-      categoryCountTtl: Int = 0)
+      categoryCountTtl: Int = 0,
+      // admission control for the twitch-irc source (0 = unlimited): caps
+      // lines per micro-batch so a post-stall backlog drains across
+      // bounded batches; see TwitchIrcMicroBatchStream
+      maxLinesPerTrigger: Long = 0L,
+      linesPerPartition: Int = 5000)
+
+  /** `twitch-irc` line stream with the Config's admission-control options
+    * applied — the standard way to build the topology's source.
+    */
+  def readTwitchIrc(
+      spark: org.apache.spark.sql.SparkSession,
+      cfg: Config,
+      host: String = "irc.chat.twitch.tv",
+      port: Int = 6667,
+      nick: String = "justinfan0",
+      pass: String = ""): DataFrame =
+    spark.readStream
+      .format("twitch-irc")
+      .option("host", host)
+      .option("port", port.toString)
+      .option("channel", cfg.channel)
+      .option("nick", nick)
+      .option("pass", pass)
+      .option("maxLinesPerTrigger", cfg.maxLinesPerTrigger.toString)
+      .option("linesPerPartition", cfg.linesPerPartition.toString)
+      .load()
 
   /** Raw `value` lines → parsed message frame (columnar, codegen). */
   def parse(lines: DataFrame): DataFrame = IrcParser.parse(lines)
