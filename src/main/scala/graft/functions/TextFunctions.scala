@@ -210,15 +210,24 @@ object TextFunctions {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** JVM twin of `md5Hash60` (15 hex chars = 60 bits, fits a long). */
-  def md5Hash60Local(s: String): Long = {
-    val md = md5Digest.get()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
+  /** First 15 hex chars of an md5 digest = 60 bits: 7 full bytes + the
+    * high nibble of byte 7. THE single definition of the engine's hash
+    * packing — every md5-derived 60-bit hash (`md5Hash60Local`,
+    * `Md5Hash60Expr`, the shingle expressions' byte-fed kernel) must go
+    * through it so the oracle-compatibility-critical arithmetic can
+    * never drift between call sites.
+    */
+  private[graft] def pack60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** JVM twin of `md5Hash60` (15 hex chars = 60 bits, fits a long). */
+  def md5Hash60Local(s: String): Long = {
+    val md = md5Digest.get()
+    pack60(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** `text → whitespace tokens` as one tight loop (for explode fan-out

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** IEEE division for cosine scores: 0-denominator (zero-norm vector)
+    * yields NaN instead of Spark 4's ANSI `DIVIDE_BY_ZERO` error. NaN
+    * then orders ABOVE every value in both Spark and DuckDB comparisons,
+    * so `cos >= threshold` keeps degenerate pairs consistently across
+    * the SQL plans, the tight-loop kernels (plain JVM `0.0/0.0`), and
+    * the oracle.
+    */
+  def nanDiv(num: Column, den: Column): Column =
+    when(den === lit(0.0), lit(Double.NaN)).otherwise(num / den)
+
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 

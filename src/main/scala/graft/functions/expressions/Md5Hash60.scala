@@ -55,11 +55,8 @@ object Md5Hash60Expr {
   def hash60(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
+    // packing shared with md5Hash60Local so the arithmetic can't drift
+    graft.functions.TextFunctions.pack60(md.digest(s.getBytes))
   }
 
   /** Column-level entry point (Spark 4's Column wraps a ColumnNode; the

@@ -108,12 +108,8 @@ private[expressions] object ShingleKernel {
     java.security.MessageDigest.getInstance("MD5"))
   private val outBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
 
-  private def pack60(d: Array[Byte]): Long = {
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  // single shared definition of the 60-bit packing (drift-proof)
+  private def pack60(d: Array[Byte]): Long = graft.functions.TextFunctions.pack60(d)
 
   /** 60-bit md5 hash per word n-gram, in shingle order (multiplicity
     * kept). `tokensLocal`'s exact tokenizer: lower-case root locale,

@@ -364,8 +364,9 @@ object Dedup {
       .select(
         col("a.id").alias("id_a"),
         col("b.id").alias("id_b"),
-        (DotProductFloat.dotF(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-          .alias("cos"))
+        graft.functions.VectorFunctions.nanDiv(
+          DotProductFloat.dotF(col("a.vec"), col("b.vec")),
+          col("a.nrm") * col("b.nrm")).alias("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -421,7 +422,11 @@ object Dedup {
             val len = math.min(va.length, vb.length)
             while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
             val cos = s / (na * nb)
-            if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+            // NaN (zero-norm vectors: 0/0) passes, matching the SQL
+            // filter semantics of the join variant and DuckDB, where
+            // NaN orders above every value
+            if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb, cos))
+            else Iterator.empty
           }
         }
       }
@@ -460,31 +465,36 @@ object Dedup {
     import spark.implicits._
     val n = emb.select(col(idCol)).count()
     val b = math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
-    // norm before the explode so it's computed once per row, not per replica
+    // norm before the explode so it's computed once per row, not per
+    // replica. Blocks come from pmod(hash(id), B), not pmod(id, B):
+    // strided id spaces (snowflake ids, multiples of 10^k) would collapse
+    // raw residues into few blocks and break the fits-in-a-task sizing.
     val base = emb.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"),
       graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
-      pmod(col(idCol).cast("long"), lit(b.toLong)).cast("int").alias("blk"))
+      pmod(hash(col(idCol).cast("long")), lit(b)).cast("int").alias("blk"))
     // replicate each row to every block pair containing its block:
-    // key(i,j) = i*B + j with i <= j; the literal-array explode keeps the
-    // generator out of InferFiltersFromGenerate's way
+    // key(i,j) = i*B + j with i <= j, in LONG (i*B overflows Int once
+    // B > ~46k, i.e. corpora past ~4.6e9 rows at the default block size);
+    // the literal-array explode keeps the generator out of
+    // InferFiltersFromGenerate's way
     val replicated = base
       .select(
         col("id"), col("vec"), col("nrm"), col("blk"),
         explode(lit((0 until b).toArray)).alias("o"))
       .select(
         col("id"), col("vec"), col("nrm"), col("blk"),
-        when(col("blk") <= col("o"), col("blk") * b + col("o"))
-          .otherwise(col("o") * b + col("blk"))
-          .cast("int")
+        when(col("blk") <= col("o"),
+          col("blk").cast("long") * b + col("o"))
+          .otherwise(col("o").cast("long") * b + col("blk"))
           .alias("pair_key"))
     replicated
-      .as[(Long, Array[Float], Double, Int, Int)]
+      .as[(Long, Array[Float], Double, Int, Long)]
       .groupByKey(_._5)
-      .flatMapGroups { (key: Int, it: Iterator[(Long, Array[Float], Double, Int, Int)]) =>
-        val i = key / b
-        val j = key % b
+      .flatMapGroups { (key: Long, it: Iterator[(Long, Array[Float], Double, Int, Long)]) =>
+        val i = (key / b).toInt
+        val j = (key % b).toInt
         def dot(va: Array[Float], vb: Array[Float]): Double = {
           var s = 0.0
           var d = 0
@@ -500,7 +510,8 @@ object Dedup {
             (a + 1 until rows.length).iterator.flatMap { c =>
               val (idb, vb, nb) = rows(c)
               val cos = dot(va, vb) / (na * nb)
-              if (cos >= threshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+              if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb, cos))
+              else Iterator.empty
             }
           }
         } else {
@@ -509,7 +520,7 @@ object Dedup {
           ai.iterator.flatMap { case (ida, va, na, _, _) =>
             bj.iterator.flatMap { case (idb, vb, nb, _, _) =>
               val cos = dot(va, vb) / (na * nb)
-              if (cos >= threshold) {
+              if (cos >= threshold || cos.isNaN) {
                 val lo = math.min(ida, idb)
                 val hi = math.max(ida, idb)
                 Iterator.single((lo, hi, cos))

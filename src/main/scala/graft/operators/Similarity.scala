@@ -36,9 +36,10 @@ object Similarity {
       query.foreach(d => qn += d * d)
       emb.withColumn(
         "cos",
-        graft.functions.expressions.DotProductFloat.dotF(
-          col(vecCol), typedlit(query.map(_.toFloat)))
-          / (graft.functions.expressions.Norm2Float.norm2F(col(vecCol)) * lit(math.sqrt(qn))))
+        graft.functions.VectorFunctions.nanDiv(
+          graft.functions.expressions.DotProductFloat.dotF(
+            col(vecCol), typedlit(query.map(_.toFloat))),
+          graft.functions.expressions.Norm2Float.norm2F(col(vecCol)) * lit(math.sqrt(qn))))
     } else
       emb.withColumn("cos", cosineSimilarity(col(vecCol), typedlit(query)))
 
@@ -237,8 +238,9 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        (graft.functions.expressions.DotProductFloat.dotF(col("va"), col("vb"))
-          / (col("na") * col("nb"))).alias("cos"))
+        graft.functions.VectorFunctions.nanDiv(
+          graft.functions.expressions.DotProductFloat.dotF(col("va"), col("vb")),
+          col("na") * col("nb")).alias("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -159,6 +159,24 @@ class DedupSpec extends SparkTestBase {
     assert(joinV.nonEmpty)
   }
 
+  test("zero-norm vectors (cos = NaN) behave identically across all three variants") {
+    // Spark SQL and DuckDB order NaN above every value, so the join
+    // variant's filter KEEPS 0/0 pairs; the tight-loop variants must too
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), // zero vector: every pair involving it is NaN
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val joinV = Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(joinV == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"SQL NaN semantics changed: $joinV")
+    val blockV = Dedup.embeddingNearDupBlock(emb, "id", "vec", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blockedV = Dedup.embeddingNearDupBlocked(emb, "id", "vec", threshold = 0.5, maxBlockRows = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blockV == joinV)
+    assert(blockedV == joinV)
+  }
+
   test("embeddingNearDupBlock refuses a block over the row cap") {
     val emb = (1L to 10L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
     val e = intercept[IllegalArgumentException] {
