@@ -1076,6 +1076,17 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "source", q73Weights, budgetPermille = 500)
       .select("doc_id", "source", "rate_pm")
 
+  /** Corpus-level line dedup (C4/RefinedWeb boilerplate removal). The
+    * fixture's documents are single-line, so segmentation runs at token
+    * granularity (`" "`); the 180%-of-doc-count relative threshold
+    * splits the fixture vocabulary non-degenerately at sf0.01 AND sf0.1
+    * (per-token freq/nDocs ratios cluster in [1.68, 1.93]) and the
+    * predicate is integer arithmetic, so both engines agree exactly.
+    */
+  private def q74_line_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text",
+      delim = " ", maxRelFreqPct = 180)
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1153,7 +1164,8 @@ object SparkEntry {
     "q70_chunk_overlap" -> (q70_chunk_overlap _),
     "q71_heavy_hitters" -> (q71_heavy_hitters _),
     "q72_incremental_dedup" -> (q72_incremental_dedup _),
-    "q73_mixture_sample" -> (q73_mixture_sample _)
+    "q73_mixture_sample" -> (q73_mixture_sample _),
+    "q74_line_dedup" -> (q74_line_dedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1872,6 +1884,24 @@ object SparkEntry {
           SELECT d.doc_id, d.source, CAST(r.rate_pm AS BIGINT) AS rate_pm
           FROM documents d JOIN r ON d.source = r.source
           WHERE ${sqlMd5h60("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_pm"""
-    }
+    },
+    "q74_line_dedup" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          ln AS (SELECT doc_id,
+                   unnest(list_transform(l, (x, i) -> struct_pack(line := x, pos := i))) AS u
+                 FROM ls),
+          lines AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM ln),
+          freq AS (SELECT line, count(*) AS f FROM lines GROUP BY line),
+          nd AS (SELECT count(*) AS n FROM documents),
+          kept AS (SELECT doc_id, line, pos
+                   FROM lines JOIN freq USING (line)
+                   WHERE f * 100 <= (SELECT n FROM nd) * 180),
+          agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS ct,
+                         count(*) AS nk
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(a.ct, '') AS clean_text,
+                 CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+          FROM documents d LEFT JOIN agg a USING (doc_id)"""
   )
 }

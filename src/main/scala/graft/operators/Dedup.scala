@@ -433,6 +433,88 @@ object Dedup {
       .toDF("id_a", "id_b", "cos")
   }
 
+  /** Corpus-level LINE deduplication — the C4/RefinedWeb hygiene step:
+    * segment every document on `delim` (newline on real corpora; the
+    * fixture's documents are single-line, so the registry query
+    * exercises it at token granularity with `" "`), count each distinct
+    * segment's occurrences CORPUS-WIDE, drop segments over the
+    * frequency threshold from every document, and reassemble the
+    * surviving segments in their original order. Removes boilerplate
+    * (headers, nav text, cookie banners) that exact/near-dup document
+    * dedup can't see because the surrounding documents differ.
+    *
+    * Scale shape: segment frequency is counted on 128-bit md5
+    * fingerprints, so the corpus-wide shuffle carries (hash, count) —
+    * never segment text; the hot-segment set meets the corpus in a
+    * co-partitioned anti join on the hash; reassembly is one shuffle of
+    * the kept segments by doc id with a per-doc (bounded) in-row sort —
+    * `array_sort(collect_list(struct(pos, line)))` — not a global sort.
+    * The relative threshold (`freq·100 <= nDocs·maxRelFreqPct`, integer
+    * arithmetic, corpus size broadcast back as a one-row frame) keeps
+    * the predicate meaningful as the corpus grows; [[lineDedupAbs]] is
+    * the absolute-count form real pipelines use ("drop any line seen
+    * more than k times").
+    *
+    * Emits `(doc_id, clean_text, n_kept)`; documents whose every
+    * segment was dropped survive with `clean_text = ""`.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String,
+      maxRelFreqPct: Int): DataFrame =
+    lineDedupCore(docs, idCol, textCol, delim,
+      (f, nDocs) => f * 100L <= nDocs * maxRelFreqPct.toLong)
+
+  /** [[lineDedup]] with an absolute occurrence cap (drop any segment
+    * appearing more than `maxFreq` times corpus-wide).
+    */
+  def lineDedupAbs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String,
+      maxFreq: Long): DataFrame =
+    lineDedupCore(docs, idCol, textCol, delim, (f, _) => f <= maxFreq)
+
+  private def lineDedupCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String,
+      keep: (Column, Column) => Column): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val base = docs.select(col(idCol).alias("doc_id"), col(textCol).alias("text"))
+    val lines = base
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), quoted)).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val nDocs = base.agg(count(lit(1)).alias("n_docs"))
+    val hot = lines
+      .groupBy("lh")
+      .agg(count(lit(1)).alias("f"))
+      .crossJoin(nDocs) // one-row frame: broadcast, no collect
+      .filter(!keep(col("f"), col("n_docs")))
+      .select("lh")
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).alias("a"))
+      .select(
+        col("doc_id"),
+        concat_ws(delim, col("a.line")).alias("clean_text"),
+        size(col("a")).alias("n_kept"))
+    base
+      .select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).alias("clean_text"),
+        coalesce(col("n_kept"), lit(0)).alias("n_kept"))
+  }
+
   /** Exact all-pairs embedding near-dup as a fully distributed plan —
     * the scale-safe default entry point. Classic block-nested-loop on
     * Spark: rows are assigned to one of B blocks by `id % B` (B sized so

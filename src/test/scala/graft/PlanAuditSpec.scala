@@ -114,6 +114,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("MapGroups"), plan)
   }
 
+  test("q74: line-dedup frequency counting partitions by fingerprint or doc id, never raw text") {
+    val plan = planOf("q74_line_dedup")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach { m =>
+        val keys = m.group(2)
+        assert(!keys.contains("text") && !keys.contains("line#"),
+          s"segment text used as a shuffle key:\n${m.group(0)}")
+      }
+  }
+
   test("q56: SRP sketch join partitions by (band, bucket) longs, never by vectors") {
     val plan = planOf("q56_srp_neardup")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

@@ -185,6 +185,31 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("embeddingNearDupBlocked"))
   }
 
+  test("lineDedup drops corpus-frequent lines, preserves order, keeps emptied docs") {
+    val docs = Seq(
+      (1L, "boiler\nunique one\nboiler\nrare line"),
+      (2L, "boiler\nanother text"),
+      (3L, "boiler\nboiler"),
+      (4L, "boiler")
+    ).toDF("doc_id", "text")
+    // "boiler" appears 6 times across 4 docs; absolute cap 2 drops it
+    val abs = Dedup.lineDedupAbs(docs, "doc_id", "text", delim = "\n", maxFreq = 2)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(abs(1L) == (("unique one\nrare line", 2)), abs(1L)) // order preserved, dups removed
+    assert(abs(2L) == (("another text", 1)))
+    assert(abs(3L) == (("", 0))) // fully-boilerplate doc survives, empty
+    assert(abs(4L) == (("", 0)))
+
+    // relative threshold: 100% of 4 docs = 4 < 6 occurrences → dropped;
+    // 200% = 8 >= 6 → kept everywhere
+    val rel100 = Dedup.lineDedup(docs, "doc_id", "text", "\n", maxRelFreqPct = 100)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(!rel100(1L).contains("boiler"))
+    val rel200 = Dedup.lineDedup(docs, "doc_id", "text", "\n", maxRelFreqPct = 200)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(rel200(1L) == "boiler\nunique one\nboiler\nrare line") // nothing dropped
+  }
+
   test("incrementalExact: intra-batch keep-min plus corpus anti-join") {
     val corpus = Seq((1L, "already stored"), (2L, "other stored")).toDF("doc_id", "text")
     val batch = Seq(
