@@ -130,6 +130,53 @@ class TwitchIrcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("end-to-end: MicroBatchExecution honors maxLinesPerTrigger through a real query") {
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      in.readLine(); in.readLine(); in.readLine() // PASS/NICK/JOIN
+      (1 to 12).foreach(i => out.println(s":u!u@h PRIVMSG #c :msg $i"))
+      Thread.sleep(30000)
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val ckpt = Files.createTempDirectory("graft-irc-ratelimit").toString
+    val stream = spark.readStream
+      .format("twitch-irc")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("channel", "#c")
+      .option("nick", "nick")
+      .option("pass", "oauth:x")
+      .option("maxLinesPerTrigger", "3")
+      .load()
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("irc_ratelimited")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def total() = spark.sql("SELECT count(*) FROM irc_ratelimited").head().getLong(0)
+      while (total() < 12L && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(total() == 12L, s"backlog never fully drained: ${total()}/12 rows")
+      // the execution engine must have split the 12-line backlog into
+      // bounded micro-batches — no batch over the cap, several batches
+      val batchSizes = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 3L),
+        s"a batch exceeded maxLinesPerTrigger=3: ${batchSizes.mkString(",")}")
+      assert(batchSizes.length >= 4, // 12 lines / cap 3
+        s"backlog drained in too few batches: ${batchSizes.mkString(",")}")
+    } finally {
+      query.stop()
+      server.close()
+    }
+  }
+
   test("client reconnects after the server drops the connection") {
     val server = new ServerSocket(0)
     val connections = new java.util.concurrent.atomic.AtomicInteger(0)
