@@ -490,7 +490,7 @@ object Dedup {
       .select(
         col("doc_id"),
         posexplode(split(col("text"), quoted)).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
+      .withColumn("lh", unhex(md5(col("line")))) // 16-byte binary fp, not 32-char hex
     val nDocs = base.agg(count(lit(1)).alias("n_docs"))
     val hot = lines
       .groupBy("lh")
