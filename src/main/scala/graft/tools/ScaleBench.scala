@@ -43,7 +43,8 @@ object ScaleBench {
     "q34_ngram_jaccard_filtered",
     "q45_winnow_fingerprints",
     "q49_dup_clusters",
-    "q72_incremental_dedup")
+    "q72_incremental_dedup",
+    "q74_line_dedup")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
