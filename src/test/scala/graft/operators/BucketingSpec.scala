@@ -52,4 +52,32 @@ class BucketingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
   }
+
+  test("incremental dedup against a fp-bucketed corpus shuffles only the batch side") {
+    // grounds the claim in Dedup.incrementalExact's doc: with the corpus
+    // stored as a fingerprint table bucketed by fp, the corpus-side
+    // shuffle of the anti join disappears — only the (small) batch
+    // aggregation/join shuffle remains
+    val root = Files.createTempDirectory("graft-fp-corpus").toString
+    spark.sql("DROP TABLE IF EXISTS fp_corpus")
+    (1 to 1000).map(i => s"stored doc $i").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("fp"))
+      .write.option("path", s"$root/fp_corpus")
+      .bucketBy(8, "fp").sortBy("fp").saveAsTable("fp_corpus")
+
+    val batch = ((1 to 20).map(i => (i.toLong, s"new doc $i")) ++
+      Seq((100L, "stored doc 7"))).toDF("doc_id", "text")
+    val batchFps = batch.select(
+      $"doc_id",
+      org.apache.spark.sql.functions.md5($"text").as("fp"))
+      .groupBy("fp")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("id"))
+      .join(spark.table("fp_corpus"), Seq("fp"), "left_anti")
+    assert(batchFps.count() == 20) // the corpus collision is dropped
+    val plan = batchFps.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"bucketed corpus must not shuffle (expected at most the batch-side exchange):\n$plan")
+    spark.sql("DROP TABLE IF EXISTS fp_corpus")
+  }
 }
