@@ -37,7 +37,10 @@ object StreamingPipeline {
       // lines per micro-batch so a post-stall backlog drains across
       // bounded batches; see TwitchIrcMicroBatchStream
       maxLinesPerTrigger: Long = 0L,
-      linesPerPartition: Int = 5000)
+      linesPerPartition: Int = 5000,
+      // driver-side buffer bound (0 = unbounded): a full buffer parks the
+      // reader thread, so TCP flow control pushes back on the server
+      maxBufferedLines: Long = 0L)
 
   /** `twitch-irc` line stream with the Config's admission-control options
     * applied — the standard way to build the topology's source.
@@ -58,6 +61,7 @@ object StreamingPipeline {
       .option("pass", pass)
       .option("maxLinesPerTrigger", cfg.maxLinesPerTrigger.toString)
       .option("linesPerPartition", cfg.linesPerPartition.toString)
+      .option("maxBufferedLines", cfg.maxBufferedLines.toString)
       .load()
 
   /** Raw `value` lines → parsed message frame (columnar, codegen). */

@@ -72,7 +72,8 @@ final class TwitchIrcTable(options: CaseInsensitiveStringMap) extends Table with
             nick = options.getOrDefault("nick", "justinfan0"),
             pass = options.getOrDefault("pass", ""),
             maxLinesPerTrigger = options.getLong("maxLinesPerTrigger", 0L),
-            linesPerPartition = options.getInt("linesPerPartition", 5000))
+            linesPerPartition = options.getInt("linesPerPartition", 5000),
+            maxBufferedLines = options.getLong("maxBufferedLines", 0L))
       }
     }
 }
@@ -93,6 +94,12 @@ final case class LineOffset(n: Long) extends Offset {
   *        of n lines plans `ceil(n / linesPerPartition)` input partitions
   *        so parse/transform work fans out across executor threads
   *        instead of one task per batch.
+  * @param maxBufferedLines bound on the driver-side line buffer (0 =
+  *        unbounded). When full, the reader thread BLOCKS before
+  *        appending, which stops reading the socket — TCP flow control
+  *        then pushes back on the server, exactly how a real IRC client
+  *        sheds load. Prevents driver OOM when a stalled query meets a
+  *        hot channel; `commit` frees space and wakes the reader.
   */
 final class TwitchIrcMicroBatchStream(
     host: String,
@@ -101,7 +108,8 @@ final class TwitchIrcMicroBatchStream(
     nick: String,
     pass: String,
     maxLinesPerTrigger: Long = 0L,
-    linesPerPartition: Int = 5000)
+    linesPerPartition: Int = 5000,
+    maxBufferedLines: Long = 0L)
     extends MicroBatchStream
     with SupportsAdmissionControl {
 
@@ -109,11 +117,20 @@ final class TwitchIrcMicroBatchStream(
   private val buffer = ArrayBuffer.empty[(String, Long)]
   private var baseOffset = 0L
   private var client: IrcLineClient = _
+  @volatile private var closed = false
+
+  private def append(line: String): Unit = synchronized {
+    // bounded buffer: park the reader (releasing the monitor) until
+    // commit() drains or the stream stops; receipt time is stamped AFTER
+    // admission so a backpressured line carries its true ingest time
+    while (maxBufferedLines > 0L && buffer.size >= maxBufferedLines && !closed)
+      wait(1000L)
+    if (!closed) buffer += ((line, System.currentTimeMillis() * 1000L))
+  }
 
   private def ensureConnected(): Unit = synchronized {
     if (client == null) {
-      client = new IrcLineClient(host, port, channel, nick, pass, line =>
-        synchronized { buffer += ((line, System.currentTimeMillis() * 1000L)) })
+      client = new IrcLineClient(host, port, channel, nick, pass, append)
       client.start()
     }
   }
@@ -172,10 +189,12 @@ final class TwitchIrcMicroBatchStream(
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[LineOffset].n
     val drop = (e - baseOffset).toInt
-    if (drop > 0) { buffer.dropInPlace(drop); baseOffset = e }
+    if (drop > 0) { buffer.dropInPlace(drop); baseOffset = e; notifyAll() }
   }
 
   override def stop(): Unit = synchronized {
+    closed = true
+    notifyAll() // release a reader parked on the full buffer
     if (client != null) client.close()
   }
 }

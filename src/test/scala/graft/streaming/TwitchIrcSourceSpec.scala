@@ -130,6 +130,56 @@ class TwitchIrcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("maxBufferedLines caps the driver buffer; backpressure loses nothing") {
+    val server = new ServerSocket(0)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(s.getOutputStream, true)
+      in.readLine(); in.readLine(); in.readLine() // PASS/NICK/JOIN
+      (1 to 20).foreach(i => out.println(s":u!u@h PRIVMSG #c :line $i"))
+      Thread.sleep(30000)
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val stream = new TwitchIrcMicroBatchStream(
+      "127.0.0.1", server.getLocalPort, "#c", "nick", "oauth:x",
+      maxBufferedLines = 5L)
+    try {
+      // reader parks once 5 lines are buffered
+      val deadline = System.currentTimeMillis() + 15000
+      while (stream.latestOffset().asInstanceOf[LineOffset].n < 5L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(300) // give a runaway reader time to overshoot
+      assert(stream.latestOffset() == LineOffset(5L),
+        s"buffer exceeded the cap: ${stream.latestOffset()}")
+
+      // drain in commit cycles; backpressure must deliver ALL lines in order
+      val factory = stream.createReaderFactory()
+      val got = ArrayBuffer.empty[String]
+      var start = LineOffset(0L)
+      val d2 = System.currentTimeMillis() + 20000
+      while (got.length < 20 && System.currentTimeMillis() < d2) {
+        val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+          .asInstanceOf[LineOffset]
+        if (end.n > start.n) {
+          stream.planInputPartitions(start, end).foreach { p =>
+            val r = factory.createReader(p)
+            while (r.next()) got += r.get().getString(0)
+          }
+          stream.commit(end) // frees buffer space → reader resumes
+          start = end
+        } else Thread.sleep(50)
+      }
+      assert(got.toList == (1 to 20).map(i => s":u!u@h PRIVMSG #c :line $i").toList,
+        s"lost or reordered lines under backpressure: ${got.size}/20")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("end-to-end: MicroBatchExecution honors maxLinesPerTrigger through a real query") {
     val server = new ServerSocket(0)
     val serverThread = new Thread(() => {
