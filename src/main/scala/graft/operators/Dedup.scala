@@ -486,11 +486,20 @@ object Dedup {
       keep: (Column, Column) => Column): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(delim)
     val base = docs.select(col(idCol).alias("doc_id"), col(textCol).alias("text"))
+    // materialized once: the segmented frame feeds the frequency
+    // aggregate AND the anti-join probe, whose exchanges differ (lh vs
+    // doc_id), so ReuseExchange can never dedup them — lazy, the
+    // corpus-wide split+md5 scan would run twice. A/B at sf0.1 (short
+    // fixture docs): ~5-10% — the win grows with document size since
+    // what's deduplicated is the segmentation scan itself; the cost is
+    // corpus-sized executor block storage (memory+disk), the same
+    // deliberate trade as the shingle-set table
     val lines = base
       .select(
         col("doc_id"),
         posexplode(split(col("text"), quoted)).as(Seq("pos", "line")))
       .withColumn("lh", unhex(md5(col("line")))) // 16-byte binary fp, not 32-char hex
+      .localCheckpoint(true)
     val nDocs = base.agg(count(lit(1)).alias("n_docs"))
     val hot = lines
       .groupBy("lh")

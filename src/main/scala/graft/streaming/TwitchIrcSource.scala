@@ -94,12 +94,16 @@ final case class LineOffset(n: Long) extends Offset {
   *        of n lines plans `ceil(n / linesPerPartition)` input partitions
   *        so parse/transform work fans out across executor threads
   *        instead of one task per batch.
-  * @param maxBufferedLines bound on the driver-side line buffer (0 =
-  *        unbounded). When full, the reader thread BLOCKS before
-  *        appending, which stops reading the socket — TCP flow control
-  *        then pushes back on the server, exactly how a real IRC client
-  *        sheds load. Prevents driver OOM when a stalled query meets a
-  *        hot channel; `commit` frees space and wakes the reader.
+  * @param maxBufferedLines bound on the driver-side IN-MEMORY line
+  *        buffer (0 = unbounded). Overflow spills to an append-only
+  *        local file and is pulled back into memory as batches commit —
+  *        the reference receiver's `MEMORY_AND_DISK` storage level
+  *        (`IRCBot.scala:12`), re-expressed for DSv2. The reader thread
+  *        NEVER blocks on a full buffer: blocking would also stall the
+  *        PING→PONG keepalive on the shared socket thread, and a stall
+  *        past the server's ping timeout means a forced disconnect and
+  *        silent line loss mid-run. Prevents driver OOM when a stalled
+  *        query meets a hot channel.
   */
 final class TwitchIrcMicroBatchStream(
     host: String,
@@ -119,13 +123,74 @@ final class TwitchIrcMicroBatchStream(
   private var client: IrcLineClient = _
   @volatile private var closed = false
 
+  // disk overflow queue (arrival order): records appended by the reader
+  // when memory is at cap, drained back into `buffer` as commits free
+  // space; file deleted whenever fully drained so disk stays transient
+  private var spillFile: java.io.File = _
+  private var spillOut: java.io.DataOutputStream = _
+  private var spillWritten = 0L
+  private var spillRead = 0L
+  private var spillReadPos = 0L
+
+  private def spillAppend(line: String, ts: Long): Unit = {
+    if (spillFile == null) {
+      spillFile = java.io.File.createTempFile("twitch-irc-spill", ".dat")
+      spillFile.deleteOnExit()
+      spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(spillFile, true)))
+      spillWritten = 0L
+      spillRead = 0L
+      spillReadPos = 0L
+    }
+    spillOut.writeUTF(line)
+    spillOut.writeLong(ts)
+    spillWritten += 1L
+  }
+
+  /** Pull spilled lines into memory up to the cap (arrival order, so the
+    * buffer always holds the contiguous offset range).
+    */
+  private def refillFromSpill(): Unit = {
+    if (spillFile != null && spillRead < spillWritten) {
+      spillOut.flush()
+      val raf = new java.io.RandomAccessFile(spillFile, "r")
+      try {
+        raf.seek(spillReadPos)
+        while (spillRead < spillWritten &&
+          (maxBufferedLines == 0L || buffer.size < maxBufferedLines)) {
+          val line = raf.readUTF()
+          val ts = raf.readLong()
+          buffer += ((line, ts))
+          spillRead += 1L
+        }
+        spillReadPos = raf.getFilePointer
+      } finally raf.close()
+      if (spillRead == spillWritten) dropSpill()
+    }
+  }
+
+  private def dropSpill(): Unit = {
+    if (spillFile != null) {
+      try spillOut.close() catch { case _: Exception => () }
+      spillFile.delete()
+      spillFile = null
+      spillOut = null
+      spillWritten = 0L
+      spillRead = 0L
+      spillReadPos = 0L
+    }
+  }
+
   private def append(line: String): Unit = synchronized {
-    // bounded buffer: park the reader (releasing the monitor) until
-    // commit() drains or the stream stops; receipt time is stamped AFTER
-    // admission so a backpressured line carries its true ingest time
-    while (maxBufferedLines > 0L && buffer.size >= maxBufferedLines && !closed)
-      wait(1000L)
-    if (!closed) buffer += ((line, System.currentTimeMillis() * 1000L))
+    if (!closed) {
+      val ts = System.currentTimeMillis() * 1000L
+      // memory only while the spill queue is empty — otherwise arrival
+      // order across the two tiers would interleave
+      if ((maxBufferedLines == 0L || buffer.size < maxBufferedLines) &&
+        (spillFile == null || spillRead == spillWritten))
+        buffer += ((line, ts))
+      else spillAppend(line, ts)
+    }
   }
 
   private def ensureConnected(): Unit = synchronized {
@@ -143,7 +208,10 @@ final class TwitchIrcMicroBatchStream(
   // direct callers and reports everything available.
   override def latestOffset(): Offset = {
     ensureConnected()
-    synchronized(LineOffset(baseOffset + buffer.size))
+    synchronized {
+      refillFromSpill()
+      LineOffset(baseOffset + buffer.size)
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -153,6 +221,7 @@ final class TwitchIrcMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     ensureConnected()
     synchronized {
+      refillFromSpill()
       val available = baseOffset + buffer.size
       limit match {
         case rows: ReadMaxRows =>
@@ -189,12 +258,12 @@ final class TwitchIrcMicroBatchStream(
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[LineOffset].n
     val drop = (e - baseOffset).toInt
-    if (drop > 0) { buffer.dropInPlace(drop); baseOffset = e; notifyAll() }
+    if (drop > 0) { buffer.dropInPlace(drop); baseOffset = e; refillFromSpill() }
   }
 
   override def stop(): Unit = synchronized {
     closed = true
-    notifyAll() // release a reader parked on the full buffer
+    dropSpill()
     if (client != null) client.close()
   }
 }

@@ -130,14 +130,21 @@ class TwitchIrcSourceSpec extends SparkTestBase {
     }
   }
 
-  test("maxBufferedLines caps the driver buffer; backpressure loses nothing") {
+  test("maxBufferedLines caps memory via disk spill; keepalive survives a stall; nothing lost") {
     val server = new ServerSocket(0)
+    val pongSeen = new CountDownLatch(1)
     val serverThread = new Thread(() => {
       val s = server.accept()
       val in = new BufferedReader(new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
       val out = new PrintWriter(s.getOutputStream, true)
       in.readLine(); in.readLine(); in.readLine() // PASS/NICK/JOIN
       (1 to 20).foreach(i => out.println(s":u!u@h PRIVMSG #c :line $i"))
+      // the query is stalled (nothing committed), memory buffer full,
+      // overflow on disk — the server pings NOW; a reader that blocked
+      // on the full buffer could never answer and would be disconnected
+      out.println("PING :tmi.twitch.tv")
+      val pong = in.readLine()
+      if (pong != null && pong.startsWith("PONG")) pongSeen.countDown()
       Thread.sleep(30000)
     })
     serverThread.setDaemon(true)
@@ -147,13 +154,15 @@ class TwitchIrcSourceSpec extends SparkTestBase {
       "127.0.0.1", server.getLocalPort, "#c", "nick", "oauth:x",
       maxBufferedLines = 5L)
     try {
-      // reader parks once 5 lines are buffered
+      // memory tier fills to the cap; the rest spills
       val deadline = System.currentTimeMillis() + 15000
       while (stream.latestOffset().asInstanceOf[LineOffset].n < 5L &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
-      Thread.sleep(300) // give a runaway reader time to overshoot
+      Thread.sleep(300) // give a runaway reader time to overshoot the cap
       assert(stream.latestOffset() == LineOffset(5L),
-        s"buffer exceeded the cap: ${stream.latestOffset()}")
+        s"memory buffer exceeded the cap: ${stream.latestOffset()}")
+      assert(pongSeen.await(10, TimeUnit.SECONDS),
+        "PING went unanswered while the buffer was full — keepalive starved")
 
       // drain in commit cycles; backpressure must deliver ALL lines in order
       val factory = stream.createReaderFactory()
