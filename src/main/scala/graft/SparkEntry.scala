@@ -1076,6 +1076,20 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "source", q73Weights, budgetPermille = 500)
       .select("doc_id", "source", "rate_pm")
 
+  /** Leakage-safe train/val split: near-dup clusters (q49's labeling)
+    * assigned to a side as a unit, so no near-duplicate pair straddles
+    * the split. 100‰ validation target.
+    */
+  private def q75_leakage_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = Components.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b",
+      docs.select("doc_id"), "doc_id")
+      .select(col("id").alias("doc_id"), col("cluster_id"))
+    Sampling.leakageSafeSplit(clusters, "doc_id", "cluster_id", valPermille = 100)
+  }
+
   /** Corpus-level line dedup (C4/RefinedWeb boilerplate removal). The
     * fixture's documents are single-line, so segmentation runs at token
     * granularity (`" "`); the 180%-of-doc-count relative threshold
@@ -1165,7 +1179,8 @@ object SparkEntry {
     "q71_heavy_hitters" -> (q71_heavy_hitters _),
     "q72_incremental_dedup" -> (q72_incremental_dedup _),
     "q73_mixture_sample" -> (q73_mixture_sample _),
-    "q74_line_dedup" -> (q74_line_dedup _)
+    "q74_line_dedup" -> (q74_line_dedup _),
+    "q75_leakage_split" -> (q75_leakage_split _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1902,6 +1917,21 @@ object SparkEntry {
           SELECT d.doc_id,
                  coalesce(a.ct, '') AS clean_text,
                  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
-          FROM documents d LEFT JOIN agg a USING (doc_id)"""
+          FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "q75_leakage_split" ->
+      s"""WITH RECURSIVE $sqlShingleCtes,
+          $sqlJaccardPairCtes,
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id),
+          cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ${sqlMd5h60("'split:' || CAST(cluster_id AS VARCHAR)")} % 1000 < 100
+                      THEN 'val' ELSE 'train' END AS split
+          FROM cl"""
   )
 }

@@ -86,4 +86,34 @@ object Sampling {
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(hashBucket(col(keyCol), 1000) < col("rate_pm"))
   }
+
+  /** Leakage-safe train/validation split: assignment is per near-dup
+    * CLUSTER, not per document, so no near-duplicate pair ever straddles
+    * the split — the eval-contamination failure a doc-level random split
+    * commits whenever the corpus still contains near-dups (or several
+    * revisions of the same page). Takes the `(id, cluster)` labeling
+    * produced by `Components.connectedComponents` over any near-dup pair
+    * generator; singletons are their own cluster, so unclustered docs
+    * still split at the target rate.
+    *
+    * Deterministic and engine-portable (the same md5 permille arithmetic
+    * as [[stratifiedSample]], keyed by `prefix:cluster`); scan-side
+    * only — one hash per row, no shuffle beyond what the caller's
+    * cluster join already did.
+    */
+  def leakageSafeSplit(
+      assignments: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      valPermille: Int,
+      prefix: String = "split"): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000, "valPermille in [0, 1000]")
+    assignments.select(
+      col(idCol),
+      col(clusterCol),
+      when(
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit(s"$prefix:"), col(clusterCol).cast("string"))) % 1000 < valPermille,
+        lit("val")).otherwise(lit("train")).alias("split"))
+  }
 }

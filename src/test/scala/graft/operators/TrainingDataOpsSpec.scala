@@ -57,6 +57,33 @@ class TrainingDataOpsSpec extends SparkTestBase {
       s"implausible over-drop: ${exact.size - approx.size} of ${exact.size}")
   }
 
+  test("leakageSafeSplit: clusters never straddle the split; rate lands near target") {
+    // 300 clusters of varying size (1-3 docs); doc ids interleave so a
+    // doc-level hash split WOULD straddle many of them
+    val assignments = (1L to 300L).flatMap { c =>
+      (0L until (c % 3) + 1L).map(i => (c * 1000L + i, c))
+    }.toDF("doc_id", "cluster_id")
+    val split = Sampling.leakageSafeSplit(assignments, "doc_id", "cluster_id", valPermille = 200)
+      .as[(Long, Long, String)].collect()
+    // invariant: every doc in a cluster is on the same side
+    split.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles the split")
+    }
+    // determinism + rough rate (binomial over 300 clusters at 20%)
+    val valClusters = split.map(r => (r._2, r._3)).distinct.count(_._2 == "val")
+    assert(valClusters > 30 && valClusters < 90, s"val clusters: $valClusters/300")
+    val again = Sampling.leakageSafeSplit(assignments, "doc_id", "cluster_id", valPermille = 200)
+      .as[(Long, Long, String)].collect()
+    assert(again.toSet == split.toSet)
+    // doc-level counterexample: hashing doc_id directly WOULD straddle
+    // at least one multi-doc cluster in this fixture
+    val docLevel = split.map { case (id, c, _) =>
+      (c, graft.functions.TextFunctions.md5Hash60Local(s"split:$id") % 1000 < 200)
+    }
+    assert(docLevel.groupBy(_._1).exists(_._2.map(_._2).distinct.length == 2),
+      "fixture too small to demonstrate the doc-level straddle hazard")
+  }
+
   test("Sampling is deterministic, respects strata rates, and nests across rates") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
     val small = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 100, "fr" -> 300))
