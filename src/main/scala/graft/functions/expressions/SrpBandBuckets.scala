@@ -30,11 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 case class SrpBandBucketsExpr(
     child: Expression,
-    signs: Array[Double],
+    // IndexedSeq, not Array: case-class equality on an Array field is by
+    // reference, which would defeat canonicalization / common-subexpression
+    // elimination for structurally identical sketches
+    signs: IndexedSeq[Double],
     nBands: Int,
     rowsPerBand: Int,
     dim: Int)
     extends UnaryExpression {
+
+  @transient private lazy val signsArr: Array[Double] = signs.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (nBands < 1 || rowsPerBand < 1 || rowsPerBand > 62)
@@ -55,10 +60,10 @@ case class SrpBandBucketsExpr(
 
   override protected def nullSafeEval(input: Any): Any =
     SrpBandBucketsExpr.compute(
-      input.asInstanceOf[ArrayData], signs, nBands, rowsPerBand, dim)
+      input.asInstanceOf[ArrayData], signsArr, nBands, rowsPerBand, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val sref = ctx.addReferenceObj("srpSigns", signs, "double[]")
+    val sref = ctx.addReferenceObj("srpSigns", signsArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.SrpBandBucketsExpr.compute(" +
         s"$c, $sref, $nBands, $rowsPerBand, $dim)")
@@ -106,5 +111,8 @@ object SrpBandBucketsExpr {
       nBands: Int,
       rowsPerBand: Int,
       dim: Int): Column =
-    Bridge.column(SrpBandBucketsExpr(Bridge.expression(c), signs, nBands, rowsPerBand, dim))
+    Bridge.column(SrpBandBucketsExpr(
+      Bridge.expression(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(signs),
+      nBands, rowsPerBand, dim))
 }

@@ -128,10 +128,15 @@ final class TwitchIrcMicroBatchStream(
   // space; file deleted whenever fully drained so disk stays transient
   private var spillFile: java.io.File = _
   private var spillOut: java.io.DataOutputStream = _
+  private var spillIn: java.io.DataInputStream = _
   private var spillWritten = 0L
   private var spillRead = 0L
-  private var spillReadPos = 0L
 
+  // records are length-prefixed UTF-8 (writeInt(len) + bytes + writeLong),
+  // not writeUTF: writeUTF throws UTFDataFormatException past 64 KiB, and
+  // that exception would escape append() on the socket-reader thread — one
+  // oversized line from a hostile/nonconforming server must not kill the
+  // reader
   private def spillAppend(line: String, ts: Long): Unit = {
     if (spillFile == null) {
       spillFile = java.io.File.createTempFile("twitch-irc-spill", ".dat")
@@ -140,31 +145,35 @@ final class TwitchIrcMicroBatchStream(
         new java.io.FileOutputStream(spillFile, true)))
       spillWritten = 0L
       spillRead = 0L
-      spillReadPos = 0L
     }
-    spillOut.writeUTF(line)
+    val bytes = line.getBytes(StandardCharsets.UTF_8)
+    spillOut.writeInt(bytes.length)
+    spillOut.write(bytes)
     spillOut.writeLong(ts)
     spillWritten += 1L
   }
 
   /** Pull spilled lines into memory up to the cap (arrival order, so the
-    * buffer always holds the contiguous offset range).
+    * buffer always holds the contiguous offset range). The read handle is
+    * opened once per spill file and advances across calls — reopening and
+    * seeking per micro-batch would do extra disk I/O under the stream lock
+    * the reader thread's append() contends on.
     */
   private def refillFromSpill(): Unit = {
     if (spillFile != null && spillRead < spillWritten) {
       spillOut.flush()
-      val raf = new java.io.RandomAccessFile(spillFile, "r")
-      try {
-        raf.seek(spillReadPos)
-        while (spillRead < spillWritten &&
-          (maxBufferedLines == 0L || buffer.size < maxBufferedLines)) {
-          val line = raf.readUTF()
-          val ts = raf.readLong()
-          buffer += ((line, ts))
-          spillRead += 1L
-        }
-        spillReadPos = raf.getFilePointer
-      } finally raf.close()
+      if (spillIn == null)
+        spillIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(spillFile)))
+      while (spillRead < spillWritten &&
+        (maxBufferedLines == 0L || buffer.size < maxBufferedLines)) {
+        val len = spillIn.readInt()
+        val bytes = new Array[Byte](len)
+        spillIn.readFully(bytes)
+        val ts = spillIn.readLong()
+        buffer += ((new String(bytes, StandardCharsets.UTF_8), ts))
+        spillRead += 1L
+      }
       if (spillRead == spillWritten) dropSpill()
     }
   }
@@ -172,12 +181,13 @@ final class TwitchIrcMicroBatchStream(
   private def dropSpill(): Unit = {
     if (spillFile != null) {
       try spillOut.close() catch { case _: Exception => () }
+      if (spillIn != null) { try spillIn.close() catch { case _: Exception => () } }
       spillFile.delete()
       spillFile = null
       spillOut = null
+      spillIn = null
       spillWritten = 0L
       spillRead = 0L
-      spillReadPos = 0L
     }
   }
 
