@@ -714,7 +714,12 @@ object SparkEntry {
     * LSH-recall subset (expected recall `1-(1-p^3)^6`, `p = 1-acos(t)/π`).
     */
   private def q56_srp_neardup(s: SparkSession, dir: String): DataFrame =
-    Similarity.srpNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+    // (b=6, r=3) pinned: the oracle rebuilds this exact plane matrix. The
+    // operator's DEFAULT is auto-sizing (rowsPerBand=0 → log2(n/64) bits),
+    // the scale-safe path; the fixture is small enough that fixed bits are
+    // fine here and keep the hash stable across rounds.
+    Similarity.srpNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
+      nBands = 6, rowsPerBand = 3)
 
   /** Time-series resample with gap fill: per-user hourly event counts
     * including empty buckets (count 0) between each user's first and last

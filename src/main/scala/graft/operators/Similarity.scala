@@ -193,22 +193,59 @@ object Similarity {
     math.min(62, math.max(1, r))
   }
 
+  /** Bands needed to reach `targetRecall` for pairs at cosine exactly
+    * `threshold`, with `rowsPerBand` bits per band: solve
+    * `1-(1-p^r)^b >= recall` for `b`, `p = 1 - acos(t)/π` (Charikar's
+    * SRP collision probability). Pairs above the threshold have higher
+    * `p`, so this is the worst-case (boundary) recall.
+    */
+  def bandsForRecall(threshold: Double, rowsPerBand: Int, targetRecall: Double = 0.9): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall in (0,1), got $targetRecall")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pr = math.pow(p, rowsPerBand)
+    if (pr >= 1.0) 1
+    else if (pr <= 0.0) Int.MaxValue
+    else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+  }
+
+  /** `nBands = 0` / `rowsPerBand = 0` (the DEFAULTS) auto-size from the
+    * corpus: `rowsPerBand = autoRowsPerBand(emb.count())` holds bucket
+    * population — and therefore candidate volume — LINEAR in corpus size
+    * (a fixed bit count is `n²/2^(r+1)`, quadratic; ScaleBench measured
+    * exponent 1.11 at 10× for fixed r=3 vs 0.24 auto-sized), and
+    * `nBands = bandsForRecall(threshold, r)` then holds boundary recall
+    * at 0.9 per `1-(1-p^r)^b`. The band count is capped at `maxBands`
+    * (sketch cost and plan size are linear in `b·r·dim`); if the cap
+    * binds — very large corpora at high thresholds — achieved recall is
+    * `1-(1-p^r)^maxBands`: raise `maxBands`, or raise
+    * `autoRowsPerBand`'s `targetBucketSize` via an explicit
+    * `rowsPerBand`, rather than fixing bits below `log2(n)`.
+    */
   def srpNearDup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nBands: Int = 6,
-      rowsPerBand: Int = 3,
-      prefix: String = "srp"): DataFrame = {
-    require(rowsPerBand <= 62, "bucket bits must fit a long")
+      nBands: Int = 0,
+      rowsPerBand: Int = 0,
+      prefix: String = "srp",
+      maxBands: Int = 128): DataFrame = {
+    require(rowsPerBand >= 0 && rowsPerBand <= 62,
+      s"rowsPerBand must be in [1, 62] (or 0 = auto-size from corpus count), got $rowsPerBand")
+    require(nBands >= 0, s"nBands must be >= 1 (or 0 = size for recall 0.9), got $nBands")
+    val rEff =
+      if (rowsPerBand > 0) rowsPerBand
+      else autoRowsPerBand(emb.count())
+    val bEff =
+      if (nBands > 0) nBands
+      else math.min(maxBands, bandsForRecall(threshold, rEff))
     // Uniform dimensionality is assumed: the sketch truncates longer
     // vectors to the first row's dim (verification always uses the full
     // vectors, so emitted pairs stay exact — only candidate recall dips).
     val firstRow = emb.select(size(col(vecCol))).head(1)
     require(firstRow.nonEmpty, s"srpNearDup: input table has no rows (cannot infer $vecCol dimension)")
     val dim = firstRow(0).getInt(0)
-    val nPlanes = nBands * rowsPerBand
+    val nPlanes = bEff * rEff
     // flat [plane*dim + j] layout for the native sketch expression
     val signs: Array[Double] = Array.tabulate(nPlanes * dim) { pj =>
       if (graft.functions.TextFunctions.md5Hash60Local(s"$prefix:${pj / dim}:${pj % dim}") % 2 == 0)
@@ -219,7 +256,7 @@ object Similarity {
       col(idCol).alias("id"),
       posexplode(
         graft.functions.expressions.SrpBandBucketsExpr
-          .srpBandBuckets(col(vecCol), signs, nBands, rowsPerBand, dim))
+          .srpBandBuckets(col(vecCol), signs, bEff, rEff, dim))
         .as(Seq("band", "bucket")))
     val cand = sk.alias("a")
       .join(

@@ -5,10 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling harness for the dedup/CC/LSH family: runs the
-  * text/embedding queries at sf0.1 and at a derived 10×-scaled corpus,
-  * and prints per-query wall times plus the scaling exponent
-  * `log10(T_10x / T_1x)` (1.0 = linear; iterative/log stages may sit
-  * slightly above).
+  * text/embedding queries at sf0.1 and at a derived `copies`×-scaled
+  * corpus, and prints per-query wall times plus the scaling exponent
+  * `log(T_scaled / T_base) / log(copies)` (1.0 = linear; iterative/log
+  * stages may sit slightly above).
   *
   * The scaled corpus is DERIVED from the sf0.1 fixtures (TESTDATA.md
   * forbids inventing new input data; this is a measurement harness, not
@@ -56,17 +56,19 @@ object ScaleBench {
     */
   private def embeddingQueries(
       spark: SparkSession): Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+    // fixed bits: the measured quadratic-candidate counterexample (kept
+    // as the A/B control for the auto default below)
     "srp_neardup(t0.8,r3)" -> ((dir: String) =>
       graft.operators.Similarity.srpNearDup(
-        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", threshold = 0.8)),
-    // bucket bits sized to the corpus (log2(n/64)): holds per-bucket pair
-    // work constant, the knob that keeps SRP linear at scale
-    "srp_neardup(t0.8,auto)" -> { (dir: String) =>
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      val r = graft.operators.Similarity.autoRowsPerBand(emb.count())
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.8, nBands = 6, rowsPerBand = 3)),
+    // the DEFAULTS (rowsPerBand=0 → log2(n/64) bits, nBands=0 → recall-
+    // sized bands): holds per-bucket pair work constant, the knob that
+    // keeps SRP linear at scale
+    "srp_neardup(t0.8,default)" -> ((dir: String) =>
       graft.operators.Similarity.srpNearDup(
-        emb, "vec_id", "embedding", threshold = 0.8, rowsPerBand = r)
-    },
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.8)),
     "emb_blocked(t0.8)" -> ((dir: String) =>
       graft.operators.Dedup.embeddingNearDupBlocked(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

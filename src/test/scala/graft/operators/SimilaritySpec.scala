@@ -85,6 +85,45 @@ class SimilaritySpec extends SparkTestBase {
       s"only ${planted.count(found.contains)}/20 planted near-dups recalled")
   }
 
+  test("srpNearDup DEFAULTS auto-size bits and bands: subset of exact, planted near-dups recalled") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 20L).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+      Seq((i * 2, base.toSeq), (i * 2 + 1, near.toSeq))
+    }.toDF("vec_id", "embedding")
+
+    val exact = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // no nBands / rowsPerBand: the scale-safe auto-sized path
+    val srp = Similarity.srpNearDup(vecs, "vec_id", "embedding", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+
+    srp.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in exact result")
+      assert(exact((a, b)) == c, s"cosine mismatch for ($a,$b)")
+    }
+    val found = srp.map { case (a, b, _) => (a, b) }.toSet
+    val planted = (0L until 20L).map(i => (i * 2, i * 2 + 1))
+    assert(planted.count(found.contains) >= 18,
+      s"only ${planted.count(found.contains)}/20 planted near-dups recalled with defaults")
+  }
+
+  test("bandsForRecall solves 1-(1-p^r)^b >= recall at the threshold boundary") {
+    for (t <- Seq(0.4, 0.8); r <- Seq(1, 3, 5, 7); target <- Seq(0.5, 0.9)) {
+      val b = Similarity.bandsForRecall(t, r, target)
+      val p = 1.0 - math.acos(t) / math.Pi
+      def recall(bands: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), bands.toDouble)
+      assert(recall(b) >= target - 1e-12, s"t=$t r=$r: $b bands give ${recall(b)} < $target")
+      if (b > 1)
+        assert(recall(b - 1) < target, s"t=$t r=$r: $b bands not minimal")
+    }
+    // degenerate ends stay sane
+    assert(Similarity.bandsForRecall(1.0, 3) == 1) // p = 1: one band suffices
+    assert(Similarity.bandsForRecall(-1.0, 3) == Int.MaxValue) // p = 0: unreachable
+  }
+
   test("autoRowsPerBand holds bucket population constant as the corpus grows") {
     // n/2^r stays within [targetBucketSize/2, targetBucketSize]
     for (n <- Seq(100L, 1000L, 100000L, 10000000L, 1000000000L)) {
