@@ -24,14 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("md5_hash60"),
         new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5_hash60"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          Md5Hash60Expr(exprs.head)))
+        GraftFunctions.md5Hash60Builder))
     e.injectFunction(
       (
         FunctionIdentifier("dot_f"),
         new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotProductFloat(exprs.head, exprs(1))))
+        GraftFunctions.dotFBuilder))
     // norm2_f alongside dot_f: the scan-side cosine
     // dot_f(a, b) / (norm2_f(a) * norm2_f(b)) is expressible from pure
     // SQL, matching the Column-API surface
@@ -39,14 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("norm2_f"),
         new ExpressionInfo(classOf[Norm2Float].getName, "norm2_f"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          Norm2Float(exprs.head)))
+        GraftFunctions.norm2FBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("sorted_intersect_count"),
         new ExpressionInfo(classOf[SortedIntersectCountLong].getName, "sorted_intersect_count"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SortedIntersectCountLong(exprs.head, exprs(1))))
+        GraftFunctions.sortedIntersectCountBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("heavy_hitters"),
@@ -56,18 +52,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("shingle_hash_set"),
         new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          ShingleHashSetExpr(exprs.head, GraftFunctions.intLit(exprs(1), "shingle_hash_set n"))))
+        GraftFunctions.shingleHashSetBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("shingle_mod_hashes"),
         new ExpressionInfo(classOf[ShingleModHashesExpr].getName, "shingle_mod_hashes"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          ShingleModHashesExpr(exprs.head, GraftFunctions.intLit(exprs(1), "shingle_mod_hashes n"))))
+        GraftFunctions.shingleModHashesBuilder))
   }
 }
 
 object GraftFunctions {
+
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Wrong-arity SQL calls must fail analysis with the signature, not
+    * `IndexOutOfBoundsException` from `exprs(1)` inside the builder.
+    */
+  private[graft] def arity(exprs: Seq[Expr], n: Int, signature: String): Seq[Expr] = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$signature expects $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
+    exprs
+  }
+
+  private[graft] def md5Hash60Builder: Seq[Expr] => Expr =
+    exprs => Md5Hash60Expr(arity(exprs, 1, "md5_hash60(text)").head)
+
+  private[graft] def dotFBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "dot_f(vec_a, vec_b)")
+    DotProductFloat(exprs.head, exprs(1))
+  }
+
+  private[graft] def norm2FBuilder: Seq[Expr] => Expr =
+    exprs => Norm2Float(arity(exprs, 1, "norm2_f(vec)").head)
+
+  private[graft] def sortedIntersectCountBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "sorted_intersect_count(sorted_a, sorted_b)")
+    SortedIntersectCountLong(exprs.head, exprs(1))
+  }
+
+  private[graft] def shingleHashSetBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "shingle_hash_set(text, n)")
+    ShingleHashSetExpr(exprs.head, intLit(exprs(1), "shingle_hash_set n"))
+  }
+
+  private[graft] def shingleModHashesBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "shingle_mod_hashes(text, n)")
+    ShingleModHashesExpr(exprs.head, intLit(exprs(1), "shingle_mod_hashes n"))
+  }
 
   /** `heavy_hitters(item, capacity, k)` — capacity/k must be integer
     * literals (the summary is sized at plan time).
@@ -80,23 +112,19 @@ object GraftFunctions {
         s"$name must be an INT literal, got $other")
     }
 
-  private[graft] def heavyHittersBuilder
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression =
-    exprs =>
-      HeavyHittersAgg(exprs.head,
-        intLit(exprs(1), "heavy_hitters capacity"), intLit(exprs(2), "heavy_hitters k"))
+  private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
+    HeavyHittersAgg(exprs.head,
+      intLit(exprs(1), "heavy_hitters capacity"), intLit(exprs(2), "heavy_hitters k"))
+  }
 
   def register(spark: SparkSession): Unit = {
-    Bridge.registerTempFunction(spark, "md5_hash60", exprs => Md5Hash60Expr(exprs.head))
-    Bridge.registerTempFunction(spark, "dot_f", exprs => DotProductFloat(exprs.head, exprs(1)))
-    Bridge.registerTempFunction(spark, "norm2_f", exprs => Norm2Float(exprs.head))
-    Bridge.registerTempFunction(spark, "sorted_intersect_count",
-      exprs => SortedIntersectCountLong(exprs.head, exprs(1)))
+    Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
+    Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
+    Bridge.registerTempFunction(spark, "norm2_f", norm2FBuilder)
+    Bridge.registerTempFunction(spark, "sorted_intersect_count", sortedIntersectCountBuilder)
     Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
-    Bridge.registerTempFunction(spark, "shingle_hash_set",
-      exprs => ShingleHashSetExpr(exprs.head, intLit(exprs(1), "shingle_hash_set n")))
-    Bridge.registerTempFunction(spark, "shingle_mod_hashes",
-      exprs => ShingleModHashesExpr(exprs.head, intLit(exprs(1), "shingle_mod_hashes n")))
+    Bridge.registerTempFunction(spark, "shingle_hash_set", shingleHashSetBuilder)
+    Bridge.registerTempFunction(spark, "shingle_mod_hashes", shingleModHashesBuilder)
   }
 }

@@ -41,6 +41,24 @@ case class SrpBandBucketsExpr(
 
   @transient private lazy val signsArr: Array[Double] = signs.toArray
 
+  // Plan transforms / canonicalization compare expressions repeatedly, and
+  // the signs matrix is nBands·rowsPerBand·dim doubles (easily 10k+): a
+  // cached content hash makes hashCode O(n) ONCE and lets equals reject
+  // mismatches in O(1), falling back to element-wise comparison only on a
+  // hash match (structurally equal sketches still unify for CSE).
+  @transient private lazy val signsHash: Int = signs.hashCode()
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nBands),
+      Integer.valueOf(rowsPerBand), Integer.valueOf(dim), Integer.valueOf(signsHash))
+
+  override def equals(obj: Any): Boolean = obj match {
+    case o: SrpBandBucketsExpr =>
+      (this eq o) || (nBands == o.nBands && rowsPerBand == o.rowsPerBand && dim == o.dim &&
+        signsHash == o.signsHash && child == o.child && signs == o.signs)
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (nBands < 1 || rowsPerBand < 1 || rowsPerBand > 62)
       TypeCheckResult.TypeCheckFailure(
@@ -111,8 +129,11 @@ object SrpBandBucketsExpr {
       nBands: Int,
       rowsPerBand: Int,
       dim: Int): Column =
+    // clone before wrapping: unsafeWrapArray would alias the caller's
+    // mutable array, so post-hoc mutation would silently change the
+    // expression's semantics (and its cached content hash)
     Bridge.column(SrpBandBucketsExpr(
       Bridge.expression(c),
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(signs),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(signs.clone()),
       nBands, rowsPerBand, dim))
 }

@@ -132,7 +132,13 @@ final class TwitchIrcMicroBatchStream(
   private var spillWritten = 0L
   private var spillRead = 0L
 
-  // records are length-prefixed UTF-8 (writeInt(len) + bytes + writeLong),
+  // sanity cap on a single spill record: IRC lines are ~512 bytes, so a
+  // length prefix beyond this is a corrupt file, not data — and it bounds
+  // the refill-side allocation (a garbage prefix must not trigger a
+  // near-2GiB array allocation on the driver)
+  private val MaxSpillRecordBytes = 16 * 1024 * 1024
+
+  // records are length-prefixed UTF-8 (int len + bytes + long micros),
   // not writeUTF: writeUTF throws UTFDataFormatException past 64 KiB, and
   // that exception would escape append() on the socket-reader thread — one
   // oversized line from a hostile/nonconforming server must not kill the
@@ -147,10 +153,22 @@ final class TwitchIrcMicroBatchStream(
       spillRead = 0L
     }
     val bytes = line.getBytes(StandardCharsets.UTF_8)
-    spillOut.writeInt(bytes.length)
-    spillOut.write(bytes)
-    spillOut.writeLong(ts)
-    spillWritten += 1L
+    // whole record in ONE write() call: an IOException mid-record (disk
+    // full) must never leave partial bytes desyncing the length-prefixed
+    // format while spillWritten says otherwise
+    val rec = java.nio.ByteBuffer.allocate(4 + bytes.length + 8)
+    rec.putInt(bytes.length).put(bytes).putLong(ts)
+    try {
+      spillOut.write(rec.array())
+      spillWritten += 1L
+    } catch {
+      case _: java.io.IOException =>
+        // the spill tier is best-effort overflow: a failed write degrades
+        // to dropping the not-yet-drained spilled lines (what a bounded
+        // buffer would have dropped anyway) instead of leaving a
+        // misaligned file that a later refill would misparse
+        dropSpill()
+    }
   }
 
   /** Pull spilled lines into memory up to the cap (arrival order, so the
@@ -161,20 +179,32 @@ final class TwitchIrcMicroBatchStream(
     */
   private def refillFromSpill(): Unit = {
     if (spillFile != null && spillRead < spillWritten) {
-      spillOut.flush()
-      if (spillIn == null)
-        spillIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
-          new java.io.FileInputStream(spillFile)))
-      while (spillRead < spillWritten &&
-        (maxBufferedLines == 0L || buffer.size < maxBufferedLines)) {
-        val len = spillIn.readInt()
-        val bytes = new Array[Byte](len)
-        spillIn.readFully(bytes)
-        val ts = spillIn.readLong()
-        buffer += ((new String(bytes, StandardCharsets.UTF_8), ts))
-        spillRead += 1L
+      try {
+        spillOut.flush()
+        if (spillIn == null)
+          spillIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(spillFile)))
+        while (spillRead < spillWritten &&
+          (maxBufferedLines == 0L || buffer.size < maxBufferedLines)) {
+          val len = spillIn.readInt()
+          // don't trust the on-disk prefix: negative → NegativeArraySize,
+          // huge → unbounded driver allocation; both mean corruption
+          if (len < 0 || len > MaxSpillRecordBytes)
+            throw new java.io.IOException(s"corrupt spill record length $len")
+          val bytes = new Array[Byte](len)
+          spillIn.readFully(bytes)
+          val ts = spillIn.readLong()
+          buffer += ((new String(bytes, StandardCharsets.UTF_8), ts))
+          spillRead += 1L
+        }
+        if (spillRead == spillWritten) dropSpill()
+      } catch {
+        case _: java.io.IOException => // includes EOFException (truncation)
+          // corrupt/truncated spill file: records drained so far are safe
+          // in `buffer`; drop the rest rather than let the exception
+          // escape latestOffset() and fail the whole streaming query
+          dropSpill()
       }
-      if (spillRead == spillWritten) dropSpill()
     }
   }
 

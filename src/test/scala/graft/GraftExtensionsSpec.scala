@@ -253,4 +253,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert("\\*\\(\\d+\\) Project \\[srp_band_buckets".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
+
+  test("wrong-arity SQL calls fail analysis naming the signature, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    def messageFor(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+
+    // one argument to a 2-arg builder used to die with IndexOutOfBoundsException
+    val m1 = messageFor("SELECT shingle_hash_set('a b c')")
+    assert(m1.contains("shingle_hash_set(text, n)") && m1.contains("got 1"), m1)
+    val m2 = messageFor("SELECT shingle_mod_hashes('a b c')")
+    assert(m2.contains("shingle_mod_hashes(text, n)") && m2.contains("got 1"), m2)
+    val m3 = messageFor("SELECT dot_f(array(1.0F))")
+    assert(m3.contains("dot_f(vec_a, vec_b)"), m3)
+    val m4 = messageFor("SELECT md5_hash60('a', 'b')")
+    assert(m4.contains("md5_hash60(text)") && m4.contains("got 2"), m4)
+    val m5 = messageFor("SELECT heavy_hitters('x', 8)")
+    assert(m5.contains("heavy_hitters(item, capacity, k)"), m5)
+    val m6 = messageFor("SELECT sorted_intersect_count(array(1L))")
+    assert(m6.contains("sorted_intersect_count(sorted_a, sorted_b)"), m6)
+    val m7 = messageFor("SELECT norm2_f()")
+    assert(m7.contains("norm2_f(vec)") && m7.contains("got 0"), m7)
+  }
 }
