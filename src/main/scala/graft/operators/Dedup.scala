@@ -354,7 +354,19 @@ object Dedup {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxPairs: Long = 1000000000L): DataFrame = {
+    // fail LOUD before planning an O(n²) self-join at corpus scale: the
+    // exact tier is a deliberate choice, not a default anyone should
+    // reach by accident at 100 TB
+    val n = emb.count()
+    val pairs = if (n < 2) 0L else n * (n - 1) / 2
+    require(
+      pairs <= maxPairs,
+      s"embeddingNearDup is the exact all-pairs tier: $n rows = $pairs " +
+        s"pairs > maxPairs=$maxPairs. Use embeddingNearDupBlocked (exact, " +
+        s"distributed block pairs) or Similarity.srpNearDup (banded LSH, " +
+        s"the 100 TB path), or raise maxPairs explicitly.")
     val v = emb.select(
       col(idCol).alias("id"),
       col(vecCol).alias("vec"),
@@ -556,6 +568,16 @@ object Dedup {
     import spark.implicits._
     val n = emb.select(col(idCol)).count()
     val b = math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
+    // shuffle volume is n·B vector replicas and compute is n²/2 dots: a
+    // block count this size means the corpus has outgrown the exact tier
+    // — fail loud with the sub-quadratic pointer instead of melting
+    require(
+      b <= 4096,
+      s"embeddingNearDupBlocked: $n rows / maxBlockRows=$maxBlockRows = $b " +
+        s"blocks (> 4096); shuffle volume n·B and n²/2 comparisons are " +
+        s"past the exact tier's reach. Use Similarity.srpNearDup (banded " +
+        s"LSH) or minHashLsh for candidate generation, or raise " +
+        s"maxBlockRows if a block truly fits a task.")
     // norm before the explode so it's computed once per row, not per
     // replica. Blocks come from pmod(hash(id), B), not pmod(id, B):
     // strided id spaces (snowflake ids, multiples of 10^k) would collapse

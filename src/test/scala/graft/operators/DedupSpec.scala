@@ -185,6 +185,31 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("embeddingNearDupBlocked"))
   }
 
+  test("embeddingNearDup refuses a pair volume over maxPairs, pointing to the scale paths") {
+    val emb = (1L to 10L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      // 10 rows = 45 pairs > 40
+      Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.5, maxPairs = 40L)
+    }
+    assert(e.getMessage.contains("exact all-pairs tier"))
+    assert(e.getMessage.contains("srpNearDup"))
+    // raising the cap explicitly unblocks it
+    assert(Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.5, maxPairs = 45L)
+      .count() == 45L)
+  }
+
+  test("embeddingNearDupBlocked refuses a block count past the exact tier's reach") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = spark.range(0L, 5000L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      // 5000 rows at 1 row/block = 5000 blocks > 4096
+      Dedup.embeddingNearDupBlocked(emb, "id", "vec", threshold = 0.5, maxBlockRows = 1)
+    }
+    assert(e.getMessage.contains("blocks"))
+    assert(e.getMessage.contains("srpNearDup"))
+  }
+
   test("lineDedup drops corpus-frequent lines, preserves order, keeps emptied docs") {
     val docs = Seq(
       (1L, "boiler\nunique one\nboiler\nrare line"),
