@@ -58,10 +58,24 @@ object Bench {
       if (gcDebug) System.err.println(f"[gc] $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full-precision, full-name map to a file: the driver keeps only the
+    // LAST ~2000 chars of stdout, so a 75-query full-name line gets its
+    // head truncated and fails to parse — the printed line stays SHORT
+    // (qNN keys, 4-decimal seconds ≈ 0.1 ms resolution) so every query
+    // survives the tail cap, and target/bench.json keeps the full record
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val out = new java.io.File("target/bench.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"sf":"$sfDir"}""")
+    finally w.close()
+    def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val shortQs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
