@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, HeavyHittersAgg, Md5Hash60Expr, Norm2Float, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong}
+import graft.functions.expressions.{CorpusStatsExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -58,6 +58,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("shingle_mod_hashes"),
         new ExpressionInfo(classOf[ShingleModHashesExpr].getName, "shingle_mod_hashes"),
         GraftFunctions.shingleModHashesBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("lang_id"),
+        new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+        GraftFunctions.langIdBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("quality_stats"),
+        new ExpressionInfo(classOf[QualityStatsExpr].getName, "quality_stats"),
+        GraftFunctions.qualityStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("corpus_stats"),
+        new ExpressionInfo(classOf[CorpusStatsExpr].getName, "corpus_stats"),
+        GraftFunctions.corpusStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("term_counts"),
+        new ExpressionInfo(classOf[TermCountsExpr].getName, "term_counts"),
+        GraftFunctions.termCountsBuilder))
   }
 }
 
@@ -112,6 +132,29 @@ object GraftFunctions {
         s"$name must be an INT literal, got $other")
     }
 
+  private[graft] def strLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): String =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name must be a STRING literal, got $other")
+    }
+
+  private[graft] def langIdBuilder: Seq[Expr] => Expr =
+    exprs => LangIdExpr(arity(exprs, 1, "lang_id(text)").head)
+
+  private[graft] def qualityStatsBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "quality_stats(text, language)")
+    QualityStatsExpr(exprs.head, strLit(exprs(1), "quality_stats language"))
+  }
+
+  private[graft] def corpusStatsBuilder: Seq[Expr] => Expr =
+    exprs => CorpusStatsExpr(arity(exprs, 1, "corpus_stats(text)").head)
+
+  private[graft] def termCountsBuilder: Seq[Expr] => Expr =
+    exprs => TermCountsExpr(arity(exprs, 1, "term_counts(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -126,5 +169,9 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
     Bridge.registerTempFunction(spark, "shingle_hash_set", shingleHashSetBuilder)
     Bridge.registerTempFunction(spark, "shingle_mod_hashes", shingleModHashesBuilder)
+    Bridge.registerTempFunction(spark, "lang_id", langIdBuilder)
+    Bridge.registerTempFunction(spark, "quality_stats", qualityStatsBuilder)
+    Bridge.registerTempFunction(spark, "corpus_stats", corpusStatsBuilder)
+    Bridge.registerTempFunction(spark, "term_counts", termCountsBuilder)
   }
 }

@@ -311,20 +311,24 @@ object SparkEntry {
   private def q24_langid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      TextFunctions.langIdUdf(col("text")).as("lang_pred"))
+      graft.functions.expressions.LangIdExpr.langId(col("text")).as("lang_pred"))
 
   private def q25_quality(s: SparkSession, dir: String): DataFrame =
-    // one tight-loop pass computes all five metrics (the columnar forms
-    // re-tokenize per column through interpreted HOFs)
+    // one native-codegen pass computes all five metrics (the columnar
+    // forms re-tokenize per column through interpreted HOFs; the UDF twin
+    // paid a row-boundary conversion)
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.qualityStatsUdf("english")(col("text")).as("q"))
       .select(
         col("doc_id"),
-        col("q._1").as("n_tokens"),
-        col("q._2").as("n_subtokens"),
-        col("q._3").as("punct_ratio"),
-        col("q._4").as("stopword_ratio"),
-        col("q._5").as("mean_token_len"))
+        graft.functions.expressions.QualityStatsExpr
+          .qualityStats(col("text"), "english").as("q"))
+      .select(
+        col("doc_id"),
+        col("q.n_tokens").as("n_tokens"),
+        col("q.n_subtokens").as("n_subtokens"),
+        col("q.punct_ratio").as("punct_ratio"),
+        col("q.stopword_ratio").as("stopword_ratio"),
+        col("q.mean_token_len").as("mean_token_len"))
 
   private def q26_fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

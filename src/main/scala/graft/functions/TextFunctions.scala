@@ -188,12 +188,17 @@ object TextFunctions {
   // unchanged while the hashing pass runs ~10× faster. Deterministic, so
   // ReuseExchange still dedups repeated subplans.
 
+  // precompiled: String.split(regex) recompiles the Pattern on every
+  // call, which is measurable at scan-kernel call rates
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val nonAlnumPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** JVM twin of `tokens`: lower-case (root locale), split on whitespace
     * runs, drop empties.
     */
   def tokensLocal(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    else wsPattern.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** JVM twin of `shingles`. */
   def shinglesLocal(toks: Array[String], n: Int): Array[String] =
@@ -246,17 +251,20 @@ object TextFunctions {
     * already-aggregated row per distinct term, not one per token).
     */
   val termCountsUdf: Column => Column = {
-    val f = udf { (text: String) =>
-      val toks = tokensLocal(text)
-      val m = new scala.collection.mutable.HashMap[String, Long]
-      var i = 0
-      while (i < toks.length) {
-        m.update(toks(i), m.getOrElse(toks(i), 0L) + 1L)
-        i += 1
-      }
-      m.toMap
-    }
+    val f = udf((text: String) => termCountsLocal(text).toMap)
     c => f(c)
+  }
+
+  /** JVM body of [[termCountsUdf]] / `TermCountsExpr`. */
+  def termCountsLocal(text: String): scala.collection.mutable.HashMap[String, Long] = {
+    val toks = tokensLocal(text)
+    val m = new scala.collection.mutable.HashMap[String, Long]
+    var i = 0
+    while (i < toks.length) {
+      m.update(toks(i), m.getOrElse(toks(i), 0L) + 1L)
+      i += 1
+    }
+    m
   }
 
   /** `text → shingle strings` as one tight loop (for inverted-index
@@ -566,36 +574,38 @@ object TextFunctions {
     val sw = stopWords(language).toSet
     val f = udf { (text: String) =>
       if (text == null) Option.empty[(Long, Long, Double, Double, Double)]
-      else {
-        val lowered = text.toLowerCase(java.util.Locale.ROOT)
-        val toks = tokensLocal(text)
-        val nTokens = toks.length.toLong
-        val nSub = lowered.split("[^a-z0-9]+").count(_.nonEmpty).toLong
-        var punct = 0L
-        var i = 0
-        while (i < lowered.length) {
-          val cp = lowered.codePointAt(i)
-          val ok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
-          if (!ok) punct += 1
-          i += Character.charCount(cp)
-        }
-        val total = text.codePointCount(0, text.length).toLong
-        var hits = 0L
-        var sumLen = 0L
-        toks.foreach { t =>
-          if (sw.contains(t)) hits += 1
-          sumLen += t.codePointCount(0, t.length)
-        }
-        Some(
-          (
-            nTokens,
-            nSub,
-            punct.toDouble / math.max(total, 1L).toDouble,
-            hits.toDouble / math.max(nTokens, 1L).toDouble,
-            sumLen.toDouble / math.max(nTokens, 1L).toDouble))
-      }
+      else Some(qualityStatsLocal(text, sw))
     }
     c => f(c)
+  }
+
+  /** JVM body of [[qualityStatsUdf]] / `QualityStatsExpr` (non-null text). */
+  def qualityStatsLocal(text: String, sw: Set[String]): (Long, Long, Double, Double, Double) = {
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val toks = tokensLocal(text)
+    val nTokens = toks.length.toLong
+    val nSub = nonAlnumPattern.split(lowered).count(_.nonEmpty).toLong
+    var punct = 0L
+    var i = 0
+    while (i < lowered.length) {
+      val cp = lowered.codePointAt(i)
+      val ok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+      if (!ok) punct += 1
+      i += Character.charCount(cp)
+    }
+    val total = text.codePointCount(0, text.length).toLong
+    var hits = 0L
+    var sumLen = 0L
+    toks.foreach { t =>
+      if (sw.contains(t)) hits += 1
+      sumLen += t.codePointCount(0, t.length)
+    }
+    (
+      nTokens,
+      nSub,
+      punct.toDouble / math.max(total, 1L).toDouble,
+      hits.toDouble / math.max(nTokens, 1L).toDouble,
+      sumLen.toDouble / math.max(nTokens, 1L).toDouble)
   }
 
   /** Gopher-style repetition metrics in one pass: the most frequent word

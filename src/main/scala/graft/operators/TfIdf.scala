@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * keyword-extraction primitive (and the vectorization step feeding
   * classical-ML training pipelines).
   *
-  * Shape: term frequency is computed SCAN-SIDE — a one-pass UDF folds
-  * each document's tokens into a term→count map, and exploding the map
-  * yields the (doc, term, tf) rows directly, so there is no token-level
+  * Shape: term frequency is computed SCAN-SIDE — a one-pass native
+  * codegen expression (`TermCountsExpr`) folds each document's tokens
+  * into a term→count map, and exploding the map yields the
+  * (doc, term, tf) rows directly, so there is no token-level
   * explode and no (doc, term) groupBy shuffle at all (the classic
   * "aggregate before you shuffle" move; at 100 TB the difference
   * between shuffling every token occurrence and shuffling one row per
@@ -42,7 +43,8 @@ object TfIdf {
     val tf = docs
       .select(
         col(idCol).alias("doc_id"),
-        explode(TextFunctions.termCountsUdf(col(textCol))).as(Seq("term", "tf")))
+        explode(graft.functions.expressions.TermCountsExpr.termCounts(col(textCol)))
+          .as(Seq("term", "tf")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).alias("df"))
     val n = docs.agg(count(lit(1)).alias("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)

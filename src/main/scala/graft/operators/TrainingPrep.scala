@@ -25,18 +25,19 @@ object TrainingPrep {
       minTokens: Int,
       maxTokens: Int,
       language: String): DataFrame = {
-    // one tight-loop pass per document: tokenize once → (n_tokens,
+    // one native-codegen pass per document: tokenize once → (n_tokens,
     // lang_pred, fp). The columnar HOF form re-tokenized per derived
-    // column in interpreted CodegenFallback — ~5× slower end-to-end.
+    // column in interpreted CodegenFallback — ~5× slower end-to-end; the
+    // UDF twin additionally paid a row-boundary encoder conversion.
     val scored = docs.select(
       col(idCol),
-      TextFunctions.corpusStatsUdf(col(textCol)).as("st"))
+      graft.functions.expressions.CorpusStatsExpr.corpusStats(col(textCol)).as("st"))
 
     scored
       .filter(
-        col("st._1") >= minTokens && col("st._1") <= maxTokens &&
-          col("st._2") === language)
-      .select(col(idCol), col("st._1").as("n_tokens"), col("st._3").as("fp"))
+        col("st.n_tokens") >= minTokens && col("st.n_tokens") <= maxTokens &&
+          col("st.lang_pred") === language)
+      .select(col(idCol), col("st.n_tokens").as("n_tokens"), col("st.fp").as("fp"))
       .groupBy("fp")
       .agg(
         min(col(idCol)).as(idCol),

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.{GraftFunctions, SparkTestBase}
+import graft.functions.expressions.{CorpusStatsExpr, LangIdExpr, QualityStatsExpr, TermCountsExpr}
+import org.apache.spark.sql.functions._
+
+/** Parity of the native text-stats expressions with the closure-UDF
+  * twins they replaced on q24/q25/q35/q52's hot paths, plus the
+  * codegen/no-UDF plan assertions.
+  */
+class TextStatsExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog and the cat"),
+    (2L, "le chat est sur la table et il dort bien là"),
+    (3L, "der Hund ist im Garten und die Katze schläft"),
+    (4L, "el perro está en el jardín y la casa es grande"),
+    (5L, ""),
+    (6L, "x"),
+    (7L, "Üñíçødé 文本 🙂 mixed: 42 tokens!  spaced\t\tout"),
+    (8L, null.asInstanceOf[String]),
+    (9L, "dup dup dup words words one")
+  ).toDF("id", "text")
+
+  test("LangIdExpr matches langIdUdf on every row incl. null/empty/unicode") {
+    val native = rows.select(col("id"), LangIdExpr.langId(col("text")).as("l"))
+      .as[(Long, Option[String])].collect().toMap
+    val viaUdf = rows.select(col("id"), TextFunctions.langIdUdf(col("text")).as("l"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(native == viaUdf)
+    assert(native(8L).isEmpty) // null text → null
+  }
+
+  test("QualityStatsExpr matches qualityStatsUdf field-for-field") {
+    val native = rows
+      .select(col("id"), QualityStatsExpr.qualityStats(col("text"), "english").as("q"))
+      .select(col("id"), col("q.n_tokens"), col("q.n_subtokens"), col("q.punct_ratio"),
+        col("q.stopword_ratio"), col("q.mean_token_len"))
+      .as[(Long, Option[Long], Option[Long], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    val viaUdf = rows
+      .select(col("id"), TextFunctions.qualityStatsUdf("english")(col("text")).as("q"))
+      .select(col("id"), col("q._1"), col("q._2"), col("q._3"), col("q._4"), col("q._5"))
+      .as[(Long, Option[Long], Option[Long], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(native == viaUdf)
+  }
+
+  test("CorpusStatsExpr matches corpusStatsUdf (n_tokens, lang_pred, fp)") {
+    val nonNull = rows.filter(col("text").isNotNull) // the UDF twin NPEs on null text
+    val native = nonNull
+      .select(col("id"), CorpusStatsExpr.corpusStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_tokens"), col("st.lang_pred"), col("st.fp"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val viaUdf = nonNull
+      .select(col("id"), TextFunctions.corpusStatsUdf(col("text")).as("st"))
+      .select(col("id"), col("st._1"), col("st._2"), col("st._3"))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(native == viaUdf)
+    // null text → null struct (safer than the UDF twin)
+    val nullRow = rows.filter(col("id") === 8L)
+      .select(CorpusStatsExpr.corpusStats(col("text"))).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("TermCountsExpr matches termCountsUdf as an exploded multiset") {
+    def exploded(c: org.apache.spark.sql.Column) = rows
+      .select(col("id"), explode(c).as(Seq("term", "tf")))
+      .as[(Long, String, Long)].collect().toSet
+    assert(
+      exploded(TermCountsExpr.termCounts(col("text"))) ==
+        exploded(TextFunctions.termCountsUdf(col("text"))))
+  }
+
+  test("native text stats are SQL-registered, codegen'd, and UDF-free over parquet") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_ts")
+    val q = spark.sql(
+      """SELECT doc_id, lang_id(text) AS l, quality_stats(text, 'english') AS q,
+                corpus_stats(text) AS st, term_counts(text) AS tc
+         FROM docs_ts""")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try q.collect()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[.*lang_id".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+
+    // wrong arity fails analysis with the signature
+    val m = intercept[Exception](spark.sql("SELECT quality_stats('x')").collect()).getMessage
+    assert(m.contains("quality_stats(text, language)"), m)
+    val m2 = intercept[Exception](
+      spark.sql("SELECT quality_stats('x', lower('english'))").collect()).getMessage
+    assert(m2.contains("STRING literal"), m2)
+  }
+}
