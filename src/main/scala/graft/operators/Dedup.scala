@@ -553,6 +553,15 @@ object Dedup {
     * candidate generators instead: [[Similarity.srpNearDup]] (banded
     * SRP-LSH) or [[minHashLsh]].
     *
+    * `maxBlockRows = 0` (the default) auto-sizes B: the measured sweep
+    * (BASELINE.md round 8; 20k×64f rows, 32 cores) is monotone in
+    * PARALLELISM — B=40 ran 11.9× faster than B=1 because the n²/2
+    * dots dwarf the replication shuffle until B is extreme — so auto
+    * picks the smallest B giving ≥ ~4 block-pair tasks per core
+    * (B ≈ √(8·defaultParallelism)), bumped so no block exceeds 100k
+    * rows (per-task working set 2·rows·dim·4B). Pass an explicit
+    * `maxBlockRows` only to pin the layout (e.g. tests, A/B runs).
+    *
     * Arithmetic (left-to-right double dot fold over the shorter length,
     * `dot / (norm_a · norm_b)`, `>= threshold`) is bit-identical to
     * [[embeddingNearDup]] / [[embeddingNearDupBlock]], so all three
@@ -563,20 +572,30 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxBlockRows: Int = 100000): DataFrame = {
+      maxBlockRows: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    require(maxBlockRows >= 0, s"maxBlockRows must be >= 0 (0 = auto), got $maxBlockRows")
     val n = emb.select(col(idCol)).count()
-    val b = math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
+    val b =
+      if (maxBlockRows > 0) math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
+      else {
+        // parallelism floor: B(B+1)/2 tasks ≈ 4 per core keeps every
+        // core busy through stragglers; memory ceiling: ≤100k rows/block
+        val byPar = math.ceil(math.sqrt(8.0 * spark.sparkContext.defaultParallelism)).toInt
+        val byMem = math.ceil(n / 100000.0).toInt
+        math.max(1, math.max(byPar, byMem))
+      }
     // shuffle volume is n·B vector replicas and compute is n²/2 dots: a
     // block count this size means the corpus has outgrown the exact tier
     // — fail loud with the sub-quadratic pointer instead of melting
     require(
       b <= 4096,
-      s"embeddingNearDupBlocked: $n rows / maxBlockRows=$maxBlockRows = $b " +
-        s"blocks (> 4096); shuffle volume n·B and n²/2 comparisons are " +
-        s"past the exact tier's reach. Use Similarity.srpNearDup (banded " +
-        s"LSH) or minHashLsh for candidate generation, or raise " +
+      s"embeddingNearDupBlocked: $n rows at " +
+        (if (maxBlockRows > 0) s"maxBlockRows=$maxBlockRows" else "auto block sizing") +
+        s" = $b blocks (> 4096); shuffle volume n·B and n²/2 comparisons " +
+        s"are past the exact tier's reach. Use Similarity.srpNearDup " +
+        s"(banded LSH) or minHashLsh for candidate generation, or raise " +
         s"maxBlockRows if a block truly fits a task.")
     // norm before the explode so it's computed once per row, not per
     // replica. Blocks come from pmod(hash(id), B), not pmod(id, B):

@@ -130,7 +130,7 @@ object ScaleBench {
     spark.stop()
   }
 
-  private def generate(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+  private[tools] def generate(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val idOffset = 1000000000L
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val docCols = docs.columns

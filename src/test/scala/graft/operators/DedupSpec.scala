@@ -149,8 +149,9 @@ class DedupSpec extends SparkTestBase {
     }.toDF("id", "vec")
     val joinV = Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.2)
       .as[(Long, Long, Double)].collect().toSet
-    // B=1 (single block), B=4, B=60 (every row its own block)
-    for (blockRows <- Seq(100, 17, 1)) {
+    // B=1 (single block), B=4, B=60 (every row its own block), and the
+    // auto default (parallelism-sized B)
+    for (blockRows <- Seq(100, 17, 1, 0)) {
       val got = Dedup
         .embeddingNearDupBlocked(emb, "id", "vec", threshold = 0.2, maxBlockRows = blockRows)
         .as[(Long, Long, Double)].collect().toSet
