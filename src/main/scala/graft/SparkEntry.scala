@@ -1099,6 +1099,27 @@ object SparkEntry {
     Sampling.leakageSafeSplit(clusters, "doc_id", "cluster_id", valPermille = 100)
   }
 
+  /** Keep-best-quality representative per near-dup cluster — the
+    * retention POLICY after q49's clustering: argmax token count per
+    * cluster (ties → lowest doc_id), so a truncated variant never
+    * shadows the fuller copy it near-duplicates. One cluster-keyed
+    * aggregate + join; text never shuffles.
+    */
+  private def q76_keep_best(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = Components.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b",
+      docs.select("doc_id"), "doc_id")
+      .select(col("id").alias("doc_id"), col("cluster_id"))
+    val scored = clusters.join(
+      docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").alias("n_tokens")),
+      Seq("doc_id"))
+    Dedup.keepRepresentative(scored, "doc_id", "cluster_id", "n_tokens")
+  }
+
   /** Corpus-level line dedup (C4/RefinedWeb boilerplate removal). The
     * fixture's documents are single-line, so segmentation runs at token
     * granularity (`" "`); the 180%-of-doc-count relative threshold
@@ -1189,7 +1210,8 @@ object SparkEntry {
     "q72_incremental_dedup" -> (q72_incremental_dedup _),
     "q73_mixture_sample" -> (q73_mixture_sample _),
     "q74_line_dedup" -> (q74_line_dedup _),
-    "q75_leakage_split" -> (q75_leakage_split _)
+    "q75_leakage_split" -> (q75_leakage_split _),
+    "q76_keep_best" -> (q76_keep_best _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1941,6 +1963,27 @@ object SparkEntry {
           SELECT doc_id, cluster_id,
                  CASE WHEN ${sqlMd5h60("'split:' || CAST(cluster_id AS VARCHAR)")} % 1000 < 100
                       THEN 'val' ELSE 'train' END AS split
-          FROM cl"""
+          FROM cl""",
+    "q76_keep_best" ->
+      // q49's transitive-closure clusters + argmax token count per
+      // cluster (min-id tie-break) = the Spark side's max_by(struct)
+      s"""WITH RECURSIVE $sqlShingleCtes,
+          $sqlJaccardPairCtes,
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id),
+          cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id),
+          sc AS (SELECT cl.doc_id, cl.cluster_id, CAST(len(tk.t) AS BIGINT) AS n_tokens
+                 FROM cl JOIN tk ON tk.doc_id = cl.doc_id)
+          SELECT doc_id, cluster_id, n_tokens,
+                 CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY n_tokens DESC, doc_id ASC) = 1
+                      THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM sc"""
   )
 }

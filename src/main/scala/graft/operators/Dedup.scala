@@ -663,4 +663,44 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** Representative selection per near-dup cluster — the retention
+    * POLICY step after clustering: instead of "keep lowest id"
+    * (adequate for exact dupes, arbitrary for near-dupes), keep the
+    * highest-QUALITY member of each cluster (ties → lowest id), so a
+    * truncated or boilerplate-padded variant never shadows the clean
+    * copy it near-duplicates.
+    *
+    * Input is any `(id, cluster)` labeling ([[Components.connectedComponents]]
+    * output, an LSH bucket id, an exact fingerprint) plus a per-doc
+    * quality score (e.g. token count, q25's quality stats, a model
+    * score). Output: one row per member with its cluster, score, and a
+    * `kept` 0/1 flag — the caller filters `kept = 1` for the surviving
+    * corpus or keeps the flag for retention accounting (q62 shape).
+    *
+    * Scale shape: winners come from ONE hash aggregate on the cluster
+    * id over `(cluster, score, id)` triples — partial aggregation
+    * combines map-side, text never shuffles — then a cluster-keyed join
+    * marks members. No window (a window would sort every partition and
+    * cannot pre-combine).
+    */
+  def keepRepresentative(
+      members: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      scoreCol: String): DataFrame = {
+    // max_by(struct(score, -id)): argmax score with min-id tie-break in
+    // a single associative aggregate
+    val winners = members
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol).alias("s"), (-col(idCol)).alias("nid"))).alias("w"))
+      .select(col(clusterCol), (-col("w.nid")).alias("rep_id"))
+    members
+      .join(winners, Seq(clusterCol))
+      .select(
+        col(idCol),
+        col(clusterCol),
+        col(scoreCol),
+        (col(idCol) === col("rep_id")).cast("long").alias("kept"))
+  }
 }

@@ -235,4 +235,26 @@ class PlanAuditSpec extends SparkTestBase {
         s"corpus rows on the shuffle wire:\n${m.group(0)}")
     }
   }
+
+  test("q76: representative selection is a partial+final aggregate, not a window sort") {
+    import org.apache.spark.sql.functions._
+    // audit the policy step in isolation (the full q76 plan is dominated
+    // by the upstream CC pipeline's iterative stages)
+    val members = spark.range(1000).select(
+      col("id"),
+      (col("id") % 100).alias("cluster_id"),
+      (col("id") * 7 % 13).alias("score"))
+    val df = graft.operators.Dedup.keepRepresentative(members, "id", "cluster_id", "score")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // a window implementation would sort every partition and could not
+    // pre-combine; the max_by(struct) form must partial-aggregate
+    assert(!plan.contains("Window"), s"window sort in the policy step:\n$plan")
+    assert("partial_max|partial.*max\\(".r.findFirstIn(plan).isDefined
+      || plan.contains("partial"), s"no map-side combine:\n$plan")
+    // text never enters this operator: only (id, cluster, score) shuffle
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(2).contains("text"), m.group(0))
+    }
+  }
 }

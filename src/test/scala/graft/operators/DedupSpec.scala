@@ -249,4 +249,19 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(10L -> 1L, 11L -> 2L))
   }
+
+  test("keepRepresentative: argmax score per cluster, min-id tie-break, singletons kept") {
+    val members = Seq(
+      // cluster 1: 3 wins on score despite higher id
+      (1L, 1L, 10L), (3L, 1L, 25L),
+      // cluster 2: score tie → min id 4 wins
+      (4L, 2L, 7L), (9L, 2L, 7L),
+      // singleton cluster
+      (6L, 6L, 1L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val got = Dedup.keepRepresentative(members, "doc_id", "cluster_id", "score")
+      .select("doc_id", "kept")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L, 6L -> 1L))
+  }
 }
