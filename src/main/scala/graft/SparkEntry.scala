@@ -1120,6 +1120,59 @@ object SparkEntry {
     Dedup.keepRepresentative(scored, "doc_id", "cluster_id", "n_tokens")
   }
 
+  /** SemDeDup semantic dedup, exact configuration: `nLists = 1` makes
+    * the coarse quantizer degenerate (one cell = all pairs compared),
+    * so the FULL labeling — intra-cell pair loop → connected components
+    * → keep-min policy — is SQL-expressible and hash-checked end to
+    * end. The clustered path (`nLists > 1`, not SQL-expressible) is
+    * invariant-checked by q78 and spec-tested in `SimilaritySpec`.
+    */
+  private def q77_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4, nLists = 1, trainSample = 64)
+
+  /** SemDeDup, REAL clustered configuration (`nLists = 8`) — the
+    * quantizer is sample-trained k-means (not SQL-expressible; q41
+    * pattern), so the oracle pins structural invariants computed over
+    * the actual labeling IN Spark: the output partitions the input
+    * (every vector labeled exactly once), each dup group keeps exactly
+    * one representative and is labeled by its min member id, and no
+    * group straddles a cell (edges are intra-cell, so components must
+    * be too). One aggregation pipeline, one output row, no collect.
+    */
+  private def q78_semantic_selfcheck(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val labeled = Similarity.semanticDedup(
+      emb, "vec_id", "embedding", threshold = 0.4, nLists = 8, trainSample = 1024)
+    val perGroup = labeled
+      .groupBy("dup_group")
+      .agg(
+        sum("kept").as("n_kept"),
+        min("id").as("min_id"),
+        countDistinct("cell").as("n_cells"),
+        countDistinct("id").as("n_ids"),
+        count(lit(1)).as("n_members"),
+        max(when(col("kept") === 1, col("id"))).as("kept_id"))
+    val summary = perGroup.agg(
+      sum("n_members").cast("long").as("n_rows"),
+      max(when(col("n_ids") =!= col("n_members"), 1).otherwise(0)).as("bad_dup_id"),
+      max(when(col("n_kept") =!= 1, 1).otherwise(0)).as("bad_kept"),
+      max(when(col("min_id") =!= col("dup_group"), 1).otherwise(0)).as("bad_label"),
+      max(when(col("kept_id") =!= col("dup_group"), 1).otherwise(0)).as("bad_rep"),
+      max(when(col("n_cells") =!= 1, 1).otherwise(0)).as("bad_cell"))
+    val embCount = emb.agg(count(lit(1)).as("n_emb"))
+    summary
+      .crossJoin(embCount)
+      .select(
+        col("n_rows").as("n_vecs"),
+        lit(8L).as("n_lists"),
+        (col("n_rows") === col("n_emb") && col("bad_dup_id") === 0).as("partition_ok"),
+        (col("bad_kept") === 0 && col("bad_label") === 0 && col("bad_rep") === 0)
+          .as("policy_ok"),
+        (col("bad_cell") === 0).as("single_cell_ok"))
+  }
+
   /** Corpus-level line dedup (C4/RefinedWeb boilerplate removal). The
     * fixture's documents are single-line, so segmentation runs at token
     * granularity (`" "`); the 180%-of-doc-count relative threshold
@@ -1211,7 +1264,9 @@ object SparkEntry {
     "q73_mixture_sample" -> (q73_mixture_sample _),
     "q74_line_dedup" -> (q74_line_dedup _),
     "q75_leakage_split" -> (q75_leakage_split _),
-    "q76_keep_best" -> (q76_keep_best _)
+    "q76_keep_best" -> (q76_keep_best _),
+    "q77_semantic_dedup" -> (q77_semantic_dedup _),
+    "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1984,6 +2039,33 @@ object SparkEntry {
                         PARTITION BY cluster_id
                         ORDER BY n_tokens DESC, doc_id ASC) = 1
                       THEN 1 ELSE 0 END AS BIGINT) AS kept
-          FROM sc"""
+          FROM sc""",
+    "q77_semantic_dedup" ->
+      // nLists=1 → every pair compared, so the full labeling (pair loop
+      // → transitive closure → keep-min) is SQL: same cosine arithmetic
+      // as q23, same closure recipe as q49
+      s"""WITH RECURSIVE
+          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                    WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.4),
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id)
+          SELECT id, CAST(0 AS INT) AS cell, min(r) AS dup_group,
+                 CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM walk GROUP BY id""",
+    "q78_semantic_selfcheck" ->
+      // clustered quantizer isn't SQL-expressible (q41 pattern): the
+      // invariants are computed over the real labeling in Spark; the
+      // oracle pins them plus the true corpus count
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+                CAST(8 AS BIGINT) AS n_lists,
+                TRUE AS partition_ok,
+                TRUE AS policy_ok,
+                TRUE AS single_cell_ok"""
   )
 }

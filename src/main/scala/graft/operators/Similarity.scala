@@ -81,50 +81,13 @@ object Similarity {
       seed: Long = 42L,
       trainSample: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
 
-    // --- train on a bounded sample: deterministic but UNIFORM ---
-    // Ordering by md5(id) is a seedless uniform shuffle: on corpora where
-    // embedding distribution correlates with id (time- or topic-ordered
-    // ingestion), a head-of-table sample would train centroids on one
-    // region only. The id stays opaque (string key, no numeric cast) so
-    // any id type works.
-    val idKey = col(idCol).cast("string")
-    val sample: Array[Array[Double]] = emb
-      .select(col(vecCol))
-      .orderBy(md5(idKey), idKey)
-      .limit(trainSample)
-      .as[Array[Float]]
-      .collect()
-      .map(_.map(_.toDouble))
-    require(sample.nonEmpty, "ivfTopK: empty embedding table")
-    val dim = sample.head.length
-
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val dim = centroids.head.length
     def sqdist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
-    }
-    val rnd = new scala.util.Random(seed)
-    val kEff = math.min(nLists, sample.length)
-    var centroids = rnd.shuffle(sample.indices.toList).take(kEff)
-      .map(sample(_).clone()).toArray
-    var iter = 0
-    while (iter < 8) { // coarse quantizer: convergence not required
-      val sums = Array.fill(kEff)(new Array[Double](dim))
-      val counts = new Array[Long](kEff)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < kEff) { val d = sqdist(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-      }
-      centroids = Array.tabulate(kEff) { c =>
-        if (counts(c) == 0) centroids(c)
-        else Array.tabulate(dim)(j => sums(c)(j) / counts(c))
-      }
-      iter += 1
     }
 
     // --- distributed assign + probe ---
@@ -153,6 +116,184 @@ object Similarity {
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Coarse k-means quantizer trained with 8 Lloyd iterations on a
+    * bounded driver-side sample — shared by [[ivfTopK]] and
+    * [[semanticDedup]]. The standard IVF recipe (FAISS trains on ~100k
+    * sampled vectors regardless of corpus size): centroid quality needs
+    * a sample, not the corpus, and a distributed fit would pay
+    * per-iteration job scheduling for no recall gain.
+    *
+    * Deterministic and UNIFORM: ordering by `md5(id)` is a seedless
+    * uniform shuffle — on corpora where embedding distribution
+    * correlates with id (time- or topic-ordered ingestion), a
+    * head-of-table sample would train centroids on one region only. The
+    * id stays opaque (string key, no numeric cast) so any id type works.
+    */
+  private[graft] def trainCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long,
+      trainSample: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idKey = col(idCol).cast("string")
+    val sample: Array[Array[Double]] = emb
+      .select(col(vecCol))
+      .orderBy(md5(idKey), idKey)
+      .limit(trainSample)
+      .as[Array[Float]]
+      .collect()
+      .map(_.map(_.toDouble))
+    require(sample.nonEmpty, "trainCentroids: empty embedding table")
+    val dim = sample.head.length
+
+    def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val kEff = math.min(nLists, sample.length)
+    var centroids = rnd.shuffle(sample.indices.toList).take(kEff)
+      .map(sample(_).clone()).toArray
+    var iter = 0
+    while (iter < 8) { // coarse quantizer: convergence not required
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kEff) { val d = sqdist(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(kEff) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** SemDeDup-style semantic deduplication (cf. Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): a coarse k-means quantizer
+    * partitions the corpus into `nLists` cells, near-dup candidate
+    * pairs are compared only WITHIN a cell (cos ≥ threshold), connected
+    * components over those pairs form semantic-dup groups, and one
+    * representative per group survives (min id; compose the labeling
+    * with [[Dedup.keepRepresentative]] for a quality-based policy).
+    *
+    * Output: `(id, cell, dup_group, kept)` for every input row —
+    * singletons are their own group with `kept = 1`.
+    *
+    * Scale shape: this is the sub-quadratic tier for embedding dedup
+    * when LSH recall curves are awkward (very high thresholds) —
+    * compute is Σ_cells m_c²/2 ≈ n²/(2·nLists) dot products (vs n²/2
+    * exact), one hash exchange on the cell id (vectors cross the wire
+    * once), and the CC rounds run over the pair graph only. Grow
+    * `nLists` with the corpus (n/nLists rows per cell ≈ constant) the
+    * same way SRP bits grow with log2(n). A cell whose population
+    * exceeds `maxCellRows` fails loud (quantizer collapse — raise
+    * `nLists` or `trainSample`) instead of melting a task.
+    *
+    * Recall caveat (SemDeDup's documented trade): only pairs the
+    * quantizer CO-LOCATES are compared. Near-identical vectors (the
+    * high-threshold regime this targets) virtually always share a
+    * cell; semantically distant pairs straddle cells — measured ≈ 0.36
+    * pair recall at threshold 0.4 on the fixtures
+    * (`tools/SemProbe`). For distant-pair completeness use
+    * [[srpNearDup]] (recall tunable via bands) or the exact tier.
+    *
+    * Determinism: seeded sample-trained centroids (see
+    * [[trainCentroids]]), ties in nearest-cell assignment break to the
+    * lowest cell index, and the intra-cell loop emits `(min id, max
+    * id)` pairs — reproducible end to end.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 16,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      maxCellRows: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val dim = centroids.head.length
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nearestCell = udf { (vec: Array[Float]) =>
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var j = 0
+        val cc = cs(c)
+        val len = math.min(dim, vec.length)
+        while (j < len) { val d = vec(j) - cc(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    val assigned = emb.select(
+      col(idCol).cast("long").alias("id"),
+      col(vecCol).alias("vec"),
+      graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
+      nearestCell(col(vecCol)).alias("cell"))
+
+    // intra-cell pairs: same tight-loop upper triangle as the blocked
+    // exact tier's i==j branch, one task per cell
+    val pairs = assigned
+      .as[(Long, Array[Float], Double, Int)]
+      .groupByKey(_._4)
+      .flatMapGroups { (cell: Int, it: Iterator[(Long, Array[Float], Double, Int)]) =>
+        val rows = it.map(r => (r._1, r._2, r._3)).toArray
+        if (rows.length > maxCellRows)
+          throw new IllegalArgumentException(
+            s"semanticDedup: cell $cell holds ${rows.length} rows " +
+              s"(> maxCellRows=$maxCellRows) — the quantizer collapsed " +
+              s"or nLists is too small for the corpus; raise nLists " +
+              s"(keep n/nLists bounded) or trainSample.")
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Array[Float], Double)) => r._1))
+        def dot(va: Array[Float], vb: Array[Float]): Double = {
+          var s = 0.0
+          var d = 0
+          val len = math.min(va.length, vb.length)
+          while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+          s
+        }
+        rows.indices.iterator.flatMap { a =>
+          val (ida, va, na) = rows(a)
+          (a + 1 until rows.length).iterator.flatMap { b =>
+            val (idb, vb, nb) = rows(b)
+            val cos = dot(va, vb) / (na * nb)
+            if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+
+    val groups = Components.connectedComponents(
+      pairs, "id_a", "id_b", assigned.select("id"), "id")
+      .withColumnRenamed("cluster_id", "dup_group")
+    assigned
+      .select("id", "cell")
+      .join(groups, Seq("id"))
+      .select(
+        col("id"),
+        col("cell"),
+        col("dup_group"),
+        (col("id") === col("dup_group")).cast("long").alias("kept"))
   }
 
   /** Banded SRP-LSH near-duplicate pairs — the LSH-bucketed scale path

@@ -153,4 +153,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(planted.count(found.contains) >= 22,
       s"only ${planted.count(found.contains)}/24 planted near-dups recalled at r=$r")
   }
+
+  test("semanticDedup groups same-cell near-dups, keeps min id, singletons survive") {
+    val rnd = new scala.util.Random(7)
+    // three tight groups around orthogonal axes (k-means separates them)
+    // plus an isolated singleton per axis region
+    val vecs = (0 until 3).flatMap { g =>
+      val base = Array.tabulate(8)(j => if (j == g) 1.0f else 0.0f)
+      (0 until 4).map { m =>
+        val v = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+        ((g * 10 + m).toLong, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(
+      vecs, "vec_id", "embedding", threshold = 0.95, nLists = 3,
+      trainSample = 100)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.length == 12)
+    val byGroup = got.groupBy(_._3)
+    // each axis group collapses to one dup_group labeled by its min id
+    assert(byGroup.keySet == Set(0L, 10L, 20L), byGroup.keySet)
+    byGroup.foreach { case (g, members) =>
+      assert(members.length == 4)
+      assert(members.count(_._4 == 1L) == 1, s"group $g must keep exactly one")
+      assert(members.find(_._4 == 1L).get._1 == g, "representative is the min id")
+    }
+  }
+
+  test("semanticDedup fails loud when a cell exceeds maxCellRows") {
+    val vecs = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.semanticDedup(
+        vecs, "vec_id", "embedding", threshold = 0.9, nLists = 1,
+        trainSample = 50, maxCellRows = 5).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxCellRows") || msg.contains("quantizer"),
+      s"unexpected error: $msg")
+  }
 }
