@@ -118,6 +118,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cell count for [[semanticDedup]] that holds per-cell population —
+    * and therefore per-cell pair work (n/nLists)²/2 — constant as the
+    * corpus grows: `ceil(n / targetCellRows)`, capped at 2^16 because
+    * centroids are sample-trained driver-side (16 rows per centroid ≈
+    * 1M sample rows at the cap). Past the cap (n ≳ 67M rows at the
+    * default cell size), raise `targetCellRows` (cells get bigger but
+    * stay bounded) or use [[srpNearDup]], whose sketch-based candidate
+    * generation needs no trained model.
+    */
+  def autoNLists(corpusSize: Long, targetCellRows: Int = 1024): Int = {
+    require(targetCellRows > 0, s"targetCellRows must be positive, got $targetCellRows")
+    math.min(1 << 16, math.max(1, math.ceil(corpusSize.toDouble / targetCellRows).toInt))
+  }
+
   /** Coarse k-means quantizer trained with 8 Lloyd iterations on a
     * bounded driver-side sample — shared by [[ivfTopK]] and
     * [[semanticDedup]]. The standard IVF recipe (FAISS trains on ~100k
@@ -214,20 +228,31 @@ object Similarity {
     * [[trainCentroids]]), ties in nearest-cell assignment break to the
     * lowest cell index, and the intra-cell loop emits `(min id, max
     * id)` pairs — reproducible end to end.
+    *
+    * `nLists = 0` (the default) auto-sizes the cell count from the
+    * corpus — the same lesson as [[autoRowsPerBand]]: per-cell pair
+    * work is (n/nLists)²/2, so a FIXED cell count is quadratic in
+    * corpus size; [[autoNLists]] holds n/nLists ≈ `targetCellRows`
+    * constant (linear total compute growth), and the training sample
+    * is raised to ≥16 rows per centroid so the extra cells are
+    * meaningful.
     */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nLists: Int = 16,
+      nLists: Int = 0,
       seed: Long = 42L,
       trainSample: Int = 4096,
       maxCellRows: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
+    val k = if (nLists > 0) nLists else autoNLists(emb.select(col(idCol)).count())
+    val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
+    val centroids = trainCentroids(emb, idCol, vecCol, k, seed, sampleRows)
     val dim = centroids.head.length
     val bc = spark.sparkContext.broadcast(centroids)
     val nearestCell = udf { (vec: Array[Float]) =>

@@ -44,7 +44,8 @@ object ScaleBench {
     "q45_winnow_fingerprints",
     "q49_dup_clusters",
     "q72_incremental_dedup",
-    "q74_line_dedup")
+    "q74_line_dedup",
+    "q76_keep_best")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
@@ -69,10 +70,24 @@ object ScaleBench {
       graft.operators.Similarity.srpNearDup(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         threshold = 0.8)),
-    "emb_blocked(t0.8)" -> ((dir: String) =>
+    "emb_blocked(t0.8,500)" -> ((dir: String) =>
       graft.operators.Dedup.embeddingNearDupBlocked(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        threshold = 0.8, maxBlockRows = 500)))
+        threshold = 0.8, maxBlockRows = 500)),
+    // the auto default (B from parallelism + per-block cap): still the
+    // EXACT tier, so n²/2 compute — the exponent should sit near the
+    // quadratic bound ~2x the weak-scaled ops; listed to keep the
+    // default's behavior measured, not assumed
+    "emb_blocked(t0.8,auto)" -> ((dir: String) =>
+      graft.operators.Dedup.embeddingNearDupBlocked(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.8)),
+    // semantic dedup with the auto cell count: n/nLists held constant,
+    // so total pair work grows linearly — the sub-quadratic contract
+    "semantic_dedup(t0.8,auto)" -> ((dir: String) =>
+      graft.operators.Similarity.semanticDedup(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.8)))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -180,6 +180,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedup auto default sizes cells from the corpus (exact at small n)") {
+    assert(Similarity.autoNLists(500) == 1)
+    assert(Similarity.autoNLists(1024 * 100) == 100)
+    assert(Similarity.autoNLists(Long.MaxValue) == (1 << 16)) // driver-sample cap
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.001f)), // near-dup pair
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // nLists omitted → auto (=1 at this size) → exact all-pairs semantics
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("id", "dup_group", "kept")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L)))
+  }
+
   test("semanticDedup fails loud when a cell exceeds maxCellRows") {
     val vecs = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[org.apache.spark.SparkException] {
