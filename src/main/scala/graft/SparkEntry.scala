@@ -1132,6 +1132,42 @@ object SparkEntry {
       Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.4, nLists = 1, trainSample = 64)
 
+  /** IVF-PQ's quantization tier as a self-check (q41 pattern — the
+    * sample-trained codebooks aren't SQL-expressible): vectors encode
+    * to 16 one-byte codes (16× smaller than the float vectors), the
+    * q22 query scans ONLY the code table via the asymmetric-distance
+    * LUT, and the check counts how many of the exact inner-product
+    * top-20 the PQ top-100 candidate set recovers (the scan→re-rank
+    * recipe). Measured 20/20 at sf0.01 AND sf0.1 (`tools/PqProbe`);
+    * the oracle pins ≥16 plus the true compression ratio.
+    */
+  private def q79_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val dim = q.length
+    val m = 16
+    val cbs = Similarity.trainProductQuantizer(
+      emb, "vec_id", "embedding", dim, m = m, nCodes = 64, trainSample = 2048)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    val pqTop = Similarity.pqTopK(codes, "id", "code", cbs, q, k = 100)
+    val exactTop = emb.select(
+      col("vec_id").alias("id"),
+      graft.functions.expressions.DotProductFloat
+        .dotF(col("embedding"), typedlit(q.map(_.toFloat))).alias("dot"))
+      .orderBy(col("dot").desc, col("id").asc).limit(20)
+    exactTop
+      .select("id")
+      .join(pqTop.select("id"), Seq("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        lit(20L).as("k_exact"),
+        lit(100L).as("k_pq"),
+        lit(m.toLong).as("m"),
+        lit(dim.toLong * 4L / m).as("compression_x"),
+        (col("n_hits") >= 16).as("recall_ok"))
+  }
+
   /** SemDeDup, REAL clustered configuration (`nLists = 8`) — the
     * quantizer is sample-trained k-means (not SQL-expressible; q41
     * pattern), so the oracle pins structural invariants computed over
@@ -1266,7 +1302,8 @@ object SparkEntry {
     "q75_leakage_split" -> (q75_leakage_split _),
     "q76_keep_best" -> (q76_keep_best _),
     "q77_semantic_dedup" -> (q77_semantic_dedup _),
-    "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _)
+    "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _),
+    "q79_pq_ann" -> (q79_pq_ann _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2066,6 +2103,16 @@ object SparkEntry {
                 CAST(8 AS BIGINT) AS n_lists,
                 TRUE AS partition_ok,
                 TRUE AS policy_ok,
-                TRUE AS single_cell_ok"""
+                TRUE AS single_cell_ok""",
+    "q79_pq_ann" ->
+      // PQ codebooks aren't SQL-expressible (q41 pattern); the
+      // compression ratio is cross-checked against the table's true
+      // vector width
+      """SELECT CAST(20 AS BIGINT) AS k_exact,
+                CAST(100 AS BIGINT) AS k_pq,
+                CAST(16 AS BIGINT) AS m,
+                (SELECT CAST(max(len(embedding)) * 4 / 16 AS BIGINT)
+                 FROM embeddings) AS compression_x,
+                TRUE AS recall_ok"""
   )
 }

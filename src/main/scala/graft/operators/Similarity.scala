@@ -474,4 +474,124 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ==== product quantization ================================================
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * is split into `m` contiguous subspaces and each subspace gets its
+    * own `nCodes`-centroid quantizer, trained with the same bounded
+    * md5-uniform sample + Lloyd recipe as [[trainCentroids]].
+    * `codebooks(s)(c)` is centroid `c` of subspace `s`.
+    *
+    * This is the MEMORY tier for corpus-scale embeddings: a
+    * `dim`-float vector (dim·4 bytes) compresses to `m` byte codes —
+    * 32× for dim=64, m=8 — so a 100 TB float corpus's code table fits
+    * in ~3 TB, scannable fully in memory while exact vectors stay in
+    * cold storage for an optional re-rank pass.
+    */
+  def trainProductQuantizer(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      nCodes: Int = 256,
+      seed: Long = 42L,
+      trainSample: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(nCodes > 0 && nCodes <= 256, s"nCodes must fit a byte code, got $nCodes")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      // per-subspace training reuses the shared trainer on a sliced
+      // view; seed varies by subspace so init draws differ
+      val sliced = emb.select(
+        col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).alias("sub"))
+      trainCentroids(sliced, idCol, "sub", nCodes, seed + s, trainSample)
+    }
+  }
+
+  /** `(id, code: Array[Byte])` — each vector encoded to its per-subspace
+    * nearest-centroid indices. One scan, broadcast codebooks; the code
+    * column is what a 100 TB deployment persists (and scans) instead of
+    * the float vectors.
+    */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val encode = udf { (vec: Array[Float]) =>
+      val cbs = bc.value
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = cbs(s)
+        val off = s * subDim
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d2 = 0.0; var j = 0
+          val cc = cb(c)
+          while (j < subDim) {
+            val d = vec(off + j) - cc(j); d2 += d * d; j += 1
+          }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+    emb.select(col(idCol).alias("id"), encode(col(vecCol)).alias("code"))
+  }
+
+  /** Asymmetric-distance top-K over PQ codes: the query stays EXACT and
+    * each subspace's inner-product contribution against every centroid
+    * is precomputed driver-side into a `m × nCodes` lookup table, so
+    * scoring a row is `m` table lookups + adds — no float vectors are
+    * read at query time. Returns `(id, score)` where score approximates
+    * `dot(query, vec)` (the PQ reconstruction of it); re-rank the top
+    * candidates against exact vectors when exact cosine order matters.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — one scan +
+    * `TakeOrderedAndProject` — but over the 32×-smaller code table.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      idCol: String,
+      codeCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    require(query.length == m * subDim,
+      s"query dim ${query.length} != codebook dim ${m * subDim}")
+    val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val off = s * subDim
+      codebooks(s).map { cc =>
+        var d = 0.0; var j = 0
+        while (j < subDim) { d += cc(j) * query(off + j); j += 1 }
+        d
+      }
+    }
+    val bc = spark.sparkContext.broadcast(lut)
+    val score = udf { (code: Array[Byte]) =>
+      val t = bc.value
+      var s = 0.0; var i = 0
+      while (i < m) { s += t(i)(code(i) & 0xff); i += 1 }
+      s
+    }
+    codes
+      .select(col(idCol), score(col(codeCol)).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

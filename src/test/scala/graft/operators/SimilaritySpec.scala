@@ -194,6 +194,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L)))
   }
 
+  test("PQ: codes reconstruct centroid-aligned vectors exactly; ADC top-k finds the right cluster") {
+    val rnd = new scala.util.Random(13)
+    // two tight clusters in 8-dim space; m=4 subspaces of 2 dims
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.01f).toSeq)
+    }.toDF("vec_id", "embedding")
+    // nCodes=2 matches the two planted clusters, so each cluster maps to
+    // exactly one code word per subspace
+    val cbs = Similarity.trainProductQuantizer(
+      vecs, "vec_id", "embedding", dim = 8, m = 4, nCodes = 2, trainSample = 50)
+    assert(cbs.length == 4 && cbs.forall(cb => cb.length == 2 && cb.forall(_.length == 2)))
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cbs)
+    val schema = codes.schema("code").dataType
+    assert(schema == org.apache.spark.sql.types.BinaryType, schema)
+    // all +1-cluster members quantize to the same code word, all
+    // -1-cluster members to a different one
+    val byCode = codes.as[(Long, Array[Byte])].collect()
+      .groupBy(_._2.toSeq).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCode.size == 2, s"expected 2 code words, got ${byCode.size}")
+    assert(byCode.values.toSet == Set((0L to 9L).toSet, (10L to 19L).toSet))
+
+    // ADC scores rank the +1 cluster first for a +1 query
+    val top = Similarity.pqTopK(
+      codes, "id", "code", cbs, Seq.fill(8)(1.0), k = 10)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSet == (0L to 9L).toSet)
+    // score approximates dot(query, vec) ≈ 8 for the matching cluster
+    assert(top.forall(t => math.abs(t._2 - 8.0) < 0.5), top.map(_._2).mkString(","))
+  }
+
   test("semanticDedup fails loud when a cell exceeds maxCellRows") {
     val vecs = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[org.apache.spark.SparkException] {
