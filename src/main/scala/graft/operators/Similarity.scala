@@ -236,6 +236,18 @@ object Similarity {
     * constant (linear total compute growth), and the training sample
     * is raised to ≥16 rows per centroid so the extra cells are
     * meaningful.
+    *
+    * Skew handling: k-means cells are NOT uniform (dense regions of
+    * embedding space produce hot cells), so a cell is never one task —
+    * each cell's pair loop runs as a block-nested-loop over
+    * `ceil(m_cell / blockRows)` sub-blocks (the `embeddingNearDupBlocked`
+    * trick, scoped per cell), so task time is bounded by `blockRows²`
+    * dots no matter how skewed the quantizer gets, and a hot cell
+    * parallelizes across the cluster instead of straggling.
+    * `maxCellRows` still bounds total per-cell COMPUTE (m²/2 grows
+    * quadratically in the hot cell even when perfectly parallelized) —
+    * checked driver-side on the tiny cell-population aggregate before
+    * any replication happens.
     */
   def semanticDedup(
       emb: DataFrame,
@@ -245,11 +257,13 @@ object Similarity {
       nLists: Int = 0,
       seed: Long = 42L,
       trainSample: Int = 4096,
-      maxCellRows: Int = 100000): DataFrame = {
+      maxCellRows: Int = 100000,
+      blockRows: Int = 512): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
 
     require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
     val k = if (nLists > 0) nLists else autoNLists(emb.select(col(idCol)).count())
     val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
     val centroids = trainCentroids(emb, idCol, vecCol, k, seed, sampleRows)
@@ -269,26 +283,55 @@ object Similarity {
       best
     }
 
+    // materialized once: the UDF-assigned frame feeds FOUR plan
+    // positions (cell counts, the block-pair join, CC's vertex set, the
+    // final labeling join) on different keys, so ReuseExchange can never
+    // dedup them — without this the assignment scan (k dot products per
+    // row) runs once per position; same rationale as the dedup family's
+    // materialized shingle-set table
     val assigned = emb.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"),
       graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
       nearestCell(col(vecCol)).alias("cell"))
+      .localCheckpoint(true)
 
-    // intra-cell pairs: same tight-loop upper triangle as the blocked
-    // exact tier's i==j branch, one task per cell
-    val pairs = assigned
-      .as[(Long, Array[Float], Double, Int)]
-      .groupByKey(_._4)
-      .flatMapGroups { (cell: Int, it: Iterator[(Long, Array[Float], Double, Int)]) =>
-        val rows = it.map(r => (r._1, r._2, r._3)).toArray
-        if (rows.length > maxCellRows)
-          throw new IllegalArgumentException(
-            s"semanticDedup: cell $cell holds ${rows.length} rows " +
-              s"(> maxCellRows=$maxCellRows) — the quantizer collapsed " +
-              s"or nLists is too small for the corpus; raise nLists " +
-              s"(keep n/nLists bounded) or trainSample.")
-        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Array[Float], Double)) => r._1))
+    // cell populations: ≤ nLists rows — the loud quantizer-collapse
+    // check runs here, on the driver, BEFORE any replication fan-out
+    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).alias("m"))
+    val hot = cellCounts.filter(col("m") > maxCellRows).limit(1).collect()
+    if (hot.nonEmpty)
+      throw new IllegalArgumentException(
+        s"semanticDedup: cell ${hot.head.getInt(0)} holds ${hot.head.getLong(1)} rows " +
+          s"(> maxCellRows=$maxCellRows) — the quantizer collapsed or " +
+          s"nLists is too small for the corpus; raise nLists (keep " +
+          s"n/nLists bounded) or trainSample.")
+
+    // intra-cell pairs as a per-cell block-nested-loop: each row joins
+    // its cell's block count (broadcast — ≤ nLists rows), lands in
+    // block pmod(hash(id), b), and replicates to every (cell, blockPair)
+    // group containing its block. Same upper-triangle/cross-block
+    // kernel as the exact blocked tier, but scoped per cell.
+    val withB = assigned
+      .join(broadcast(cellCounts), Seq("cell"))
+      .select(
+        col("id"), col("vec"), col("nrm"), col("cell"),
+        greatest(lit(1), ceil(col("m").cast("double") / blockRows)).cast("int").alias("b"))
+      .withColumn("blk", pmod(hash(col("id")), col("b")).cast("int"))
+    val replicated = withB
+      .select(
+        col("id"), col("vec"), col("nrm"), col("cell"), col("blk"),
+        explode(sequence(lit(0), col("b") - 1)).alias("o"))
+      .select(
+        col("id"), col("vec"), col("nrm"), col("cell"),
+        col("blk"),
+        when(col("blk") <= col("o"), col("blk")).otherwise(col("o")).alias("lo"),
+        when(col("blk") <= col("o"), col("o")).otherwise(col("blk")).alias("hi"))
+    val pairs = replicated
+      .as[(Long, Array[Float], Double, Int, Int, Int, Int)]
+      .groupByKey(r => (r._4, r._6, r._7))
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Long, Array[Float], Double, Int, Int, Int, Int)]) =>
+        val (_, i, j) = key
         def dot(va: Array[Float], vb: Array[Float]): Double = {
           var s = 0.0
           var d = 0
@@ -296,13 +339,27 @@ object Similarity {
           while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
           s
         }
-        rows.indices.iterator.flatMap { a =>
-          val (ida, va, na) = rows(a)
-          (a + 1 until rows.length).iterator.flatMap { b =>
-            val (idb, vb, nb) = rows(b)
-            val cos = dot(va, vb) / (na * nb)
-            if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb))
-            else Iterator.empty
+        if (i == j) {
+          val rows = it.map(r => (r._1, r._2, r._3)).toArray
+          java.util.Arrays.sort(rows, Ordering.by((r: (Long, Array[Float], Double)) => r._1))
+          rows.indices.iterator.flatMap { a =>
+            val (ida, va, na) = rows(a)
+            (a + 1 until rows.length).iterator.flatMap { b =>
+              val (idb, vb, nb) = rows(b)
+              val cos = dot(va, vb) / (na * nb)
+              if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb))
+              else Iterator.empty
+            }
+          }
+        } else {
+          val (ai, bj) = it.toArray.partition(_._5 == i)
+          ai.iterator.flatMap { case (ida, va, na, _, _, _, _) =>
+            bj.iterator.flatMap { case (idb, vb, nb, _, _, _, _) =>
+              val cos = dot(va, vb) / (na * nb)
+              if (cos >= threshold || cos.isNaN)
+                Iterator.single((math.min(ida, idb), math.max(ida, idb)))
+              else Iterator.empty
+            }
           }
         }
       }

@@ -236,6 +236,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q79: the PQ code scan is one pass + TakeOrderedAndProject (brute-force shape, 16x smaller table)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (1L to 64L).map(i => (i, Seq.fill(8)((i % 7).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val cbs = graft.operators.Similarity.trainProductQuantizer(
+      emb, "vec_id", "embedding", dim = 8, m = 4, nCodes = 4, trainSample = 64)
+    val codes = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    val df = graft.operators.Similarity.pqTopK(
+      codes, "id", "code", cbs, Seq.fill(8)(1.0), k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // distributed top-k: per-partition heaps, no global sort, no shuffle
+    // of the code table
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort in PQ scan:\n$plan")
+    assert(shuffles(plan) == 0, s"PQ scan must not shuffle:\n$plan")
+  }
+
   test("q76: representative selection is a partial+final aggregate, not a window sort") {
     import org.apache.spark.sql.functions._
     // audit the policy step in isolation (the full q76 plan is dominated

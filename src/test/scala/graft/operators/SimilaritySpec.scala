@@ -227,13 +227,33 @@ class SimilaritySpec extends SparkTestBase {
 
   test("semanticDedup fails loud when a cell exceeds maxCellRows") {
     val vecs = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
-    val e = intercept[org.apache.spark.SparkException] {
+    // driver-side check on the cell-population aggregate: fails at
+    // plan-build time, before any replication fan-out
+    val e = intercept[IllegalArgumentException] {
       Similarity.semanticDedup(
         vecs, "vec_id", "embedding", threshold = 0.9, nLists = 1,
-        trainSample = 50, maxCellRows = 5).collect()
+        trainSample = 50, maxCellRows = 5)
     }
-    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("maxCellRows") || msg.contains("quantizer"),
-      s"unexpected error: $msg")
+    assert(e.getMessage.contains("maxCellRows"), e.getMessage)
+  }
+
+  test("semanticDedup sub-blocks a hot cell: same output across blockRows") {
+    val rnd = new scala.util.Random(31)
+    // everything in one cell (nLists=1) with a few near-dup pairs
+    val vecs = (0L until 30L).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + rnd.nextGaussian().toFloat * 0.005f)
+      Seq((i * 2, base.toSeq), (i * 2 + 1, near.toSeq))
+    }.toDF("vec_id", "embedding")
+    def run(blockRows: Int) = Similarity.semanticDedup(
+      vecs, "vec_id", "embedding", threshold = 0.99, nLists = 1,
+      trainSample = 100, blockRows = blockRows)
+      .select("id", "dup_group", "kept")
+      .as[(Long, Long, Long)].collect().toSet
+    val single = run(1000) // one block — the plain upper triangle
+    assert(single == run(7), "multi-block (intra+cross kernels) must match")
+    assert(single == run(1), "every row its own block must match")
+    // the planted pairs are actually grouped
+    assert(single.count(_._3 == 0L) == 30)
   }
 }
