@@ -28,15 +28,19 @@ import scala.collection.mutable
   * The fixed (per-trigger, size-independent) component is what caps
   * small-batch throughput; the variable component scales with lines.
   * Run: `sbt "runMain graft.tools.MicroBatchBench"` (env:
-  * SPARK_GRAFT_MB_LINES total lines per size, default 200000).
+  * SPARK_GRAFT_MB_LINES total lines per size, default 200000;
+  * SPARK_GRAFT_MB_PARTITIONS shuffle/state partitions, default = cpus —
+  * sweep it to measure how the state-commit floor scales with the
+  * number of state-store instances).
   */
 object MicroBatchBench {
   def main(args: Array[String]): Unit = {
     val total = sys.env.getOrElse("SPARK_GRAFT_MB_LINES", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_MB_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
