@@ -1168,6 +1168,21 @@ object SparkEntry {
         (col("n_hits") >= 16).as("recall_ok"))
   }
 
+  /** Incremental semantic dedup, exact configuration (`nLists = 1`,
+    * q77's pattern): the batch (`vec_id % 5 = 0`) is near-dup-checked
+    * against the corpus (the rest) and then deduplicated within
+    * itself — corpus-hit detection, survivor closure, and the keep-min
+    * policy are all SQL-expressible in the single-cell configuration,
+    * so the full per-row labeling is hash-checked end to end.
+    */
+  private def q80_incremental_semantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") % 5 === 0),
+      emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", threshold = 0.4, nLists = 1, trainSample = 64)
+  }
+
   /** SemDeDup, REAL clustered configuration (`nLists = 8`) — the
     * quantizer is sample-trained k-means (not SQL-expressible; q41
     * pattern), so the oracle pins structural invariants computed over
@@ -1303,7 +1318,8 @@ object SparkEntry {
     "q76_keep_best" -> (q76_keep_best _),
     "q77_semantic_dedup" -> (q77_semantic_dedup _),
     "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _),
-    "q79_pq_ann" -> (q79_pq_ann _)
+    "q79_pq_ann" -> (q79_pq_ann _),
+    "q80_incremental_semantic" -> (q80_incremental_semantic _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2113,6 +2129,36 @@ object SparkEntry {
                 CAST(16 AS BIGINT) AS m,
                 (SELECT CAST(max(len(embedding)) * 4 / 16 AS BIGINT)
                  FROM embeddings) AS compression_x,
-                TRUE AS recall_ok"""
+                TRUE AS recall_ok""",
+    "q80_incremental_semantic" ->
+      // nLists=1 → exact semantics: corpus-hit anti-join + survivor
+      // closure + keep-min, all in SQL (q77's recipe, two-sided)
+      s"""WITH RECURSIVE
+          b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+          c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+          hits AS (SELECT DISTINCT b.vec_id AS id
+                   FROM b JOIN c
+                   ON ${sqlCos("b.embedding", "c.embedding")} >= 0.4),
+          sv AS (SELECT vec_id AS id, embedding FROM b
+                 WHERE vec_id NOT IN (SELECT id FROM hits)),
+          pairs AS (SELECT x.id AS id_a, y.id AS id_b
+                    FROM sv x JOIN sv y ON x.id < y.id
+                    WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.4),
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT id, id FROM sv
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id),
+          cl AS (SELECT id, min(r) AS dup_group FROM walk GROUP BY id)
+          SELECT id, CAST(0 AS INT) AS cell, CAST(0 AS BIGINT) AS corpus_dup,
+                 dup_group,
+                 CAST(CASE WHEN id = dup_group THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM cl
+          UNION ALL
+          SELECT id, CAST(0 AS INT), CAST(1 AS BIGINT),
+                 CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+          FROM hits"""
   )
 }

@@ -259,14 +259,44 @@ object Similarity {
       trainSample: Int = 4096,
       maxCellRows: Int = 100000,
       blockRows: Int = 512): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-
     require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
     require(blockRows > 0, s"blockRows must be positive, got $blockRows")
     val k = if (nLists > 0) nLists else autoNLists(emb.select(col(idCol)).count())
     val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
     val centroids = trainCentroids(emb, idCol, vecCol, k, seed, sampleRows)
+
+    val assigned = assignCells(emb, idCol, vecCol, centroids)
+    val cellCounts = checkedCellCounts(assigned, maxCellRows, "semanticDedup")
+    val pairs = intraCellPairs(assigned, cellCounts, blockRows, threshold)
+
+    val groups = Components.connectedComponents(
+      pairs, "id_a", "id_b", assigned.select("id"), "id")
+      .withColumnRenamed("cluster_id", "dup_group")
+    assigned
+      .select("id", "cell")
+      .join(groups, Seq("id"))
+      .select(
+        col("id"),
+        col("cell"),
+        col("dup_group"),
+        (col("id") === col("dup_group")).cast("long").alias("kept"))
+  }
+
+  /** `(id, vec, nrm, cell)` — every row labeled with its nearest
+    * centroid (squared-euclidean, ties to the lowest cell index),
+    * MATERIALIZED once: the assigned frame feeds several plan positions
+    * (cell counts, block-pair joins, CC's vertex set, final labeling
+    * joins) on different keys, so ReuseExchange can never dedup them —
+    * without this the assignment scan (k dot products per row) runs
+    * once per position; same rationale as the dedup family's
+    * materialized shingle-set table.
+    */
+  private def assignCells(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
     val dim = centroids.head.length
     val bc = spark.sparkContext.broadcast(centroids)
     val nearestCell = udf { (vec: Array[Float]) =>
@@ -282,36 +312,56 @@ object Similarity {
       }
       best
     }
-
-    // materialized once: the UDF-assigned frame feeds FOUR plan
-    // positions (cell counts, the block-pair join, CC's vertex set, the
-    // final labeling join) on different keys, so ReuseExchange can never
-    // dedup them — without this the assignment scan (k dot products per
-    // row) runs once per position; same rationale as the dedup family's
-    // materialized shingle-set table
-    val assigned = emb.select(
+    emb.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"),
       graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
       nearestCell(col(vecCol)).alias("cell"))
       .localCheckpoint(true)
+  }
 
-    // cell populations: ≤ nLists rows — the loud quantizer-collapse
-    // check runs here, on the driver, BEFORE any replication fan-out
+  /** Cell populations (≤ nLists rows) with the loud quantizer-collapse
+    * check — runs on the driver over the tiny aggregate, BEFORE any
+    * replication fan-out.
+    */
+  private def checkedCellCounts(
+      assigned: DataFrame,
+      maxCellRows: Int,
+      caller: String): DataFrame = {
     val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).alias("m"))
     val hot = cellCounts.filter(col("m") > maxCellRows).limit(1).collect()
     if (hot.nonEmpty)
       throw new IllegalArgumentException(
-        s"semanticDedup: cell ${hot.head.getInt(0)} holds ${hot.head.getLong(1)} rows " +
+        s"$caller: cell ${hot.head.getInt(0)} holds ${hot.head.getLong(1)} rows " +
           s"(> maxCellRows=$maxCellRows) — the quantizer collapsed or " +
           s"nLists is too small for the corpus; raise nLists (keep " +
           s"n/nLists bounded) or trainSample.")
+    cellCounts
+  }
 
-    // intra-cell pairs as a per-cell block-nested-loop: each row joins
-    // its cell's block count (broadcast — ≤ nLists rows), lands in
-    // block pmod(hash(id), b), and replicates to every (cell, blockPair)
-    // group containing its block. Same upper-triangle/cross-block
-    // kernel as the exact blocked tier, but scoped per cell.
+  private def dotFF(va: Array[Float], vb: Array[Float]): Double = {
+    var s = 0.0
+    var d = 0
+    val len = math.min(va.length, vb.length)
+    while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+    s
+  }
+
+  /** Intra-cell near-dup pairs `(id_a < id_b)` as a per-cell
+    * block-nested-loop: each row joins its cell's block count
+    * (broadcast — ≤ nLists rows), lands in block `pmod(hash(id), b)`,
+    * and replicates to every (cell, blockPair) group containing its
+    * block. Same upper-triangle/cross-block kernel as the exact blocked
+    * tier, but scoped per cell, so task time is bounded by `blockRows²`
+    * dots no matter how skewed the quantizer gets.
+    */
+  private def intraCellPairs(
+      assigned: DataFrame,
+      cellCounts: DataFrame,
+      blockRows: Int,
+      threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val withB = assigned
       .join(broadcast(cellCounts), Seq("cell"))
       .select(
@@ -327,18 +377,11 @@ object Similarity {
         col("blk"),
         when(col("blk") <= col("o"), col("blk")).otherwise(col("o")).alias("lo"),
         when(col("blk") <= col("o"), col("o")).otherwise(col("blk")).alias("hi"))
-    val pairs = replicated
+    replicated
       .as[(Long, Array[Float], Double, Int, Int, Int, Int)]
       .groupByKey(r => (r._4, r._6, r._7))
       .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Long, Array[Float], Double, Int, Int, Int, Int)]) =>
         val (_, i, j) = key
-        def dot(va: Array[Float], vb: Array[Float]): Double = {
-          var s = 0.0
-          var d = 0
-          val len = math.min(va.length, vb.length)
-          while (d < len) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
-          s
-        }
         if (i == j) {
           val rows = it.map(r => (r._1, r._2, r._3)).toArray
           java.util.Arrays.sort(rows, Ordering.by((r: (Long, Array[Float], Double)) => r._1))
@@ -346,7 +389,7 @@ object Similarity {
             val (ida, va, na) = rows(a)
             (a + 1 until rows.length).iterator.flatMap { b =>
               val (idb, vb, nb) = rows(b)
-              val cos = dot(va, vb) / (na * nb)
+              val cos = dotFF(va, vb) / (na * nb)
               if (cos >= threshold || cos.isNaN) Iterator.single((ida, idb))
               else Iterator.empty
             }
@@ -355,7 +398,7 @@ object Similarity {
           val (ai, bj) = it.toArray.partition(_._5 == i)
           ai.iterator.flatMap { case (ida, va, na, _, _, _, _) =>
             bj.iterator.flatMap { case (idb, vb, nb, _, _, _, _) =>
-              val cos = dot(va, vb) / (na * nb)
+              val cos = dotFF(va, vb) / (na * nb)
               if (cos >= threshold || cos.isNaN)
                 Iterator.single((math.min(ida, idb), math.max(ida, idb)))
               else Iterator.empty
@@ -364,18 +407,120 @@ object Similarity {
         }
       }
       .toDF("id_a", "id_b")
+  }
 
+  /** Incremental semantic dedup — the production ingest shape (the
+    * embedding twin of [[Dedup.incrementalExact]]): a NEW batch is
+    * near-dup-checked against the existing corpus WITHOUT any
+    * corpus×corpus comparison, then deduplicated within itself. The
+    * quantizer trains on the corpus (the stable side); both sides are
+    * cell-assigned with it; batch rows meet only the corpus rows of
+    * their own cell (corpus blocked per cell, batch rows replicated to
+    * their cell's blocks — batch×corpus per-block compare, never
+    * corpus×corpus); survivors then run the intra-batch pair loop + CC
+    * + keep-min.
+    *
+    * Output, one row per batch id:
+    * `(id, cell, corpus_dup, dup_group, kept)` — `corpus_dup = 1` rows
+    * are dropped by the corpus (dup_group = -1, kept = 0); among
+    * survivors `dup_group` is the intra-batch component label and the
+    * min-id member is kept.
+    */
+  def incrementalSemanticDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 0,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      maxCellRows: Int = 100000,
+      blockRows: Int = 512): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    val k = if (nLists > 0) nLists else autoNLists(corpus.select(col(idCol)).count())
+    val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
+    val centroids = trainCentroids(corpus, idCol, vecCol, k, seed, sampleRows)
+
+    val assignedC = assignCells(corpus, idCol, vecCol, centroids)
+    val assignedB = assignCells(batch, idCol, vecCol, centroids)
+    val cellCountsC = checkedCellCounts(assignedC, maxCellRows, "incrementalSemanticDedup(corpus)")
+
+    // batch×corpus per-cell block compare: corpus rows land in their
+    // cell's block; batch rows replicate to every block of their cell
+    // (replication factor = that cell's block count, NOT the batch
+    // size); each (cell, block) task scans batch×corpusBlock and emits
+    // the batch ids with a corpus near-dup. The corpus side is pruned
+    // to the cells the batch TOUCHES (broadcast semi-join on ≤ nLists
+    // cell ids) — a small ingest batch must not shuffle the whole
+    // corpus, only its own cells' members.
+    val touchedCells = assignedB.select("cell").distinct()
+    val corpusBlocked = assignedC
+      .join(broadcast(touchedCells), Seq("cell"), "left_semi")
+      .join(broadcast(cellCountsC), Seq("cell"))
+      .select(
+        col("id"), col("vec"), col("nrm"), col("cell"),
+        pmod(hash(col("id")),
+          greatest(lit(1), ceil(col("m").cast("double") / blockRows)).cast("int"))
+          .cast("int").alias("blk"),
+        lit(0).alias("side"))
+    val batchReplicated = assignedB
+      .join(broadcast(cellCountsC), Seq("cell"))
+      .select(
+        col("id"), col("vec"), col("nrm"), col("cell"),
+        explode(sequence(lit(0),
+          greatest(lit(1), ceil(col("m").cast("double") / blockRows)).cast("int") - 1))
+          .alias("blk"),
+        lit(1).alias("side"))
+    val hitIds = corpusBlocked
+      .unionByName(batchReplicated)
+      .as[(Long, Array[Float], Double, Int, Int, Int)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroups { (_: (Int, Int), it: Iterator[(Long, Array[Float], Double, Int, Int, Int)]) =>
+        val (corpusRows, batchRows) = it.toArray.partition(_._6 == 0)
+        batchRows.iterator.flatMap { case (idb, vb, nb, _, _, _) =>
+          val hit = corpusRows.exists { case (_, vc, nc, _, _, _) =>
+            val cos = dotFF(vb, vc) / (nb * nc)
+            cos >= threshold || cos.isNaN
+          }
+          if (hit) Iterator.single(idb) else Iterator.empty
+        }
+      }
+      .toDF("id")
+      .distinct()
+
+    val survivors = assignedB.join(hitIds, Seq("id"), "left_anti").localCheckpoint(true)
+
+    // intra-batch dedup among survivors: same cells (corpus-trained
+    // quantizer), survivor-sized block counts
+    val cellCountsB = checkedCellCounts(survivors, maxCellRows, "incrementalSemanticDedup(batch)")
+    val pairs = intraCellPairs(survivors, cellCountsB, blockRows, threshold)
     val groups = Components.connectedComponents(
-      pairs, "id_a", "id_b", assigned.select("id"), "id")
+      pairs, "id_a", "id_b", survivors.select("id"), "id")
       .withColumnRenamed("cluster_id", "dup_group")
-    assigned
+
+    val survivorRows = survivors
       .select("id", "cell")
       .join(groups, Seq("id"))
       .select(
         col("id"),
         col("cell"),
+        lit(0L).alias("corpus_dup"),
         col("dup_group"),
         (col("id") === col("dup_group")).cast("long").alias("kept"))
+    val droppedRows = assignedB
+      .join(hitIds, Seq("id"))
+      .select(
+        col("id"),
+        col("cell"),
+        lit(1L).alias("corpus_dup"),
+        lit(-1L).alias("dup_group"),
+        lit(0L).alias("kept"))
+    survivorRows.unionByName(droppedRows)
   }
 
   /** Banded SRP-LSH near-duplicate pairs — the LSH-bucketed scale path

@@ -237,6 +237,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("maxCellRows"), e.getMessage)
   }
 
+  test("incrementalSemanticDedup: corpus near-dups dropped, intra-batch dups resolved, unique rows kept") {
+    val rnd = new scala.util.Random(17)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.003f)
+    val ax = Array.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)
+    val ay = Array.tabulate(8)(j => if (j == 1) 1.0f else 0.0f)
+    val az = Array.tabulate(8)(j => if (j == 2) 1.0f else 0.0f)
+    val corpus = (0 until 6).map(i => (100L + i, jitter(if (i < 3) ax else ay).toSeq))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, jitter(ax).toSeq), //        near corpus (x cluster) → dropped
+      (2L, jitter(az).toSeq), //        new, near-dup of 3     → kept (min id)
+      (3L, jitter(az).toSeq), //        new, near-dup of 2     → dropped intra-batch
+      (4L, Array.tabulate(8)(j => if (j == 3) 1.0f else 0.0f).toSeq) // unique → kept
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.incrementalSemanticDedup(
+      batch, corpus, "vec_id", "embedding", threshold = 0.95,
+      nLists = 2, trainSample = 50)
+      .select("id", "corpus_dup", "dup_group", "kept")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1L, -1L, 0L)), got(1L)) // corpus dup
+    assert(got(2L) == ((0L, 2L, 1L)), got(2L)) // intra-batch rep
+    assert(got(3L) == ((0L, 2L, 0L)), got(3L)) // intra-batch dup
+    assert(got(4L) == ((0L, 4L, 1L)), got(4L)) // unique survivor
+  }
+
   test("semanticDedup sub-blocks a hot cell: same output across blockRows") {
     val rnd = new scala.util.Random(31)
     // everything in one cell (nLists=1) with a few near-dup pairs
