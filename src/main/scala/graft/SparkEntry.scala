@@ -1128,9 +1128,13 @@ object SparkEntry {
     * invariant-checked by q78 and spec-tested in `SimilaritySpec`.
     */
   private def q77_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    // blockRows pinned above the gate fixtures' size: the output is
+    // blockRows-invariant (spec-proven), and the single-cell oracle
+    // config gains nothing from replication at this scale — the blocked
+    // kernel's plan is exercised by q78/q80 and SimilaritySpec
     Similarity.semanticDedup(
       Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4, nLists = 1, trainSample = 64)
+      threshold = 0.4, nLists = 1, trainSample = 64, blockRows = 100000)
 
   /** IVF-PQ's quantization tier as a self-check (q41 pattern — the
     * sample-trained codebooks aren't SQL-expressible): vectors encode

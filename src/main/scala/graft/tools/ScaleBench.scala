@@ -87,7 +87,17 @@ object ScaleBench {
     "semantic_dedup(t0.8,auto)" -> ((dir: String) =>
       graft.operators.Similarity.semanticDedup(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        threshold = 0.8)))
+        threshold = 0.8)),
+    // the ingest shape: a 10% batch against the remaining 90% corpus;
+    // the corpus is touched only in the batch's cells, so the exponent
+    // should track the batch/cell volume, not the corpus scan
+    "incr_semantic(t0.8,auto)" -> ((dir: String) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.incrementalSemanticDedup(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", threshold = 0.8)
+    }))
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
