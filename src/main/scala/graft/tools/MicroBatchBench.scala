@@ -31,16 +31,26 @@ import scala.collection.mutable
   * SPARK_GRAFT_MB_LINES total lines per size, default 200000;
   * SPARK_GRAFT_MB_PARTITIONS shuffle/state partitions, default = cpus —
   * sweep it to measure how the state-commit floor scales with the
-  * number of state-store instances).
+  * number of state-store instances; SPARK_GRAFT_MB_ROCKSDB=1 swaps in
+  * the RocksDB state store with changelog checkpointing — the
+  * commit-a-delta-not-a-snapshot knob).
   */
 object MicroBatchBench {
   def main(args: Array[String]): Unit = {
     val total = sys.env.getOrElse("SPARK_GRAFT_MB_LINES", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val parts = sys.env.getOrElse("SPARK_GRAFT_MB_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val rocks = sys.env.get("SPARK_GRAFT_MB_ROCKSDB").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+    if (rocks) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -256,6 +256,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"PQ scan must not shuffle:\n$plan")
   }
 
+  test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {
+    val df = SparkEntry.queries("q80_incremental_semantic")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // a small ingest batch must not shuffle (or compare against) the
+    // whole corpus — its cells arrive broadcast and the corpus is
+    // semi-join-filtered before any replication
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(plan).isDefined
+      || "BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SortMergeJoin LeftSemi"),
+      s"cell pruning must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("q76: representative selection is a partial+final aggregate, not a window sort") {
     import org.apache.spark.sql.functions._
     // audit the policy step in isolation (the full q76 plan is dominated
