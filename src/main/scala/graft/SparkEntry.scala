@@ -1120,6 +1120,18 @@ object SparkEntry {
     Dedup.keepRepresentative(scored, "doc_id", "cluster_id", "n_tokens")
   }
 
+  /** Cross-document duplicate-SPAN removal (ExactSubstr hygiene, Lee
+    * et al. ACL 2022 shape): any token inside a 4-token window whose
+    * content appears in ≥ 2 distinct documents is cut; the unique
+    * remainder survives in order. k = 4 splits the fixture
+    * non-degenerately at BOTH gate scales (sf0.01: 368/500 docs
+    * affected, 18% of tokens cut; sf0.1: 4,971/5,000, 69%) and the
+    * dup test is exact integer counting, so both engines agree.
+    */
+  private def q81_dup_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+      k = 4, minDocs = 2)
+
   /** SemDeDup semantic dedup, exact configuration: `nLists = 1` makes
     * the coarse quantizer degenerate (one cell = all pairs compared),
     * so the FULL labeling — intra-cell pair loop → connected components
@@ -1323,7 +1335,8 @@ object SparkEntry {
     "q77_semantic_dedup" -> (q77_semantic_dedup _),
     "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _),
     "q79_pq_ann" -> (q79_pq_ann _),
-    "q80_incremental_semantic" -> (q80_incremental_semantic _)
+    "q80_incremental_semantic" -> (q80_incremental_semantic _),
+    "q81_dup_spans" -> (q81_dup_spans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2163,6 +2176,42 @@ object SparkEntry {
           UNION ALL
           SELECT id, CAST(0 AS INT), CAST(1 AS BIGINT),
                  CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-          FROM hits"""
+          FROM hits""",
+    "q81_dup_spans" ->
+      // mirror of Dedup.duplicateSpans at k=4: position-ordered 4-gram
+      // hashes (same md5-60 primitive and short-doc whole-text rule as
+      // the shingle oracles), duplicate grams by distinct-doc count,
+      // token removed iff covered by a duplicate start, ordered rebuild
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          kg AS (SELECT doc_id, pos,
+                        ${sqlMd5h60("g")} AS h
+                 FROM (SELECT doc_id,
+                              unnest(CASE WHEN len(t) < 4
+                                     THEN [0]
+                                     ELSE range(0, len(t) - 3) END) AS pos,
+                              unnest(CASE WHEN len(t) < 4
+                                     THEN [array_to_string(t, ' ')]
+                                     ELSE list_transform(range(0, len(t) - 3),
+                                            i -> array_to_string(t[i+1:i+4], ' ')) END) AS g
+                       FROM tk)),
+          dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM kg)
+                  GROUP BY h HAVING count(*) >= 2),
+          cov AS (SELECT DISTINCT kg.doc_id, kg.pos + o.o AS p
+                  FROM kg JOIN dup USING (h), unnest(range(0, 4)) AS o(o)),
+          tok AS (SELECT doc_id, unnest(t) AS tok,
+                         unnest(range(0, len(t))) AS p
+                  FROM tk),
+          kept AS (SELECT tok.doc_id, tok.p, tok.tok
+                   FROM tok LEFT JOIN cov
+                   ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+                   WHERE cov.p IS NULL),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+                         count(*) AS nk
+                  FROM kept GROUP BY doc_id)
+          SELECT tk.doc_id,
+                 coalesce(agg.ct, '') AS clean_text,
+                 CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
+                 CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+          FROM tk LEFT JOIN agg USING (doc_id)"""
   )
 }

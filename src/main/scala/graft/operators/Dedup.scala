@@ -664,6 +664,82 @@ object Dedup {
       .toDF("id_a", "id_b", "cos")
   }
 
+  /** Cross-document duplicate-SPAN removal — the ExactSubstr hygiene
+    * step (cf. Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): a token is removed iff it lies inside
+    * some `k`-token window whose content appears in ≥ `minDocs`
+    * distinct documents. Finer-grained than [[lineDedup]] (which drops
+    * whole segments): repeated boilerplate embedded mid-sentence is cut
+    * while the unique remainder survives.
+    *
+    * Plan: one scan builds position-ordered 60-bit k-gram hashes per
+    * doc (md5-derived, so the oracle rebuilds them and collisions — were
+    * any to occur — are identical on both engines; short docs hash the
+    * whole text, the same rule as the shingle oracles); the duplicate
+    * grams come from one distinct + count aggregate on hash LONGS (text
+    * never shuffles); duplicate starts explode to their ≤ k covered
+    * positions; kept tokens are a positions anti-join and the doc
+    * reassembles ordered, [[lineDedup]]-style. Hot grams (corpus-wide
+    * boilerplate) skew the dup-hash join — AQE's skew join handles the
+    * fan-out, and the per-key payload is (id, pos) longs only.
+    *
+    * Emits `(doc_id, clean_text, n_kept, n_removed)`; fully-boilerplate
+    * documents survive with `clean_text = ""`.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hashK = udf { (text: String) =>
+      val sh = shinglesLocal(tokensLocal(text), k)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = md5Hash60Local(sh(i)); i += 1 }
+      out
+    }
+    // tokens appear in two plan positions (gram build + rebuild) on
+    // different keys — materialize once, as every dedup pipeline does
+    val toks = docs
+      .select(col(idCol).alias("doc_id"), tokens(col(textCol)).alias("t"))
+      .localCheckpoint(true)
+    val grams = toks.select(
+      col("doc_id"),
+      posexplode(hashK(concat_ws(" ", col("t")))).as(Seq("pos", "h")))
+    val dup = grams
+      .select("doc_id", "h")
+      .distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).alias("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val covered = grams
+      .join(dup, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).alias("p"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("p"), col("tok")))).alias("a"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("a.tok")).alias("clean_text"),
+        size(col("a")).cast("long").alias("n_kept"))
+    toks
+      .select(col("doc_id"), size(col("t")).cast("long").alias("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("clean_text"), lit("")).alias("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+  }
+
   /** Representative selection per near-dup cluster — the retention
     * POLICY step after clustering: instead of "keep lowest id"
     * (adequate for exact dupes, arbitrary for near-dupes), keep the

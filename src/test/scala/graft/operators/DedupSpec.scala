@@ -250,6 +250,29 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L, 11L -> 2L))
   }
 
+  test("duplicateSpans: cross-doc repeated windows cut, unique remainder survives in order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one tail"),
+      (2L, "prefix alpha beta gamma delta other end"), // shares the 4-gram
+      (3L, "totally different words entirely here now"),
+      (4L, "alpha beta gamma delta") //                   fully boilerplate
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the shared window "alpha beta gamma delta" is cut everywhere it
+    // appears; neighbors survive in original order
+    assert(got(1L) == (("unique one tail", 3L, 4L)), got(1L))
+    assert(got(2L) == (("prefix other end", 3L, 4L)), got(2L))
+    assert(got(3L) == (("totally different words entirely here now", 6L, 0L)), got(3L))
+    assert(got(4L) == (("", 0L, 4L)), got(4L)) // fully removed, row survives
+
+    // minDocs above the duplication level: nothing is cut
+    val loose = Dedup.duplicateSpans(docs, "doc_id", "text", k = 4, minDocs = 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(loose.forall(_._4 == 0L), loose.mkString(","))
+  }
+
   test("keepRepresentative: argmax score per cluster, min-id tie-break, singletons kept") {
     val members = Seq(
       // cluster 1: 3 wins on score despite higher id
