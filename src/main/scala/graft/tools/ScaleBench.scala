@@ -45,7 +45,8 @@ object ScaleBench {
     "q49_dup_clusters",
     "q72_incremental_dedup",
     "q74_line_dedup",
-    "q76_keep_best")
+    "q76_keep_best",
+    "q81_dup_spans")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -256,6 +256,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"PQ scan must not shuffle:\n$plan")
   }
 
+  test("q81: duplicate-span detection partitions by gram hashes and doc ids, never text") {
+    val plan = planOf("q81_dup_spans")
+    // grams shuffle as 60-bit longs; the only doc-keyed exchanges carry
+    // (doc_id, pos) pairs and the final rebuild rows
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("tok"),
+        s"raw text in a partitioning key:\n${m.group(0)}"))
+  }
+
   test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {
     val df = SparkEntry.queries("q80_incremental_semantic")(spark, dir)
     df.collect()
