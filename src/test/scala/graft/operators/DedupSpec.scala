@@ -273,6 +273,38 @@ class DedupSpec extends SparkTestBase {
     assert(loose.forall(_._4 == 0L), loose.mkString(","))
   }
 
+  test("duplicateSpans matches a naive in-memory recompute on random corpora") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val docsSeq = (1L to 25L).map(i =>
+        (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // naive: same tokenization/shingle/hash primitives, brute-forced
+      val toks = docsSeq.map { case (id, t) => id -> TextFunctions.tokensLocal(t) }.toMap
+      val grams = docsSeq.flatMap { case (id, _) =>
+        TextFunctions.shinglesLocal(toks(id), k).zipWithIndex
+          .map { case (g, p) => (id, p, TextFunctions.md5Hash60Local(g)) }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = docsSeq.map { case (id, _) =>
+        val t = toks(id)
+        val covered = grams
+          .filter(g => g._1 == id && dup(g._3))
+          .flatMap(g => g._2 until g._2 + k).toSet
+        val keptIdx = t.indices.filterNot(covered)
+        id -> ((keptIdx.map(t).mkString(" "), keptIdx.size.toLong,
+          (t.length - keptIdx.size).toLong))
+      }.toMap
+      val got = Dedup
+        .duplicateSpans(docsSeq.toDF("doc_id", "text"), "doc_id", "text", k = k, minDocs = 2)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"trial $trial k=$k")
+    }
+  }
+
   test("keepRepresentative: argmax score per cluster, min-id tie-break, singletons kept") {
     val members = Seq(
       // cluster 1: 3 wins on score despite higher id
