@@ -1,0 +1,126 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native nearest-centroid assignment over an `ARRAY<FLOAT>` embedding:
+  * the index of the squared-euclidean-closest centroid, ties to the
+  * lowest index — the scan-side cell assignment of
+  * `Similarity.semanticDedup` / `incrementalSemanticDedup`.
+  *
+  * The centroid matrix is precomputed driver-side (sample-trained
+  * Lloyd) and rides the plan as a flat `double[]` reference object —
+  * `k·dim` doubles shipped once per executor with the generated class,
+  * not per row. Same preference-ladder argument as [[SrpBandBucketsExpr]]:
+  * the assignment was the last per-row closure UDF on the
+  * embedding-dedup scan path; this expression reads the columnar
+  * `ArrayData` in place inside the fused stage (no per-row array
+  * conversion, no codegen break). Arithmetic (per-cell ascending-index
+  * squared-distance double fold, strict `<` improvement) is
+  * bit-identical to the UDF it replaces, so q78/q80's oracles are
+  * unchanged.
+  */
+case class NearestCellExpr(
+    child: Expression,
+    // IndexedSeq, not Array: case-class equality on an Array field is by
+    // reference, which would defeat canonicalization / CSE
+    centroids: IndexedSeq[Double],
+    k: Int,
+    dim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val centroidsArr: Array[Double] = centroids.toArray
+
+  // plan transforms compare expressions repeatedly; cache the content
+  // hash so equality rejects in O(1) (same scheme as SrpBandBucketsExpr)
+  @transient private lazy val centroidsHash: Int = centroids.hashCode()
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k), Integer.valueOf(dim),
+      Integer.valueOf(centroidsHash))
+
+  override def equals(obj: Any): Boolean = obj match {
+    case o: NearestCellExpr =>
+      (this eq o) || (k == o.k && dim == o.dim &&
+        centroidsHash == o.centroidsHash && child == o.child &&
+        centroids == o.centroids)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1 || dim < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs k >= 1 and dim >= 1, got ($k, $dim)")
+    else if (centroids.length != k * dim)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName centroids length ${centroids.length} != k*dim = ${k * dim}")
+    else child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCellExpr.compute(input.asInstanceOf[ArrayData], centroidsArr, k, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("cellCentroids", centroidsArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NearestCellExpr.compute($c, $cref, $k, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}
+
+object NearestCellExpr {
+
+  /** Called from generated code — must stay a simple static-style method.
+    * Centroid c lives at `centroids[c*dim ..< c*dim+dim]`; vectors longer
+    * than `dim` are truncated, shorter ones compared on their prefix —
+    * identical to the UDF this replaces.
+    */
+  def compute(vec: ArrayData, centroids: Array[Double], k: Int, dim: Int): Int = {
+    val n = math.min(vec.numElements(), dim)
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = vec.getFloat(i).toDouble - centroids(base + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCell(c: Column, centroids: Array[Array[Double]]): Column = {
+    val k = centroids.length
+    val dim = centroids.head.length
+    val flat = new Array[Double](k * dim)
+    var i = 0
+    while (i < k) {
+      require(centroids(i).length == dim, "ragged centroid matrix")
+      System.arraycopy(centroids(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    Bridge.column(NearestCellExpr(
+      Bridge.expression(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flat), // flat is private here
+      k, dim))
+  }
+}

@@ -295,30 +295,17 @@ object Similarity {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val spark = emb.sparkSession
-    val dim = centroids.head.length
-    val bc = spark.sparkContext.broadcast(centroids)
-    val nearestCell = udf { (vec: Array[Float]) =>
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var j = 0
-        val cc = cs(c)
-        val len = math.min(dim, vec.length)
-        while (j < len) { val d = vec(j) - cc(j); s += d * d; j += 1 }
-        if (s < bd) { bd = s; best = c }
-        c += 1
-      }
-      best
-    }
+      centroids: Array[Array[Double]]): DataFrame =
+    // assignment runs as the native codegen `nearest_cell` expression
+    // (centroid matrix rides the generated class as one flat double[] —
+    // not a per-row broadcast lookup, no UDF boundary)
     emb.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"),
       graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"),
-      nearestCell(col(vecCol)).alias("cell"))
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).alias("cell"))
       .localCheckpoint(true)
-  }
 
   /** Cell populations (≤ nLists rows) with the loud quantizer-collapse
     * check — runs on the driver over the tiny aggregate, BEFORE any

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -223,6 +224,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_._1).toSet == (0L to 9L).toSet)
     // score approximates dot(query, vec) ≈ 8 for the matching cluster
     assert(top.forall(t => math.abs(t._2 - 8.0) < 0.5), top.map(_._2).mkString(","))
+  }
+
+  test("nearest_cell expression matches a local reference loop (ties to lowest index)") {
+    val rnd = new scala.util.Random(19)
+    val k = 5; val dim = 6
+    val cents = Array.fill(k, dim)(rnd.nextGaussian())
+    val vecs = (1L to 40L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.expressions.NearestCellExpr
+          .nearestCell(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until k) {
+        var s = 0.0
+        for (j <- 0 until dim) { val d = v(j) - cents(c)(j); s += d * d }
+        if (s < bd) { bd = s; best = c }
+      }
+      assert(got(id) == best, s"vec $id")
+    }
+    // exact tie breaks to the lowest index
+    val tied = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.expressions.NearestCellExpr
+        .nearestCell(col("embedding"), Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)))
+        .as("cell"))
+      .as[Int].head()
+    assert(tied == 0)
   }
 
   test("semanticDedup fails loud when a cell exceeds maxCellRows") {
