@@ -80,8 +80,6 @@ object Similarity {
       nProbe: Int = 2,
       seed: Long = 42L,
       trainSample: Int = 4096): DataFrame = {
-    val spark = emb.sparkSession
-
     val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
     val dim = centroids.head.length
     def sqdist(a: Array[Double], b: Array[Double]): Double = {
@@ -91,27 +89,19 @@ object Similarity {
     }
 
     // --- distributed assign + probe ---
+    // the probe filter is the native codegen `nearest_cell` expression
+    // (same assignment kernel as semanticDedup — no closure UDF on the
+    // scan path) against the driver-computed probe-cell set
     val qArr = query.toArray
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) => (i, sqdist(c, qArr)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSet
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeSet = spark.sparkContext.broadcast(probeCells)
-    val inProbedCell = udf { (vec: Array[Float]) =>
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var j = 0
-        val cc = cs(c)
-        while (j < dim) { val d = vec(j) - cc(j); s += d * d; j += 1 }
-        if (s < bd) { bd = s; best = c }
-        c += 1
-      }
-      probeSet.value.contains(best)
-    }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
 
     emb
-      .filter(inProbedCell(col(vecCol)))
+      .filter(
+        graft.functions.expressions.NearestCellExpr
+          .nearestCell(col(vecCol), centroids)
+          .isInCollection(probeCells))
       .transform(withCosine(_, vecCol, query))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
