@@ -40,7 +40,7 @@ object AsOfJoin {
       if (acc.columns.contains(c)) acc
       else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val u = l.unionByName(rAligned.select(l.columns.map(col): _*))
+    val u = l.unionByName(rAligned.select(l.columns.toIndexedSeq.map(col): _*))
 
     // right rows sort BEFORE left rows at the same timestamp (__side 0
     // first), so an exactly-simultaneous right value is visible to the
