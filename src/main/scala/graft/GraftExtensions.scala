@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CorpusStatsExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
+import graft.functions.expressions.{CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -58,6 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("shingle_mod_hashes"),
         new ExpressionInfo(classOf[ShingleModHashesExpr].getName, "shingle_mod_hashes"),
         GraftFunctions.shingleModHashesBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("shingle_hash60s"),
+        new ExpressionInfo(classOf[ShingleHash60sExpr].getName, "shingle_hash60s"),
+        GraftFunctions.shingleHash60sBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("cut_covered_spans"),
+        new ExpressionInfo(classOf[CutCoveredSpansExpr].getName, "cut_covered_spans"),
+        GraftFunctions.cutCoveredSpansBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("lang_id"),
@@ -141,6 +151,16 @@ object GraftFunctions {
         s"$name must be a STRING literal, got $other")
     }
 
+  private[graft] def shingleHash60sBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "shingle_hash60s(text, n)")
+    ShingleHash60sExpr(exprs.head, intLit(exprs(1), "shingle_hash60s n"))
+  }
+
+  private[graft] def cutCoveredSpansBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "cut_covered_spans(tokens, starts, k)")
+    CutCoveredSpansExpr(exprs.head, exprs(1), intLit(exprs(2), "cut_covered_spans k"))
+  }
+
   private[graft] def langIdBuilder: Seq[Expr] => Expr =
     exprs => LangIdExpr(arity(exprs, 1, "lang_id(text)").head)
 
@@ -169,6 +189,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
     Bridge.registerTempFunction(spark, "shingle_hash_set", shingleHashSetBuilder)
     Bridge.registerTempFunction(spark, "shingle_mod_hashes", shingleModHashesBuilder)
+    Bridge.registerTempFunction(spark, "shingle_hash60s", shingleHash60sBuilder)
+    Bridge.registerTempFunction(spark, "cut_covered_spans", cutCoveredSpansBuilder)
     Bridge.registerTempFunction(spark, "lang_id", langIdBuilder)
     Bridge.registerTempFunction(spark, "quality_stats", qualityStatsBuilder)
     Bridge.registerTempFunction(spark, "corpus_stats", corpusStatsBuilder)

@@ -175,6 +175,33 @@ object ShingleHashSetExpr {
     Bridge.column(ShingleHashSetExpr(Bridge.expression(c), n))
 }
 
+/** `shingle_hash60s(text, n)` — raw 60-bit shingle hashes in shingle
+  * order, multiplicity kept (no sort, no dedup, no mod): the
+  * position-indexed gram stream that duplicate-SPAN detection
+  * ([[graft.operators.Dedup.duplicateSpans]]) `posexplode`s, where the
+  * array index IS the gram's token start position.
+  */
+case class ShingleHash60sExpr(child: Expression, n: Int) extends ShingleHashesBase {
+  override def prettyName: String = "shingle_hash60s"
+  override def computeName: String =
+    "graft.functions.expressions.ShingleHash60sExpr.compute"
+  override protected def evalCompute(text: UTF8String): ArrayData =
+    ShingleHash60sExpr.compute(text, n)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60sExpr =
+    copy(child = newChild)
+}
+
+object ShingleHash60sExpr {
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def compute(text: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      ShingleKernel.shingleHash60s(if (text == null) null else text.toString, n))
+
+  def shingleHash60s(c: Column, n: Int): Column =
+    Bridge.column(ShingleHash60sExpr(Bridge.expression(c), n))
+}
+
 /** `shingle_mod_hashes(text, n)` — per-shingle `hash60 % MinHashPrime`,
   * order-preserving, multiplicity kept (MinHash signature input).
   */

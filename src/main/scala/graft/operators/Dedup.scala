@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import graft.functions.expressions.{DotProductFloat, SortedIntersectCountLong}
+import graft.functions.expressions.{CutCoveredSpansExpr, DotProductFloat, ShingleHash60sExpr, SortedIntersectCountLong}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -673,18 +673,23 @@ object Dedup {
     * while the unique remainder survives.
     *
     * Plan: one scan builds position-ordered 60-bit k-gram hashes per
-    * doc (md5-derived, so the oracle rebuilds them and collisions — were
-    * any to occur — are identical on both engines; short docs hash the
-    * whole text, the same rule as the shingle oracles); the duplicate
-    * grams come from one distinct + count aggregate on hash LONGS (text
-    * never shuffles); duplicate starts explode to their ≤ k covered
-    * positions; kept tokens are a positions anti-join and the doc
-    * reassembles ordered, [[lineDedup]]-style. Hot grams (corpus-wide
-    * boilerplate) skew the dup-hash join — AQE's skew join handles the
-    * fan-out, and the per-key payload is (id, pos) longs only.
+    * doc straight off the raw text through the native
+    * [[ShingleHash60sExpr]] kernel (md5-derived, so the oracle rebuilds
+    * them and collisions — were any to occur — are identical on both
+    * engines; short docs hash the whole text, the same rule as the
+    * shingle oracles), with the `posexplode` index as the gram's token
+    * start; the duplicate grams come from one distinct + count
+    * aggregate on hash LONGS (text never shuffles); the duplicate
+    * STARTS gather back per doc in one aggregate, and the cut is a
+    * doc-local interval-union pass ([[CutCoveredSpansExpr]]) — no
+    * per-covered-position row amplification, no positions anti-join,
+    * no rebuild shuffle. Hot grams (corpus-wide boilerplate) skew the
+    * dup-hash join — AQE's skew join handles the fan-out, and the
+    * per-key payload is (id, pos) scalars only.
     *
     * Emits `(doc_id, clean_text, n_kept, n_removed)`; fully-boilerplate
-    * documents survive with `clean_text = ""`.
+    * documents survive with `clean_text = ""`; null text behaves as the
+    * empty document (`n_tokens = 0`, never negative counts).
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -694,21 +699,18 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val hashK = udf { (text: String) =>
-      val sh = shinglesLocal(tokensLocal(text), k)
-      val out = new Array[Long](sh.length)
-      var i = 0
-      while (i < sh.length) { out(i) = md5Hash60Local(sh(i)); i += 1 }
-      out
-    }
-    // tokens appear in two plan positions (gram build + rebuild) on
-    // different keys — materialize once, as every dedup pipeline does
-    val toks = docs
-      .select(col(idCol).alias("doc_id"), tokens(col(textCol)).alias("t"))
+    // tokens (rebuild) + gram hashes (dup detection) come from ONE scan
+    // over the text — both sides of the pipeline reuse it on different
+    // keys, so materialize once, as every dedup pipeline does
+    val base = docs
+      .select(
+        col(idCol).alias("doc_id"),
+        coalesce(tokens(col(textCol)), typedlit(Array.empty[String])).alias("t"),
+        ShingleHash60sExpr.shingleHash60s(col(textCol), k).alias("hs"))
       .localCheckpoint(true)
-    val grams = toks.select(
+    val grams = base.select(
       col("doc_id"),
-      posexplode(hashK(concat_ws(" ", col("t")))).as(Seq("pos", "h")))
+      posexplode(col("hs")).as(Seq("pos", "h")))
     val dup = grams
       .select("doc_id", "h")
       .distinct()
@@ -716,28 +718,25 @@ object Dedup {
       .agg(count(lit(1)).alias("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val covered = grams
+    // per-doc duplicate start positions — the k-wide windows stay
+    // IMPLICIT (one int per dup gram through the shuffle; the union of
+    // [pos, pos+k) intervals is computed doc-locally at cut time)
+    val dupStarts = grams
       .join(dup, Seq("h"))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).alias("p"))
-      .distinct()
-    val kept = toks
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
-      .join(covered, Seq("doc_id", "p"), "left_anti")
-    val rebuilt = kept
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("p"), col("tok")))).alias("a"))
+      .agg(collect_list(col("pos")).alias("starts"))
+    base
+      .join(dupStarts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        concat_ws(" ", col("a.tok")).alias("clean_text"),
-        size(col("a")).cast("long").alias("n_kept"))
-    toks
-      .select(col("doc_id"), size(col("t")).cast("long").alias("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+        col("t"),
+        CutCoveredSpansExpr.cutCoveredSpans(
+          col("t"), coalesce(col("starts"), typedlit(Array.empty[Int])), k).alias("kept"))
       .select(
         col("doc_id"),
-        coalesce(col("clean_text"), lit("")).alias("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).alias("n_removed"))
+        concat_ws(" ", col("kept")).alias("clean_text"),
+        size(col("kept")).cast("long").alias("n_kept"),
+        (size(col("t")) - size(col("kept"))).cast("long").alias("n_removed"))
   }
 
   /** Representative selection per near-dup cluster — the retention

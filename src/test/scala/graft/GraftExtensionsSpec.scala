@@ -208,6 +208,84 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("shingle_hash60s / cut_covered_spans: ordered gram stream + doc-local cut, codegen'd") {
+    import graft.functions.expressions.{CutCoveredSpansExpr, ShingleHash60sExpr}
+    import org.apache.spark.sql.functions.{col, typedlit}
+    GraftFunctions.register(spark)
+
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "short"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "Émoji 🎉 and    runs\tof   whitespace and DUP dup DuP tokens dup"))
+      .toDF("id", "text")
+
+    // order-preserving, multiplicity kept: exactly the closure loop
+    // `md5Hash60Local ∘ shinglesLocal ∘ tokensLocal` it replaces
+    for (n <- Seq(1, 3)) {
+      val fromExpr = texts
+        .select(col("id"), ShingleHash60sExpr.shingleHash60s(col("text"), n).alias("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val local = texts.as[(Long, String)].collect().map { case (id, t) =>
+        id -> TextFunctions.shinglesLocal(TextFunctions.tokensLocal(t), n)
+          .map(TextFunctions.md5Hash60Local).toSeq
+      }.toMap
+      assert(fromExpr == local, s"shingle_hash60s n=$n diverged from the local loop")
+    }
+
+    // cut kernel: unsorted starts, overlapping windows merged, window
+    // ends clipped by the token count, empty starts = identity
+    val toks = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g"), Seq(4, 0, 1)),
+      (2L, Seq("a", "b", "c"), Seq(2)), //        window runs past the end
+      (3L, Seq("a", "b", "c"), Seq.empty[Int]), // nothing covered
+      (4L, Seq.empty[String], Seq(0)) //          empty doc, covered anyway
+    ).toDF("id", "t", "starts")
+    val cut = toks
+      .select(col("id"), CutCoveredSpansExpr.cutCoveredSpans(col("t"), col("starts"), 2).alias("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(cut(1L) == Seq("d", "g"), cut(1L)) // [0,2)∪[1,3)∪[4,6) covered
+    assert(cut(2L) == Seq("a", "b"), cut(2L))
+    assert(cut(3L) == Seq("a", "b", "c"), cut(3L))
+    assert(cut(4L) == Seq.empty[String], cut(4L))
+
+    // SQL surface; non-literal n/k rejected at plan time
+    texts.createOrReplaceTempView("t_h60")
+    val sqlRows = spark.sql("SELECT id, shingle_hash60s(text, 3) AS hs FROM t_h60")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sqlRows(1L).length == 11, sqlRows(1L)) // 13 tokens → 11 ordered 3-grams
+    val cutSql = spark
+      .sql("SELECT cut_covered_spans(array('a','b','c','d'), array(1), 2) AS kept")
+      .as[Seq[String]].head()
+    assert(cutSql == Seq("a", "d"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hash60s(text, CAST(id AS INT)) FROM t_h60").collect()
+    }
+    assert(err.getMessage.contains("INT literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("INT literal"), err.getMessage)
+
+    // both stay inside whole-stage codegen over a real source; strict
+    // fallback makes a janino failure fatal instead of silent
+    // plain split (not tokens(): its higher-order filter is
+    // CodegenFallback and would evict the projection from codegen)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planned = docs.select(
+      CutCoveredSpansExpr.cutCoveredSpans(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(col("text")), "\\s+"),
+        typedlit(Array(0, 2)),
+        4).alias("kept"),
+      ShingleHash60sExpr.shingleHash60s(col("text"), 4).alias("hs"))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try planned.collect()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[cut_covered_spans".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("shingle_hash60s"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("srp_band_buckets: matches a reference loop, truncates long vectors, codegen'd") {
     import graft.functions.expressions.SrpBandBucketsExpr
     import org.apache.spark.sql.functions.col

@@ -264,6 +264,16 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(plan)
       .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("tok"),
         s"raw text in a partitioning key:\n${m.group(0)}"))
+    // round-9 shape: the cut is the doc-local interval union — the
+    // k-times covered-position amplification (explode(sequence(pos,
+    // pos+k-1)) → distinct → anti-join → collect_list rebuild) must
+    // stay gone, and no closure UDF anywhere on the path (the native
+    // shingle_hash60s gram scan itself runs inside the localCheckpoint
+    // job, invisible here; its codegen shape is pinned in
+    // GraftExtensionsSpec)
+    assert(plan.contains("cut_covered_spans"), s"doc-local cut missing:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q81 path:\n$plan")
+    assert(!plan.contains("sequence("), s"covered-position explode resurrected:\n$plan")
   }
 
   test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {

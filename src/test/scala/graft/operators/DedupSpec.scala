@@ -273,6 +273,29 @@ class DedupSpec extends SparkTestBase {
     assert(loose.forall(_._4 == 0L), loose.mkString(","))
   }
 
+  test("duplicateSpans: heavily overlapping dup spans merge doc-locally; null text = empty doc") {
+    // every 3-gram of the x-run is the SAME duplicated gram — the
+    // worst case for per-covered-position row amplification (the old
+    // explode+distinct plan would emit k rows per dup gram here); the
+    // interval-union cut must still remove exactly the run
+    val docs = Seq(
+      (1L, "x x x x x x x x x x tailword"),
+      (2L, "head x x x x x x x x x x"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("tailword", 1L, 10L)), got(1L))
+    assert(got(2L) == (("head", 1L, 10L)), got(2L))
+    // null text is the EMPTY doc: zero counts, never the legacy
+    // size(null) = -1 arithmetic — even though the two null docs share
+    // the duplicated empty-shingle hash, there are no tokens to cut
+    assert(got(3L) == (("", 0L, 0L)), got(3L))
+    assert(got(4L) == (("", 0L, 0L)), got(4L))
+  }
+
   test("duplicateSpans matches a naive in-memory recompute on random corpora") {
     import graft.functions.TextFunctions
     val rnd = new scala.util.Random(43)
