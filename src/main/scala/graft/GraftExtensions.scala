@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
+import graft.functions.expressions.{CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("corpus_stats"),
         new ExpressionInfo(classOf[CorpusStatsExpr].getName, "corpus_stats"),
         GraftFunctions.corpusStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("repetition_stats"),
+        new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+        GraftFunctions.repetitionStatsBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("term_counts"),
@@ -175,6 +180,9 @@ object GraftFunctions {
   private[graft] def termCountsBuilder: Seq[Expr] => Expr =
     exprs => TermCountsExpr(arity(exprs, 1, "term_counts(text)").head)
 
+  private[graft] def repetitionStatsBuilder: Seq[Expr] => Expr =
+    exprs => RepetitionStatsExpr(arity(exprs, 1, "repetition_stats(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -195,5 +203,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "quality_stats", qualityStatsBuilder)
     Bridge.registerTempFunction(spark, "corpus_stats", corpusStatsBuilder)
     Bridge.registerTempFunction(spark, "term_counts", termCountsBuilder)
+    Bridge.registerTempFunction(spark, "repetition_stats", repetitionStatsBuilder)
   }
 }

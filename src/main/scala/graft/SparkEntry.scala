@@ -778,14 +778,17 @@ object SparkEntry {
     */
   private def q59_repetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextFunctions.repetitionStatsUdf(col("text")).alias("r"))
       .select(
         col("doc_id"),
-        col("r._1").alias("top_bigram"),
-        col("r._2").alias("top_bigram_n"),
-        col("r._3").alias("n_bigrams"),
-        col("r._4").alias("top_bigram_frac"),
-        col("r._5").alias("dup_token_frac"))
+        graft.functions.expressions.RepetitionStatsExpr
+          .repetitionStats(col("text")).alias("r"))
+      .select(
+        col("doc_id"),
+        col("r.top_bigram").alias("top_bigram"),
+        col("r.top_bigram_n").alias("top_bigram_n"),
+        col("r.n_bigrams").alias("n_bigrams"),
+        col("r.top_bigram_frac").alias("top_bigram_frac"),
+        col("r.dup_token_frac").alias("dup_token_frac"))
 
   /** JSON-column parsing (SURVEY.md §2.8 F8, columnar form): the events
     * `props` column is a JSON string; `from_json` with an explicit schema

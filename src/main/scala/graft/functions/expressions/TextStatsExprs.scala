@@ -2,9 +2,11 @@ package graft.functions.expressions
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -144,6 +146,71 @@ object CorpusStatsExpr {
   }
 
   def corpusStats(c: Column): Column = Bridge.column(CorpusStatsExpr(Bridge.expression(c)))
+}
+
+/** `repetition_stats(text)` — Gopher-style repetition quality signals
+  * `(top_bigram, top_bigram_n, n_bigrams, top_bigram_frac,
+  * dup_token_frac)` in one pass ([[TextFunctions.repetitionStatsLocal]]),
+  * the q59 hot-path kernel and the last registry scan UDF promoted to a
+  * native expression.
+  *
+  * Null semantics deliberately DIFFER from the [[TextStatsBase]]
+  * siblings: the closure UDF it replaces received the raw `null`
+  * reference and returned the zeros struct (`top_bigram = null`,
+  * counts 0), so this expression does the same — null text behaves as
+  * the empty document and the output struct is never SQL NULL.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "repetition_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    RepetitionStatsExpr.run(if (t == null) null else t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         ${c.code}
+         InternalRow ${ev.value} =
+           graft.functions.expressions.RepetitionStatsExpr.run(
+             ${c.isNull} ? null : ${c.value});
+       """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("top_bigram", StringType, nullable = true),
+    StructField("top_bigram_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_token_frac", DoubleType, nullable = false)))
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def run(text: UTF8String): GenericInternalRow = {
+    val (topB, topN, nBigrams, topFrac, dupFrac) =
+      TextFunctions.repetitionStatsLocal(if (text == null) null else text.toString)
+    new GenericInternalRow(Array[Any](
+      if (topB == null) null else UTF8String.fromString(topB),
+      topN, nBigrams, topFrac, dupFrac))
+  }
+
+  def repetitionStats(c: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(c)))
 }
 
 /** `term_counts(text)` — token → count map, the scan-side

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.functions.TextFunctions
-import graft.functions.expressions.{CorpusStatsExpr, LangIdExpr, QualityStatsExpr, TermCountsExpr}
+import graft.functions.expressions.{CorpusStatsExpr, LangIdExpr, QualityStatsExpr, RepetitionStatsExpr, TermCountsExpr}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +40,10 @@ object TextStatsKernelBench {
         CorpusStatsExpr.corpusStats(col("text"))),
       ("term_counts ",
         TextFunctions.termCountsUdf(col("text")),
-        TermCountsExpr.termCounts(col("text"))))
+        TermCountsExpr.termCounts(col("text"))),
+      ("repetition  ",
+        TextFunctions.repetitionStatsUdf(col("text")),
+        RepetitionStatsExpr.repetitionStats(col("text"))))
 
     def time(label: String, df: DataFrame): Double = {
       df.queryExecution.toRdd.count() // warm

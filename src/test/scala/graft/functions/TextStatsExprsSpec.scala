@@ -73,13 +73,35 @@ class TextStatsExprsSpec extends SparkTestBase {
         exploded(TextFunctions.termCountsUdf(col("text"))))
   }
 
+  test("RepetitionStatsExpr matches repetitionStatsUdf field-for-field incl. null text") {
+    import graft.functions.expressions.RepetitionStatsExpr
+    val native = rows
+      .select(col("id"), RepetitionStatsExpr.repetitionStats(col("text")).as("r"))
+      .select(col("id"), col("r.top_bigram"), col("r.top_bigram_n"), col("r.n_bigrams"),
+        col("r.top_bigram_frac"), col("r.dup_token_frac"))
+      .as[(Long, Option[String], Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val viaUdf = rows
+      .select(col("id"), TextFunctions.repetitionStatsUdf(col("text")).as("r"))
+      .select(col("id"), col("r._1"), col("r._2"), col("r._3"), col("r._4"), col("r._5"))
+      .as[(Long, Option[String], Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(native == viaUdf)
+    // the UDF twin returned the zeros struct for null text (reference
+    // args pass through); the native twin must match, not emit SQL NULL
+    assert(native(8L) == ((None, 0L, 0L, 0.0, 0.0)), native(8L))
+    // repeated bigrams: "dup dup" ×2 beats everything on row 9
+    assert(native(9L)._1.contains("dup dup"), native(9L))
+  }
+
   test("native text stats are SQL-registered, codegen'd, and UDF-free over parquet") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs.createOrReplaceTempView("docs_ts")
     val q = spark.sql(
       """SELECT doc_id, lang_id(text) AS l, quality_stats(text, 'english') AS q,
-                corpus_stats(text) AS st, term_counts(text) AS tc
+                corpus_stats(text) AS st, term_counts(text) AS tc,
+                repetition_stats(text) AS rep
          FROM docs_ts""")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try q.collect()
