@@ -1187,6 +1187,42 @@ object SparkEntry {
         (col("n_hits") >= 16).as("recall_ok"))
   }
 
+  /** IVF-PQ composed ANN — q41's coarse cell routing over q79's PQ byte
+    * codes with exact re-rank: the persisted-index tier a 100 TB
+    * deployment scans (`(id, cell, code)` from ONE fused projection;
+    * queries read 16 bytes/row of ~25% of rows, then re-rank 100
+    * candidates through a broadcast join). Neither the quantizer nor
+    * the codebooks are SQL-expressible (q41 pattern), so the oracle
+    * pins the deterministic recall of the exact cosine top-20 within
+    * the composed top-20 — measured 10/20 at sf0.01 and 12/20 at sf0.1
+    * (`tools/IvfPqProbe`; the fixture embeddings are near-isotropic, so
+    * IVF recall tracks the probed fraction — 4/16 cells — rather than
+    * cluster structure; spherical routing measured identical) — plus
+    * the structural constants.
+    */
+  private def q82_ivf_pq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val dim = q.length
+    val top = Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", q, k = 20,
+      nLists = 16, nProbe = 4, m = 16, nCodes = 64, rerank = 100,
+      trainSample = 2048)
+    val exactTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 20)
+    exactTop
+      .select(col("vec_id").alias("id"))
+      .join(top.select("id"), Seq("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        lit(20L).as("k_exact"),
+        lit(16L).as("n_lists"),
+        lit(4L).as("n_probe"),
+        lit(16L).as("m"),
+        lit(dim.toLong * 4L / 16L).as("compression_x"),
+        (col("n_hits") >= 8).as("recall_ok"))
+  }
+
   /** Incremental semantic dedup, exact configuration (`nLists = 1`,
     * q77's pattern): the batch (`vec_id % 5 = 0`) is near-dup-checked
     * against the corpus (the rest) and then deduplicated within
@@ -1339,7 +1375,8 @@ object SparkEntry {
     "q78_semantic_selfcheck" -> (q78_semantic_selfcheck _),
     "q79_pq_ann" -> (q79_pq_ann _),
     "q80_incremental_semantic" -> (q80_incremental_semantic _),
-    "q81_dup_spans" -> (q81_dup_spans _)
+    "q81_dup_spans" -> (q81_dup_spans _),
+    "q82_ivf_pq" -> (q82_ivf_pq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2215,6 +2252,19 @@ object SparkEntry {
                  coalesce(agg.ct, '') AS clean_text,
                  CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
                  CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
-          FROM tk LEFT JOIN agg USING (doc_id)"""
+          FROM tk LEFT JOIN agg USING (doc_id)""",
+    "q82_ivf_pq" ->
+      // IVF routing + PQ codebooks aren't SQL-expressible (q41/q79
+      // pattern); the compression ratio is cross-checked against the
+      // table's true vector width, the recall bound against the
+      // measured deterministic hits (tools/IvfPqProbe: 10/20 sf0.01,
+      // 12/20 sf0.1)
+      """SELECT CAST(20 AS BIGINT) AS k_exact,
+                CAST(16 AS BIGINT) AS n_lists,
+                CAST(4 AS BIGINT) AS n_probe,
+                CAST(16 AS BIGINT) AS m,
+                (SELECT CAST(max(len(embedding)) * 4 / 16 AS BIGINT)
+                 FROM embeddings) AS compression_x,
+                TRUE AS recall_ok"""
   )
 }

@@ -24,6 +24,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * squared-distance double fold, strict `<` improvement) is
   * bit-identical to the UDF it replaces, so q78/q80's oracles are
   * unchanged.
+  *
+  * Null vector ELEMENTS (parquet arrays analyze as `containsNull =
+  * true` even when no element is null): `ArrayData.getFloat` on a null
+  * slot yields 0.0f on BOTH eval paths (`UnsafeArrayData` reads the
+  * zeroed slot; `GenericArrayData` unboxes null to 0.0f), so a null
+  * element deterministically behaves as 0.0 — pinned by spec. The
+  * closure UDF this replaced would instead have thrown on conversion;
+  * treating nulls as zeros is the deliberate, documented semantics for
+  * the whole vector-kernel family ([[DotProductFloat]], [[Norm2Float]],
+  * [[SrpBandBucketsExpr]], the PQ kernels).
   */
 case class NearestCellExpr(
     child: Expression,
@@ -36,19 +46,20 @@ case class NearestCellExpr(
 
   @transient private lazy val centroidsArr: Array[Double] = centroids.toArray
 
-  // plan transforms compare expressions repeatedly; cache the content
-  // hash so equality rejects in O(1) (same scheme as SrpBandBucketsExpr)
-  @transient private lazy val centroidsHash: Int = centroids.hashCode()
+  // plan transforms compare expressions repeatedly; equality compares
+  // the cached 128-bit content digest only — O(1) per comparison, never
+  // an element-wise walk (same scheme as SrpBandBucketsExpr; see
+  // ContentDigest for the collision argument)
+  @transient private lazy val centroidsDigest: (Long, Long) = ContentDigest.of(centroidsArr)
 
   override def hashCode(): Int =
     java.util.Objects.hash(child, Integer.valueOf(k), Integer.valueOf(dim),
-      Integer.valueOf(centroidsHash))
+      java.lang.Long.valueOf(centroidsDigest._1))
 
   override def equals(obj: Any): Boolean = obj match {
     case o: NearestCellExpr =>
       (this eq o) || (k == o.k && dim == o.dim &&
-        centroidsHash == o.centroidsHash && child == o.child &&
-        centroids == o.centroids)
+        centroidsDigest == o.centroidsDigest && child == o.child)
     case _ => false
   }
 

@@ -42,20 +42,23 @@ case class SrpBandBucketsExpr(
   @transient private lazy val signsArr: Array[Double] = signs.toArray
 
   // Plan transforms / canonicalization compare expressions repeatedly, and
-  // the signs matrix is nBands·rowsPerBand·dim doubles (easily 10k+): a
-  // cached content hash makes hashCode O(n) ONCE and lets equals reject
-  // mismatches in O(1), falling back to element-wise comparison only on a
-  // hash match (structurally equal sketches still unify for CSE).
-  @transient private lazy val signsHash: Int = signs.hashCode()
+  // the signs matrix is nBands·rowsPerBand·dim doubles (easily 10k+): the
+  // cached 128-bit content digest is computed ONCE lazily, and equality
+  // compares digests only — O(1) per comparison, never an element-wise
+  // walk (see ContentDigest for why digest equality IS content equality
+  // for planning purposes; structurally equal sketches still unify for
+  // CSE because equal content ⇒ equal digest).
+  @transient private lazy val signsDigest: (Long, Long) = ContentDigest.of(signsArr)
 
   override def hashCode(): Int =
     java.util.Objects.hash(child, Integer.valueOf(nBands),
-      Integer.valueOf(rowsPerBand), Integer.valueOf(dim), Integer.valueOf(signsHash))
+      Integer.valueOf(rowsPerBand), Integer.valueOf(dim),
+      java.lang.Long.valueOf(signsDigest._1))
 
   override def equals(obj: Any): Boolean = obj match {
     case o: SrpBandBucketsExpr =>
       (this eq o) || (nBands == o.nBands && rowsPerBand == o.rowsPerBand && dim == o.dim &&
-        signsHash == o.signsHash && child == o.child && signs == o.signs)
+        signsDigest == o.signsDigest && child == o.child)
     case _ => false
   }
 

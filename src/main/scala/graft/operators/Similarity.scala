@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `ARRAY<FLOAT>` embedding
@@ -122,18 +122,60 @@ object Similarity {
     math.min(1 << 16, math.max(1, math.ceil(corpusSize.toDouble / targetCellRows).toInt))
   }
 
+  /** Driver-side budget for the k-means training collect and Lloyd fit:
+    * the effective sample-row cap is the minimum of
+    *
+    *  - the REQUESTED rows (`trainSample` / the callers' `k·16` sizing);
+    *  - a MEMORY bound `memBudgetBytes / (dim·8)` — rows are collected
+    *    as doubles, so at dim 768 a naive 2²⁰-row sample would be ~6 GB
+    *    of driver heap (the round-8 watch item this closes);
+    *  - a FLOP bound `lloydFlopBudget / (8 iters · 3 flops · k · dim)` —
+    *    assignment is the Lloyd cost center (8·rows·k·dim
+    *    multiply-add-compare); the budget default assumes the
+    *    parallelized assignment phase below and caps the fit at roughly
+    *    a minute of a multicore driver.
+    *
+    * When a bound binds, the quantizer trains on fewer rows per
+    * centroid (graceful quality degradation, loudly logged) instead of
+    * melting the driver. REALISTIC CEILING (the autoNLists cap story):
+    * at the 2¹⁶-cell cap and dim 768, the flop bound admits ~10⁵ sample
+    * rows ≈ 1.6 rows/centroid — k-means needs ≥ ~16, so past n ≈ 67M
+    * rows (where autoNLists saturates) raise `targetCellRows` to keep
+    * k·dim·16 inside the budget, or use [[srpNearDup]], whose
+    * sketch-based candidate generation needs no trained model.
+    */
+  private[graft] def boundedTrainRows(
+      requested: Int,
+      k: Int,
+      dim: Int,
+      memBudgetBytes: Long = 512L << 20,
+      lloydFlopBudget: Double = 2e13): Int = {
+    require(requested > 0 && k > 0 && dim > 0,
+      s"boundedTrainRows: requested=$requested, k=$k, dim=$dim must be positive")
+    val memRows = memBudgetBytes / (dim.toLong * 8L)
+    val flopRows = (lloydFlopBudget / (8.0 * 3.0 * k.toDouble * dim)).toLong
+    math.max(1, math.min(requested.toLong, math.min(memRows, flopRows)).toInt)
+  }
+
   /** Coarse k-means quantizer trained with 8 Lloyd iterations on a
     * bounded driver-side sample — shared by [[ivfTopK]] and
     * [[semanticDedup]]. The standard IVF recipe (FAISS trains on ~100k
     * sampled vectors regardless of corpus size): centroid quality needs
     * a sample, not the corpus, and a distributed fit would pay
-    * per-iteration job scheduling for no recall gain.
+    * per-iteration job scheduling for no recall gain. The sample size
+    * is capped by [[boundedTrainRows]] (driver memory + Lloyd flops).
     *
     * Deterministic and UNIFORM: ordering by `md5(id)` is a seedless
     * uniform shuffle — on corpora where embedding distribution
     * correlates with id (time- or topic-ordered ingestion), a
     * head-of-table sample would train centroids on one region only. The
     * id stays opaque (string key, no numeric cast) so any id type works.
+    *
+    * The assignment phase parallelizes across driver cores; results are
+    * BIT-IDENTICAL to the sequential fold because each sample's argmin
+    * is an independent pure computation (no cross-element FP
+    * accumulation under threads) and the centroid-sum accumulation runs
+    * sequentially in sample order afterwards.
     */
   private[graft] def trainCentroids(
       emb: DataFrame,
@@ -144,11 +186,21 @@ object Similarity {
       trainSample: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // dim probe before the collect so the budget can bound the sample
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty, "trainCentroids: empty embedding table")
+    val dimProbe = dimRow(0).getInt(0)
+    val bounded = boundedTrainRows(trainSample, math.max(1, nLists), math.max(1, dimProbe))
+    if (bounded < trainSample)
+      System.err.println(
+        s"[graft] trainCentroids: sample capped $trainSample -> $bounded rows " +
+          s"(driver budget at k=$nLists, dim=$dimProbe); quantizer quality degrades " +
+          s"gracefully - raise targetCellRows or switch to srpNearDup at this scale")
     val idKey = col(idCol).cast("string")
     val sample: Array[Array[Double]] = emb
       .select(col(vecCol))
       .orderBy(md5(idKey), idKey)
-      .limit(trainSample)
+      .limit(bounded)
       .as[Array[Float]]
       .collect()
       .map(_.map(_.toDouble))
@@ -164,16 +216,32 @@ object Similarity {
     val kEff = math.min(nLists, sample.length)
     var centroids = rnd.shuffle(sample.indices.toList).take(kEff)
       .map(sample(_).clone()).toArray
+    val best = new Array[Int](sample.length)
     var iter = 0
     while (iter < 8) { // coarse quantizer: convergence not required
+      // phase 1, PARALLEL: per-sample nearest centroid. Pure independent
+      // argmin (ascending index, strict <) — thread scheduling cannot
+      // change any result, so this is bit-identical to the serial loop.
+      val cs = centroids
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { i =>
+        val v = sample(i)
+        var b = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kEff) { val d = sqdist(v, cs(c)); if (d < bd) { bd = d; b = c }; c += 1 }
+        best(i) = b
+      }
+      // phase 2, SEQUENTIAL in sample order: centroid sums — FP addition
+      // order is exactly the old single-threaded fold's, so centroids
+      // (and every downstream cell assignment hash) are unchanged.
       val sums = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < kEff) { val d = sqdist(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
-        counts(best) += 1
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val b = best(i)
+        counts(b) += 1
         var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        while (j < dim) { sums(b)(j) += v(j); j += 1 }
+        i += 1
       }
       centroids = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) centroids(c)
@@ -426,6 +494,11 @@ object Similarity {
     val assignedC = assignCells(corpus, idCol, vecCol, centroids)
     val assignedB = assignCells(batch, idCol, vecCol, centroids)
     val cellCountsC = checkedCellCounts(assignedC, maxCellRows, "incrementalSemanticDedup(corpus)")
+    // the hit-detection task for (cell, blk) materializes EVERY batch
+    // row of that cell (batch rows replicate to all of their cell's
+    // blocks), so a hot batch cell must fail loud BEFORE the join —
+    // the survivor-side check below runs too late to bound this
+    checkedCellCounts(assignedB, maxCellRows, "incrementalSemanticDedup(batch ingest)")
 
     // batch×corpus per-cell block compare: corpus rows land in their
     // cell's block; batch rows replicate to every block of their cell
@@ -700,35 +773,14 @@ object Similarity {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val spark = emb.sparkSession
-    val bc = spark.sparkContext.broadcast(codebooks)
-    val m = codebooks.length
-    val subDim = codebooks.head.head.length
-    val encode = udf { (vec: Array[Float]) =>
-      val cbs = bc.value
-      val out = new Array[Byte](m)
-      var s = 0
-      while (s < m) {
-        val cb = cbs(s)
-        val off = s * subDim
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cb.length) {
-          var d2 = 0.0; var j = 0
-          val cc = cb(c)
-          while (j < subDim) {
-            val d = vec(off + j) - cc(j); d2 += d * d; j += 1
-          }
-          if (d2 < bd) { bd = d2; best = c }
-          c += 1
-        }
-        out(s) = best.toByte
-        s += 1
-      }
-      out
-    }
-    emb.select(col(idCol).alias("id"), encode(col(vecCol)).alias("code"))
-  }
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    // the encode scan is the native codegen `pq_encode` expression —
+    // codebooks ride the generated class as one flat double[], no UDF
+    // boundary on the whole-corpus pass
+    emb.select(
+      col(idCol).alias("id"),
+      graft.functions.expressions.PqEncodeExpr
+        .pqEncode(col(vecCol), codebooks).alias("code"))
 
   /** Asymmetric-distance top-K over PQ codes: the query stays EXACT and
     * each subspace's inner-product contribution against every centroid
@@ -748,7 +800,102 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       query: Seq[Double],
       k: Int): DataFrame = {
-    val spark = codes.sparkSession
+    codes
+      .select(
+        col(idCol),
+        pqAdcScoreCol(col(codeCol), codebooks, query).alias("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ composition — the realistic corpus-scale ANN tier (the full
+    * recipe of Jégou et al., TPAMI 2011): coarse `nearest_cell` routing
+    * prunes the scan to the query's `nProbe` cells, the pruned scan
+    * reads ONLY the PQ byte codes through the asymmetric-distance LUT,
+    * and the top `rerank` candidates re-rank against exact vectors for
+    * the final cosine order.
+    *
+    * Scale shape: ONE corpus scan builds the index artifact a
+    * deployment persists — `(id, cell, code)`, an int + `m` bytes per
+    * row, both columns from native codegen expressions in the same
+    * fused projection (float vectors stay in cold storage for the
+    * re-rank fetch). A query then (a) routes driver-side over `nLists`
+    * centroids, (b) scans ≈ `nProbe/nLists` of the CODE table
+    * (partition-prunable when persisted partitioned by cell) at `m`
+    * byte-lookups per row into a `TakeOrderedAndProject` — per-partition
+    * heaps, no sort, no shuffle, (c) re-ranks ≤ `rerank` rows fetched
+    * by id through a BROADCAST join against the vector table. Nothing
+    * shuffles at any step.
+    *
+    * `rerank = 0` defaults to `max(10·k, 100)` — the PQ score is an
+    * 8-16×-compressed approximation, so the exact pass must see enough
+    * candidates to absorb quantization rank noise; recall vs the exact
+    * scan is pinned by q82's oracle at both gate scales.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      m: Int = 8,
+      nCodes: Int = 256,
+      rerank: Int = 0,
+      seed: Long = 42L,
+      trainSample: Int = 4096): DataFrame = {
+    require(k > 0 && nProbe > 0 && nProbe <= nLists,
+      s"need 0 < nProbe <= nLists and k > 0, got k=$k nProbe=$nProbe nLists=$nLists")
+    val rer = if (rerank > 0) rerank else math.max(10 * k, 100)
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val dim = centroids.head.length
+    require(query.length == dim, s"query dim ${query.length} != corpus dim $dim")
+    val codebooks = trainProductQuantizer(
+      emb, idCol, vecCol, dim, m, nCodes, seed, trainSample)
+
+    // the persisted-artifact scan: cell + code in one fused projection
+    val indexed = emb.select(
+      col(idCol).alias("id"),
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).alias("cell"),
+      graft.functions.expressions.PqEncodeExpr
+        .pqEncode(col(vecCol), codebooks).alias("code"))
+
+    val qArr = query.toArray
+    def sqdist(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - qArr(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (i, sqdist(c)) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+    val cand = indexed
+      .filter(col("cell").isInCollection(probeCells))
+      .select(col("id"), pqAdcScoreCol(col("code"), codebooks, query).alias("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(rer)
+
+    emb
+      .select(col(idCol).alias("id"), col(vecCol).alias("vec"))
+      .join(broadcast(cand.select("id")), Seq("id"))
+      .transform(withCosine(_, "vec", query))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** The asymmetric-distance score column: each subspace's inner-product
+    * contribution against every centroid precomputed driver-side into
+    * the query LUT, applied by the native codegen `pq_adc_score`
+    * expression (m table lookups + adds per row, no UDF boundary).
+    */
+  private[graft] def pqAdcScoreCol(
+      code: Column,
+      codebooks: Array[Array[Array[Double]]],
+      query: Seq[Double]): Column = {
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     require(query.length == m * subDim,
@@ -761,16 +908,6 @@ object Similarity {
         d
       }
     }
-    val bc = spark.sparkContext.broadcast(lut)
-    val score = udf { (code: Array[Byte]) =>
-      val t = bc.value
-      var s = 0.0; var i = 0
-      while (i < m) { s += t(i)(code(i) & 0xff); i += 1 }
-      s
-    }
-    codes
-      .select(col(idCol), score(col(codeCol)).alias("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    graft.functions.expressions.PqAdcScoreExpr.pqAdcScore(code, lut)
   }
 }

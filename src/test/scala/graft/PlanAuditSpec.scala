@@ -276,6 +276,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("sequence("), s"covered-position explode resurrected:\n$plan")
   }
 
+  test("q82: IVF-PQ — cell-filtered code scan into a top-K heap, broadcast re-rank, no shuffle") {
+    val plan = planOf("q82_ivf_pq")
+    // the candidate stage filters on the native nearest_cell routing and
+    // scores codes with pq_adc_score — both fused into the scan stage
+    assert(plan.contains("nearest_cell"), s"coarse routing missing:\n$plan")
+    assert(plan.contains("pq_encode"), s"code computation missing:\n$plan")
+    assert(plan.contains("pq_adc_score"), s"ADC scoring missing:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q82 path:\n$plan")
+    // distributed top-K (per-partition heaps), never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort in q82:\n$plan")
+    // the ≤ rerank candidate set broadcasts into the exact-vector fetch
+    assert(plan.contains("BroadcastHashJoin"), s"re-rank must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // nothing hash-shuffles: filter + scan + heap + broadcast join only
+    assert(shuffles(plan) == 0, s"q82 must not shuffle:\n$plan")
+  }
+
   test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {
     val df = SparkEntry.queries("q80_incremental_semantic")(spark, dir)
     df.collect()

@@ -226,6 +226,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.forall(t => math.abs(t._2 - 8.0) < 0.5), top.map(_._2).mkString(","))
   }
 
+  test("ivfPqTopK: composed probe -> PQ scan -> exact re-rank recovers planted clusters") {
+    val rnd = new scala.util.Random(23)
+    // 4 tight, well-separated clusters in 8-dim space
+    val centers = Array.tabulate(4, 8) { (c, j) =>
+      if (j / 2 == c) 5.0f else 0.0f
+    }
+    val vecs = (for (c <- 0 until 4; i <- 0 until 25) yield {
+      val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq
+      ((c * 25 + i).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val q = centers(1).map(_.toDouble + 0.01)
+    val got = Similarity.ivfPqTopK(
+      vecs, "vec_id", "embedding", q, k = 10,
+      nLists = 4, nProbe = 2, m = 4, nCodes = 8, rerank = 40, trainSample = 100)
+      .as[(Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, k = 10)
+      .as[(Long, Double)].collect()
+    // the query's cluster dominates the exact top-10; the composed path
+    // must recover it bit-identically (exact re-rank = exact cosines)
+    assert(got.toSeq == exact.toSeq,
+      s"ivf-pq diverged from exact:\n got=${got.mkString(",")}\n exact=${exact.mkString(",")}")
+    assert(got.forall(t => t._1 >= 25L && t._1 < 50L), got.mkString(","))
+  }
+
+  test("boundedTrainRows: caps by memory and Lloyd flops, never binds at fixture scale") {
+    // fixture-scale shapes must pass through untouched (q41/q77/q79/q80
+    // hash stability depends on the cap not binding there)
+    assert(Similarity.boundedTrainRows(4096, k = 2, dim = 64) == 4096)
+    assert(Similarity.boundedTrainRows(2048, k = 64, dim = 64) == 2048)
+    assert(Similarity.boundedTrainRows(64, k = 1, dim = 64) == 64)
+    // memory bound: 2^20 rows at dim 768 would be ~6 GB of doubles —
+    // the 512 MB default budget caps to budget/(dim*8)
+    val memCapped = Similarity.boundedTrainRows(1 << 20, k = 4, dim = 768)
+    assert(memCapped == (512L << 20) / (768 * 8), s"got $memCapped")
+    // flop bound: at the autoNLists cap the Lloyd fit dominates
+    val flopCapped = Similarity.boundedTrainRows(1 << 20, k = 1 << 16, dim = 768)
+    assert(flopCapped == (2e13 / (8.0 * 3 * (1 << 16) * 768)).toLong.toInt, s"got $flopCapped")
+    assert(flopCapped < memCapped)
+    // never zero
+    assert(Similarity.boundedTrainRows(1, k = Int.MaxValue, dim = 4096) == 1)
+  }
+
   test("nearest_cell expression matches a local reference loop (ties to lowest index)") {
     val rnd = new scala.util.Random(19)
     val k = 5; val dim = 6
