@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr}
+import graft.functions.expressions.{CleanTextExpr, CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, SentimentScoreExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -83,6 +83,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("corpus_stats"),
         new ExpressionInfo(classOf[CorpusStatsExpr].getName, "corpus_stats"),
         GraftFunctions.corpusStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("clean_text"),
+        new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
+        GraftFunctions.cleanTextBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("winnow_fingerprints"),
+        new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName, "winnow_fingerprints"),
+        GraftFunctions.winnowFingerprintsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("sentiment_score"),
+        new ExpressionInfo(classOf[SentimentScoreExpr].getName, "sentiment_score"),
+        GraftFunctions.sentimentScoreBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("repetition_stats"),
@@ -183,6 +198,18 @@ object GraftFunctions {
   private[graft] def repetitionStatsBuilder: Seq[Expr] => Expr =
     exprs => RepetitionStatsExpr(arity(exprs, 1, "repetition_stats(text)").head)
 
+  private[graft] def cleanTextBuilder: Seq[Expr] => Expr =
+    exprs => CleanTextExpr(arity(exprs, 1, "clean_text(text)").head)
+
+  private[graft] def winnowFingerprintsBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "winnow_fingerprints(text, k, w)")
+    WinnowFingerprintsExpr(exprs.head,
+      intLit(exprs(1), "winnow_fingerprints k"), intLit(exprs(2), "winnow_fingerprints w"))
+  }
+
+  private[graft] def sentimentScoreBuilder: Seq[Expr] => Expr =
+    exprs => SentimentScoreExpr(arity(exprs, 1, "sentiment_score(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -204,5 +231,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "corpus_stats", corpusStatsBuilder)
     Bridge.registerTempFunction(spark, "term_counts", termCountsBuilder)
     Bridge.registerTempFunction(spark, "repetition_stats", repetitionStatsBuilder)
+    Bridge.registerTempFunction(spark, "clean_text", cleanTextBuilder)
+    Bridge.registerTempFunction(spark, "winnow_fingerprints", winnowFingerprintsBuilder)
+    Bridge.registerTempFunction(spark, "sentiment_score", sentimentScoreBuilder)
   }
 }

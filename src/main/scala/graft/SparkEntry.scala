@@ -180,8 +180,9 @@ object SparkEntry {
   private def q07_string_clean(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      // one-pass twin of trim(regexp_replace(translate(..), "\s+", " "))
-      TextFunctions.cleanTextUdf(col("text")).as("clean_text"),
+      // one-pass twin of trim(regexp_replace(translate(..), "\s+", " ")),
+      // native codegen since round 9
+      graft.functions.expressions.CleanTextExpr.cleanText(col("text")).as("clean_text"),
       upper(substring(col("text"), 1, 10)).as("prefix10"))
 
   private val q08Keep = Seq("table", "scan", "join", "merge", "sort", "filter")
@@ -194,7 +195,8 @@ object SparkEntry {
       col("doc_id"),
       explode(
         array_intersect(
-          TextFunctions.distinctTokensUdf(q08Out)(col("text")),
+          graft.functions.expressions.DistinctTokensExpr
+            .distinctTokens(col("text"), q08Out),
           typedlit(q08Keep))).as("label"))
 
   private def q09_running_total(s: SparkSession, dir: String): DataFrame = {
@@ -359,7 +361,8 @@ object SparkEntry {
         // per-doc scores are quotients of small ints, which can never be
         // exact 6-decimal rounding ties in binary, so both engines round
         // identically
-        sum(Sentiment.scoreUdf(col("text")).cast("decimal(18,6)"))
+        sum(graft.functions.expressions.SentimentScoreExpr
+          .sentimentScore(col("text")).cast("decimal(18,6)"))
           .cast("double").as("sum_sentiment"),
         count(lit(1)).as("n_docs"))
 
@@ -534,7 +537,9 @@ object SparkEntry {
   private def q45_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      explode(TextFunctions.winnowFingerprintsUdf()(col("text"))).as("fp"))
+      explode(graft.functions.expressions.WinnowFingerprintsExpr
+        .winnowFingerprints(col("text"),
+          TextFunctions.WinnowK, TextFunctions.WinnowWindow)).as("fp"))
 
   /** Relational set operators: SQL UNION (distinct) / INTERSECT /
     * EXCEPT. Note Spark's `union` is UNION ALL — the `.distinct()` makes

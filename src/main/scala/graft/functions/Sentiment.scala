@@ -40,16 +40,23 @@ object Sentiment {
       greatest(size(toks), lit(1)).cast("double")
   }
 
+  /** JVM body of [[scoreUdf]] / `SentimentScoreExpr`. */
+  def scoreLocal(text: String): Double = {
+    val toks = TextFunctions.tokensLocal(text)
+    var p = 0; var n = 0
+    toks.foreach { t =>
+      if (PositiveSet.contains(t)) p += 1
+      if (NegativeSet.contains(t)) n += 1
+    }
+    (p - n).toDouble / math.max(toks.length, 1).toDouble
+  }
+
+  private val PositiveSet = PositiveWords.toSet
+  private val NegativeSet = NegativeWords.toSet
+
   /** Tight-loop twin of [[score]] (one tokenize pass, set lookups). */
   val scoreUdf: Column => Column = {
-    val pos = PositiveWords.toSet
-    val neg = NegativeWords.toSet
-    val f = udf { (text: String) =>
-      val toks = TextFunctions.tokensLocal(text)
-      var p = 0; var n = 0
-      toks.foreach { t => if (pos.contains(t)) p += 1; if (neg.contains(t)) n += 1 }
-      (p - n).toDouble / math.max(toks.length, 1).toDouble
-    }
+    val f = udf { (text: String) => scoreLocal(text) }
     c => f(c)
   }
 

@@ -303,16 +303,21 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** JVM body of [[distinctTokensUdf]] / `DistinctTokensExpr`:
+    * first-occurrence order, matching `array_distinct`.
+    */
+  def distinctTokensLocal(text: String, outliers: Set[String]): Array[String] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    tokensLocal(text).foreach(t => if (!outliers.contains(t)) seen.add(t))
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** `text → distinct tokens minus outliers` as one tight loop (label
     * derivation; first-occurrence order, matching `array_distinct`).
     */
   def distinctTokensUdf(outliers: Seq[String]): Column => Column = {
     val out = outliers.toSet
-    val f = udf { (text: String) =>
-      val seen = new java.util.LinkedHashSet[String]()
-      tokensLocal(text).foreach(t => if (!out.contains(t)) seen.add(t))
-      seen.toArray(new Array[String](seen.size))
-    }
+    val f = udf { (text: String) => distinctTokensLocal(text, out) }
     c => f(c)
   }
 
@@ -477,50 +482,56 @@ object TextFunctions {
   val WinnowK: Int = 3
   val WinnowWindow: Int = 4
 
+  /** JVM body of [[winnowFingerprintsUdf]] / `WinnowFingerprintsExpr`:
+    * sorted distinct winnowed fingerprints; docs shorter than k tokens
+    * produce no fingerprints.
+    */
+  def winnowFingerprintsLocal(text: String, k: Int, w: Int): Array[Long] = {
+    val toks = tokensLocal(text)
+    val n = toks.length
+    if (n < k) Array.empty[Long]
+    else {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) { th(i) = md5Hash60Local(toks(i)) % MinHashPrime; i += 1 }
+      val m = n - k + 1
+      val rh = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var acc = th(i)
+        var j = 1
+        while (j < k) { acc = (acc * WinnowBase + th(i + j)) % MinHashPrime; j += 1 }
+        rh(i) = acc
+        i += 1
+      }
+      val nw = math.max(m - w + 1, 1)
+      val mins = new Array[Long](nw)
+      i = 0
+      while (i < nw) {
+        var mn = rh(i)
+        var j = 1
+        while (j < w && i + j < m) { if (rh(i + j) < mn) mn = rh(i + j); j += 1 }
+        mins(i) = mn
+        i += 1
+      }
+      java.util.Arrays.sort(mins)
+      var wr = 0
+      i = 0
+      while (i < nw) {
+        if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
+        i += 1
+      }
+      if (wr == nw) mins else java.util.Arrays.copyOf(mins, wr)
+    }
+  }
+
   /** `text → sorted distinct winnowed fingerprints` as one tight loop.
     * Docs shorter than k tokens produce no fingerprints.
     */
   def winnowFingerprintsUdf(
       k: Int = WinnowK,
       w: Int = WinnowWindow): Column => Column = {
-    val f = udf { (text: String) =>
-      val toks = tokensLocal(text)
-      val n = toks.length
-      if (n < k) Array.empty[Long]
-      else {
-        val th = new Array[Long](n)
-        var i = 0
-        while (i < n) { th(i) = md5Hash60Local(toks(i)) % MinHashPrime; i += 1 }
-        val m = n - k + 1
-        val rh = new Array[Long](m)
-        i = 0
-        while (i < m) {
-          var acc = th(i)
-          var j = 1
-          while (j < k) { acc = (acc * WinnowBase + th(i + j)) % MinHashPrime; j += 1 }
-          rh(i) = acc
-          i += 1
-        }
-        val nw = math.max(m - w + 1, 1)
-        val mins = new Array[Long](nw)
-        i = 0
-        while (i < nw) {
-          var mn = rh(i)
-          var j = 1
-          while (j < w && i + j < m) { if (rh(i + j) < mn) mn = rh(i + j); j += 1 }
-          mins(i) = mn
-          i += 1
-        }
-        java.util.Arrays.sort(mins)
-        var wr = 0
-        i = 0
-        while (i < nw) {
-          if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
-          i += 1
-        }
-        if (wr == nw) mins else java.util.Arrays.copyOf(mins, wr)
-      }
-    }
+    val f = udf { (text: String) => winnowFingerprintsLocal(text, k, w) }
     c => f(c)
   }
 
@@ -670,31 +681,33 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** JVM body of [[cleanTextUdf]] / `CleanTextExpr`. */
+  def cleanTextLocal(text: String): String =
+    if (text == null) null
+    else {
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+        if (isWs) { if (sb.length > 0) pendingSpace = true }
+        else if (c != '[' && c != ']' && c != '"' && c != '\'') {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
   /** One-pass string-clean twin of
     * `trim(regexp_replace(translate(text, "[]\"'", ""), "\\s+", " "))`:
     * drop the junk chars, collapse Java-`\s` runs to one space, trim
     * spaces (Spark's `trim` strips spaces only).
     */
   val cleanTextUdf: Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val sb = new java.lang.StringBuilder(text.length)
-        var i = 0
-        var pendingSpace = false
-        while (i < text.length) {
-          val c = text.charAt(i)
-          val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-          if (isWs) { if (sb.length > 0) pendingSpace = true }
-          else if (c != '[' && c != ']' && c != '"' && c != '\'') {
-            if (pendingSpace) { sb.append(' '); pendingSpace = false }
-            sb.append(c)
-          }
-          i += 1
-        }
-        sb.toString
-      }
-    }
+    val f = udf { (text: String) => cleanTextLocal(text) }
     c => f(c)
   }
 }

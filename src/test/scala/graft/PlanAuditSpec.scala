@@ -294,6 +294,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"q82 must not shuffle:\n$plan")
   }
 
+  test("q77: semantic dedup never puts the vector column in a partitioning key") {
+    val plan = planOf("q77_semantic_dedup")
+    // the BASELINE.md scale contract: vectors cross the wire once (the
+    // cell-id exchange inside the checkpointed pair stage); every
+    // visible exchange past the checkpoints carries ids/cells/groups
+    // only — a vec/embedding partitioning key would mean the corpus
+    // re-shuffles per stage at 100 TB
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("vec") && !m.group(2).contains("embedding"),
+        s"vector column in a partitioning key:\n${m.group(0)}"))
+    // the final labeling join keys on id, not on a recomputed assignment
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q77 path:\n$plan")
+  }
+
   test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {
     val df = SparkEntry.queries("q80_incremental_semantic")(spark, dir)
     df.collect()

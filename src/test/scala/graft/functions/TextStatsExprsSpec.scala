@@ -94,6 +94,35 @@ class TextStatsExprsSpec extends SparkTestBase {
     assert(native(9L)._1.contains("dup dup"), native(9L))
   }
 
+  test("round-9 scan exprs match their UDF twins: clean/distinct-tokens/winnow/sentiment") {
+    import graft.functions.expressions.{CleanTextExpr, DistinctTokensExpr, SentimentScoreExpr, WinnowFingerprintsExpr}
+    val extra = rows.union(Seq(
+      (10L, "[quoted] \"stuff\"  with\t'junk'   runs and the good bad bad day"),
+      (11L, "a b c a b c a b c d e f g h i j k l m n o p")
+    ).toDF("id", "text"))
+
+    val nativeSide = extra.select(
+      col("id"),
+      CleanTextExpr.cleanText(col("text")).as("ct"),
+      DistinctTokensExpr.distinctTokens(col("text"), Seq("the", "a")).as("dt"),
+      WinnowFingerprintsExpr.winnowFingerprints(col("text"), 3, 4).as("fp"),
+      SentimentScoreExpr.sentimentScore(col("text")).as("sc"))
+      .as[(Long, Option[String], Seq[String], Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val udfSide = extra.select(
+      col("id"),
+      TextFunctions.cleanTextUdf(col("text")).as("ct"),
+      TextFunctions.distinctTokensUdf(Seq("the", "a"))(col("text")).as("dt"),
+      TextFunctions.winnowFingerprintsUdf(3, 4)(col("text")).as("fp"),
+      graft.functions.Sentiment.scoreUdf(col("text")).as("sc"))
+      .as[(Long, Option[String], Seq[String], Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(nativeSide == udfSide)
+    // null text: clean_text → null (UDF's explicit branch); the others
+    // → empty-document results, never SQL NULL
+    assert(nativeSide(8L) == ((None, Seq.empty[String], Seq.empty[Long], 0.0)), nativeSide(8L))
+  }
+
   test("native text stats are SQL-registered, codegen'd, and UDF-free over parquet") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -101,7 +130,8 @@ class TextStatsExprsSpec extends SparkTestBase {
     val q = spark.sql(
       """SELECT doc_id, lang_id(text) AS l, quality_stats(text, 'english') AS q,
                 corpus_stats(text) AS st, term_counts(text) AS tc,
-                repetition_stats(text) AS rep
+                repetition_stats(text) AS rep, clean_text(text) AS ct,
+                winnow_fingerprints(text, 3, 4) AS fp, sentiment_score(text) AS sc
          FROM docs_ts""")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try q.collect()
