@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CleanTextExpr, CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, SentimentScoreExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SortedIntersectCountLong, TermCountsExpr, WinnowFingerprintsExpr}
+import graft.functions.expressions.{CleanTextExpr, CleanTextFastExpr, CleanTokensExpr, CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, SentimentScoreExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SimHash60Expr, SortedIntersectCountLong, TermCountsExpr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -98,6 +98,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("sentiment_score"),
         new ExpressionInfo(classOf[SentimentScoreExpr].getName, "sentiment_score"),
         GraftFunctions.sentimentScoreBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("clean_tokens"),
+        new ExpressionInfo(classOf[CleanTokensExpr].getName, "clean_tokens"),
+        GraftFunctions.cleanTokensBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash60"),
+        new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+        GraftFunctions.simHash60Builder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("clean_text_fast"),
+        new ExpressionInfo(classOf[CleanTextFastExpr].getName, "clean_text_fast"),
+        GraftFunctions.cleanTextFastBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("repetition_stats"),
@@ -210,6 +225,18 @@ object GraftFunctions {
   private[graft] def sentimentScoreBuilder: Seq[Expr] => Expr =
     exprs => SentimentScoreExpr(arity(exprs, 1, "sentiment_score(text)").head)
 
+  private[graft] def cleanTokensBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "clean_tokens(text, language, min_length)")
+    CleanTokensExpr(exprs.head,
+      strLit(exprs(1), "clean_tokens language"), intLit(exprs(2), "clean_tokens min_length"))
+  }
+
+  private[graft] def simHash60Builder: Seq[Expr] => Expr =
+    exprs => SimHash60Expr(arity(exprs, 1, "simhash60(text)").head)
+
+  private[graft] def cleanTextFastBuilder: Seq[Expr] => Expr =
+    exprs => CleanTextFastExpr(arity(exprs, 1, "clean_text_fast(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -234,5 +261,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "clean_text", cleanTextBuilder)
     Bridge.registerTempFunction(spark, "winnow_fingerprints", winnowFingerprintsBuilder)
     Bridge.registerTempFunction(spark, "sentiment_score", sentimentScoreBuilder)
+    Bridge.registerTempFunction(spark, "clean_tokens", cleanTokensBuilder)
+    Bridge.registerTempFunction(spark, "simhash60", simHash60Builder)
+    Bridge.registerTempFunction(spark, "clean_text_fast", cleanTextFastBuilder)
   }
 }

@@ -289,17 +289,20 @@ object TextFunctions {
     c => f(c)
   }
 
+  /** JVM body of [[cleanTokensUdf]] / `CleanTokensExpr`.
+    * Code points, not UTF-16 units: the columnar twin's
+    * `length(w) > minLength` (and the DuckDB oracle) count characters,
+    * so supplementary-plane tokens (emoji, rare CJK) must gate the same.
+    */
+  def cleanTokensLocal(text: String, minLength: Int, sw: Set[String]): Array[String] =
+    tokensLocal(text).filter(t => t.codePointCount(0, t.length) > minLength && !sw.contains(t))
+
   /** `text → tokens minus stop-words, length > minLength` as one tight
     * loop (wordcount's scan-side pass; multiplicity and order preserved).
     */
   def cleanTokensUdf(language: String, minLength: Int): Column => Column = {
     val sw = stopWords(language).toSet
-    val f = udf { (text: String) =>
-      // code points, not UTF-16 units: the columnar twin's
-      // `length(w) > minLength` (and the DuckDB oracle) count characters,
-      // so supplementary-plane tokens (emoji, rare CJK) must gate the same
-      tokensLocal(text).filter(t => t.codePointCount(0, t.length) > minLength && !sw.contains(t))
-    }
+    val f = udf { (text: String) => cleanTokensLocal(text, minLength, sw) }
     c => f(c)
   }
 

@@ -192,3 +192,125 @@ object SentimentScoreExpr {
   def sentimentScore(c: Column): Column =
     Bridge.column(SentimentScoreExpr(Bridge.expression(c)))
 }
+
+/** `clean_tokens(text, language, min_length)` — tokenize + stop-words +
+  * code-point length gate in one pass
+  * ([[TextFunctions.cleanTokensLocal]]): the q04/q05 wordcount scan and
+  * the streaming topology's tokenizer.
+  */
+case class CleanTokensExpr(child: Expression, language: String, minLength: Int)
+    extends TextStatsBase {
+
+  // stop-word set derived once per plan, rides the generated class
+  @transient private lazy val sw: Set[String] =
+    TextFunctions.stopWords(language).toSet
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "clean_tokens"
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    CleanTokensExpr.run(
+      if (t == null) null else t.asInstanceOf[UTF8String], minLength, sw)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val swRef = ctx.addReferenceObj("cleanTokensSw", sw, "scala.collection.immutable.Set")
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         ${c.code}
+         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           graft.functions.expressions.CleanTokensExpr.run(
+             ${c.isNull} ? null : ${c.value}, $minLength, $swRef);
+       """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CleanTokensExpr =
+    copy(child = newChild)
+}
+
+object CleanTokensExpr {
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def run(text: UTF8String, minLength: Int, sw: Set[String]): ArrayData = {
+    val toks = TextFunctions.cleanTokensLocal(
+      if (text == null) null else text.toString, minLength, sw)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def cleanTokens(c: Column, language: String, minLength: Int): Column =
+    Bridge.column(CleanTokensExpr(Bridge.expression(c), language, minLength))
+}
+
+/** `simhash60(text)` — 60-bit SimHash fingerprint
+  * ([[TextFunctions.simHash60Local]] over the tokenizer); the q21 scan.
+  */
+case class SimHash60Expr(child: Expression) extends TextStatsBase {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash60"
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    SimHash60Expr.run(if (t == null) null else t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         ${c.code}
+         long ${ev.value} =
+           graft.functions.expressions.SimHash60Expr.run(
+             ${c.isNull} ? null : ${c.value});
+       """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
+    copy(child = newChild)
+}
+
+object SimHash60Expr {
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def run(text: UTF8String): Long =
+    TextFunctions.simHash60Local(
+      TextFunctions.tokensLocal(if (text == null) null else text.toString))
+
+  def simHash60(c: Column): Column = Bridge.column(SimHash60Expr(Bridge.expression(c)))
+}
+
+/** `clean_text_fast(text)` — the label-prep cleaner
+  * ([[graft.operators.LabelPrep.cleanTextFastLocal]]: junk chars, the
+  * literal `< br / >` marker, whitespace collapse); the q12 scan.
+  */
+case class CleanTextFastExpr(child: Expression) extends TextStatsBase {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "clean_text_fast"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CleanTextFastExpr.run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.CleanTextFastExpr.run($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CleanTextFastExpr =
+    copy(child = newChild)
+}
+
+object CleanTextFastExpr {
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def run(text: UTF8String): UTF8String =
+    UTF8String.fromString(graft.operators.LabelPrep.cleanTextFastLocal(text.toString))
+
+  def cleanTextFast(c: Column): Column =
+    Bridge.column(CleanTextFastExpr(Bridge.expression(c)))
+}

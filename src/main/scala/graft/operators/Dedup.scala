@@ -296,7 +296,9 @@ object Dedup {
     * per token — parity-tested, oracle-identical).
     */
   def simHashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).alias("id"), simHashUdf(col(textCol)).alias("simhash"))
+    docs.select(
+      col(idCol).alias("id"),
+      graft.functions.expressions.SimHash60Expr.simHash60(col(textCol)).alias("simhash"))
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDistance. Candidate
     * generation by exact match on each of `blocks` bit-blocks (pigeonhole:

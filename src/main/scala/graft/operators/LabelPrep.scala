@@ -28,7 +28,8 @@ object LabelPrep {
     * replace is exactly equivalent).
     */
   def cleanText(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn(textCol, cleanTextFastUdf(col(textCol)))
+    df.withColumn(textCol,
+      graft.functions.expressions.CleanTextFastExpr.cleanTextFast(col(textCol)))
 
   /** Columnar specification of [[cleanText]] (parity-tested twin). */
   def cleanTextColumnar(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -38,36 +39,38 @@ object LabelPrep {
         "\\s+",
         " "))
 
-  private[operators] val cleanTextFastUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    val f = udf { (text: String) =>
-      if (text == null) null
-      else {
-        // pass 1+2: drop junk chars, then literal "< br / >" -> " "
-        val sb = new java.lang.StringBuilder(text.length)
-        var i = 0
-        while (i < text.length) {
-          val c = text.charAt(i)
-          if (c != '[' && c != ']' && c != '"' && c != '\'') sb.append(c)
-          i += 1
-        }
-        val replaced = sb.toString.replace("< br / >", " ")
-        // pass 3: collapse Java-\s runs, trim spaces
-        val out = new java.lang.StringBuilder(replaced.length)
-        var pendingSpace = false
-        i = 0
-        while (i < replaced.length) {
-          val c = replaced.charAt(i)
-          val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-          if (isWs) { if (out.length > 0) pendingSpace = true }
-          else {
-            if (pendingSpace) { out.append(' '); pendingSpace = false }
-            out.append(c)
-          }
-          i += 1
-        }
-        out.toString
+  /** JVM body of [[cleanTextFastUdf]] / `CleanTextFastExpr`. */
+  private[graft] def cleanTextFastLocal(text: String): String =
+    if (text == null) null
+    else {
+      // pass 1+2: drop junk chars, then literal "< br / >" -> " "
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c != '[' && c != ']' && c != '"' && c != '\'') sb.append(c)
+        i += 1
       }
+      val replaced = sb.toString.replace("< br / >", " ")
+      // pass 3: collapse Java-\s runs, trim spaces
+      val out = new java.lang.StringBuilder(replaced.length)
+      var pendingSpace = false
+      i = 0
+      while (i < replaced.length) {
+        val c = replaced.charAt(i)
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+        if (isWs) { if (out.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { out.append(' '); pendingSpace = false }
+          out.append(c)
+        }
+        i += 1
+      }
+      out.toString
     }
+
+  private[graft] val cleanTextFastUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf { (text: String) => cleanTextFastLocal(text) }
     c => f(c)
   }
 
@@ -87,8 +90,11 @@ object LabelPrep {
     val cleaned = cleanText(docs.na.drop(Seq(idCol, textCol)), textCol)
       .filter(length(col(textCol)) > minTextLength)
       // distinct-tokens-minus-outliers in one tight-loop pass (twin of
-      // array_except(array_distinct(tokens(..)), outliers))
-      .withColumn("label", TextFunctions.distinctTokensUdf(outlierLabels)(col(textCol)))
+      // array_except(array_distinct(tokens(..)), outliers)), native
+      // codegen since round 9
+      .withColumn("label",
+        graft.functions.expressions.DistinctTokensExpr
+          .distinctTokens(col(textCol), outlierLabels))
 
     val exploded = cleaned.select(col(idCol), explode(col("label")).alias("label"))
 

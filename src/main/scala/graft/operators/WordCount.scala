@@ -29,10 +29,14 @@ object WordCount {
       textCol: String,
       language: String = "english",
       minLength: Int = 3): DataFrame =
-    // tokenize + stop-words + length gate in one tight-loop pass (the
-    // columnar HOF form is CodegenFallback — interpreted per token with a
-    // linear stop-list scan); identical multiset out, explode stays native
-    df.select(explode(cleanTokensUdf(language, minLength)(col(textCol))).alias("word"))
+    // tokenize + stop-words + length gate in one tight-loop pass as the
+    // native codegen `clean_tokens` expression (the columnar HOF form is
+    // CodegenFallback — interpreted per token with a linear stop-list
+    // scan; the old closure-UDF form broke codegen at its boundary);
+    // identical multiset out, explode stays native
+    df.select(
+      explode(graft.functions.expressions.CleanTokensExpr
+        .cleanTokens(col(textCol), language, minLength)).alias("word"))
       .groupBy("word")
       .agg(count(lit(1)).alias("count"))
 }

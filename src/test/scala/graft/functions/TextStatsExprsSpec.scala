@@ -123,6 +123,32 @@ class TextStatsExprsSpec extends SparkTestBase {
     assert(nativeSide(8L) == ((None, Seq.empty[String], Seq.empty[Long], 0.0)), nativeSide(8L))
   }
 
+  test("round-9 operator-path exprs match their UDF twins: clean-tokens/simhash/label-clean") {
+    import graft.functions.expressions.{CleanTextFastExpr, CleanTokensExpr, SimHash60Expr}
+    val extra = rows.union(Seq(
+      (10L, "[bracketed] content < br / > next 'line' and  the    spaced   words here"),
+      (11L, "supercalifragilistic words beyond length three and the a an of")
+    ).toDF("id", "text"))
+
+    val nativeSide = extra.select(
+      col("id"),
+      CleanTokensExpr.cleanTokens(col("text"), "english", 3).as("ct"),
+      SimHash60Expr.simHash60(col("text")).as("sh"),
+      CleanTextFastExpr.cleanTextFast(col("text")).as("lc"))
+      .as[(Long, Seq[String], Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val udfSide = extra.select(
+      col("id"),
+      TextFunctions.cleanTokensUdf("english", 3)(col("text")).as("ct"),
+      TextFunctions.simHashUdf(col("text")).as("sh"),
+      graft.operators.LabelPrep.cleanTextFastUdf(col("text")).as("lc"))
+      .as[(Long, Seq[String], Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nativeSide == udfSide)
+    // null text: empty tokens / simhash 0 / null string — the UDF twins' results
+    assert(nativeSide(8L) == ((Seq.empty[String], 0L, None)), nativeSide(8L))
+  }
+
   test("native text stats are SQL-registered, codegen'd, and UDF-free over parquet") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
