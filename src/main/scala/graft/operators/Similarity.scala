@@ -196,15 +196,39 @@ object Similarity {
         s"[graft] trainCentroids: sample capped $trainSample -> $bounded rows " +
           s"(driver budget at k=$nLists, dim=$dimProbe); quantizer quality degrades " +
           s"gracefully - raise targetCellRows or switch to srpNearDup at this scale")
+    val sample = collectTrainSample(emb, idCol, vecCol, bounded)
+    require(sample.nonEmpty, "trainCentroids: empty embedding table")
+    lloydFit(sample, nLists, seed)
+  }
+
+  /** The bounded, md5-uniform sample collect behind [[trainCentroids]]
+    * (and, collected ONCE for all subspaces, [[trainProductQuantizer]]).
+    */
+  private def collectTrainSample(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rows: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val idKey = col(idCol).cast("string")
-    val sample: Array[Array[Double]] = emb
+    emb
       .select(col(vecCol))
       .orderBy(md5(idKey), idKey)
-      .limit(bounded)
+      .limit(rows)
       .as[Array[Float]]
       .collect()
       .map(_.map(_.toDouble))
-    require(sample.nonEmpty, "trainCentroids: empty embedding table")
+  }
+
+  /** In-memory Lloyd fit — 8 iterations, exact arithmetic of the
+    * original sequential fold (argmin phase parallel and order-free,
+    * accumulation sequential in sample order — see [[trainCentroids]]).
+    */
+  private[graft] def lloydFit(
+      sample: Array[Array[Double]],
+      nLists: Int,
+      seed: Long): Array[Array[Double]] = {
     val dim = sample.head.length
 
     def sqdist(a: Array[Double], b: Array[Double]): Double = {
@@ -754,13 +778,26 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(nCodes > 0 && nCodes <= 256, s"nCodes must fit a byte code, got $nCodes")
     val subDim = dim / m
+    // ONE sample collect for all m subspaces (round-9 rework: the old
+    // per-subspace `trainCentroids(sliced, ...)` paid m sort+limit+collect
+    // jobs for the SAME md5-ordered rows — slicing the one collected
+    // sample is bit-identical, because every subspace's training rows and
+    // order were already identical and the per-subspace seeds still
+    // differ). Row cap = the per-subspace Lloyd bound ∧ the full-vector
+    // memory bound (the collect now holds full rows).
+    val bounded = math.min(
+      boundedTrainRows(trainSample, nCodes, subDim),
+      boundedTrainRows(trainSample, 1, dim))
+    if (bounded < trainSample)
+      System.err.println(
+        s"[graft] trainProductQuantizer: sample capped $trainSample -> $bounded rows " +
+          s"(driver budget at nCodes=$nCodes, dim=$dim, m=$m)")
+    val sample = collectTrainSample(emb, idCol, vecCol, bounded)
+    require(sample.nonEmpty, "trainProductQuantizer: empty embedding table")
     Array.tabulate(m) { s =>
-      // per-subspace training reuses the shared trainer on a sliced
-      // view; seed varies by subspace so init draws differ
-      val sliced = emb.select(
-        col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).alias("sub"))
-      trainCentroids(sliced, idCol, "sub", nCodes, seed + s, trainSample)
+      val sliced = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // seed varies by subspace so init draws differ
+      lloydFit(sliced, nCodes, seed + s)
     }
   }
 
