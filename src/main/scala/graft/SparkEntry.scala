@@ -1228,6 +1228,19 @@ object SparkEntry {
         (col("n_hits") >= 8).as("recall_ok"))
   }
 
+  /** Span-level decontamination (q50's benchmark split × q81's span
+    * machinery): tokens inside 4-gram windows that appear anywhere in
+    * the benchmark docs are cut; the unique remainder survives. One
+    * corpus scan, broadcast benchmark universe, doc-local interval cut.
+    */
+  private def q83_scrub_spans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.scrubSpans(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 4)
+  }
+
   /** Incremental semantic dedup, exact configuration (`nLists = 1`,
     * q77's pattern): the batch (`vec_id % 5 = 0`) is near-dup-checked
     * against the corpus (the rest) and then deduplicated within
@@ -1381,7 +1394,8 @@ object SparkEntry {
     "q79_pq_ann" -> (q79_pq_ann _),
     "q80_incremental_semantic" -> (q80_incremental_semantic _),
     "q81_dup_spans" -> (q81_dup_spans _),
-    "q82_ivf_pq" -> (q82_ivf_pq _)
+    "q82_ivf_pq" -> (q82_ivf_pq _),
+    "q83_scrub_spans" -> (q83_scrub_spans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2270,6 +2284,42 @@ object SparkEntry {
                 CAST(16 AS BIGINT) AS m,
                 (SELECT CAST(max(len(embedding)) * 4 / 16 AS BIGINT)
                  FROM embeddings) AS compression_x,
-                TRUE AS recall_ok"""
+                TRUE AS recall_ok""",
+    "q83_scrub_spans" ->
+      // q81's span-cut oracle with the dup CTE replaced by the
+      // benchmark 4-gram universe (q50's % 20 split; same md5-60
+      // primitive and short-doc whole-text rule on both sides)
+      s"""WITH tka AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          kga AS (SELECT doc_id, pos,
+                         ${sqlMd5h60("g")} AS h
+                  FROM (SELECT doc_id,
+                               unnest(CASE WHEN len(t) < 4
+                                      THEN [0]
+                                      ELSE range(0, len(t) - 3) END) AS pos,
+                               unnest(CASE WHEN len(t) < 4
+                                      THEN [array_to_string(t, ' ')]
+                                      ELSE list_transform(range(0, len(t) - 3),
+                                             i -> array_to_string(t[i+1:i+4], ' ')) END) AS g
+                        FROM tka)),
+          tk AS (SELECT * FROM tka WHERE doc_id % 20 <> 0),
+          bh AS (SELECT DISTINCT h FROM kga WHERE doc_id % 20 = 0),
+          kg AS (SELECT * FROM kga WHERE doc_id % 20 <> 0),
+          cov AS (SELECT DISTINCT kg.doc_id, kg.pos + o.o AS p
+                  FROM kg JOIN bh USING (h), unnest(range(0, 4)) AS o(o)),
+          tok AS (SELECT doc_id, unnest(t) AS tok,
+                         unnest(range(0, len(t))) AS p
+                  FROM tk),
+          kept AS (SELECT tok.doc_id, tok.p, tok.tok
+                   FROM tok LEFT JOIN cov
+                   ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+                   WHERE cov.p IS NULL),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+                         count(*) AS nk
+                  FROM kept GROUP BY doc_id)
+          SELECT tk.doc_id,
+                 coalesce(agg.ct, '') AS clean_text,
+                 CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
+                 CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+          FROM tk LEFT JOIN agg USING (doc_id)"""
   )
 }

@@ -57,6 +57,67 @@ object Decontaminate {
         .select(col("doc_id").alias(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Span-level decontamination — instead of dropping a contaminated
+    * document wholesale ([[clean]]), CUT only the tokens inside
+    * benchmark-matching k-gram windows: a training doc that quotes one
+    * benchmark item keeps its unique remainder instead of disappearing
+    * (the ExactSubstr surgical recipe of Lee et al., ACL 2022, aimed at
+    * eval-set leakage instead of cross-document duplication —
+    * [[graft.operators.Dedup.duplicateSpans]]'s machinery with the
+    * dup-detection aggregate replaced by the broadcast benchmark
+    * membership probe).
+    *
+    * Scale shape: the benchmark hash universe broadcasts (same argument
+    * as [[overlaps]]); ONE corpus scan builds position-ordered gram
+    * hashes (native `shingle_hash60s`); matching gram START positions
+    * gather per doc through one aggregate (one int per matching gram —
+    * no covered-position amplification); the cut is the doc-local
+    * `cut_covered_spans` interval union. The corpus text itself crosses
+    * the wire exactly once (the final doc-keyed join); nothing explodes
+    * through a shuffle.
+    *
+    * Emits `(doc_id, clean_text, n_kept, n_removed)` for EVERY training
+    * doc (unmatched docs pass through uncut); null text behaves as the
+    * empty document.
+    */
+  def scrubSpans(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val benchHashes = benchmark
+      .select(explode(
+        graft.functions.expressions.ShingleHashSetExpr
+          .shingleHashSet(col(textCol), k)).alias("h"))
+      .distinct()
+    val base = train
+      .select(
+        col(idCol).alias("doc_id"),
+        coalesce(TextFunctions.tokens(col(textCol)), typedlit(Array.empty[String])).alias("t"),
+        graft.functions.expressions.ShingleHash60sExpr
+          .shingleHash60s(col(textCol), k).alias("hs"))
+      .localCheckpoint(true)
+    val starts = base
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .join(broadcast(benchHashes), Seq("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).alias("starts"))
+    base
+      .join(starts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("t"),
+        graft.functions.expressions.CutCoveredSpansExpr.cutCoveredSpans(
+          col("t"), coalesce(col("starts"), typedlit(Array.empty[Int])), k).alias("kept"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("kept")).alias("clean_text"),
+        size(col("kept")).cast("long").alias("n_kept"),
+        (size(col("t")) - size(col("kept"))).cast("long").alias("n_removed"))
+  }
+
   /** Bloom-filter variant of [[clean]] — the scale path when the
     * benchmark hash universe itself is too large to broadcast exactly
     * (e.g. decontaminating against a full eval SUITE of millions of

@@ -309,6 +309,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q77 path:\n$plan")
   }
 
+  test("q83: span scrub probes a broadcast benchmark universe, cuts doc-locally") {
+    val plan = planOf("q83_scrub_spans")
+    // the benchmark gram universe must broadcast into the corpus gram
+    // stream (a shuffled membership join would re-partition the corpus
+    // by gram hash at 100 TB)
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark probe must broadcast:\n$plan")
+    assert(plan.contains("cut_covered_spans"), s"doc-local cut missing:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q83 path:\n$plan")
+    assert(!plan.contains("sequence("), s"covered-position explode on the q83 path:\n$plan")
+    // gram/doc exchanges carry ids and ints, never text or token arrays
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("tok"),
+        s"raw text in a partitioning key:\n${m.group(0)}"))
+  }
+
   test("q80: the corpus side is pruned to the batch's cells by a broadcast semi-join") {
     val df = SparkEntry.queries("q80_incremental_semantic")(spark, dir)
     df.collect()

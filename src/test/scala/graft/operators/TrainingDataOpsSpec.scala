@@ -27,6 +27,30 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(cleaned == Set(2L))
   }
 
+  test("Decontaminate.scrubSpans cuts only benchmark-matching windows, keeps the remainder") {
+    val train = Seq(
+      (1L, "intro words alpha beta gamma delta and a unique tail here"),
+      (2L, "totally disjoint document with its own content entirely"),
+      (3L, "alpha beta gamma delta"), //     fully benchmark text
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+
+    val got = Decontaminate.scrubSpans(train, bench, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bench 4-grams include "alpha beta gamma delta" and "beta gamma
+    // delta epsilon"; doc1 matches the first at position 2 → tokens
+    // 2..5 cut, prefix and tail survive in order
+    assert(got(1L) == (("intro words and a unique tail here", 7L, 4L)), got(1L))
+    assert(got(2L) == (("totally disjoint document with its own content entirely", 8L, 0L)), got(2L))
+    // doc3 is exactly a benchmark window (short-doc whole-text rule on
+    // the gram builder still yields the 4-gram) → fully scrubbed
+    assert(got(3L) == (("", 0L, 4L)), got(3L))
+    // null text = empty doc, zero counts
+    assert(got(4L) == (("", 0L, 0L)), got(4L))
+  }
+
   test("Decontaminate.cleanApprox is sound: subset of exact clean, catches all true contamination") {
     val train = (1L to 60L).map { i =>
       val words =
