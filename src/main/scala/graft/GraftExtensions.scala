@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CleanTextExpr, CleanTextFastExpr, CleanTokensExpr, CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, SentimentScoreExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SimHash60Expr, SortedIntersectCountLong, TermCountsExpr, WinnowFingerprintsExpr}
+import graft.functions.expressions.{CleanTextExpr, CleanTextFastExpr, CleanTokensExpr, CorpusStatsExpr, CutCoveredSpansExpr, DotProductFloat, HeavyHittersAgg, LangIdExpr, Md5Hash60Expr, Norm2Float, QualityStatsExpr, RepetitionStatsExpr, SentimentScoreExpr, ShingleHash60sExpr, ShingleHashSetExpr, ShingleModHashesExpr, SimHash60Expr, SortedIntersectCountLong, TermCountsExpr, TokensExpr, WinnowFingerprintsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -98,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("sentiment_score"),
         new ExpressionInfo(classOf[SentimentScoreExpr].getName, "sentiment_score"),
         GraftFunctions.sentimentScoreBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("tokens"),
+        new ExpressionInfo(classOf[TokensExpr].getName, "tokens"),
+        GraftFunctions.tokensBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("clean_tokens"),
@@ -237,6 +242,9 @@ object GraftFunctions {
   private[graft] def cleanTextFastBuilder: Seq[Expr] => Expr =
     exprs => CleanTextFastExpr(arity(exprs, 1, "clean_text_fast(text)").head)
 
+  private[graft] def tokensBuilder: Seq[Expr] => Expr =
+    exprs => TokensExpr(arity(exprs, 1, "tokens(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -264,5 +272,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "clean_tokens", cleanTokensBuilder)
     Bridge.registerTempFunction(spark, "simhash60", simHash60Builder)
     Bridge.registerTempFunction(spark, "clean_text_fast", cleanTextFastBuilder)
+    Bridge.registerTempFunction(spark, "tokens", tokensBuilder)
   }
 }

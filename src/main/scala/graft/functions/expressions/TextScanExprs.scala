@@ -193,6 +193,55 @@ object SentimentScoreExpr {
     Bridge.column(SentimentScoreExpr(Bridge.expression(c)))
 }
 
+/** `tokens(text)` — lower-case whitespace tokens, empties dropped
+  * ([[TextFunctions.tokensLocal]]): the bare tokenizer behind the span
+  * pipelines' rebuild column. The columnar form
+  * (`filter(split(lower(text), ...))`) is a higher-order function —
+  * CodegenFallback, which evicts the whole scan projection from
+  * WholeStageCodegen; this expression keeps the q81/q83 base scans
+  * fused. Null text → empty array (equals the columnar form's null
+  * under the callers' `coalesce`).
+  */
+case class TokensExpr(child: Expression) extends TextStatsBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "tokens"
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    TokensExpr.run(if (t == null) null else t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         ${c.code}
+         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           graft.functions.expressions.TokensExpr.run(
+             ${c.isNull} ? null : ${c.value});
+       """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+}
+
+object TokensExpr {
+
+  /** Called from generated code — must stay a simple static-style method. */
+  def run(text: UTF8String): ArrayData = {
+    val toks = TextFunctions.tokensLocal(if (text == null) null else text.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def tokens(c: Column): Column = Bridge.column(TokensExpr(Bridge.expression(c)))
+}
+
 /** `clean_tokens(text, language, min_length)` — tokenize + stop-words +
   * code-point length gate in one pass
   * ([[TextFunctions.cleanTokensLocal]]): the q04/q05 wordcount scan and

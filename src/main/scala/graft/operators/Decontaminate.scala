@@ -95,7 +95,7 @@ object Decontaminate {
     val base = train
       .select(
         col(idCol).alias("doc_id"),
-        coalesce(TextFunctions.tokens(col(textCol)), typedlit(Array.empty[String])).alias("t"),
+        graft.functions.expressions.TokensExpr.tokens(col(textCol)).alias("t"),
         graft.functions.expressions.ShingleHash60sExpr
           .shingleHash60s(col(textCol), k).alias("hs"))
       .localCheckpoint(true)

@@ -703,11 +703,13 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // tokens (rebuild) + gram hashes (dup detection) come from ONE scan
     // over the text — both sides of the pipeline reuse it on different
-    // keys, so materialize once, as every dedup pipeline does
+    // keys, so materialize once, as every dedup pipeline does; both
+    // columns are native expressions so the scan stays fused (null text
+    // → empty token array by the TokensExpr contract)
     val base = docs
       .select(
         col(idCol).alias("doc_id"),
-        coalesce(tokens(col(textCol)), typedlit(Array.empty[String])).alias("t"),
+        graft.functions.expressions.TokensExpr.tokens(col(textCol)).alias("t"),
         ShingleHash60sExpr.shingleHash60s(col(textCol), k).alias("hs"))
       .localCheckpoint(true)
     val grams = base.select(

@@ -147,6 +147,17 @@ class TextStatsExprsSpec extends SparkTestBase {
     assert(nativeSide == udfSide)
     // null text: empty tokens / simhash 0 / null string — the UDF twins' results
     assert(nativeSide(8L) == ((Seq.empty[String], 0L, None)), nativeSide(8L))
+
+    // TokensExpr equals the columnar HOF tokenizer row-for-row (null →
+    // empty array vs the HOF's null — the callers' coalesce semantics)
+    import graft.functions.expressions.TokensExpr
+    val nT = extra.select(col("id"), TokensExpr.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val cT = extra
+      .select(col("id"),
+        coalesce(TextFunctions.tokens(col("text")), typedlit(Seq.empty[String])).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nT == cT)
   }
 
   test("native text stats are SQL-registered, codegen'd, and UDF-free over parquet") {
