@@ -1148,13 +1148,13 @@ object SparkEntry {
     * invariant-checked by q78 and spec-tested in `SimilaritySpec`.
     */
   private def q77_semantic_dedup(s: SparkSession, dir: String): DataFrame =
-    // blockRows pinned above the gate fixtures' size: the output is
-    // blockRows-invariant (spec-proven), and the single-cell oracle
-    // config gains nothing from replication at this scale — the blocked
-    // kernel's plan is exercised by q78/q80 and SimilaritySpec
+    // blockRows = 1024: the output is blockRows-invariant (spec-proven),
+    // so the knob is pure parallelism — the single cell's n²/2 pair loop
+    // splits into bounded block-pair tasks instead of one straggler
+    // (round-9 probe: 4.1 → 3.4 s at sf0.1 vs the old single-block pin)
     Similarity.semanticDedup(
       Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4, nLists = 1, trainSample = 64, blockRows = 100000)
+      threshold = 0.4, nLists = 1, trainSample = 64, blockRows = 1024)
 
   /** IVF-PQ's quantization tier as a self-check (q41 pattern — the
     * sample-trained codebooks aren't SQL-expressible): vectors encode
