@@ -102,6 +102,13 @@ object PqEncodeExpr {
       offsets: Array[Int],
       subDim: Int): Array[Byte] = {
     val m = offsets.length - 1
+    // fail loud on malformed (too-short) vectors: UnsafeArrayData.getFloat
+    // past numElements() reads silent garbage, so a truncated corpus row
+    // would otherwise encode to garbage codes instead of erroring
+    if (vec.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${vec.numElements()} elements, " +
+          s"codebook expects >= ${m * subDim} (m=$m, subDim=$subDim)")
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {

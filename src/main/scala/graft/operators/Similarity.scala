@@ -186,9 +186,13 @@ object Similarity {
       trainSample: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // dim probe before the collect so the budget can bound the sample
-    val dimRow = emb.select(size(col(vecCol))).head(1)
-    require(dimRow.nonEmpty, "trainCentroids: empty embedding table")
+    // dim probe before the collect so the budget can bound the sample —
+    // null vectors are filtered out of the probe (a null sampled row
+    // would make size() yield SQL NULL and getInt throw an opaque NPE)
+    val dimRow = emb
+      .filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty, "trainCentroids: no non-null vectors in embedding table")
     val dimProbe = dimRow(0).getInt(0)
     val bounded = boundedTrainRows(trainSample, math.max(1, nLists), math.max(1, dimProbe))
     if (bounded < trainSample)

@@ -199,9 +199,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     // static forwarder did exactly that)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val planned = docs.select(ShingleHashSetExpr.shingleHashSet(col("text"), 3).alias("hs"))
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try planned.collect()
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    withStrictCodegen(planned.collect())
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[shingle_hash_set".r.findFirstIn(plan).isDefined,
       s"expected shingle_hash_set inside a WholeStageCodegen projection:\n$plan")
@@ -277,9 +275,7 @@ class GraftExtensionsSpec extends SparkTestBase {
         typedlit(Array(0, 2)),
         4).alias("kept"),
       ShingleHash60sExpr.shingleHash60s(col("text"), 4).alias("hs"))
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try planned.collect()
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    withStrictCodegen(planned.collect())
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[cut_covered_spans".r.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("shingle_hash60s"), plan)
@@ -324,9 +320,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planned = emb.select(
       SrpBandBucketsExpr.srpBandBuckets(col("embedding"), signs, nBands, rowsPerBand, dim))
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try planned.collect()
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    withStrictCodegen(planned.collect())
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[srp_band_buckets".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)

@@ -9,6 +9,23 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Run `body` with `spark.sql.codegen.fallback=false` (a janino compile
+    * failure becomes FATAL instead of a silent interpreted fallback),
+    * restoring the PREVIOUS value afterwards — not a hardcoded default,
+    * so a suite that intentionally runs under a different setting isn't
+    * masked by an earlier strict-codegen test.
+    */
+  def withStrictCodegen[T](body: => T): T = {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkTestBase {

@@ -63,9 +63,7 @@ class PqExprsSpec extends SparkTestBase {
     val planned = emb.select(
       PqAdcScoreExpr.pqAdcScore(
         PqEncodeExpr.pqEncode(col("embedding"), cbs), lut).as("score"))
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try planned.collect()
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    withStrictCodegen(planned.collect())
     val plan = planned.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[pq_adc_score\\(pq_encode".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
@@ -102,26 +100,60 @@ class PqExprsSpec extends SparkTestBase {
     assert(pqe(0.0) != pqe(9.0))
   }
 
-  test("null vector elements read as 0.0 across the kernel family (documented semantics)") {
+  test("null vector elements read as 0.0 across EVERY vector kernel (parameterized family pin)") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("vec", ArrayType(FloatType, containsNull = true), nullable = false)))
     val withNull = spark.createDataFrame(
       java.util.Arrays.asList(
-        Row(1L, Seq[Any](1.0f, null, 3.0f)),
-        Row(2L, Seq[Any](1.0f, 0.0f, 3.0f))),
+        Row(1L, Seq[Any](1.0f, null, 3.0f)), // null element
+        Row(2L, Seq[Any](1.0f, 0.0f, 3.0f))), // explicit zero — must behave identically
       schema)
     val cents = Array(Array(1.0, 0.0, 3.0), Array(-1.0, -1.0, -1.0))
-    val out = withNull.select(
-      col("id"),
-      graft.functions.expressions.NearestCellExpr.nearestCell(col("vec"), cents).as("cell"),
-      graft.functions.expressions.DotProductFloat
-        .dotF(col("vec"), typedlit(Seq(2.0f, 2.0f, 2.0f))).as("dot"),
-      PqEncodeExpr.pqEncode(col("vec"), Array(Array(Array(1.0, 0.0, 3.0), Array(0.0, 9.0, 0.0))))
-        .as("code"))
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getAs[Array[Byte]](3).toSeq)))
-      .toMap
-    // the null-element row behaves exactly like the explicit-zero row
-    assert(out(1L) == out(2L), s"null element diverged from 0.0: ${out(1L)} vs ${out(2L)}")
+    val cbs = Array(Array(Array(1.0, 0.0, 3.0), Array(0.0, 9.0, 0.0)))
+    val srpSigns = Array.tabulate(2 * 2 * 3)(i => if (i % 3 == 0) -1.0 else 1.0)
+    // one column per kernel in the family — adding a kernel without a row
+    // here is the review flag this spec exists to raise
+    val kernels: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "nearest_cell" ->
+        graft.functions.expressions.NearestCellExpr.nearestCell(col("vec"), cents),
+      "dot_product_float" ->
+        graft.functions.expressions.DotProductFloat
+          .dotF(col("vec"), typedlit(Seq(2.0f, 2.0f, 2.0f))),
+      "norm2_float" ->
+        graft.functions.expressions.Norm2Float.norm2F(col("vec")),
+      "pq_encode" -> PqEncodeExpr.pqEncode(col("vec"), cbs),
+      "pq_adc_score(pq_encode)" ->
+        PqAdcScoreExpr.pqAdcScore(
+          PqEncodeExpr.pqEncode(col("vec"), cbs), cbs.map(_.map(_.sum))),
+      "srp_band_buckets" ->
+        SrpBandBucketsExpr.srpBandBuckets(col("vec"), srpSigns, 2, 2, 3))
+    kernels.foreach { case (name, kcol) =>
+      val out = withNull.select(col("id"), kcol.as("k"))
+        .collect()
+        .map { r =>
+          val v = r.get(1) match {
+            case b: Array[Byte] => b.toSeq
+            case s: scala.collection.Seq[_] => s.toSeq
+            case other => other
+          }
+          r.getLong(0) -> v
+        }
+        .toMap
+      assert(out(1L) == out(2L),
+        s"$name: null element diverged from 0.0: ${out(1L)} vs ${out(2L)}")
+    }
+  }
+
+  test("pq_encode fails loud on a too-short vector instead of reading garbage") {
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1.0f))).toDF("id", "vec")
+        .select(PqEncodeExpr.pqEncode(col("vec"), codebooks))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("pq_encode: vector has 1 elements")),
+      messages(err).mkString(" | "))
   }
 }

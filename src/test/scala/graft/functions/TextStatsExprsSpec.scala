@@ -170,9 +170,7 @@ class TextStatsExprsSpec extends SparkTestBase {
                 repetition_stats(text) AS rep, clean_text(text) AS ct,
                 winnow_fingerprints(text, 3, 4) AS fp, sentiment_score(text) AS sc
          FROM docs_ts""")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try q.collect()
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    withStrictCodegen(q.collect())
     val plan = q.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[.*lang_id".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
