@@ -81,21 +81,12 @@ object Similarity {
       seed: Long = 42L,
       trainSample: Int = 4096): DataFrame = {
     val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
-    val dim = centroids.head.length
-    def sqdist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
 
     // --- distributed assign + probe ---
     // the probe filter is the native codegen `nearest_cell` expression
     // (same assignment kernel as semanticDedup — no closure UDF on the
     // scan path) against the driver-computed probe-cell set
-    val qArr = query.toArray
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, sqdist(c, qArr)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val probeCells = nearestCentroids(centroids, query.toArray, nProbe)
 
     emb
       .filter(
@@ -860,9 +851,11 @@ object Similarity {
     * deployment persists — `(id, cell, code)`, an int + `m` bytes per
     * row, both columns from native codegen expressions in the same
     * fused projection (float vectors stay in cold storage for the
-    * re-rank fetch). A query then (a) routes driver-side over `nLists`
-    * centroids, (b) scans ≈ `nProbe/nLists` of the CODE table
-    * (partition-prunable when persisted partitioned by cell) at `m`
+    * re-rank fetch); [[buildIvfPqIndex]] persists exactly this artifact
+    * partitioned by cell and [[ivfPqTopKFromIndex]] reopens it with a
+    * partition-pruned probe scan. A query then (a) routes driver-side
+    * over `nLists` centroids, (b) scans ≈ `nProbe/nLists` of the CODE
+    * table (partition-pruned over the persisted index) at `m`
     * byte-lookups per row into a `TakeOrderedAndProject` — per-partition
     * heaps, no sort, no shuffle, (c) re-ranks ≤ `rerank` rows fetched
     * by id through a BROADCAST join against the vector table. Nothing
@@ -903,17 +896,155 @@ object Similarity {
       graft.functions.expressions.PqEncodeExpr
         .pqEncode(col(vecCol), codebooks).alias("code"))
 
-    val qArr = query.toArray
-    def sqdist(a: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = a(i) - qArr(i); s += d * d; i += 1 }
-      s
-    }
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, sqdist(c)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val probeCells = nearestCentroids(centroids, query.toArray, nProbe)
 
     val cand = indexed
+      .filter(col("cell").isInCollection(probeCells))
+      .select(col("id"), pqAdcScoreCol(col("code"), codebooks, query).alias("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(rer)
+
+    emb
+      .select(col(idCol).alias("id"), col(vecCol).alias("vec"))
+      .join(broadcast(cand.select("id")), Seq("id"))
+      .transform(withCosine(_, "vec", query))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side coarse routing: indices of the `n` centroids nearest to
+    * `query` (squared euclidean; stable sort, so distance ties break to
+    * the lowest cell index). Shared by the inline and persisted-index
+    * query paths — the arithmetic must stay identical so both probe the
+    * same cells.
+    */
+  private def nearestCentroids(
+      centroids: Array[Array[Double]],
+      query: Array[Double],
+      n: Int): Seq[Int] = {
+    val dim = centroids.head.length
+    def sqdist(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - query(i); s += d * d; i += 1 }
+      s
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, sqdist(c)) }
+      .sortBy(_._2).take(n).map(_._1).toSeq
+  }
+
+  // ==== persisted IVF-PQ index ==============================================
+
+  /** Child dir holding the trained model next to the index rows —
+    * underscore-prefixed, so the main parquet read never lists it.
+    */
+  private val IvfPqModelDir = "_graft_ivfpq_model"
+
+  /** Builds and PERSISTS the IVF-PQ index artifact that [[ivfPqTopK]]
+    * computes inline: `(id, code)` parquet PARTITIONED BY `cell`, so a
+    * probe scan is partition-pruned to the `nProbe` probed cells (the
+    * pushed partition filter skips every other cell's files at listing
+    * time — the scan reads `≈ nProbe/nLists` of the bytes no matter how
+    * big the corpus). The trained model (coarse centroids + PQ
+    * codebooks) is stored alongside under [[IvfPqModelDir]] as a
+    * single-row parquet, so queries reopen the index WITHOUT retraining
+    * or touching the float vectors.
+    *
+    * Training, assignment and encoding are the exact arithmetic of
+    * [[ivfPqTopK]] (same seed → same centroids/codebooks, doubles
+    * round-trip parquet bit-exactly), so a query over the reopened index
+    * returns IDENTICAL rows to the inline path on the same corpus.
+    *
+    * At 100 TB: one corpus scan writes the artifact (an int + `m` bytes
+    * per row); per-cell file sizing follows from the write parallelism,
+    * and re-ingest appends are new files in existing cell directories.
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      m: Int = 8,
+      nCodes: Int = 256,
+      seed: Long = 42L,
+      trainSample: Int = 4096): Unit = {
+    require(nLists > 0 && m > 0, s"need nLists > 0 and m > 0, got $nLists, $m")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val dim = centroids.head.length
+    val codebooks = trainProductQuantizer(
+      emb, idCol, vecCol, dim, m, nCodes, seed, trainSample)
+    emb.select(
+      col(idCol).alias("id"),
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).alias("cell"),
+      graft.functions.expressions.PqEncodeExpr
+        .pqEncode(col(vecCol), codebooks).alias("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // model AFTER the index rows: the overwrite above clears `path`
+    Seq(IvfPqIndexModel(
+      dim = dim,
+      subDim = codebooks.head.head.length,
+      centroidsFlat = centroids.flatten,
+      codebookSizes = codebooks.map(_.length),
+      codebookFlat = codebooks.flatten.flatten))
+      .toDS().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$IvfPqModelDir")
+  }
+
+  /** Reopens a [[buildIvfPqIndex]] artifact's trained model. */
+  private[graft] def readIvfPqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$path/$IvfPqModelDir").as[IvfPqIndexModel].head()
+    val centroids = m.centroidsFlat.grouped(m.dim).toArray
+    val cbs = new Array[Array[Array[Double]]](m.codebookSizes.length)
+    var off = 0
+    var s = 0
+    while (s < m.codebookSizes.length) {
+      val len = m.codebookSizes(s) * m.subDim
+      cbs(s) = java.util.Arrays.copyOfRange(m.codebookFlat, off, off + len)
+        .grouped(m.subDim).toArray
+      off += len
+      s += 1
+    }
+    (centroids, cbs)
+  }
+
+  /** [[ivfPqTopK]]'s query path over a PERSISTED index — no training, no
+    * corpus scan: (a) the reopened model routes driver-side, (b) the
+    * code scan reads ONLY the `nProbe` probed cells' parquet partitions
+    * (pushed partition filter — plan-audited in `SimilaritySpec`) into a
+    * `TakeOrderedAndProject`, (c) the ≤ `rerank` survivors re-rank
+    * against exact vectors through a broadcast join. Results are
+    * row-identical to the inline [[ivfPqTopK]] on the same corpus and
+    * parameters.
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      rerank: Int = 0): DataFrame = {
+    require(k > 0 && nProbe > 0, s"need k > 0 and nProbe > 0, got k=$k nProbe=$nProbe")
+    val (centroids, codebooks) = readIvfPqModel(spark, path)
+    val dim = centroids.head.length
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    require(nProbe <= centroids.length,
+      s"nProbe=$nProbe > nLists=${centroids.length} in the persisted index")
+    val rer = if (rerank > 0) rerank else math.max(10 * k, 100)
+    val probeCells = nearestCentroids(centroids, query.toArray, nProbe)
+
+    val cand = spark.read.parquet(path)
       .filter(col("cell").isInCollection(probeCells))
       .select(col("id"), pqAdcScoreCol(col("code"), codebooks, query).alias("score"))
       .orderBy(col("score").desc, col("id").asc)
@@ -952,3 +1083,17 @@ object Similarity {
     graft.functions.expressions.PqAdcScoreExpr.pqAdcScore(code, lut)
   }
 }
+
+/** The trained IVF-PQ model as persisted next to the index rows by
+  * [[Similarity.buildIvfPqIndex]]: coarse centroids flattened row-major
+  * (`nLists × dim`) and the per-subspace PQ codebooks flattened in
+  * subspace order (`codebookSizes(s)` centroids of `subDim` doubles
+  * each). Doubles round-trip parquet bit-exactly, so the reopened model
+  * reproduces the inline path's scores to the last bit.
+  */
+final case class IvfPqIndexModel(
+    dim: Int,
+    subDim: Int,
+    centroidsFlat: Array[Double],
+    codebookSizes: Array[Int],
+    codebookFlat: Array[Double])

@@ -353,4 +353,53 @@ class SimilaritySpec extends SparkTestBase {
     // the planted pairs are actually grouped
     assert(single.count(_._3 == 0L) == 30)
   }
+
+  test("persisted IVF-PQ index: partition-pruned probe scan, rows identical to the inline path") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embR.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    val (nLists, nProbe) = (16, 4)
+    Similarity.buildIvfPqIndex(
+      embR, "vec_id", "embedding", dir,
+      nLists = nLists, m = 16, nCodes = 64, trainSample = 2048)
+
+    // the artifact is genuinely partitioned by cell on disk
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > nProbe, s"expected > $nProbe cell dirs, got ${cellDirs.length}")
+
+    val fromIndex = Similarity.ivfPqTopKFromIndex(
+      spark, dir, embR, "vec_id", "embedding", q, k = 20, nProbe = nProbe, rerank = 100)
+    val gotIndex = fromIndex.as[(Long, Double)].collect().toSeq
+
+    // row-identical (ids, order, AND cosine bits) to the inline path
+    val inline = Similarity.ivfPqTopK(
+      embR, "vec_id", "embedding", q, k = 20,
+      nLists = nLists, nProbe = nProbe, m = 16, nCodes = 64, rerank = 100,
+      trainSample = 2048)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotIndex == inline, s"persisted-index result diverged:\n$gotIndex\nvs inline:\n$inline")
+
+    // plan audit: the code scan carries a PUSHED partition filter on
+    // `cell` and reads exactly the nProbe probed partitions
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val indexScans = scans(fromIndex.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(indexScans.nonEmpty, fromIndex.queryExecution.executedPlan.toString)
+    val scan = indexScans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no partition filter on cell: ${scan.partitionFilters}")
+    val partitionsRead = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(partitionsRead == nProbe,
+      s"probe scan read $partitionsRead partitions, expected $nProbe")
+  }
 }
