@@ -70,6 +70,20 @@ object TextClassifier {
     (c: Column) => f(c)
   }
 
+  /** The classifier as a column, picking the strongest plan shape the
+    * implementation supports: the deterministic [[KeywordClassifier]]
+    * runs as the native codegen `keyword_classify` expression (UDF-free
+    * plan, fused into the surrounding stage — byte-identical labels,
+    * same `classify` kernel); anything else — i.e. an RPC/model-backed
+    * implementation — falls back to the scalar UDF (and should prefer
+    * [[classifyPartitioned]], the batched shape a remote model needs).
+    */
+  def asColumn(clf: TextClassifier): Column => Column = clf match {
+    case kw: KeywordClassifier =>
+      (c: Column) => graft.functions.expressions.KeywordClassifyExpr.keywordClassify(c, kw)
+    case other => asUdf(other)
+  }
+
   /** Partition-batched classification: the classifier's batch hook runs
     * once per `batchSize` rows instead of per row — the shape an
     * RPC/accelerator-backed model needs (amortized connection + request

@@ -80,11 +80,14 @@ object StreamingPipeline {
       .count()
 
   /** Streaming running category counts: classify → explode labels →
-    * unbounded `groupBy.count` (`SparkRunner.scala:82-118`).
+    * unbounded `groupBy.count` (`SparkRunner.scala:82-118`). With the
+    * default keyword classifier the classify step is the native
+    * `keyword_classify` expression, so the branch's plan is UDF-free;
+    * an RPC-backed classifier falls back to the scalar UDF.
     */
   def categoryCounts(messages: DataFrame, clf: TextClassifier): DataFrame =
     messages
-      .select(explode(TextClassifier.asUdf(clf)(col("text"))).alias("category"))
+      .select(explode(TextClassifier.asColumn(clf)(col("text"))).alias("category"))
       .groupBy("category")
       .count()
 

@@ -13,6 +13,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Final executed physical plan of a streaming query's LAST completed
+    * micro-batch (`StreamingQueryWrapper`/`lastExecution` are
+    * `private[sql]`) — for plan audits over the streaming topology, e.g.
+    * asserting the category branch stays UDF-free.
+    */
+  def lastExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.execution.SparkPlan =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.lastExecution.executedPlan
+      case other =>
+        throw new IllegalArgumentException(s"not a wrapped streaming query: ${other.getClass}")
+    }
+
   /** Register a temp SQL function on an existing session (the
     * functionRegistry is also `private[sql]`).
     */

@@ -64,4 +64,35 @@ class TextClassifierPartitionSpec extends graft.SparkTestBase {
     val sizes = BatchRecorder.sizes.asScala.toSeq
     assert(sizes.sum == 100 && sizes.forall(_ <= 16) && sizes.exists(_ > 1))
   }
+
+  test("asColumn: keyword classifier runs native and byte-identical to the UDF twin; RPC impls keep the UDF") {
+    import org.apache.spark.sql.functions.col
+    val clf = TextClassifier.default.asInstanceOf[KeywordClassifier]
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "lets play this game on stream, great boss level"),
+        org.apache.spark.sql.Row(2L, "this song is from my favourite band on tour"),
+        org.apache.spark.sql.Row(3L, ""),
+        org.apache.spark.sql.Row(4L, null)), // UDF twin maps null -> empty
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, nullable = true))))
+    def run(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docs.select(col("id"), f(col("text")).as("labels"))
+        .as[(Long, Seq[String])].collect().toMap
+    val native = run(TextClassifier.asColumn(clf))
+    val viaUdf = run(TextClassifier.asUdf(clf))
+    assert(native == viaUdf, s"native diverged from UDF twin:\n$native\nvs\n$viaUdf")
+
+    // plan shapes: keyword classifier → native expression, no ScalaUDF;
+    // a classifyBatch-overriding (RPC-shaped) impl → the UDF fallback
+    val nativePlan = docs.select(TextClassifier.asColumn(clf)(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(nativePlan.contains("keyword_classify") && !nativePlan.toLowerCase.contains("scalaudf"),
+      nativePlan)
+    val rpcPlan = docs.select(TextClassifier.asColumn(new CountingClassifier)(col("text")))
+      .queryExecution.executedPlan.toString
+    // rendered as "UDF(text)" (ScalaUDF's pretty form)
+    assert(rpcPlan.toLowerCase.contains("udf("), rpcPlan)
+  }
 }

@@ -79,7 +79,7 @@ class StreamingPipelineSpec extends SparkTestBase {
     q2.stop()
   }
 
-  test("running category counts via the classifier UDF") {
+  test("running category counts; keyword-classifier branch executes UDF-free (native keyword_classify)") {
     val input = MemoryStream[String](spark)
     val sink = new InMemoryKVSink
     val clf = KeywordClassifier(Seq(
@@ -99,6 +99,12 @@ class StreamingPipelineSpec extends SparkTestBase {
     query.processAllAvailable()
     val got = sink.snapshot("test_categoryCount").map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("gaming" -> 1L, "music" -> 1L))
+
+    // the category branch's EXECUTED micro-batch plan runs the native
+    // keyword_classify expression — no ScalaUDF boundary anywhere
+    val plan = org.apache.spark.sql.graftbridge.Bridge.lastExecutedPlan(query).toString
+    assert(plan.contains("keyword_classify"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
     query.stop()
   }
 
