@@ -1,0 +1,193 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Similarity}
+import graft.sinks.KVTableSink
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest over the dedup STATE TABLES — the composition of the
+  * batch incremental tiers ([[Dedup.incrementalExact]] / q72,
+  * [[Similarity.incrementalSemanticDedup]] / q80) with the streaming
+  * surface: a `foreachBatch` loop that maintains the corpus
+  * fingerprint/embedding tables across micro-batches. This is the
+  * delta-over-state deployment shape — each arriving batch is
+  * deduplicated against everything ingested so far WITHOUT reprocessing
+  * the corpus, and the state tables ARE the corpus the next batch
+  * checks against.
+  *
+  * Exactly-once: each merge records its micro-batch id in a sidecar
+  * meta table and skips batches it has already applied, so a restart
+  * replaying the last unacknowledged batch does not double-count. (The
+  * state write and the meta write are two separate atomic swaps, so a
+  * crash BETWEEN them can still re-apply one batch — closing that needs
+  * a transactional store; `ParquetKVSink`'s temp-then-swap bounds the
+  * window to two renames.)
+  *
+  * At 100 TB: the exact tier's state is fingerprints only (16 bytes +
+  * id per distinct doc — text never enters the state), and the merge is
+  * the q02 full-outer KV shape, co-partitioned on `fp` when the state
+  * is stored bucketed. The semantic tier's state is the kept
+  * representatives' embeddings; each batch meets only its own cells'
+  * corpus rows (see [[Similarity.incrementalSemanticDedup]]).
+  */
+object DedupIngest {
+
+  val exactStateSchema: StructType = new StructType()
+    .add("fp", StringType, nullable = false)
+    .add("keep_id", LongType, nullable = false)
+    .add("dup_count", LongType, nullable = false)
+
+  def semanticStateSchema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("vec", ArrayType(FloatType, containsNull = true), nullable = false)
+
+  private val metaSchema: StructType = new StructType()
+    .add("last_batch_id", LongType, nullable = false)
+
+  private def alreadyApplied(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      batchId: Long): Boolean =
+    sink.read(spark, s"${table}__meta", metaSchema)
+      .head(1).exists(_.getLong(0) >= batchId)
+
+  private def markApplied(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    sink.write(Seq(batchId).toDF("last_batch_id"), s"${table}__meta", SaveMode.Overwrite)
+  }
+
+  // ==== exact tier ==========================================================
+
+  /** One batch's fingerprint aggregate merged into the exact-dedup state
+    * `(fp, keep_id, dup_count)`. The merge is ASSOCIATIVE and
+    * COMMUTATIVE (min of keep ids, sum of counts per fingerprint), so
+    * the state after any sequence of batches is EXACTLY [[Dedup.exact]]
+    * over their union — independent of batch boundaries and arrival
+    * order. Text never enters the state: the batch side reduces to its
+    * per-fingerprint aggregate before the full-outer merge (the q02
+    * shape, co-partitioned on `fp` for a bucketed state table).
+    */
+  def mergeExactState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val delta = batch
+      .select(col(idCol).cast("long").alias("keep_id"), md5(col(textCol)).alias("fp"))
+      .groupBy("fp")
+      .agg(min(col("keep_id")).alias("b_id"), count(lit(1)).alias("b_n"))
+    state
+      .select(col("fp"), col("keep_id").alias("s_id"), col("dup_count").alias("s_n"))
+      .join(delta, Seq("fp"), "full_outer")
+      .select(
+        col("fp"),
+        least(col("s_id"), col("b_id")).alias("keep_id"), // least skips nulls
+        (coalesce(col("s_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).alias("dup_count"))
+  }
+
+  /** Start the exact-dedup ingest: every micro-batch merges into the
+    * `table` state held by `sink`. The final state table equals
+    * [[Dedup.exact]] over all ingested rows.
+    */
+  def startExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyApplied(spark, sink, table, batchId)) {
+          val state = sink.read(spark, table, exactStateSchema)
+          sink.write(mergeExactState(state, batch, idCol, textCol), table, SaveMode.Overwrite)
+          markApplied(spark, sink, table, batchId)
+        }
+      }
+      .start()
+
+  // ==== semantic (embedding) tier ===========================================
+
+  /** One embedding batch merged into the kept-representative corpus
+    * `(id, vec)`: batch rows with a near-dup already in the corpus are
+    * dropped ([[Similarity.incrementalSemanticDedup]] — batch meets only
+    * its own cells' corpus rows, never corpus×corpus), intra-batch dup
+    * groups keep their min id, and the survivors' vectors APPEND to the
+    * state. The first batch (empty corpus) seeds it via the batch-mode
+    * [[Similarity.semanticDedup]].
+    *
+    * Equivalence to the batch pipeline holds for TIGHT duplicate
+    * clusters (every intra-cluster pair ≥ threshold) arriving with
+    * increasing ids — the same first-wins semantics as the batch CC's
+    * min-id representative. Sparse chains that straddle batches (A~B,
+    * B~C, but A≁C) can differ: the batch CC merges them transitively,
+    * the incremental path has already dropped B when C arrives.
+    */
+  def mergeSemanticState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 0,
+      trainSample: Int = 4096): DataFrame = {
+    val batchVecs = batch.select(
+      col(idCol).cast("long").alias("id"),
+      col(vecCol).alias("vec"))
+    val keptIds =
+      if (state.head(1).isEmpty)
+        Similarity.semanticDedup(
+          batchVecs, "id", "vec", threshold, nLists = nLists, trainSample = trainSample)
+          .filter(col("kept") === 1L)
+          .select("id")
+      else
+        Similarity.incrementalSemanticDedup(
+          batchVecs, state, "id", "vec", threshold,
+          nLists = nLists, trainSample = trainSample)
+          .filter(col("kept") === 1L)
+          .select("id")
+    state.unionByName(batchVecs.join(keptIds, Seq("id")))
+  }
+
+  /** Start the semantic-dedup ingest: every micro-batch of `(id, vec)`
+    * rows merges into the kept-representative corpus at `table`.
+    */
+  def startSemantic(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      nLists: Int = 0,
+      trainSample: Int = 4096): StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
+          val state = sink.read(spark, table, semanticStateSchema)
+          sink.write(
+            mergeSemanticState(state, batch, idCol, vecCol, threshold, nLists, trainSample),
+            table, SaveMode.Overwrite)
+          markApplied(spark, sink, table, batchId)
+        }
+      }
+      .start()
+}
