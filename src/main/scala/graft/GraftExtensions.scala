@@ -128,6 +128,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("term_counts"),
         new ExpressionInfo(classOf[TermCountsExpr].getName, "term_counts"),
         GraftFunctions.termCountsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("keyword_classify"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.KeywordClassifyExpr].getName, "keyword_classify"),
+        GraftFunctions.keywordClassifyBuilder))
   }
 }
 
@@ -245,6 +251,14 @@ object GraftFunctions {
   private[graft] def tokensBuilder: Seq[Expr] => Expr =
     exprs => TokensExpr(arity(exprs, 1, "tokens(text)").head)
 
+  /** `keyword_classify(text)` — labels from the bundled default keyword
+    * model (loaded once from the classpath, deterministic).
+    */
+  private[graft] def keywordClassifyBuilder: Seq[Expr] => Expr =
+    exprs => graft.functions.expressions.KeywordClassifyExpr(
+      arity(exprs, 1, "keyword_classify(text)").head,
+      graft.classify.TextClassifier.default)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -273,5 +287,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "simhash60", simHash60Builder)
     Bridge.registerTempFunction(spark, "clean_text_fast", cleanTextFastBuilder)
     Bridge.registerTempFunction(spark, "tokens", tokensBuilder)
+    Bridge.registerTempFunction(spark, "keyword_classify", keywordClassifyBuilder)
   }
 }

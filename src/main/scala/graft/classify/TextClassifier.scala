@@ -114,8 +114,11 @@ object TextClassifier {
   /** Default classifier from the bundled class map — loaded ONCE from the
     * classpath (the reference re-read its `encoder_classes.json` resource
     * on every UDF call, `TFInterface.scala:44-47` — SURVEY.md §2.11.6).
+    * Typed as the concrete [[KeywordClassifier]] so the SQL surface
+    * (`keyword_classify(text)`, `GraftFunctions`) can build the native
+    * expression without a cast.
     */
-  lazy val default: TextClassifier =
+  lazy val default: KeywordClassifier =
     KeywordClassifier(loadLabelKeywords("/graft/classifier_classes.json"))
 
   /** Parse a `{label: [keyword, …]}` JSON classpath resource (jackson

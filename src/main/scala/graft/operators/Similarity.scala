@@ -996,6 +996,31 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/$IvfPqModelDir")
   }
 
+  /** Appends a new batch of vectors to an EXISTING [[buildIvfPqIndex]]
+    * artifact: the batch is routed and encoded with the PERSISTED model
+    * (no retraining — cell assignments and codes stay consistent with
+    * every row already in the index), and the new `(id, code)` rows land
+    * as new parquet files inside the existing `cell=` directories. This
+    * is the re-ingest shape: at 100 TB the nightly embedding delta
+    * appends in one scan while queries keep partition-pruning over the
+    * union. (Re-train + full rebuild only when drift degrades recall —
+    * the model sidecar makes the two artifacts interchangeable.)
+    */
+  def appendToIvfPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val (centroids, codebooks) = readIvfPqModel(emb.sparkSession, path)
+    emb.select(
+      col(idCol).alias("id"),
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).alias("cell"),
+      graft.functions.expressions.PqEncodeExpr
+        .pqEncode(col(vecCol), codebooks).alias("code"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Reopens a [[buildIvfPqIndex]] artifact's trained model. */
   private[graft] def readIvfPqModel(
       spark: org.apache.spark.sql.SparkSession,

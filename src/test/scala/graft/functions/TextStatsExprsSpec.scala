@@ -168,11 +168,13 @@ class TextStatsExprsSpec extends SparkTestBase {
       """SELECT doc_id, lang_id(text) AS l, quality_stats(text, 'english') AS q,
                 corpus_stats(text) AS st, term_counts(text) AS tc,
                 repetition_stats(text) AS rep, clean_text(text) AS ct,
-                winnow_fingerprints(text, 3, 4) AS fp, sentiment_score(text) AS sc
+                winnow_fingerprints(text, 3, 4) AS fp, sentiment_score(text) AS sc,
+                keyword_classify(text) AS kc
          FROM docs_ts""")
     withStrictCodegen(q.collect())
     val plan = q.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[.*lang_id".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("keyword_classify"), plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
 
     // wrong arity fails analysis with the signature

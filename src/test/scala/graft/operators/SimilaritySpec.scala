@@ -402,4 +402,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(partitionsRead == nProbe,
       s"probe scan read $partitionsRead partitions, expected $nProbe")
   }
+
+  test("IVF-PQ index append: delta encoded with the persisted model, visible to pruned queries") {
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = embR.filter(col("vec_id") % 2 === 0)
+    val delta = embR.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    Similarity.buildIvfPqIndex(
+      base, "vec_id", "embedding", dir,
+      nLists = 16, m = 16, nCodes = 64, trainSample = 2048)
+    Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", dir)
+
+    // the union is in the index
+    assert(spark.read.parquet(dir).count() == embR.count())
+
+    // a query FROM the appended half finds itself: the delta was encoded
+    // with the same persisted model the probe routes with
+    val deltaRow = delta.orderBy("vec_id").select("vec_id", "embedding").head()
+    val (qid, q) = (deltaRow.getLong(0), deltaRow.getSeq[Float](1).map(_.toDouble))
+    val top = Similarity.ivfPqTopKFromIndex(
+      spark, dir, embR, "vec_id", "embedding", q, k = 5, nProbe = 4, rerank = 100)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == qid && math.abs(top.head._2 - 1.0) < 1e-9,
+      s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
+  }
 }
