@@ -134,6 +134,13 @@ object DedupIngest {
     * min-id representative. Sparse chains that straddle batches (A~B,
     * B~C, but A≁C) can differ: the batch CC merges them transitively,
     * the incremental path has already dropped B when C arrives.
+    *
+    * Cost note: [[Similarity.incrementalSemanticDedup]] re-trains the
+    * coarse quantizer on the corpus each batch (bounded driver-side
+    * sample, but still one sort+collect+Lloyd per trigger). At sustained
+    * ingest rates, persist the quantizer once and re-train only on
+    * drift — the same model-reuse move as
+    * [[Similarity.buildIvfPqIndex]]'s sidecar.
     */
   def mergeSemanticState(
       state: DataFrame,

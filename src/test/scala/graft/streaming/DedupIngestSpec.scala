@@ -43,6 +43,29 @@ class DedupIngestSpec extends SparkTestBase {
     assert(got.size == 4 && got.toSeq.map(_._3).sum == 8L)
   }
 
+  test("mergeExactState is batching-invariant: any grouping or order of batches lands on Dedup.exact") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map(i => (i, s"text${rnd.nextInt(9)}"))
+    val expected = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+
+    def ingest(batches: Seq[Seq[(Long, String)]]): Set[(String, Long, Long)] = {
+      val sink = new graft.sinks.InMemoryKVSink
+      batches.filter(_.nonEmpty).foreach { b =>
+        val state = sink.read(spark, "t", DedupIngest.exactStateSchema)
+        sink.write(
+          DedupIngest.mergeExactState(state, b.toDF("doc_id", "text"), "doc_id", "text"),
+          "t", org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      sink.read(spark, "t", DedupIngest.exactStateSchema)
+        .as[(String, Long, Long)].collect().toSet
+    }
+
+    assert(ingest(Seq(docs)) == expected, "single batch")
+    assert(ingest(docs.grouped(7).toSeq.reverse) == expected, "reversed groups of 7")
+    assert(ingest(rnd.shuffle(docs).grouped(13).toSeq) == expected, "shuffled groups of 13")
+  }
+
   test("semantic ingest: final embedding corpus equals the batch semanticDedup's kept representatives") {
     // perturb one zero dim: cos(noisy, base) = 1/√(1+eps²) ≈ 1
     def noisy(base: Seq[Float], eps: Float): Seq[Float] =
