@@ -966,7 +966,6 @@ object Similarity {
       vecCol: String,
       path: String,
       nLists: Int = 16,
-      nProbe: Int = 2,
       m: Int = 8,
       nCodes: Int = 256,
       seed: Long = 42L,
