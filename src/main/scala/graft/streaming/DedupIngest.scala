@@ -92,6 +92,25 @@ object DedupIngest {
         (coalesce(col("s_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).alias("dup_count"))
   }
 
+  /** The exact tier's per-micro-batch body — factored out so the replay
+    * guard is directly testable: applying the SAME batchId twice is a
+    * no-op the second time.
+    */
+  private[streaming] def applyExactBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    if (!alreadyApplied(spark, sink, table, batchId)) {
+      val state = sink.read(spark, table, exactStateSchema)
+      sink.write(mergeExactState(state, batch, idCol, textCol), table, SaveMode.Overwrite)
+      markApplied(spark, sink, table, batchId)
+    }
+  }
+
   /** Start the exact-dedup ingest: every micro-batch merges into the
     * `table` state held by `sink`. The final state table equals
     * [[Dedup.exact]] over all ingested rows.
@@ -109,12 +128,7 @@ object DedupIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!alreadyApplied(spark, sink, table, batchId)) {
-          val state = sink.read(spark, table, exactStateSchema)
-          sink.write(mergeExactState(state, batch, idCol, textCol), table, SaveMode.Overwrite)
-          markApplied(spark, sink, table, batchId)
-        }
+        applyExactBatch(batch, batchId, idCol, textCol, sink, table)
       }
       .start()
 

@@ -66,6 +66,26 @@ class DedupIngestSpec extends SparkTestBase {
     assert(ingest(rnd.shuffle(docs).grouped(13).toSeq) == expected, "shuffled groups of 13")
   }
 
+  test("replayed micro-batch (same batchId) is a no-op: counts are not double-applied") {
+    val sink = new graft.sinks.InMemoryKVSink
+    val b1 = Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
+    DedupIngest.applyExactBatch(b1, batchId = 0L, "doc_id", "text", sink, "t")
+    def state: Set[(String, Long, Long)] =
+      sink.read(spark, "t", DedupIngest.exactStateSchema)
+        .as[(String, Long, Long)].collect().toSet
+    val afterFirst = state
+    assert(afterFirst.map(_._3) == Set(2L))
+
+    // restart replays the last unacknowledged batch: same id, same data
+    DedupIngest.applyExactBatch(b1, batchId = 0L, "doc_id", "text", sink, "t")
+    assert(state == afterFirst, "replay double-applied the batch")
+
+    // the NEXT batch id still applies
+    DedupIngest.applyExactBatch(
+      Seq((3L, "alpha")).toDF("doc_id", "text"), batchId = 1L, "doc_id", "text", sink, "t")
+    assert(state.map(_._3) == Set(3L))
+  }
+
   test("semantic ingest: final embedding corpus equals the batch semanticDedup's kept representatives") {
     // perturb one zero dim: cos(noisy, base) = 1/√(1+eps²) ≈ 1
     def noisy(base: Seq[Float], eps: Float): Seq[Float] =
