@@ -53,22 +53,33 @@ object Bench {
     // round-9 driver record was a uniform 1.35× ambient artifact). Raw
     // passes land in target/bench.json for transparency.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    def onePass(pass: Int): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    def onePass(pass: Int): Seq[(String, Double, Boolean)] = selected.map { case (name, fn) =>
       val g0 = gcMillis
       val t0 = System.nanoTime()
       // toRdd.count(), not count(): Dataset.count() lets Catalyst prune
       // every column, so projection-only queries would be timed as bare
       // scans — toRdd executes the full physical plan with all output
       // columns materialized
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] p$pass $name FAILED: ${t.getClass.getSimpleName}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       if (gcDebug)
         System.err.println(f"[gc] p$pass $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
-      name -> sec
+      (name, sec, ok)
     }
-    val passes: Seq[Seq[(String, Double)]] = (1 to reps).map(onePass)
+    val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to reps).map(onePass)
+    // per-query MIN over SUCCESSFUL passes only — a failed pass's short
+    // time-to-throw must not masquerade as a speedup; if every pass
+    // failed, fall back to the measured times so the record stays finite
+    // (the stderr FAILED lines mark it)
     val results: Seq[(String, Double)] = selected.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val rs = passes.map(_.find(_._1 == name).get)
+      val good = rs.filter(_._3)
+      name -> (if (good.nonEmpty) good.map(_._2).min else rs.map(_._2).min)
     }
     val total = results.map(_._2).sum
     // full-precision, full-name record to a file: the driver keeps only
@@ -79,14 +90,17 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullPasses = passes.map(p =>
-      p.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      p.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val failed = passes.zipWithIndex
+      .flatMap { case (p, i) => p.collect { case (k, _, false) => s"\"p${i + 1}:" + k + "\"" } }
       .mkString("[", ",", "]")
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"reps":$reps,""" +
-        s""""queries":$fullQs,"passes":$fullPasses,"sf":"$sfDir"}""")
+        s""""queries":$fullQs,"passes":$fullPasses,"failed":$failed,"sf":"$sfDir"}""")
     finally w.close()
     def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val shortQs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r4(v) }

@@ -208,6 +208,10 @@ object Similarity {
     import spark.implicits._
     val idKey = col(idCol).cast("string")
     emb
+      // null vectors are excluded from training (they cannot contribute a
+      // centroid direction); on corpora without nulls the sample — and
+      // every downstream cell assignment — is unchanged
+      .filter(col(vecCol).isNotNull)
       .select(col(vecCol))
       .orderBy(md5(idKey), idKey)
       .limit(rows)
@@ -983,8 +987,14 @@ object Similarity {
         .nearestCell(col(vecCol), centroids).alias("cell"),
       graft.functions.expressions.PqEncodeExpr
         .pqEncode(col(vecCol), codebooks).alias("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // model AFTER the index rows: the overwrite above clears `path`
+      .write.mode("overwrite")
+      // STATIC overwrite regardless of the session's
+      // partitionOverwriteMode: a rebuild must clear every old cell dir —
+      // under dynamic mode, cells absent from the new data would keep
+      // rows encoded with the PREVIOUS model's codebooks
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(path)
+    // model AFTER the index rows: the static overwrite above clears `path`
     Seq(IvfPqIndexModel(
       dim = dim,
       subDim = codebooks.head.head.length,
@@ -1011,6 +1021,14 @@ object Similarity {
       vecCol: String,
       path: String): Unit = {
     val (centroids, codebooks) = readIvfPqModel(emb.sparkSession, path)
+    // dim guard: the scan kernels read exactly model-dim elements, so a
+    // WIDER delta would silently index prefix-only cells/codes (the
+    // pq_encode length check rejects only too-short vectors)
+    val dimRow = emb.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty, "appendToIvfPqIndex: no non-null vectors in the delta")
+    require(dimRow(0).getInt(0) == centroids.head.length,
+      s"appendToIvfPqIndex: delta dim ${dimRow(0).getInt(0)} != " +
+        s"index dim ${centroids.head.length} at $path")
     emb.select(
       col(idCol).alias("id"),
       graft.functions.expressions.NearestCellExpr

@@ -79,6 +79,14 @@ object DedupIngest {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // the state schema fixes keep_id as LONG; a non-numeric id would
+    // cast to null silently and the min-id semantics would be lost —
+    // fail loud at plan time instead (string-keyed corpora should map
+    // ids to longs upstream, e.g. monotonically_increasing_id)
+    require(
+      batch.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mergeExactState: $idCol must be numeric (cast to LONG keep_id), " +
+        s"got ${batch.schema(idCol).dataType.catalogString}")
     val delta = batch
       .select(col(idCol).cast("long").alias("keep_id"), md5(col(textCol)).alias("fp"))
       .groupBy("fp")

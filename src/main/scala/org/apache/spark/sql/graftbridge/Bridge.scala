@@ -22,7 +22,11 @@ object Bridge {
       q: org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.execution.SparkPlan =
     q match {
       case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
-        w.streamingQuery.lastExecution.executedPlan
+        val exec = w.streamingQuery.lastExecution
+        require(exec != null,
+          "streaming query has not completed a micro-batch yet — call " +
+            "processAllAvailable() (or wait for a trigger) before lastExecutedPlan")
+        exec.executedPlan
       case other =>
         throw new IllegalArgumentException(s"not a wrapped streaming query: ${other.getClass}")
     }

@@ -67,7 +67,7 @@ class TextClassifierPartitionSpec extends graft.SparkTestBase {
 
   test("asColumn: keyword classifier runs native and byte-identical to the UDF twin; RPC impls keep the UDF") {
     import org.apache.spark.sql.functions.col
-    val clf = TextClassifier.default.asInstanceOf[KeywordClassifier]
+    val clf: KeywordClassifier = TextClassifier.default
     val docs = spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(1L, "lets play this game on stream, great boss level"),
