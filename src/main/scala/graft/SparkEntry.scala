@@ -1241,6 +1241,24 @@ object SparkEntry {
       "doc_id", "text", k = 4)
   }
 
+  /** Incremental NEAR-dup dedup (round 10) — the text twin of q80,
+    * completing the (exact | near-dup) × (batch | incremental) matrix:
+    * the batch (q72's `doc_id % 10 = 0` split) is LSH-checked against
+    * the corpus band index (batch×corpus candidates only), verified with
+    * exact Jaccard, and survivors dedup within the batch (LSH + CC +
+    * keep-min). q20's parameters (n=3, k=16, bands=4, t=0.5), so the
+    * oracle reuses the q20 band/signature CTE machinery plus q80's
+    * recursive-closure labeling — the full per-row labeling is
+    * hash-checked end to end.
+    */
+  private def q84_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNearDup(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+  }
+
   /** Incremental semantic dedup, exact configuration (`nLists = 1`,
     * q77's pattern): the batch (`vec_id % 5 = 0`) is near-dup-checked
     * against the corpus (the rest) and then deduplicated within
@@ -1395,7 +1413,8 @@ object SparkEntry {
     "q80_incremental_semantic" -> (q80_incremental_semantic _),
     "q81_dup_spans" -> (q81_dup_spans _),
     "q82_ivf_pq" -> (q82_ivf_pq _),
-    "q83_scrub_spans" -> (q83_scrub_spans _)
+    "q83_scrub_spans" -> (q83_scrub_spans _),
+    "q84_incremental_neardup" -> (q84_incremental_neardup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2320,6 +2339,51 @@ object SparkEntry {
                  coalesce(agg.ct, '') AS clean_text,
                  CAST(coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
                  CAST(len(tk.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
-          FROM tk LEFT JOIN agg USING (doc_id)"""
+          FROM tk LEFT JOIN agg USING (doc_id)""",
+    "q84_incremental_neardup" ->
+      // q20's band/signature machinery over the q72 batch/corpus split,
+      // q80's recursive-closure labeling: batch×corpus band collisions
+      // verify with exact Jaccard → hits; survivors pair intra-batch the
+      // same way, close transitively, keep the min id
+      s"""WITH RECURSIVE $sqlShingleCtes,
+          $sqlMinHashSigCte,
+          bd AS (SELECT id, b, md5(array_to_string(sig[b*4+1:b*4+4], '_')) AS key
+                 FROM sg, (SELECT unnest(range(0, 4)) AS b) bb),
+          candc AS (SELECT DISTINCT x.id AS id_b, y.id AS id_c
+                    FROM bd x JOIN bd y ON x.b = y.b AND x.key = y.key
+                    WHERE x.id % 10 = 0 AND y.id % 10 <> 0),
+          hits AS (SELECT DISTINCT c.id_b AS id
+                   FROM candc c
+                   JOIN ha hx ON hx.id = c.id_b
+                   JOIN ha hy ON hy.id = c.id_c
+                   WHERE CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+                         / CAST(len(hx.hs) + len(hy.hs)
+                                - len(list_intersect(hx.hs, hy.hs)) AS DOUBLE) >= 0.5),
+          sv AS (SELECT id FROM ha WHERE id % 10 = 0
+                 AND id NOT IN (SELECT id FROM hits)),
+          candb AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                    FROM bd x JOIN bd y ON x.b = y.b AND x.key = y.key AND x.id < y.id
+                    WHERE x.id IN (SELECT id FROM sv) AND y.id IN (SELECT id FROM sv)),
+          pairs AS (SELECT c.id_a, c.id_b
+                    FROM candb c
+                    JOIN ha hx ON hx.id = c.id_a
+                    JOIN ha hy ON hy.id = c.id_b
+                    WHERE CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+                          / CAST(len(hx.hs) + len(hy.hs)
+                                 - len(list_intersect(hx.hs, hy.hs)) AS DOUBLE) >= 0.5),
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+          walk(id, r) AS (
+            SELECT id, id FROM sv
+            UNION
+            SELECT u.dst, w.r FROM walk w JOIN und u ON u.src = w.id),
+          cl AS (SELECT id, min(r) AS dup_group FROM walk GROUP BY id)
+          SELECT id, CAST(0 AS BIGINT) AS corpus_dup, dup_group,
+                 CAST(CASE WHEN id = dup_group THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM cl
+          UNION ALL
+          SELECT id, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+          FROM hits"""
   )
 }

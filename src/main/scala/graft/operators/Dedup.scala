@@ -291,6 +291,103 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental NEAR-duplicate dedup — the text twin of
+    * [[Similarity.incrementalSemanticDedup]], filling the remaining cell
+    * of the (exact | near-dup) × (batch | incremental) matrix: a NEW
+    * batch is near-dup-checked against the existing corpus WITHOUT any
+    * corpus×corpus comparison, then near-dup-deduplicated within itself.
+    *
+    * Mechanics: MinHash band keys on BOTH sides ([[minHashSignatureTable]]
+    * — the corpus band table is the persistable index; at 100 TB it is
+    * computed once per ingest epoch and stored bucketed by `(band, key)`
+    * so the candidate join is co-partitioned); candidates are
+    * batch×corpus band-key collisions only, each verified with the exact
+    * shingle-set Jaccard (no false positives — same verify kernel as
+    * [[minHashLsh]]; false negatives bounded by the (k, bands) collision
+    * curve). Batch docs with a verified corpus near-dup are dropped;
+    * survivors run the intra-batch LSH + exact verify, connected
+    * components over the verified pairs, and min-id keep — the same
+    * output contract as the semantic tier.
+    *
+    * Output, one row per batch id:
+    * `(id, corpus_dup, dup_group, kept)` — `corpus_dup = 1` rows are
+    * dropped by the corpus (dup_group = -1, kept = 0); among survivors
+    * `dup_group` is the intra-batch component label and the min-id
+    * member is kept.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"bands must divide k, got k=$k bands=$bands")
+    val rows = k / bands
+    val bandIdx = array((0 until bands).map(b => lit(b)): _*)
+    def bandTable(docs: DataFrame): DataFrame =
+      minHashSignatureTable(docs, idCol, textCol, n, k)
+        .select(col("id"), col("sig"), explode(bandIdx).alias("band"))
+        .select(
+          col("id"),
+          col("band"),
+          md5(concat_ws("_", slice(col("sig"), col("band") * rows + 1, lit(rows)))).alias("key"))
+
+    // the batch band table and shingle sets each feed TWO plan positions
+    // (corpus check + intra-batch pass) on different keys — materialize
+    // once (same rationale as materializedShingleSets)
+    val bandB = bandTable(batch).localCheckpoint(true)
+    val setsB = materializedShingleSets(batch, idCol, textCol, n)
+    val setsC = materializedShingleSets(corpus, idCol, textCol, n)
+
+    // batch×corpus: band-key collisions, exact-Jaccard verified. The
+    // corpus side shuffles on (band, key) once — never on text, never
+    // against itself.
+    val candC = bandB.alias("x")
+      .join(bandTable(corpus).alias("y"), Seq("band", "key"))
+      .select(col("x.id").alias("id_b"), col("y.id").alias("id_c"))
+      .distinct()
+    val hits = candC
+      .join(setsB.toDF("id_b", "hs_b"), Seq("id_b"))
+      .join(setsC.toDF("id_c", "hs_c"), Seq("id_c"))
+      .filter(jaccardSorted(col("hs_b"), col("hs_c")) >= threshold)
+      .select(col("id_b").alias("id"))
+      .distinct()
+
+    val batchIds = batch.select(col(idCol).cast("long").alias("id"))
+    val survivorIds = batchIds.join(hits, Seq("id"), "left_anti")
+
+    // intra-batch near-dup among survivors: same bands, same verify
+    val bandS = bandB.join(survivorIds, Seq("id"), "left_semi")
+    val candB = bandS.alias("x")
+      .join(bandS.alias("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+      .distinct()
+    val pairsB = candB
+      .join(setsB.toDF("id_a", "hs_a"), Seq("id_a"))
+      .join(setsB.toDF("id_b", "hs_b"), Seq("id_b"))
+      .filter(jaccardSorted(col("hs_a"), col("hs_b")) >= threshold)
+      .select("id_a", "id_b")
+    val groups = Components.connectedComponents(pairsB, "id_a", "id_b", survivorIds, "id")
+      .withColumnRenamed("cluster_id", "dup_group")
+
+    survivorIds
+      .join(groups, Seq("id"))
+      .select(
+        col("id"),
+        lit(0L).alias("corpus_dup"),
+        col("dup_group"),
+        (col("id") === col("dup_group")).cast("long").alias("kept"))
+      .unionByName(hits.select(
+        col("id"),
+        lit(1L).alias("corpus_dup"),
+        lit(-1L).alias("dup_group"),
+        lit(0L).alias("kept")))
+  }
+
   /** SimHash fingerprints per doc (tight-loop twin of the columnar
     * `simHash60`, which folds a 60-wide counter through interpreted HOFs
     * per token — parity-tested, oracle-identical).

@@ -47,7 +47,8 @@ object ScaleBench {
     "q74_line_dedup",
     "q76_keep_best",
     "q81_dup_spans",
-    "q83_scrub_spans")
+    "q83_scrub_spans",
+    "q84_incremental_neardup")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

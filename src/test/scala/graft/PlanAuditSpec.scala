@@ -56,6 +56,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Distinct"), "set-dedup must happen in-row, not as a Distinct operator")
   }
 
+  test("q84: incremental near-dup shuffles band keys and hash sets, never text") {
+    val plan = planOf("q84_incremental_neardup")
+    // band keys are md5 strings of signature slices and verify joins move
+    // long ids + sorted hash-long arrays — the raw text column must not
+    // appear in any partitioning expression
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+  }
+
   test("q20: LSH verify joins broadcast the candidate side (no index join)") {
     val plan = planOf("q20_minhash_lsh")
     // candidate verification joins are broadcast joins against the

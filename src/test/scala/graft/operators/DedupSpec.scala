@@ -112,6 +112,28 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.values.forall(_ >= 0.8))
   }
 
+  test("incrementalNearDup: corpus near-dups dropped, intra-batch dups grouped, unique rows kept") {
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and pipelines")
+    ).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of corpus 1
+      (20L, "streaming ingestion keeps corpus state tables fresh across batches"),
+      (21L, "streaming ingestion keeps corpus state tables fresh across batches"), // dup of 20
+      (30L, "a totally novel document with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(
+      batchDocs, corpusDocs, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(10L, 20L, 21L, 30L)) // one row per batch id
+    assert(got(10L) == ((1L, -1L, 0L)), got(10L)) // corpus dup: dropped
+    assert(got(20L) == ((0L, 20L, 1L)), got(20L)) // intra-batch rep kept
+    assert(got(21L) == ((0L, 20L, 0L)), got(21L)) // intra-batch dup
+    assert(got(30L) == ((0L, 30L, 1L)), got(30L)) // unique survivor
+  }
+
   test("simHashPairs: identical docs at distance 0") {
     val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxDistance = 3)
       .as[(Long, Long, Int)].collect()
