@@ -140,6 +140,76 @@ object DedupIngest {
       }
       .start()
 
+  // ==== near-dup (text LSH) tier ============================================
+
+  def nearDupStateSchema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("text", StringType, nullable = true)
+
+  /** One text batch merged into the kept-representative corpus
+    * `(id, text)` via [[Dedup.incrementalNearDup]]: batch docs with a
+    * verified corpus near-dup are dropped (batch×corpus band collisions
+    * only — the corpus is never self-joined), intra-batch dup groups
+    * keep their min id, and survivors' texts APPEND to the state. The
+    * first batch (empty corpus) seeds it with its own intra-corpus
+    * dedup ([[Dedup.minHashLsh]] pairs + components + keep-min via a
+    * degenerate empty-corpus incremental call).
+    *
+    * Same equivalence caveat as the semantic tier: tight clusters +
+    * increasing ids reproduce the batch pipeline; sparse chains that
+    * straddle batches can differ (documented trade of first-wins
+    * ingest).
+    */
+  def mergeNearDupState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val batchDocs = batch.select(
+      col(idCol).cast("long").alias("id"),
+      col(textCol).cast("string").alias("text"))
+    val keptIds = Dedup.incrementalNearDup(
+      batchDocs, state, "id", "text", n, k, bands, threshold)
+      .filter(col("kept") === 1L)
+      .select("id")
+    state.unionByName(batchDocs.join(keptIds, Seq("id")))
+  }
+
+  /** Start the near-dup ingest: every micro-batch of `(id, text)` rows
+    * merges into the kept-representative corpus at `table`.
+    */
+  def startNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
+          val state = sink.read(spark, table, nearDupStateSchema)
+          sink.write(
+            mergeNearDupState(state, batch, idCol, textCol, n, k, bands, threshold),
+            table, SaveMode.Overwrite)
+          markApplied(spark, sink, table, batchId)
+        }
+      }
+      .start()
+
   // ==== semantic (embedding) tier ===========================================
 
   /** One embedding batch merged into the kept-representative corpus

@@ -66,6 +66,33 @@ class DedupIngestSpec extends SparkTestBase {
     assert(ingest(rnd.shuffle(docs).grouped(13).toSeq) == expected, "shuffled groups of 13")
   }
 
+  test("near-dup ingest: final text corpus equals the batch LSH pipeline's kept representatives") {
+    // tight dup clusters (exact copies) with increasing ids — the regime
+    // where incremental first-wins equals the batch CC's min-id keep
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "streaming ingestion keeps corpus state tables fresh across batches"
+    val c = "a totally novel document with its own vocabulary entirely here"
+    val batches = Seq(
+      Seq((1L, a), (2L, a), (3L, b)),
+      Seq((4L, a), (5L, c)),
+      Seq((6L, b), (7L, c), (8L, "late unique content nothing matches this sentence at all")))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-ingest-nd").toString)
+    val ckpt = Files.createTempDirectory("graft-ingest-nd-ckpt").toString
+    val q = DedupIngest.startNearDup(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      sink, "corpus_docs", ckpt, trigger, threshold = 0.8)
+    batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
+    q.stop()
+
+    val got = sink.read(spark, "corpus_docs", DedupIngest.nearDupStateSchema)
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 3L, 5L, 8L), s"corpus ids ${got.keySet}")
+    // representatives keep their original text
+    assert(got(1L) == a && got(3L) == b && got(5L) == c)
+  }
+
   test("replayed micro-batch (same batchId) is a no-op: counts are not double-applied") {
     val sink = new graft.sinks.InMemoryKVSink
     val b1 = Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
