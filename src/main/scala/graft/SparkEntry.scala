@@ -1259,6 +1259,48 @@ object SparkEntry {
       "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
   }
 
+  /** Batch ANN kNN JOIN (round 10): top-10 cosine neighbors for EVERY
+    * query in the `vec_id % 40 = 0` set at once — the join-shaped ANN
+    * the single-probe tiers (q22/q41/q79/q82) can't express, via
+    * `Similarity.ivfKnnJoin` (native `nearest_cells` distributed query
+    * routing; half the cells probed). The trained quantizer isn't
+    * SQL-expressible (q41 pattern), so the oracle pins invariants over
+    * the REAL per-query output: every query present, exactly k rows
+    * each (probed candidate pools ≫ k), and mean recall vs the
+    * nProbe = nLists twin — which probes every cell and therefore IS
+    * the exact answer, trained once and shared — at least 0.6
+    * (measured 0.823 at sf0.01 / 0.840 at sf0.1, min per-query 5/10,
+    * `tools/KnnJoinProbe`: probing 8/16 cells beats the naive 0.5
+    * fraction because a query's own cell is always probed first).
+    */
+  private def q85_knn_join(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 10
+    val centroids = Similarity.trainCentroids(
+      emb, "vec_id", "embedding", nLists = 16, seed = 42L, trainSample = 2048)
+    val ann = Similarity.knnJoinWithCentroids(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe = 8, centroids)
+    val exact = Similarity.knnJoinWithCentroids(
+      emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe = 16, centroids)
+    val perQuery = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+    val hits = ann.join(exact, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    perQuery
+      .join(hits, Seq("qid"))
+      .agg(
+        count(lit(1)).cast("long").as("nq"),
+        min("n_ann").as("min_n"),
+        max("n_ann").as("max_n"),
+        avg(col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+      .select(
+        col("nq").as("n_queries"),
+        lit(k.toLong).as("k"),
+        (col("min_n") === k && col("max_n") === k).as("rows_ok"),
+        (col("recall") >= 0.6).as("recall_ok"))
+  }
+
   /** Incremental semantic dedup, exact configuration (`nLists = 1`,
     * q77's pattern): the batch (`vec_id % 5 = 0`) is near-dup-checked
     * against the corpus (the rest) and then deduplicated within
@@ -1414,7 +1456,8 @@ object SparkEntry {
     "q81_dup_spans" -> (q81_dup_spans _),
     "q82_ivf_pq" -> (q82_ivf_pq _),
     "q83_scrub_spans" -> (q83_scrub_spans _),
-    "q84_incremental_neardup" -> (q84_incremental_neardup _)
+    "q84_incremental_neardup" -> (q84_incremental_neardup _),
+    "q85_knn_join" -> (q85_knn_join _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2384,6 +2427,16 @@ object SparkEntry {
           FROM cl
           UNION ALL
           SELECT id, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-          FROM hits"""
+          FROM hits""",
+    "q85_knn_join" ->
+      // the trained IVF quantizer isn't SQL-expressible (q41 pattern);
+      // the query-set size is cross-checked against the table, the
+      // per-query row count and recall bound against the real join
+      // output vs its probe-everything exact twin
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                 WHERE vec_id % 40 = 0) AS n_queries,
+                CAST(10 AS BIGINT) AS k,
+                TRUE AS rows_ok,
+                TRUE AS recall_ok"""
   )
 }

@@ -141,26 +141,78 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     val hashes = (c: org.apache.spark.sql.Column) =>
       graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
-    val bloom = benchmark
-      .select(explode(hashes(col(textCol))).alias("h"))
-      .stat.bloomFilter("h", expectedItems, fpp)
-    // probe via Spark's native BloomFilterMightContain (the expression
-    // runtime-filter joins use): the serialized sketch rides the plan as
-    // a binary literal and the probe stays inside whole-stage codegen —
-    // a closure UDF here would box a Long per n-gram occurrence
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    def probe(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      Bridge.column(new BloomFilterMightContain(
-        Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
-        Bridge.expression(h)))
+    val probe = bloomProbe(
+      benchmark.select(explode(hashes(col(textCol))).alias("h")),
+      expectedItems, fpp)
     val flagged = train
       .select(col(idCol), explode(hashes(col(textCol))).alias("h"))
       .filter(probe(col("h")))
       .select(idCol)
       .distinct()
     train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Distributed Bloom build over a LongType `h` column + scan-side
+    * probe via Spark's native `BloomFilterMightContain` (the expression
+    * runtime-filter joins use): the serialized sketch rides the plan as
+    * a binary literal and the probe stays inside whole-stage codegen —
+    * a closure UDF here would box a Long per n-gram occurrence. Sketch
+    * size is bound by `expectedItems`/`fpp`, independent of the corpus.
+    */
+  private def bloomProbe(
+      hashes: DataFrame,
+      expectedItems: Long,
+      fpp: Double): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val bloom = hashes.stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    h =>
+      Bridge.column(new BloomFilterMightContain(
+        Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(h)))
+  }
+
+  /** Bloom-PREFILTERED exact decontamination — [[clean]]'s rows
+    * EXACTLY, at [[cleanApprox]]'s scan cost. The two-stage shape every
+    * 100 TB membership pipeline converges on:
+    *
+    *  1. the Bloom sketch (built distributed over the benchmark's
+    *     distinct gram hashes, a few MB regardless of corpus size)
+    *     prunes the corpus gram stream MAP-SIDE: only grams the sketch
+    *     might contain — true hits plus an `fpp` sliver of false
+    *     positives — survive the scan;
+    *  2. the surviving sliver exact-confirms against the true distinct
+    *     hash universe (broadcast here; at a universe too big to
+    *     broadcast this becomes a shuffled join of two SMALL sides,
+    *     because stage 1 already discarded ≈ (1-fpp) of the corpus
+    *     grams — the join never sees the full corpus either way).
+    *
+    * False positives die in stage 2, false negatives don't exist
+    * (Bloom's one-sided error), so the kept set is byte-identical to
+    * [[clean]]'s — which is exactly what the q86 oracle hash-checks.
+    */
+  def bloomClean(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val hashes = (c: org.apache.spark.sql.Column) =>
+      graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
+    val benchHashes = benchmark
+      .select(explode(hashes(col(textCol))).alias("h"))
+      .distinct()
+    val probe = bloomProbe(benchHashes, expectedItems, fpp)
+    val contaminated = train
+      .select(col(idCol), explode(hashes(col(textCol))).alias("h"))
+      .filter(probe(col("h")))
+      .join(broadcast(benchHashes), Seq("h"))
+      .select(idCol)
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 }

@@ -99,6 +99,111 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: per-query top-`k` cosine neighbors for a whole QUERY SET
+    * (a kNN JOIN `queries ⋈ corpus`), via shared-quantizer IVF probing —
+    * the join-shaped sibling of [[ivfTopK]]'s single-probe path, for the
+    * embedding-pipeline shapes where the "query" is itself a table
+    * (link candidate pairs across corpora, retrieve n neighbors per
+    * training doc, density estimation).
+    *
+    * Shape, and why it survives 100 TB:
+    *
+    *  - the corpus is assigned its cell ONCE in a fused native
+    *    projection (`nearest_cell`) — the same `(id, cell)` artifact the
+    *    persisted-index path writes, so at scale the right-hand side is
+    *    a reopened cell-partitioned table, not a rescan;
+    *  - each query row expands to its `nProbe` probe cells with the
+    *    native `nearest_cells` routing expression (the DISTRIBUTED twin
+    *    of the driver-side routing in [[ivfTopK]] — query sets are NOT
+    *    collected, so millions of queries are fine);
+    *  - the equi-join on `cell` touches `≈ |Q|·nProbe/nLists` of the
+    *    query×corpus cross product, never all pairs. Small query batches
+    *    broadcast (corpus never shuffles); huge ones hash-partition both
+    *    sides on the cell id — a scalar int key, never a vector;
+    *  - cosine is scored inside the join projection (native float
+    *    kernels) and only `(qid, id, cos)` triples enter the ranking
+    *    exchange — embeddings never cross the second shuffle;
+    *  - per-query top-k is a `row_number` window on the scalar triples,
+    *    partitioned by query id (ties: higher cos first, then lower
+    *    corpus id, matching [[bruteForceTopK]]).
+    *
+    * Column names of `queries` must not collide with the corpus side.
+    * Recall follows the probed fraction exactly like [[ivfTopK]]
+    * (q41/q82's measured story); a query's own vector always lands in a
+    * probed cell (its nearest cell is probed first), so self-matches are
+    * never lost.
+    */
+  def ivfKnnJoin(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+      trainSample: Int = 4096): DataFrame = {
+    require(k > 0 && nProbe > 0 && nProbe <= nLists,
+      s"need 0 < nProbe <= nLists and k > 0, got k=$k nProbe=$nProbe nLists=$nLists")
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    knnJoinWithCentroids(
+      emb, idCol, vecCol, queries, qidCol, qvecCol, k, nProbe, centroids)
+  }
+
+  /** [[ivfKnnJoin]]'s join body over an already-trained quantizer —
+    * exposed within the package so callers comparing probe settings
+    * (e.g. the q85 recall twin at `nProbe = nLists`, which IS the exact
+    * answer) train ONCE instead of per call.
+    */
+  private[graft] def knnJoinWithCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nProbe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(k > 0 && nProbe > 0 && nProbe <= centroids.length,
+      s"need 0 < nProbe <= nLists and k > 0, got k=$k nProbe=$nProbe nLists=${centroids.length}")
+    require(qidCol != idCol && qvecCol != vecCol,
+      s"query column names must differ from corpus ($qidCol/$idCol, $qvecCol/$vecCol)")
+
+    val corpus = emb.select(
+      col(idCol),
+      col(vecCol),
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).as("cell"))
+
+    val probes = queries.select(
+      col(qidCol),
+      col(qvecCol),
+      explode(
+        graft.functions.expressions.NearestCellsExpr
+          .nearestCells(col(qvecCol), centroids, nProbe)).as("cell"))
+
+    val cos = nanDiv(
+      graft.functions.expressions.DotProductFloat.dotF(col(qvecCol), col(vecCol)),
+      graft.functions.expressions.Norm2Float.norm2F(col(qvecCol)) *
+        graft.functions.expressions.Norm2Float.norm2F(col(vecCol)))
+
+    // vectors are consumed HERE; only scalar triples reach the window
+    val scored = probes
+      .join(corpus, "cell")
+      .select(col(qidCol), col(idCol), cos.as("cos"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Cell count for [[semanticDedup]] that holds per-cell population —
     * and therefore per-cell pair work (n/nLists)²/2 — constant as the
     * corpus grows: `ceil(n / targetCellRows)`, capped at 2^16 because

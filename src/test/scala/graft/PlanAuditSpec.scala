@@ -369,4 +369,20 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!m.group(2).contains("text"), m.group(0))
     }
   }
+
+  test("q85: kNN join broadcasts the probe side; vectors never enter a partitioning key") {
+    val plan = planOf("q85_knn_join")
+    // the small exploded query side must broadcast (the corpus never
+    // shuffles for candidate generation); at huge |Q| both sides would
+    // hash-partition on the scalar cell id instead — either way no
+    // embedding column may ever be a partitioning key, or the corpus
+    // vectors re-shuffle per stage at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), s"probe join did not broadcast:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("vec") && !m.group(2).contains("embedding"),
+        s"vector column in a partitioning key:\n${m.group(0)}"))
+    // ranking windows consume scalar (qid, id, cos) triples only
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q85 path:\n$plan")
+  }
 }

@@ -426,4 +426,98 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head._1 == qid && math.abs(top.head._2 - 1.0) < 1e-9,
       s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
   }
+
+  test("nearest_cells: ascending by distance, head = nearest_cell, ties to lowest index") {
+    // centroid 3 duplicates centroid 0 — exact-tie pairs must order 0 before 3
+    val cents = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0), Array(1.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(-0.2f, 0.8f)),
+      (3L, Seq(0.0f, 0.0f)))
+    val df = vecs.toDF("id", "vec")
+    val got = df.select(
+        col("id"),
+        graft.functions.expressions.NearestCellsExpr
+          .nearestCells(col("vec"), cents, 3).as("cells"),
+        graft.functions.expressions.NearestCellsExpr
+          .nearestCells(col("vec"), cents, 1).as("cell1"),
+        graft.functions.expressions.NearestCellExpr
+          .nearestCell(col("vec"), cents).as("cell"))
+      .as[(Long, Seq[Int], Seq[Int], Int)].collect()
+
+    // local reference: stable sort by squared distance
+    val ref = vecs.map { case (id, v) =>
+      val order = cents.zipWithIndex
+        .map { case (c, i) =>
+          (i, c.zip(v.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy(_._2).map(_._1).take(3).toSeq
+      id -> order
+    }.toMap
+    got.foreach { case (id, cells, cell1, cell) =>
+      assert(cells == ref(id), s"id=$id: $cells != ${ref(id)}")
+      assert(cell1 == Seq(cell), s"id=$id: p=1 must reduce to nearest_cell")
+      assert(cells.head == cell, s"id=$id: head must be the nearest cell")
+    }
+    // the duplicate-centroid tie resolves to the lowest index everywhere
+    got.foreach { case (id, cells, _, _) =>
+      assert(cells.indexOf(0) < cells.indexOf(3) || !cells.contains(3),
+        s"id=$id: tie must order cell 0 before its duplicate 3: $cells")
+    }
+  }
+
+  test("ivfKnnJoin: full probe equals brute force per query; partial probes keep exact cosines and the self-match") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.fill(4)((rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val k = 5
+
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0.0) Double.NaN else dot / (na * nb)
+    }
+    val byId = vecs.toMap
+    val refTop = byId.keys.filter(_ % 10 == 0).map { qid =>
+      val top = vecs
+        .map { case (id, v) => (id, cosLocal(byId(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1)
+      qid -> top
+    }.toMap
+
+    val full = Similarity.ivfKnnJoin(
+        emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k, nLists = 4, nProbe = 4, trainSample = 64)
+      .as[(Long, Long, Double)].collect()
+    val fullByQ = full.groupBy(_._1)
+    assert(fullByQ.keySet == refTop.keySet)
+    fullByQ.foreach { case (qid, rows) =>
+      val ids = rows.sortBy { case (_, id, c) => (-c, id) }.map(_._2).toSeq
+      assert(ids == refTop(qid), s"qid=$qid: $ids != ${refTop(qid)}")
+    }
+
+    val part = Similarity.ivfKnnJoin(
+        emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k, nLists = 4, nProbe = 2, trainSample = 64)
+      .as[(Long, Long, Double)].collect()
+    val partByQ = part.groupBy(_._1)
+    assert(partByQ.keySet == refTop.keySet)
+    partByQ.foreach { case (qid, rows) =>
+      assert(rows.length == k, s"qid=$qid returned ${rows.length} rows")
+      // scores are the exact cosine for every returned candidate
+      rows.foreach { case (_, id, c) =>
+        assert(math.abs(c - cosLocal(byId(qid), byId(id))) < 1e-12)
+      }
+      // the query's own cell is probed first, so the self-match survives
+      assert(rows.exists { case (_, id, c) => id == qid && math.abs(c - 1.0) < 1e-12 },
+        s"qid=$qid lost its self-match")
+    }
+  }
 }
