@@ -665,6 +665,24 @@ object SparkEntry {
       "doc_id", "text", n = 3)
   }
 
+  /** Bloom-prefiltered EXACT decontamination (round 10): q50's
+    * contamination semantics under the 100 TB membership architecture —
+    * the benchmark's Bloom sketch (built distributed, a binary literal
+    * in the plan) prunes the corpus gram stream map-side inside the
+    * codegen filter; only the surviving sliver exact-confirms against
+    * the true hash universe. One-sided error dies in the confirm stage,
+    * so the kept set is byte-identical to the exact anti-join — which is
+    * what the oracle hash-checks, row for row.
+    */
+  private def q86_bloom_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.bloomClean(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, expectedItems = 100000L, fpp = 0.03)
+      .select(col("doc_id"))
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1457,7 +1475,8 @@ object SparkEntry {
     "q82_ivf_pq" -> (q82_ivf_pq _),
     "q83_scrub_spans" -> (q83_scrub_spans _),
     "q84_incremental_neardup" -> (q84_incremental_neardup _),
-    "q85_knn_join" -> (q85_knn_join _)
+    "q85_knn_join" -> (q85_knn_join _),
+    "q86_bloom_decontaminate" -> (q86_bloom_decontaminate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2437,6 +2456,17 @@ object SparkEntry {
                  WHERE vec_id % 40 = 0) AS n_queries,
                 CAST(10 AS BIGINT) AS k,
                 TRUE AS rows_ok,
-                TRUE AS recall_ok"""
+                TRUE AS recall_ok""",
+    "q86_bloom_decontaminate" ->
+      // the Bloom sketch is a lossless PREFILTER (false positives die in
+      // the exact confirm join), so the oracle is the plain exact
+      // anti-join over q50's contamination CTEs — hash-identical rows
+      s"""WITH $sqlShingleCtes,
+          bh AS (SELECT DISTINCT unnest(hs) AS h FROM ha WHERE id % 20 = 0),
+          tr AS (SELECT id, unnest(hs) AS h FROM ha WHERE id % 20 <> 0),
+          cont AS (SELECT DISTINCT id FROM tr JOIN bh USING (h))
+          SELECT doc_id FROM documents
+          WHERE doc_id % 20 <> 0
+            AND doc_id NOT IN (SELECT id FROM cont)"""
   )
 }

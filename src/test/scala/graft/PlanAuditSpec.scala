@@ -385,4 +385,17 @@ class PlanAuditSpec extends SparkTestBase {
     // ranking windows consume scalar (qid, id, cos) triples only
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q85 path:\n$plan")
   }
+
+  test("q86: bloom probe prunes the gram scan map-side; confirm join broadcasts") {
+    val plan = planOf("q86_bloom_decontaminate")
+    // the sketch probe must sit in a codegen Filter on the scan side —
+    // BEFORE any exchange — or the prefilter saves nothing at 100 TB
+    assert(plan.contains("might_contain"), s"no native bloom probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"confirm join did not broadcast:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"),
+        s"raw text in a partitioning key:\n${m.group(0)}"))
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q86 path:\n$plan")
+  }
 }

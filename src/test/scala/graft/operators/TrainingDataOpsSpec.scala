@@ -51,6 +51,30 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(got(4L) == (("", 0L, 0L)), got(4L))
   }
 
+  test("Decontaminate.bloomClean equals exact clean byte-for-byte (false positives die in the confirm)") {
+    val train = (1L to 80L).map { i =>
+      val words =
+        if (i % 4 == 0) s"alpha beta gamma token$i extra words here padding" // contaminated
+        else s"unique$i only$i words$i nothing$i shared$i at$i all$i done$i"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma shared benchmark fragment")).toDF("doc_id", "text")
+
+    val exact = Decontaminate.clean(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a DELIBERATELY undersized/high-fpp sketch: false positives are
+    // likely, and the confirm stage must still kill every one of them
+    val bloomDf = Decontaminate.bloomClean(train, bench, "doc_id", "text", n = 3,
+      expectedItems = 8L, fpp = 0.5)
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    val filterLines = plan.linesIterator.filter(_.contains("might_contain")).mkString("\n")
+    assert(!filterLines.contains("UDF"), s"bloom probe still a UDF:\n$filterLines")
+    val got = bloomDf.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == exact, s"bloomClean diverged from exact clean:\n$got\n$exact")
+    assert(got.forall(_ % 4 != 0))
+  }
+
   test("Decontaminate.cleanApprox is sound: subset of exact clean, catches all true contamination") {
     val train = (1L to 60L).map { i =>
       val words =
