@@ -1206,6 +1206,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfKnnJoin]]'s join shape served by a PERSISTED
+    * [[buildIvfPqIndex]] artifact — no retraining, no corpus-wide cell
+    * assignment: the reopened model routes every query
+    * distributed-side (`nearest_cells`), and the index scan reads ONLY
+    * the probed cells' parquet partitions.
+    *
+    * Pruning is a STATIC pushed partition filter over the probed-cell
+    * UNION: one bounded aggregate over the query set (the union is at
+    * most `nLists` ints no matter how many queries there are — ≤ 2^16
+    * by the [[autoNLists]] cap), collected and pushed into the scan.
+    * Deterministic at any scale, where dynamic partition pruning would
+    * hinge on runtime cost heuristics.
+    *
+    * Exact scoring joins key on SCALARS only (cell, query id, corpus
+    * id); candidate and query vectors cross the wire once each as
+    * payload — AQE broadcasts the small side at small |Q|. Rows are
+    * identical to [[ivfKnnJoin]] run inline with the same
+    * (persisted → reopened, bit-exact) quantizer and `nProbe`.
+    */
+  def knnJoinFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    require(k > 0 && nProbe > 0, s"need k > 0 and nProbe > 0, got k=$k nProbe=$nProbe")
+    val (centroids, _) = readIvfPqModel(spark, path)
+    require(nProbe <= centroids.length,
+      s"nProbe=$nProbe > nLists=${centroids.length} in the persisted index")
+    require(qidCol != idCol && qvecCol != vecCol,
+      s"query column names must differ from corpus ($qidCol/$idCol, $qvecCol/$vecCol)")
+    import spark.implicits._
+
+    val probes = queries.select(
+      col(qidCol),
+      explode(
+        graft.functions.expressions.NearestCellsExpr
+          .nearestCells(col(qvecCol), centroids, nProbe)).as("cell"))
+
+    val probedCells = probes.select("cell").distinct().as[Int].collect().toSeq
+
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("id"), col("cell"))
+
+    val cand = probes.join(index, Seq("cell")).select(col(qidCol), col("id"))
+
+    val cos = nanDiv(
+      graft.functions.expressions.DotProductFloat.dotF(col(qvecCol), col(vecCol)),
+      graft.functions.expressions.Norm2Float.norm2F(col(qvecCol)) *
+        graft.functions.expressions.Norm2Float.norm2F(col(vecCol)))
+
+    val scored = cand
+      .join(queries.select(col(qidCol), col(qvecCol)), Seq(qidCol))
+      .join(emb.select(col(idCol).alias("id"), col(vecCol)), Seq("id"))
+      .select(col(qidCol), col("id").alias(idCol), cos.alias("cos"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** The asymmetric-distance score column: each subspace's inner-product
     * contribution against every centroid precomputed driver-side into
     * the query LUT, applied by the native codegen `pq_adc_score`
