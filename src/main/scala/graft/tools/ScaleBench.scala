@@ -48,7 +48,8 @@ object ScaleBench {
     "q76_keep_best",
     "q81_dup_spans",
     "q83_scrub_spans",
-    "q84_incremental_neardup")
+    "q84_incremental_neardup",
+    "q86_bloom_decontaminate")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
@@ -100,6 +101,22 @@ object ScaleBench {
         emb.filter(col("vec_id") % 10 === 0),
         emb.filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", threshold = 0.8)
+    }),
+    // the kNN JOIN at its SCALE configuration: auto-sized cells hold
+    // per-cell population (and so per-query candidate work) constant,
+    // probe fraction pinned at 1/2 — total work ∝ |Q|, so the query
+    // set and corpus both 10× should weak-scale. The registry q85
+    // pins nLists=16 for oracle determinism; THIS is the 100 TB shape.
+    "knn_join(k10,auto)" -> ((dir: String) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nLists = graft.operators.Similarity.autoNLists(
+        emb.count(), targetCellRows = 256)
+      graft.operators.Similarity.ivfKnnJoin(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10,
+        nLists = nLists, nProbe = math.max(1, nLists / 2))
     }))
 
   def main(args: Array[String]): Unit = {
