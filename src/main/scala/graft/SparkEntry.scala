@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, Sampling, Similarity, TfIdf, WordCount}
+import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Similarity, TfIdf, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -681,6 +681,29 @@ object SparkEntry {
       docs.filter(col("doc_id") % 20 === 0),
       "doc_id", "text", n = 3, expectedItems = 100000L, fpp = 0.03)
       .select(col("doc_id"))
+  }
+
+  /** Group-relative quality pruning (round 10): drop each language's
+    * worst quartile by stopword ratio — per-group thresholds, because
+    * an absolute cut calibrated on English would gut every other
+    * language. The thresholds are one tiny per-lang aggregate
+    * (q37's interpolated-percentile arithmetic, bit-identical in
+    * DuckDB) broadcast back for a map-side filter; the corpus never
+    * sorts (no percent_rank window — plan-audited).
+    */
+  private def q87_quality_prune(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.expressions.QualityStatsExpr
+          .qualityStats(col("text"), "english").as("qs"))
+      .select(col("doc_id"), col("lang"), col("qs.stopword_ratio").as("score"))
+      // both the threshold aggregate and the final filter consume the
+      // scored projection; materialize the (id, lang, score) scalars
+      // once (24 B/row — tiny vs re-running the quality scan over text)
+      .localCheckpoint(true)
+    QualityPrune.pruneByGroupQuantile(scored, "lang", "score", q = 0.25)
   }
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
@@ -1476,7 +1499,8 @@ object SparkEntry {
     "q83_scrub_spans" -> (q83_scrub_spans _),
     "q84_incremental_neardup" -> (q84_incremental_neardup _),
     "q85_knn_join" -> (q85_knn_join _),
-    "q86_bloom_decontaminate" -> (q86_bloom_decontaminate _)
+    "q86_bloom_decontaminate" -> (q86_bloom_decontaminate _),
+    "q87_quality_prune" -> (q87_quality_prune _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2467,6 +2491,27 @@ object SparkEntry {
           cont AS (SELECT DISTINCT id FROM tr JOIN bh USING (h))
           SELECT doc_id FROM documents
           WHERE doc_id % 20 <> 0
-            AND doc_id NOT IN (SELECT id FROM cont)"""
+            AND doc_id NOT IN (SELECT id FROM cont)""",
+    "q87_quality_prune" -> {
+      // q37's interpolated-percentile arithmetic (CAST the quantile to
+      // DOUBLE — bare 0.25 parses as DECIMAL and shifts frac by an ulp)
+      // over q25's stopword-ratio formula, per language
+      val pos = "(len(arr) - 1) * CAST(0.25 AS DOUBLE)"
+      s"""WITH tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT doc_id, lang,
+                        CAST(len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS DOUBLE)
+                          / CAST(greatest(len(t), 1) AS DOUBLE) AS score
+                 FROM tk),
+          g AS (SELECT lang, list_sort(list(score)) AS arr FROM sc GROUP BY lang),
+          th AS (SELECT lang,
+                        arr[CAST(floor($pos) AS INTEGER) + 1]
+                        + (arr[least(CAST(floor($pos) AS INTEGER) + 2, len(arr))]
+                           - arr[CAST(floor($pos) AS INTEGER) + 1])
+                          * ($pos - floor($pos)) AS thr
+                 FROM g)
+          SELECT sc.lang, sc.doc_id, sc.score
+          FROM sc JOIN th USING (lang)
+          WHERE sc.score >= th.thr"""
+    }
   )
 }

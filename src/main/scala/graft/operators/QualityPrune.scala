@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-relative quality pruning — the "drop the worst X% per
+  * language/domain" step of a pre-training pipeline (per-group
+  * thresholds, because an absolute quality cut calibrated on English
+  * would gut every other language). (Reference analogue: none;
+  * training-data-pipeline extension.)
+  *
+  * Scale shape: the per-group thresholds are ONE small aggregate over
+  * `(group, score)` scalars — groups are languages/domains/sources,
+  * i.e. FEW — broadcast back onto the corpus for a map-side filter.
+  * The corpus itself never sorts, never range-partitions, and crosses
+  * no extra exchange: the only wire traffic beyond the threshold
+  * summary is the one scan it already owed the downstream consumer.
+  * (A per-row `percent_rank` window would instead sort every group's
+  * full corpus slice — the shape this operator exists to avoid.)
+  */
+object QualityPrune {
+
+  /** q37's interpolated-percentile arithmetic over a pre-sorted array
+    * column — `lo + (hi - lo) * frac`, bit-identical in Spark and the
+    * DuckDB oracle.
+    */
+  private def pctOfSorted(arr: Column, p: Double): Column = {
+    val pos = (size(arr) - 1).cast("double") * lit(p)
+    val idx = floor(pos).cast("int")
+    val frac = pos - idx.cast("double")
+    val lo = element_at(arr, idx + 1)
+    val hi = element_at(arr, least(idx + lit(2), size(arr)))
+    lo + (hi - lo) * frac
+  }
+
+  /** Keeps rows whose `scoreCol` is at or above their group's `q`-th
+    * quantile (q = 0.25 drops each group's worst quartile). Exact mode
+    * (default) computes the threshold from the group's full sorted
+    * score list — deterministic, oracle-matchable, and fine whenever
+    * per-group row counts fit an executor (the fixture gate). At true
+    * 100 TB group sizes pass `approx = true`: `percentile_approx`'s
+    * bounded sketch (map-side combinable) replaces the sorted list and
+    * the plan shape — summary aggregate, broadcast, map-side filter —
+    * stays identical, with the documented rank-error tolerance as the
+    * only difference.
+    */
+  def pruneByGroupQuantile(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      q: Double,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val thresholds =
+      if (approx)
+        df.groupBy(groupCol)
+          .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy)).as("thr"))
+      else
+        df.groupBy(groupCol)
+          .agg(sort_array(collect_list(col(scoreCol))).as("arr"))
+          .select(col(groupCol), pctOfSorted(col("arr"), q).as("thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("thr"))
+      .drop("thr")
+  }
+}

@@ -398,4 +398,14 @@ class PlanAuditSpec extends SparkTestBase {
         s"raw text in a partitioning key:\n${m.group(0)}"))
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q86 path:\n$plan")
   }
+
+  test("q87: per-group thresholds broadcast back; the corpus is never window-sorted") {
+    val plan = planOf("q87_quality_prune")
+    // a percent_rank implementation would range-partition and sort every
+    // group's full slice; the threshold-broadcast shape must not
+    assert(!plan.contains("Window"), s"window sort in the prune plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds did not broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q87 path:\n$plan")
+  }
 }

@@ -51,6 +51,36 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(got(4L) == (("", 0L, 0L)), got(4L))
   }
 
+  test("QualityPrune.pruneByGroupQuantile: per-group thresholds, exact vs approx") {
+    import org.apache.spark.sql.functions.col
+    // group A scores 1..100, group B scores 1..20 — per-group quartiles
+    // differ, so a global threshold would misprune one of them
+    val rows = (1 to 100).map(i => ("A", i.toLong, i.toDouble)) ++
+      (1 to 20).map(i => ("B", i.toLong + 1000L, i.toDouble))
+    val df = rows.toDF("grp", "id", "score")
+
+    val exact = QualityPrune.pruneByGroupQuantile(df, "grp", "score", q = 0.25)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // A: thr = 1 + 99*0.25 = 25.75 → keep 26..100; B: thr = 5.75 → keep 6..20
+    assert(exact == ((26 to 100).map(i => ("A", i.toLong)) ++
+      (6 to 20).map(i => ("B", i.toLong + 1000L))).toSet)
+
+    // approx picks a MEMBER near the exact rank (no interpolation), so
+    // the kept set shifts by at most one boundary row per group
+    val approx = QualityPrune.pruneByGroupQuantile(df, "grp", "score", q = 0.25,
+      approx = true)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val diff = (exact diff approx) ++ (approx diff exact)
+    assert(diff.size <= 2, s"approx shifted more than the boundary rows: $diff")
+
+    // the scale contract: summary aggregate + broadcast + filter — the
+    // corpus is never window-sorted
+    val plan = QualityPrune.pruneByGroupQuantile(df, "grp", "score", q = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-row window sort in the prune plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds did not broadcast:\n$plan")
+  }
+
   test("Decontaminate.bloomClean equals exact clean byte-for-byte (false positives die in the confirm)") {
     val train = (1L to 80L).map { i =>
       val words =
