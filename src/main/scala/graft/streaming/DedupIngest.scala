@@ -289,4 +289,56 @@ object DedupIngest {
         }
       }
       .start()
+
+  // ==== ANN index tier ======================================================
+
+  /** The ANN-index tier's per-micro-batch body (factored out for the
+    * replay spec): non-empty batches append to the persisted index via
+    * [[Similarity.appendToIvfPqIndex]] — routed and encoded with the
+    * index's FROZEN model, so cells and codes stay consistent with
+    * every row already indexed and partition-pruned queries
+    * ([[Similarity.ivfPqTopKFromIndex]] / [[Similarity.knnJoinFromIndex]])
+    * see the union as soon as the batch lands.
+    */
+  private[streaming] def applyAnnBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    if (!alreadyApplied(spark, sink, table, batchId)) {
+      if (batch.filter(col(vecCol).isNotNull).head(1).nonEmpty)
+        Similarity.appendToIvfPqIndex(batch, idCol, vecCol, indexPath)
+      markApplied(spark, sink, table, batchId)
+    }
+  }
+
+  /** Start the ANN-index ingest: every micro-batch of `(id, vec)` rows
+    * appends to an EXISTING [[Similarity.buildIvfPqIndex]] artifact at
+    * `indexPath` (bootstrap: build it once on the initial corpus slice;
+    * re-train + rebuild stays a batch decision, taken on model drift,
+    * not a streaming one). Replays are guarded by the sidecar batch-id
+    * meta — an append is file-additive, so the guard is what makes a
+    * restarted trigger idempotent.
+    */
+  def startAnnIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnnBatch(batch, batchId, idCol, vecCol, indexPath, sink, table)
+      }
+      .start()
 }

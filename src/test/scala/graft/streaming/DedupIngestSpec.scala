@@ -149,4 +149,54 @@ class DedupIngestSpec extends SparkTestBase {
     val byId = batches.flatten.toMap
     got.foreach { case (id, vec) => assert(vec == byId(id), s"vector for $id mutated") }
   }
+
+  test("ANN-index ingest: streamed appends land in the persisted index; pruned queries see the union") {
+    import org.apache.spark.sql.functions.col
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = embR.filter(col("vec_id") % 2 === 0)
+    val indexDir = Files.createTempDirectory("graft-ann-ingest-idx").toString
+    Similarity.buildIvfPqIndex(
+      base, "vec_id", "embedding", indexDir,
+      nLists = 16, m = 16, nCodes = 64, trainSample = 2048)
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-ann-ingest-st").toString)
+    val ckpt = Files.createTempDirectory("graft-ann-ingest-ckpt").toString
+    val q = DedupIngest.startAnnIndex(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      indexDir, sink, "ann_idx", ckpt, trigger)
+
+    val deltaRows = embR.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    deltaRows.grouped((deltaRows.size + 2) / 3).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // every streamed row is in the artifact
+    assert(spark.read.parquet(indexDir).count() == embR.count())
+
+    // the kNN JOIN over the final artifact equals the inline join with
+    // the SAME (frozen, persisted) model over the full union — streamed
+    // rows were encoded consistently with the base build
+    val (centroids, _) = Similarity.readIvfPqModel(spark, indexDir)
+    val queries = embR.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fromIdx = Similarity.knnJoinFromIndex(
+      spark, indexDir, embR, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, nProbe = 4)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val inline = Similarity.knnJoinWithCentroids(
+      embR, "vec_id", "embedding", queries, "qid", "qvec", k = 5, nProbe = 4, centroids)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(fromIdx == inline, s"streamed index diverged from inline:\n$fromIdx\nvs\n$inline")
+
+    // replaying an already-applied batchId must not double-append
+    val before = spark.read.parquet(indexDir).count()
+    DedupIngest.applyAnnBatch(
+      deltaRows.take(5).toDF("vec_id", "embedding"), batchId = 0L,
+      "vec_id", "embedding", indexDir, sink, "ann_idx")
+    assert(spark.read.parquet(indexDir).count() == before,
+      "replayed batch was appended twice")
+  }
 }
