@@ -49,7 +49,8 @@ object ScaleBench {
     "q81_dup_spans",
     "q83_scrub_spans",
     "q84_incremental_neardup",
-    "q86_bloom_decontaminate")
+    "q86_bloom_decontaminate",
+    "q87_quality_prune")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
