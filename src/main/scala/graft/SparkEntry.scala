@@ -1329,12 +1329,16 @@ object SparkEntry {
     val hits = ann.join(exact, Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     perQuery
-      .join(hits, Seq("qid"))
+      // LEFT join: a query whose ann∩exact overlap is empty must still
+      // count with n_hit = 0 — an inner join would silently drop it,
+      // overstating mean recall and desyncing n_queries from the
+      // oracle's query count
+      .join(hits, Seq("qid"), "left")
       .agg(
         count(lit(1)).cast("long").as("nq"),
         min("n_ann").as("min_n"),
         max("n_ann").as("max_n"),
-        avg(col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+        avg(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
       .select(
         col("nq").as("n_queries"),
         lit(k.toLong).as("k"),

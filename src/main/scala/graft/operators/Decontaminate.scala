@@ -206,6 +206,12 @@ object Decontaminate {
     val benchHashes = benchmark
       .select(explode(hashes(col(textCol))).alias("h"))
       .distinct()
+      // materialized ONCE: the distinct hash universe feeds two actions
+      // (the Bloom sketch build and the broadcast confirm join) — without
+      // this the benchmark-side gram scan + distinct shuffle runs twice
+      // per call (same rationale as the dedup family's materialized
+      // shingle sets)
+      .localCheckpoint(true)
     val probe = bloomProbe(benchHashes, expectedItems, fpp)
     val contaminated = train
       .select(col(idCol), explode(hashes(col(textCol))).alias("h"))

@@ -87,6 +87,19 @@ object Dedup {
   private def materializedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     shingleSets(docs, idCol, textCol, n).localCheckpoint(true)
 
+  /** The incremental/streaming tiers key their state on LONG ids; a
+    * non-numeric id would `cast("long")` to null SILENTLY, and null join
+    * keys match nothing — every batch row would be dropped (or wrongly
+    * kept) with no error ever raised. Fail loud at plan time instead:
+    * string-keyed corpora should map ids to longs upstream (e.g.
+    * `monotonically_increasing_id` or a 60-bit hash).
+    */
+  private[graft] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+    require(
+      df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op: $idCol must be numeric (cast to LONG id), got " +
+        df.schema(idCol).dataType.catalogString)
+
   /** Exact Jaccard of two sorted distinct hash arrays. The intersection
     * count is the native codegen `SortedIntersectCountLong` expression
     * (evaluated once per candidate pair — a UDF here would pay a per-pair
@@ -325,6 +338,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     require(bands > 0 && k % bands == 0, s"bands must divide k, got k=$k bands=$bands")
+    requireNumericId(batch, idCol, "incrementalNearDup (batch)")
+    requireNumericId(corpus, idCol, "incrementalNearDup (corpus)")
     val rows = k / bands
     val bandIdx = array((0 until bands).map(b => lit(b)): _*)
     def bandTable(docs: DataFrame): DataFrame =
@@ -340,15 +355,27 @@ object Dedup {
     // once (same rationale as materializedShingleSets)
     val bandB = bandTable(batch).localCheckpoint(true)
     val setsB = materializedShingleSets(batch, idCol, textCol, n)
-    val setsC = materializedShingleSets(corpus, idCol, textCol, n)
 
     // batch×corpus: band-key collisions, exact-Jaccard verified. The
     // corpus side shuffles on (band, key) once — never on text, never
-    // against itself.
+    // against itself. Materialized: feeds the candidate-id semi-join
+    // below AND the verify join.
     val candC = bandB.alias("x")
       .join(bandTable(corpus).alias("y"), Seq("band", "key"))
       .select(col("x.id").alias("id_b"), col("y.id").alias("id_c"))
       .distinct()
+      .localCheckpoint(true)
+
+    // corpus shingle sets ONLY for the band-collision candidates (a
+    // handful of ids per batch): computing them corpus-wide would make
+    // every call — i.e. every streaming micro-batch — re-hash the FULL
+    // corpus text to verify a few pairs. Single plan position, so no
+    // materialization either; per-trigger cost stays proportional to
+    // the batch, not the corpus.
+    val setsC = shingleSets(
+      corpus.join(
+        candC.select(col("id_c").alias(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
     val hits = candC
       .join(setsB.toDF("id_b", "hs_b"), Seq("id_b"))
       .join(setsC.toDF("id_c", "hs_c"), Seq("id_c"))

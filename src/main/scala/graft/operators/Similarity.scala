@@ -481,7 +481,8 @@ object Similarity {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
+      centroids: Array[Array[Double]]): DataFrame = {
+    Dedup.requireNumericId(emb, idCol, "Similarity (cell assignment)")
     // assignment runs as the native codegen `nearest_cell` expression
     // (centroid matrix rides the generated class as one flat double[] —
     // not a per-row broadcast lookup, no UDF boundary)
@@ -492,6 +493,7 @@ object Similarity {
       graft.functions.expressions.NearestCellExpr
         .nearestCell(col(vecCol), centroids).alias("cell"))
       .localCheckpoint(true)
+  }
 
   /** Cell populations (≤ nLists rows) with the loud quantizer-collapse
     * check — runs on the driver over the tiny aggregate, BEFORE any
@@ -1067,7 +1069,17 @@ object Similarity {
     *
     * At 100 TB: one corpus scan writes the artifact (an int + `m` bytes
     * per row); per-cell file sizing follows from the write parallelism,
-    * and re-ingest appends are new files in existing cell directories.
+    * and re-ingest batches land as `batch=` sub-partitions inside the
+    * cell directories ([[appendToIvfPqIndex]] — the build itself writes
+    * `batch=-1`; queries prune on `cell` only and never read the batch
+    * column).
+    *
+    * Null-vector rows are DROPPED, not indexed: a null vector has no
+    * cell and no code, so it would land as an unqueryable
+    * default-partition junk row that inflates every artifact count
+    * without ever being probed. Mixed-dimension corpora fail loud
+    * per-row (not just on a sampled row): a wider vector would
+    * otherwise be silently prefix-encoded.
     */
   def buildIvfPqIndex(
       emb: DataFrame,
@@ -1086,19 +1098,15 @@ object Similarity {
     val dim = centroids.head.length
     val codebooks = trainProductQuantizer(
       emb, idCol, vecCol, dim, m, nCodes, seed, trainSample)
-    emb.select(
-      col(idCol).alias("id"),
-      graft.functions.expressions.NearestCellExpr
-        .nearestCell(col(vecCol), centroids).alias("cell"),
-      graft.functions.expressions.PqEncodeExpr
-        .pqEncode(col(vecCol), codebooks).alias("code"))
+    indexRows(emb, idCol, vecCol, centroids, codebooks, path)
+      .withColumn("batch", lit(-1L))
       .write.mode("overwrite")
       // STATIC overwrite regardless of the session's
       // partitionOverwriteMode: a rebuild must clear every old cell dir —
       // under dynamic mode, cells absent from the new data would keep
       // rows encoded with the PREVIOUS model's codebooks
       .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(path)
+      .partitionBy("cell", "batch").parquet(path)
     // model AFTER the index rows: the static overwrite above clears `path`
     Seq(IvfPqIndexModel(
       dim = dim,
@@ -1114,33 +1122,68 @@ object Similarity {
     * artifact: the batch is routed and encoded with the PERSISTED model
     * (no retraining — cell assignments and codes stay consistent with
     * every row already in the index), and the new `(id, code)` rows land
-    * as new parquet files inside the existing `cell=` directories. This
+    * under `cell=<c>/batch=<batchId>` partitions of the artifact. This
     * is the re-ingest shape: at 100 TB the nightly embedding delta
     * appends in one scan while queries keep partition-pruning over the
-    * union. (Re-train + full rebuild only when drift degrades recall —
+    * union (`cell` stays the leading partition column; `batch` is never
+    * read). (Re-train + full rebuild only when drift degrades recall —
     * the model sidecar makes the two artifacts interchangeable.)
+    *
+    * `batchId` makes the append IDEMPOTENT: the write is a DYNAMIC
+    * partition overwrite of exactly the `(cell, batch=batchId)`
+    * partitions this delta produces, so re-running the same delta —
+    * e.g. a streaming trigger replayed after a crash between the index
+    * write and its batch-id bookkeeping — replaces its own files
+    * instead of appending duplicates (a duplicated id would otherwise
+    * permanently consume a top-k slot in every future
+    * [[ivfPqTopKFromIndex]]/[[knnJoinFromIndex]] probe). Distinct
+    * deltas MUST use distinct batchIds (>= 0; the build owns -1), or
+    * the later one silently replaces the earlier.
+    *
+    * Null-vector rows are dropped and mixed-dimension deltas fail loud
+    * per-row — same contract as [[buildIvfPqIndex]].
     */
   def appendToIvfPqIndex(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (the build owns -1), got $batchId")
     val (centroids, codebooks) = readIvfPqModel(emb.sparkSession, path)
-    // dim guard: the scan kernels read exactly model-dim elements, so a
-    // WIDER delta would silently index prefix-only cells/codes (the
-    // pq_encode length check rejects only too-short vectors)
-    val dimRow = emb.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
-    require(dimRow.nonEmpty, "appendToIvfPqIndex: no non-null vectors in the delta")
-    require(dimRow(0).getInt(0) == centroids.head.length,
-      s"appendToIvfPqIndex: delta dim ${dimRow(0).getInt(0)} != " +
-        s"index dim ${centroids.head.length} at $path")
-    emb.select(
-      col(idCol).alias("id"),
-      graft.functions.expressions.NearestCellExpr
-        .nearestCell(col(vecCol), centroids).alias("cell"),
-      graft.functions.expressions.PqEncodeExpr
-        .pqEncode(col(vecCol), codebooks).alias("code"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    indexRows(emb, idCol, vecCol, centroids, codebooks, path)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch").parquet(path)
+  }
+
+  /** The `(id, cell, code)` projection both index writers share:
+    * null vectors filtered out, every surviving vector dim-checked
+    * PER ROW (a wider vector would silently prefix-encode; a shorter
+    * one would read garbage in the cell router), then routed + encoded
+    * in one fused scan.
+    */
+  private def indexRows(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      path: String): DataFrame = {
+    val dim = centroids.head.length
+    val checkedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"IVF-PQ index at $path: vector dim "),
+        size(col(vecCol)).cast("string"),
+        lit(s" != index dim $dim"))))
+    emb.filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).alias("id"),
+        graft.functions.expressions.NearestCellExpr
+          .nearestCell(checkedVec, centroids).alias("cell"),
+        graft.functions.expressions.PqEncodeExpr
+          .pqEncode(checkedVec, codebooks).alias("code"))
   }
 
   /** Reopens a [[buildIvfPqIndex]] artifact's trained model. */
@@ -1244,11 +1287,20 @@ object Similarity {
       s"query column names must differ from corpus ($qidCol/$idCol, $qvecCol/$vecCol)")
     import spark.implicits._
 
-    val probes = queries.select(
+    // the query set and its routing are each consumed TWICE (queries:
+    // routing + the exact-scoring vector join; probes: the collected
+    // probed-cell union + the candidate join) — materialize each once.
+    // Beyond the doubled scan, this is a CORRECTNESS guard: with a
+    // non-deterministic `queries` (sample(), rand-filtered) a re-run of
+    // the routing could reach a cell the collected union missed, and
+    // the index filter would then silently drop those candidates.
+    val q0 = queries.select(col(qidCol), col(qvecCol)).localCheckpoint(true)
+    val probes = q0.select(
       col(qidCol),
       explode(
         graft.functions.expressions.NearestCellsExpr
           .nearestCells(col(qvecCol), centroids, nProbe)).as("cell"))
+      .localCheckpoint(true)
 
     val probedCells = probes.select("cell").distinct().as[Int].collect().toSeq
 
@@ -1264,7 +1316,7 @@ object Similarity {
         graft.functions.expressions.Norm2Float.norm2F(col(vecCol)))
 
     val scored = cand
-      .join(queries.select(col(qidCol), col(qvecCol)), Seq(qidCol))
+      .join(q0, Seq(qidCol))
       .join(emb.select(col(idCol).alias("id"), col(vecCol)), Seq("id"))
       .select(col(qidCol), col("id").alias(idCol), cos.alias("cos"))
 

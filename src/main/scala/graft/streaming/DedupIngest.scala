@@ -81,12 +81,8 @@ object DedupIngest {
       textCol: String): DataFrame = {
     // the state schema fixes keep_id as LONG; a non-numeric id would
     // cast to null silently and the min-id semantics would be lost —
-    // fail loud at plan time instead (string-keyed corpora should map
-    // ids to longs upstream, e.g. monotonically_increasing_id)
-    require(
-      batch.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"mergeExactState: $idCol must be numeric (cast to LONG keep_id), " +
-        s"got ${batch.schema(idCol).dataType.catalogString}")
+    // fail loud at plan time instead
+    Dedup.requireNumericId(batch, idCol, "mergeExactState")
     val delta = batch
       .select(col(idCol).cast("long").alias("keep_id"), md5(col(textCol)).alias("fp"))
       .groupBy("fp")
@@ -169,6 +165,9 @@ object DedupIngest {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // same loud guard as the exact tier: a non-numeric id would cast to
+    // null and every batch row would silently vanish from the state
+    Dedup.requireNumericId(batch, idCol, "mergeNearDupState")
     val batchDocs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(textCol).cast("string").alias("text"))
@@ -242,6 +241,7 @@ object DedupIngest {
       threshold: Double,
       nLists: Int = 0,
       trainSample: Int = 4096): DataFrame = {
+    Dedup.requireNumericId(batch, idCol, "mergeSemanticState")
     val batchVecs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"))
@@ -299,6 +299,13 @@ object DedupIngest {
     * every row already indexed and partition-pruned queries
     * ([[Similarity.ivfPqTopKFromIndex]] / [[Similarity.knnJoinFromIndex]])
     * see the union as soon as the batch lands.
+    *
+    * Exactly-once here does NOT hinge on the batch-id meta alone: the
+    * append keyed by `batchId` is a dynamic overwrite of its own
+    * `(cell, batch)` partitions, so a trigger replayed after a crash
+    * BETWEEN the index write and [[markApplied]] replaces the
+    * half-landed files instead of duplicating them. The meta guard is
+    * the fast path (skip the whole batch), not the safety argument.
     */
   private[streaming] def applyAnnBatch(
       batch: DataFrame,
@@ -311,7 +318,7 @@ object DedupIngest {
     val spark = batch.sparkSession
     if (!alreadyApplied(spark, sink, table, batchId)) {
       if (batch.filter(col(vecCol).isNotNull).head(1).nonEmpty)
-        Similarity.appendToIvfPqIndex(batch, idCol, vecCol, indexPath)
+        Similarity.appendToIvfPqIndex(batch, idCol, vecCol, indexPath, batchId)
       markApplied(spark, sink, table, batchId)
     }
   }
@@ -320,9 +327,11 @@ object DedupIngest {
     * appends to an EXISTING [[Similarity.buildIvfPqIndex]] artifact at
     * `indexPath` (bootstrap: build it once on the initial corpus slice;
     * re-train + rebuild stays a batch decision, taken on model drift,
-    * not a streaming one). Replays are guarded by the sidecar batch-id
-    * meta — an append is file-additive, so the guard is what makes a
-    * restarted trigger idempotent.
+    * not a streaming one). Replays are idempotent structurally: each
+    * batch lands as its own `(cell, batch=batchId)` partitions via
+    * dynamic overwrite, so a re-run replaces its own files — the
+    * sidecar batch-id meta only short-circuits the recompute (see
+    * [[applyAnnBatch]]).
     */
   def startAnnIndex(
       emb: DataFrame,

@@ -35,8 +35,14 @@ object KnnJoinProbe {
     Seq(2, 4, 8, 12, 16).foreach { nProbe =>
       val ann = Similarity.knnJoinWithCentroids(
         emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe, centroids)
-      val stats = ann.join(exact, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      // left join from the full query set: a query with zero ann∩exact
+      // overlap must average in at 0, not vanish (same guard as q85)
+      val stats = ann.select("qid").distinct()
+        .join(
+          ann.join(exact, Seq("qid", "vec_id"))
+            .groupBy("qid").agg(count(lit(1)).as("h")),
+          Seq("qid"), "left")
+        .select(coalesce(col("h"), lit(0L)).alias("n_hit"))
         .agg(
           count(lit(1)).as("nq"),
           min("n_hit").as("min_hit"),

@@ -411,7 +411,11 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.buildIvfPqIndex(
       base, "vec_id", "embedding", dir,
       nLists = 16, m = 16, nCodes = 64, trainSample = 2048)
-    Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", dir)
+    Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, batchId = 0L)
+    // crash-window replay: re-running the SAME batchId dynamically
+    // overwrites its own (cell, batch) partitions instead of appending
+    // duplicates — the union count below also proves no double rows
+    Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, batchId = 0L)
 
     // the union is in the index
     assert(spark.read.parquet(dir).count() == embR.count())
