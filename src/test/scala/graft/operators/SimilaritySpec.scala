@@ -431,6 +431,40 @@ class SimilaritySpec extends SparkTestBase {
       s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
   }
 
+  test("index writes drop null vectors and fail loud PER ROW on a mixed-dim delta") {
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = embR.select("embedding").head().getSeq[Float](0).length
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-guard").toString
+    Similarity.buildIvfPqIndex(
+      embR, "vec_id", "embedding", dir, nLists = 8, m = 16, nCodes = 16, trainSample = 512)
+    val total = spark.read.parquet(dir).count()
+
+    // null vectors never land as default-partition junk rows: the
+    // append count grows by exactly the non-null rows
+    val withNull = Seq(
+      (900001L, Some(Seq.fill(dim)(0.5f))),
+      (900002L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(withNull, "vec_id", "embedding", dir, batchId = 1L)
+    assert(spark.read.parquet(dir).count() == total + 1,
+      "null-vector row leaked into the index artifact")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains("HIVE_DEFAULT")),
+      "null cell partition written")
+
+    // a delta whose FIRST row has the right dim but a later row is wider
+    // must fail (the old sampled-row guard would have silently
+    // prefix-encoded the wide row)
+    val mixed = Seq(
+      (900003L, Seq.fill(dim)(0.1f)),
+      (900004L, Seq.fill(dim + 4)(0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.appendToIvfPqIndex(mixed, "vec_id", "embedding", dir, batchId = 2L)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("!= index dim"))),
+      s"expected the per-row dim error, got: $e")
+  }
+
   test("knnJoinFromIndex: rows identical to the inline join; scan pruned to the probed-cell union") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -66,6 +66,44 @@ class DedupIngestSpec extends SparkTestBase {
     assert(ingest(rnd.shuffle(docs).grouped(13).toSeq) == expected, "shuffled groups of 13")
   }
 
+  test("every incremental tier fails loud on non-numeric id columns (no silent cast-to-null drop)") {
+    // a string id would cast("long") to null; null join keys match
+    // nothing, so whole batches would silently vanish from the state —
+    // each tier must reject the frame at plan time instead
+    val strDocs = Seq(("doc-a", "alpha"), ("doc-b", "beta")).toDF("doc_id", "text")
+    val strVecs = Seq(("doc-a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+    val eEx = intercept[IllegalArgumentException] {
+      DedupIngest.mergeExactState(
+        new ParquetKVSink(Files.createTempDirectory("graft-guard0").toString)
+          .read(spark, "none", DedupIngest.exactStateSchema),
+        strDocs, "doc_id", "text")
+    }
+    assert(eEx.getMessage.contains("doc_id must be numeric"), eEx.getMessage)
+
+    val eNd = intercept[IllegalArgumentException] {
+      DedupIngest.mergeNearDupState(
+        new ParquetKVSink(Files.createTempDirectory("graft-guard").toString)
+          .read(spark, "none", DedupIngest.nearDupStateSchema),
+        strDocs, "doc_id", "text")
+    }
+    assert(eNd.getMessage.contains("doc_id must be numeric"), eNd.getMessage)
+
+    val eSem = intercept[IllegalArgumentException] {
+      DedupIngest.mergeSemanticState(
+        new ParquetKVSink(Files.createTempDirectory("graft-guard2").toString)
+          .read(spark, "none", DedupIngest.semanticStateSchema),
+        strVecs, "vec_id", "embedding", threshold = 0.9)
+    }
+    assert(eSem.getMessage.contains("vec_id must be numeric"), eSem.getMessage)
+
+    val eInc = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(
+        strDocs, strDocs, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8)
+    }
+    assert(eInc.getMessage.contains("doc_id must be numeric"), eInc.getMessage)
+  }
+
   test("near-dup ingest: final text corpus equals the batch LSH pipeline's kept representatives") {
     // tight dup clusters (exact copies) with increasing ids — the regime
     // where incremental first-wins equals the batch CC's min-id keep
