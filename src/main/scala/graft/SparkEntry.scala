@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Similarity, TfIdf, WordCount}
+import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -705,6 +705,41 @@ object SparkEntry {
       .localCheckpoint(true)
     QualityPrune.pruneByGroupQuantile(scored, "lang", "score", q = 0.25)
   }
+
+  /** Deterministic corpus shuffle + sharding (round 10): the "write
+    * the training order" step — every doc gets a seeded pseudo-random
+    * 60-bit order key (the [[Sampling]] family's md5-keyed decision,
+    * reproducible across runs, partitionings, and engines), a uniform
+    * `hash % nShards` shard, and its 1-based position within the
+    * shard. One hash exchange on the shard id + per-shard local sort;
+    * the corpus is never globally sorted or range-partitioned
+    * (plan-audited). The full permutation is hash-checked against
+    * DuckDB computing the same md5 arithmetic.
+    */
+  private def q88_shard_assignments(s: SparkSession, dir: String): DataFrame =
+    Sharding.orderedAssignments(Tables.documents(s, dir), "doc_id", seed = 42L, nShards = 8)
+
+  /** Vocabulary construction with coverage accounting (round 10):
+    * top-V tokens by corpus frequency plus the cumulative fraction of
+    * the whole token stream each rank prefix covers — the curve a
+    * tokenizer budget is read off of. Token counts are one
+    * partial+final aggregate; the top-V cut is a
+    * `TakeOrderedAndProject` (no global token-stream sort,
+    * plan-audited); the rank/coverage window runs over the V
+    * surviving rows only.
+    */
+  private def q89_vocab_coverage(s: SparkSession, dir: String): DataFrame =
+    Vocab.vocabulary(Tables.documents(s, dir), "text", topV = 500)
+
+  /** BPE pair counting (round 10): adjacent character pairs weighted
+    * by word frequency — the table whose argmax is the next BPE
+    * merge. The classic distributed-BPE reduction: the token stream
+    * collapses to word frequencies first (vocab-sized), pairs explode
+    * over DISTINCT words only, and the pair aggregate is bounded by
+    * the character-bigram universe.
+    */
+  private def q90_bpe_pairs(s: SparkSession, dir: String): DataFrame =
+    Vocab.bpePairCounts(Tables.documents(s, dir), "text", topPairs = 50)
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
@@ -1504,7 +1539,10 @@ object SparkEntry {
     "q84_incremental_neardup" -> (q84_incremental_neardup _),
     "q85_knn_join" -> (q85_knn_join _),
     "q86_bloom_decontaminate" -> (q86_bloom_decontaminate _),
-    "q87_quality_prune" -> (q87_quality_prune _)
+    "q87_quality_prune" -> (q87_quality_prune _),
+    "q88_shard_assignments" -> (q88_shard_assignments _),
+    "q89_vocab_coverage" -> (q89_vocab_coverage _),
+    "q90_bpe_pairs" -> (q90_bpe_pairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2516,6 +2554,40 @@ object SparkEntry {
           SELECT sc.lang, sc.doc_id, sc.score
           FROM sc JOIN th USING (lang)
           WHERE sc.score >= th.thr"""
-    }
+    },
+    "q88_shard_assignments" ->
+      // the same md5-derived 60-bit key on both engines: hash
+      // collisions (were any to occur) are identical, so the
+      // permutation is bit-reproducible
+      s"""WITH h AS (SELECT doc_id,
+                            ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")} AS hk
+                     FROM documents)
+          SELECT doc_id,
+                 CAST(hk % 8 AS BIGINT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS BIGINT) AS pos
+          FROM h""",
+    "q89_vocab_coverage" ->
+      s"""WITH c AS (SELECT w AS token, count(*) AS cnt
+                     FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+                     GROUP BY w),
+              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+              top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 500)
+          SELECT token, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS cum_share
+          FROM top, tot""",
+    "q90_bpe_pairs" ->
+      s"""WITH wf AS (SELECT w AS word, count(*) AS freq
+                      FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+                      GROUP BY w),
+              p AS (SELECT unnest(list_transform(range(1, length(word)),
+                                                 i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+                           freq
+                    FROM wf WHERE length(word) > 1)
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM p GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 50"""
   )
 }

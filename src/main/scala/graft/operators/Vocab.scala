@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training preparation: vocabulary construction with
+  * corpus-coverage accounting, and the pair-counting step of BPE
+  * training. (Reference analogue: none; training-data-pipeline
+  * extension.)
+  *
+  * Scale shape — both operators reduce the corpus to VOCABULARY-sized
+  * tables as early as possible and never sort the token stream:
+  *
+  *  - [[vocabulary]]: token counts are one partial+final hash
+  *    aggregate keyed on the token (map-side combine absorbs the Zipf
+  *    head before the exchange); the top-V cut is a
+  *    `TakeOrderedAndProject` (no global sort materializes the full
+  *    vocab order); the rank/coverage window then runs over V rows
+  *    only — V is the tokenizer budget (32–256k), driver-scale by
+  *    definition.
+  *  - [[bpePairCounts]]: the classic distributed-BPE reduction — count
+  *    WORD frequencies first (vocab-sized), then explode each DISTINCT
+  *    word's adjacent character pairs weighted by its frequency. The
+  *    token stream is touched once; the quadratic-looking pair work
+  *    runs over distinct words only, and the pair aggregate is bounded
+  *    by the character-bigram universe.
+  */
+object Vocab {
+
+  /** Top-`topV` tokens by corpus frequency with cumulative coverage:
+    * `(token, cnt, rank, cum_share)` where `cum_share` is the fraction
+    * of the WHOLE token stream covered by ranks `1..rank` — the curve
+    * a tokenizer budget is read off of. Ordering ties break by token,
+    * so the output is total and reproducible.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    // materialized ONCE: the counts aggregate feeds both the top-V cut
+    // and the total-token-mass scalar — without this the token-stream
+    // explode + aggregate runs twice
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).alias("cnt"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum("cnt").alias("total"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
+    // rank + running mass over the V surviving rows only (single
+    // partition by design: V is the tokenizer budget, not the corpus)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(broadcast(total))
+      .select(
+        col("token"),
+        col("cnt"),
+        row_number().over(
+          Window.orderBy(col("cnt").desc, col("token").asc)).cast("long").alias("rank"),
+        (sum("cnt").over(w).cast("double") / col("total").cast("double"))
+          .alias("cum_share"))
+  }
+
+  /** One BPE-training pair-count step over the corpus: adjacent
+    * character pairs of every word, weighted by word frequency —
+    * `(pair, cnt)`, the table whose argmax is the next BPE merge.
+    * Single-character words contribute no pairs.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topPairs: Int): DataFrame = {
+    require(topPairs > 0, s"topPairs must be positive, got $topPairs")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).alias("freq"))
+      .filter(length(col("word")) > 1)
+    words
+      .select(
+        explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).alias("pair"),
+        col("freq"))
+      .groupBy("pair")
+      .agg(sum("freq").alias("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topPairs)
+  }
+}

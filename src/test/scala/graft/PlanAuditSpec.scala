@@ -408,4 +408,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q87 path:\n$plan")
   }
+
+  test("q88: seeded sharding hash-exchanges on the shard id, never range-partitions the corpus") {
+    val plan = planOf("q88_shard_assignments")
+    // the training order is a WITHIN-shard sort under a hash exchange on
+    // (shard) — a global orderBy would range-partition the whole corpus
+    assert(plan.contains("hashpartitioning(shard"), s"no hash exchange on shard:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q88 path:\n$plan")
+  }
+
+  test("q89: top-V vocab cut is a TakeOrdered, not a global sort of the token counts") {
+    val plan = planOf("q89_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-V not TakeOrdered:\n$plan")
+    // the only full sort allowed is the V-row coverage window; the
+    // token-count aggregate itself must never range-partition
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q89 path:\n$plan")
+  }
+
+  test("q90: pair explode runs over distinct words, not the token stream") {
+    val plan = planOf("q90_bpe_pairs")
+    // word frequencies aggregate BEFORE the pair generate: the Generate
+    // node's child must be the aggregated (word, freq) side, i.e. the
+    // plan carries two hash aggregates with the explode between them,
+    // and the final cut is a TakeOrdered
+    assert(plan.contains("TakeOrderedAndProject"), s"top pairs not TakeOrdered:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"pair path range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q90 path:\n$plan")
+  }
 }
