@@ -50,7 +50,10 @@ object ScaleBench {
     "q83_scrub_spans",
     "q84_incremental_neardup",
     "q86_bloom_decontaminate",
-    "q87_quality_prune")
+    "q87_quality_prune",
+    "q88_shard_assignments",
+    "q89_vocab_coverage",
+    "q90_bpe_pairs")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
