@@ -1360,19 +1360,21 @@ object SparkEntry {
       emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe = 8, centroids)
     val exact = Similarity.knnJoinWithCentroids(
       emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe = 16, centroids)
+    // the denominator is the QUERY SET itself, not ann's output: a
+    // query with zero ann rows (all probed cells empty) or zero
+    // ann∩exact overlap must still count — with n_ann/n_hit = 0 —
+    // rather than silently vanish from the mean and desync n_queries
+    // from the oracle's query count
     val perQuery = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
     val hits = ann.join(exact, Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-    perQuery
-      // LEFT join: a query whose ann∩exact overlap is empty must still
-      // count with n_hit = 0 — an inner join would silently drop it,
-      // overstating mean recall and desyncing n_queries from the
-      // oracle's query count
+    queries.select("qid")
+      .join(perQuery, Seq("qid"), "left")
       .join(hits, Seq("qid"), "left")
       .agg(
         count(lit(1)).cast("long").as("nq"),
-        min("n_ann").as("min_n"),
-        max("n_ann").as("max_n"),
+        min(coalesce(col("n_ann"), lit(0L))).as("min_n"),
+        max(coalesce(col("n_ann"), lit(0L))).as("max_n"),
         avg(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
       .select(
         col("nq").as("n_queries"),

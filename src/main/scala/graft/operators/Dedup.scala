@@ -88,17 +88,22 @@ object Dedup {
     shingleSets(docs, idCol, textCol, n).localCheckpoint(true)
 
   /** The incremental/streaming tiers key their state on LONG ids; a
-    * non-numeric id would `cast("long")` to null SILENTLY, and null join
-    * keys match nothing — every batch row would be dropped (or wrongly
-    * kept) with no error ever raised. Fail loud at plan time instead:
-    * string-keyed corpora should map ids to longs upstream (e.g.
+    * non-numeric id would `cast("long")` to null SILENTLY (null join
+    * keys match nothing — every batch row dropped with no error), and
+    * a FRACTIONAL id would truncate (1.2 and 1.7 both become 1,
+    * silently merging distinct documents). Only integral types are
+    * safe, so fail loud at plan time on everything else: string- or
+    * double-keyed corpora should map ids to longs upstream (e.g.
     * `monotonically_increasing_id` or a 60-bit hash).
     */
-  private[graft] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+  private[graft] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
     require(
-      df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op: $idCol must be numeric (cast to LONG id), got " +
-        df.schema(idCol).dataType.catalogString)
+      dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"$op: $idCol must be an integral type (cast to LONG id), got " +
+        dt.catalogString)
+  }
 
   /** Exact Jaccard of two sorted distinct hash arrays. The intersection
     * count is the native codegen `SortedIntersectCountLong` expression
@@ -338,8 +343,11 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     require(bands > 0 && k % bands == 0, s"bands must divide k, got k=$k bands=$bands")
+    // batch side only: batch ids are cast to long for the state/output;
+    // corpus ids are never cast here (they only key the candidate and
+    // verify joins against themselves), so a string-keyed historical
+    // corpus stays valid
     requireNumericId(batch, idCol, "incrementalNearDup (batch)")
-    requireNumericId(corpus, idCol, "incrementalNearDup (corpus)")
     val rows = k / bands
     val bandIdx = array((0 until bands).map(b => lit(b)): _*)
     def bandTable(docs: DataFrame): DataFrame =

@@ -96,7 +96,15 @@ object Sharding {
       nShards: Int,
       path: String): Unit =
     assign(df, idCol, seed, nShards)
-      .repartition(nShards, col("shard"))
+      // RANGE repartition on the shard id, not hash: murmur3 over the
+      // small 0..nShards-1 domain collides (balls-in-bins: several
+      // shards in one task, other tasks empty), which would serialize
+      // up to ~3 shards' sort+write in one executor. The range
+      // partitioner's sampled bounds split the nShards distinct values
+      // 1:1 onto nShards partitions, so every task sorts exactly one
+      // shard's slice. (This exchanges on the tiny shard key — the
+      // corpus is still never range-partitioned by a data column.)
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

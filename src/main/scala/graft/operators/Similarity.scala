@@ -1150,6 +1150,30 @@ object Similarity {
       path: String,
       batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (the build owns -1), got $batchId")
+    // layout guard: an artifact with the legacy single-level `cell=X/`
+    // layout (no batch sub-partitions) would ACCEPT this two-level
+    // append and only fail later, at query time, with a conflicting-
+    // directory-structures error — i.e. the append would brick the
+    // artifact silently. Detect it here and fail loud instead.
+    val hRoot = new org.apache.hadoop.fs.Path(path)
+    val hFs = hRoot.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (hFs.exists(hRoot)) {
+      hFs.listStatus(hRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          require(
+            !hFs.listStatus(cd.getPath)
+              .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+            s"appendToIvfPqIndex: $path uses the legacy cell-only layout " +
+              s"(parquet files directly under ${cd.getPath.getName}); rebuild " +
+              "the index with buildIvfPqIndex before appending batches")
+        }
+    }
+    // an all-null (or empty) delta is almost certainly an upstream
+    // failure, not an intentional no-op append — keep the loud error
+    // (the streaming tier pre-checks and never calls with one)
+    require(emb.filter(col(vecCol).isNotNull).head(1).nonEmpty,
+      "appendToIvfPqIndex: no non-null vectors in the delta")
     val (centroids, codebooks) = readIvfPqModel(emb.sparkSession, path)
     indexRows(emb, idCol, vecCol, centroids, codebooks, path)
       .withColumn("batch", lit(batchId))

@@ -35,9 +35,10 @@ object KnnJoinProbe {
     Seq(2, 4, 8, 12, 16).foreach { nProbe =>
       val ann = Similarity.knnJoinWithCentroids(
         emb, "vec_id", "embedding", queries, "qid", "qvec", k, nProbe, centroids)
-      // left join from the full query set: a query with zero ann∩exact
-      // overlap must average in at 0, not vanish (same guard as q85)
-      val stats = ann.select("qid").distinct()
+      // left join from the full QUERY set (not ann's output — a query
+      // with zero ann rows must average in at 0, not vanish; same
+      // guard as q85)
+      val stats = queries.select("qid")
         .join(
           ann.join(exact, Seq("qid", "vec_id"))
             .groupBy("qid").agg(count(lit(1)).as("h")),

@@ -428,10 +428,15 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("q90: pair explode runs over distinct words, not the token stream") {
     val plan = planOf("q90_bpe_pairs")
-    // word frequencies aggregate BEFORE the pair generate: the Generate
-    // node's child must be the aggregated (word, freq) side, i.e. the
-    // plan carries two hash aggregates with the explode between them,
-    // and the final cut is a TakeOrdered
+    // word frequencies aggregate BEFORE the pair generate: the plan
+    // must carry BOTH keyed exchanges — hashpartitioning(word) below
+    // the pair explode and hashpartitioning(pair) above it. A
+    // regression that exploded pairs straight off the token stream
+    // would lose the word exchange entirely.
+    assert(plan.contains("hashpartitioning(word"),
+      s"no word-frequency aggregate below the pair explode:\n$plan")
+    assert(plan.contains("hashpartitioning(pair"),
+      s"no pair aggregate exchange:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top pairs not TakeOrdered:\n$plan")
     assert(!plan.contains("rangepartitioning"), s"pair path range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q90 path:\n$plan")

@@ -431,6 +431,22 @@ class SimilaritySpec extends SparkTestBase {
       s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
   }
 
+  test("appendToIvfPqIndex refuses a legacy cell-only artifact instead of bricking it") {
+    // parquet files directly under cell= (the pre-batch layout): a
+    // two-level append would succeed and only explode at QUERY time
+    // with conflicting directory structures — the guard fails the
+    // append itself
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-idx").toString
+    val cellDir = new java.io.File(dir, "cell=0")
+    assert(cellDir.mkdirs())
+    assert(new java.io.File(cellDir, "part-00000.parquet").createNewFile())
+    val delta = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, batchId = 0L)
+    }
+    assert(e.getMessage.contains("legacy cell-only layout"), e.getMessage)
+  }
+
   test("index writes drop null vectors and fail loud PER ROW on a mixed-dim delta") {
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dim = embR.select("embedding").head().getSeq[Float](0).length

@@ -79,7 +79,7 @@ class DedupIngestSpec extends SparkTestBase {
           .read(spark, "none", DedupIngest.exactStateSchema),
         strDocs, "doc_id", "text")
     }
-    assert(eEx.getMessage.contains("doc_id must be numeric"), eEx.getMessage)
+    assert(eEx.getMessage.contains("doc_id must be an integral type"), eEx.getMessage)
 
     val eNd = intercept[IllegalArgumentException] {
       DedupIngest.mergeNearDupState(
@@ -87,7 +87,7 @@ class DedupIngestSpec extends SparkTestBase {
           .read(spark, "none", DedupIngest.nearDupStateSchema),
         strDocs, "doc_id", "text")
     }
-    assert(eNd.getMessage.contains("doc_id must be numeric"), eNd.getMessage)
+    assert(eNd.getMessage.contains("doc_id must be an integral type"), eNd.getMessage)
 
     val eSem = intercept[IllegalArgumentException] {
       DedupIngest.mergeSemanticState(
@@ -95,13 +95,24 @@ class DedupIngestSpec extends SparkTestBase {
           .read(spark, "none", DedupIngest.semanticStateSchema),
         strVecs, "vec_id", "embedding", threshold = 0.9)
     }
-    assert(eSem.getMessage.contains("vec_id must be numeric"), eSem.getMessage)
+    assert(eSem.getMessage.contains("vec_id must be an integral type"), eSem.getMessage)
 
     val eInc = intercept[IllegalArgumentException] {
       Dedup.incrementalNearDup(
         strDocs, strDocs, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8)
     }
-    assert(eInc.getMessage.contains("doc_id must be numeric"), eInc.getMessage)
+    assert(eInc.getMessage.contains("doc_id must be"), eInc.getMessage)
+
+    // fractional ids are just as unsafe: cast("long") TRUNCATES (1.2
+    // and 1.7 would merge into state key 1), so doubles are rejected too
+    val dblDocs = Seq((1.2, "alpha"), (1.7, "beta")).toDF("doc_id", "text")
+    val eDbl = intercept[IllegalArgumentException] {
+      DedupIngest.mergeExactState(
+        new ParquetKVSink(Files.createTempDirectory("graft-guard3").toString)
+          .read(spark, "none", DedupIngest.exactStateSchema),
+        dblDocs, "doc_id", "text")
+    }
+    assert(eDbl.getMessage.contains("integral"), eDbl.getMessage)
   }
 
   test("near-dup ingest: final text corpus equals the batch LSH pipeline's kept representatives") {
