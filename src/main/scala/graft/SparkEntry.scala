@@ -741,6 +741,20 @@ object SparkEntry {
   private def q90_bpe_pairs(s: SparkSession, dir: String): DataFrame =
     Vocab.bpePairCounts(Tables.documents(s, dir), "text", topPairs = 50)
 
+  /** Per-group document caps (round 10): keep at most 100 docs per
+    * language, chosen by the seeded md5 order — the "domain caps" step
+    * of a pre-training mix. Only over-cap groups pay a window sort
+    * (each over its own slice); everything at or under the cap keeps
+    * all rows via a broadcast anti-join, map-side (plan-audited). The
+    * fixture's skew (en ≈ 40%) exercises BOTH paths at the verify
+    * scales, and the kept set hash-checks against DuckDB running the
+    * equivalent single-window form.
+    */
+  private def q91_group_cap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      "doc_id", "lang", cap = 100)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1544,7 +1558,8 @@ object SparkEntry {
     "q87_quality_prune" -> (q87_quality_prune _),
     "q88_shard_assignments" -> (q88_shard_assignments _),
     "q89_vocab_coverage" -> (q89_vocab_coverage _),
-    "q90_bpe_pairs" -> (q90_bpe_pairs _)
+    "q90_bpe_pairs" -> (q90_bpe_pairs _),
+    "q91_group_cap" -> (q91_group_cap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2590,6 +2605,17 @@ object SparkEntry {
                     FROM wf WHERE length(word) > 1)
           SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
           FROM p GROUP BY pair
-          ORDER BY cnt DESC, pair LIMIT 50"""
+          ORDER BY cnt DESC, pair LIMIT 50""",
+    "q91_group_cap" ->
+      // the two-phase Spark plan (under-cap bypass + over-cap window)
+      // is row-identical to the single uniform window: under-cap
+      // groups satisfy rn <= cap trivially
+      s"""SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                                               doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 100"""
   )
 }

@@ -116,4 +116,48 @@ object Sampling {
           concat(lit(s"$prefix:"), col(clusterCol).cast("string"))) % 1000 < valPermille,
         lit("val")).otherwise(lit("train")).alias("split"))
   }
+
+  /** Per-group document cap — the "domain caps" step of a pre-training
+    * mix: keep at most `cap` rows per group (domain/source/language),
+    * selected deterministically by the seeded md5 order (same
+    * keep-decision family as [[stratifiedSample]], so the kept set is
+    * stable across runs, partitionings, and engines). Equivalent to
+    * `row_number() OVER (PARTITION BY group ORDER BY hash, id) <= cap`
+    * over the whole corpus — but structured so only over-cap groups
+    * pay for it:
+    *
+    *  - group sizes are ONE partial+final aggregate on the group key;
+    *  - groups at or under the cap bypass everything via a broadcast
+    *    anti-join — the bulk of a long-tailed corpus (most domains are
+    *    small) is kept map-side with zero sort;
+    *  - only the few over-cap groups hash-exchange and sort, each
+    *    sorting its own slice under the window.
+    *
+    * A single group too large to sort at all (one 10B-row domain) is
+    * the documented escalation: replace the window with a keep
+    * threshold on the hash itself (`hk < cap/n · 2^60` — expected-cap
+    * rather than exact-cap, no sort). The exact window is the oracle-
+    * checkable default.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int,
+      seed: Long = 42L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val over = df.groupBy(groupCol).agg(count(lit(1)).alias("n"))
+      .filter(col("n") > cap)
+      .select(groupCol)
+    val under = df.join(broadcast(over), Seq(groupCol), "left_anti")
+    val hk = TextFunctions.md5Hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol))
+    val capped = df.join(broadcast(over), Seq(groupCol), "left_semi")
+      .withColumn("hk", hk)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("hk", "rn")
+    under.unionByName(capped)
+  }
 }

@@ -441,4 +441,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"pair path range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q90 path:\n$plan")
   }
+
+  test("q91: under-cap groups bypass the window via broadcast anti-join; only over-cap slices sort") {
+    val plan = planOf("q91_group_cap")
+    // the long tail of a domain-capped corpus must be kept MAP-SIDE:
+    // broadcast anti (under-cap keep-all) + broadcast semi (over-cap
+    // route into the window); one Window for the over-cap slices only
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"under-cap bypass not a broadcast anti-join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"over-cap routing not a semi-join:\n$plan")
+    assert(plan.contains("Window"), s"no window for the over-cap slices:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q91 path:\n$plan")
+  }
 }

@@ -162,6 +162,34 @@ class TrainingDataOpsSpec extends SparkTestBase {
       "fixture too small to demonstrate the doc-level straddle hazard")
   }
 
+  test("capPerGroup: exact cap on over-cap groups, under-cap groups untouched, deterministic") {
+    // en: 300 rows (over a cap of 100), fr: 80 (under), de: 100 (exactly at cap)
+    val df = ((1L to 300L).map((_, "en")) ++ (301L to 380L).map((_, "fr")) ++
+      (381L to 480L).map((_, "de"))).toDF("id", "lang")
+    val capped = Sampling.capPerGroup(df, "id", "lang", cap = 100)
+    val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 100L, "fr" -> 80L, "de" -> 100L), s"got $byLang")
+
+    // under/at-cap groups keep EVERY row (no hash selection applied)
+    val frIds = capped.filter($"lang" === "fr").select("id").as[Long].collect().toSet
+    assert(frIds == (301L to 380L).toSet)
+
+    // deterministic and equal to the uniform single-window form
+    val again = Sampling.capPerGroup(df, "id", "lang", cap = 100)
+      .select("id").as[Long].collect().toSet
+    val gotIds = capped.select("id").as[Long].collect().toSet
+    assert(again == gotIds)
+    val expectedEn = (1L to 300L)
+      .sortBy(i => (graft.functions.TextFunctions.md5Hash60Local(s"42:$i"), i))
+      .take(100).toSet
+    assert(capped.filter($"lang" === "en").select("id").as[Long].collect().toSet == expectedEn)
+
+    // different seed, different kept set (same sizes)
+    val other = Sampling.capPerGroup(df, "id", "lang", cap = 100, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(other != gotIds && other.size == gotIds.size)
+  }
+
   test("Sampling is deterministic, respects strata rates, and nests across rates") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
     val small = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 100, "fr" -> 300))
