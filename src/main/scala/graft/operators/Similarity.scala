@@ -1158,8 +1158,12 @@ object Similarity {
     val hRoot = new org.apache.hadoop.fs.Path(path)
     val hFs = hRoot.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
     if (hFs.exists(hRoot)) {
+      // probing ONE cell dir suffices: an artifact is written whole by
+      // either the legacy or the batched writer, so layouts are
+      // homogeneous — and listing every cell dir would be O(nLists)
+      // remote list calls per append (65k at the autoNLists cap)
       hFs.listStatus(hRoot)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .find(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
         .foreach { cd =>
           require(
             !hFs.listStatus(cd.getPath)
