@@ -135,6 +135,14 @@ object TextFunctions {
   def md5Hash60Composed(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** The SEEDED keyed-decision hash every ordering/capping operator
+    * shares: `md5Hash60("<seed>:<key>")`. Single-sourced so the seed
+    * format can never drift between operators (and their DuckDB
+    * oracles, which compute `'<seed>:' || CAST(key AS VARCHAR)`).
+    */
+  def seededHash60(seed: Long, key: Column): Column =
+    md5Hash60(concat(lit(s"$seed:"), key.cast("string")))
+
   /** Fast 64-bit fingerprint for engine-internal use (xxhash64 is
     * codegen'd and ~10× md5; not oracle-portable).
     */

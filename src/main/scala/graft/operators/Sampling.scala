@@ -148,16 +148,23 @@ object Sampling {
     require(cap > 0, s"cap must be positive, got $cap")
     val over = df.groupBy(groupCol).agg(count(lit(1)).alias("n"))
       .filter(col("n") > cap)
-      .select(groupCol)
-    val under = df.join(broadcast(over), Seq(groupCol), "left_anti")
-    val hk = TextFunctions.md5Hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+      .select(col(groupCol).alias("__graft_over_g"))
+    // null-SAFE routing: a null group is a group like any other to the
+    // window form (and the oracle) — plain equi-join routing would send
+    // every null-group row down the under-cap branch uncapped
+    val under = df.join(
+      broadcast(over), df(groupCol) <=> col("__graft_over_g"), "left_anti")
+    val hk = TextFunctions.seededHash60(seed, col(idCol))
+    // internal temp columns carry a reserved prefix so an input that
+    // already has an `hk`/`rn` column is never clobbered
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("hk"), col(idCol))
-    val capped = df.join(broadcast(over), Seq(groupCol), "left_semi")
-      .withColumn("hk", hk)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .drop("hk", "rn")
+      .partitionBy(col(groupCol)).orderBy(col("__graft_hk"), col(idCol))
+    val capped = df.join(
+      broadcast(over), df(groupCol) <=> col("__graft_over_g"), "left_semi")
+      .withColumn("__graft_hk", hk)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_hk", "__graft_rn")
     under.unionByName(capped)
   }
 }

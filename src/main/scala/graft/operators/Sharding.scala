@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   /** `"<seed>:<id>"` hashed to a uniform 60-bit long — the shared
-    * shuffle key of every function here.
+    * shuffle key of every function here ([[TextFunctions.seededHash60]],
+    * the single-sourced seed format).
     */
   private def sortKey(idCol: String, seed: Long) =
-    TextFunctions.md5Hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    TextFunctions.seededHash60(seed, col(idCol))
 
   /** Every input row labeled `(…, shard, sort_key)`: `shard` in
     * `[0, nShards)`, `sort_key` the deterministic pseudo-random order

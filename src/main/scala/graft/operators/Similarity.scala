@@ -1175,8 +1175,12 @@ object Similarity {
     }
     // an all-null (or empty) delta is almost certainly an upstream
     // failure, not an intentional no-op append — keep the loud error
-    // (the streaming tier pre-checks and never calls with one)
-    require(emb.filter(col(vecCol).isNotNull).head(1).nonEmpty,
+    // (the streaming tier pre-checks and never calls with one). The
+    // probe selects the vector column alone so the scan is
+    // column-pruned and short-circuits at the first non-null row; only
+    // the error path (genuinely all-null) pays a full pass.
+    require(
+      emb.select(col(vecCol)).filter(col(vecCol).isNotNull).head(1).nonEmpty,
       "appendToIvfPqIndex: no non-null vectors in the delta")
     val (centroids, codebooks) = readIvfPqModel(emb.sparkSession, path)
     indexRows(emb, idCol, vecCol, centroids, codebooks, path)

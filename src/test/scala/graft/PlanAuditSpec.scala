@@ -421,8 +421,10 @@ class PlanAuditSpec extends SparkTestBase {
   test("q89: top-V vocab cut is a TakeOrdered, not a global sort of the token counts") {
     val plan = planOf("q89_vocab_coverage")
     assert(plan.contains("TakeOrderedAndProject"), s"top-V not TakeOrdered:\n$plan")
-    // the only full sort allowed is the V-row coverage window; the
-    // token-count aggregate itself must never range-partition
+    // the only full sort allowed is the V-row coverage window (a
+    // SinglePartition exchange over V rows); the token-count aggregate
+    // itself must never range-partition
+    assert(!plan.contains("rangepartitioning"), s"token counts range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q89 path:\n$plan")
   }
 

@@ -188,6 +188,15 @@ class TrainingDataOpsSpec extends SparkTestBase {
     val other = Sampling.capPerGroup(df, "id", "lang", cap = 100, seed = 7L)
       .select("id").as[Long].collect().toSet
     assert(other != gotIds && other.size == gotIds.size)
+
+    // NULL is a group like any other: an over-cap null-group domain is
+    // capped too (equi-join routing would silently keep all of it)
+    val withNull = ((1L to 300L).map(i => (i, Option.empty[String])) ++
+      (301L to 350L).map(i => (i, Some("en")))).toDF("id", "lang")
+    val cappedNull = Sampling.capPerGroup(withNull, "id", "lang", cap = 100)
+    val nullCount = cappedNull.filter($"lang".isNull).count()
+    assert(nullCount == 100L, s"null group kept $nullCount rows, expected cap 100")
+    assert(cappedNull.filter($"lang" === "en").count() == 50L)
   }
 
   test("Sampling is deterministic, respects strata rates, and nests across rates") {
