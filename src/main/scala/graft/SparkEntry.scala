@@ -755,6 +755,21 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "lang"),
       "doc_id", "lang", cap = 100)
 
+  /** Benchmark contamination report (round 10): the per-EVAL-item view
+    * of q50's contamination — for each benchmark doc, how many train
+    * docs share its grams, how many of its grams leak, and its gram
+    * total; zero rows certify clean items (the report is total over
+    * the benchmark). Benchmark grams broadcast; the corpus gram
+    * stream probes map-side and only matches reach the aggregate.
+    */
+  private def q92_contamination_report(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.report(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3)
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1559,7 +1574,8 @@ object SparkEntry {
     "q88_shard_assignments" -> (q88_shard_assignments _),
     "q89_vocab_coverage" -> (q89_vocab_coverage _),
     "q90_bpe_pairs" -> (q90_bpe_pairs _),
-    "q91_group_cap" -> (q91_group_cap _)
+    "q91_group_cap" -> (q91_group_cap _),
+    "q92_contamination_report" -> (q92_contamination_report _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2616,6 +2632,23 @@ object SparkEntry {
                                       ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
                                                doc_id) AS rn
             FROM documents)
-          WHERE rn <= 100"""
+          WHERE rn <= 100""",
+    "q92_contamination_report" ->
+      // the same gram-hash CTEs as the dedup oracles; LEFT join keeps
+      // clean benchmark items with zero counts
+      s"""WITH $sqlShingleCtes,
+          bg AS (SELECT id, h FROM ds WHERE id % 20 = 0),
+          tg AS (SELECT id AS tid, h FROM ds WHERE id % 20 <> 0),
+          m AS (SELECT bg.id, tg.tid, bg.h FROM bg JOIN tg USING (h)),
+          a AS (SELECT id,
+                       CAST(count(DISTINCT tid) AS BIGINT) AS n_train_docs,
+                       CAST(count(DISTINCT h) AS BIGINT) AS n_shared_grams
+                FROM m GROUP BY id)
+          SELECT s.id AS doc_id,
+                 COALESCE(a.n_train_docs, 0) AS n_train_docs,
+                 COALESCE(a.n_shared_grams, 0) AS n_shared_grams,
+                 CAST(s.sz AS BIGINT) AS n_grams
+          FROM sz s LEFT JOIN a USING (id)
+          WHERE s.id % 20 = 0"""
   )
 }

@@ -43,6 +43,49 @@ object Decontaminate {
       .agg(count(lit(1)).alias("n_shared"))
   }
 
+  /** Per-BENCHMARK-item contamination report — the view the EVAL owner
+    * reads ([[overlaps]] is the train-side view): for every benchmark
+    * doc, how many training docs share ≥ 1 of its n-grams
+    * (`n_train_docs`), how many of ITS distinct grams occur anywhere in
+    * training (`n_shared_grams`), and its total distinct gram count
+    * (`n_grams`) — so `n_shared_grams / n_grams` is the item's leaked
+    * fraction and `n_train_docs = 0` rows certify clean items (the
+    * report is TOTAL over the benchmark).
+    *
+    * Scale shape: the per-item benchmark gram table (a few thousand
+    * docs) broadcasts; the 100 TB training gram stream probes it
+    * MAP-SIDE, so only actual matches — bounded by the contamination
+    * volume, not the corpus — reach the per-item aggregate. The corpus
+    * is never shuffled.
+    */
+  def report(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val hashes = (c: org.apache.spark.sql.Column) =>
+      graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
+    val benchGrams = benchmark
+      .select(col(idCol).alias("doc_id"), explode(hashes(col(textCol))).alias("h"))
+    val matches = train
+      .select(col(idCol).alias("tid"), explode(hashes(col(textCol))).alias("h"))
+      .join(broadcast(benchGrams), Seq("h"))
+    val agg = matches.groupBy("doc_id").agg(
+      countDistinct(col("tid")).alias("n_train_docs"),
+      countDistinct(col("h")).alias("n_shared_grams"))
+    benchmark
+      .select(
+        col(idCol).alias("doc_id"),
+        size(hashes(col(textCol))).cast("long").alias("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_train_docs"), lit(0L)).alias("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).alias("n_shared_grams"),
+        col("n_grams"))
+  }
+
   /** Training docs with every contaminated document removed — the
     * filter form (left anti on the overlap set).
     */

@@ -54,7 +54,8 @@ object ScaleBench {
     "q88_shard_assignments",
     "q89_vocab_coverage",
     "q90_bpe_pairs",
-    "q91_group_cap")
+    "q91_group_cap",
+    "q92_contamination_report")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -456,4 +456,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q91 path:\n$plan")
   }
+
+  test("q92: benchmark grams broadcast; the corpus gram stream is never shuffled before matching") {
+    val plan = planOf("q92_contamination_report")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark grams did not broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q92 path:\n$plan")
+  }
 }

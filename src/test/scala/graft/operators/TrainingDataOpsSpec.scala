@@ -27,6 +27,26 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(cleaned == Set(2L))
   }
 
+  test("Decontaminate.report: per-benchmark-item leak counts; clean items appear with zeros") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma zeta eta")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"), // grams {abg, bgd}: abg in docs 1+3, bgd in doc 1
+      (101L, "totally clean benchmark item") // no train overlap
+    ).toDF("doc_id", "text")
+
+    val got = Decontaminate.report(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 100: two train docs touch it, both of its 2 grams leak
+    assert(got(100L) == ((2L, 2L, 2L)), s"got ${got(100L)}")
+    // 101: present with zeros, its own gram count intact
+    assert(got(101L) == ((0L, 0L, 2L)), s"got ${got(101L)}")
+  }
+
   test("Decontaminate.scrubSpans cuts only benchmark-matching windows, keeps the remainder") {
     val train = Seq(
       (1L, "intro words alpha beta gamma delta and a unique tail here"),
