@@ -135,13 +135,18 @@ object TextFunctions {
   def md5Hash60Composed(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** The SEEDED keyed-decision hash every ordering/capping operator
-    * shares: `md5Hash60("<seed>:<key>")`. Single-sourced so the seed
-    * format can never drift between operators (and their DuckDB
-    * oracles, which compute `'<seed>:' || CAST(key AS VARCHAR)`).
+  /** The SEEDED keyed-decision hash every ordering/capping/splitting
+    * operator shares: `md5Hash60("<seed>:<key>")`. Single-sourced so
+    * the seed format can never drift between operators (and their
+    * DuckDB oracles, which compute `'<seed>:' || CAST(key AS
+    * VARCHAR)`). The seed may be numeric (sharding, caps) or a string
+    * label (split names).
     */
-  def seededHash60(seed: Long, key: Column): Column =
+  def seededHash60(seed: String, key: Column): Column =
     md5Hash60(concat(lit(s"$seed:"), key.cast("string")))
+
+  def seededHash60(seed: Long, key: Column): Column =
+    seededHash60(seed.toString, key)
 
   /** Fast 64-bit fingerprint for engine-internal use (xxhash64 is
     * codegen'd and ~10× md5; not oracle-portable).

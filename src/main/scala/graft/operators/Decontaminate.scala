@@ -66,18 +66,21 @@ object Decontaminate {
       n: Int): DataFrame = {
     val hashes = (c: org.apache.spark.sql.Column) =>
       graft.functions.expressions.ShingleHashSetExpr.shingleHashSet(c, n)
-    val benchGrams = benchmark
-      .select(col(idCol).alias("doc_id"), explode(hashes(col(textCol))).alias("h"))
+    // the benchmark hash sets feed TWO plan positions (the broadcast
+    // gram table and the n_grams side of the final join) — materialize
+    // the (doc_id, hs) scan once (same rationale as bloomClean)
+    val bench = benchmark
+      .select(col(idCol).alias("doc_id"), hashes(col(textCol)).alias("hs"))
+      .localCheckpoint(true)
+    val benchGrams = bench.select(col("doc_id"), explode(col("hs")).alias("h"))
     val matches = train
       .select(col(idCol).alias("tid"), explode(hashes(col(textCol))).alias("h"))
       .join(broadcast(benchGrams), Seq("h"))
     val agg = matches.groupBy("doc_id").agg(
       countDistinct(col("tid")).alias("n_train_docs"),
       countDistinct(col("h")).alias("n_shared_grams"))
-    benchmark
-      .select(
-        col(idCol).alias("doc_id"),
-        size(hashes(col(textCol))).cast("long").alias("n_grams"))
+    bench
+      .select(col("doc_id"), size(col("hs")).cast("long").alias("n_grams"))
       .join(agg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

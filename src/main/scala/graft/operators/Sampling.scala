@@ -112,8 +112,7 @@ object Sampling {
       col(idCol),
       col(clusterCol),
       when(
-        graft.functions.TextFunctions.md5Hash60(
-          concat(lit(s"$prefix:"), col(clusterCol).cast("string"))) % 1000 < valPermille,
+        TextFunctions.seededHash60(prefix, col(clusterCol)) % 1000 < valPermille,
         lit("val")).otherwise(lit("train")).alias("split"))
   }
 
