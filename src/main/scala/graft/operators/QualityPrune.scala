@@ -60,8 +60,14 @@ object QualityPrune {
         df.groupBy(groupCol)
           .agg(sort_array(collect_list(col(scoreCol))).as("arr"))
           .select(col(groupCol), pctOfSorted(col("arr"), q).as("thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
+    // null-safe join (`<=>`), matching capPerGroup: a null group is a
+    // group like any other — it gets its own threshold row instead of
+    // being silently dropped by an equi-join. (Null SCORES still drop:
+    // `null >= thr` is never true, and a group's threshold is computed
+    // over its non-null scores only.)
+    val thr = thresholds.withColumnRenamed(groupCol, "__graft_grp")
+    df.join(broadcast(thr), col(groupCol) <=> col("__graft_grp"))
       .filter(col(scoreCol) >= col("thr"))
-      .drop("thr")
+      .drop("__graft_grp", "thr")
   }
 }

@@ -42,6 +42,15 @@ object Sharding {
     */
   def assign(df: DataFrame, idCol: String, seed: Long, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // `shard`/`sort_key` are this module's OUTPUT contract (the loader
+    // and the oracle key on these names), so they can't be renamed to
+    // `__graft_` temps — instead fail loud rather than silently
+    // clobbering a caller's same-named columns
+    Seq("sort_key", "shard").foreach { c =>
+      require(!df.columns.contains(c),
+        s"Sharding.assign: input already has a '$c' column — rename it " +
+          "first; assign() emits its own shard/sort_key output columns")
+    }
     val hk = sortKey(idCol, seed)
     df.withColumn("sort_key", hk)
       .withColumn("shard", (hk % nShards).cast("long"))

@@ -1142,6 +1142,16 @@ object Similarity {
     *
     * Null-vector rows are dropped and mixed-dimension deltas fail loud
     * per-row — same contract as [[buildIvfPqIndex]].
+    *
+    * ID CONTRACT: ids must be DISJOINT ACROSS DISTINCT batchIds. The
+    * index is append-only rows, not a keyed upsert — an id landed under
+    * two batches (e.g. a doc re-embedded in a later delta) yields two
+    * index rows, and each consumes a candidate/top-k slot in every
+    * future [[ivfPqTopKFromIndex]]/[[knnJoinFromIndex]] probe (same-id
+    * rows are NOT deduped at query time; the scan is deliberately a
+    * pure partition-pruned read with no exchange). Re-embedding a live
+    * id is a rebuild — or a same-batchId replacement, which dynamic
+    * overwrite handles — not a new-batch append.
     */
   def appendToIvfPqIndex(
       emb: DataFrame,
@@ -1299,6 +1309,10 @@ object Similarity {
     * payload — AQE broadcasts the small side at small |Q|. Rows are
     * identical to [[ivfKnnJoin]] run inline with the same
     * (persisted → reopened, bit-exact) quantizer and `nProbe`.
+    *
+    * Assumes [[appendToIvfPqIndex]]'s id contract (ids disjoint across
+    * batches): the index scan reads all batches of the probed cells and
+    * does not dedup same-id rows — see the append's scaladoc.
     */
   def knnJoinFromIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -51,7 +51,10 @@ object Vocab {
     // partition by design: V is the tokenizer budget, not the corpus)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.join(broadcast(total))
+    // explicit 1-row cartesian (V rows × the single total row) — not an
+    // accidental unconditioned join, and independent of the session's
+    // spark.sql.crossJoin.enabled setting
+    top.crossJoin(broadcast(total))
       .select(
         col("token"),
         col("cnt"),

@@ -99,6 +99,18 @@ class TrainingDataOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"per-row window sort in the prune plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"thresholds did not broadcast:\n$plan")
+
+    // null group = a group like any other (capPerGroup's `<=>` semantics):
+    // its rows get their own threshold instead of vanishing in the join
+    val withNull = rows.toDF("grp", "id", "score")
+      .unionByName(Seq((null.asInstanceOf[String], 5000L, 1.0),
+        (null.asInstanceOf[String], 5001L, 2.0),
+        (null.asInstanceOf[String], 5002L, 3.0),
+        (null.asInstanceOf[String], 5003L, 4.0)).toDF("grp", "id", "score"))
+    val nullKept = QualityPrune.pruneByGroupQuantile(withNull, "grp", "score", q = 0.25)
+      .filter(col("grp").isNull).select("id").as[Long].collect().toSet
+    // null group scores 1..4: thr = 1 + 3*0.25 = 1.75 → keep 2,3,4
+    assert(nullKept == Set(5001L, 5002L, 5003L), s"null group mispruned: $nullKept")
   }
 
   test("Decontaminate.bloomClean equals exact clean byte-for-byte (false positives die in the confirm)") {
