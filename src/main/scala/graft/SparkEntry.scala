@@ -2585,7 +2585,7 @@ object SparkEntry {
                           * ($pos - floor($pos)) AS thr
                  FROM g)
           SELECT sc.lang, sc.doc_id, sc.score
-          FROM sc JOIN th USING (lang)
+          FROM sc JOIN th ON sc.lang IS NOT DISTINCT FROM th.lang
           WHERE sc.score >= th.thr"""
     },
     "q88_shard_assignments" ->

@@ -52,13 +52,27 @@ object QualityPrune {
       approx: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    // fail loud on column collisions rather than producing an ambiguous
+    // join or silently dropping a caller column (same guard class as
+    // Sharding.assign)
+    Seq("__graft_grp", "thr").foreach { reserved =>
+      require(!df.columns.contains(reserved),
+        s"input already has a '$reserved' column, which this operator reserves")
+    }
+    // a group whose scores are ALL null contributes an empty sorted
+    // array (exact) / a null sketch result (approx); drop its threshold
+    // row — with an inner join that is identical to "every row of the
+    // group drops" (null >= anything is never true), and it keeps
+    // pctOfSorted off the empty array it cannot index
     val thresholds =
       if (approx)
         df.groupBy(groupCol)
           .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy)).as("thr"))
+          .filter(col("thr").isNotNull)
       else
         df.groupBy(groupCol)
           .agg(sort_array(collect_list(col(scoreCol))).as("arr"))
+          .filter(size(col("arr")) > 0)
           .select(col(groupCol), pctOfSorted(col("arr"), q).as("thr"))
     // null-safe join (`<=>`), matching capPerGroup: a null group is a
     // group like any other — it gets its own threshold row instead of

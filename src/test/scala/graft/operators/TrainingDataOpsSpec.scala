@@ -113,6 +113,32 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(nullKept == Set(5001L, 5002L, 5003L), s"null group mispruned: $nullKept")
   }
 
+  test("QualityPrune: reserved-column collision fails loud; all-null-score group drops, not crashes") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("grp", "id", "score")
+    // same guard class as Sharding.assign: reject rather than clobber
+    intercept[IllegalArgumentException] {
+      QualityPrune.pruneByGroupQuantile(df.withColumn("thr", col("score")),
+        "grp", "score", q = 0.25)
+    }
+    intercept[IllegalArgumentException] {
+      QualityPrune.pruneByGroupQuantile(df.withColumn("__graft_grp", col("grp")),
+        "grp", "score", q = 0.25)
+    }
+    // a group whose scores are ALL null must simply drop (null >= thr is
+    // never true), not crash pctOfSorted on an empty array
+    val withAllNull = df.unionByName(
+      Seq(("Z", 10L), ("Z", 11L)).toDF("grp", "id")
+        .withColumn("score", org.apache.spark.sql.functions.lit(null)
+          .cast("double")))
+    for (ap <- Seq(false, true)) {
+      val kept = QualityPrune.pruneByGroupQuantile(
+        withAllNull, "grp", "score", q = 0.25, approx = ap)
+        .select("grp").as[String].collect().toSet
+      assert(kept == Set("A"), s"approx=$ap: all-null-score group mishandled: $kept")
+    }
+  }
+
   test("Decontaminate.bloomClean equals exact clean byte-for-byte (false positives die in the confirm)") {
     val train = (1L to 80L).map { i =>
       val words =
