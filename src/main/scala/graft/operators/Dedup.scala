@@ -261,6 +261,41 @@ object Dedup {
           .alias("sig"))
   }
 
+  /** `(id, band, key)` banded-LSH rows per doc — [[minHashLsh]]'s
+    * bucketing stage as a standalone, PERSISTABLE table. At 100 TB this
+    * is the near-dup index an ingest pipeline stores alongside the
+    * corpus (each doc pays its `bands` rows once, at admission; store
+    * bucketed by `(band, key)` and the candidate join is
+    * co-partitioned), so checking a new batch never re-hashes corpus
+    * text — see [[incrementalNearDupIndexed]].
+    */
+  def bandTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"bands must divide k, got k=$k bands=$bands")
+    val rows = k / bands
+    // explode a literal band-index array (see minHashSignatures shape note)
+    val bandIdx = array((0 until bands).map(b => lit(b)): _*)
+    minHashSignatureTable(docs, idCol, textCol, n, k)
+      .select(col("id"), col("sig"), explode(bandIdx).alias("band"))
+      .select(
+        col("id"),
+        col("band"),
+        md5(concat_ws("_", slice(col("sig"), col("band") * rows + 1, lit(rows)))).alias("key"))
+  }
+
+  /** `(id, hs)` sorted distinct shingle-hash sets — [[bandTable]]'s
+    * verify-stage sidecar: persisting both lets an ingest pipeline run
+    * the exact-Jaccard confirmation against state instead of re-shingling
+    * corpus text per trigger.
+    */
+  def shingleSetTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     *
     * Stage 1 (candidate-gen) shuffles `(band, key) → ids` — each doc
@@ -278,15 +313,7 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
 
-    val rows = k / bands
-    // explode a literal band-index array (see minHashSignatures shape note)
-    val bandIdx = array((0 until bands).map(b => lit(b)): _*)
-    val buckets = minHashSignatureTable(docs, idCol, textCol, n, k)
-      .select(col("id"), col("sig"), explode(bandIdx).alias("band"))
-      .select(
-        col("id"),
-        col("band"),
-        md5(concat_ws("_", slice(col("sig"), col("band") * rows + 1, lit(rows)))).alias("key"))
+    val buckets = bandTable(docs, idCol, textCol, n, k, bands)
     val cand = buckets.alias("x")
       .join(buckets.alias("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
@@ -315,10 +342,12 @@ object Dedup {
     * batch is near-dup-checked against the existing corpus WITHOUT any
     * corpus×corpus comparison, then near-dup-deduplicated within itself.
     *
-    * Mechanics: MinHash band keys on BOTH sides ([[minHashSignatureTable]]
-    * — the corpus band table is the persistable index; at 100 TB it is
-    * computed once per ingest epoch and stored bucketed by `(band, key)`
-    * so the candidate join is co-partitioned); candidates are
+    * Mechanics: MinHash band keys on BOTH sides ([[bandTable]] — the
+    * corpus band table is the persistable index; at 100 TB it is stored
+    * bucketed by `(band, key)` so the candidate join is co-partitioned,
+    * and a sustained ingest threads the PERSISTED band/set tables in via
+    * [[incrementalNearDupIndexed]] instead of recomputing them from
+    * corpus text per call); candidates are
     * batch×corpus band-key collisions only, each verified with the exact
     * shingle-set Jaccard (no false positives — same verify kernel as
     * [[minHashLsh]]; false negatives bounded by the (k, bands) collision
@@ -341,49 +370,90 @@ object Dedup {
       n: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    incrementalNearDupFrom(
+      batch, idCol, textCol, n, k, bands, threshold,
+      // corpus band keys recomputed from text on every call: the corpus
+      // pays one band-key scan per trigger (MinHash over full text).
+      // Acceptable for one-shot batch use; a STREAMING caller should
+      // persist the band/set tables and use incrementalNearDupIndexed
+      // instead, which reads state and never re-hashes corpus text.
+      bandTable(corpus, idCol, textCol, n, k, bands),
+      // corpus shingle sets ONLY for the band-collision candidates (a
+      // handful of ids per batch): computing them corpus-wide would
+      // re-hash far more text to verify a few pairs. Single plan
+      // position, so no materialization either — only candidates pay
+      // the shingle-set verify.
+      candIds =>
+        shingleSets(
+          corpus.join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+          idCol, textCol, n))
+
+  /** [[incrementalNearDup]] against a PREBUILT corpus index — the
+    * delta-over-state form a streaming ingest needs: the corpus side is
+    * its persisted [[bandTable]] rows `(id, band, key)` and
+    * [[shingleSetTable]] sets `(id, hs)`, so a trigger's plan reads NO
+    * corpus text at all — candidate-gen joins the batch's band keys
+    * against the band state, and the exact-Jaccard verify fetches the
+    * stored shingle sets for the band-collision candidate ids only
+    * (semi-join-pruned). Per-trigger compute is proportional to the
+    * batch; the corpus-side cost is one band-state scan (scalar rows)
+    * plus the candidates' set rows.
+    */
+  def incrementalNearDupIndexed(
+      batch: DataFrame,
+      corpusBands: DataFrame,
+      corpusSets: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    incrementalNearDupFrom(
+      batch, idCol, textCol, n, k, bands, threshold,
+      corpusBands,
+      candIds => corpusSets.join(candIds, Seq("id"), "left_semi"))
+
+  /** Shared core of the two incremental near-dup forms. `corpusBands`
+    * supplies the corpus `(id, band, key)` rows; `corpusSetsFor` maps a
+    * single-column `(id)` frame of candidate ids to their `(id, hs)`
+    * shingle sets.
+    */
+  private def incrementalNearDupFrom(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double,
+      corpusBands: DataFrame,
+      corpusSetsFor: DataFrame => DataFrame): DataFrame = {
     require(bands > 0 && k % bands == 0, s"bands must divide k, got k=$k bands=$bands")
     // batch side only: batch ids are cast to long for the state/output;
     // corpus ids are never cast here (they only key the candidate and
     // verify joins against themselves), so a string-keyed historical
     // corpus stays valid
     requireNumericId(batch, idCol, "incrementalNearDup (batch)")
-    val rows = k / bands
-    val bandIdx = array((0 until bands).map(b => lit(b)): _*)
-    def bandTable(docs: DataFrame): DataFrame =
-      minHashSignatureTable(docs, idCol, textCol, n, k)
-        .select(col("id"), col("sig"), explode(bandIdx).alias("band"))
-        .select(
-          col("id"),
-          col("band"),
-          md5(concat_ws("_", slice(col("sig"), col("band") * rows + 1, lit(rows)))).alias("key"))
 
     // the batch band table and shingle sets each feed TWO plan positions
     // (corpus check + intra-batch pass) on different keys — materialize
     // once (same rationale as materializedShingleSets)
-    val bandB = bandTable(batch).localCheckpoint(true)
+    val bandB = bandTable(batch, idCol, textCol, n, k, bands).localCheckpoint(true)
     val setsB = materializedShingleSets(batch, idCol, textCol, n)
 
     // batch×corpus: band-key collisions, exact-Jaccard verified. The
-    // corpus side shuffles on (band, key) once — never on text, never
-    // against itself. Materialized: feeds the candidate-id semi-join
-    // below AND the verify join.
+    // corpus side shuffles on (band, key) once — scalar band rows, never
+    // text, never against itself. Materialized: feeds the candidate-id
+    // semi-join below AND the verify join.
     val candC = bandB.alias("x")
-      .join(bandTable(corpus).alias("y"), Seq("band", "key"))
+      .join(corpusBands.alias("y"), Seq("band", "key"))
       .select(col("x.id").alias("id_b"), col("y.id").alias("id_c"))
       .distinct()
       .localCheckpoint(true)
 
-    // corpus shingle sets ONLY for the band-collision candidates (a
-    // handful of ids per batch): computing them corpus-wide would make
-    // every call — i.e. every streaming micro-batch — re-hash the FULL
-    // corpus text to verify a few pairs. Single plan position, so no
-    // materialization either; per-trigger cost stays proportional to
-    // the batch, not the corpus.
-    val setsC = shingleSets(
-      corpus.join(
-        candC.select(col("id_c").alias(idCol)).distinct(), Seq(idCol), "left_semi"),
-      idCol, textCol, n)
+    val setsC = corpusSetsFor(candC.select(col("id_c").alias("id")).distinct())
     val hits = candC
       .join(setsB.toDF("id_b", "hs_b"), Seq("id_b"))
       .join(setsC.toDF("id_c", "hs_c"), Seq("id_c"))

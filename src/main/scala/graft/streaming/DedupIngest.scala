@@ -142,14 +142,39 @@ object DedupIngest {
     .add("id", LongType, nullable = false)
     .add("text", StringType, nullable = true)
 
-  /** One text batch merged into the kept-representative corpus
-    * `(id, text)` via [[Dedup.incrementalNearDup]]: batch docs with a
-    * verified corpus near-dup are dropped (batch×corpus band collisions
-    * only — the corpus is never self-joined), intra-batch dup groups
-    * keep their min id, and survivors' texts APPEND to the state. The
-    * first batch (empty corpus) seeds it with its own intra-corpus
-    * dedup ([[Dedup.minHashLsh]] pairs + components + keep-min via a
-    * degenerate empty-corpus incremental call).
+  /** The near-dup tier's persisted LSH index: [[Dedup.bandTable]] rows
+    * for every kept representative. At 100 TB, store bucketed by
+    * `(band, key)` and the per-trigger candidate join is co-partitioned.
+    */
+  def nearDupBandStateSchema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("band", IntegerType, nullable = false)
+    .add("key", StringType, nullable = true)
+
+  /** The verify-stage sidecar: each kept representative's sorted
+    * distinct shingle-hash set ([[Dedup.shingleSetTable]]).
+    */
+  def nearDupSetStateSchema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("hs", ArrayType(LongType, containsNull = false), nullable = true)
+
+  /** One text batch merged into the near-dup state TRIPLE — kept corpus
+    * `(id, text)`, band index `(id, band, key)`, shingle sets
+    * `(id, hs)` — via [[Dedup.incrementalNearDupIndexed]]: batch docs
+    * with a verified corpus near-dup are dropped (batch×corpus band-KEY
+    * collisions against the persisted band state — corpus text is never
+    * read, let alone re-MinHashed), intra-batch dup groups keep their
+    * min id, and survivors' corpus/band/set rows APPEND to the three
+    * states. The first batch (all states empty) seeds them with its own
+    * intra-batch dedup (degenerate empty-index incremental call).
+    *
+    * Per-trigger cost: proportional to the BATCH (its MinHash/shingle
+    * pass runs twice — once inside the dedup check, once to build the
+    * survivors' state rows) plus one scalar scan of the band state for
+    * the candidate join; corpus TEXT enters no plan. Each append
+    * anti-joins the state's ids first, so re-applying a batch whose
+    * previous run crashed between the three table swaps replaces
+    * nothing and duplicates nothing (idempotent per table).
     *
     * Same equivalence caveat as the semantic tier: tight clusters +
     * increasing ids reproduce the batch pipeline; sparse chains that
@@ -157,29 +182,78 @@ object DedupIngest {
     * ingest).
     */
   def mergeNearDupState(
-      state: DataFrame,
+      corpus: DataFrame,
+      bandState: DataFrame,
+      setState: DataFrame,
       batch: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): (DataFrame, DataFrame, DataFrame) = {
     // same loud guard as the exact tier: a non-numeric id would cast to
     // null and every batch row would silently vanish from the state
     Dedup.requireNumericId(batch, idCol, "mergeNearDupState")
     val batchDocs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(textCol).cast("string").alias("text"))
-    val keptIds = Dedup.incrementalNearDup(
-      batchDocs, state, "id", "text", n, k, bands, threshold)
+    // eager: the three appends below are written one table at a time,
+    // and a LAZY kept-id plan would re-read the band/set state after
+    // its own overwrite had landed — materialize the (tiny) decision
+    // before any state table moves
+    val keptIds = Dedup.incrementalNearDupIndexed(
+      batchDocs, bandState, setState, "id", "text", n, k, bands, threshold)
       .filter(col("kept") === 1L)
       .select("id")
-    state.unionByName(batchDocs.join(keptIds, Seq("id")))
+      .localCheckpoint(true)
+    val survivors = batchDocs.join(keptIds, Seq("id"))
+    def appendNew(state: DataFrame, rows: DataFrame): DataFrame =
+      state.unionByName(
+        rows.join(state.select("id").distinct(), Seq("id"), "left_anti"))
+    (appendNew(corpus, survivors),
+      appendNew(bandState, Dedup.bandTable(survivors, "id", "text", n, k, bands)),
+      appendNew(setState, Dedup.shingleSetTable(survivors, "id", "text", n)))
+  }
+
+  /** The near-dup tier's per-micro-batch body (factored out for the
+    * replay spec). Crash-window note: the three state swaps plus the
+    * meta write are four separate renames; a replay after a crash
+    * anywhere between them re-runs the merge, whose per-table id
+    * anti-join makes the re-application a no-op for rows that already
+    * landed.
+    */
+  private[streaming] def applyNearDupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
+      val (corpus, bandSt, setSt) = (
+        sink.read(spark, table, nearDupStateSchema),
+        sink.read(spark, s"${table}__bands", nearDupBandStateSchema),
+        sink.read(spark, s"${table}__sets", nearDupSetStateSchema))
+      val (newCorpus, newBands, newSets) = mergeNearDupState(
+        corpus, bandSt, setSt, batch, idCol, textCol, n, k, bands, threshold)
+      sink.write(newCorpus, table, SaveMode.Overwrite)
+      sink.write(newBands, s"${table}__bands", SaveMode.Overwrite)
+      sink.write(newSets, s"${table}__sets", SaveMode.Overwrite)
+      markApplied(spark, sink, table, batchId)
+    }
   }
 
   /** Start the near-dup ingest: every micro-batch of `(id, text)` rows
-    * merges into the kept-representative corpus at `table`.
+    * merges into the kept-representative corpus at `table`, with the
+    * persisted LSH band index at `table__bands` and the shingle-set
+    * sidecar at `table__sets` — the trigger plan reads those two, never
+    * corpus text.
     */
   def startNearDup(
       docs: DataFrame,
@@ -198,14 +272,7 @@ object DedupIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
-          val state = sink.read(spark, table, nearDupStateSchema)
-          sink.write(
-            mergeNearDupState(state, batch, idCol, textCol, n, k, bands, threshold),
-            table, SaveMode.Overwrite)
-          markApplied(spark, sink, table, batchId)
-        }
+        applyNearDupBatch(batch, batchId, idCol, textCol, sink, table, n, k, bands, threshold)
       }
       .start()
 
