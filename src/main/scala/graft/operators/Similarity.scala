@@ -450,8 +450,37 @@ object Similarity {
     val k = if (nLists > 0) nLists else autoNLists(emb.select(col(idCol)).count())
     val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
     val centroids = trainCentroids(emb, idCol, vecCol, k, seed, sampleRows)
+    semanticDedupCore(assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows)
+  }
 
-    val assigned = assignCells(emb, idCol, vecCol, centroids)
+  /** [[semanticDedup]] with a FROZEN, caller-supplied quantizer — no
+    * training pass: the caller owns the centroids (trained once at
+    * bootstrap and persisted; see `DedupIngest`'s semantic tier), and
+    * this call only assigns cells and runs the intra-cell dedup. Output
+    * contract is identical to [[semanticDedup]].
+    */
+  def semanticDedupFrozen(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      maxCellRows: Int = 100000,
+      blockRows: Int = 512): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedupFrozen: empty centroid model")
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    semanticDedupCore(assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows)
+  }
+
+  /** Post-training tail shared by [[semanticDedup]] and
+    * [[semanticDedupFrozen]]: intra-cell block pairs → CC → min-id keep
+    * over an already cell-assigned `(id, vec, nrm, cell)` frame.
+    */
+  private def semanticDedupCore(
+      assigned: DataFrame,
+      threshold: Double,
+      maxCellRows: Int,
+      blockRows: Int): DataFrame = {
     val cellCounts = checkedCellCounts(assigned, maxCellRows, "semanticDedup")
     val pairs = intraCellPairs(assigned, cellCounts, blockRows, threshold)
 

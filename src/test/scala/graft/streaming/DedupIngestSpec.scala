@@ -82,9 +82,11 @@ class DedupIngestSpec extends SparkTestBase {
     assert(eEx.getMessage.contains("doc_id must be an integral type"), eEx.getMessage)
 
     val eNd = intercept[IllegalArgumentException] {
+      val ndSink = new ParquetKVSink(Files.createTempDirectory("graft-guard").toString)
       DedupIngest.mergeNearDupState(
-        new ParquetKVSink(Files.createTempDirectory("graft-guard").toString)
-          .read(spark, "none", DedupIngest.nearDupStateSchema),
+        ndSink.read(spark, "none", DedupIngest.nearDupStateSchema),
+        ndSink.read(spark, "none_bands", DedupIngest.nearDupBandStateSchema),
+        ndSink.read(spark, "none_sets", DedupIngest.nearDupSetStateSchema),
         strDocs, "doc_id", "text")
     }
     assert(eNd.getMessage.contains("doc_id must be an integral type"), eNd.getMessage)
