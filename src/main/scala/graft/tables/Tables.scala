@@ -20,17 +20,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a real
-    * `TimestampType` (micros) — the same truncation DuckDB applies.
+  /** `events.ts` has shipped in two physical vintages: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as a
+    * raw long via `spark.sql.legacy.parquet.nanosAsLong`) and native
+    * TIMESTAMP(MICROS, NTZ). Branch on the loaded dtype instead of
+    * assuming one writer's physical type: a loader hard-coded to a single
+    * vintage breaks the moment the upstream writer changes, which is a
+    * routine event on a real data lake.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Harmless when the column is a native timestamp (the flag only
+    // affects NANOS columns); required for the nanos vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    // integer `div`, not `/` (which is a double divide and loses nanos
-    // precision past 2^53)
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/` (a double divide loses nanos precision
+        // past 2^53) — the same floor truncation DuckDB applies.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ =>
+        // TIMESTAMP_NTZ (or any other temporal type): session TZ is UTC,
+        // so NTZ -> LTZ is value-stable.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
