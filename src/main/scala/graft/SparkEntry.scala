@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -768,6 +768,28 @@ object SparkEntry {
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0),
       "doc_id", "text", n = 3)
+  }
+
+  /** Apply-BPE tokenization (round 13): q90's merge table, APPLIED — the
+    * text → token-sequence step a training loader consumes, closing the
+    * train/apply loop (q90 counts pairs; this segments every document
+    * with the ranked merge list). The apply chain is per-row chained
+    * native `replace` over a double-space symbol encoding (textbook
+    * left-to-right BPE merge semantics — see [[graft.operators.Bpe]]),
+    * so the tokenization plan is scan → projection with ZERO exchanges
+    * and zero UDFs; only the bounded merge-list training job aggregates
+    * (50 collected rows, the same driver-scale contract as the IVF
+    * samples). Output is per-doc scalars with an order-sensitive md5
+    * over the full token sequence, so the oracle check pins the exact
+    * segmentation, not just counts — DuckDB reproduces the apply with a
+    * recursive CTE over the same ranked merges and the same `replace`
+    * semantics.
+    */
+  private def q93_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
   }
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
@@ -1575,7 +1597,8 @@ object SparkEntry {
     "q89_vocab_coverage" -> (q89_vocab_coverage _),
     "q90_bpe_pairs" -> (q90_bpe_pairs _),
     "q91_group_cap" -> (q91_group_cap _),
-    "q92_contamination_report" -> (q92_contamination_report _)
+    "q92_contamination_report" -> (q92_contamination_report _),
+    "q93_bpe_tokenize" -> (q93_bpe_tokenize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2649,6 +2672,47 @@ object SparkEntry {
                  COALESCE(a.n_shared_grams, 0) AS n_shared_grams,
                  CAST(s.sz AS BIGINT) AS n_grams
           FROM sz s LEFT JOIN a USING (id)
-          WHERE s.id % 20 = 0"""
+          WHERE s.id % 20 = 0""",
+    "q93_bpe_tokenize" ->
+      // mg = q90's ranked merge table; prep renders each doc's words
+      // (\n-joined) as " c1  c2 " double-space symbols; the recursive
+      // CTE applies merge rk = k+1 with the SAME replace semantics as
+      // the Spark chain (one flanking space consumed per side keeps
+      // neighbors mergeable — textbook left-to-right BPE)
+      s"""WITH RECURSIVE
+          mg AS (SELECT pair,
+                        CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rk
+                 FROM (SELECT pair, sum(freq) AS cnt
+                       FROM (SELECT unnest(list_transform(range(1, length(word)),
+                                           i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+                                    freq
+                             FROM (SELECT w AS word, count(*) AS freq
+                                   FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+                                   GROUP BY w)
+                             WHERE length(word) > 1)
+                       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50)),
+          nm AS (SELECT count(*) AS n FROM mg),
+          prep AS (SELECT doc_id,
+                          ' ' || regexp_replace(array_to_string(${sqlTokens("text")}, chr(10)),
+                                                '(.)', '\\1  ', 'gs') AS s
+                   FROM documents),
+          ap AS (SELECT doc_id, s, CAST(0 AS BIGINT) AS k FROM prep
+                 UNION ALL
+                 SELECT a.doc_id,
+                        replace(a.s,
+                                ' ' || substring(m.pair, 1, 1) || '  ' || substring(m.pair, 2, 1) || ' ',
+                                ' ' || m.pair || ' '),
+                        a.k + 1
+                 FROM ap a JOIN mg m ON m.rk = a.k + 1),
+          fin AS (SELECT doc_id,
+                         list_filter(string_split(s, ' '),
+                                     x -> length(x) > 0 AND x <> chr(10)) AS toks
+                  FROM ap, nm WHERE ap.k = nm.n)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+                 CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_token_len,
+                 md5(array_to_string(toks, '|')) AS seq_hash
+          FROM fin"""
   )
 }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenization: APPLY a trained merge list to text, distributed
+  * and oracle-checkable. (Reference analogue: none — this takes the
+  * tokenize contract of `pipelines.scala:42-67` to its training-pipeline
+  * conclusion; q90/`Vocab.bpePairCounts` is the matching train-side
+  * step.)
+  *
+  * Representation trick that makes the whole apply chain native codegen
+  * (`StringReplace`, no UDF, no shuffle): a document's words are joined
+  * by a `\n` sentinel symbol and exploded to per-character symbols
+  * rendered as a string with TWO spaces between symbols and ONE flanking
+  * space: `" a  b  \n  c "`. One `replace(s, " a  b ", " ab ")` pass per
+  * merge then consumes one space from each side of the matched pair,
+  * PRESERVING the separator budget of its neighbors — so consecutive
+  * occurrences ("abab" → `" a  b  a  b "`) both merge in a single
+  * left-to-right pass, exactly the textbook BPE merge step. (With
+  * single-space separators the first match would swallow the delimiter
+  * the second match needs — the classic off-by-one that silently
+  * diverges from reference BPE implementations.) Since Spark's and
+  * DuckDB's `replace` share left-to-right non-overlapping semantics,
+  * the oracle reproduces the apply bit-for-bit, including
+  * identical-symbol runs ("aaaa" → `[aa, aa]`).
+  *
+  * Scale shape: the apply is a pure per-row projection — `nMerges`
+  * linear string passes per document, embarrassingly parallel, zero
+  * exchanges (plan-audited). The merge list itself is driver-scale by
+  * definition (a tokenizer's merge table, 10k–100k entries max; here
+  * bounded by `topPairs`). At 100 TB the classic refinement is to apply
+  * merges over DISTINCT words only (Zipf: the word vocabulary is orders
+  * of magnitude smaller than the token stream) and re-join; the
+  * projection form here keeps the oracle equivalence exact and is the
+  * right shape while per-doc text dominates distinct-word overhead.
+  */
+object Bpe {
+
+  /** Split into code points (NOT UTF-16 chars) — merge pairs are
+    * 2-character strings in SQL character semantics, and Java substring
+    * would cut astral pairs in half.
+    */
+  private[operators] def codePoints(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One-shot ranked merge list: the top-`topPairs` adjacent character
+    * pairs by corpus frequency (exactly `Vocab.bpePairCounts`' table,
+    * ties broken by pair text), split into (left, right) symbols. This
+    * is the first round of BPE training taken as the whole merge list —
+    * deterministic and reproducible in SQL, which is what the oracle
+    * check needs. For a REAL multi-level merge list use [[trainMerges]]
+    * (driver-side iterative BPE) or any externally trained list;
+    * [[tokenize]] accepts arbitrary symbol pairs.
+    */
+  def rankedBigramMerges(docs: DataFrame, textCol: String, topPairs: Int): Seq[(String, String)] =
+    Vocab.bpePairCounts(docs, textCol, topPairs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (pair, cnt) => (-cnt, pair) }
+      .map { case (pair, _) =>
+        val cps = codePoints(pair)
+        require(cps.length == 2, s"bigram merge must be 2 code points, got '$pair'")
+        (cps(0), cps(1))
+      }.toSeq
+
+  /** Textbook iterative BPE training, driver-side, over a (word, freq)
+    * table (collect the word-frequency aggregate first — it is
+    * vocabulary-sized, and real tokenizer trainers are driver-scale for
+    * the same reason; cap the table before calling for a hard memory
+    * bound). Each round counts adjacent symbol pairs weighted by word
+    * frequency, merges the (count desc, pair asc) argmax, and
+    * re-segments with the same left-to-right non-overlapping pass
+    * [[tokenize]] applies — trainer and applier agree by construction.
+    */
+  def trainMerges(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Vector[(Vector[String], Long)] =
+      wordFreqs.iterator.map { case (w, f) => (codePoints(w), f) }.toVector
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, f) => (mergePass(syms, best), f) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One left-to-right non-overlapping merge pass over a symbol list —
+    * the list-form twin of the string `replace` pass (a token merged in
+    * this pass is never the LEFT element of another match in the same
+    * pass).
+    */
+  private[operators] def mergePass(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += (pair._1 + pair._2)
+        j += 2
+      } else {
+        out += syms(j)
+        j += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The spaced symbol string for a document: words (lower-cased
+    * whitespace tokens) joined by the `\n` sentinel, every code point a
+    * symbol — `" a  b  \n  c "` form (one flanking space, two between).
+    * `\n` can never merge (merge pairs come from words, which contain no
+    * whitespace), so merges stop at word boundaries by construction.
+    */
+  private def spacedSymbols(text: Column): Column =
+    concat(
+      lit(" "),
+      regexp_replace(concat_ws("\n", TextFunctions.tokens(text)), "(?s)(.)", "$1  "))
+
+  /** Merge-applied symbol string: fold the ranked merges into chained
+    * native `replace` calls. Pattern `" a  b "` → `" ab "` keeps the
+    * one-flanking/two-separating invariant, so later (lower-rank)
+    * merges see the same representation.
+    */
+  private def applyMerges(spaced: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+
+  /** Final token array of a merged symbol string: split on spaces, drop
+    * empties and the `\n` word sentinels.
+    */
+  private def parseTokens(merged: Column): Column =
+    filter(split(merged, " "), t => length(t) > 0 && t =!= lit("\n"))
+
+  /** `(id, toks: array<string>)` — the tokenized corpus. Pure
+    * projection: scan → codegen'd replace chain → split; no exchange.
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame =
+    docs.select(
+      col(idCol).alias("id"),
+      parseTokens(applyMerges(spacedSymbols(col(textCol)), merges)).alias("toks"))
+
+  /** Per-document tokenization evidence, scalar-only (the correctness
+    * gate's row compare needs scalars): token count, distinct-token
+    * count, longest token, and an order-sensitive md5 over the full
+    * token sequence — a hash mismatch catches ANY divergence in merge
+    * application order or segmentation, not just count drift.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame =
+    tokenize(docs, idCol, textCol, merges)
+      .select(
+        col("id"),
+        size(col("toks")).cast("long").alias("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").alias("n_unique_tokens"),
+        array_max(transform(col("toks"), t => length(t))).cast("long").alias("max_token_len"),
+        md5(concat_ws("|", col("toks"))).alias("seq_hash"))
+
+  /** Token→id vocabulary of a tokenized corpus: rank by (count desc,
+    * token asc), 1-based. Bounded by |alphabet| + |merges| (every
+    * symbol is a single character or a merge output), hence always
+    * driver-scale.
+    */
+  def vocabIds(toks: DataFrame, toksCol: String): Map[String, Int] =
+    toks.select(explode(col(toksCol)).alias("t"))
+      .groupBy("t").agg(count(lit(1)).alias("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex
+      .map { case ((t, _), i) => (t, i + 1) }
+      .toMap
+
+  /** `(id, token_ids: array<int>)` — the training-loader handoff. The
+    * vocabulary map is a broadcast literal (bounded, see [[vocabIds]]);
+    * the lookup is a codegen'd `element_at`, still projection-only.
+    */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)], vocab: Map[String, Int]): DataFrame = {
+    require(vocab.nonEmpty, "tokenIds: empty vocabulary")
+    val vm = typedlit(vocab)
+    tokenize(docs, idCol, textCol, merges)
+      .select(col("id"),
+        transform(col("toks"), t => element_at(vm, t)).alias("token_ids"))
+  }
+}
