@@ -792,6 +792,24 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Temperature/epoch mixture sampling (round 13): the
+    * imbalanced-mix loader step — source mass ∝ √n_s (temperature 2,
+    * the classic multilingual exponent), budget 2500‰ of the corpus,
+    * so under-represented sources repeat across epochs while large
+    * ones sample down; each doc's per-epoch keep decision is the
+    * seeded md5 permille family. The rate table is computed
+    * driver-side with a fixed source-ascending fold (√ is IEEE
+    * correctly-rounded, so DuckDB's identical fold reproduces the
+    * rates bit-for-bit); the corpus-side plan is a broadcast rate
+    * join + a bounded row-local `sequence` explode + a scan-side hash
+    * predicate — no shuffle (plan-audited).
+    */
+  private def q94_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureEpochSample(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      "doc_id", "source", budgetPermille = 2500)
+      .select("doc_id", "source", "epoch")
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1598,7 +1616,8 @@ object SparkEntry {
     "q90_bpe_pairs" -> (q90_bpe_pairs _),
     "q91_group_cap" -> (q91_group_cap _),
     "q92_contamination_report" -> (q92_contamination_report _),
-    "q93_bpe_tokenize" -> (q93_bpe_tokenize _)
+    "q93_bpe_tokenize" -> (q93_bpe_tokenize _),
+    "q94_temperature_mix" -> (q94_temperature_mix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2713,6 +2732,32 @@ object SparkEntry {
                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
                  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_token_len,
                  md5(array_to_string(toks, '|')) AS seq_hash
-          FROM fin"""
+          FROM fin""",
+    "q94_temperature_mix" ->
+      // the rate table mirrors the driver-side computation exactly:
+      // sqrt is IEEE correctly-rounded and list_reduce is the same
+      // source-ascending left fold, so epochs/frac_pm are bit-identical
+      s"""WITH cnt AS (SELECT source, count(*) AS n_s
+                       FROM documents WHERE source IS NOT NULL GROUP BY source),
+          tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM cnt),
+          bdg AS (SELECT n * 2500 // 1000 AS b FROM tot),
+          sw AS (SELECT list_reduce(list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY source),
+                                    (a, b) -> a + b) AS s
+                 FROM cnt),
+          rt AS (SELECT source,
+                        CAST(floor(r) AS BIGINT) AS epochs,
+                        CAST(floor((r - floor(r)) * 1000) AS BIGINT) AS frac_pm
+                 FROM (SELECT source,
+                              (CAST((SELECT b FROM bdg) AS DOUBLE) *
+                               (sqrt(CAST(n_s AS DOUBLE)) / (SELECT s FROM sw)))
+                              / CAST(n_s AS DOUBLE) AS r
+                       FROM cnt)),
+          ex AS (SELECT d.doc_id, d.source, r.epochs, r.frac_pm, t.epoch
+                 FROM documents d JOIN rt r USING (source)
+                 CROSS JOIN LATERAL unnest(range(0, r.epochs + 1)) AS t(epoch))
+          SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+          FROM ex
+          WHERE epoch < epochs
+             OR ${sqlMd5h60("'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} % 1000 < frac_pm"""
   )
 }

@@ -87,6 +87,82 @@ object Sampling {
       .filter(hashBucket(col(keyCol), 1000) < col("rate_pm"))
   }
 
+  /** Temperature-scaled, epoch-aware mixture sampling — the standard
+    * training-loader shape for imbalanced source mixes (multilingual /
+    * multi-domain pre-training): source sampling mass ∝ `n_s^alpha`
+    * (alpha < 1 upsamples low-resource sources; alpha = 1 is natural
+    * proportions), and a source whose target mass EXCEEDS its size is
+    * repeated across epochs — each doc emits one row per full epoch
+    * plus a fractional final epoch decided by the per-epoch seeded
+    * md5 hash (same keyed-decision family as [[stratifiedSample]], so
+    * the emitted multiset is deterministic across runs, partitionings,
+    * and engines).
+    *
+    * `budgetPermille` is the emitted volume as ‰ of the corpus size
+    * and MAY exceed 1000 (a multi-epoch budget). Per source:
+    * `r_s = B·q_s / n_s` where `B = ⌊N·budget/1000⌋` and
+    * `q_s = n_s^alpha / Σ n_s^alpha`; docs of source s appear in
+    * epochs `0 .. ⌊r_s⌋`, the last kept iff
+    * `hash(prefix:epoch:key) ‰ < ⌊frac(r_s)·1000⌋`.
+    *
+    * Determinism discipline (oracle-exact floating point): the rate
+    * table is computed DRIVER-side from the collected per-source
+    * counts (mixture-config-scale — one row per source) with a fixed
+    * fold order (source-ascending left fold for `Σ n_s^alpha`), and
+    * the default `alpha = 0.5` uses `sqrt`, which IEEE 754 requires
+    * correctly rounded — so Spark and DuckDB produce bit-identical
+    * rates. Other alphas go through `pow`, whose last-ulp behavior is
+    * NOT portable across libm implementations; keep oracle-checked
+    * configs on 0.5/1.0. Null sources are excluded (they cannot order
+    * portably in the fold).
+    *
+    * Scale shape: one aggregate for the counts; the rate table
+    * broadcasts back as a literal; the epoch fan-out is a row-local
+    * bounded `sequence` explode and the keep decision is scan-side —
+    * the corpus never shuffles.
+    */
+  def temperatureEpochSample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      budgetPermille: Int,
+      alpha: Double = 0.5,
+      seedPrefix: String = "epoch"): DataFrame = {
+    require(budgetPermille >= 0, s"budgetPermille must be >= 0, got $budgetPermille")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(sourceCol).isNotNull)
+    val counts = base.groupBy(sourceCol).agg(count(lit(1)).alias("n_s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return base.withColumn("epoch", lit(0L)).limit(0)
+    val nTotal = counts.map(_._2).sum
+    val budgetDocs = nTotal * budgetPermille / 1000
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    // left fold in source-ascending order — the oracle's list_reduce
+    // mirrors this exact summation order
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + weight(n) }
+    val rates = counts.map { case (s, n) =>
+      val r = (budgetDocs * (weight(n) / sumW)) / n.toDouble
+      val epochs = math.floor(r).toLong
+      val fracPm = math.floor((r - epochs) * 1000).toLong
+      (s, epochs, fracPm)
+    }.toSeq
+    val ratesDf = rates.toDF(sourceCol, "__graft_epochs", "__graft_frac_pm")
+    val epochKey = TextFunctions.md5Hash60(concat(
+      lit(s"$seedPrefix:"), col("epoch").cast("string"),
+      lit(":"), col(keyCol).cast("string")))
+    base.join(broadcast(ratesDf), Seq(sourceCol))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__graft_epochs"))))
+      .filter(col("epoch") < col("__graft_epochs") || epochKey % 1000 < col("__graft_frac_pm"))
+      .drop("__graft_epochs", "__graft_frac_pm")
+  }
+
   /** Leakage-safe train/validation split: assignment is per near-dup
     * CLUSTER, not per document, so no near-duplicate pair ever straddles
     * the split — the eval-contamination failure a doc-level random split

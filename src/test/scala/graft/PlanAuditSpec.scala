@@ -463,4 +463,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q92 path:\n$plan")
   }
+
+  test("q93: the BPE apply chain is a pure projection — zero exchanges, zero UDFs") {
+    val plan = planOf("q93_bpe_tokenize")
+    assert(shuffles(plan) == 0,
+      s"merge application must be scan->project (the training job is separate):\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q93 path:\n$plan")
+    // the projection holds HOF lambdas (array filter/transform), which are
+    // not WSCG-able — but every replace in the chain must be the native
+    // StringReplace, and the scan must stay pruned to (doc_id, text)
+    assert(plan.contains("replace(replace("), s"merge chain not chained native replace:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two consumed columns:\n$plan")
+  }
+
+  test("q94: rate table broadcasts; the corpus is never hash-exchanged for the epoch fan-out") {
+    val plan = planOf("q94_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rate table did not broadcast:\n$plan")
+    assert(shuffles(plan) == 0, s"epoch fan-out must be row-local:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q94 path:\n$plan")
+  }
 }

@@ -303,6 +303,43 @@ class TrainingDataOpsSpec extends SparkTestBase {
       .filter($"src" === "scarce").count() == 0L)
   }
 
+  test("temperatureEpochSample: sqrt upsampling, epoch fan-out, determinism") {
+    // scarce source (16 docs) + abundant (1024): sqrt weights 4 vs 32,
+    // budget 1000‰ of 1040 docs = 1040; scarce rate = 1040*(4/36)/16 ≈ 7.22
+    // → every scarce doc appears in epochs 0..6 plus a ~22% 8th; web rate
+    // = 1040*(32/36)/1024 ≈ 0.90 → subsample, epoch 0 only
+    val df = ((1L to 16L).map(i => (i, "scarce")) ++ (101L to 1124L).map(i => (i, "web")))
+      .toDF("id", "src")
+    val out = Sampling.temperatureEpochSample(df, "id", "src", budgetPermille = 1000)
+      .select("id", "src", "epoch").as[(Long, String, Long)].collect()
+    val scarce = out.filter(_._2 == "scarce")
+    // all 16 docs × 7 full epochs = 112, plus 0..16 fractional-epoch rows
+    assert(scarce.count(_._3 < 7) === 112)
+    assert(scarce.forall(_._3 <= 7))
+    val web = out.filter(_._2 == "web")
+    assert(web.forall(_._3 === 0L))
+    val webN = web.length
+    assert(webN > 800 && webN < 1010, s"web keep-count $webN far from ~90% of 1024")
+    // deterministic: exact same multiset on a re-run
+    val again = Sampling.temperatureEpochSample(df, "id", "src", budgetPermille = 1000)
+      .select("id", "src", "epoch").as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    // alpha = 1 is natural proportions: every source's rate is budget‰,
+    // no upsampling at budget <= 1000
+    val nat = Sampling.temperatureEpochSample(df, "id", "src", 1000, alpha = 1.0)
+      .select("epoch").as[Long].collect()
+    assert(nat.forall(_ === 0L))
+    // null sources are excluded, not crashed on
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "src"))
+    assert(Sampling.temperatureEpochSample(withNull, "id", "src", 1000)
+      .filter($"id" === 9999L).count() === 0L)
+    // corpus never shuffles: rate join broadcasts, epoch fan-out row-local
+    val plan = Sampling.temperatureEpochSample(df, "id", "src", 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "temperature mix must not hash-exchange the corpus")
+  }
+
   test("hashBucket matches the portable md5 arithmetic") {
     val df = Seq(7L, 8L).toDF("id")
       .select($"id", Sampling.hashBucket($"id", 1000).as("b"))
