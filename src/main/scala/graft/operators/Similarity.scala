@@ -447,17 +447,21 @@ object Similarity {
       blockRows: Int = 512): DataFrame = {
     require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
     require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
     val k = if (nLists > 0) nLists else autoNLists(emb.select(col(idCol)).count())
     val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
     val centroids = trainCentroids(emb, idCol, vecCol, k, seed, sampleRows)
-    semanticDedupCore(assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows)
+    semanticDedupCore(
+      assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows,
+      caller = "semanticDedup")
   }
 
   /** [[semanticDedup]] with a FROZEN, caller-supplied quantizer — no
     * training pass: the caller owns the centroids (trained once at
-    * bootstrap and persisted; see `DedupIngest`'s semantic tier), and
-    * this call only assigns cells and runs the intra-cell dedup. Output
-    * contract is identical to [[semanticDedup]].
+    * bootstrap and persisted — `DedupIngest.startSemanticFrozen` is the
+    * wired ingest deployment), and this call only assigns cells and runs
+    * the intra-cell dedup. Output contract is identical to
+    * [[semanticDedup]].
     */
   def semanticDedupFrozen(
       emb: DataFrame,
@@ -469,8 +473,20 @@ object Similarity {
       blockRows: Int = 512): DataFrame = {
     require(centroids.nonEmpty, "semanticDedupFrozen: empty centroid model")
     require(blockRows > 0, s"blockRows must be positive, got $blockRows")
-    semanticDedupCore(assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows)
+    require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
+    semanticDedupCore(
+      assignCells(emb, idCol, vecCol, centroids), threshold, maxCellRows, blockRows,
+      caller = "semanticDedupFrozen", remedy = frozenRemedy)
   }
+
+  /** The hot-cell remedy for FROZEN-quantizer callers: they cannot raise
+    * `nLists`/`trainSample` (the model is fixed) — the fix is refreshing
+    * the persisted model.
+    */
+  private val frozenRemedy: String =
+    "the frozen quantizer no longer fits the corpus — retrain and re-persist " +
+      "the centroid model (the corpus has drifted or grown past the cell capacity), " +
+      "or raise maxCellRows if the hot cell is genuinely acceptable."
 
   /** Post-training tail shared by [[semanticDedup]] and
     * [[semanticDedupFrozen]]: intra-cell block pairs → CC → min-id keep
@@ -480,8 +496,10 @@ object Similarity {
       assigned: DataFrame,
       threshold: Double,
       maxCellRows: Int,
-      blockRows: Int): DataFrame = {
-    val cellCounts = checkedCellCounts(assigned, maxCellRows, "semanticDedup")
+      blockRows: Int,
+      caller: String,
+      remedy: String = defaultRemedy): DataFrame = {
+    val cellCounts = checkedCellCounts(assigned, maxCellRows, caller, remedy)
     val pairs = intraCellPairs(assigned, cellCounts, blockRows, threshold)
 
     val groups = Components.connectedComponents(
@@ -528,18 +546,21 @@ object Similarity {
     * check — runs on the driver over the tiny aggregate, BEFORE any
     * replication fan-out.
     */
+  private val defaultRemedy: String =
+    "the quantizer collapsed or nLists is too small for the corpus; raise " +
+      "nLists (keep n/nLists bounded) or trainSample."
+
   private def checkedCellCounts(
       assigned: DataFrame,
       maxCellRows: Int,
-      caller: String): DataFrame = {
+      caller: String,
+      remedy: String = defaultRemedy): DataFrame = {
     val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).alias("m"))
     val hot = cellCounts.filter(col("m") > maxCellRows).limit(1).collect()
     if (hot.nonEmpty)
       throw new IllegalArgumentException(
         s"$caller: cell ${hot.head.getInt(0)} holds ${hot.head.getLong(1)} rows " +
-          s"(> maxCellRows=$maxCellRows) — the quantizer collapsed or " +
-          s"nLists is too small for the corpus; raise nLists (keep " +
-          s"n/nLists bounded) or trainSample.")
+          s"(> maxCellRows=$maxCellRows) — $remedy")
     cellCounts
   }
 
@@ -641,23 +662,63 @@ object Similarity {
       trainSample: Int = 4096,
       maxCellRows: Int = 100000,
       blockRows: Int = 512): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-
     require(nLists >= 0, s"nLists must be >= 0 (0 = auto), got $nLists")
     require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
     val k = if (nLists > 0) nLists else autoNLists(corpus.select(col(idCol)).count())
     val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
     val centroids = trainCentroids(corpus, idCol, vecCol, k, seed, sampleRows)
+    incrementalSemanticCore(
+      batch, corpus, idCol, vecCol, centroids, threshold, maxCellRows, blockRows,
+      caller = "incrementalSemanticDedup", remedy = defaultRemedy)
+  }
+
+  /** [[incrementalSemanticDedup]] with a FROZEN, caller-supplied
+    * quantizer — the sustained-ingest shape: no per-batch Lloyd retrain,
+    * no corpus sample collect; cells stay CONSISTENT with every batch
+    * already merged under the same model (a retrained quantizer would
+    * re-cell the corpus and silently change which pairs can meet).
+    * Output contract is identical to [[incrementalSemanticDedup]].
+    */
+  def incrementalSemanticDedupFrozen(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      maxCellRows: Int = 100000,
+      blockRows: Int = 512): DataFrame = {
+    require(centroids.nonEmpty, "incrementalSemanticDedupFrozen: empty centroid model")
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
+    incrementalSemanticCore(
+      batch, corpus, idCol, vecCol, centroids, threshold, maxCellRows, blockRows,
+      caller = "incrementalSemanticDedupFrozen", remedy = frozenRemedy)
+  }
+
+  private def incrementalSemanticCore(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      maxCellRows: Int,
+      blockRows: Int,
+      caller: String,
+      remedy: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
 
     val assignedC = assignCells(corpus, idCol, vecCol, centroids)
     val assignedB = assignCells(batch, idCol, vecCol, centroids)
-    val cellCountsC = checkedCellCounts(assignedC, maxCellRows, "incrementalSemanticDedup(corpus)")
+    val cellCountsC = checkedCellCounts(assignedC, maxCellRows, s"$caller(corpus)", remedy)
     // the hit-detection task for (cell, blk) materializes EVERY batch
     // row of that cell (batch rows replicate to all of their cell's
     // blocks), so a hot batch cell must fail loud BEFORE the join —
     // the survivor-side check below runs too late to bound this
-    checkedCellCounts(assignedB, maxCellRows, "incrementalSemanticDedup(batch ingest)")
+    checkedCellCounts(assignedB, maxCellRows, s"$caller(batch ingest)", remedy)
 
     // batch×corpus per-cell block compare: corpus rows land in their
     // cell's block; batch rows replicate to every block of their cell
@@ -706,7 +767,7 @@ object Similarity {
 
     // intra-batch dedup among survivors: same cells (corpus-trained
     // quantizer), survivor-sized block counts
-    val cellCountsB = checkedCellCounts(survivors, maxCellRows, "incrementalSemanticDedup(batch)")
+    val cellCountsB = checkedCellCounts(survivors, maxCellRows, s"$caller(batch)", remedy)
     val pairs = intraCellPairs(survivors, cellCountsB, blockRows, threshold)
     val groups = Components.connectedComponents(
       pairs, "id_a", "id_b", survivors.select("id"), "id")

@@ -296,9 +296,11 @@ object DedupIngest {
     * Cost note: [[Similarity.incrementalSemanticDedup]] re-trains the
     * coarse quantizer on the corpus each batch (bounded driver-side
     * sample, but still one sort+collect+Lloyd per trigger). At sustained
-    * ingest rates, persist the quantizer once and re-train only on
-    * drift — the same model-reuse move as
-    * [[Similarity.buildIvfPqIndex]]'s sidecar.
+    * ingest rates use [[startSemanticFrozen]] — one bootstrap train
+    * persisted to the `__quantizer` sidecar, every later batch frozen —
+    * the same model-reuse move as [[Similarity.buildIvfPqIndex]]'s
+    * sidecar. This retraining variant remains the right call for
+    * one-shot backfills where each batch IS the corpus rebuild.
     */
   def mergeSemanticState(
       state: DataFrame,
@@ -354,6 +356,140 @@ object DedupIngest {
             table, SaveMode.Overwrite)
           markApplied(spark, sink, table, batchId)
         }
+      }
+      .start()
+
+  // ==== semantic tier, frozen quantizer =====================================
+
+  /** Persisted coarse-quantizer model: one row per centroid, ordered by
+    * `cell`. The embedding twin of [[Similarity.buildIvfPqIndex]]'s
+    * model sidecar, stored through the same KV sink as the corpus state
+    * so the two artifacts travel together.
+    */
+  def quantizerSchema: StructType = new StructType()
+    .add("cell", IntegerType, nullable = false)
+    .add("vec", ArrayType(DoubleType, containsNull = false), nullable = false)
+
+  private def readQuantizer(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String): Array[Array[Double]] =
+    sink.read(spark, s"${table}__quantizer", quantizerSchema)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  private def writeQuantizer(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    sink.write(
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "vec"),
+      s"${table}__quantizer", SaveMode.Overwrite)
+  }
+
+  /** One embedding batch merged into the corpus under a FROZEN quantizer
+    * ([[Similarity.semanticDedupFrozen]] /
+    * [[Similarity.incrementalSemanticDedupFrozen]]): no per-trigger
+    * Lloyd retrain, no corpus sample collect, and — the correctness
+    * point — cells are CONSISTENT across batches: a retrained quantizer
+    * re-cells the corpus, silently changing which pairs can ever meet.
+    * Same batch-boundary equivalence contract as [[mergeSemanticState]].
+    */
+  def mergeSemanticStateFrozen(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    Dedup.requireNumericId(batch, idCol, "mergeSemanticStateFrozen")
+    val batchVecs = batch.select(
+      col(idCol).cast("long").alias("id"),
+      col(vecCol).alias("vec"))
+    val keptIds =
+      if (state.head(1).isEmpty)
+        Similarity.semanticDedupFrozen(batchVecs, "id", "vec", centroids, threshold)
+          .filter(col("kept") === 1L)
+          .select("id")
+      else
+        Similarity.incrementalSemanticDedupFrozen(
+          batchVecs, state, "id", "vec", centroids, threshold)
+          .filter(col("kept") === 1L)
+          .select("id")
+    state.unionByName(batchVecs.join(keptIds, Seq("id")))
+  }
+
+  /** The frozen semantic tier's per-micro-batch body (factored out for
+    * the replay spec): the FIRST non-empty batch trains the quantizer
+    * (bounded driver-side sample, [[Similarity.trainCentroids]] rules)
+    * and persists it to `${table}__quantizer`; every later batch loads
+    * the persisted model and merges frozen. Refresh policy is the
+    * caller's: re-train and overwrite the quantizer table during a
+    * maintenance window when [[Similarity.semanticDedupFrozen]]'s
+    * hot-cell check reports drift (its error text names this exact
+    * remedy).
+    */
+  private[streaming] def applySemanticFrozenBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      sink: KVTableSink,
+      table: String,
+      nLists: Int,
+      trainSample: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
+      val persisted = readQuantizer(spark, sink, table)
+      val centroids =
+        if (persisted.nonEmpty) persisted
+        else {
+          val k =
+            if (nLists > 0) nLists
+            else Similarity.autoNLists(batch.select(col(idCol)).count())
+          val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
+          val trained = Similarity.trainCentroids(
+            batch, idCol, vecCol, k, seed = 42L, trainSample = sampleRows)
+          writeQuantizer(spark, sink, table, trained)
+          trained
+        }
+      val state = sink.read(spark, table, semanticStateSchema)
+      sink.write(
+        mergeSemanticStateFrozen(state, batch, idCol, vecCol, centroids, threshold),
+        table, SaveMode.Overwrite)
+      markApplied(spark, sink, table, batchId)
+    }
+  }
+
+  /** Start the FROZEN-quantizer semantic-dedup ingest — the sustained-
+    * ingest deployment of [[startSemantic]]: one training pass at
+    * bootstrap, then every micro-batch routes through the persisted
+    * model (no per-trigger retrain; the round-11/12 carried item, now
+    * wired end to end).
+    */
+  def startSemanticFrozen(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      nLists: Int = 0,
+      trainSample: Int = 4096): StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySemanticFrozenBatch(
+          batch, batchId, idCol, vecCol, threshold, sink, table, nLists, trainSample)
       }
       .start()
 

@@ -308,6 +308,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("maxCellRows"), e.getMessage)
   }
 
+  test("semanticDedupFrozen with the same trained centroids equals semanticDedup; guards hold") {
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val trained = Similarity.semanticDedup(
+      embR, "vec_id", "embedding", threshold = 0.8, nLists = 4, trainSample = 256)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // the SAME deterministic training the non-frozen path runs internally
+    val centroids = Similarity.trainCentroids(
+      embR, "vec_id", "embedding", nLists = 4, seed = 42L, trainSample = 256)
+    val frozen = Similarity.semanticDedupFrozen(
+      embR, "vec_id", "embedding", centroids, threshold = 0.8)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(frozen === trained, "frozen path diverged from the training path under the same model")
+
+    // frozen hot-cell failure names the frozen entry point and the
+    // model-refresh remedy (not the nLists/trainSample knobs a frozen
+    // caller cannot turn)
+    val one = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupFrozen(
+        one, "vec_id", "embedding", Array(Array(1.0, 0.0)), threshold = 0.9, maxCellRows = 5)
+    }
+    assert(e.getMessage.contains("semanticDedupFrozen"), e.getMessage)
+    assert(e.getMessage.contains("re-persist"), e.getMessage)
+    assert(!e.getMessage.contains("raise nLists"), e.getMessage)
+    // non-positive maxCellRows rejected up front, not reported as collapse
+    val g = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupFrozen(
+        one, "vec_id", "embedding", Array(Array(1.0, 0.0)), threshold = 0.9, maxCellRows = 0)
+    }
+    assert(g.getMessage.contains("maxCellRows must be positive"), g.getMessage)
+  }
+
   test("incrementalSemanticDedup: corpus near-dups dropped, intra-batch dups resolved, unique rows kept") {
     val rnd = new scala.util.Random(17)
     def jitter(base: Array[Float]) = base.map(x => x + rnd.nextGaussian().toFloat * 0.003f)

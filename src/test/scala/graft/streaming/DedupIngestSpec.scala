@@ -201,6 +201,49 @@ class DedupIngestSpec extends SparkTestBase {
     got.foreach { case (id, vec) => assert(vec == byId(id), s"vector for $id mutated") }
   }
 
+  test("frozen semantic ingest: one bootstrap train, no per-trigger retrain, batch-pipeline parity") {
+    def noisy(base: Seq[Float], eps: Float): Seq[Float] =
+      base.updated((base.indexOf(1.0f) + 1) % 4, eps)
+    val c1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val c3 = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val c4 = Seq(0.0f, 0.0f, 0.0f, 1.0f)
+    val batches = Seq(
+      Seq((1L, c1), (2L, noisy(c1, 0.01f)), (3L, c2)),
+      Seq((4L, noisy(c1, 0.02f)), (5L, c3)),
+      Seq((6L, noisy(c2, 0.01f)), (7L, noisy(c3, 0.02f)), (8L, c4)))
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-ingest-semf").toString)
+    val ckpt = Files.createTempDirectory("graft-ingest-semf-ckpt").toString
+    val q = DedupIngest.startSemanticFrozen(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", threshold = 0.95,
+      sink, "corpus_emb", ckpt, trigger, nLists = 1, trainSample = 100)
+    input.addData(batches.head: _*); q.processAllAvailable()
+    // the quantizer persisted by the FIRST batch...
+    val model0 = sink.read(spark, "corpus_emb__quantizer", DedupIngest.quantizerSchema)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(model0.nonEmpty, "bootstrap batch must persist the quantizer")
+    batches.tail.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // ...is byte-identical after every later batch: frozen means frozen
+    val modelN = sink.read(spark, "corpus_emb__quantizer", DedupIngest.quantizerSchema)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(modelN === model0, "quantizer mutated across triggers — the tier retrained")
+
+    // parity with the batch pipeline under the SAME frozen model
+    val all = batches.flatten.toDF("vec_id", "embedding")
+    val centroids = modelN.map(_._2.toArray).toArray
+    val expectedIds = Similarity.semanticDedupFrozen(
+      all, "vec_id", "embedding", centroids, threshold = 0.95)
+      .filter($"kept" === 1L).select("id").as[Long].collect().toSet
+    val got = sink.read(spark, "corpus_emb", DedupIngest.semanticStateSchema)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got.keySet == expectedIds,
+      s"streamed corpus ids ${got.keySet} != frozen batch pipeline $expectedIds")
+    assert(got.keySet == Set(1L, 3L, 5L, 8L))
+  }
+
   test("ANN-index ingest: streamed appends land in the persisted index; pruned queries see the union") {
     import org.apache.spark.sql.functions.col
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
