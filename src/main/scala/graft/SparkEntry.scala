@@ -770,6 +770,41 @@ object SparkEntry {
       "doc_id", "text", n = 3)
   }
 
+  /** Shared DuckDB CTE chain for the apply-BPE family (q93/q95/q96/q97):
+    * q90's ranked merge table applied to every document with the same
+    * `replace` semantics as the Spark chain — `bfin(doc_id, toks)`.
+    * Callers must open with `WITH RECURSIVE $sqlBpeTokCtes, ...`.
+    */
+  private def sqlBpeTokCtes: String =
+    s"""mg AS (SELECT pair,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rk
+               FROM (SELECT pair, sum(freq) AS cnt
+                     FROM (SELECT unnest(list_transform(range(1, length(word)),
+                                         i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+                                  freq
+                           FROM (SELECT w AS word, count(*) AS freq
+                                 FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+                                 GROUP BY w)
+                           WHERE length(word) > 1)
+                     GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50)),
+        nm AS (SELECT count(*) AS n FROM mg),
+        prep AS (SELECT doc_id,
+                        ' ' || regexp_replace(array_to_string(${sqlTokens("text")}, chr(10)),
+                                              '(.)', '\\1  ', 'gs') AS s
+                 FROM documents),
+        ap AS (SELECT doc_id, s, CAST(0 AS BIGINT) AS k FROM prep
+               UNION ALL
+               SELECT a.doc_id,
+                      replace(a.s,
+                              ' ' || substring(m.pair, 1, 1) || '  ' || substring(m.pair, 2, 1) || ' ',
+                              ' ' || m.pair || ' '),
+                      a.k + 1
+               FROM ap a JOIN mg m ON m.rk = a.k + 1),
+        bfin AS (SELECT doc_id,
+                        list_filter(string_split(s, ' '),
+                                    x -> length(x) > 0 AND x <> chr(10)) AS toks
+                 FROM ap, nm WHERE ap.k = nm.n)"""
+
   /** Apply-BPE tokenization (round 13): q90's merge table, APPLIED — the
     * text → token-sequence step a training loader consumes, closing the
     * train/apply loop (q90 counts pairs; this segments every document
@@ -790,6 +825,59 @@ object SparkEntry {
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
     Bpe.tokenStats(docs, "doc_id", "text", merges)
       .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Sequence packing on REAL tokenizer counts (round 13): q68's
+    * concat-then-split window, budgeted by q93's BPE subword counts
+    * instead of the whitespace proxy — the number a training loader
+    * actually packs against. Same per-shard window shape (no global
+    * sort); the token counts ride the same zero-shuffle projection as
+    * q93.
+    */
+  private def q95_bpe_pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    val counts = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .select(col("id").alias("doc_id"), size(col("toks")).cast("long").alias("n_tokens"))
+    operators.Chunker.packSummary(
+      operators.Chunker.packSequencesByCount(
+        counts, "doc_id", "n_tokens", budget = 512L, shards = 32))
+  }
+
+  /** Vocabulary coverage over the BPE token stream (round 13): q89's
+    * top-V/coverage curve computed on q93's subword stream — the curve
+    * that prices an actual tokenizer budget (the whitespace variant
+    * prices words). The BPE vocab is bounded by |alphabet| + |merges|,
+    * so the top-200 cut returns the whole curve on this corpus.
+    */
+  private def q96_bpe_vocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    Vocab.vocabularyFromTokens(
+      Bpe.tokenize(docs, "doc_id", "text", merges)
+        .select(explode(col("toks")).alias("token")),
+      "token", topV = 200)
+  }
+
+  /** Shard manifest with real token totals (round 13): q88's seeded
+    * shard assignment aggregated to the per-shard manifest a training-
+    * data writer emits — document count and TOTAL BPE tokens per shard
+    * (the loader's work-balance number; whitespace counts under-price
+    * CJK and code). One hash exchange on the shard id; token counts
+    * from the q93 projection.
+    */
+  private def q97_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    val counts = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .select(col("id").alias("doc_id"), size(col("toks")).cast("long").alias("n_tokens"))
+    Sharding.orderedAssignments(docs, "doc_id", seed = 42L, nShards = 8)
+      .select("doc_id", "shard")
+      .join(counts, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("n_tokens_total"))
   }
 
   /** Temperature/epoch mixture sampling (round 13): the
@@ -1617,7 +1705,10 @@ object SparkEntry {
     "q91_group_cap" -> (q91_group_cap _),
     "q92_contamination_report" -> (q92_contamination_report _),
     "q93_bpe_tokenize" -> (q93_bpe_tokenize _),
-    "q94_temperature_mix" -> (q94_temperature_mix _)
+    "q94_temperature_mix" -> (q94_temperature_mix _),
+    "q95_bpe_pack" -> (q95_bpe_pack _),
+    "q96_bpe_vocab" -> (q96_bpe_vocab _),
+    "q97_shard_manifest" -> (q97_shard_manifest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2698,41 +2789,53 @@ object SparkEntry {
       // CTE applies merge rk = k+1 with the SAME replace semantics as
       // the Spark chain (one flanking space consumed per side keeps
       // neighbors mergeable — textbook left-to-right BPE)
-      s"""WITH RECURSIVE
-          mg AS (SELECT pair,
-                        CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rk
-                 FROM (SELECT pair, sum(freq) AS cnt
-                       FROM (SELECT unnest(list_transform(range(1, length(word)),
-                                           i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
-                                    freq
-                             FROM (SELECT w AS word, count(*) AS freq
-                                   FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
-                                   GROUP BY w)
-                             WHERE length(word) > 1)
-                       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50)),
-          nm AS (SELECT count(*) AS n FROM mg),
-          prep AS (SELECT doc_id,
-                          ' ' || regexp_replace(array_to_string(${sqlTokens("text")}, chr(10)),
-                                                '(.)', '\\1  ', 'gs') AS s
-                   FROM documents),
-          ap AS (SELECT doc_id, s, CAST(0 AS BIGINT) AS k FROM prep
-                 UNION ALL
-                 SELECT a.doc_id,
-                        replace(a.s,
-                                ' ' || substring(m.pair, 1, 1) || '  ' || substring(m.pair, 2, 1) || ' ',
-                                ' ' || m.pair || ' '),
-                        a.k + 1
-                 FROM ap a JOIN mg m ON m.rk = a.k + 1),
-          fin AS (SELECT doc_id,
-                         list_filter(string_split(s, ' '),
-                                     x -> length(x) > 0 AND x <> chr(10)) AS toks
-                  FROM ap, nm WHERE ap.k = nm.n)
+      s"""WITH RECURSIVE $sqlBpeTokCtes
           SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
                  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_token_len,
                  md5(array_to_string(toks, '|')) AS seq_hash
-          FROM fin""",
+          FROM bfin""",
+    "q95_bpe_pack" ->
+      // q68's packing window on BPE counts from the shared CTE chain
+      s"""WITH RECURSIVE $sqlBpeTokCtes,
+          d AS (SELECT doc_id, doc_id % 32 AS shard,
+                       CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM bfin),
+          c AS (SELECT shard, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM d)
+          SELECT shard,
+                 CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
+          FROM c GROUP BY shard, chunk_id""",
+    "q96_bpe_vocab" ->
+      // q89's coverage tail on the BPE subword stream
+      s"""WITH RECURSIVE $sqlBpeTokCtes,
+          c AS (SELECT t AS token, count(*) AS cnt
+                FROM (SELECT unnest(toks) AS t FROM bfin)
+                GROUP BY t),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200)
+          SELECT token, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS cum_share
+          FROM top, tot""",
+    "q97_shard_manifest" ->
+      // q88's seeded shard assignment aggregated with BPE token totals
+      s"""WITH RECURSIVE $sqlBpeTokCtes,
+          h AS (SELECT doc_id,
+                       ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")} AS hk
+                FROM documents),
+          a AS (SELECT doc_id, CAST(hk % 8 AS BIGINT) AS shard FROM h),
+          t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM bfin)
+          SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens_total
+          FROM a JOIN t USING (doc_id) GROUP BY shard""",
     "q94_temperature_mix" ->
       // the rate table mirrors the driver-side computation exactly:
       // sqrt is IEEE correctly-rounded and list_reduce is the same

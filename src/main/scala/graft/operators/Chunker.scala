@@ -39,15 +39,33 @@ object Chunker {
       idCol: String,
       textCol: String,
       budget: Long,
+      shards: Int = 32): DataFrame =
+    packSequencesByCount(
+      docs.select(
+        col(idCol).alias("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").alias("n_tokens")),
+      "doc_id", "n_tokens", budget, shards)
+
+  /** [[packSequences]] over a caller-supplied per-doc token count — the
+    * tokenizer-agnostic core: whitespace counts (the [[packSequences]]
+    * default), `Bpe.tokenStats` subword counts (the real training-loader
+    * budget), or any external tokenizer's counts all pack through the
+    * same cumsum-÷-budget window.
+    */
+  def packSequencesByCount(
+      counts: DataFrame,
+      idCol: String,
+      countCol: String,
+      budget: Long,
       shards: Int = 32): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    counts
       .select(
         col(idCol).alias("doc_id"),
         (col(idCol) % shards).alias("shard"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").alias("n_tokens"))
+        col(countCol).cast("long").alias("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("shard"),

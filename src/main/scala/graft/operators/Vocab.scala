@@ -35,13 +35,23 @@ object Vocab {
     * a tokenizer budget is read off of. Ordering ties break by token,
     * so the output is total and reproducible.
     */
-  def vocabulary(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+  def vocabulary(docs: DataFrame, textCol: String, topV: Int): DataFrame =
+    vocabularyFromTokens(
+      docs.select(explode(TextFunctions.tokens(col(textCol))).alias("token")),
+      "token", topV)
+
+  /** [[vocabulary]] over a caller-supplied token STREAM (one row per
+    * token occurrence) — the tokenizer-agnostic core: whitespace words
+    * (the [[vocabulary]] default), `Bpe.tokenize` subwords, or any
+    * external tokenizer's stream share the count/top-V/coverage tail.
+    */
+  def vocabularyFromTokens(tokStream: DataFrame, tokenCol: String, topV: Int): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
     // materialized ONCE: the counts aggregate feeds both the top-V cut
     // and the total-token-mass scalar — without this the token-stream
     // explode + aggregate runs twice
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).alias("token"))
+    val counts = tokStream
+      .select(col(tokenCol).alias("token"))
       .groupBy("token")
       .agg(count(lit(1)).alias("cnt"))
       .localCheckpoint(true)
