@@ -1142,6 +1142,11 @@ object Similarity {
     */
   private val IvfPqModelDir = "_graft_ivfpq_model"
 
+  /** The model-sidecar directory name inside an index artifact — for
+    * callers that need an existence probe (bootstrap-vs-append).
+    */
+  private[graft] def ivfPqModelDirName: String = IvfPqModelDir
+
   /** Builds and PERSISTS the IVF-PQ index artifact that [[ivfPqTopK]]
     * computes inline: `(id, code)` parquet PARTITIONED BY `cell`, so a
     * probe scan is partition-pruned to the `nProbe` probed cells (the

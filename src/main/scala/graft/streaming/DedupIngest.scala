@@ -191,7 +191,25 @@ object DedupIngest {
       n: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double = 0.8): (DataFrame, DataFrame, DataFrame) =
+    mergeNearDupStateWithKept(
+      corpus, bandState, setState, batch, idCol, textCol, n, k, bands, threshold)._2
+
+  /** [[mergeNearDupState]] that also returns the batch's kept-id frame —
+    * the composition hook the unified pipeline filters the next tier
+    * with.
+    */
+  def mergeNearDupStateWithKept(
+      corpus: DataFrame,
+      bandState: DataFrame,
+      setState: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): (DataFrame, (DataFrame, DataFrame, DataFrame)) = {
     // same loud guard as the exact tier: a non-numeric id would cast to
     // null and every batch row would silently vanish from the state
     Dedup.requireNumericId(batch, idCol, "mergeNearDupState")
@@ -211,9 +229,10 @@ object DedupIngest {
     def appendNew(state: DataFrame, rows: DataFrame): DataFrame =
       state.unionByName(
         rows.join(state.select("id").distinct(), Seq("id"), "left_anti"))
-    (appendNew(corpus, survivors),
-      appendNew(bandState, Dedup.bandTable(survivors, "id", "text", n, k, bands)),
-      appendNew(setState, Dedup.shingleSetTable(survivors, "id", "text", n)))
+    (keptIds,
+      (appendNew(corpus, survivors),
+        appendNew(bandState, Dedup.bandTable(survivors, "id", "text", n, k, bands)),
+        appendNew(setState, Dedup.shingleSetTable(survivors, "id", "text", n))))
   }
 
   /** The near-dup tier's per-micro-batch body (factored out for the
@@ -391,6 +410,33 @@ object DedupIngest {
       s"${table}__quantizer", SaveMode.Overwrite)
   }
 
+  /** The persisted model if one exists, else train on this batch
+    * (bootstrap) and persist — the frozen tiers' one-training-pass
+    * contract.
+    */
+  private def loadOrTrainQuantizer(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      trainSample: Int): Array[Array[Double]] = {
+    val persisted = readQuantizer(spark, sink, table)
+    if (persisted.nonEmpty) persisted
+    else {
+      val k =
+        if (nLists > 0) nLists
+        else Similarity.autoNLists(batch.select(col(idCol)).count())
+      val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
+      val trained = Similarity.trainCentroids(
+        batch, idCol, vecCol, k, seed = 42L, trainSample = sampleRows)
+      writeQuantizer(spark, sink, table, trained)
+      trained
+    }
+  }
+
   /** One embedding batch merged into the corpus under a FROZEN quantizer
     * ([[Similarity.semanticDedupFrozen]] /
     * [[Similarity.incrementalSemanticDedupFrozen]]): no per-trigger
@@ -405,22 +451,34 @@ object DedupIngest {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    mergeSemanticStateFrozenWithKept(state, batch, idCol, vecCol, centroids, threshold)._2
+
+  /** [[mergeSemanticStateFrozen]] that also returns the batch's kept-id
+    * frame (eagerly materialized — the unified pipeline consumes it
+    * after the state overwrite has landed).
+    */
+  def mergeSemanticStateFrozenWithKept(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double): (DataFrame, DataFrame) = {
     Dedup.requireNumericId(batch, idCol, "mergeSemanticStateFrozen")
     val batchVecs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"))
-    val keptIds =
+    val keptIds = (
       if (state.head(1).isEmpty)
         Similarity.semanticDedupFrozen(batchVecs, "id", "vec", centroids, threshold)
-          .filter(col("kept") === 1L)
-          .select("id")
       else
         Similarity.incrementalSemanticDedupFrozen(
-          batchVecs, state, "id", "vec", centroids, threshold)
-          .filter(col("kept") === 1L)
-          .select("id")
-    state.unionByName(batchVecs.join(keptIds, Seq("id")))
+          batchVecs, state, "id", "vec", centroids, threshold))
+      .filter(col("kept") === 1L)
+      .select("id")
+      .localCheckpoint(true)
+    (keptIds, state.unionByName(batchVecs.join(keptIds, Seq("id"))))
   }
 
   /** The frozen semantic tier's per-micro-batch body (factored out for
@@ -445,19 +503,8 @@ object DedupIngest {
       trainSample: Int): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
-      val persisted = readQuantizer(spark, sink, table)
-      val centroids =
-        if (persisted.nonEmpty) persisted
-        else {
-          val k =
-            if (nLists > 0) nLists
-            else Similarity.autoNLists(batch.select(col(idCol)).count())
-          val sampleRows = math.max(trainSample, math.min(k * 16, 1 << 20))
-          val trained = Similarity.trainCentroids(
-            batch, idCol, vecCol, k, seed = 42L, trainSample = sampleRows)
-          writeQuantizer(spark, sink, table, trained)
-          trained
-        }
+      val centroids = loadOrTrainQuantizer(
+        spark, sink, table, batch, idCol, vecCol, nLists, trainSample)
       val state = sink.read(spark, table, semanticStateSchema)
       sink.write(
         mergeSemanticStateFrozen(state, batch, idCol, vecCol, centroids, threshold),
@@ -490,6 +537,142 @@ object DedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applySemanticFrozenBatch(
           batch, batchId, idCol, vecCol, threshold, sink, table, nLists, trainSample)
+      }
+      .start()
+
+  // ==== unified pipeline (exact → near-dup → semantic → ANN index) ==========
+
+  /** The complete training-data ingest in ONE `foreachBatch`: each
+    * micro-batch of `(id, text, vec)` rows flows
+    *
+    *   exact fingerprint dedup → text near-dup (persisted LSH bands) →
+    *   frozen-quantizer semantic dedup → IVF-PQ index append,
+    *
+    * each tier filtering the next — a doc dropped by an earlier (cheaper)
+    * tier never pays a later (costlier) one, the same cost ordering a
+    * batch curation pipeline uses. State tables per tier:
+    * `${table}__exact` (fingerprints), `${table}__near` + band/set
+    * sidecars, `${table}__sem` + quantizer sidecar, plus the ANN index
+    * directory; every tier checks only deltas against its state — corpus
+    * text is never re-read, re-shingled, or re-embedded.
+    *
+    * The tier composition is the 100 TB shape: per-trigger cost is
+    * proportional to the batch; the heavy artifacts (band index, cell
+    * assignments, PQ codes) are persisted and appended, never rebuilt.
+    * Equivalence caveats are the tiers' own (first-wins on batch-
+    * straddling sparse chains; frozen models re-celled only by explicit
+    * refresh).
+    */
+  private[streaming] def applyUnifiedBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      sink: KVTableSink,
+      table: String,
+      annIndexPath: Option[String],
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      textThreshold: Double = 0.8,
+      semThreshold: Double = 0.9,
+      nLists: Int = 0,
+      trainSample: Int = 4096,
+      annNLists: Int = 16,
+      annM: Int = 16,
+      annCodes: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).isEmpty || alreadyApplied(spark, sink, table, batchId)) return
+    Dedup.requireNumericId(batch, idCol, "applyUnifiedBatch")
+    val docs = batch.select(
+      col(idCol).cast("long").alias("id"),
+      col(textCol).cast("string").alias("text"),
+      col(vecCol).alias("vec"))
+
+    // ---- tier 1: exact — intra-batch min-id per fingerprint, then drop
+    // fingerprints the corpus has already seen; state merge counts ALL
+    // batch rows (dup_count stays exact)
+    val exactState = sink.read(spark, s"${table}__exact", exactStateSchema)
+    val fp = docs.withColumn("__fp", md5(col("text")))
+    val minIds = fp.groupBy("__fp").agg(min(col("id")).alias("id"))
+    val exactKept = fp
+      .join(minIds, Seq("__fp", "id"))
+      .join(exactState.select(col("fp").alias("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .localCheckpoint(true)
+    sink.write(
+      mergeExactState(exactState, docs, "id", "text"),
+      s"${table}__exact", SaveMode.Overwrite)
+
+    // ---- tier 2: near-dup over exact survivors (persisted band index)
+    val (nearCorpus, nearBands, nearSets) = (
+      sink.read(spark, s"${table}__near", nearDupStateSchema),
+      sink.read(spark, s"${table}__near__bands", nearDupBandStateSchema),
+      sink.read(spark, s"${table}__near__sets", nearDupSetStateSchema))
+    val (nearKeptIds, (newCorpus, newBands, newSets)) = mergeNearDupStateWithKept(
+      nearCorpus, nearBands, nearSets, exactKept, "id", "text", n, k, bands, textThreshold)
+    sink.write(newCorpus, s"${table}__near", SaveMode.Overwrite)
+    sink.write(newBands, s"${table}__near__bands", SaveMode.Overwrite)
+    sink.write(newSets, s"${table}__near__sets", SaveMode.Overwrite)
+    val nearKept = exactKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
+
+    // ---- tier 3: semantic over near-dup survivors (frozen quantizer)
+    val centroids = loadOrTrainQuantizer(
+      spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
+    val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
+    val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
+      semState, nearKept, "id", "vec", centroids, semThreshold)
+    sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
+    val finalKept = nearKept.join(semKeptIds, Seq("id"))
+
+    // ---- tier 4: ANN index append of the final survivors (bootstrap:
+    // build the index from the first batch's survivors — the same
+    // one-training-pass contract as the quantizer sidecar)
+    annIndexPath.foreach { path =>
+      val vecs = finalKept.select("id", "vec").filter(col("vec").isNotNull)
+      if (!new java.io.File(s"$path/${Similarity.ivfPqModelDirName}").exists())
+        Similarity.buildIvfPqIndex(
+          vecs, "id", "vec", path,
+          nLists = annNLists, m = annM, nCodes = annCodes, trainSample = trainSample)
+      else if (vecs.head(1).nonEmpty)
+        Similarity.appendToIvfPqIndex(vecs, "id", "vec", path, batchId)
+    }
+    markApplied(spark, sink, table, batchId)
+  }
+
+  /** Start the unified ingest — the end-to-end deployment of the whole
+    * dedup family over one document stream.
+    */
+  def startUnified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      annIndexPath: Option[String] = None,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      textThreshold: Double = 0.8,
+      semThreshold: Double = 0.9,
+      nLists: Int = 0,
+      trainSample: Int = 4096,
+      annNLists: Int = 16,
+      annM: Int = 16,
+      annCodes: Int = 64): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUnifiedBatch(
+          batch, batchId, idCol, textCol, vecCol, sink, table, annIndexPath,
+          n, k, bands, textThreshold, semThreshold, nLists, trainSample,
+          annNLists, annM, annCodes)
       }
       .start()
 

@@ -244,6 +244,78 @@ class DedupIngestSpec extends SparkTestBase {
     assert(got.keySet == Set(1L, 3L, 5L, 8L))
   }
 
+  test("unified ingest: exact -> near-dup -> semantic -> ANN index in one foreachBatch, tier-exact states") {
+    // 40-word base text: the one-word-appended variant keeps shingle
+    // Jaccard ≈ 38/40 = 0.95 >= 0.8 (near-dup), while the exact tier
+    // only catches byte-identical text
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textA2 = textA + " tail"
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val textD = (1 to 40).map(i => s"delta$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val vx = unit(0)
+    val vxNear = unit(0).updated(1, 0.1f) // cos ≈ 0.995 >= 0.9
+    val batches = Seq(
+      Seq((1L, textA, vx), (2L, textA, unit(1)), (3L, textB, unit(2))),
+      // 4: near-dup of A's text; 5: new text but semantic dup of vec 1
+      Seq((4L, textA2, unit(3)), (5L, textC, vxNear)),
+      // 6: exact dup of A ACROSS batches (state fp hit); 7: unique
+      Seq((6L, textA, unit(4)), (7L, textD, unit(5))))
+
+    val input = MemoryStream[(Long, String, Seq[Float])](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-unified").toString)
+    val ckpt = Files.createTempDirectory("graft-unified-ckpt").toString
+    val idx = Files.createTempDirectory("graft-unified-idx").toString + "/index"
+    val q = DedupIngest.startUnified(
+      input.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+      sink, "uni", ckpt, trigger, annIndexPath = Some(idx),
+      textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
+      annNLists = 2, annM = 4, annCodes = 4)
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // tier 1: every distinct fingerprint recorded, dup counts exact
+    val exact = sink.read(spark, "uni__exact", DedupIngest.exactStateSchema)
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toMap
+    assert(exact.keySet === Set(1L, 3L, 4L, 5L, 7L), s"exact keep ids ${exact.keySet}")
+    assert(exact(1L) === 3L, "textA appeared 3x (ids 1, 2, 6)")
+
+    // tier 2: near-dup corpus dropped the appended-tail variant (id 4)
+    val near = sink.read(spark, "uni__near", DedupIngest.nearDupStateSchema)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(near === Set(1L, 3L, 5L, 7L), s"near corpus $near")
+
+    // tier 3: semantic corpus dropped the near-identical vector (id 5)
+    val sem = sink.read(spark, "uni__sem", DedupIngest.semanticStateSchema)
+      .as[(Long, Seq[Float])].collect().map(_._1).toSet
+    assert(sem === Set(1L, 3L, 7L), s"semantic corpus $sem")
+
+    // tier 4: the ANN index holds exactly the final survivors
+    val indexed = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+    assert(indexed === Set(1L, 3L, 7L), s"indexed ids $indexed")
+
+    // equality to the sequential BATCH composition over the union
+    val all = batches.flatten
+    val allDocs = all.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val exactKeep = Dedup.exact(allDocs, "doc_id", "text")
+      .select("keep_id").as[Long].collect().toSet
+    assert(exactKeep === exact.keySet, "streamed exact tier != batch Dedup.exact")
+    val exactDocs = allDocs.filter($"doc_id".isin(exactKeep.toSeq: _*))
+    val nearPairs = Dedup.minHashLsh(exactDocs, "doc_id", "text", n = 3, k = 16,
+      bands = 4, threshold = 0.8)
+    val nearDropped = nearPairs.select("id_b").as[Long].collect().toSet
+    assert(exactKeep -- nearDropped === near, "streamed near tier != batch LSH keep set")
+
+    // replay: re-applying the LAST batch id is a no-op on every state
+    DedupIngest.applyUnifiedBatch(
+      batches.last.toDF("doc_id", "text", "embedding"), batchId = 2L,
+      "doc_id", "text", "embedding", sink, "uni", Some(idx),
+      textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100)
+    assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet === Set(1L, 3L, 7L))
+    assert(sink.read(spark, "uni__sem", DedupIngest.semanticStateSchema).count() === 3L)
+  }
+
   test("ANN-index ingest: streamed appends land in the persisted index; pruned queries see the union") {
     import org.apache.spark.sql.functions.col
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
