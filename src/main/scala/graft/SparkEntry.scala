@@ -837,8 +837,11 @@ object SparkEntry {
   private def q95_bpe_pack(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
-    val counts = Bpe.tokenize(docs, "doc_id", "text", merges)
-      .select(col("id").alias("doc_id"), size(col("toks")).cast("long").alias("n_tokens"))
+    // the reassembly-free count form: the replace chain runs over
+    // DISTINCT words only (Bpe.tokenCounts; parity spec-pinned against
+    // size(tokenize().toks)) — the Zipf shortcut a 100 TB corpus needs
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
     operators.Chunker.packSummary(
       operators.Chunker.packSequencesByCount(
         counts, "doc_id", "n_tokens", budget = 512L, shards = 32))
@@ -853,10 +856,10 @@ object SparkEntry {
   private def q96_bpe_vocab(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    // Bpe.tokenStream: subword occurrences via the distinct-word kernel,
+    // no per-doc sequence reassembly (order is irrelevant to a count)
     Vocab.vocabularyFromTokens(
-      Bpe.tokenize(docs, "doc_id", "text", merges)
-        .select(explode(col("toks")).alias("token")),
-      "token", topV = 200)
+      Bpe.tokenStream(docs, "text", merges), "token", topV = 200)
   }
 
   /** Shard manifest with real token totals (round 13): q88's seeded
@@ -869,8 +872,8 @@ object SparkEntry {
   private def q97_shard_manifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
-    val counts = Bpe.tokenize(docs, "doc_id", "text", merges)
-      .select(col("id").alias("doc_id"), size(col("toks")).cast("long").alias("n_tokens"))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
     Sharding.orderedAssignments(docs, "doc_id", seed = 42L, nShards = 8)
       .select("doc_id", "shard")
       .join(counts, Seq("doc_id"))

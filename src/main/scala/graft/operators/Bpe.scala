@@ -165,6 +165,82 @@ object Bpe {
       col(idCol).alias("id"),
       parseTokens(applyMerges(spacedSymbols(col(textCol)), merges)).alias("toks"))
 
+  /** [[tokenize]] via DISTINCT words — the 100 TB shape. Merges never
+    * cross word boundaries, so a doc's token sequence is the
+    * concatenation of its words' token lists; the `nMerges` replace
+    * passes therefore need to run only over the word VOCABULARY (Zipf:
+    * orders of magnitude smaller than the token stream), not over every
+    * occurrence. Costs two exchanges (the distinct and the doc
+    * re-assembly) that the projection form avoids — the break-even is
+    * `corpus chars ≫ vocabulary chars × occupancy`, i.e. any corpus
+    * whose words repeat. Output is row-identical to [[tokenize]]
+    * (spec-pinned), so callers choose purely on plan shape.
+    */
+  def tokenizeViaWords(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val ids = docs.select(col(idCol).alias("id"))
+    val words = docs
+      .select(col(idCol).alias("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+    val applied = words.select("w").distinct()
+      .select(col("w"),
+        parseTokens(applyMerges(wordSymbols(col("w")), merges)).alias("wtoks"))
+    val reassembled = words
+      .join(applied, Seq("w"))
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+        s => s.getField("wtoks"))).alias("toks"))
+    // docs with no words have no exploded rows — restore them with an
+    // empty token array so the output row set matches tokenize()
+    ids.join(reassembled, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("toks"), typedlit(Seq.empty[String])).alias("toks"))
+  }
+
+  /** The spaced symbol string of ONE word (no `\n` sentinels needed). */
+  private def wordSymbols(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(?s)(.)", "$1  "))
+
+  /** `(w, wtoks)` — every DISTINCT word's token list; the shared
+    * word-vocabulary kernel of the `ViaWords`/counts/stream forms.
+    */
+  private def appliedWords(docs: DataFrame, textCol: String,
+                           merges: Seq[(String, String)]): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .distinct()
+      .select(col("w"),
+        parseTokens(applyMerges(wordSymbols(col("w")), merges)).alias("wtoks"))
+
+  /** `(id, n_tokens)` — per-doc BPE token counts WITHOUT sequence
+    * reassembly: the replace chain runs over distinct words, each doc
+    * sums its words' subtoken counts. The cheapest correct budget for
+    * packing/manifests (row-identical to `size(tokenize().toks)`,
+    * spec-pinned).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val perWord = appliedWords(docs, textCol, merges)
+      .select(col("w"), size(col("wtoks")).cast("long").alias("n"))
+    docs.select(col(idCol).alias("id"),
+        explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .join(perWord, Seq("w"))
+      .groupBy("id")
+      .agg(sum(col("n")).alias("n_tokens"))
+      .join(docs.select(col(idCol).alias("id")), Seq("id"), "right_outer")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).alias("n_tokens"))
+  }
+
+  /** `(token)` — the corpus subword stream with occurrence multiplicity
+    * (order not guaranteed): the input a tokenizer-vocabulary count
+    * wants, again without per-doc reassembly.
+    */
+  def tokenStream(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .join(appliedWords(docs, textCol, merges), Seq("w"))
+      .select(explode(col("wtoks")).alias("token"))
+
   /** Per-document tokenization evidence, scalar-only (the correctness
     * gate's row compare needs scalars): token count, distinct-token
     * count, longest token, and an order-sensitive md5 over the full

@@ -73,6 +73,32 @@ class BpeSpec extends SparkTestBase {
     assert(bad === 0L, "concatenating a doc's tokens must reproduce its word characters exactly")
   }
 
+  test("tokenizeViaWords is row-identical to tokenize (incl. empty docs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .union(Seq((99991L, "", "en", "srcx", 0L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars"))
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    val direct = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val viaWords = Bpe.tokenizeViaWords(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(viaWords === direct,
+      "the distinct-word application must reproduce the projection form exactly")
+    assert(viaWords.exists(_._1 == 99991L), "wordless docs must survive with empty toks")
+
+    // the reassembly-free forms agree too: counts per doc...
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(direct.forall { case (id, toks) => counts(id) == toks.size.toLong },
+      "tokenCounts diverged from size(tokenize().toks)")
+    assert(counts(99991L) === 0L)
+    // ...and the stream's multiset
+    val streamCounts = Bpe.tokenStream(docs, "text", merges)
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val directCounts = direct.flatMap(_._2).groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+    assert(streamCounts === directCounts, "tokenStream multiset diverged")
+  }
+
   test("tokenStats seq_hash is order-sensitive") {
     val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
     val swapped = Seq((1L, "ba ab")).toDF("doc_id", "text")
