@@ -483,4 +483,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"epoch fan-out must be row-local:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q94 path:\n$plan")
   }
+
+  test("q95: BPE packing windows per shard, never range-partitions; replace chain over distinct words") {
+    val plan = planOf("q95_bpe_pack")
+    assert(!plan.contains("rangepartitioning"), s"global sort crept into packing:\n$plan")
+    // the cumsum window partitions by shard (local sort under the hash
+    // exchange), never a global order
+    assert(plan.contains("windowspecdefinition(shard"), s"window not per-shard:\n$plan")
+    assert(plan.contains("HashAggregate"), s"distinct-word kernel missing its aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q95 path:\n$plan")
+  }
+
+  test("q96: vocab top-V cut is a TakeOrdered over the bounded subword vocab, no global stream sort") {
+    val plan = planOf("q96_bpe_vocab")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-V not a TakeOrdered:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q96 path:\n$plan")
+  }
+
+  test("q97: manifest is one hash aggregate per shard over count scalars; text never shuffles") {
+    val plan = planOf("q97_shard_manifest")
+    assert(!plan.contains("rangepartitioning"), s"manifest range-partitioned:\n$plan")
+    // the only exchanged columns are ids/counts — the doc text column
+    // must not appear in any Exchange input
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q97 path:\n$plan")
+  }
 }
