@@ -109,6 +109,31 @@ object Bpe {
     merges.result()
   }
 
+  /** [[trainMerges]] fed from a corpus: the word-frequency aggregate is
+    * cut to the top-`maxVocab` words by (freq desc, word asc) before the
+    * driver collect — the hard memory bound every real tokenizer trainer
+    * applies (the frequency head carries virtually all pair mass; the
+    * dropped tail is mostly hapax legomena whose pair counts cannot
+    * reach the top anyway). Deterministic: the cut is a total order, and
+    * [[trainMerges]] is a pure fold from there.
+    */
+  def trainMergesFromCorpus(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 65536): Seq[(String, String)] = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val wf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .groupBy("w").agg(count(lit(1)).alias("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainMerges(wf, numMerges)
+  }
+
   /** One left-to-right non-overlapping merge pass over a symbol list —
     * the list-form twin of the string `replace` pass (a token merged in
     * this pass is never the LEFT element of another match in the same

@@ -60,6 +60,17 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.trainMerges(Seq(("a", 5L)), numMerges = 3) === Seq.empty)
   }
 
+  test("trainMergesFromCorpus: bounded collect, equals trainMerges below the cap") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab xy")).toDF("doc_id", "text")
+    // under the cap: identical to training on the full word-freq table
+    val full = Bpe.trainMerges(Seq(("abab", 3L), ("cd", 1L), ("xy", 1L)), numMerges = 2)
+    val got = Bpe.trainMergesFromCorpus(docs, "text", numMerges = 2, maxVocab = 100)
+    assert(got === full)
+    // cap = 1 trains on the single most frequent word only
+    val capped = Bpe.trainMergesFromCorpus(docs, "text", numMerges = 1, maxVocab = 1)
+    assert(capped === Seq(("a", "b")), s"got $capped")
+  }
+
   test("tokens reassemble the original character stream (lossless segmentation)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
