@@ -55,7 +55,12 @@ object ScaleBench {
     "q89_vocab_coverage",
     "q90_bpe_pairs",
     "q91_group_cap",
-    "q92_contamination_report")
+    "q92_contamination_report",
+    "q93_bpe_tokenize",
+    "q94_temperature_mix",
+    "q95_bpe_pack",
+    "q96_bpe_vocab",
+    "q97_shard_manifest")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
