@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * let the scan prune.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The driver fixtures are single-file, single-row-group parquet, so a
+    * scan yields ONE input partition no matter how many cores the
+    * session has — every scan-side kernel (shingle hashing, replace
+    * chains, cell assignment) would run on one core until the first
+    * exchange. A real corpus arrives as many files and parallelizes
+    * naturally; to measure the operators rather than the fixture
+    * layout, the bench opts in to an explicit round-robin split via
+    * `SPARK_GRAFT_SCAN_REPARTITION=<N>` (env var, read per load).
+    * Default OFF: correctness-gate and EXPLAIN plans stay canonical
+    * (results are partition-independent by design — md5-keyed
+    * decisions, sorted samples, total window orders — so the gate
+    * verifies the same hashes either way).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    sys.env.get("SPARK_GRAFT_SCAN_REPARTITION").map(_.toInt).filter(_ > 1) match {
+      case Some(n) => df.repartition(n)
+      case None => df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
