@@ -901,6 +901,33 @@ object SparkEntry {
       "doc_id", "source", budgetPermille = 2500)
       .select("doc_id", "source", "epoch")
 
+  /** Per-source tokenizer-efficiency stats (round 13): docs, BPE
+    * tokens, and word characters per source, with chars-per-token — the
+    * fertility table that tells a curation pipeline which domains the
+    * tokenizer prices badly (CJK and code inflate token counts, i.e.
+    * low chars-per-token) and drives mixture/budget decisions. Counts
+    * from the distinct-word kernel; one aggregate on the source key;
+    * the ratio is an exact integer division (both engines divide the
+    * same BIGINTs, bit-identical).
+    */
+  private def q98_source_token_stats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        length(concat_ws("", TextFunctions.tokens(col("text")))).cast("long").alias("n_chars"))
+      .join(counts, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("n_tokens"),
+        sum(col("n_chars")).alias("n_chars"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
+          .alias("chars_per_token"))
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1711,7 +1738,8 @@ object SparkEntry {
     "q94_temperature_mix" -> (q94_temperature_mix _),
     "q95_bpe_pack" -> (q95_bpe_pack _),
     "q96_bpe_vocab" -> (q96_bpe_vocab _),
-    "q97_shard_manifest" -> (q97_shard_manifest _)
+    "q97_shard_manifest" -> (q97_shard_manifest _),
+    "q98_source_token_stats" -> (q98_source_token_stats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2839,6 +2867,20 @@ object SparkEntry {
           t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM bfin)
           SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens_total
           FROM a JOIN t USING (doc_id) GROUP BY shard""",
+    "q98_source_token_stats" ->
+      // chars = word characters (whitespace excluded on both sides);
+      // the ratio divides the same exact BIGINT sums in both engines
+      s"""WITH RECURSIVE $sqlBpeTokCtes,
+          t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM bfin),
+          d AS (SELECT doc_id, source,
+                       CAST(length(array_to_string(${sqlTokens("text")}, '')) AS BIGINT) AS n_chars
+                FROM documents)
+          SELECT source,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS chars_per_token
+          FROM d JOIN t USING (doc_id) GROUP BY source""",
     "q94_temperature_mix" ->
       // the rate table mirrors the driver-side computation exactly:
       // sqrt is IEEE correctly-rounded and list_reduce is the same
