@@ -60,7 +60,8 @@ object ScaleBench {
     "q94_temperature_mix",
     "q95_bpe_pack",
     "q96_bpe_vocab",
-    "q97_shard_manifest")
+    "q97_shard_manifest",
+    "q98_source_token_stats")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
