@@ -928,6 +928,25 @@ object SparkEntry {
           .alias("chars_per_token"))
   }
 
+  /** Semantic (embedding-space) decontamination (round 14): the
+    * paraphrase-leak stage the n-gram family (q50/q83/q86/q92) cannot
+    * catch — per-benchmark-item counts of training docs within cosine
+    * 0.4, plus the closest cosine. Exact control configuration
+    * (`nLists = 1`, `nProbe = 1` — every pair compared, the q77/q80
+    * oracle precedent); the corpus side is one scan + broadcast probe,
+    * never shuffled (plan-audited). Clustered recall vs this
+    * probe-everything twin is measured in BASELINE.md (round 14).
+    */
+  private def q99_semantic_decon(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val centroids = Similarity.trainCentroids(
+      train, "vec_id", "embedding", nLists = 1, seed = 42L, trainSample = 64)
+    Decontaminate.semanticReport(
+      train, bench, "vec_id", "embedding", centroids, threshold = 0.4, nProbe = 1)
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1739,7 +1758,8 @@ object SparkEntry {
     "q95_bpe_pack" -> (q95_bpe_pack _),
     "q96_bpe_vocab" -> (q96_bpe_vocab _),
     "q97_shard_manifest" -> (q97_shard_manifest _),
-    "q98_source_token_stats" -> (q98_source_token_stats _)
+    "q98_source_token_stats" -> (q98_source_token_stats _),
+    "q99_semantic_decon" -> (q99_semantic_decon _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2906,6 +2926,23 @@ object SparkEntry {
           SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
           FROM ex
           WHERE epoch < epochs
-             OR ${sqlMd5h60("'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} % 1000 < frac_pm"""
+             OR ${sqlMd5h60("'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} % 1000 < frac_pm""",
+    "q99_semantic_decon" ->
+      // nLists=1 -> every (benchmark, train) pair compared, so the
+      // report is a plain threshold join: same cosine arithmetic as
+      // q22/q77; LEFT join keeps certified-clean benchmark items with
+      // zero counts and the -2.0 below-any-cosine sentinel
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+          t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+          m AS (SELECT b.vec_id AS bid,
+                       ${sqlCos("b.embedding", "t.embedding")} AS cos
+                FROM b JOIN t ON ${sqlCos("b.embedding", "t.embedding")} >= 0.4),
+          a AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_train_docs,
+                       max(cos) AS max_cos
+                FROM m GROUP BY bid)
+          SELECT b.vec_id AS bench_id,
+                 COALESCE(a.n_train_docs, 0) AS n_train_docs,
+                 COALESCE(a.max_cos, -2.0) AS max_cos
+          FROM b LEFT JOIN a ON a.bid = b.vec_id"""
   )
 }

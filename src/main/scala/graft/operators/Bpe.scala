@@ -53,6 +53,25 @@ object Bpe {
     out.result()
   }
 
+  /** Code-point (= UTF-8 byte) string order. Scala's default String
+    * ordering compares UTF-16 code UNITS, which sorts astral characters
+    * (surrogate pairs, 0xD800+) BELOW some BMP characters — diverging
+    * from the UTF-8/code-point binary collation both Spark SQL's
+    * `orderBy` and DuckDB apply. Every driver-side sort whose order an
+    * oracle must reproduce goes through this ordering.
+    */
+  private[graft] val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
   /** One-shot ranked merge list: the top-`topPairs` adjacent character
     * pairs by corpus frequency (exactly `Vocab.bpePairCounts`' table,
     * ties broken by pair text), split into (left, right) symbols. This
@@ -66,7 +85,8 @@ object Bpe {
     Vocab.bpePairCounts(docs, textCol, topPairs)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (pair, cnt) => (-cnt, pair) }
+      .sortBy { case (pair, cnt) => (-cnt, pair) }(
+        Ordering.Tuple2(Ordering.Long, codePointOrdering))
       .map { case (pair, _) =>
         val cps = codePoints(pair)
         require(cps.length == 2, s"bigram merge must be 2 code points, got '$pair'")
@@ -100,7 +120,8 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, codePointOrdering, codePointOrdering))._1
         merges += best
         words = words.map { case (syms, f) => (mergePass(syms, best), f) }
         round += 1
@@ -292,7 +313,8 @@ object Bpe {
       .groupBy("t").agg(count(lit(1)).alias("cnt"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (t, c) => (-c, t) }
+      .sortBy { case (t, c) => (-c, t) }(
+        Ordering.Tuple2(Ordering.Long, codePointOrdering))
       .zipWithIndex
       .map { case ((t, _), i) => (t, i + 1) }
       .toMap

@@ -220,6 +220,124 @@ object Decontaminate {
         Bridge.expression(h)))
   }
 
+  /** Embedding-space (semantic) decontamination — the paraphrase-leak
+    * counterpart of the n-gram family: a benchmark item rewritten in
+    * different words shares no n-grams with its leak, but its embedding
+    * still sits within cosine `threshold` of it. Flags every training
+    * doc whose embedding is ≥ `threshold` cosine to ANY benchmark item.
+    *
+    * Mechanics (the [[Similarity]] frozen-quantizer cell recipe fused
+    * with this file's broadcast discipline): the benchmark side — a few
+    * thousand rows against a 100 TB corpus — replicates each item to
+    * its `nProbe` nearest cells of the FROZEN coarse quantizer and
+    * BROADCASTS; every corpus vector computes its single home cell
+    * scan-side (native `nearest_cell` codegen, centroid matrix rides
+    * the generated class) and probes the broadcast map-side. Only pairs
+    * meeting the threshold reach any aggregate. The corpus is never
+    * shuffled, and vectors never enter a partitioning key.
+    *
+    * `nProbe` is the recall knob: a corpus doc is compared to a
+    * benchmark item only when the item's probe set covers the doc's
+    * home cell. `nProbe = nLists` (or `nLists = 1`) probes everything —
+    * EXACT, the oracle configuration (q77/q80 precedent); the measured
+    * recall of clustered configurations is in BASELINE.md. Null-vector
+    * rows on either side are excluded (a null embedding has no cell and
+    * no cosine).
+    */
+  def semanticMatches(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "semanticMatches: empty centroid model")
+    require(nProbe > 0 && nProbe <= centroids.length,
+      s"nProbe must be in [1, nLists=${centroids.length}], got $nProbe")
+    val bench = benchmark
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).alias("bench_id"),
+        col(vecCol).alias("__bvec"),
+        explode(graft.functions.expressions.NearestCellsExpr
+          .nearestCells(col(vecCol), centroids, nProbe)).alias("__cell"))
+    val corpus = train
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).alias("doc_id"),
+        col(vecCol).alias("__vec"),
+        graft.functions.expressions.NearestCellExpr
+          .nearestCell(col(vecCol), centroids).alias("__cell"))
+    val cos = graft.functions.VectorFunctions.nanDiv(
+      graft.functions.expressions.DotProductFloat.dotF(col("__vec"), col("__bvec")),
+      graft.functions.expressions.Norm2Float.norm2F(col("__vec")) *
+        graft.functions.expressions.Norm2Float.norm2F(col("__bvec")))
+    corpus.join(broadcast(bench), Seq("__cell"))
+      .select(col("doc_id"), col("bench_id"), cos.alias("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Per-BENCHMARK-item semantic contamination report ([[report]]'s
+    * shape over embeddings): for every benchmark item, how many
+    * training docs sit within cosine `threshold` (`n_train_docs`) and
+    * the closest one's cosine (`max_cos`; `-2.0` — below any real
+    * cosine — for certified-clean items, so the report stays total over
+    * the benchmark and scalar-only for the gate).
+    */
+  def semanticReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int): DataFrame = {
+    val agg = semanticMatches(train, benchmark, idCol, vecCol, centroids, threshold, nProbe)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).alias("n_train_docs"), max(col("cos")).alias("max_cos"))
+    benchmark
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).alias("bench_id"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("n_train_docs"), lit(0L)).alias("n_train_docs"),
+        coalesce(col("max_cos"), lit(-2.0)).alias("max_cos"))
+  }
+
+  /** Training-side view: `(doc_id, n_bench_hits, max_cos)` for every
+    * training doc within `threshold` of at least one benchmark item —
+    * the flag set [[semanticClean]] removes.
+    */
+  def semanticOverlaps(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int): DataFrame =
+    semanticMatches(train, benchmark, idCol, vecCol, centroids, threshold, nProbe)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).alias("n_bench_hits"), max(col("cos")).alias("max_cos"))
+
+  /** Training docs with every semantically contaminated doc removed —
+    * [[clean]]'s filter form in embedding space.
+    */
+  def semanticClean(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int): DataFrame =
+    train.join(
+      semanticOverlaps(train, benchmark, idCol, vecCol, centroids, threshold, nProbe)
+        .select(col("doc_id").alias(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Bloom-PREFILTERED exact decontamination — [[clean]]'s rows
     * EXACTLY, at [[cleanApprox]]'s scan cost. The two-stage shape every
     * 100 TB membership pipeline converges on:

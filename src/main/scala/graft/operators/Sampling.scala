@@ -136,7 +136,10 @@ object Sampling {
     val counts = base.groupBy(sourceCol).agg(count(lit(1)).alias("n_s"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      // code-point order, not UTF-16 code-unit order: the fold order
+      // below must match the engines' binary collation for astral
+      // source names (Bpe.codePointOrdering scaladoc)
+      .sortBy(_._1)(Bpe.codePointOrdering)
     if (counts.isEmpty) return base.withColumn("epoch", lit(0L)).limit(0)
     val nTotal = counts.map(_._2).sum
     val budgetDocs = nTotal * budgetPermille / 1000

@@ -1203,8 +1203,44 @@ object Similarity {
       .option("partitionOverwriteMode", "static")
       .partitionBy("cell", "batch").parquet(path)
     // model AFTER the index rows: the static overwrite above clears `path`
+    writeIvfPqModel(spark, path, centroids, codebooks)
+  }
+
+  /** Trains and persists ONLY the model sidecar of an IVF-PQ artifact —
+    * no data rows. The streaming bootstrap shape: write the model once,
+    * then land every delta (including the first) through
+    * [[appendToIvfPqIndex]]'s dynamic `(cell, batch)` overwrite, so a
+    * trigger replayed after a crash at ANY point replaces its own files
+    * instead of duplicating the bootstrap batch (a [[buildIvfPqIndex]]
+    * bootstrap would own `batch=-1`, and its replay would re-land the
+    * same rows under `batch=<id>`). Training arithmetic is identical to
+    * [[buildIvfPqIndex]] (same seed → bit-identical model).
+    */
+  def buildIvfPqModelOnly(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 16,
+      m: Int = 8,
+      nCodes: Int = 256,
+      seed: Long = 42L,
+      trainSample: Int = 4096): Unit = {
+    require(nLists > 0 && m > 0, s"need nLists > 0 and m > 0, got $nLists, $m")
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val codebooks = trainProductQuantizer(
+      emb, idCol, vecCol, centroids.head.length, m, nCodes, seed, trainSample)
+    writeIvfPqModel(emb.sparkSession, path, centroids, codebooks)
+  }
+
+  private def writeIvfPqModel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
     Seq(IvfPqIndexModel(
-      dim = dim,
+      dim = centroids.head.length,
       subDim = codebooks.head.head.length,
       centroidsFlat = centroids.flatten,
       codebookSizes = codebooks.map(_.length),

@@ -216,12 +216,21 @@ object DedupIngest {
     val batchDocs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(textCol).cast("string").alias("text"))
+    // replay shield: a state row carrying a batch row's id IS that row,
+    // persisted by a crashed earlier run of this same batch — it must
+    // not block (band-collide with) its own re-arrival, or the replay's
+    // kept set comes back empty and downstream tiers starve. A no-op in
+    // normal operation (ids are unique across batches); the anti-join's
+    // right side is the per-trigger batch, so it broadcasts.
+    val batchIds = batchDocs.select("id").localCheckpoint(true)
+    val bandStateScreened = bandState.join(broadcast(batchIds), Seq("id"), "left_anti")
+    val setStateScreened = setState.join(broadcast(batchIds), Seq("id"), "left_anti")
     // eager: the three appends below are written one table at a time,
     // and a LAZY kept-id plan would re-read the band/set state after
     // its own overwrite had landed — materialize the (tiny) decision
     // before any state table moves
     val keptIds = Dedup.incrementalNearDupIndexed(
-      batchDocs, bandState, setState, "id", "text", n, k, bands, threshold)
+      batchDocs, bandStateScreened, setStateScreened, "id", "text", n, k, bands, threshold)
       .filter(col("kept") === 1L)
       .select("id")
       .localCheckpoint(true)
@@ -333,19 +342,25 @@ object DedupIngest {
     val batchVecs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"))
+    // same replay shield + idempotent append as the frozen variant (see
+    // [[mergeSemanticStateFrozenWithKept]])
+    val corpus = state.join(broadcast(batchVecs.select("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val keptIds =
-      if (state.head(1).isEmpty)
+      if (corpus.head(1).isEmpty)
         Similarity.semanticDedup(
           batchVecs, "id", "vec", threshold, nLists = nLists, trainSample = trainSample)
           .filter(col("kept") === 1L)
           .select("id")
       else
         Similarity.incrementalSemanticDedup(
-          batchVecs, state, "id", "vec", threshold,
+          batchVecs, corpus, "id", "vec", threshold,
           nLists = nLists, trainSample = trainSample)
           .filter(col("kept") === 1L)
           .select("id")
-    state.unionByName(batchVecs.join(keptIds, Seq("id")))
+    state.unionByName(
+      batchVecs.join(keptIds, Seq("id"))
+        .join(state.select("id"), Seq("id"), "left_anti"))
   }
 
   /** Start the semantic-dedup ingest: every micro-batch of `(id, vec)`
@@ -426,6 +441,11 @@ object DedupIngest {
     val persisted = readQuantizer(spark, sink, table)
     if (persisted.nonEmpty) persisted
     else {
+      // bootstrap-path guard (runs once per stream): training on an
+      // empty frame would crash-loop the trigger — callers must skip
+      // the tier instead when the batch has no survivors
+      require(batch.head(1).nonEmpty,
+        s"loadOrTrainQuantizer($table): quantizer bootstrap needs a non-empty batch")
       val k =
         if (nLists > 0) nLists
         else Similarity.autoNLists(batch.select(col(idCol)).count())
@@ -469,16 +489,30 @@ object DedupIngest {
     val batchVecs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(vecCol).alias("vec"))
+    // replay shield (same contract as the near-dup tier): the decision
+    // probes the state MINUS the batch's own ids — a state row with a
+    // batch row's id was persisted by a crashed earlier run of this
+    // batch and must not self-match its re-arrival. The bootstrap-vs-
+    // incremental branch keys off the SCREENED corpus, so a replayed
+    // first batch re-takes the bootstrap path it originally took.
+    val batchIds = batchVecs.select("id")
+    val corpus = state.join(broadcast(batchIds), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val keptIds = (
-      if (state.head(1).isEmpty)
+      if (corpus.head(1).isEmpty)
         Similarity.semanticDedupFrozen(batchVecs, "id", "vec", centroids, threshold)
       else
         Similarity.incrementalSemanticDedupFrozen(
-          batchVecs, state, "id", "vec", centroids, threshold))
+          batchVecs, corpus, "id", "vec", centroids, threshold))
       .filter(col("kept") === 1L)
       .select("id")
       .localCheckpoint(true)
-    (keptIds, state.unionByName(batchVecs.join(keptIds, Seq("id"))))
+    // append with an id anti-join so a replayed batch's survivors are
+    // not unioned a second time (idempotent per table, the same shape
+    // as the near-dup tier's appendNew)
+    (keptIds, state.unionByName(
+      batchVecs.join(keptIds, Seq("id"))
+        .join(state.select("id"), Seq("id"), "left_anti")))
   }
 
   /** The frozen semantic tier's per-micro-batch body (factored out for
@@ -592,18 +626,41 @@ object DedupIngest {
 
     // ---- tier 1: exact — intra-batch min-id per fingerprint, then drop
     // fingerprints the corpus has already seen; state merge counts ALL
-    // batch rows (dup_count stays exact)
+    // batch rows (dup_count stays exact).
+    //
+    // The keep rule is REPLAY-STABLE: keep a row when its fingerprint is
+    // absent from the state OR the state's keep_id is this row's own id.
+    // The second disjunct is what survives a crash between the __exact
+    // write and [[markApplied]] — on replay the state already holds the
+    // batch's fingerprints (with keep_id = the batch's min id for
+    // fingerprints it introduced), so a bare left_anti would return an
+    // EMPTY exactKept and the whole batch would silently vanish from
+    // tiers 2-4, permanently. With the rule, the original survivors
+    // recompute identically. (Corner: a pre-existing fingerprint whose
+    // state keep_id was LOWERED to this batch's id by the crashed merge
+    // re-admits that row on replay; tier 2 then drops it as an exact
+    // text match of the already-kept corpus doc, so no duplicate can
+    // reach the sem/ANN tiers.)
     val exactState = sink.read(spark, s"${table}__exact", exactStateSchema)
     val fp = docs.withColumn("__fp", md5(col("text")))
     val minIds = fp.groupBy("__fp").agg(min(col("id")).alias("id"))
     val exactKept = fp
       .join(minIds, Seq("__fp", "id"))
-      .join(exactState.select(col("fp").alias("__fp")), Seq("__fp"), "left_anti")
-      .drop("__fp")
+      .join(
+        exactState.select(col("fp").alias("__fp"), col("keep_id").alias("__kid")),
+        Seq("__fp"), "left")
+      .filter(col("__kid").isNull || col("__kid") === col("id"))
+      .drop("__fp", "__kid")
       .localCheckpoint(true)
-    sink.write(
-      mergeExactState(exactState, docs, "id", "text"),
-      s"${table}__exact", SaveMode.Overwrite)
+    // per-tier applied guard: the dup_count sum is the one non-idempotent
+    // write in the pipeline (re-merging a batch doubles its counts), so
+    // the exact tier acks its own batch id the moment its state lands
+    if (!alreadyApplied(spark, sink, s"${table}__exact", batchId)) {
+      sink.write(
+        mergeExactState(exactState, docs, "id", "text"),
+        s"${table}__exact", SaveMode.Overwrite)
+      markApplied(spark, sink, s"${table}__exact", batchId)
+    }
 
     // ---- tier 2: near-dup over exact survivors (persisted band index)
     val (nearCorpus, nearBands, nearSets) = (
@@ -617,26 +674,42 @@ object DedupIngest {
     sink.write(newSets, s"${table}__near__sets", SaveMode.Overwrite)
     val nearKept = exactKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
 
-    // ---- tier 3: semantic over near-dup survivors (frozen quantizer)
-    val centroids = loadOrTrainQuantizer(
-      spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
-    val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
-    val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
-      semState, nearKept, "id", "vec", centroids, semThreshold)
-    sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
-    val finalKept = nearKept.join(semKeptIds, Seq("id"))
+    // ---- tier 3: semantic over near-dup survivors (frozen quantizer).
+    // Skipped outright when tiers 1-2 dropped the whole batch — in
+    // particular, the quantizer must never bootstrap-train on an empty
+    // frame (a legitimately all-dup batch, or a degenerate replay).
+    if (nearKept.head(1).nonEmpty) {
+      val centroids = loadOrTrainQuantizer(
+        spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
+      val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
+      val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
+        semState, nearKept, "id", "vec", centroids, semThreshold)
+      sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
+      val finalKept = nearKept.join(semKeptIds, Seq("id"))
 
-    // ---- tier 4: ANN index append of the final survivors (bootstrap:
-    // build the index from the first batch's survivors — the same
-    // one-training-pass contract as the quantizer sidecar)
-    annIndexPath.foreach { path =>
-      val vecs = finalKept.select("id", "vec").filter(col("vec").isNotNull)
-      if (!new java.io.File(s"$path/${Similarity.ivfPqModelDirName}").exists())
-        Similarity.buildIvfPqIndex(
-          vecs, "id", "vec", path,
-          nLists = annNLists, m = annM, nCodes = annCodes, trainSample = trainSample)
-      else if (vecs.head(1).nonEmpty)
-        Similarity.appendToIvfPqIndex(vecs, "id", "vec", path, batchId)
+      // ---- tier 4: ANN index append of the final survivors. Bootstrap
+      // writes the MODEL sidecar only (one-training-pass contract, same
+      // as the quantizer); data rows — including the first batch's —
+      // always land through the append's dynamic (cell, batch=batchId)
+      // overwrite, so replaying this trigger after a crash anywhere in
+      // the tier replaces its own files instead of duplicating them.
+      // The existence probe goes through Hadoop's FileSystem, not
+      // java.io.File — a java.io probe reports false for every
+      // non-local path (HDFS/S3) and would silently rebuild the model
+      // each batch.
+      annIndexPath.foreach { path =>
+        val vecs = finalKept.select("id", "vec").filter(col("vec").isNotNull)
+        if (vecs.head(1).nonEmpty) {
+          val modelPath = new org.apache.hadoop.fs.Path(
+            s"$path/${Similarity.ivfPqModelDirName}")
+          val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(modelPath))
+            Similarity.buildIvfPqModelOnly(
+              vecs, "id", "vec", path,
+              nLists = annNLists, m = annM, nCodes = annCodes, trainSample = trainSample)
+          Similarity.appendToIvfPqIndex(vecs, "id", "vec", path, batchId)
+        }
+      }
     }
     markApplied(spark, sink, table, batchId)
   }

@@ -25,7 +25,13 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    sys.env.get("SPARK_GRAFT_SCAN_REPARTITION").map(_.toInt).filter(_ > 1) match {
+    sys.env.get("SPARK_GRAFT_SCAN_REPARTITION").map { v =>
+      // fail once with the env var named, not with a bare
+      // NumberFormatException from inside every table load
+      scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SCAN_REPARTITION must be an integer, got '$v'"))
+    }.filter(_ > 1) match {
       case Some(n) => df.repartition(n)
       case None => df
     }

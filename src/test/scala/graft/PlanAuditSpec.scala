@@ -510,4 +510,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"document text crossed a shuffle:\n$exchanges")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q97 path:\n$plan")
   }
+
+  test("q99: benchmark probes broadcast; the corpus embedding stream never shuffles, vectors never key") {
+    val plan = planOf("q99_semantic_decon")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark probe table did not broadcast:\n$plan")
+    // the only exchange is the per-benchmark-item aggregate on bench_id
+    // (bounded by the benchmark, not the corpus); no vector column may
+    // enter a partitioning key
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("vec") && !e.contains("embedding")),
+      s"vectors entered a partitioning key:\n$exchanges")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q99 path:\n$plan")
+  }
 }

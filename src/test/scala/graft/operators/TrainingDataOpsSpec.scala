@@ -71,6 +71,80 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(got(4L) == (("", 0L, 0L)), got(4L))
   }
 
+  test("Decontaminate.semantic*: threshold flags, clean-item zeros, null-vec exclusion (exact config)") {
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == axis) 1.0f else 0.0f)
+    def noisy(base: Seq[Float], eps: Float): Seq[Float] =
+      base.updated((base.indexOf(1.0f) + 1) % 4, eps)
+    val train = Seq(
+      (1L, unit(0)), // paraphrase-leak of bench 100 (cos ~ 1)
+      (2L, noisy(unit(0), 0.05f)), // second leak of bench 100
+      (3L, unit(1)), // clean (orthogonal to every bench item)
+      (4L, unit(2)), // exact leak of bench 101
+      (5L, null.asInstanceOf[Seq[Float]]) // null vec: excluded, never flagged
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, noisy(unit(0), 0.02f)),
+      (101L, unit(2)),
+      (102L, unit(3)) // clean benchmark item: zero hits, sentinel cosine
+    ).toDF("vec_id", "embedding")
+    // nLists = 1: the centroid VALUE is irrelevant (every row lands in
+    // cell 0), every pair is compared — the oracle configuration
+    val one = Array(Array(0.0, 0.0, 0.0, 0.0))
+
+    val rep = Decontaminate.semanticReport(
+      train, bench, "vec_id", "embedding", one, threshold = 0.9, nProbe = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep.keySet == Set(100L, 101L, 102L), s"report not total: ${rep.keySet}")
+    assert(rep(100L)._1 == 2L && rep(100L)._2 > 0.99, s"bench 100: ${rep(100L)}")
+    assert(rep(101L) == ((1L, 1.0)), s"bench 101: ${rep(101L)}")
+    assert(rep(102L) == ((0L, -2.0)), s"clean item: ${rep(102L)}")
+
+    val ov = Decontaminate.semanticOverlaps(
+      train, bench, "vec_id", "embedding", one, threshold = 0.9, nProbe = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(ov == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), s"overlaps: $ov")
+
+    val cleaned = Decontaminate.semanticClean(
+      train, bench, "vec_id", "embedding", one, threshold = 0.9, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // 3 survives (orthogonal); the null-vec doc is unflaggable, so kept
+    assert(cleaned == Set(3L, 5L), s"cleaned: $cleaned")
+  }
+
+  test("Decontaminate.semantic: clustered probing is sound (subset of exact), exact at full probe") {
+    def vf(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // four orthogonal cells; train docs live on axes 0 and 2
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val train = Seq(
+      (1L, vf(1, 0, 0, 0)), (2L, vf(0.99, 0.1, 0, 0)),
+      (3L, vf(0, 0, 1, 0)), (4L, vf(0, 0.1, 0.99, 0))
+    ).toDF("vec_id", "embedding")
+    // bench 200 sits BETWEEN cells 0 and 1 (cos 1/sqrt2 ~ 0.707 to both
+    // axes): its nearest-cell tie breaks to cell 0, so nProbe = 1 finds
+    // the axis-0 leaks but MISSES the axis-2 ones — the recall trade the
+    // subset property bounds
+    val bench = Seq((200L, vf(0.7071067811865476, 0, 0.7071067811865476, 0)))
+      .toDF("vec_id", "embedding")
+    def hits(nProbe: Int): Set[(Long, Long)] = Decontaminate.semanticMatches(
+      train, bench, "vec_id", "embedding", centroids, threshold = 0.7, nProbe = nProbe)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+
+    val exact = hits(nProbe = 4) // probe everything
+    assert(exact == Set((1L, 200L), (2L, 200L), (3L, 200L), (4L, 200L)), s"exact: $exact")
+    val probed = hits(nProbe = 1)
+    assert(probed.subsetOf(exact), "probed hits must be a subset of exact")
+    assert(probed == Set((1L, 200L), (2L, 200L)), s"nProbe=1: $probed")
+    assert(hits(nProbe = 2) == exact, "covering both straddled cells recovers every hit")
+
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.semanticMatches(
+        train, bench, "vec_id", "embedding", centroids, threshold = 0.7, nProbe = 5)
+    }
+    assert(e.getMessage.contains("nProbe"), e.getMessage)
+  }
+
   test("QualityPrune.pruneByGroupQuantile: per-group thresholds, exact vs approx") {
     import org.apache.spark.sql.functions.col
     // group A scores 1..100, group B scores 1..20 — per-group quartiles

@@ -316,6 +316,82 @@ class DedupIngestSpec extends SparkTestBase {
     assert(sink.read(spark, "uni__sem", DedupIngest.semanticStateSchema).count() === 3L)
   }
 
+  test("unified ingest crash-replay: a batch replayed after a partial first run still reaches every tier") {
+    // the ADVICE r13 medium: a crash between the __exact write and the
+    // overall markApplied used to starve tiers 2-4 on replay (the exact
+    // tier's left_anti self-matched the already-merged state), losing
+    // the batch permanently. The keep rules are now replay-stable; this
+    // spec drives the two crash windows explicitly.
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-uni-replay").toString)
+    val idx = Files.createTempDirectory("graft-uni-replay-idx").toString + "/index"
+    def apply(rows: Seq[(Long, String, Seq[Float])], batchId: Long): Unit =
+      DedupIngest.applyUnifiedBatch(
+        rows.toDF("doc_id", "text", "embedding"), batchId,
+        "doc_id", "text", "embedding", sink, "u", Some(idx),
+        textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
+        annNLists = 2, annM = 4, annCodes = 4)
+    def tierIds: (Set[Long], Set[Long], Set[Long], Set[Long]) = (
+      sink.read(spark, "u__exact", DedupIngest.exactStateSchema)
+        .as[(String, Long, Long)].collect().map(_._2).toSet,
+      sink.read(spark, "u__near", DedupIngest.nearDupStateSchema)
+        .as[(Long, String)].collect().map(_._1).toSet,
+      sink.read(spark, "u__sem", DedupIngest.semanticStateSchema)
+        .as[(Long, Seq[Float])].collect().map(_._1).toSet,
+      spark.read.parquet(idx).select("id").as[Long].collect().toSet)
+
+    // batch 0 bootstraps every tier (incl. quantizer + ANN model)
+    apply(Seq((1L, textA, unit(0)), (2L, textB, unit(1))), batchId = 0L)
+    assert(tierIds === ((Set(1L, 2L), Set(1L, 2L), Set(1L, 2L), Set(1L, 2L))))
+
+    // CRASH WINDOW 1: batch 1's first run died after the exact tier's
+    // state write AND its per-tier ack, before anything else — simulate
+    // by hand-applying exactly those two writes, then replaying the
+    // whole batch. Rows 3/4 are intra-batch exact dups (min id 3 wins).
+    val b1 = Seq((3L, textC, unit(2)), (4L, textC, unit(3)))
+    val exactState0 = sink.read(spark, "u__exact", DedupIngest.exactStateSchema)
+    sink.write(
+      DedupIngest.mergeExactState(
+        exactState0, b1.toDF("doc_id", "text", "embedding"), "doc_id", "text"),
+      "u__exact", org.apache.spark.sql.SaveMode.Overwrite)
+    sink.write(Seq(1L).toDF("last_batch_id"), "u__exact__meta",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    apply(b1, batchId = 1L)
+    val (exact1, near1, sem1, ann1) = tierIds
+    assert(near1 === Set(1L, 2L, 3L), s"tier-2 starved on replay: $near1")
+    assert(sem1 === Set(1L, 2L, 3L), s"tier-3 starved on replay: $sem1")
+    assert(ann1 === Set(1L, 2L, 3L), s"tier-4 starved on replay: $ann1")
+    assert(exact1 === Set(1L, 2L, 3L))
+    // the per-tier ack kept dup_count exact (2 rows of textC, not 4)
+    val cCount = sink.read(spark, "u__exact", DedupIngest.exactStateSchema)
+      .filter($"keep_id" === 3L).as[(String, Long, Long)].head()._3
+    assert(cCount === 2L, s"dup_count double-applied on replay: $cCount")
+
+    // CRASH WINDOW 2: batch 2's first run completed EVERY tier write but
+    // died before the overall markApplied — simulate by applying fully,
+    // rolling the overall meta back, and replaying.
+    val b2 = Seq((5L, (1 to 40).map(i => s"delta$i").mkString(" "), unit(4)))
+    apply(b2, batchId = 2L)
+    val snapshot = tierIds
+    val dupCounts0 = sink.read(spark, "u__exact", DedupIngest.exactStateSchema)
+      .as[(String, Long, Long)].collect().toSet
+    sink.write(Seq(1L).toDF("last_batch_id"), "u__meta",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    apply(b2, batchId = 2L)
+    assert(tierIds === snapshot, "full-write replay changed state")
+    assert(sink.read(spark, "u__exact", DedupIngest.exactStateSchema)
+      .as[(String, Long, Long)].collect().toSet === dupCounts0,
+      "full-write replay double-counted")
+
+    // all-dup batch: every row dies at tier 1 -> tiers 3/4 are skipped
+    // (no empty-frame quantizer bootstrap, no empty ANN append)
+    apply(Seq((6L, textA, unit(5))), batchId = 3L)
+    assert(tierIds === snapshot, "all-dup batch mutated state")
+  }
+
   test("ANN-index ingest: streamed appends land in the persisted index; pruned queries see the union") {
     import org.apache.spark.sql.functions.col
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
