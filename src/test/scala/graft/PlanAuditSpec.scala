@@ -511,6 +511,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q97 path:\n$plan")
   }
 
+  test("q98: one-pass fertility stats — no doc-keyed shuffle join, text never shuffles") {
+    val plan = planOf("q98_source_token_stats")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("doc_id")),
+      s"per-doc reunite join crept back (doc_id in an exchange):\n$exchanges")
+    assert(exchanges.forall(e => !e.contains("text#")), s"text crossed a shuffle:\n$exchanges")
+    assert(!plan.contains("rangepartitioning"), s"range partitioning on the q98 path:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q98 path:\n$plan")
+  }
+
   test("q99: benchmark probes broadcast; the corpus embedding stream never shuffles, vectors never key") {
     val plan = planOf("q99_semantic_decon")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark probe table did not broadcast:\n$plan")

@@ -110,6 +110,32 @@ class BpeSpec extends SparkTestBase {
     assert(streamCounts === directCounts, "tokenStream multiset diverged")
   }
 
+  test("groupTokenStats equals the two-pass per-doc composition (incl. wordless docs, null groups)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .union(Seq(
+        (99991L, "", "en", "srcx", 0L), // wordless: counts toward n_docs only
+        (99992L, "solo words", "en", null, 10L) // null group must still aggregate
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val merges = Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+    val got = Bpe.groupTokenStats(docs, "source", "text", merges)
+      .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference: the old per-doc shape — tokenCounts + per-doc char sums
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges).withColumnRenamed("id", "doc_id")
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        length(concat_ws("", graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long").alias("nc"))
+      .join(counts, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)), sum("n_tokens"), sum("nc"))
+      .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected, s"one-pass diverged:\n$got\nvs\n$expected")
+    // the null group aggregated (1 doc, 9 word chars); token count is
+    // whatever the trained merges yield, pinned by the equality above
+    assert(got.contains(None), s"null group missing: ${got.keySet}")
+    assert(got(None)._1 == 1L && got(None)._3 == 9L, s"null group: ${got(None)}")
+  }
+
   test("tokenStats seq_hash is order-sensitive") {
     val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
     val swapped = Seq((1L, "ba ab")).toDF("doc_id", "text")
