@@ -805,6 +805,63 @@ object SparkEntry {
                                     x -> length(x) > 0 AND x <> chr(10)) AS toks
                  FROM ap, nm WHERE ap.k = nm.n)"""
 
+  /** DuckDB CTE chain reproducing the ITERATIVE BPE trainer
+    * (`Bpe.trainMerges`) for q100: `numMerges` generated rounds, each
+    * re-counting adjacent symbol pairs over the (word, freq) vocabulary
+    * segmented by the merges so far, taking the (count desc, left asc,
+    * right asc) argmax — the exact driver-side fold, in binary
+    * collation — then applying it with the same one-replace pass. The
+    * resulting `mg(lft, rgt, rk)` table feeds the GENERALIZED apply
+    * (multi-char sides, unlike `sqlBpeTokCtes`' single-char bigram
+    * form). Symbols never contain whitespace, so the tab separator in
+    * the pair encoding is safe.
+    */
+  private def sqlBpeTrainCtes(numMerges: Int, maxVocab: Int): String = {
+    // every round CTE is MATERIALIZED: the chain is self-referential
+    // (p_r and s_r both read s_{r-1}; s_r reads m_r three times), so
+    // DuckDB's default inlining would expand to ~4^rounds scans of the
+    // base table — materialization makes each round evaluate once
+    val rounds = (1 to numMerges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT split_part(pr, chr(9), 1) AS lft,
+                        split_part(pr, chr(9), 2) AS rgt, sum(f) AS c
+                 FROM (SELECT f, unnest(list_transform(range(1, len(a)),
+                              i -> a[CAST(i AS INTEGER)] || chr(9) || a[CAST(i AS INTEGER) + 1])) AS pr
+                       FROM (SELECT f, list_filter(string_split(s, ' '), x -> length(x) > 0) AS a
+                             FROM s${r - 1}))
+                 GROUP BY 1, 2),
+          m$r AS MATERIALIZED (SELECT lft, rgt FROM p$r ORDER BY c DESC, lft, rgt LIMIT 1),
+          s$r AS MATERIALIZED (SELECT w, f,
+                         replace(s, ' ' || (SELECT lft FROM m$r) || '  ' || (SELECT rgt FROM m$r) || ' ',
+                                 ' ' || (SELECT lft || rgt FROM m$r) || ' ') AS s
+                  FROM s${r - 1})"""
+    }.mkString(",\n")
+    val mgUnion = (1 to numMerges)
+      .map(r => s"SELECT lft, rgt, CAST($r AS BIGINT) AS rk FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f
+               FROM (SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+               GROUP BY w ORDER BY f DESC, w LIMIT $maxVocab),
+        s0 AS MATERIALIZED (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1  ', 'gs') AS s FROM wf),
+        $rounds,
+        mg AS MATERIALIZED ($mgUnion),
+        nm AS (SELECT count(*) AS n FROM mg),
+        prep AS (SELECT doc_id,
+                        ' ' || regexp_replace(array_to_string(${sqlTokens("text")}, chr(10)),
+                                              '(.)', '\\1  ', 'gs') AS s
+                 FROM documents),
+        ap AS (SELECT doc_id, s, CAST(0 AS BIGINT) AS k FROM prep
+               UNION ALL
+               SELECT a.doc_id,
+                      replace(a.s, ' ' || m.lft || '  ' || m.rgt || ' ',
+                              ' ' || m.lft || m.rgt || ' '),
+                      a.k + 1
+               FROM ap a JOIN mg m ON m.rk = a.k + 1),
+        bfin AS MATERIALIZED (SELECT doc_id,
+                        list_filter(string_split(s, ' '),
+                                    x -> length(x) > 0 AND x <> chr(10)) AS toks
+                 FROM ap, nm WHERE ap.k = nm.n)"""
+  }
+
   /** Apply-BPE tokenization (round 13): q90's merge table, APPLIED — the
     * text → token-sequence step a training loader consumes, closing the
     * train/apply loop (q90 counts pairs; this segments every document
@@ -939,6 +996,32 @@ object SparkEntry {
       train, "vec_id", "embedding", nLists = 1, seed = 42L, trainSample = 64)
     Decontaminate.semanticReport(
       train, bench, "vec_id", "embedding", centroids, threshold = 0.4, nProbe = 1)
+  }
+
+  /** MULTI-LEVEL BPE, end to end (round 14): the REAL iterative trainer
+    * (`Bpe.trainMergesFromCorpus`, 24 rounds — merge outputs merge
+    * again, e.g. `s+park` over `par+k` over `p+ar`) applied through the
+    * q93 machinery, plus the training-loader handoff: every doc's
+    * token-ID array (frequency-ranked vocab, `Bpe.tokenIds`' lookup)
+    * hash-checked alongside the token sequence. The tokenization plan
+    * stays a zero-exchange zero-UDF projection (training and the vocab
+    * rank are separate bounded driver jobs — vocab ≤ |alphabet| +
+    * |merges| by construction); the DuckDB oracle re-runs the FULL
+    * iterative trainer as generated per-round CTEs and the generalized
+    * multi-char recursive apply ([[sqlBpeTrainCtes]]).
+    */
+  private def q100_bpe_multilevel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.trainMergesFromCorpus(docs, "text", numMerges = 24)
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges)
+    val vm = typedlit(Bpe.vocabIds(toks, "toks"))
+    toks.select(
+      col("id").alias("doc_id"),
+      size(col("toks")).cast("long").alias("n_tokens"),
+      array_max(transform(col("toks"), t => length(t))).cast("long").alias("max_token_len"),
+      md5(concat_ws("|", col("toks"))).alias("seq_hash"),
+      md5(concat_ws("|",
+        transform(col("toks"), t => element_at(vm, t).cast("string")))).alias("ids_hash"))
   }
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
@@ -1753,7 +1836,8 @@ object SparkEntry {
     "q96_bpe_vocab" -> (q96_bpe_vocab _),
     "q97_shard_manifest" -> (q97_shard_manifest _),
     "q98_source_token_stats" -> (q98_source_token_stats _),
-    "q99_semantic_decon" -> (q99_semantic_decon _)
+    "q99_semantic_decon" -> (q99_semantic_decon _),
+    "q100_bpe_multilevel" -> (q100_bpe_multilevel _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2937,6 +3021,27 @@ object SparkEntry {
           SELECT b.vec_id AS bench_id,
                  COALESCE(a.n_train_docs, 0) AS n_train_docs,
                  COALESCE(a.max_cos, -2.0) AS max_cos
-          FROM b LEFT JOIN a ON a.bid = b.vec_id"""
+          FROM b LEFT JOIN a ON a.bid = b.vec_id""",
+    "q100_bpe_multilevel" ->
+      // the full iterative trainer re-run in SQL (24 generated rounds)
+      // + the generalized multi-char apply + the frequency-ranked vocab
+      // id sequence (string_agg in position order; wordless docs keep
+      // md5('') like Spark's concat_ws over an empty array)
+      s"""WITH RECURSIVE ${sqlBpeTrainCtes(numMerges = 24, maxVocab = 65536)},
+          vc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT unnest(toks) AS t FROM bfin) GROUP BY t),
+          vid AS (SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS tid
+                  FROM vc),
+          tkp AS (SELECT doc_id, u.i, toks[CAST(u.i AS INTEGER)] AS tok
+                  FROM bfin CROSS JOIN LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+          idh AS (SELECT tkp.doc_id,
+                         md5(string_agg(CAST(vid.tid AS VARCHAR), '|' ORDER BY tkp.i)) AS ids_hash
+                  FROM tkp JOIN vid ON vid.t = tkp.tok GROUP BY tkp.doc_id)
+          SELECT b.doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_token_len,
+                 md5(array_to_string(toks, '|')) AS seq_hash,
+                 COALESCE(i.ids_hash, md5('')) AS ids_hash
+          FROM bfin b LEFT JOIN idh i USING (doc_id)"""
   )
 }

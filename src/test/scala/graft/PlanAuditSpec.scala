@@ -521,6 +521,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q98 path:\n$plan")
   }
 
+  test("q100: multi-level BPE apply + id mapping is still a zero-exchange projection") {
+    val plan = planOf("q100_bpe_multilevel")
+    assert(shuffles(plan) == 0,
+      s"trainer and vocab are driver jobs; the apply must stay scan->project:\n$plan")
+    assert(plan.contains("replace(replace("), s"merge chain not chained native replace:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q100 path:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two consumed columns:\n$plan")
+  }
+
   test("q99: benchmark probes broadcast; the corpus embedding stream never shuffles, vectors never key") {
     val plan = planOf("q99_semantic_decon")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark probe table did not broadcast:\n$plan")

@@ -136,6 +136,19 @@ class BpeSpec extends SparkTestBase {
     assert(got(None)._1 == 1L && got(None)._3 == 9L, s"null group: ${got(None)}")
   }
 
+  test("the q100 trainer config is genuinely multi-level on the fixtures (merge outputs merge again)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMergesFromCorpus(docs, "text", numMerges = 24)
+    assert(merges.size === 24)
+    val multi = merges.filter(p => p._1.length > 1 || p._2.length > 1)
+    assert(multi.nonEmpty,
+      s"no merge consumed a prior merge's output — q100 would degenerate to the q93 bigram form: $merges")
+    // and at least one side is itself a multi-round product (depth > 2)
+    val outputs = merges.map { case (a, b) => a + b }.toSet
+    assert(multi.exists(p => outputs.contains(p._1) || outputs.contains(p._2)),
+      s"no merge side is a prior OUTPUT: $multi")
+  }
+
   test("tokenStats seq_hash is order-sensitive") {
     val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
     val swapped = Seq((1L, "ba ab")).toDF("doc_id", "text")
