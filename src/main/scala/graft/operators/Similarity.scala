@@ -1331,6 +1331,63 @@ object Similarity {
       .partitionBy("cell", "batch").parquet(path)
   }
 
+  /** Compacts an IVF-PQ index artifact's accumulated streaming deltas:
+    * every `(cell, batch)` partition — the per-trigger appends of
+    * [[appendToIvfPqIndex]] plus any `batch=-1` base — rewrites into
+    * the base `batch=-1` layout with ONE write task per cell, so the
+    * partition/file count collapses back to ≈ the number of occupied
+    * cells. This is the maintenance job a long-running
+    * `DedupIngest.startAnnIndex`/`startUnified` stream needs: without
+    * it each trigger adds one small file per touched cell and the
+    * artifact degrades into the classic streaming-lakehouse
+    * many-small-files state (every probe pays per-file open/footer
+    * costs that eventually dwarf the data read).
+    *
+    * Codes are REWRITTEN VERBATIM — no re-routing, no re-encoding, the
+    * model sidecar is copied byte-for-byte — so a partition-pruned
+    * query over the compacted artifact returns row-identical results
+    * (spec-pinned), and compacting an already-compacted artifact is a
+    * content no-op (idempotent; replay-safe at any point since the
+    * original artifact is untouched until the final swap).
+    *
+    * Concurrent-reader safety is the `ParquetKVSink` write-then-swap
+    * contract: the compacted artifact builds in a sibling temp dir and
+    * swaps in via two renames (single-writer; a reader that resolved
+    * the old path keeps reading its immutable files until the delete).
+    * All I/O goes through Hadoop's FileSystem, so the job runs on any
+    * supported store (rename atomicity is the store's own contract —
+    * atomic dir rename on HDFS/local, copy-based on S3A).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
+    require(fs.exists(model),
+      s"compactIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
+    val stamp = System.nanoTime()
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_tmp_$stamp")
+    // one shuffle on the scalar cell id: each write task owns whole
+    // cells, so every occupied cell lands as one file under batch=-1
+    spark.read.parquet(path)
+      .select(col("id"), col("code"), col("cell"))
+      .repartition(col("cell"))
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell", "batch").parquet(tmp.toString)
+    require(
+      org.apache.hadoop.fs.FileUtil.copy(fs, model, fs,
+        new org.apache.hadoop.fs.Path(s"$tmp/$IvfPqModelDir"), false, conf),
+      s"compactIvfPqIndex: copying the model sidecar to $tmp failed")
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_old_$stamp")
+    require(fs.rename(root, old), s"compactIvfPqIndex: swap-out of $path failed")
+    require(fs.rename(tmp, root), s"compactIvfPqIndex: swap-in of $tmp failed")
+    fs.delete(old, true)
+  }
+
   /** The `(id, cell, code)` projection both index writers share:
     * null vectors filtered out, every surviving vector dim-checked
     * PER ROW (a wider vector would silently prefix-encode; a shorter

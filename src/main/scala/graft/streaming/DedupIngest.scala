@@ -800,13 +800,21 @@ object DedupIngest {
       sink: KVTableSink,
       table: String,
       checkpointDir: String,
-      trigger: Trigger): StreamingQuery =
+      trigger: Trigger,
+      compactEvery: Int = 0): StreamingQuery =
     emb.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyAnnBatch(batch, batchId, idCol, vecCol, indexPath, sink, table)
+        // maintenance, not correctness: a crash that skips this pass
+        // just leaves the deltas for a later trigger's compaction;
+        // compaction after the ack so a replayed batch never compacts
+        // mid-append. Every N batches bounds the artifact's file count
+        // at ~(occupied cells) + N * (cells touched per trigger).
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Similarity.compactIvfPqIndex(batch.sparkSession, indexPath)
       }
       .start()
 }

@@ -464,6 +464,56 @@ class SimilaritySpec extends SparkTestBase {
       s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
   }
 
+  test("compactIvfPqIndex: deltas collapse to one batch=-1 file per cell; queries row-identical; replay no-op") {
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString + "/index"
+    Similarity.buildIvfPqIndex(
+      embR.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", dir,
+      nLists = 8, m = 8, nCodes = 16, trainSample = 512)
+    Similarity.appendToIvfPqIndex(
+      embR.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", dir, batchId = 0L)
+    Similarity.appendToIvfPqIndex(
+      embR.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", dir, batchId = 1L)
+
+    def rows: Set[(Long, Int, Seq[Byte])] = spark.read.parquet(dir)
+      .select("id", "cell", "code").as[(Long, Int, Array[Byte])]
+      .collect().map(r => (r._1, r._2, r._3.toSeq)).toSet
+    def batchDirs: Seq[(String, Int)] = {
+      val root = new java.io.File(dir)
+      for {
+        c <- root.listFiles().toSeq if c.isDirectory && c.getName.startsWith("cell=")
+        b <- c.listFiles().toSeq if b.isDirectory
+      } yield (s"${c.getName}/${b.getName}",
+        b.listFiles().count(f => f.getName.endsWith(".parquet")))
+    }
+    val q = embR.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def top: Seq[(Long, Double)] = Similarity.ivfPqTopKFromIndex(
+      spark, dir, embR, "vec_id", "embedding", q, k = 10, nProbe = 4, rerank = 100)
+      .as[(Long, Double)].collect().toSeq
+
+    val (rowsBefore, topBefore) = (rows, top)
+    assert(batchDirs.exists(!_._1.endsWith("batch=-1")), "no delta partitions to compact")
+
+    Similarity.compactIvfPqIndex(spark, dir)
+    val after = batchDirs
+    assert(after.forall(_._1.endsWith("batch=-1")), s"deltas survived: $after")
+    assert(after.forall(_._2 == 1), s"cells not single-file: $after")
+    assert(rows === rowsBefore, "compaction changed index content")
+    assert(top === topBefore, "pruned query diverged after compaction")
+
+    // replay: compacting a compacted artifact is a content no-op
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(batchDirs.forall(d => d._1.endsWith("batch=-1") && d._2 == 1))
+    assert(rows === rowsBefore && top === topBefore, "re-compaction not a no-op")
+
+    // guard: a path with no artifact fails loud
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndex(spark, dir + "-nope")
+    }
+    assert(e.getMessage.contains("no IVF-PQ artifact"), e.getMessage)
+  }
+
   test("appendToIvfPqIndex refuses a legacy cell-only artifact instead of bricking it") {
     // parquet files directly under cell= (the pre-batch layout): a
     // two-level append would succeed and only explode at QUERY time

@@ -406,7 +406,7 @@ class DedupIngestSpec extends SparkTestBase {
     val ckpt = Files.createTempDirectory("graft-ann-ingest-ckpt").toString
     val q = DedupIngest.startAnnIndex(
       input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      indexDir, sink, "ann_idx", ckpt, trigger)
+      indexDir, sink, "ann_idx", ckpt, trigger, compactEvery = 2)
 
     val deltaRows = embR.filter(col("vec_id") % 2 === 1)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
@@ -417,6 +417,11 @@ class DedupIngestSpec extends SparkTestBase {
 
     // every streamed row is in the artifact
     assert(spark.read.parquet(indexDir).count() == embR.count())
+    // compactEvery = 2 folded batches 0-1 (and the base) into batch=-1;
+    // only the post-compaction batch 2 remains as a delta
+    val batches = spark.read.parquet(indexDir)
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(batches == Set(-1L, 2L), s"compaction did not run mid-stream: $batches")
 
     // the kNN JOIN over the final artifact equals the inline join with
     // the SAME (frozen, persisted) model over the full union — streamed
