@@ -615,10 +615,19 @@ object DedupIngest {
       trainSample: Int = 4096,
       annNLists: Int = 16,
       annM: Int = 16,
-      annCodes: Int = 64): Unit = {
+      annCodes: Int = 64,
+      tierTimer: (String, Double) => Unit = (_, _) => ()): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty || alreadyApplied(spark, sink, table, batchId)) return
     Dedup.requireNumericId(batch, idCol, "applyUnifiedBatch")
+    // timing hook for UnifiedIngestBench: wall seconds per tier (the
+    // eager localCheckpoints make tier boundaries real barriers)
+    def timed[T](tier: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      tierTimer(tier, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val docs = batch.select(
       col(idCol).cast("long").alias("id"),
       col(textCol).cast("string").alias("text"),
@@ -641,51 +650,58 @@ object DedupIngest {
     // re-admits that row on replay; tier 2 then drops it as an exact
     // text match of the already-kept corpus doc, so no duplicate can
     // reach the sem/ANN tiers.)
-    val exactState = sink.read(spark, s"${table}__exact", exactStateSchema)
-    val fp = docs.withColumn("__fp", md5(col("text")))
-    val minIds = fp.groupBy("__fp").agg(min(col("id")).alias("id"))
-    val exactKept = fp
-      .join(minIds, Seq("__fp", "id"))
-      .join(
-        exactState.select(col("fp").alias("__fp"), col("keep_id").alias("__kid")),
-        Seq("__fp"), "left")
-      .filter(col("__kid").isNull || col("__kid") === col("id"))
-      .drop("__fp", "__kid")
-      .localCheckpoint(true)
-    // per-tier applied guard: the dup_count sum is the one non-idempotent
-    // write in the pipeline (re-merging a batch doubles its counts), so
-    // the exact tier acks its own batch id the moment its state lands
-    if (!alreadyApplied(spark, sink, s"${table}__exact", batchId)) {
-      sink.write(
-        mergeExactState(exactState, docs, "id", "text"),
-        s"${table}__exact", SaveMode.Overwrite)
-      markApplied(spark, sink, s"${table}__exact", batchId)
+    val exactKept = timed("exact") {
+      val exactState = sink.read(spark, s"${table}__exact", exactStateSchema)
+      val fp = docs.withColumn("__fp", md5(col("text")))
+      val minIds = fp.groupBy("__fp").agg(min(col("id")).alias("id"))
+      val kept = fp
+        .join(minIds, Seq("__fp", "id"))
+        .join(
+          exactState.select(col("fp").alias("__fp"), col("keep_id").alias("__kid")),
+          Seq("__fp"), "left")
+        .filter(col("__kid").isNull || col("__kid") === col("id"))
+        .drop("__fp", "__kid")
+        .localCheckpoint(true)
+      // per-tier applied guard: the dup_count sum is the one non-idempotent
+      // write in the pipeline (re-merging a batch doubles its counts), so
+      // the exact tier acks its own batch id the moment its state lands
+      if (!alreadyApplied(spark, sink, s"${table}__exact", batchId)) {
+        sink.write(
+          mergeExactState(exactState, docs, "id", "text"),
+          s"${table}__exact", SaveMode.Overwrite)
+        markApplied(spark, sink, s"${table}__exact", batchId)
+      }
+      kept
     }
 
     // ---- tier 2: near-dup over exact survivors (persisted band index)
-    val (nearCorpus, nearBands, nearSets) = (
-      sink.read(spark, s"${table}__near", nearDupStateSchema),
-      sink.read(spark, s"${table}__near__bands", nearDupBandStateSchema),
-      sink.read(spark, s"${table}__near__sets", nearDupSetStateSchema))
-    val (nearKeptIds, (newCorpus, newBands, newSets)) = mergeNearDupStateWithKept(
-      nearCorpus, nearBands, nearSets, exactKept, "id", "text", n, k, bands, textThreshold)
-    sink.write(newCorpus, s"${table}__near", SaveMode.Overwrite)
-    sink.write(newBands, s"${table}__near__bands", SaveMode.Overwrite)
-    sink.write(newSets, s"${table}__near__sets", SaveMode.Overwrite)
-    val nearKept = exactKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
+    val nearKept = timed("near") {
+      val (nearCorpus, nearBands, nearSets) = (
+        sink.read(spark, s"${table}__near", nearDupStateSchema),
+        sink.read(spark, s"${table}__near__bands", nearDupBandStateSchema),
+        sink.read(spark, s"${table}__near__sets", nearDupSetStateSchema))
+      val (nearKeptIds, (newCorpus, newBands, newSets)) = mergeNearDupStateWithKept(
+        nearCorpus, nearBands, nearSets, exactKept, "id", "text", n, k, bands, textThreshold)
+      sink.write(newCorpus, s"${table}__near", SaveMode.Overwrite)
+      sink.write(newBands, s"${table}__near__bands", SaveMode.Overwrite)
+      sink.write(newSets, s"${table}__near__sets", SaveMode.Overwrite)
+      exactKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
+    }
 
     // ---- tier 3: semantic over near-dup survivors (frozen quantizer).
     // Skipped outright when tiers 1-2 dropped the whole batch — in
     // particular, the quantizer must never bootstrap-train on an empty
     // frame (a legitimately all-dup batch, or a degenerate replay).
     if (nearKept.head(1).nonEmpty) {
-      val centroids = loadOrTrainQuantizer(
-        spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
-      val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
-      val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
-        semState, nearKept, "id", "vec", centroids, semThreshold)
-      sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
-      val finalKept = nearKept.join(semKeptIds, Seq("id"))
+      val finalKept = timed("sem") {
+        val centroids = loadOrTrainQuantizer(
+          spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
+        val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
+        val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
+          semState, nearKept, "id", "vec", centroids, semThreshold)
+        sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
+        nearKept.join(semKeptIds, Seq("id"))
+      }
 
       // ---- tier 4: ANN index append of the final survivors. Bootstrap
       // writes the MODEL sidecar only (one-training-pass contract, same
@@ -698,16 +714,18 @@ object DedupIngest {
       // non-local path (HDFS/S3) and would silently rebuild the model
       // each batch.
       annIndexPath.foreach { path =>
-        val vecs = finalKept.select("id", "vec").filter(col("vec").isNotNull)
-        if (vecs.head(1).nonEmpty) {
-          val modelPath = new org.apache.hadoop.fs.Path(
-            s"$path/${Similarity.ivfPqModelDirName}")
-          val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(modelPath))
-            Similarity.buildIvfPqModelOnly(
-              vecs, "id", "vec", path,
-              nLists = annNLists, m = annM, nCodes = annCodes, trainSample = trainSample)
-          Similarity.appendToIvfPqIndex(vecs, "id", "vec", path, batchId)
+        timed("ann") {
+          val vecs = finalKept.select("id", "vec").filter(col("vec").isNotNull)
+          if (vecs.head(1).nonEmpty) {
+            val modelPath = new org.apache.hadoop.fs.Path(
+              s"$path/${Similarity.ivfPqModelDirName}")
+            val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(modelPath))
+              Similarity.buildIvfPqModelOnly(
+                vecs, "id", "vec", path,
+                nLists = annNLists, m = annM, nCodes = annCodes, trainSample = trainSample)
+            Similarity.appendToIvfPqIndex(vecs, "id", "vec", path, batchId)
+          }
         }
       }
     }
@@ -736,7 +754,8 @@ object DedupIngest {
       trainSample: Int = 4096,
       annNLists: Int = 16,
       annM: Int = 16,
-      annCodes: Int = 64): StreamingQuery =
+      annCodes: Int = 64,
+      tierTimer: (String, Double) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -745,7 +764,7 @@ object DedupIngest {
         applyUnifiedBatch(
           batch, batchId, idCol, textCol, vecCol, sink, table, annIndexPath,
           n, k, bands, textThreshold, semThreshold, nLists, trainSample,
-          annNLists, annM, annCodes)
+          annNLists, annM, annCodes, tierTimer)
       }
       .start()
 

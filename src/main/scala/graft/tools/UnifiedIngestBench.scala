@@ -1,0 +1,108 @@
+package graft.tools
+
+import graft.sinks.ParquetKVSink
+import graft.streaming.DedupIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.collection.mutable
+
+/** Scratch experiment main (not part of the library surface): measures
+  * `DedupIngest.startUnified`'s sustained throughput and WHERE each
+  * trigger's time goes across the four tiers (exact → near-dup →
+  * frozen semantic → ANN append) at several batch sizes — the numbers
+  * behind BASELINE.md's round-14 unified-ingest table.
+  *
+  * The synthetic stream carries ~20% exact-dup mass (every 5th doc
+  * repeats a canonical text per 200-block), clustered 16-dim vectors
+  * with repeated representatives (every 7th doc), and unique ids —
+  * every tier does real dropping work. State goes through
+  * `ParquetKVSink` (the persistent deployment shape; the sink IS the
+  * state store, so Spark's state-store/RocksDB knobs do not apply to
+  * this pipeline — there are no stateful operators in the plan).
+  *
+  * Run: `sbt "runMain graft.tools.UnifiedIngestBench"` (env:
+  * SPARK_GRAFT_UB_LINES total docs per size, default 30000).
+  */
+object UnifiedIngestBench {
+  def main(args: Array[String]): Unit = {
+    val total = sys.env.getOrElse("SPARK_GRAFT_UB_LINES", "30000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val words = Array("stream", "corpus", "dedup", "vector", "shard", "token",
+      "merge", "batch", "index", "probe", "cell", "band")
+    // seed word first: every seed yields DISTINCT text (the word soup
+    // alone cycles with period 12)
+    def text(seed: Int): String =
+      s"doc$seed " + (0 until 19).map(j => words((seed * 31 + j * 7) % words.length)).mkString(" ")
+    def vec(seed: Int): Seq[Float] = {
+      val axis = seed % 8
+      Seq.tabulate(16)(d =>
+        (if (d == axis * 2) 1.0f else 0.0f) + ((seed * 131 + d * 17) % 100) / 1000.0f)
+    }
+    // ~20% exact-dup mass (every 5th doc repeats its 200-block's
+    // canonical text), ~9% near-dup mass (every 11th appends one word
+    // to its 550-block's canonical -> shingle Jaccard ~ 0.9), ~14%
+    // repeated vectors (every 7th reuses its 350-block's) — each tier
+    // drops real work
+    def doc(i: Int): (Long, String, Seq[Float]) = {
+      val t =
+        if (i % 5 == 0) text((i / 200) * 200)
+        else if (i % 11 == 0) text((i / 550) * 550) + s" tail"
+        else text(i)
+      val vSeed = if (i % 7 == 0) (i / 350) * 350 else i
+      (i.toLong, t, vec(vSeed))
+    }
+
+    val tiers = Seq("exact", "near", "sem", "ann")
+    println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s  " +
+      tiers.map(t => f"$t%8s").mkString(" ") + f" ${"other"}%8s  (mean s/trigger)")
+
+    for (batchSize <- Seq(2500, 10000, 50000)) {
+      val nBatches = math.max(1, total / batchSize)
+      val input = MemoryStream[(Long, String, Seq[Float])](spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-ub").toString
+      val sink = new ParquetKVSink(s"$root/state")
+      val agg = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      val timer = (tier: String, sec: Double) => agg.synchronized { agg(tier) += sec }
+      val q = DedupIngest.startUnified(
+        input.toDF().toDF("doc_id", "text", "embedding"),
+        "doc_id", "text", "embedding", sink, "uni", s"$root/ckpt",
+        Trigger.ProcessingTime("0 seconds"),
+        annIndexPath = Some(s"$root/index"),
+        nLists = 8, trainSample = 2048, annNLists = 8, annM = 8, annCodes = 16,
+        tierTimer = timer)
+
+      // warmup trigger (bootstrap: quantizer + ANN model train) is
+      // excluded from rates and tier means
+      input.addData((0 until 1000).map(doc))
+      q.processAllAvailable()
+      agg.clear()
+
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < nBatches) {
+        input.addData((0 until batchSize).map(i => doc(1000 + b * batchSize + i)))
+        q.processAllAvailable()
+        b += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = nBatches.toLong * batchSize / sec
+      val tierMeans = tiers.map(t => agg(t) / nBatches)
+      val other = sec / nBatches - tierMeans.sum
+      println(f"$batchSize%8d $nBatches%7d $rate%8.0f  " +
+        tierMeans.map(m => f"$m%8.2f").mkString(" ") + f" $other%8.2f")
+    }
+    spark.stop()
+  }
+}
