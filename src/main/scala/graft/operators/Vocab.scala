@@ -46,15 +46,29 @@ object Vocab {
     * external tokenizer's stream share the count/top-V/coverage tail.
     */
   def vocabularyFromTokens(tokStream: DataFrame, tokenCol: String, topV: Int): DataFrame = {
-    require(topV > 0, s"topV must be positive, got $topV")
     // materialized ONCE: the counts aggregate feeds both the top-V cut
     // and the total-token-mass scalar — without this the token-stream
     // explode + aggregate runs twice
-    val counts = tokStream
-      .select(col(tokenCol).alias("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).alias("cnt"))
-      .localCheckpoint(true)
+    coverageFromCounts(
+      tokStream
+        .select(col(tokenCol).alias("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).alias("cnt"))
+        .localCheckpoint(true),
+      "token", "cnt", topV)
+  }
+
+  /** The top-V/coverage tail over a PRE-AGGREGATED `(token, cnt)` table —
+    * the incremental-ingest hook: a maintained token-count state table
+    * (`TokenizerStats`) reads the same curve without re-scanning any
+    * corpus. `vocabularyFromTokens` is exactly this over a freshly
+    * aggregated stream.
+    */
+  def coverageFromCounts(
+      countsIn: DataFrame, tokenCol: String, cntCol: String, topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    val counts = countsIn.select(
+      col(tokenCol).alias("token"), col(cntCol).cast("long").alias("cnt"))
     val total = counts.agg(sum("cnt").alias("total"))
     val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
     // rank + running mass over the V surviving rows only (single

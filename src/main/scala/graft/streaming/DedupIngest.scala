@@ -46,7 +46,7 @@ object DedupIngest {
   private val metaSchema: StructType = new StructType()
     .add("last_batch_id", LongType, nullable = false)
 
-  private def alreadyApplied(
+  private[streaming] def alreadyApplied(
       spark: SparkSession,
       sink: KVTableSink,
       table: String,
@@ -54,7 +54,7 @@ object DedupIngest {
     sink.read(spark, s"${table}__meta", metaSchema)
       .head(1).exists(_.getLong(0) >= batchId)
 
-  private def markApplied(
+  private[streaming] def markApplied(
       spark: SparkSession,
       sink: KVTableSink,
       table: String,

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.operators.{Bpe, Vocab}
+import graft.sinks.KVTableSink
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming tokenizer-statistics ingest: keeps the curation
+  * dashboards' tables LIVE during ingest — q96's vocab-coverage input
+  * (the subword count table) and q98's per-source fertility totals —
+  * maintained incrementally per micro-batch against a FROZEN merge
+  * list. Both states are pure additive counts, so each trigger is one
+  * q02-shape full-outer merge of the batch's aggregate into the state:
+  * the final state after any batch partitioning equals the batch
+  * computation over the union (spec-pinned), independent of arrival
+  * order.
+  *
+  * The merge list is frozen by contract, exactly like the semantic
+  * tiers' quantizer: retraining BPE mid-stream would re-segment
+  * history, silently mixing two tokenizers' counts in one table —
+  * refresh is a batch decision that rebuilds the state.
+  *
+  * At 100 TB: per-trigger cost is the batch's distinct-word kernel
+  * (`Bpe.tokenStream` / `Bpe.groupTokenStats`) plus a merge keyed on
+  * the bounded token vocabulary (≤ |alphabet| + |merges| rows) and the
+  * source key (mixture-config-scale) — corpus text is never re-read,
+  * and neither state grows with the corpus.
+  */
+object TokenizerStats {
+
+  val tokenStateSchema: StructType = new StructType()
+    .add("token", StringType, nullable = false)
+    .add("cnt", LongType, nullable = false)
+
+  val sourceStateSchema: StructType = new StructType()
+    .add("source", StringType, nullable = true)
+    .add("n_docs", LongType, nullable = false)
+    .add("n_tokens", LongType, nullable = false)
+    .add("n_chars", LongType, nullable = false)
+
+  /** One batch's subword counts merged into the `(token, cnt)` state —
+    * q02's associative/commutative full-outer sum per token (tokens are
+    * never null: they are substrings of whitespace-split words).
+    */
+  def mergeTokenState(
+      state: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val delta = Bpe.tokenStream(batch, textCol, merges)
+      .groupBy("token").agg(count(lit(1)).alias("b_cnt"))
+    state
+      .select(col("token"), col("cnt").alias("s_cnt"))
+      .join(delta, Seq("token"), "full_outer")
+      .select(
+        col("token"),
+        (coalesce(col("s_cnt"), lit(0L)) + coalesce(col("b_cnt"), lit(0L))).alias("cnt"))
+  }
+
+  /** One batch's per-source fertility totals merged into the
+    * `(source, n_docs, n_tokens, n_chars)` state. The join is
+    * NULL-SAFE on the source key: a null source is a real group (both
+    * engines' GROUP BY semantics), not a non-match.
+    */
+  def mergeSourceState(
+      state: DataFrame,
+      batch: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val delta = Bpe.groupTokenStats(batch, groupCol, textCol, merges)
+    val s = state.select(
+      col("source").alias("s_key"), col("n_docs").alias("s_d"),
+      col("n_tokens").alias("s_t"), col("n_chars").alias("s_c"))
+    val d = delta.select(
+      col(groupCol).alias("b_key"), col("n_docs").alias("b_d"),
+      col("n_tokens").alias("b_t"), col("n_chars").alias("b_c"))
+    s.join(d, s("s_key") <=> d("b_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("b_key")).alias("source"),
+        (coalesce(col("s_d"), lit(0L)) + coalesce(col("b_d"), lit(0L))).alias("n_docs"),
+        (coalesce(col("s_t"), lit(0L)) + coalesce(col("b_t"), lit(0L))).alias("n_tokens"),
+        (coalesce(col("s_c"), lit(0L)) + coalesce(col("b_c"), lit(0L))).alias("n_chars"))
+  }
+
+  /** The per-micro-batch body (factored out for the replay spec):
+    * both merges behind one shared batch-id ack — a replayed batch
+    * whose first run crashed between the two table swaps re-merges
+    * only the missing one... which cannot be told apart here, so the
+    * ack is taken BEFORE neither and AFTER both: a crash between the
+    * token write and the source write re-applies the token merge on
+    * replay. The states are counts, so the exposure is a bounded
+    * double-count of ONE batch in one table during the two-rename
+    * window (the single-tier pipelines' documented contract); callers
+    * needing exactness across that window put the two tables behind a
+    * transactional store.
+    */
+  private[streaming] def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      sink: KVTableSink,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).nonEmpty && !DedupIngest.alreadyApplied(spark, sink, table, batchId)) {
+      val tokState = sink.read(spark, s"${table}__tokens", tokenStateSchema)
+      sink.write(
+        mergeTokenState(tokState, batch, textCol, merges),
+        s"${table}__tokens", SaveMode.Overwrite)
+      val srcState = sink.read(spark, s"${table}__sources", sourceStateSchema)
+      sink.write(
+        mergeSourceState(srcState, batch, groupCol, textCol, merges),
+        s"${table}__sources", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, table, batchId)
+    }
+  }
+
+  /** Start the tokenizer-stats ingest over a document stream. */
+  def start(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, groupCol, textCol, merges, sink, table)
+      }
+      .start()
+
+  /** q96's coverage curve served FROM the maintained state — no corpus
+    * scan, just the top-V tail over the bounded count table.
+    */
+  def vocabCoverage(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      topV: Int): DataFrame =
+    Vocab.coverageFromCounts(
+      sink.read(spark, s"${table}__tokens", tokenStateSchema), "token", "cnt", topV)
+
+  /** q98's fertility table served from the maintained state. */
+  def sourceStats(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String): DataFrame =
+    sink.read(spark, s"${table}__sources", sourceStateSchema)
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+}

@@ -61,7 +61,13 @@ object ScaleBench {
     "q95_bpe_pack",
     "q96_bpe_vocab",
     "q97_shard_manifest",
-    "q98_source_token_stats")
+    "q98_source_token_stats",
+    // q100: the multi-level trainer is a bounded driver job (vocab-
+    // capped) and the apply is the q93 projection — both should
+    // weak-scale. q99 is deliberately NOT here: its registry config is
+    // the nLists=1 exact all-pairs CONTROL (q18's role); the scale
+    // path is the semantic_decon(auto) entry below.
+    "q100_bpe_multilevel")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
@@ -129,6 +135,43 @@ object ScaleBench {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "qid", "qvec", k = 10,
         nLists = nLists, nProbe = math.max(1, nLists / 2))
+    }),
+    // q99's SCALE configuration (the registry pins the nLists=1 exact
+    // control for the oracle): auto-sized frozen cells, fixed small
+    // nProbe — benchmark probes stay a bounded broadcast and per-cell
+    // candidate work is constant, so hits weak-scale at threshold 0.8
+    // (cross-copy cosines are ~N(0, 1/64); see the embedding note above)
+    "semantic_decon(t0.8,auto)" -> ((dir: String) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val bench = emb.filter(col("vec_id") % 20 === 0)
+      val train = emb.filter(col("vec_id") % 20 =!= 0)
+      val nLists = graft.operators.Similarity.autoNLists(
+        train.count(), targetCellRows = 256)
+      val centroids = graft.operators.Similarity.trainCentroids(
+        train, "vec_id", "embedding", nLists, seed = 42L, trainSample = 4096)
+      graft.operators.Decontaminate.semanticReport(
+        train, bench, "vec_id", "embedding", centroids,
+        threshold = 0.8, nProbe = math.min(4, nLists))
+    }))
+
+  /** The projection-vs-distinct-word-kernel A/B on the SAME output (the
+    * two spec-pinned-identical `Bpe` apply forms): at scale the word
+    * vocabulary saturates (Zipf) while the token stream grows linearly,
+    * so the kernel's replace-chain cost amortizes toward zero and only
+    * the reassembly/count side scales — the measured advantage
+    * BASELINE.md's round-13 split predicts.
+    */
+  private def bpeFormQueries(
+      spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
+    "bpe_apply(projection)" -> ((dir: String) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.operators.Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+      graft.operators.Bpe.tokenize(docs, "doc_id", "text", merges)
+    }),
+    "bpe_apply(viaWords)" -> ((dir: String) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.operators.Bpe.rankedBigramMerges(docs, "text", topPairs = 50)
+      graft.operators.Bpe.tokenizeViaWords(docs, "doc_id", "text", merges)
     }))
 
   def main(args: Array[String]): Unit = {
@@ -157,7 +200,7 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
     val allQueries: Seq[(String, String => DataFrame)] =
       (registryQueries.map(q => q -> ((dir: String) => SparkEntry.queries(q)(spark, dir))) ++
-        embeddingQueries(spark))
+        embeddingQueries(spark) ++ bpeFormQueries(spark))
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // JVM warmup: one full pass over both dirs before timing.

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.{Bpe, Vocab}
+import graft.sinks.ParquetKVSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streamed tokenizer stats must land on EXACTLY the batch q96/q98
+  * computations over the union of all micro-batches (the additive-state
+  * contract), for any batch partitioning, including null sources and
+  * wordless docs.
+  */
+class TokenizerStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trigger = Trigger.ProcessingTime("50 milliseconds")
+
+  test("streamed vocab-coverage and fertility state equal the batch computation over the union") {
+    val batches = Seq(
+      Seq((1L, "the merge then the", "web"), (2L, "stream of merges", "web")),
+      Seq((3L, "the the the", "books"), (4L, "", "books"), // wordless doc
+        (5L, "merge the stream", null.asInstanceOf[String])), // null source
+      Seq((6L, "then then stream", "web")))
+    val union = batches.flatten.toDF("doc_id", "text", "source")
+    // frozen merge list trained up-front (external-tokenizer contract)
+    val merges = Bpe.rankedBigramMerges(union, "text", topPairs = 8)
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-tokstats").toString)
+    val ckpt = Files.createTempDirectory("graft-tokstats-ckpt").toString
+    val q = TokenizerStats.start(
+      input.toDF().toDF("doc_id", "text", "source"), "source", "text", merges,
+      sink, "tok", ckpt, trigger)
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // q96 shape: the coverage curve from the maintained state equals the
+    // batch curve over the union's token stream
+    val streamedCurve = TokenizerStats.vocabCoverage(spark, sink, "tok", topV = 50)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    val batchCurve = Vocab.vocabularyFromTokens(
+      Bpe.tokenStream(union, "text", merges), "token", topV = 50)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    assert(streamedCurve === batchCurve,
+      s"coverage diverged:\n$streamedCurve\nvs\n$batchCurve")
+
+    // q98 shape: fertility totals equal the batch one-pass aggregate
+    // (null source is a real group; wordless doc counts toward n_docs)
+    val streamedStats = TokenizerStats.sourceStats(spark, sink, "tok")
+      .select("source", "n_docs", "n_tokens", "n_chars")
+      .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val batchStats = Bpe.groupTokenStats(union, "source", "text", merges)
+      .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamedStats === batchStats,
+      s"fertility diverged:\n$streamedStats\nvs\n$batchStats")
+    assert(streamedStats.contains(None) && streamedStats(Some("books"))._1 == 2L)
+
+    // replay: re-applying the last batch id is a no-op on both states
+    TokenizerStats.applyBatch(
+      batches.last.toDF("doc_id", "text", "source"), batchId = 2L,
+      "source", "text", merges, sink, "tok")
+    val replayed = TokenizerStats.sourceStats(spark, sink, "tok")
+      .select("source", "n_docs", "n_tokens", "n_chars")
+      .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(replayed === batchStats, "replayed batch double-counted")
+  }
+
+  test("merges are batching-invariant: one batch vs shuffled splits land on the same states") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha${i % 4} beta${i % 3} alpha${i % 4}", if (i % 5 == 0) null else s"s${i % 2}"))
+    val merges = Seq(("a", "l"), ("al", "p"))
+    def ingest(batches: Seq[Seq[(Long, String, String)]]): (Map[String, Long], Map[Option[String], (Long, Long, Long)]) = {
+      val sink = new graft.sinks.InMemoryKVSink
+      batches.zipWithIndex.foreach { case (b, i) =>
+        TokenizerStats.applyBatch(
+          b.toDF("doc_id", "text", "source"), i.toLong, "source", "text", merges, sink, "t")
+      }
+      (sink.read(spark, "t__tokens", TokenizerStats.tokenStateSchema)
+        .as[(String, Long)].collect().toMap,
+        sink.read(spark, "t__sources", TokenizerStats.sourceStateSchema)
+          .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+    }
+    val whole = ingest(Seq(docs))
+    assert(ingest(docs.grouped(7).toSeq) === whole, "groups of 7 diverged")
+    assert(ingest(scala.util.Random.javaRandomToRandom(new java.util.Random(3)).shuffle(docs).grouped(11).toSeq) === whole,
+      "shuffled groups of 11 diverged")
+  }
+}
