@@ -85,17 +85,13 @@ object TokenizerStats {
         (coalesce(col("s_c"), lit(0L)) + coalesce(col("b_c"), lit(0L))).alias("n_chars"))
   }
 
-  /** The per-micro-batch body (factored out for the replay spec):
-    * both merges behind one shared batch-id ack — a replayed batch
-    * whose first run crashed between the two table swaps re-merges
-    * only the missing one... which cannot be told apart here, so the
-    * ack is taken BEFORE neither and AFTER both: a crash between the
-    * token write and the source write re-applies the token merge on
-    * replay. The states are counts, so the exposure is a bounded
-    * double-count of ONE batch in one table during the two-rename
-    * window (the single-tier pipelines' documented contract); callers
-    * needing exactness across that window put the two tables behind a
-    * transactional store.
+  /** The per-micro-batch body (factored out for the replay spec): each
+    * state table merges behind its OWN batch-id ack (the unified exact
+    * tier's discipline) — a replay after a crash between the token
+    * write and the source write re-merges only the table that never
+    * acked, so neither count table can double-apply a batch. The
+    * remaining exposure is the single write-vs-ack rename window per
+    * table (the single-tier pipelines' documented contract).
     */
   private[streaming] def applyBatch(
       batch: DataFrame,
@@ -106,17 +102,22 @@ object TokenizerStats {
       sink: KVTableSink,
       table: String): Unit = {
     val spark = batch.sparkSession
-    if (batch.head(1).nonEmpty && !DedupIngest.alreadyApplied(spark, sink, table, batchId)) {
+    if (batch.head(1).isEmpty || DedupIngest.alreadyApplied(spark, sink, table, batchId)) return
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__tokens", batchId)) {
       val tokState = sink.read(spark, s"${table}__tokens", tokenStateSchema)
       sink.write(
         mergeTokenState(tokState, batch, textCol, merges),
         s"${table}__tokens", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__tokens", batchId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__sources", batchId)) {
       val srcState = sink.read(spark, s"${table}__sources", sourceStateSchema)
       sink.write(
         mergeSourceState(srcState, batch, groupCol, textCol, merges),
         s"${table}__sources", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, table, batchId)
+      DedupIngest.markApplied(spark, sink, s"${table}__sources", batchId)
     }
+    DedupIngest.markApplied(spark, sink, table, batchId)
   }
 
   /** Start the tokenizer-stats ingest over a document stream. */

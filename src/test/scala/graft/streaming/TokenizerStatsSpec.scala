@@ -68,6 +68,43 @@ class TokenizerStatsSpec extends SparkTestBase {
     assert(replayed === batchStats, "replayed batch double-counted")
   }
 
+  test("crash between the two state writes: replay merges only the table that never acked") {
+    val merges = Seq(("a", "l"))
+    def ingestClean(batches: Seq[Seq[(Long, String, String)]]): (Map[String, Long], Map[Option[String], Long]) = {
+      val s = new graft.sinks.InMemoryKVSink
+      batches.zipWithIndex.foreach { case (b, i) =>
+        TokenizerStats.applyBatch(
+          b.toDF("doc_id", "text", "source"), i.toLong, "source", "text", merges, s, "t")
+      }
+      (s.read(spark, "t__tokens", TokenizerStats.tokenStateSchema)
+        .as[(String, Long)].collect().toMap,
+        s.read(spark, "t__sources", TokenizerStats.sourceStateSchema)
+          .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap)
+    }
+    val b0 = Seq((1L, "alpha alpha", "web"))
+    val b1 = Seq((2L, "alpha beta", "books"))
+    val expected = ingestClean(Seq(b0, b1))
+
+    // crashed run: batch 1's token merge + its ack landed, sources did not
+    val sink = new graft.sinks.InMemoryKVSink
+    TokenizerStats.applyBatch(b0.toDF("doc_id", "text", "source"), 0L, "source", "text", merges, sink, "t")
+    sink.write(
+      TokenizerStats.mergeTokenState(
+        sink.read(spark, "t__tokens", TokenizerStats.tokenStateSchema),
+        b1.toDF("doc_id", "text", "source"), "text", merges),
+      "t__tokens", org.apache.spark.sql.SaveMode.Overwrite)
+    sink.write(Seq(1L).toDF("last_batch_id"), "t__tokens__meta",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // replay the whole batch: tokens must NOT double-count, sources must land
+    TokenizerStats.applyBatch(b1.toDF("doc_id", "text", "source"), 1L, "source", "text", merges, sink, "t")
+    val got = (
+      sink.read(spark, "t__tokens", TokenizerStats.tokenStateSchema)
+        .as[(String, Long)].collect().toMap,
+      sink.read(spark, "t__sources", TokenizerStats.sourceStateSchema)
+        .as[(Option[String], Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap)
+    assert(got === expected, s"crash-replay diverged:\n$got\nvs\n$expected")
+  }
+
   test("merges are batching-invariant: one batch vs shuffled splits land on the same states") {
     val docs = (1L to 30L).map(i =>
       (i, s"alpha${i % 4} beta${i % 3} alpha${i % 4}", if (i % 5 == 0) null else s"s${i % 2}"))
