@@ -616,7 +616,10 @@ object DedupIngest {
       annNLists: Int = 16,
       annM: Int = 16,
       annCodes: Int = 64,
-      tierTimer: (String, Double) => Unit = (_, _) => ()): Unit = {
+      tierTimer: (String, Double) => Unit = (_, _) => (),
+      deconBench: Option[DataFrame] = None,
+      deconThreshold: Double = 0.95,
+      deconNProbe: Int = 4): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty || alreadyApplied(spark, sink, table, batchId)) return
     Dedup.requireNumericId(batch, idCol, "applyUnifiedBatch")
@@ -693,14 +696,44 @@ object DedupIngest {
     // particular, the quantizer must never bootstrap-train on an empty
     // frame (a legitimately all-dup batch, or a degenerate replay).
     if (nearKept.head(1).nonEmpty) {
+      val centroids = loadOrTrainQuantizer(
+        spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
+
+      // ---- optional decontamination tier: near-dup survivors within
+      // cosine `deconThreshold` of ANY benchmark item are dropped HERE —
+      // after the text tiers (so only survivors pay the probe, and a
+      // contaminated doc's exact/near state rows remain as dedup
+      // BLOCKERS: a later near-duplicate of a leaked benchmark item is
+      // still rejected), before the semantic corpus and the ANN index
+      // (so contamination never enters the retained training corpus).
+      // The probe reuses the pipeline's OWN frozen quantizer — cells
+      // consistent with the semantic tier by construction — and the
+      // benchmark is a fixed broadcast, so the decision is a pure
+      // function of (batch, benchmark, model): replay-stable, no state.
+      val semIn = deconBench match {
+        case Some(bench) => timed("decon") {
+          // positional (id, vec) contract on the benchmark frame —
+          // semanticMatches reads both sides through one column-name pair
+          val benchNorm = bench.select(
+            col(bench.columns(0)).alias("id"), col(bench.columns(1)).alias("vec"))
+          val flagged = graft.operators.Decontaminate.semanticMatches(
+            nearKept, benchNorm, "id", "vec", centroids,
+            deconThreshold, math.min(deconNProbe, centroids.length))
+            .select(col("doc_id").alias("id")).distinct()
+          nearKept.join(flagged, Seq("id"), "left_anti").localCheckpoint(true)
+        }
+        case None => nearKept
+      }
+
+      // an all-contaminated batch leaves nothing for the sem/ANN tiers
+      // (same skip as an all-dup batch)
+      if (semIn.head(1).nonEmpty) {
       val finalKept = timed("sem") {
-        val centroids = loadOrTrainQuantizer(
-          spark, sink, s"${table}__sem", nearKept, "id", "vec", nLists, trainSample)
         val semState = sink.read(spark, s"${table}__sem", semanticStateSchema)
         val (semKeptIds, newSemState) = mergeSemanticStateFrozenWithKept(
-          semState, nearKept, "id", "vec", centroids, semThreshold)
+          semState, semIn, "id", "vec", centroids, semThreshold)
         sink.write(newSemState, s"${table}__sem", SaveMode.Overwrite)
-        nearKept.join(semKeptIds, Seq("id"))
+        semIn.join(semKeptIds, Seq("id"))
       }
 
       // ---- tier 4: ANN index append of the final survivors. Bootstrap
@@ -728,12 +761,19 @@ object DedupIngest {
           }
         }
       }
+      }
     }
     markApplied(spark, sink, table, batchId)
   }
 
   /** Start the unified ingest — the end-to-end deployment of the whole
-    * dedup family over one document stream.
+    * dedup family over one document stream. `deconBench` (a benchmark
+    * embedding set, positionally `(id, vec)` — first column id, second
+    * the vector) adds the semantic-decontamination
+    * tier: near-dup survivors within cosine `deconThreshold` of any
+    * benchmark item are blocked from the semantic corpus and the ANN
+    * index — while their exact/near state rows still act as dedup
+    * blockers, so later near-duplicates of a leaked item stay out too.
     */
   def startUnified(
       docs: DataFrame,
@@ -755,7 +795,10 @@ object DedupIngest {
       annNLists: Int = 16,
       annM: Int = 16,
       annCodes: Int = 64,
-      tierTimer: (String, Double) => Unit = (_, _) => ()): StreamingQuery =
+      tierTimer: (String, Double) => Unit = (_, _) => (),
+      deconBench: Option[DataFrame] = None,
+      deconThreshold: Double = 0.95,
+      deconNProbe: Int = 4): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -764,7 +807,7 @@ object DedupIngest {
         applyUnifiedBatch(
           batch, batchId, idCol, textCol, vecCol, sink, table, annIndexPath,
           n, k, bands, textThreshold, semThreshold, nLists, trainSample,
-          annNLists, annM, annCodes, tierTimer)
+          annNLists, annM, annCodes, tierTimer, deconBench, deconThreshold, deconNProbe)
       }
       .start()
 

@@ -392,6 +392,43 @@ class DedupIngestSpec extends SparkTestBase {
     assert(tierIds === snapshot, "all-dup batch mutated state")
   }
 
+  test("unified ingest decon tier: benchmark-near docs never reach the sem corpus or index, still block dups") {
+    def words(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val tC = words("gamma")
+    val bench = Seq((900L, unit(2))).toDF("bid", "bvec") // = doc 3's embedding
+    val batches = Seq(
+      Seq((1L, words("alpha"), unit(0)), (2L, words("beta"), unit(1))),
+      // 3 is CONTAMINATED (cos 1.0 to the benchmark item); 4 is clean
+      Seq((3L, tC, unit(2)), (4L, words("delta"), unit(3))),
+      // 5 is a text near-dup of the CONTAMINATED doc 3 — the near tier
+      // must still block it (3's band rows stayed in the dedup state)
+      Seq((5L, tC + " tail", unit(4))))
+
+    val input = MemoryStream[(Long, String, Seq[Float])](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-uni-decon").toString)
+    val ckpt = Files.createTempDirectory("graft-uni-decon-ckpt").toString
+    val idx = Files.createTempDirectory("graft-uni-decon-idx").toString + "/index"
+    val q = DedupIngest.startUnified(
+      input.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+      sink, "ud", ckpt, trigger, annIndexPath = Some(idx),
+      textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
+      annNLists = 2, annM = 4, annCodes = 4,
+      deconBench = Some(bench.toDF("bid", "bvec")), deconThreshold = 0.95)
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val near = sink.read(spark, "ud__near", DedupIngest.nearDupStateSchema)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(near === Set(1L, 2L, 3L, 4L),
+      s"contaminated doc must stay a dedup blocker (5 must be near-dropped): $near")
+    val sem = sink.read(spark, "ud__sem", DedupIngest.semanticStateSchema)
+      .as[(Long, Seq[Float])].collect().map(_._1).toSet
+    assert(sem === Set(1L, 2L, 4L), s"contamination reached the semantic corpus: $sem")
+    val indexed = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 4L), s"contamination reached the ANN index: $indexed")
+  }
+
   test("ANN-index ingest: streamed appends land in the persisted index; pruned queries see the union") {
     import org.apache.spark.sql.functions.col
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
