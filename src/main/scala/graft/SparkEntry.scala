@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1024,6 +1024,29 @@ object SparkEntry {
         transform(col("toks"), t => element_at(vm, t).cast("string")))).alias("ids_hash"))
   }
 
+  /** N-gram LM perplexity filter (round 14): the CCNet-style
+    * model-based quality gate — a token-bigram Stupid-Backoff LM
+    * trained on the `doc_id % 10 < 8` corpus slice scores every
+    * held-out document's negative log-likelihood. Fixed-point integer
+    * micro-units make the cross-row reduction order-independent (a
+    * DOUBLE sum would vary with partial-aggregation order); see
+    * [[graft.operators.NgramLm]] for the 100 TB join shape (LM never
+    * broadcast, gram-keyed shuffle joins).
+    */
+  private def q101_ngram_perplexity(s: SparkSession, dir: String): DataFrame =
+    NgramLm.perplexity(Tables.documents(s, dir), "doc_id", "text")
+
+  /** N-gram CONTAINMENT near-dup pairs (round 14): |A∩B|/min(|A|,|B|)
+    * ≥ 0.9 — the asymmetric subset-duplication detector Jaccard
+    * structurally misses (quote/boilerplate/doc-in-doc shapes).
+    * Candidate generation is the asymmetric prefix-probe vs
+    * full-inverted-index join ([[graft.operators.Dedup.ngramContainment]]
+    * for the soundness argument); the oracle mirrors it CTE for CTE.
+    */
+  private def q102_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.9)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1837,7 +1860,9 @@ object SparkEntry {
     "q97_shard_manifest" -> (q97_shard_manifest _),
     "q98_source_token_stats" -> (q98_source_token_stats _),
     "q99_semantic_decon" -> (q99_semantic_decon _),
-    "q100_bpe_multilevel" -> (q100_bpe_multilevel _)
+    "q100_bpe_multilevel" -> (q100_bpe_multilevel _),
+    "q101_ngram_perplexity" -> (q101_ngram_perplexity _),
+    "q102_containment" -> (q102_containment _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3042,6 +3067,75 @@ object SparkEntry {
                  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_token_len,
                  md5(array_to_string(toks, '|')) AS seq_hash,
                  COALESCE(i.ids_hash, md5('')) AS ids_hash
-          FROM bfin b LEFT JOIN idh i USING (doc_id)"""
+          FROM bfin b LEFT JOIN idh i USING (doc_id)""",
+    "q101_ngram_perplexity" ->
+      // Stupid-Backoff bigram LM: per-term evaluation order (casts,
+      // left-to-right products) mirrors NgramLm.perplexity exactly so
+      // both engines round the same IEEE double into the same BIGINT
+      // micro-unit; the per-doc sums are then exact integers
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          train AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
+          heldout AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
+          uni AS (SELECT w, count(*) AS c1
+                  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+          n AS (SELECT count(*) AS n_tok
+                FROM (SELECT unnest(t) AS w FROM train)),
+          bi AS (SELECT w1, w2, count(*) AS c12
+                 FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                       FROM train,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY w1, w2),
+          hb AS (SELECT doc_id, w1, w2, count(*) AS tf
+                 FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                       FROM heldout,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY doc_id, w1, w2),
+          terms AS (
+            SELECT hb.doc_id, hb.tf,
+                   CASE
+                     WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                     WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
+                     ELSE ln(0.4 / n.n_tok)
+                   END AS logp
+            FROM hb
+            LEFT JOIN bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+            LEFT JOIN uni u1 ON hb.w1 = u1.w
+            LEFT JOIN uni u2 ON hb.w2 = u2.w
+            CROSS JOIN n),
+          agg AS (SELECT doc_id,
+                         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                         CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
+                           AS nll_micro
+                  FROM terms GROUP BY doc_id)
+          SELECT doc_id, n_bigrams, nll_micro,
+                 CAST(nll_micro AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+                   AS avg_nll
+          FROM agg""",
+    "q102_containment" ->
+      // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
+      // prefix) against the FULL inverted index, then exact containment
+      // verification — mirrors Dedup.ngramContainment; the (1-t)
+      // literal is Scala-interpolated so both engines floor the same
+      // IEEE double
+      s"""WITH $sqlShingleCtes,
+          pfc AS (SELECT id AS id_p, len(hs) AS sz_p,
+                         unnest(hs[1 : CAST(floor(len(hs) * CAST(${1.0 - 0.9} AS DOUBLE) + 1e-9) AS BIGINT) + 1]) AS h
+                  FROM ha),
+          fx AS (SELECT id AS id_f, len(hs) AS sz_f, unnest(hs) AS h FROM ha),
+          cand AS (SELECT DISTINCT least(id_p, id_f) AS id_a,
+                                   greatest(id_p, id_f) AS id_b
+                   FROM pfc JOIN fx USING (h)
+                   WHERE id_p <> id_f AND sz_p <= sz_f),
+          cj AS (SELECT c.id_a, c.id_b,
+                        len(list_intersect(x.hs, y.hs)) AS common,
+                        least(len(x.hs), len(y.hs)) AS m
+                 FROM cand c
+                 JOIN ha x ON x.id = c.id_a
+                 JOIN ha y ON y.id = c.id_b)
+          SELECT id_a, id_b, containment FROM (
+            SELECT id_a, id_b,
+                   CAST(common AS DOUBLE) / CAST(m AS DOUBLE) AS containment
+            FROM cj)
+          WHERE containment >= 0.9"""
   )
 }

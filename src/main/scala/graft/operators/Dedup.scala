@@ -214,6 +214,101 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram CONTAINMENT near-duplicate pairs: C(A,B) =
+    * |A∩B| / min(|A|,|B|) ≥ threshold, id_a < id_b — the asymmetric
+    * complement to [[ngramJaccard]]. Jaccard misses the
+    * subset-duplication shape entirely (a quote, a boilerplate wrapper,
+    * a doc embedded in a much longer one drives |A∪B| up and J down);
+    * containment is the standard measure for it (Broder 1997's
+    * "containment", the resemblance/containment split).
+    *
+    * Candidate generation is ASYMMETRIC prefix filtering: Jaccard's
+    * symmetric prefix join is unsound here (the common elements can sit
+    * anywhere in the LARGER set — no length filter applies, that's the
+    * point), so the smaller-or-equal side probes with its prefix of
+    * length floor((1-t)·sz)+1 while the index side explodes its FULL
+    * set. Soundness: if C ≥ t with |A| ≤ |B|, then A has ≥ ceil(t·|A|)
+    * common elements, so at most floor((1-t)·|A|) elements of A precede
+    * the order-smallest common one — which therefore lies in A's prefix,
+    * and trivially in B's full index. Verification computes exact
+    * containment from the full sorted arrays (native codegen intersect,
+    * one evaluation per candidate pair).
+    *
+    * At scale the full-side index is the cost (corpus-shingle-count
+    * rows on the wire, vs Jaccard's prefix-sized index) — that is
+    * intrinsic to containment's asymmetry, and `maxShingleFreq` is the
+    * lever that matters: stop-shingles shared by > maxF docs are
+    * dropped from BOTH universes (sizes and counts stay consistent)
+    * before the join, capping the per-shingle fan-out that would
+    * otherwise go quadratic on boilerplate grams.
+    */
+  def ngramContainment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.9,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ngramContainment: threshold must be in (0, 1], got $threshold")
+
+    val raw = materializedShingleSets(docs, idCol, textCol, n)
+    // hot-shingle cutoff: rebuild the per-doc sets from the filtered
+    // inverted index so sizes and intersections share one universe
+    val sets = maxShingleFreq match {
+      case None => raw
+      case Some(maxF) =>
+        val ds = raw.select(col("id"), explode(col("hs")).alias("h"))
+        val hot = ds.groupBy("h").agg(count(lit(1)).alias("f")).filter(col("f") > maxF)
+        ds.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
+          .groupBy("id")
+          .agg(sort_array(collect_list(col("h"))).alias("hs"))
+          .localCheckpoint(true)
+    }
+
+    // same prefix arithmetic as ngramJaccard (incl. the 1e-9 nudge for
+    // binary-representation error in (1-t)); over-long prefixes only
+    // add candidates
+    val prefixLen = (size(col("hs")).cast("double") * (1.0 - threshold) + lit(1e-9))
+      .cast("long") + lit(1L)
+    val probe = sets.select(
+      col("id").alias("id_p"),
+      size(col("hs")).cast("long").alias("sz_p"),
+      explode(slice(col("hs"), lit(1), prefixLen.cast("int"))).alias("h"))
+    val index = sets.select(
+      col("id").alias("id_f"),
+      size(col("hs")).cast("long").alias("sz_f"),
+      explode(col("hs")).alias("h"))
+    val cand = probe
+      .join(index, Seq("h"))
+      // probe only from the smaller-or-equal side (ties probe both
+      // directions; normalizing to id_a < id_b dedups them)
+      .filter(col("id_p") =!= col("id_f") && col("sz_p") <= col("sz_f"))
+      .select(
+        least(col("id_p"), col("id_f")).alias("id_a"),
+        greatest(col("id_p"), col("id_f")).alias("id_b"))
+      .distinct()
+
+    cand
+      .join(sets.toDF("id_a", "hs_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "hs_b"), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        containmentSorted(col("hs_a"), col("hs_b")).alias("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Exact containment of two sorted distinct hash arrays:
+    * |∩| / min(|a|, |b|); two empty sets are containment 1 (the
+    * [[jaccardSorted]] convention).
+    */
+  private def containmentSorted(a: Column, b: Column): Column = {
+    val c = SortedIntersectCountLong.intersectCountF(a, b)
+    val m = least(size(a), size(b)).cast("long")
+    when(m === 0L, lit(1.0)).otherwise(c.cast("double") / m.cast("double"))
+  }
+
   /** `(id, sig: Array[Long])` — one row per doc, with the md5 base-hash
     * pass materialized in its own projection so it runs once per shingle
     * regardless of k.

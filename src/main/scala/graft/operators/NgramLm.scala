@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * gate: train token-bigram counts on a deterministic corpus slice,
+  * score every held-out document by its Stupid-Backoff negative
+  * log-likelihood, and keep/drop/bucket on the score. (Reference
+  * analogue: none; training-data-pipeline extension — the
+  * perplexity-filter stage of CCNet/RefinedWeb-style curation, the
+  * model-based counterpart to the heuristic `q25` quality signals.)
+  *
+  * Scale shape:
+  *
+  *  - The LM is two hash aggregates over the training slice (unigram
+  *    counts keyed on the token, bigram counts keyed on the pair) —
+  *    map-side combine absorbs the Zipf head before either exchange,
+  *    so the shuffled volume is vocabulary-sized, not corpus-sized.
+  *  - The LM is NEVER broadcast and never collected: at 100 TB the
+  *    bigram table is billions of rows, so scoring joins are plain
+  *    shuffle joins keyed on the gram — co-located where the counts
+  *    already live, and skew-benign because the LM side is unique per
+  *    key (fan-out is bounded by the scored side's rows).
+  *  - Per-document reduction uses FIXED-POINT integer micro-units
+  *    (`round(tf * ln p * 1e6)` summed as BIGINT): a cross-row DOUBLE
+  *    sum would make the result depend on Spark's partial-aggregation
+  *    order; the integer sum is exact and order-independent, so the
+  *    output is reproducible run-to-run and hash-comparable against
+  *    any engine that evaluates the same per-term expression.
+  *
+  * Smoothing is Stupid Backoff (Brants et al. 2007, "Large Language
+  * Models in Machine Translation"): score(w2|w1) = c(w1 w2)/c(w1) when
+  * the bigram was seen, else 0.4 * c(w2)/N, else 0.4/N for OOV — the
+  * standard web-scale choice precisely because it needs no normalized
+  * discounting pass over the count tables.
+  */
+object NgramLm {
+
+  /** Adjacent-token bigrams of a token-array column as an array of
+    * `(w1, w2)` structs; empty for docs with fewer than two tokens.
+    */
+  private def bigramsOf(t: Column): Column = {
+    val n = greatest(size(t) - 1, lit(0))
+    arrays_zip(slice(t, lit(1), n).as("w1"), slice(t, lit(2), n).as("w2"))
+  }
+
+  /** One row per adjacent-bigram occurrence: `(doc_id, w1, w2)`. */
+  private def bigramStream(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), explode(bigramsOf(col("t"))).alias("bg"))
+      .select(col("doc_id"), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+
+  /** Stupid-Backoff NLL per held-out document.
+    *
+    * The corpus is split deterministically by id: `id % splitMod <
+    * trainBelow` trains the LM, the rest is scored. Output:
+    * `(doc_id, n_bigrams, nll_micro)` where `nll_micro` is the BIGINT
+    * sum over the doc's bigram occurrences of `round(ln p * 1e6)`
+    * (negative; more negative = higher perplexity = worse fit).
+    * Documents with fewer than two tokens emit no row. `avg_nll` is
+    * the per-bigram mean in natural-log units, derived from the two
+    * integer columns (deterministic given them).
+    */
+  def perplexity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitMod: Int = 10,
+      trainBelow: Int = 8,
+      backoff: Double = 0.4): DataFrame = {
+    require(splitMod > 0, s"splitMod must be positive, got $splitMod")
+    require(trainBelow > 0 && trainBelow < splitMod,
+      s"trainBelow must be in (0, $splitMod), got $trainBelow")
+
+    val tk = docs.select(
+      col(idCol).alias("doc_id"),
+      TextFunctions.tokens(col(textCol)).alias("t"))
+    val train = tk.filter(col("doc_id") % splitMod < trainBelow)
+    val heldout = tk.filter(col("doc_id") % splitMod >= trainBelow)
+
+    // LM tables: vocabulary-sized after map-side combine; the total
+    // token mass is a 1-row aggregate broadcast into the scorer.
+    val uni = train
+      .select(explode(col("t")).alias("w"))
+      .groupBy("w").agg(count(lit(1)).alias("c"))
+    val nTok = train.select(explode(col("t")).alias("w"))
+      .agg(count(lit(1)).alias("n_tok"))
+    val bi = bigramStream(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
+
+    // Held-out side: per-(doc, bigram) term frequency, then three
+    // gram-keyed shuffle joins against the LM (bigram, w1-unigram for
+    // the seen-bigram denominator, w2-unigram for the backoff path).
+    val hb = bigramStream(heldout)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
+
+    val joined = hb
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTok))
+
+    // Evaluation order inside each term mirrors the oracle exactly
+    // (left-to-right products, same casts) so both engines round the
+    // same IEEE double into the same micro-unit integer.
+    val logp = when(col("c12").isNotNull,
+        log(col("c12").cast("double") / col("c1")))
+      .when(col("c2").isNotNull,
+        log(lit(backoff) * col("c2") / col("n_tok")))
+      .otherwise(log(lit(backoff) / col("n_tok")))
+
+    joined
+      .select(
+        col("doc_id"),
+        col("tf"),
+        round(col("tf") * logp * lit(1000000L)).cast("long").alias("term_micro"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").alias("n_bigrams"),
+        sum("term_micro").alias("nll_micro"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double")).alias("avg_nll"))
+  }
+}

@@ -103,6 +103,65 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ngramContainment catches the subset-duplication pair Jaccard misses") {
+    // B is a contiguous slice of A's tokens, so B's bigram shingles are a
+    // strict subset of A's: containment 1.0 while Jaccard = |B|/|A| is low
+    val aToks = (0 until 40).map(i => s"u$i")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")), // 39 distinct bigram shingles
+      (2L, aToks.slice(10, 18).mkString(" ")), // 7 shingles, all inside A
+      (3L, (0 until 12).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text", n = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont == Map((1L, 2L) -> 1.0))
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "Jaccard should miss the subset pair at 0.5")
+  }
+
+  test("ngramContainment matches brute-force all-pairs at thresholds 0.8 and 0.9") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(23)
+    // overlapping windows of very different lengths → asymmetric pairs
+    // where the prefix-probe side (smaller) differs from the index side
+    val base = (0 until 60).map(i => s"tok${rnd.nextInt(40)}_$i")
+    val docs = (0 until 30).map { i =>
+      val start = rnd.nextInt(45)
+      val len = 4 + rnd.nextInt(30)
+      (i.toLong, base.slice(start, math.min(start + len, base.length)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val local = docs.map { case (id, text) =>
+      id -> TextFunctions
+        .shinglesLocal(TextFunctions.tokensLocal(text), 2)
+        .map(TextFunctions.md5Hash60Local)
+        .toSet
+    }
+    for (t <- Seq(0.8, 0.9)) {
+      val expected = (for {
+        (ia, sa) <- local; (ib, sb) <- local if ia < ib
+        c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size).toDouble
+        if c >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.ngramContainment(df, "doc_id", "text", n = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(got == expected, s"threshold $t: asymmetric prefix probe != brute force")
+    }
+  }
+
+  test("ngramContainment with maxShingleFreq keeps a consistent universe") {
+    // the exact-dup pair must stay containment 1.0 after hot-shingle
+    // filtering because sizes and intersections share the filtered set
+    val pairs = Dedup
+      .ngramContainment(corpus, "doc_id", "text", n = 2, threshold = 0.9,
+        maxShingleFreq = Some(2))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
   test("minHashLsh finds the exact-dup pair with jaccard 1.0 and no false positives") {
     val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", n = 2, k = 16, bands = 8, threshold = 0.8)
       .as[(Long, Long, Double)].collect()

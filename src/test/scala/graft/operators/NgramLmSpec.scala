@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Stupid-Backoff bigram-LM perplexity (`NgramLm.perplexity`): the
+  * CCNet-style model-based quality gate. Hand-computed scores on a tiny
+  * corpus, the split contract, the three smoothing paths, and
+  * partitioning-independence of the fixed-point reduction.
+  */
+class NgramLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // split: ids 0..7 train, 8/9 held out (splitMod=10, trainBelow=8)
+  private def corpus(heldOutTexts: (Long, String)*): DataFrame = {
+    val train = Seq[(Long, String)](
+      (0L, "the cat sat"),
+      (1L, "the cat ran"),
+      (2L, "the dog sat"),
+      (3L, "a cat sat"),
+      (4L, "the cat sat"),
+      (5L, "dogs bark"),
+      (6L, "the dog ran"),
+      (7L, "a dog barked loudly"))
+    (train ++ heldOutTexts).toDF("doc_id", "text")
+  }
+
+  private def scores(df: DataFrame): Map[Long, (Long, Long)] =
+    NgramLm.perplexity(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "nll_micro")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (id, n, s) => id -> (n, s) }
+      .toMap
+
+  /** JVM twin of the per-term expression: round(tf * ln(p) * 1e6). */
+  private def micro(tf: Long, p: Double): Long =
+    math.round(tf * math.log(p) * 1000000L)
+
+  test("hand-computed: seen bigram, backoff unigram, and OOV paths") {
+    // training stream: 8 docs, 24 tokens total.
+    // c(the)=5, c(cat)=4, c(sat)=4, c(dog)=3, c(a)=2, c(ran)=2, ...
+    // c(the,cat)=3, c(cat,sat)=3
+    val out = scores(corpus(
+      (8L, "the cat sat"), // both bigrams seen in training
+      (9L, "the zebra"))) // (the,zebra): zebra is OOV entirely
+    val n = 24L
+    // doc 8: (the,cat) c12=3 c1=5; (cat,sat) c12=3 c1=4
+    val exp8 = micro(1, 3.0 / 5) + micro(1, 3.0 / 4)
+    assert(out(8L) === ((2L, exp8)))
+    // doc 9: bigram unseen, w2 OOV -> 0.4 / N path
+    val exp9 = micro(1, 0.4 / n)
+    assert(out(9L) === ((1L, exp9)))
+  }
+
+  test("backoff path uses 0.4 * c(w2) / N when bigram unseen but w2 known") {
+    // (sat,dog): never adjacent in training, but c(dog)=3, N=24
+    val out = scores(corpus((18L, "sat dog")))
+    assert(out(18L) === ((1L, micro(1, 0.4 * 3 / 24.0))))
+  }
+
+  test("term frequency weights repeated bigrams") {
+    val out = scores(corpus((28L, "the cat the cat")))
+    // (the,cat) x2 at p=3/5; (cat,the) unseen, backoff c(the)=5, N=24
+    val exp = micro(2, 3.0 / 5) + micro(1, 0.4 * 5 / 24.0)
+    assert(out(28L) === ((3L, exp)))
+  }
+
+  test("train docs are not scored; sub-2-token held-out docs emit no row") {
+    val out = scores(corpus((8L, "one"), (9L, "")))
+    assert(out.isEmpty)
+  }
+
+  test("avg_nll is the micro-sum divided back out") {
+    val row = NgramLm.perplexity(corpus((8L, "the cat sat")), "doc_id", "text")
+      .select("doc_id", "n_bigrams", "nll_micro", "avg_nll")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .head
+    assert(row._4 === row._3.toDouble / 1000000.0 / row._2.toDouble)
+    assert(row._4 < 0.0)
+  }
+
+  test("fixed-point reduction is partitioning-independent") {
+    val base = corpus(
+      (8L, "the cat sat on the mat while dogs bark"),
+      (9L, "a dog ran"),
+      (18L, "completely unseen words everywhere here"))
+    val a = scores(base)
+    val b = scores(base.repartition(7))
+    val c = scores(base.repartition(1))
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("worse-fitting text scores lower (more negative avg) than in-domain text") {
+    val out = NgramLm.perplexity(
+      corpus((8L, "the cat sat"), (9L, "zzz qqq vvv")), "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(8L) > out(9L))
+  }
+}
