@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1047,6 +1047,25 @@ object SparkEntry {
     Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.9)
 
+  /** Z-order layout report (round 14): Morton-interleave two hashed
+    * key dimensions, bucket by the top 6 z-bits (the deterministic
+    * analogue of 64 range-partitioned files), and emit each bucket's
+    * per-dimension min/max extent — the parquet-footer numbers file
+    * skipping reads. The dims are md5-hash-spread into an 8-bit domain
+    * so the report is non-degenerate at EVERY fixture SF (raw TPC-H
+    * keys at small SF never reach the top interleave bits). Pure
+    * integer arithmetic; the interleave is a codegen'd bit sum
+    * ([[graft.operators.Layout]], which also carries the `clusterByZ`
+    * write path this reports on — `LayoutSpec` proves the per-file
+    * two-dimensional extent bound on real parquet output).
+    */
+  private def q103_zorder_stats(s: SparkSession, dir: String): DataFrame =
+    Layout.zOrderStats(
+      Tables.lineitem(s, dir).select(
+        (TextFunctions.md5Hash60(col("l_partkey").cast("string")) % 256).alias("xd"),
+        (TextFunctions.md5Hash60(col("l_suppkey").cast("string")) % 256).alias("yd")),
+      "xd", "yd", bits = 8, bucketBits = 6)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1862,7 +1881,8 @@ object SparkEntry {
     "q99_semantic_decon" -> (q99_semantic_decon _),
     "q100_bpe_multilevel" -> (q100_bpe_multilevel _),
     "q101_ngram_perplexity" -> (q101_ngram_perplexity _),
-    "q102_containment" -> (q102_containment _)
+    "q102_containment" -> (q102_containment _),
+    "q103_zorder_stats" -> (q103_zorder_stats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3136,6 +3156,18 @@ object SparkEntry {
             SELECT id_a, id_b,
                    CAST(common AS DOUBLE) / CAST(m AS DOUBLE) AS containment
             FROM cj)
-          WHERE containment >= 0.9"""
+          WHERE containment >= 0.9""",
+    "q103_zorder_stats" ->
+      // the Morton interleave as the same non-overlapping-bit sum the
+      // Spark side evaluates (Layout.zValueSql keeps them in lockstep)
+      s"""WITH d AS (SELECT ${sqlMd5h60("CAST(l_partkey AS VARCHAR)")} % 256 AS x,
+                            ${sqlMd5h60("CAST(l_suppkey AS VARCHAR)")} % 256 AS y
+                     FROM lineitem),
+          z AS (SELECT ${Layout.zValueSql("x", "y", 8)} AS zv, x, y FROM d)
+          SELECT (zv >> 10) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y
+          FROM z GROUP BY 1"""
   )
 }

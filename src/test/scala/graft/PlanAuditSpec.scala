@@ -543,4 +543,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q99 path:\n$plan")
   }
+
+  test("q101: LM scoring joins key on grams and doc ids — text never shuffles, no UDFs") {
+    val plan = planOf("q101_ngram_perplexity")
+    // every exchange carries gram strings (w1/w2), doc ids, or counts;
+    // the raw document text must never enter a partitioning key (at
+    // 100 TB the LM join is the big shuffle — it must move grams, not
+    // documents)
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected gram-keyed shuffle joins:\n$plan")
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.contains("rangepartitioning"), s"range partitioning on the q101 path:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q101 path:\n$plan")
+    // count aggregates are partial+final (map-side combine absorbs the
+    // Zipf head before the LM-table exchanges)
+    assert(plan.contains("partial_count"), s"LM counts not map-side combined:\n$plan")
+  }
+
+  test("q102: containment joins shuffle long hashes and ids, never text; verify is in-row") {
+    val plan = planOf("q102_containment")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    // exact containment comes from the native sorted-intersect over the
+    // full arrays — no closure UDF anywhere on the path
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q102 path:\n$plan")
+  }
+
+  test("q103: z-order report is one pruned scan into one hash aggregate") {
+    val plan = planOf("q103_zorder_stats")
+    assert(shuffles(plan) == 1,
+      s"interleave+bucket is a projection; only the bucket aggregate may shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan not pruned to the two dimension columns:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q103 path:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"bucket stats not map-side combined:\n$plan")
+  }
 }
