@@ -1,16 +1,16 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-gram language-model perplexity scoring — the CCNet-style quality
-  * gate: train token-bigram counts on a deterministic corpus slice,
-  * score every held-out document by its Stupid-Backoff negative
-  * log-likelihood, and keep/drop/bucket on the score. (Reference
-  * analogue: none; training-data-pipeline extension — the
-  * perplexity-filter stage of CCNet/RefinedWeb-style curation, the
-  * model-based counterpart to the heuristic `q25` quality signals.)
+  * gate: train token-bigram counts on a corpus slice, score documents
+  * by their Stupid-Backoff negative log-likelihood, and keep/drop/
+  * bucket on the score. (Reference analogue: none;
+  * training-data-pipeline extension — the perplexity-filter stage of
+  * CCNet/RefinedWeb-style curation, the model-based counterpart to the
+  * heuristic `q25` quality signals.)
   *
   * Scale shape:
   *
@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *    order; the integer sum is exact and order-independent, so the
   *    output is reproducible run-to-run and hash-comparable against
   *    any engine that evaluates the same per-term expression.
+  *  - [[saveLm]]/[[loadLm]] persist the three count tables as parquet —
+  *    the FROZEN-model deployment (the `DedupIngest` quality tier
+  *    scores every micro-batch against a persisted LM the same way the
+  *    semantic tier probes its frozen quantizer; training stays a batch
+  *    decision, taken on corpus drift, not a streaming one).
   *
   * Smoothing is Stupid Backoff (Brants et al. 2007, "Large Language
   * Models in Machine Translation"): score(w2|w1) = c(w1 w2)/c(w1) when
@@ -37,6 +42,11 @@ import org.apache.spark.sql.functions._
   * discounting pass over the count tables.
   */
 object NgramLm {
+
+  /** The bigram LM as its three count tables: `uni(w, c)`,
+    * `bi(w1, w2, c12)`, and the 1-row `nTok(n_tok)` total-mass scalar.
+    */
+  final case class LmTables(uni: DataFrame, bi: DataFrame, nTok: DataFrame)
 
   /** Adjacent-token bigrams of a token-array column as an array of
     * `(w1, w2)` structs; empty for docs with fewer than two tokens.
@@ -51,55 +61,68 @@ object NgramLm {
     tk.select(col("doc_id"), explode(bigramsOf(col("t"))).alias("bg"))
       .select(col("doc_id"), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
 
-  /** Stupid-Backoff NLL per held-out document.
-    *
-    * The corpus is split deterministically by id: `id % splitMod <
-    * trainBelow` trains the LM, the rest is scored. Output:
-    * `(doc_id, n_bigrams, nll_micro)` where `nll_micro` is the BIGINT
-    * sum over the doc's bigram occurrences of `round(ln p * 1e6)`
-    * (negative; more negative = higher perplexity = worse fit).
-    * Documents with fewer than two tokens emit no row. `avg_nll` is
-    * the per-bigram mean in natural-log units, derived from the two
-    * integer columns (deterministic given them).
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).alias("doc_id"),
+      TextFunctions.tokens(col(textCol)).alias("t"))
+
+  /** Train the LM count tables over `docs` — two gram-keyed hash
+    * aggregates plus the 1-row token-mass total.
     */
-  def perplexity(
+  def train(docs: DataFrame, idCol: String, textCol: String): LmTables = {
+    val tk = tokenized(docs, idCol, textCol)
+    val uni = tk
+      .select(explode(col("t")).alias("w"))
+      .groupBy("w").agg(count(lit(1)).alias("c"))
+    val nTok = tk.select(explode(col("t")).alias("w"))
+      .agg(count(lit(1)).alias("n_tok"))
+    val bi = bigramStream(tk)
+      .groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
+    LmTables(uni, bi, nTok)
+  }
+
+  /** Persist the LM as three parquet tables under `path`
+    * (`uni/`, `bi/`, `meta/`) — the frozen-model artifact streaming
+    * quality gates read per trigger.
+    */
+  def saveLm(lm: LmTables, path: String): Unit = {
+    lm.uni.write.mode("overwrite").parquet(s"$path/uni")
+    lm.bi.write.mode("overwrite").parquet(s"$path/bi")
+    lm.nTok.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveLm]] artifact. */
+  def loadLm(spark: SparkSession, path: String): LmTables =
+    LmTables(
+      spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/bi"),
+      spark.read.parquet(s"$path/meta"))
+
+  /** Stupid-Backoff NLL per document against a (frozen or in-plan) LM.
+    * Output: `(doc_id, n_bigrams, nll_micro, avg_nll)` where
+    * `nll_micro` is the BIGINT sum over the doc's bigram occurrences of
+    * `round(tf * ln p * 1e6)` (negative; more negative = higher
+    * perplexity = worse fit) and `avg_nll` is the per-bigram mean in
+    * natural-log units, derived from the two integer columns.
+    * Documents with fewer than two tokens emit no row.
+    */
+  def score(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      splitMod: Int = 10,
-      trainBelow: Int = 8,
+      lm: LmTables,
       backoff: Double = 0.4): DataFrame = {
-    require(splitMod > 0, s"splitMod must be positive, got $splitMod")
-    require(trainBelow > 0 && trainBelow < splitMod,
-      s"trainBelow must be in (0, $splitMod), got $trainBelow")
-
-    val tk = docs.select(
-      col(idCol).alias("doc_id"),
-      TextFunctions.tokens(col(textCol)).alias("t"))
-    val train = tk.filter(col("doc_id") % splitMod < trainBelow)
-    val heldout = tk.filter(col("doc_id") % splitMod >= trainBelow)
-
-    // LM tables: vocabulary-sized after map-side combine; the total
-    // token mass is a 1-row aggregate broadcast into the scorer.
-    val uni = train
-      .select(explode(col("t")).alias("w"))
-      .groupBy("w").agg(count(lit(1)).alias("c"))
-    val nTok = train.select(explode(col("t")).alias("w"))
-      .agg(count(lit(1)).alias("n_tok"))
-    val bi = bigramStream(train)
-      .groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
-
-    // Held-out side: per-(doc, bigram) term frequency, then three
-    // gram-keyed shuffle joins against the LM (bigram, w1-unigram for
-    // the seen-bigram denominator, w2-unigram for the backoff path).
-    val hb = bigramStream(heldout)
+    // per-(doc, bigram) term frequency, then three gram-keyed shuffle
+    // joins against the LM (bigram, w1-unigram for the seen-bigram
+    // denominator, w2-unigram for the backoff path)
+    val hb = bigramStream(tokenized(docs, idCol, textCol))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
 
     val joined = hb
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"), "left")
-      .join(uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"), "left")
-      .crossJoin(broadcast(nTok))
+      .join(lm.bi, Seq("w1", "w2"), "left")
+      .join(lm.uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"), "left")
+      .join(lm.uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(lm.nTok))
 
     // Evaluation order inside each term mirrors the oracle exactly
     // (left-to-right products, same casts) so both engines round the
@@ -123,5 +146,44 @@ object NgramLm {
         col("doc_id"), col("n_bigrams"), col("nll_micro"),
         (col("nll_micro").cast("double") / lit(1000000.0) /
           col("n_bigrams").cast("double")).alias("avg_nll"))
+  }
+
+  /** The quality-gate filter: drop rows of `docs` whose `avg_nll`
+    * against `lm` falls below `cutoff` (more negative = worse fit).
+    * Unscorable docs (fewer than two tokens) are KEPT — a perplexity
+    * gate has no evidence against them; compose a length predicate
+    * upstream when short docs should die too. Pure function of
+    * (docs, lm, cutoff): replay-stable in streaming tiers.
+    */
+  def keepByQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: LmTables,
+      cutoff: Double,
+      backoff: Double = 0.4): DataFrame = {
+    val dropIds = score(docs, idCol, textCol, lm, backoff)
+      .filter(col("avg_nll") < cutoff)
+      .select(col("doc_id").alias(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Stupid-Backoff NLL per held-out document with an in-plan
+    * deterministic corpus split: `id % splitMod < trainBelow` trains
+    * the LM, the rest is scored (see [[train]]/[[score]] — this is
+    * their composition, and the oracle-checked q101 entry point).
+    */
+  def perplexity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitMod: Int = 10,
+      trainBelow: Int = 8,
+      backoff: Double = 0.4): DataFrame = {
+    require(splitMod > 0, s"splitMod must be positive, got $splitMod")
+    require(trainBelow > 0 && trainBelow < splitMod,
+      s"trainBelow must be in (0, $splitMod), got $trainBelow")
+    val lm = train(docs.filter(col(idCol) % splitMod < trainBelow), idCol, textCol)
+    score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff)
   }
 }

@@ -619,7 +619,9 @@ object DedupIngest {
       tierTimer: (String, Double) => Unit = (_, _) => (),
       deconBench: Option[DataFrame] = None,
       deconThreshold: Double = 0.95,
-      deconNProbe: Int = 4): Unit = {
+      deconNProbe: Int = 4,
+      lmPath: Option[String] = None,
+      qualityCutoff: Double = -12.0): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty || alreadyApplied(spark, sink, table, batchId)) return
     Dedup.requireNumericId(batch, idCol, "applyUnifiedBatch")
@@ -677,6 +679,27 @@ object DedupIngest {
       kept
     }
 
+    // ---- optional quality tier: exact survivors scored against a
+    // FROZEN persisted bigram LM (the semantic tier's frozen-quantizer
+    // contract applied to text quality); docs whose Stupid-Backoff
+    // avg NLL falls below the cutoff are dropped BEFORE the expensive
+    // band machinery. Ordering rationale: after exact (dup rows never
+    // pay scoring — and a dropped doc's fingerprint stays in the exact
+    // state as a blocker, so later copies of known junk die in tier 1
+    // without being re-scored), before near (junk never pays the
+    // MinHash/band-state pass). Pure function of (batch, LM, cutoff):
+    // replay-stable, no state of its own. Unscorable (<2-token) docs
+    // pass through — compose a length predicate upstream to kill them.
+    val qualityKept = lmPath match {
+      case Some(p) => timed("quality") {
+        val lm = graft.operators.NgramLm.loadLm(spark, p)
+        graft.operators.NgramLm
+          .keepByQuality(exactKept, "id", "text", lm, qualityCutoff)
+          .localCheckpoint(true)
+      }
+      case None => exactKept
+    }
+
     // ---- tier 2: near-dup over exact survivors (persisted band index)
     val nearKept = timed("near") {
       val (nearCorpus, nearBands, nearSets) = (
@@ -684,11 +707,11 @@ object DedupIngest {
         sink.read(spark, s"${table}__near__bands", nearDupBandStateSchema),
         sink.read(spark, s"${table}__near__sets", nearDupSetStateSchema))
       val (nearKeptIds, (newCorpus, newBands, newSets)) = mergeNearDupStateWithKept(
-        nearCorpus, nearBands, nearSets, exactKept, "id", "text", n, k, bands, textThreshold)
+        nearCorpus, nearBands, nearSets, qualityKept, "id", "text", n, k, bands, textThreshold)
       sink.write(newCorpus, s"${table}__near", SaveMode.Overwrite)
       sink.write(newBands, s"${table}__near__bands", SaveMode.Overwrite)
       sink.write(newSets, s"${table}__near__sets", SaveMode.Overwrite)
-      exactKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
+      qualityKept.join(nearKeptIds, Seq("id")).localCheckpoint(true)
     }
 
     // ---- tier 3: semantic over near-dup survivors (frozen quantizer).
@@ -774,6 +797,12 @@ object DedupIngest {
     * benchmark item are blocked from the semantic corpus and the ANN
     * index — while their exact/near state rows still act as dedup
     * blockers, so later near-duplicates of a leaked item stay out too.
+    * `lmPath` (a persisted [[graft.operators.NgramLm.saveLm]] artifact)
+    * adds the frozen-LM perplexity gate between the exact and near
+    * tiers: exact survivors whose Stupid-Backoff avg NLL falls below
+    * `qualityCutoff` are dropped before paying any band machinery, and
+    * their fingerprints remain exact-tier blockers so known junk dies
+    * in tier 1 on every later appearance.
     */
   def startUnified(
       docs: DataFrame,
@@ -798,7 +827,9 @@ object DedupIngest {
       tierTimer: (String, Double) => Unit = (_, _) => (),
       deconBench: Option[DataFrame] = None,
       deconThreshold: Double = 0.95,
-      deconNProbe: Int = 4): StreamingQuery =
+      deconNProbe: Int = 4,
+      lmPath: Option[String] = None,
+      qualityCutoff: Double = -12.0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -807,7 +838,8 @@ object DedupIngest {
         applyUnifiedBatch(
           batch, batchId, idCol, textCol, vecCol, sink, table, annIndexPath,
           n, k, bands, textThreshold, semThreshold, nLists, trainSample,
-          annNLists, annM, annCodes, tierTimer, deconBench, deconThreshold, deconNProbe)
+          annNLists, annM, annCodes, tierTimer, deconBench, deconThreshold, deconNProbe,
+          lmPath, qualityCutoff)
       }
       .start()
 

@@ -67,7 +67,18 @@ object ScaleBench {
     // weak-scale. q99 is deliberately NOT here: its registry config is
     // the nLists=1 exact all-pairs CONTROL (q18's role); the scale
     // path is the semantic_decon(auto) entry below.
-    "q100_bpe_multilevel")
+    "q100_bpe_multilevel",
+    // round-14: q101's LM is disjoint-vocab per copy (token prefixing
+    // bijects grams; the 1e9 id offset is ≡ 0 mod 10, so the
+    // train/held-out split is copy-stable) — the LM tables grow 10×
+    // while scoring joins stay gram-co-located, so it should
+    // weak-scale. q102's pairs exist only within a copy (disjoint
+    // shingle universes — q18's roster argument). q103 is NOT here: it
+    // reads lineitem (the derived corpus scales documents/embeddings
+    // only) and is a single pruned scan + hash aggregate, the q01
+    // shape whose linearity is already on record.
+    "q101_ngram_perplexity",
+    "q102_containment")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -483,4 +483,63 @@ class DedupIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(indexDir).count() == before,
       "replayed batch was appended twice")
   }
+
+  test("unified ingest quality tier: frozen-LM gate drops junk before near-dup; exact state still blocks it") {
+    import graft.operators.NgramLm
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val junk = (1 to 40).map(i => s"junk$i").mkString(" ") // fully OOV vs the LM
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+
+    // frozen LM trained on the in-domain corpus: in-domain bigrams score
+    // ln(1/1) = 0, OOV bigrams the ln(0.4/N) floor (~ -5.7) — cutoff -3
+    // splits them cleanly
+    val lmDir = Files.createTempDirectory("graft-uni-lm").toString
+    NgramLm.saveLm(
+      NgramLm.train(
+        Seq((0L, textA), (1L, textB), (2L, textC)).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      lmDir)
+
+    val input = MemoryStream[(Long, String, Seq[Float])](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-uni-q").toString)
+    val ckpt = Files.createTempDirectory("graft-uni-q-ckpt").toString
+    val q = DedupIngest.startUnified(
+      input.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+      sink, "uq", ckpt, trigger,
+      textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
+      lmPath = Some(lmDir), qualityCutoff = -3.0)
+    val batches = Seq(
+      Seq((1L, textA, unit(0)), (2L, junk, unit(1)), (3L, textB, unit(2))),
+      // 4: exact dup of the DROPPED junk — must die in tier 1 (its
+      // fingerprint is a blocker) without being re-scored; 5: in-domain
+      Seq((4L, junk, unit(3)), (5L, textC, unit(4))))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // exact state holds the junk fingerprint (keep_id 2, dup_count 2)
+    val exact = sink.read(spark, "uq__exact", DedupIngest.exactStateSchema)
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toMap
+    assert(exact.keySet === Set(1L, 2L, 3L, 5L), s"exact keep ids ${exact.keySet}")
+    assert(exact(2L) === 2L, "junk fingerprint must count both appearances")
+
+    // the quality gate kept junk OUT of every downstream tier
+    val near = sink.read(spark, "uq__near", DedupIngest.nearDupStateSchema)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(near === Set(1L, 3L, 5L), s"near corpus $near")
+    val sem = sink.read(spark, "uq__sem", DedupIngest.semanticStateSchema)
+      .as[(Long, Seq[Float])].collect().map(_._1).toSet
+    assert(sem === Set(1L, 3L, 5L), s"semantic corpus $sem")
+
+    // replaying the last batch is a no-op (the gate is a pure function
+    // of batch + frozen LM — replay-stable)
+    DedupIngest.applyUnifiedBatch(
+      batches.last.toDF("doc_id", "text", "embedding"), batchId = 1L,
+      "doc_id", "text", "embedding", sink, "uq", None,
+      textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
+      lmPath = Some(lmDir), qualityCutoff = -3.0)
+    assert(sink.read(spark, "uq__sem", DedupIngest.semanticStateSchema)
+      .count() === 3L)
+  }
 }
