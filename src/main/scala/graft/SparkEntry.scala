@@ -1066,6 +1066,32 @@ object SparkEntry {
         (TextFunctions.md5Hash60(col("l_suppkey").cast("string")) % 256).alias("yd")),
       "xd", "yd", bits = 8, bucketBits = 6)
 
+  /** Per-source quality profile (round 14): the q101 LM scores rolled
+    * up into the curation dashboard — held-out docs histogrammed into
+    * FIXED unit-width NLL bins (`floor(avg_nll)`), then per
+    * (source, bin) counts with the bin's exact score range. The table
+    * that says WHICH domains supply the junk tail a perplexity cutoff
+    * would drop. Fixed absolute bins, not quantiles, by design: the
+    * bucketing is a row-local projection (no global sort/window — a
+    * corpus-wide ntile would serialize the whole held-out set through
+    * one partition at 100 TB) and bins mean the same thing across
+    * sources and across ingest snapshots. min/max of exact per-doc
+    * doubles (no cross-row double sums — the q101 fixed-point argument
+    * carries through; floor of a bit-identical double is engine-safe).
+    */
+  private def q104_quality_profile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    NgramLm.perplexity(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("avg_nll"),
+        floor(col("avg_nll")).cast("long").alias("nll_bin"))
+      .groupBy("source", "nll_bin")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        min("avg_nll").alias("best_nll"),
+        max("avg_nll").alias("worst_nll"))
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1882,7 +1908,8 @@ object SparkEntry {
     "q100_bpe_multilevel" -> (q100_bpe_multilevel _),
     "q101_ngram_perplexity" -> (q101_ngram_perplexity _),
     "q102_containment" -> (q102_containment _),
-    "q103_zorder_stats" -> (q103_zorder_stats _)
+    "q103_zorder_stats" -> (q103_zorder_stats _),
+    "q104_quality_profile" -> (q104_quality_profile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3168,6 +3195,55 @@ object SparkEntry {
                  CAST(count(*) AS BIGINT) AS n,
                  min(x) AS min_x, max(x) AS max_x,
                  min(y) AS min_y, max(y) AS max_y
-          FROM z GROUP BY 1"""
+          FROM z GROUP BY 1""",
+    "q104_quality_profile" ->
+      // q101's scoring CTEs + source join + fixed unit-width NLL bins
+      // (row-local floor — no quantile/window; see the Spark-side
+      // scaladoc for the scale argument)
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          train AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
+          heldout AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
+          uni AS (SELECT w, count(*) AS c1
+                  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+          n AS (SELECT count(*) AS n_tok
+                FROM (SELECT unnest(t) AS w FROM train)),
+          bi AS (SELECT w1, w2, count(*) AS c12
+                 FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                       FROM train,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY w1, w2),
+          hb AS (SELECT doc_id, w1, w2, count(*) AS tf
+                 FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                       FROM heldout,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY doc_id, w1, w2),
+          terms AS (
+            SELECT hb.doc_id, hb.tf,
+                   CASE
+                     WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                     WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
+                     ELSE ln(0.4 / n.n_tok)
+                   END AS logp
+            FROM hb
+            LEFT JOIN bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+            LEFT JOIN uni u1 ON hb.w1 = u1.w
+            LEFT JOIN uni u2 ON hb.w2 = u2.w
+            CROSS JOIN n),
+          agg AS (SELECT doc_id,
+                         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                         CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
+                           AS nll_micro
+                  FROM terms GROUP BY doc_id),
+          sc AS (SELECT doc_id,
+                        CAST(nll_micro AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+                          AS avg_nll
+                 FROM agg)
+          SELECT d.source,
+                 CAST(floor(avg_nll) AS BIGINT) AS nll_bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 min(avg_nll) AS best_nll,
+                 max(avg_nll) AS worst_nll
+          FROM sc JOIN documents d USING (doc_id)
+          GROUP BY 1, 2"""
   )
 }

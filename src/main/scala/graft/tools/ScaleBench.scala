@@ -78,7 +78,10 @@ object ScaleBench {
     // only) and is a single pruned scan + hash aggregate, the q01
     // shape whose linearity is already on record.
     "q101_ngram_perplexity",
-    "q102_containment")
+    "q102_containment",
+    // q104 = q101's scoring joins + the source rollup (row-local floor
+    // bins, no window) — same weak-scale expectation as q101
+    "q104_quality_profile")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -23,11 +23,15 @@ import scala.collection.mutable
   * this pipeline — there are no stateful operators in the plan).
   *
   * Run: `sbt "runMain graft.tools.UnifiedIngestBench"` (env:
-  * SPARK_GRAFT_UB_LINES total docs per size, default 30000).
+  * SPARK_GRAFT_UB_LINES total docs per size, default 30000;
+  * SPARK_GRAFT_UB_LM=1 adds the frozen-LM quality tier — ~8% of the
+  * stream becomes fully-OOV junk and a pre-trained persisted bigram LM
+  * gates it between the exact and near tiers).
   */
 object UnifiedIngestBench {
   def main(args: Array[String]): Unit = {
     val total = sys.env.getOrElse("SPARK_GRAFT_UB_LINES", "30000").toInt
+    val lmMode = sys.env.get("SPARK_GRAFT_UB_LM").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,14 +60,30 @@ object UnifiedIngestBench {
     // drops real work
     def doc(i: Int): (Long, String, Seq[Float]) = {
       val t =
-        if (i % 5 == 0) text((i / 200) * 200)
+        if (lmMode && i % 13 == 0) // ~8% fully-OOV junk for the LM gate
+          s"junk$i " + (0 until 19).map(j => s"zz${(i * 17 + j * 5) % 997}").mkString(" ")
+        else if (i % 5 == 0) text((i / 200) * 200)
         else if (i % 11 == 0) text((i / 550) * 550) + s" tail"
         else text(i)
       val vSeed = if (i % 7 == 0) (i / 350) * 350 else i
       (i.toLong, t, vec(vSeed))
     }
 
-    val tiers = Seq("exact", "near", "sem", "ann")
+    // frozen LM over the in-domain generator (trained once, persisted —
+    // the deployment shape; in-domain docs score near ln(1)=0, junk hits
+    // the OOV floor, so cutoff -3 gates exactly the junk mass)
+    val lmPath = if (lmMode) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ub-lm").toString
+      graft.operators.NgramLm.saveLm(
+        graft.operators.NgramLm.train(
+          (0 until 5000).map(i => (i.toLong, text(i))).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        dir)
+      Some(dir)
+    } else None
+
+    val tiers = (if (lmMode) Seq("exact", "quality") else Seq("exact")) ++
+      Seq("near", "sem", "ann")
     println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s  " +
       tiers.map(t => f"$t%8s").mkString(" ") + f" ${"other"}%8s  (mean s/trigger)")
 
@@ -80,7 +100,7 @@ object UnifiedIngestBench {
         Trigger.ProcessingTime("0 seconds"),
         annIndexPath = Some(s"$root/index"),
         nLists = 8, trainSample = 2048, annNLists = 8, annM = 8, annCodes = 16,
-        tierTimer = timer)
+        tierTimer = timer, lmPath = lmPath, qualityCutoff = -3.0)
 
       // warmup trigger (bootstrap: quantizer + ANN model train) is
       // excluded from rates and tier means

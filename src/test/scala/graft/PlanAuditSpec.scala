@@ -571,6 +571,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q102 path:\n$plan")
   }
 
+  test("q104: quality profile buckets row-locally — no window, no global sort, text never shuffles") {
+    val plan = planOf("q104_quality_profile")
+    // fixed-width floor bins, NOT quantiles: a corpus-wide ntile would
+    // serialize the whole held-out set through one partition
+    assert(!plan.contains("Window"), s"quantile window crept into the profile:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort on the q104 path:\n$plan")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q104 path:\n$plan")
+  }
+
   test("q103: z-order report is one pruned scan into one hash aggregate") {
     val plan = planOf("q103_zorder_stats")
     assert(shuffles(plan) == 1,
