@@ -510,18 +510,24 @@ class DedupIngestSpec extends SparkTestBase {
       sink, "uq", ckpt, trigger,
       textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
       lmPath = Some(lmDir), qualityCutoff = -3.0)
+    val junk2 = (1 to 40).map(i => s"qq$i").mkString(" ")
+    val junk3 = (1 to 40).map(i => s"vv$i").mkString(" ")
     val batches = Seq(
       Seq((1L, textA, unit(0)), (2L, junk, unit(1)), (3L, textB, unit(2))),
       // 4: exact dup of the DROPPED junk — must die in tier 1 (its
       // fingerprint is a blocker) without being re-scored; 5: in-domain
-      Seq((4L, junk, unit(3)), (5L, textC, unit(4))))
+      Seq((4L, junk, unit(3)), (5L, textC, unit(4))),
+      // an ALL-junk batch: the gate empties the near tier's input — the
+      // pipeline must cross the empty near/sem path without crashing
+      // and without touching the kept states
+      Seq((8L, junk2, unit(5)), (9L, junk3, unit(6))))
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     q.stop()
 
-    // exact state holds the junk fingerprint (keep_id 2, dup_count 2)
+    // exact state holds every junk fingerprint (keep_id 2: dup_count 2)
     val exact = sink.read(spark, "uq__exact", DedupIngest.exactStateSchema)
       .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toMap
-    assert(exact.keySet === Set(1L, 2L, 3L, 5L), s"exact keep ids ${exact.keySet}")
+    assert(exact.keySet === Set(1L, 2L, 3L, 5L, 8L, 9L), s"exact keep ids ${exact.keySet}")
     assert(exact(2L) === 2L, "junk fingerprint must count both appearances")
 
     // the quality gate kept junk OUT of every downstream tier
@@ -535,7 +541,7 @@ class DedupIngestSpec extends SparkTestBase {
     // replaying the last batch is a no-op (the gate is a pure function
     // of batch + frozen LM — replay-stable)
     DedupIngest.applyUnifiedBatch(
-      batches.last.toDF("doc_id", "text", "embedding"), batchId = 1L,
+      batches.last.toDF("doc_id", "text", "embedding"), batchId = 2L,
       "doc_id", "text", "embedding", sink, "uq", None,
       textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
       lmPath = Some(lmDir), qualityCutoff = -3.0)
