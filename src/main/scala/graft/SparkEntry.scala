@@ -1088,8 +1088,8 @@ object SparkEntry {
       .groupBy("source", "nll_bin")
       .agg(
         count(lit(1)).alias("n_docs"),
-        min("avg_nll").alias("best_nll"),
-        max("avg_nll").alias("worst_nll"))
+        max("avg_nll").alias("best_nll"),
+        min("avg_nll").alias("worst_nll"))
   }
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
@@ -3241,8 +3241,8 @@ object SparkEntry {
           SELECT d.source,
                  CAST(floor(avg_nll) AS BIGINT) AS nll_bin,
                  CAST(count(*) AS BIGINT) AS n_docs,
-                 min(avg_nll) AS best_nll,
-                 max(avg_nll) AS worst_nll
+                 max(avg_nll) AS best_nll,
+                 min(avg_nll) AS worst_nll
           FROM sc JOIN documents d USING (doc_id)
           GROUP BY 1, 2"""
   )

@@ -58,6 +58,8 @@ object Layout {
       bits: Int = 16,
       numFiles: Int = 64): DataFrame = {
     require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("__z"),
+      "clusterByZ: input already carries a __z column (would be silently clobbered)")
     val mask = (1L << bits) - 1
     df.withColumn("__z",
         zValue(col(xCol).bitwiseAND(lit(mask)), col(yCol).bitwiseAND(lit(mask)), bits))
@@ -101,8 +103,10 @@ object Layout {
     * non-overlapping-bit sum spelled as SQL (`+` == `|`), kept here so
     * the Spark expression and the SQL string can never drift apart.
     */
-  def zValueSql(x: String, y: String, bits: Int): String =
+  def zValueSql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) * ${1L << (2 * i)}) + ((($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+  }
 }

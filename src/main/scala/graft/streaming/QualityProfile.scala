@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * without re-scanning the corpus.
   *
   * The state is fully mergeable by construction: `n_docs` is an
-  * additive count, `best_nll`/`worst_nll` are min/max — all three are
+  * additive count; `best_nll` is the max and `worst_nll` the min
+  * (LESS negative avg NLL = better fit) — all three are
   * associative+commutative, so the final state after ANY batch
   * partitioning equals the q104-shape batch rollup over the union
   * with the same LM (spec-pinned), independent of arrival order. The
@@ -59,31 +60,22 @@ object QualityProfile {
       .groupBy("source", "nll_bin")
       .agg(
         count(lit(1)).alias("n_docs"),
-        min("avg_nll").alias("best_nll"),
-        max("avg_nll").alias("worst_nll"))
+        max("avg_nll").alias("best_nll"),
+        min("avg_nll").alias("worst_nll"))
 
-  /** Merge a delta into the state: sum counts, min/max the range — a
-    * q02-shape null-safe full-outer merge on the (source, bin) key
-    * (null source is a real group; `least`/`greatest` skip the null
-    * side of a key present in only one input).
+  /** Merge a delta into the state: sum counts, max/min the range — the
+    * shared [[StateMerge]] null-safe full-outer merge on the
+    * (source, bin) key (`least`/`greatest` skip the null side of a key
+    * present in only one input).
     */
-  def mergeState(state: DataFrame, delta: DataFrame): DataFrame = {
-    val s = state.select(
-      col("source").alias("s_key"), col("nll_bin").alias("s_bin"),
-      col("n_docs").alias("s_n"), col("best_nll").alias("s_b"),
-      col("worst_nll").alias("s_w"))
-    val d = delta.select(
-      col("source").alias("b_key"), col("nll_bin").alias("b_bin"),
-      col("n_docs").alias("b_n"), col("best_nll").alias("b_b"),
-      col("worst_nll").alias("b_w"))
-    s.join(d, s("s_key") <=> d("b_key") && s("s_bin") === d("b_bin"), "full_outer")
-      .select(
-        coalesce(col("s_key"), col("b_key")).alias("source"),
-        coalesce(col("s_bin"), col("b_bin")).alias("nll_bin"),
-        (coalesce(col("s_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).alias("n_docs"),
-        least(col("s_b"), col("b_b")).alias("best_nll"),
-        greatest(col("s_w"), col("b_w")).alias("worst_nll"))
-  }
+  def mergeState(state: DataFrame, delta: DataFrame): DataFrame =
+    StateMerge.fullOuterMerge(
+      state, delta,
+      keyCols = Seq("source", "nll_bin"),
+      valueCombiners = Seq(
+        "n_docs" -> StateMerge.addLong,
+        "best_nll" -> ((a, b) => greatest(a, b)),
+        "worst_nll" -> ((a, b) => least(a, b))))
 
   /** The per-micro-batch body (factored out for the replay spec):
     * single state table behind the batch-id ack — a replayed batch id

@@ -48,16 +48,13 @@ object TokenizerStats {
       state: DataFrame,
       batch: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val delta = Bpe.tokenStream(batch, textCol, merges)
-      .groupBy("token").agg(count(lit(1)).alias("b_cnt"))
-    state
-      .select(col("token"), col("cnt").alias("s_cnt"))
-      .join(delta, Seq("token"), "full_outer")
-      .select(
-        col("token"),
-        (coalesce(col("s_cnt"), lit(0L)) + coalesce(col("b_cnt"), lit(0L))).alias("cnt"))
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    StateMerge.fullOuterMerge(
+      state,
+      Bpe.tokenStream(batch, textCol, merges)
+        .groupBy("token").agg(count(lit(1)).alias("cnt")),
+      keyCols = Seq("token"),
+      valueCombiners = Seq("cnt" -> StateMerge.addLong))
 
   /** One batch's per-source fertility totals merged into the
     * `(source, n_docs, n_tokens, n_chars)` state. The join is
@@ -69,21 +66,16 @@ object TokenizerStats {
       batch: DataFrame,
       groupCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val delta = Bpe.groupTokenStats(batch, groupCol, textCol, merges)
-    val s = state.select(
-      col("source").alias("s_key"), col("n_docs").alias("s_d"),
-      col("n_tokens").alias("s_t"), col("n_chars").alias("s_c"))
-    val d = delta.select(
-      col(groupCol).alias("b_key"), col("n_docs").alias("b_d"),
-      col("n_tokens").alias("b_t"), col("n_chars").alias("b_c"))
-    s.join(d, s("s_key") <=> d("b_key"), "full_outer")
-      .select(
-        coalesce(col("s_key"), col("b_key")).alias("source"),
-        (coalesce(col("s_d"), lit(0L)) + coalesce(col("b_d"), lit(0L))).alias("n_docs"),
-        (coalesce(col("s_t"), lit(0L)) + coalesce(col("b_t"), lit(0L))).alias("n_tokens"),
-        (coalesce(col("s_c"), lit(0L)) + coalesce(col("b_c"), lit(0L))).alias("n_chars"))
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    StateMerge.fullOuterMerge(
+      state,
+      Bpe.groupTokenStats(batch, groupCol, textCol, merges)
+        .withColumnRenamed(groupCol, "source"),
+      keyCols = Seq("source"),
+      valueCombiners = Seq(
+        "n_docs" -> StateMerge.addLong,
+        "n_tokens" -> StateMerge.addLong,
+        "n_chars" -> StateMerge.addLong))
 
   /** The per-micro-batch body (factored out for the replay spec): each
     * state table merges behind its OWN batch-id ack (the unified exact

@@ -24,8 +24,9 @@ import scala.collection.mutable
   *
   * Run: `sbt "runMain graft.tools.UnifiedIngestBench"` (env:
   * SPARK_GRAFT_UB_LINES total docs per size, default 30000;
-  * SPARK_GRAFT_UB_LM=1 adds the frozen-LM quality tier — ~8% of the
-  * stream becomes fully-OOV junk and a pre-trained persisted bigram LM
+  * SPARK_GRAFT_UB_LM=1 adds the frozen-LM quality tier — ~5.6% of the
+  * stream (never the dup-branch docs, so both modes share one dup
+  * composition) becomes fully-OOV junk and a persisted bigram LM
   * gates it between the exact and near tiers).
   */
 object UnifiedIngestBench {
@@ -60,7 +61,11 @@ object UnifiedIngestBench {
     // drops real work
     def doc(i: Int): (Long, String, Seq[Float]) = {
       val t =
-        if (lmMode && i % 13 == 0) // ~8% fully-OOV junk for the LM gate
+        // ~5.6% fully-OOV junk for the LM gate; junk only replaces docs
+        // that are NOT on the exact/near-dup branches, so the LM and
+        // no-LM streams carry IDENTICAL dup composition and the twin
+        // comparison isolates the gate's cost
+        if (lmMode && i % 13 == 0 && i % 5 != 0 && i % 11 != 0)
           s"junk$i " + (0 until 19).map(j => s"zz${(i * 17 + j * 5) % 997}").mkString(" ")
         else if (i % 5 == 0) text((i / 200) * 200)
         else if (i % 11 == 0) text((i / 550) * 550) + s" tail"
