@@ -81,6 +81,43 @@ class NgramLmSpec extends SparkTestBase {
     assert(row._4 < 0.0)
   }
 
+  test("matches a local reference scorer on random corpora") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(41)
+    val vocabWords = (0 until 25).map(i => s"w$i")
+    def randText(): String =
+      (0 until (2 + rnd.nextInt(12))).map(_ => vocabWords(rnd.nextInt(vocabWords.length))).mkString(" ")
+    val docs = (0L until 60L).map(i => (i, randText()))
+
+    // local twin: same split, same counts, same Stupid-Backoff terms
+    val trainToks = docs.filter(_._1 % 10 < 8).map(d => TextFunctions.tokensLocal(d._2))
+    val uni = trainToks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val n = trainToks.map(_.length.toLong).sum
+    val bi = trainToks.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (p, ps) => p -> ps.size.toLong }
+    def localScore(text: String): Option[(Long, Long)] = {
+      val t = TextFunctions.tokensLocal(text)
+      if (t.length < 2) None
+      else {
+        val grams = t.zip(t.drop(1)).groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+        val micro = grams.map { case ((w1, w2), tf) =>
+          val p =
+            if (bi.contains((w1, w2))) bi((w1, w2)).toDouble / uni(w1)
+            else if (uni.contains(w2)) 0.4 * uni(w2) / n
+            else 0.4 / n
+          math.round(tf * math.log(p) * 1000000L)
+        }.sum
+        Some((grams.values.sum, micro))
+      }
+    }
+    val expected = docs.filter(_._1 % 10 >= 8)
+      .flatMap { case (id, text) => localScore(text).map(id -> _) }.toMap
+
+    val got = scores(docs.toDF("doc_id", "text"))
+    assert(got === expected, "distributed scorer != local reference")
+    assert(expected.nonEmpty)
+  }
+
   test("fixed-point reduction is partitioning-independent") {
     val base = corpus(
       (8L, "the cat sat on the mat while dogs bark"),
