@@ -1092,6 +1092,23 @@ object SparkEntry {
         min("avg_nll").alias("worst_nll"))
   }
 
+  /** Prototype-outlier prune (round 14): cosine of every embedding to
+    * its cell centroid with a low-cosine outlier flag — the
+    * embedding-space NOISE pruner (the SemDeDup companion: q77 prunes
+    * vectors too close to each other, this prunes vectors too far from
+    * every prototype). `nLists = 1` is the oracle configuration (the
+    * q77/q80/q99 precedent): the 8-iteration Lloyd fit collapses to the
+    * sequential sample-order mean, which DuckDB reproduces with an
+    * ordered element-wise `list_reduce` over the same md5-ordered
+    * 256-row sample. Scoring is one row-local projection — zero
+    * exchanges, centroids ship as plan literals
+    * ([[graft.operators.Similarity.prototypeOutliers]]).
+    */
+  private def q105_prototype_prune(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypeOutliers(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      nLists = 1, lowCos = -0.15, trainSample = 256)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1909,7 +1926,8 @@ object SparkEntry {
     "q101_ngram_perplexity" -> (q101_ngram_perplexity _),
     "q102_containment" -> (q102_containment _),
     "q103_zorder_stats" -> (q103_zorder_stats _),
-    "q104_quality_profile" -> (q104_quality_profile _)
+    "q104_quality_profile" -> (q104_quality_profile _),
+    "q105_prototype_prune" -> (q105_prototype_prune _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3244,6 +3262,29 @@ object SparkEntry {
                  max(avg_nll) AS best_nll,
                  min(avg_nll) AS worst_nll
           FROM sc JOIN documents d USING (doc_id)
-          GROUP BY 1, 2"""
+          GROUP BY 1, 2""",
+    "q105_prototype_prune" ->
+      // nLists=1 -> the Lloyd fit is the sequential sample-order mean of
+      // the md5-ordered 256-row sample (lloydFit's accumulation is a
+      // sample-order fold; with one cell the assignment never changes),
+      // reproduced here with an ordered element-wise list_reduce; the
+      // cosine is the same ordered zip/fold arithmetic as q22/q77
+      s"""WITH sm AS (SELECT vec_id, embedding AS e FROM embeddings
+                      WHERE embedding IS NOT NULL
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+                      LIMIT 256),
+          ag AS (SELECT list(list_transform(e, x -> CAST(x AS DOUBLE))
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS vs
+                 FROM sm),
+          ct AS (SELECT list_reduce(vs, (a, b) ->
+                          list_transform(list_zip(a, b), s -> s[1] + s[2])) AS sv,
+                        len(vs) AS n
+                 FROM ag),
+          cen AS (SELECT list_transform(sv, x -> x / CAST(n AS DOUBLE)) AS c FROM ct)
+          SELECT vec_id,
+                 CAST(0 AS BIGINT) AS cell,
+                 ${sqlCos("embedding", "c")} AS cos_proto,
+                 CAST(${sqlCos("embedding", "c")} < -0.15 AS BIGINT) AS is_outlier
+          FROM embeddings CROSS JOIN cen"""
   )
 }

@@ -479,6 +479,62 @@ object Similarity {
       caller = "semanticDedupFrozen", remedy = frozenRemedy)
   }
 
+  /** Prototype-outlier report: every vector's cosine to its own cell's
+    * CENTROID (its prototype), with a low-cosine outlier flag — the
+    * embedding-space noise pruner (mislabeled scrapes, encoder garbage,
+    * off-distribution fragments score far from every prototype; the
+    * SemDeDup/CLIP-curation companion to [[semanticDedup]], which prunes
+    * the opposite tail).
+    *
+    * Shape, and why it survives 100 TB: the quantizer is the bounded
+    * driver-side sample fit shared with [[ivfTopK]] (FAISS recipe —
+    * centroid quality needs a sample, not the corpus); scoring is then
+    * ONE row-local projection — `nearest_cell` picks the prototype and a
+    * CaseWhen chain over the k literal centroids computes the cosine, so
+    * the plan is scan → project with ZERO exchanges and the centroid
+    * matrix ships inside the plan, not as a join side.
+    *
+    * Bit-exactness: centroid literals are doubles (not
+    * float-representable), so the cosine takes the HOF path — the same
+    * ordered zip/fold arithmetic as the DuckDB oracle's `list_reduce`
+    * form; with `nLists = 1` the 8-iteration Lloyd fit collapses to the
+    * sequential sample-order mean, which the oracle reproduces with an
+    * ordered element-wise `list_reduce` over the identical md5-ordered
+    * bounded sample.
+    *
+    * Output: `(<idCol>, cell, cos_proto, is_outlier)` — one row per
+    * input vector, `is_outlier = 1` iff `cos_proto < lowCos`.
+    */
+  def prototypeOutliers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      lowCos: Double = -0.15,
+      seed: Long = 42L,
+      trainSample: Int = 4096): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val centroids = trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val assigned = emb.select(
+      col(idCol),
+      col(vecCol).alias("__vec"),
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids).alias("__cell"))
+    // CaseWhen over the k literal centroids: only the matching branch
+    // evaluates, so each row pays exactly one cosine
+    val cosProto = centroids.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (c, i)) =>
+        when(col("__cell") === lit(i),
+          cosineSimilarity(col("__vec"), typedlit(c.toSeq))).otherwise(acc)
+    }
+    assigned
+      .select(
+        col(idCol),
+        col("__cell").cast("long").alias("cell"),
+        cosProto.alias("cos_proto"))
+      .withColumn("is_outlier", (col("cos_proto") < lit(lowCos)).cast("long"))
+  }
+
   /** The hot-cell remedy for FROZEN-quantizer callers: they cannot raise
     * `nLists`/`trainSample` (the model is fixed) — the fix is refreshing
     * the persisted model.

@@ -593,4 +593,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
       s"bucket stats not map-side combined:\n$plan")
   }
+
+  test("q105: prototype scoring is one scan-side projection — zero exchanges, centroids as plan literals") {
+    val plan = planOf("q105_prototype_prune")
+    // the quantizer trains in separate bounded driver jobs; the scored
+    // output must be scan -> project with the centroid matrix shipped
+    // inside the plan (no join side, no shuffle — at 100 TB this is one
+    // embarrassingly parallel pass)
+    assert(shuffles(plan) == 0, s"prototype scoring must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q105 path:\n$plan")
+    assert(plan.contains("nearest_cell"), s"cell assignment not the native expression:\n$plan")
+  }
 }

@@ -716,4 +716,53 @@ class SimilaritySpec extends SparkTestBase {
         s"qid=$qid lost its self-match")
     }
   }
+
+  test("prototypeOutliers: cell is the nearest centroid, cosine bit-matches the local fold, flag thresholds") {
+    val rnd = new scala.util.Random(11)
+    // two tight clusters on +x/+y, plus one off-distribution vector that
+    // no prototype points toward
+    val rows = (1L to 40L).map { i =>
+      val base = if (i <= 20) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)
+      (i, base.map(b => (b + rnd.nextGaussian() * 0.05).toFloat))
+    } :+ (41L, Seq(-0.58f, -0.58f, 0.58f))
+    val vecs = rows.toDF("vec_id", "embedding")
+
+    val centroids = Similarity.trainCentroids(vecs, "vec_id", "embedding", 2, 42L, 4096)
+    val got = Similarity.prototypeOutliers(vecs, "vec_id", "embedding",
+        nLists = 2, lowCos = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    val byId = rows.toMap
+    // local reference with the SAME fold orders as the operator's
+    // expressions (ascending index, 0.0-seeded accumulators)
+    def cosLocal(v: Seq[Float], c: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nc = 0.0; var i = 0
+      while (i < v.length) {
+        d += v(i).toDouble * c(i); na += v(i).toDouble * v(i).toDouble
+        nc += c(i) * c(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nc))
+    }
+    def nearest(v: Seq[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue; var k = 0
+      while (k < centroids.length) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val df = v(i).toDouble - centroids(k)(i); s += df * df; i += 1 }
+        if (s < bd) { bd = s; best = k }
+        k += 1
+      }
+      best
+    }
+    assert(got.length == rows.length)
+    got.foreach { case (id, cell, cos, flag) =>
+      val v = byId(id)
+      assert(cell == nearest(v).toLong, s"id=$id wrong cell")
+      assert(cos == cosLocal(v, centroids(cell.toInt)), s"id=$id cosine mismatch")
+      assert(flag == (if (cos < 0.9) 1L else 0L), s"id=$id flag mismatch")
+    }
+    // cluster members hug their prototype; the planted stray is flagged
+    assert(got.filter(_._1 <= 40L).forall(_._4 == 0L))
+    assert(got.find(_._1 == 41L).get._4 == 1L)
+  }
 }
