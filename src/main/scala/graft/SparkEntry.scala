@@ -1109,6 +1109,48 @@ object SparkEntry {
       Tables.embeddings(s, dir), "vec_id", "embedding",
       nLists = 1, lowCos = -0.15, trainSample = 256)
 
+  /** q106's fixed query: one rare discriminative term plus two common
+    * ones, so the idf spread (not just tf) drives the ranking.
+    */
+  private val q106Terms = Seq("dup", "vector", "merge")
+
+  /** BM25 search (round 14): top-20 docs for the fixed query — ln idf
+    * kept (the cross-term SUM makes log damping load-bearing, unlike
+    * q52's rank-equivalent ratio idf), determinism via the q101
+    * fixed-point rule: per-term micros rounded row-locally, cross-term
+    * total a BIGINT sum ([[graft.operators.TfIdf.bm25Rank]] for the
+    * one-scan / broadcast-stats / TakeOrdered shape).
+    */
+  private def q106_bm25(s: SparkSession, dir: String): DataFrame =
+    TfIdf.bm25Rank(Tables.documents(s, dir), "doc_id", "text", q106Terms)
+
+  /** DuckDB mirror of [[graft.operators.TfIdf.bm25Rank]] — same operand
+    * order everywhere; constants written as the same decimal literals /
+    * arithmetic (`1.2 + 1.0`, never a pre-folded `2.2` that might round
+    * differently from the engine-side sum).
+    */
+  private def sqlBm25Oracle: String = {
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val tfDefs = q106Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(t, x -> x = '${t.replace("'", "''")}')) AS tf_$i"
+    }.mkString(", ")
+    val dfDefs = q106Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+    val micros = q106Terms.indices.map { i =>
+      s"""CAST(round((ln(1.0 + ((CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)))
+           * ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
+              (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl))))) * 1000000) AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+                    WHERE text IS NOT NULL),
+        bs AS (SELECT doc_id, len(t) AS dl, $tfDefs FROM tk),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfDefs
+               FROM bs),
+        sc AS (SELECT doc_id, $micros AS score_micro FROM bs CROSS JOIN st)
+        SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+        FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1927,7 +1969,8 @@ object SparkEntry {
     "q102_containment" -> (q102_containment _),
     "q103_zorder_stats" -> (q103_zorder_stats _),
     "q104_quality_profile" -> (q104_quality_profile _),
-    "q105_prototype_prune" -> (q105_prototype_prune _)
+    "q105_prototype_prune" -> (q105_prototype_prune _),
+    "q106_bm25" -> (q106_bm25 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3285,6 +3328,7 @@ object SparkEntry {
                  CAST(0 AS BIGINT) AS cell,
                  ${sqlCos("embedding", "c")} AS cos_proto,
                  CAST(${sqlCos("embedding", "c")} < -0.15 AS BIGINT) AS is_outlier
-          FROM embeddings CROSS JOIN cen"""
+          FROM embeddings CROSS JOIN cen""",
+    "q106_bm25" -> sqlBm25Oracle
   )
 }

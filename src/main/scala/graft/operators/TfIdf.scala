@@ -58,4 +58,86 @@ object TfIdf {
       .filter(col("rn") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
+
+  /** BM25 full-text ranking for a FIXED query-term list — the retrieval
+    * primitive behind corpus search / hard-negative mining / targeted
+    * curation ("pull the top docs about X out of the crawl").
+    *
+    * Shape, and why it survives 100 TB:
+    *
+    *  - per-doc term statistics come from ONE scan-side `term_counts`
+    *    projection (`tf_i` is a map lookup per query term, `dl` a fold
+    *    over the map values — no token explode, no (doc, term) shuffle),
+    *    MATERIALIZED once (`localCheckpoint`): the frame feeds both the
+    *    stats aggregate and the scoring projection, which ReuseExchange
+    *    can never dedup, and it is (|terms|+2) longs per doc — orders of
+    *    magnitude smaller than re-tokenizing the corpus text twice;
+    *  - corpus stats (`N`, `Σdl`, per-term `df`) are ONE all-to-one-row
+    *    aggregate (map-side partial), broadcast back as a 1-row frame —
+    *    no driver round-trip, no per-doc join key;
+    *  - scoring is row-local and the ranking is a
+    *    `TakeOrderedAndProject` (per-partition heaps), so nothing wider
+    *    than `topK` rows ever converges.
+    *
+    * Numeric discipline: BM25 keeps its `ln` idf — unlike [[topTerms]]'
+    * ratio idf, the log damping is load-bearing here because scores SUM
+    * across query terms (monotonicity per doc does not rescue the
+    * cross-term mix) — so determinism comes from the q101 fixed-point
+    * rule instead: each per-term score is rounded to integer MICROS
+    * row-locally and the cross-term total is a BIGINT sum, never a
+    * cross-row/cross-term double accumulation. Ties break by doc id.
+    *
+    * Output: `(doc_id, score_micro, score)` — top `topK` docs by
+    * descending BM25 score. Null-text docs are excluded from both the
+    * ranking and the corpus statistics.
+    */
+  def bm25Rank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank: empty query-term list")
+    require(terms.distinct == terms, "bm25Rank: duplicate query terms")
+    val tfCols = terms.indices.map(i => s"tf_$i")
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).alias("doc_id"),
+        graft.functions.expressions.TermCountsExpr.termCounts(col(textCol)).alias("tc"))
+      .select(
+        col("doc_id") +:
+          aggregate(map_values(col("tc")), lit(0L), (acc, v) => acc + v).alias("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            coalesce(try_element_at(col("tc"), lit(t)), lit(0L)).alias(s"tf_$i")
+          }: _*)
+      .localCheckpoint(true)
+
+    val stats = base.agg(
+      count(lit(1)).alias("n_docs"),
+      sum(col("dl")).alias("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).alias(s"df_$i")): _*)
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val microTerms = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+          (col(s"df_$i").cast("double") + lit(0.5)))
+      val denom = tf + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+      round(idf * ((tf * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
+    }
+    base
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        microTerms.reduce(_ + _).alias("score_micro"))
+      .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

@@ -604,4 +604,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q105 path:\n$plan")
     assert(plan.contains("nearest_cell"), s"cell assignment not the native expression:\n$plan")
   }
+
+  test("q106: BM25 is stats-broadcast + row-local scoring + TakeOrdered — no hash/range exchange") {
+    val plan = planOf("q106_bm25")
+    // the 1-row stats frame broadcasts back over the materialized
+    // per-doc stats; ranking converges per-partition heaps — nothing
+    // keyed on doc or term ever shuffles
+    assert(shuffles(plan) == 0, s"BM25 scoring must not hash/range-shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"corpus stats did not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q106 path:\n$plan")
+  }
 }

