@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1151,6 +1151,29 @@ object SparkEntry {
         FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
   }
 
+  /** Snapshot diff (round 14): added/removed/changed report between a
+    * deterministically perturbed "previous" snapshot of `documents` and
+    * the current one — drop every `doc_id % 7 = 3` (→ added), age the
+    * text of `doc_id % 11 = 5` (→ changed), and graft in an id-shifted
+    * slice (`doc_id % 13 = 1`, +1e9) that only the old snapshot has
+    * (→ removed). Content fingerprints are scan-side md5, so only
+    * `(id, 32 hex chars)` crosses the full-outer join
+    * ([[graft.operators.Snapshot.diff]]).
+    */
+  private def q107_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val oldCore = docs
+      .filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")))
+    val oldExtra = docs
+      .filter(col("doc_id") % 13 === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    Snapshot.diff(
+      oldCore.unionByName(oldExtra), docs, "doc_id", Seq("source", "text"))
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1970,7 +1993,8 @@ object SparkEntry {
     "q103_zorder_stats" -> (q103_zorder_stats _),
     "q104_quality_profile" -> (q104_quality_profile _),
     "q105_prototype_prune" -> (q105_prototype_prune _),
-    "q106_bm25" -> (q106_bm25 _)
+    "q106_bm25" -> (q106_bm25 _),
+    "q107_snapshot_diff" -> (q107_snapshot_diff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3329,6 +3353,32 @@ object SparkEntry {
                  ${sqlCos("embedding", "c")} AS cos_proto,
                  CAST(${sqlCos("embedding", "c")} < -0.15 AS BIGINT) AS is_outlier
           FROM embeddings CROSS JOIN cen""",
-    "q106_bm25" -> sqlBm25Oracle
+    "q106_bm25" -> sqlBm25Oracle,
+    "q107_snapshot_diff" ->
+      // same perturbation, fingerprint (md5 over chr(1)-joined
+      // null-coalesced content), and full-outer classification; both
+      // engines hash identical UTF-8 bytes
+      """WITH oldc AS (SELECT doc_id, source,
+                              CASE WHEN doc_id % 11 = 5 THEN text || ' legacy' ELSE text END AS text
+                       FROM documents WHERE doc_id % 7 <> 3),
+          olde AS (SELECT doc_id + 1000000000 AS doc_id, source, text
+                   FROM documents WHERE doc_id % 13 = 1),
+          oldsnap AS (SELECT * FROM oldc UNION ALL SELECT * FROM olde),
+          ofp AS (SELECT doc_id,
+                         md5(concat_ws(chr(1), coalesce(CAST(source AS VARCHAR), ''),
+                                               coalesce(CAST(text AS VARCHAR), ''))) AS old_fp
+                  FROM oldsnap),
+          nfp AS (SELECT doc_id,
+                         md5(concat_ws(chr(1), coalesce(CAST(source AS VARCHAR), ''),
+                                               coalesce(CAST(text AS VARCHAR), ''))) AS new_fp
+                  FROM documents)
+          SELECT COALESCE(ofp.doc_id, nfp.doc_id) AS doc_id,
+                 CASE WHEN ofp.old_fp IS NULL THEN 'added'
+                      WHEN nfp.new_fp IS NULL THEN 'removed'
+                      ELSE 'changed' END AS status,
+                 COALESCE(ofp.old_fp, '') AS old_fp,
+                 COALESCE(nfp.new_fp, '') AS new_fp
+          FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id
+          WHERE ofp.old_fp IS NULL OR nfp.new_fp IS NULL OR ofp.old_fp <> nfp.new_fp"""
   )
 }

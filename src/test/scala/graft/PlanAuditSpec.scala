@@ -615,4 +615,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q106 path:\n$plan")
   }
+
+  test("q107: snapshot diff shuffles (id, fingerprint) pairs only — text is hashed below the exchange") {
+    val plan = planOf("q107_snapshot_diff")
+    // the full-outer join must key on the scalar id and move 32-char
+    // fingerprints; the raw content columns never enter an exchange
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected the id-keyed full-outer join:\n$plan")
+    assert(exchanges.forall(e => e.contains("doc_id")), s"join not keyed on the id:\n$exchanges")
+    assert(exchanges.forall(e => !e.contains("text#") && !e.contains("source#")),
+      s"raw content crossed a shuffle:\n$exchanges")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"full-outer join missing:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort on the q107 path:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q107 path:\n$plan")
+  }
 }
