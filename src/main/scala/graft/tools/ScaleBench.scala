@@ -81,7 +81,19 @@ object ScaleBench {
     "q102_containment",
     // q104 = q101's scoring joins + the source rollup (row-local floor
     // bins, no window) — same weak-scale expectation as q101
-    "q104_quality_profile")
+    "q104_quality_profile",
+    // round-14 additions. q105: bounded 256-row quantizer collect plus
+    // ONE zero-exchange scoring projection — the fit is a fixed driver
+    // cost, so the exponent should sit below 1.0 as it amortizes.
+    // q106: one term_counts projection + a 1-row stats aggregate +
+    // TakeOrdered — the prefixed copies zero the query terms' tf
+    // outside copy 0, but the timed work (tokenize, stats, rank) is
+    // corpus-proportional either way. q107: two fingerprint scans into
+    // an id-keyed full-outer join — output is a fixed fraction of keys
+    // (the perturbation slices are modular), so volume weak-scales.
+    "q105_prototype_prune",
+    "q106_bm25",
+    "q107_snapshot_diff")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
