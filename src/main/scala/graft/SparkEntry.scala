@@ -1174,6 +1174,23 @@ object SparkEntry {
       oldCore.unionByName(oldExtra), docs, "doc_id", Seq("source", "text"))
   }
 
+  /** BM25 retrieval join (round 14): per-query top-10 over a derived
+    * query table — every `doc_id % 97 = 0` doc queries with its own
+    * first three tokens (the relevance-feedback shape; the query doc
+    * itself should surface in its ranking). The join-shaped sibling of
+    * q106: postings move on term keys, documents never shuffle
+    * ([[graft.operators.TfIdf.bm25Join]]).
+    */
+  private def q108_bm25_join(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = docs
+      .filter(col("doc_id") % 97 === 0)
+      .select(
+        col("doc_id").alias("qid"),
+        slice(TextFunctions.tokens(col("text")), 1, 3).alias("qterms"))
+    TfIdf.bm25Join(docs, "doc_id", "text", queries, "qid", "qterms")
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -1994,7 +2011,8 @@ object SparkEntry {
     "q104_quality_profile" -> (q104_quality_profile _),
     "q105_prototype_prune" -> (q105_prototype_prune _),
     "q106_bm25" -> (q106_bm25 _),
-    "q107_snapshot_diff" -> (q107_snapshot_diff _)
+    "q107_snapshot_diff" -> (q107_snapshot_diff _),
+    "q108_bm25_join" -> (q108_bm25_join _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3379,6 +3397,42 @@ object SparkEntry {
                  COALESCE(ofp.old_fp, '') AS old_fp,
                  COALESCE(nfp.new_fp, '') AS new_fp
           FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id
-          WHERE ofp.old_fp IS NULL OR nfp.new_fp IS NULL OR ofp.old_fp <> nfp.new_fp"""
+          WHERE ofp.old_fp IS NULL OR nfp.new_fp IS NULL OR ofp.old_fp <> nfp.new_fp""",
+    "q108_bm25_join" ->
+      // same per-term arithmetic as q106 (operand order, unfolded
+      // constants, micro rounding); cross-term totals are BIGINT sums
+      // per (qid, doc), so group order cannot matter
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+                      WHERE text IS NOT NULL),
+          qt AS (SELECT DISTINCT qid, term FROM (
+                   SELECT doc_id AS qid, unnest(t[1:3]) AS term
+                   FROM tk WHERE doc_id % 97 = 0)),
+          tfm AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w),
+          dlt AS (SELECT doc_id, len(t) AS dl FROM tk),
+          idx AS (SELECT tfm.doc_id, tfm.term, tfm.tf, dlt.dl
+                  FROM tfm JOIN dlt USING (doc_id)
+                  WHERE tfm.term IN (SELECT term FROM qt)),
+          st AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl
+                 FROM tk),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY term),
+          mc AS (SELECT qt.qid, idx.doc_id,
+                        CAST(round((ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)))
+                          * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                             (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) * 1000000) AS BIGINT)
+                          AS micro
+                 FROM idx
+                 JOIN dfq USING (term)
+                 CROSS JOIN st
+                 JOIN qt ON qt.term = idx.term),
+          sc AS (SELECT qid, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+                 FROM mc GROUP BY qid, doc_id),
+          rk AS (SELECT qid, doc_id, score_micro,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score_micro DESC, doc_id ASC) AS rn
+                 FROM sc)
+          SELECT qid, doc_id, score_micro,
+                 CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+          FROM rk WHERE rn <= 10"""
   )
 }

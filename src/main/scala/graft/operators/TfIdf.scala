@@ -140,4 +140,87 @@ object TfIdf {
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** BM25 retrieval JOIN — per-query top-`topK` docs for a whole QUERY
+    * TABLE `(qid, array<term>)`: the batch-retrieval shape behind
+    * hard-negative mining, per-prompt context pulls, and
+    * query-log-driven curation ([[bm25Rank]]'s join-shaped sibling,
+    * exactly as `ivfKnnJoin` is to `ivfTopK`).
+    *
+    * Shape, and why it survives 100 TB:
+    *
+    *  - the corpus side is reduced scan-side to the PRUNED inverted
+    *    index `(doc_id, term, tf, dl)` — `term_counts` exploded once,
+    *    semi-joined against the query vocabulary before anything
+    *    shuffles, so only postings for terms someone asked about exist
+    *    at all (at scale this frame is the persisted search index;
+    *    here it is materialized once and feeds both the df aggregate
+    *    and the scoring join);
+    *  - corpus stats are a separate minimal projection (token counts
+    *    only — no map build) into a 1-row broadcast;
+    *  - scoring joins key on the TERM (the classic retrieval shuffle:
+    *    postings move, documents never do), per-(qid, doc) totals are
+    *    an integer-micro sum (order-free), and the per-query top-k is
+    *    a `row_number` window over scalar triples partitioned by qid.
+    *
+    * Determinism: identical fixed-point discipline to [[bm25Rank]] —
+    * micro-rounded per (qid, doc, term) row-locally, BIGINT sums across
+    * terms, ties by doc id. A term repeated inside one query scores
+    * once (query-side distinct). Docs sharing no term with a query are
+    * absent from its ranking (their BM25 score is exactly 0).
+    */
+  def bm25Join(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val qt = queries
+      .select(col(qidCol).alias("qid"), explode(col(termsCol)).alias("term"))
+      .distinct()
+    val qv = qt.select("term").distinct()
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).alias("doc_id"),
+        graft.functions.expressions.TermCountsExpr.termCounts(col(textCol)).alias("tc"))
+      .select(
+        col("doc_id"),
+        aggregate(map_values(col("tc")), lit(0L), (acc, v) => acc + v).alias("dl"),
+        explode(col("tc")).as(Seq("term", "tf")))
+      .join(broadcast(qv), Seq("term"))
+      .localCheckpoint(true)
+    val stats = docs
+      .filter(col(textCol).isNotNull)
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long")).alias("sum_dl"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val denom = tfD + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val micro = round(idf * ((tfD * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
+
+    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(qt, Seq("term"))
+      .select(col("qid"), col("doc_id"), micro.alias("micro"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("micro")).alias("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).alias("score"))
+  }
 }

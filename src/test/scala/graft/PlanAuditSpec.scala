@@ -630,4 +630,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"global sort on the q107 path:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q107 path:\n$plan")
   }
+
+  test("q108: retrieval join moves postings on term/qid/doc keys — text never shuffles, no global sort") {
+    val plan = planOf("q108_bm25_join")
+    // the classic inverted-index discipline: every exchange carries
+    // terms, ids, or count scalars; raw document text stays below the
+    // scan-side term_counts projection
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected term/qid-keyed shuffles:\n$plan")
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.contains("rangepartitioning"),
+      s"per-query ranking must be a qid-partitioned window, not a global sort:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q108 path:\n$plan")
+    // per-(qid,doc) totals are map-side combined before the final exchange
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"micro totals not map-side combined:\n$plan")
+  }
 }

@@ -492,4 +492,46 @@ class TrainingDataOpsSpec extends SparkTestBase {
     // no query term -> zero score, ranked last
     assert(rank.last == 5L && expected(5L) == 0L)
   }
+
+  test("TfIdf.bm25Join agrees with bm25Rank per query; repeated terms score once; no-term docs absent") {
+    val docs = Seq(
+      (1L, "rare apple apple"),
+      (2L, "apple apple apple apple banana banana banana banana"),
+      (3L, "apple banana"),
+      (4L, "rare rare apple banana filler filler filler"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, Seq("rare", "apple", "banana")),
+      (200L, Seq("rare", "rare", "rare")), // dup terms collapse to one
+      (300L, Seq("absent"))                // matches nothing -> no rows
+    ).toDF("qid", "qterms")
+
+    val joined = TfIdf.bm25Join(docs, "doc_id", "text", queries, "qid", "qterms", topK = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = joined.groupBy(_._1)
+
+    // q100 must reproduce bm25Rank's scores for every doc containing a term
+    val solo = TfIdf.bm25Rank(docs, "doc_id", "text", Seq("rare", "apple", "banana"), topK = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val q100 = byQ(100L).map(r => r._2 -> r._3).toMap
+    assert(q100.keySet == Set(1L, 2L, 3L, 4L)) // doc 5 shares no term
+    q100.foreach { case (doc, micro) => assert(micro == solo(doc), s"doc $doc") }
+
+    // q200: 'rare' queried thrice scores once — equal to a one-term query
+    val soloRare = TfIdf.bm25Rank(docs, "doc_id", "text", Seq("rare"), topK = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val q200 = byQ(200L).map(r => r._2 -> r._3).toMap
+    assert(q200.keySet == Set(1L, 4L))
+    q200.foreach { case (doc, micro) => assert(micro == soloRare(doc), s"doc $doc") }
+
+    // q300 retrieves nothing
+    assert(!byQ.contains(300L))
+
+    // within each query: descending micro, ties by doc id
+    byQ.values.foreach { rows =>
+      val ord = rows.map(r => (-r._3, r._2)).toSeq
+      assert(ord == ord.sorted)
+    }
+  }
 }
