@@ -1191,6 +1191,19 @@ object SparkEntry {
     TfIdf.bm25Join(docs, "doc_id", "text", queries, "qid", "qterms")
   }
 
+  /** Chunk→doc mean-pool (round 14): element-wise mean per group of 50
+    * pseudo-documents (`vec_id % 50`) through the native
+    * `vector_micro_sum` TypedImperativeAggregate — fixed-point integer
+    * accumulation, one buffer per group per partition over the shuffle
+    * ([[graft.operators.Similarity.meanPoolEmbeddings]]). Exploded
+    * scalar output; the oracle reproduces the identical micro sums with
+    * an element-indexed LATERAL unnest.
+    */
+  private def q109_mean_pool(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanPoolEmbeddings(
+      Tables.embeddings(s, dir).withColumn("group_id", col("vec_id") % 50),
+      "group_id", "embedding")
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2012,7 +2025,8 @@ object SparkEntry {
     "q105_prototype_prune" -> (q105_prototype_prune _),
     "q106_bm25" -> (q106_bm25 _),
     "q107_snapshot_diff" -> (q107_snapshot_diff _),
-    "q108_bm25_join" -> (q108_bm25_join _)
+    "q108_bm25_join" -> (q108_bm25_join _),
+    "q109_mean_pool" -> (q109_mean_pool _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3433,6 +3447,21 @@ object SparkEntry {
                  FROM sc)
           SELECT qid, doc_id, score_micro,
                  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
-          FROM rk WHERE rn <= 10"""
+          FROM rk WHERE rn <= 10""",
+    "q109_mean_pool" ->
+      // element-indexed unnest -> the same half-away-from-zero micro
+      // rounding -> order-free BIGINT sums per (group, dim); the mean
+      // divides the identical integers in the identical order
+      """WITH ex AS (SELECT vec_id % 50 AS group_id, i - 1 AS dim,
+                            CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+                     FROM embeddings,
+                          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+                     WHERE embedding IS NOT NULL)
+         SELECT group_id,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(dim AS BIGINT) AS dim,
+                CAST(sum(micro) AS BIGINT) AS micro_sum,
+                (CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_val
+         FROM ex GROUP BY group_id, dim"""
   )
 }

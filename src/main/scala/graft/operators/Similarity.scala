@@ -535,6 +535,60 @@ object Similarity {
       .withColumn("is_outlier", (col("cos_proto") < lit(lowCos)).cast("long"))
   }
 
+  /** Chunk→document embedding roll-up: element-wise MEAN of each
+    * group's vectors (mean-pool chunk embeddings into one doc vector,
+    * per-source centroids, per-cluster drift tracking), via the native
+    * `vector_micro_sum` `TypedImperativeAggregate` — one
+    * `(count, dim longs)` buffer per group per partition crosses the
+    * shuffle instead of `rows × dim` exploded element rows, and the
+    * fixed-point integer accumulation is bit-identical under any
+    * partitioning (a distributed DOUBLE mean is neither).
+    *
+    * Output is the EXPLODED scalar form
+    * `(<groupCol>, n_chunks, dim, micro_sum, mean_val)` — one row per
+    * group per dimension (array columns don't survive the driver's
+    * row-hash compare); [[meanPooledVectors]] is the array-shaped twin
+    * for feeding the pooled vectors back into the ANN/dedup family.
+    * Null vectors contribute to neither the count nor the sums;
+    * all-null groups vanish (no dimensions to emit).
+    */
+  def meanPoolEmbeddings(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame =
+    emb.groupBy(groupCol)
+      .agg(graft.functions.expressions.VectorSumAgg
+        .vectorMicroSum(col(vecCol)).alias("vs"))
+      .select(
+        col(groupCol),
+        col("vs.n").alias("n_chunks"),
+        posexplode(col("vs.micro")).as(Seq("dim", "micro_sum")))
+      .select(
+        col(groupCol),
+        col("n_chunks"),
+        col("dim").cast("long").alias("dim"),
+        col("micro_sum"),
+        ((col("micro_sum").cast("double") / col("n_chunks").cast("double"))
+          / lit(1000000.0)).alias("mean_val"))
+
+  /** [[meanPoolEmbeddings]]' array-shaped twin:
+    * `(<groupCol>, n_chunks, pooled ARRAY<DOUBLE>)` — the pooled vector
+    * ready for [[bruteForceTopK]]/[[semanticDedupFrozen]]-style reuse.
+    */
+  def meanPooledVectors(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame =
+    emb.groupBy(groupCol)
+      .agg(graft.functions.expressions.VectorSumAgg
+        .vectorMicroSum(col(vecCol)).alias("vs"))
+      .select(
+        col(groupCol),
+        col("vs.n").alias("n_chunks"),
+        transform(col("vs.micro"), m =>
+          (m.cast("double") / col("vs.n").cast("double")) / lit(1000000.0))
+          .alias("pooled"))
+
   /** The hot-cell remedy for FROZEN-quantizer callers: they cannot raise
     * `nLists`/`trainSample` (the model is fixed) — the fix is refreshing
     * the persisted model.

@@ -647,4 +647,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
       s"micro totals not map-side combined:\n$plan")
   }
+
+  test("q109: mean-pool shuffles one vector buffer per group, map-side combined; vectors never key") {
+    val plan = planOf("q109_mean_pool")
+    assert(plan.contains("vector_micro_sum"), s"native aggregate missing:\n$plan")
+    // partial aggregation absorbs each partition's vectors into one
+    // buffer per group BEFORE the exchange — the whole point vs a
+    // posexplode+groupBy(dim) shape
+    assert(plan.contains("partial_vector_micro_sum"),
+      s"vector buffers not map-side combined:\n$plan")
+    assert(shuffles(plan) == 1, s"exactly the group-keyed exchange expected:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("embedding"), m.group(0)))
+  }
 }

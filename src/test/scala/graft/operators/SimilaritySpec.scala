@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -764,5 +764,63 @@ class SimilaritySpec extends SparkTestBase {
     // cluster members hug their prototype; the planted stray is flagged
     assert(got.filter(_._1 <= 40L).forall(_._4 == 0L))
     assert(got.find(_._1 == 41L).get._4 == 1L)
+  }
+
+  test("meanPoolEmbeddings: micro sums match a local fold, nulls skipped, partitioning-invariant") {
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f)),
+      (1L, Seq(0.25f, 0.25f, -0.75f)),
+      (2L, null),
+      (3L, Seq(2.0f, 0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 1.0f, 1.0f))
+    )
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("group_id", col("vec_id") % 2)
+
+    def localMicro(v: Double): Long = {
+      val s = v * 1e6; val t = s.toLong; val f = s - t.toDouble
+      if (f >= 0.5) t + 1 else if (f <= -0.5) t - 1 else t
+    }
+    // group 0: ids 0, 4 (2 skipped); group 1: ids 1, 3
+    val expect = Map(
+      0L -> Seq(0L, 4L), 1L -> Seq(1L, 3L)
+    ).view.mapValues { ids =>
+      val vs = ids.map(i => rows.find(_._1 == i).get._2)
+      (vs.length.toLong,
+        (0 until 3).map(j => vs.map(v => localMicro(v(j).toDouble)).sum))
+    }.toMap
+
+    Seq(1, 7).foreach { parts => // partial-merge path must not change integers
+      val got = Similarity.meanPoolEmbeddings(emb.repartition(parts), "group_id", "embedding")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(got.length == 6)
+      got.foreach { case (g, n, dim, micro, mean) =>
+        val (en, esums) = expect(g)
+        assert(n == en && micro == esums(dim.toInt), s"g=$g dim=$dim parts=$parts")
+        assert(mean == (micro.toDouble / n.toDouble) / 1000000.0)
+      }
+    }
+
+    // array-shaped twin carries the same means
+    val pooled = Similarity.meanPooledVectors(emb, "group_id", "embedding")
+      .as[(Long, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    expect.foreach { case (g, (en, esums)) =>
+      val (_, n, vec) = pooled(g)
+      assert(n == en)
+      (0 until 3).foreach(j =>
+        assert(vec(j) == (esums(j).toDouble / en.toDouble) / 1000000.0))
+    }
+  }
+
+  test("vector_micro_sum: half-away-from-zero ties, ragged input fails loud") {
+    val b = new graft.functions.expressions.VectorSumBuffer
+    assert(b.micro(2.5e-6) == 3L && b.micro(-2.5e-6) == -3L)
+    assert(b.micro(2.4999e-6) == 2L && b.micro(-2.4999e-6) == -2L)
+    assert(b.micro(0.0) == 0L)
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.meanPoolEmbeddings(ragged.withColumn("g", lit(0L)), "g", "embedding").collect()
+    }
+    assert(e.getMessage != null)
   }
 }
