@@ -1204,6 +1204,15 @@ object SparkEntry {
       Tables.embeddings(s, dir).withColumn("group_id", col("vec_id") % 50),
       "group_id", "embedding")
 
+  /** Source-overlap matrix (round 14): pairwise shingle-universe
+    * Jaccard between the corpus's sources — the mirror/coverage
+    * dashboard read before any doc-level dedup spend
+    * ([[graft.operators.Dedup.sourceOverlap]]; output bounded by
+    * #sources², not document volume).
+    */
+  private def q110_source_overlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text", n = 3)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2026,7 +2035,8 @@ object SparkEntry {
     "q106_bm25" -> (q106_bm25 _),
     "q107_snapshot_diff" -> (q107_snapshot_diff _),
     "q108_bm25_join" -> (q108_bm25_join _),
-    "q109_mean_pool" -> (q109_mean_pool _)
+    "q109_mean_pool" -> (q109_mean_pool _),
+    "q110_source_overlap" -> (q110_source_overlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3462,6 +3472,24 @@ object SparkEntry {
                 CAST(dim AS BIGINT) AS dim,
                 CAST(sum(micro) AS BIGINT) AS micro_sum,
                 (CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_val
-         FROM ex GROUP BY group_id, dim"""
+         FROM ex GROUP BY group_id, dim""",
+    "q110_source_overlap" ->
+      // per-source distinct shingle-hash universes (same tokenization /
+      // shingle / md5h60 fragments as the dedup oracles), then the
+      // h-keyed pair count and integer-derived Jaccard
+      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS t FROM documents
+                      WHERE text IS NOT NULL AND source IS NOT NULL),
+          shv AS (SELECT source, $sqlShingles3 AS shs FROM tk),
+          gh AS (SELECT DISTINCT source AS grp, ${sqlMd5h60("s")} AS h
+                 FROM (SELECT source, unnest(shs) AS s FROM shv)),
+          sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS sz FROM gh GROUP BY grp),
+          it AS (SELECT a.grp AS src_a, b.grp AS src_b, CAST(count(*) AS BIGINT) AS common
+                 FROM gh a JOIN gh b ON a.h = b.h AND a.grp < b.grp
+                 GROUP BY 1, 2)
+          SELECT src_a, src_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+                 CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+          FROM it
+          JOIN sz sa ON sa.grp = src_a
+          JOIN sz sb ON sb.grp = src_b"""
   )
 }

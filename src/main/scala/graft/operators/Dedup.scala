@@ -1079,4 +1079,53 @@ object Dedup {
         col(scoreCol),
         (col(idCol) === col("rep_id")).cast("long").alias("kept"))
   }
+
+  /** GROUP-level content-overlap matrix: pairwise shingle-set Jaccard
+    * between corpus partitions (sources, crawls, snapshots, vendors) —
+    * the dashboard that answers "which of my sources are mirrors of
+    * each other / already covered elsewhere / leaking the same site"
+    * BEFORE doc-level dedup spends anything. One row per overlapping
+    * group pair: `(src_a, src_b, common, sz_a, sz_b, jaccard)`;
+    * zero-overlap pairs are absent (their Jaccard is exactly 0).
+    *
+    * Shape, and why it survives 100 TB: each group's distinct shingle
+    * UNIVERSE is built scan-side (the dedup family's native
+    * `shingle_hash_set` per doc, exploded to `(group, hash)` longs and
+    * `distinct`-ed — text never shuffles), materialized once for its
+    * three plan positions. The pair counting is an inverted-index
+    * self-join on the 60-bit hash: a shingle shared by `g` of the `S`
+    * groups contributes `g·(g-1)/2 ≤ S²/2` pairs, so the join output is
+    * bounded by `|universe| · S²/2` with S = #groups (typically tens) —
+    * NOT by document volume. This is deliberately a GROUP-cardinality
+    * operator: at thousands of "groups" it degenerates into doc-level
+    * all-pairs, which is [[minHashLsh]]'s job, not this one's.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val gh = docs
+      .filter(col(groupCol).isNotNull)
+      .select(
+        col(groupCol).alias("grp"),
+        explode(graft.functions.expressions.ShingleHashSetExpr
+          .shingleHashSet(col(textCol), n)).alias("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = gh.groupBy("grp").agg(count(lit(1)).alias("sz"))
+    val pairs = gh.alias("a")
+      .join(gh.alias("b"), col("a.h") === col("b.h") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").alias("src_a"), col("b.grp").alias("src_b"))
+      .agg(count(lit(1)).alias("common"))
+    pairs
+      .join(broadcast(sizes.select(col("grp").alias("src_a"), col("sz").alias("sz_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("grp").alias("src_b"), col("sz").alias("sz_b"))),
+        Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"), col("common"), col("sz_a"), col("sz_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double")).alias("jaccard"))
+  }
 }

@@ -661,4 +661,13 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(plan)
       .foreach(m => assert(!m.group(2).contains("embedding"), m.group(0)))
   }
+
+  test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
+    val plan = planOf("q110_source_overlap")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    assert(plan.contains("BroadcastHashJoin"), s"size table did not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q110 path:\n$plan")
+  }
 }

@@ -453,4 +453,22 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L, 6L -> 1L))
   }
+
+  test("sourceOverlap: known universes yield exact Jaccard; dups collapse; zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "A", "t1 t2 t3"),       // shingle {t1 t2 t3}
+      (2L, "A", "t2 t3 t4"),       // shingle {t2 t3 t4}
+      (3L, "A", "t1 t2 t3"),       // exact dup: universe unchanged
+      (4L, "B", "t2 t3 t4 t5"),    // shingles {t2 t3 t4, t3 t4 t5}
+      (5L, "C", "x y z"),          // disjoint
+      (6L, "C", null)              // null text contributes nothing
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only (A, B) overlaps: common {t2 t3 t4}, |A|=2, |B|=2
+    assert(got.length == 1)
+    val (a, b, common, szA, szB, j) = got.head
+    assert(a == "A" && b == "B" && common == 1L && szA == 2L && szB == 2L)
+    assert(j == 1.0 / 3.0)
+  }
 }
