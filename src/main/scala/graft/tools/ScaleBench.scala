@@ -93,7 +93,18 @@ object ScaleBench {
     // (the perturbation slices are modular), so volume weak-scales.
     "q105_prototype_prune",
     "q106_bm25",
-    "q107_snapshot_diff")
+    "q107_snapshot_diff",
+    // q108: pruned inverted index + term-keyed joins — postings volume
+    // scales with the corpus, query count with %97 of it; both linear.
+    // q109: one group-keyed exchange of (count, 64 longs) buffers —
+    // the 1e9 id offset is ≡ 0 mod 50, so the 50 groups persist with
+    // 10× populations and buffer count/size stay constant.
+    // q110: sources are copy-invariant, so the matrix keeps its 190
+    // pairs while each universe grows 10× (disjoint per-copy shingles)
+    // — common counts scale linearly, the join stays universe-bounded.
+    "q108_bm25_join",
+    "q109_mean_pool",
+    "q110_source_overlap")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
