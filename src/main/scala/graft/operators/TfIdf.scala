@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,7 +183,36 @@ object TfIdf {
       .select(col(qidCol).alias("qid"), explode(col(termsCol)).alias("term"))
       .distinct()
     val qv = qt.select("term").distinct()
-    val tf = docs
+    val tf = postings(docs, idCol, textCol)
+      .join(broadcast(qv), Seq("term"))
+      .localCheckpoint(true)
+    val stats = corpusStats(docs, textCol)
+    val dfq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+
+    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(qt, Seq("term"))
+      .select(col("qid"), col("doc_id"), bm25Micro(k1, b).alias("micro"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("micro")).alias("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).alias("score"))
+  }
+
+  /** Scan-side postings `(term, doc_id, dl, tf)` — the inverted-index
+    * rows every BM25 surface consumes: one `term_counts` map per doc
+    * (no token explode), `dl` a fold over its values, one output row
+    * per distinct (doc, term). Null-text docs emit nothing. Shared by
+    * [[bm25Join]] (inline, query-vocabulary-pruned) and the streaming
+    * index maintenance ([[graft.streaming.SearchIndex]], persisted
+    * per batch).
+    */
+  private[graft] def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol).alias("doc_id"),
@@ -192,15 +221,23 @@ object TfIdf {
         col("doc_id"),
         aggregate(map_values(col("tc")), lit(0L), (acc, v) => acc + v).alias("dl"),
         explode(col("tc")).as(Seq("term", "tf")))
-      .join(broadcast(qv), Seq("term"))
-      .localCheckpoint(true)
-    val stats = docs
+
+  /** 1-row corpus stats `(n_docs, sum_dl)` over non-null-text docs — a
+    * minimal projection (token counts only, no term map build).
+    */
+  private[graft] def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .filter(col(textCol).isNotNull)
       .agg(
         count(lit(1)).alias("n_docs"),
         sum(size(TextFunctions.tokens(col(textCol))).cast("long")).alias("sum_dl"))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
 
+  /** The per-(doc, term) BM25 micro-score over columns
+    * `(tf, df, dl, n_docs, sum_dl)` — ONE definition shared by every
+    * BM25 surface so the operand order (and hence the cross-engine
+    * bit pattern the oracles pin) cannot drift between siblings.
+    */
+  private[graft] def bm25Micro(k1: Double, b: Double): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val tfD = col("tf").cast("double")
     val idf = log(lit(1.0) +
@@ -208,19 +245,6 @@ object TfIdf {
         (col("df").cast("double") + lit(0.5)))
     val denom = tfD + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
-    val micro = round(idf * ((tfD * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
-
-    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
-    tf
-      .join(dfq, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .join(qt, Seq("term"))
-      .select(col("qid"), col("doc_id"), micro.alias("micro"))
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("micro")).alias("score_micro"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("qid"), col("doc_id"), col("score_micro"),
-        (col("score_micro").cast("double") / lit(1000000.0)).alias("score"))
+    round(idf * ((tfD * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
   }
 }

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, TfIdf}
+import graft.sinks.KVTableSink
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import scala.util.Try
+
+/** Streaming BM25 search-index maintenance: keeps the retrieval surface
+  * (q106/q108's postings, document-frequency table, and corpus stats)
+  * LIVE during ingest, so "pull the top docs about X" is answerable
+  * mid-crawl without a corpus rescan.
+  *
+  * Layout, and why it survives 100 TB:
+  *
+  *  - **postings** land as a parquet artifact partitioned by
+  *    `(tb, batch)` — `tb` a stable md5 bucket of the term — via
+  *    DYNAMIC partition overwrite, the ANN-index tier's idiom: a
+  *    trigger replayed after a crash at ANY point replaces its own
+  *    `batch=<id>` files instead of duplicating them (an append would
+  *    double rows in the write-vs-ack window). A query then reads ONLY
+  *    its terms' buckets — a partition-pruned scan, not an index scan;
+  *  - **df** (`term → doc count`) and **stats** (`n_docs, sum_dl`) are
+  *    pure additive counts, merged per trigger behind per-table
+  *    batch-id acks (the [[TokenizerStats]] discipline): bounded by the
+  *    vocabulary and by 1 row respectively, never by the corpus;
+  *  - per-trigger cost is ONE `term_counts` pass over the batch plus a
+  *    vocabulary-bounded merge — corpus text is never re-read.
+  *
+  * Contract: each document arrives ONCE (the dedup tiers upstream own
+  * that); `df`/`stats` additivity depends on it. [[search]] serves the
+  * EXACT [[TfIdf.bm25Rank]] scores over everything ingested so far —
+  * same shared micro expression, same integers — restricted (like
+  * [[TfIdf.bm25Join]]) to docs containing at least one query term.
+  */
+object SearchIndex {
+
+  val dfSchema: StructType = new StructType()
+    .add("term", StringType, nullable = false)
+    .add("df", LongType, nullable = false)
+
+  val statsSchema: StructType = new StructType()
+    .add("k", LongType, nullable = false)
+    .add("n_docs", LongType, nullable = false)
+    .add("sum_dl", LongType, nullable = false)
+
+  /** Stable term→partition bucket (md5-derived, engine-portable). */
+  private def termBucketLocal(term: String, buckets: Int): Long =
+    TextFunctions.md5Hash60Local(term) % buckets
+
+  /** The per-micro-batch body (factored out for the replay spec). */
+  private[streaming] def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).isEmpty || DedupIngest.alreadyApplied(spark, sink, table, batchId)) return
+    Dedup.requireNumericId(batch, idCol, "SearchIndex")
+    val posts = TfIdf.postings(batch, idCol, textCol)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .localCheckpoint(true)
+    // postings: idempotent by construction (dynamic overwrite of this
+    // batch's own partitions) — no ack needed, safe to re-run
+    posts
+      .withColumn("tb", TextFunctions.md5Hash60(col("term")) % buckets)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "batch").parquet(indexPath)
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__df", batchId)) {
+      val merged = StateMerge.fullOuterMerge(
+        sink.read(spark, s"${table}__df", dfSchema),
+        posts.groupBy("term").agg(count(lit(1)).alias("df")),
+        keyCols = Seq("term"),
+        valueCombiners = Seq("df" -> StateMerge.addLong))
+      sink.write(merged, s"${table}__df", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__df", batchId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__stats", batchId)) {
+      val merged = StateMerge.fullOuterMerge(
+        sink.read(spark, s"${table}__stats", statsSchema),
+        TfIdf.corpusStats(batch, textCol).select(
+          lit(0L).alias("k"), col("n_docs"), col("sum_dl")),
+        keyCols = Seq("k"),
+        valueCombiners = Seq(
+          "n_docs" -> StateMerge.addLong,
+          "sum_dl" -> StateMerge.addLong))
+      sink.write(merged, s"${table}__stats", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__stats", batchId)
+    }
+    DedupIngest.markApplied(spark, sink, table, batchId)
+  }
+
+  /** Start the search-index ingest over a document stream. */
+  def start(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      buckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, idCol, textCol, indexPath, sink, table, buckets)
+      }
+      .start()
+
+  /** BM25 top-`topK` for a fixed query, served FROM the maintained
+    * index: a partition-pruned postings read (only the query terms'
+    * `tb` buckets), the bounded df/stats tables, and the shared
+    * [[TfIdf.bm25Micro]] expression — score-identical to
+    * [[TfIdf.bm25Rank]] over the ingested union, restricted to docs
+    * containing at least one query term.
+    */
+  def search(
+      spark: SparkSession,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20,
+      buckets: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "SearchIndex.search: empty query-term list")
+    val tbs = terms.map(termBucketLocal(_, buckets)).distinct
+    val posts = Try(spark.read.parquet(indexPath)).toOption match {
+      case Some(df) =>
+        df.filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
+          .select("term", "doc_id", "dl", "tf")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType()
+            .add("term", StringType).add("doc_id", LongType)
+            .add("dl", LongType).add("tf", LongType))
+    }
+    val dfT = sink.read(spark, s"${table}__df", dfSchema)
+      .filter(col("term").isInCollection(terms))
+    val stats = sink.read(spark, s"${table}__stats", statsSchema).drop("k")
+    posts
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), TfIdf.bm25Micro(k1, b).alias("micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("micro")).alias("score_micro"))
+      .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

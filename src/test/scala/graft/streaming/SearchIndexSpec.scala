@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.TfIdf
+import graft.sinks.ParquetKVSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** The streamed search index must serve EXACTLY [[TfIdf.bm25Rank]]'s
+  * scores over the union of all micro-batches (shared micro expression,
+  * additive df/stats state), restricted to docs containing a query
+  * term; replay of an applied batch must be a no-op; and a query must
+  * read only its terms' postings buckets (partition-pruned scan).
+  */
+class SearchIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trigger = Trigger.ProcessingTime("50 milliseconds")
+
+  test("streamed index equals batch BM25 over the union; replay no-op; probes prune partitions") {
+    val batches = Seq(
+      Seq((1L, "rare apple apple"),
+        (2L, "apple apple apple apple banana banana banana banana")),
+      Seq((3L, "apple banana"),
+        (4L, "rare rare apple banana filler filler filler"),
+        (5L, null.asInstanceOf[String])), // null text: no postings, no stats
+      Seq((6L, "unrelated words only here")))
+    val union = batches.flatten.toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch").toString)
+    val idxPath = Files.createTempDirectory("graft-srch-idx").toString + "/postings"
+    val ckpt = Files.createTempDirectory("graft-srch-ckpt").toString
+    val q = SearchIndex.start(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxPath, sink, "srch", ckpt, trigger)
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val terms = Seq("rare", "apple", "banana")
+    val served = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+    val got = served.as[(Long, Long, Double)].collect()
+    val want = TfIdf.bm25Rank(union, "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L)) // docs sharing >= 1 term
+    got.foreach { case (doc, micro, score) =>
+      assert(micro == want(doc), s"doc $doc diverged from batch BM25")
+      assert(score == micro.toDouble / 1000000.0)
+    }
+    // ordering: micro desc, doc asc
+    val ord = got.map(r => (-r._2, r._1)).toSeq
+    assert(ord == ord.sorted)
+
+    // the null-text doc reached neither stats nor postings
+    val stats = sink.read(spark, "srch__stats", SearchIndex.statsSchema)
+      .as[(Long, Long, Long)].head()
+    assert(stats._2 == 5L, s"n_docs counted the null-text doc: $stats")
+
+    // partition pruning: the postings scan carries a tb partition filter
+    served.collect()
+    val planStr = served.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") && planStr.contains("tb"),
+      s"postings read not partition-pruned:\n$planStr")
+
+    // replay via the acked fast path: a no-op
+    SearchIndex.applyBatch(
+      batches.last.toDF("doc_id", "text"), batchId = 2L,
+      "doc_id", "text", idxPath, sink, "srch", buckets = 16)
+    val replayed = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(replayed.toSeq == got.toSeq, "replayed batch changed the index")
+
+    // replay through the CRASH WINDOW (top-level ack lost, per-table
+    // acks present): postings rewrite their own partitions, the count
+    // merges short-circuit — results still identical
+    import org.apache.spark.sql.SaveMode
+    sink.write(Seq(1L).toDF("last_batch_id"), "srch__meta", SaveMode.Overwrite)
+    SearchIndex.applyBatch(
+      batches.last.toDF("doc_id", "text"), batchId = 2L,
+      "doc_id", "text", idxPath, sink, "srch", buckets = 16)
+    val crashed = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(crashed.toSeq == got.toSeq, "crash-window replay double-applied")
+
+    // a query for an unseen term returns nothing (and does not error on
+    // the pruned-empty read)
+    assert(SearchIndex.search(spark, idxPath, sink, "srch", Seq("zzz-absent")).count() == 0L)
+  }
+}
