@@ -8,7 +8,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import scala.util.Try
 
 /** Streaming BM25 search-index maintenance: keeps the retrieval surface
   * (q106/q108's postings, document-frequency table, and corpus stats)
@@ -139,17 +138,24 @@ object SearchIndex {
       buckets: Int = 16): DataFrame = {
     require(terms.nonEmpty, "SearchIndex.search: empty query-term list")
     val tbs = terms.map(termBucketLocal(_, buckets)).distinct
-    val posts = Try(spark.read.parquet(indexPath)).toOption match {
-      case Some(df) =>
-        df.filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
+    // existence probe through Hadoop's FileSystem (works on any
+    // supported filesystem, unlike java.io.File — the r13 ANN-bootstrap
+    // lesson); a MISSING index is a real state (nothing ingested yet,
+    // empty result), but any other read failure must propagate, not
+    // silently serve an empty ranking
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val posts =
+      if (exists)
+        spark.read.parquet(indexPath)
+          .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
           .select("term", "doc_id", "dl", "tf")
-      case None =>
+      else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType()
             .add("term", StringType).add("doc_id", LongType)
             .add("dl", LongType).add("tf", LongType))
-    }
     val dfT = sink.read(spark, s"${table}__df", dfSchema)
       .filter(col("term").isInCollection(terms))
     val stats = sink.read(spark, s"${table}__stats", statsSchema).drop("k")
