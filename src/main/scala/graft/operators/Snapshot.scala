@@ -66,4 +66,38 @@ object Snapshot {
         coalesce(col("old_fp"), lit("")).alias("old_fp"),
         coalesce(col("new_fp"), lit("")).alias("new_fp"))
   }
+
+  /** The refresh WORK LIST a diff implies: the new-snapshot rows whose
+    * keys were added or changed — exactly what the incremental tiers
+    * (dedup state, search index, ANN index) must process, instead of
+    * the whole new snapshot. A semi-join of `newSnap` against the diff
+    * keys, so full rows (with content) come back but nothing is
+    * duplicated or widened. `delta ∪ unchanged-rows = newSnap`
+    * partition-exactly, and `|delta|` — not `|newSnap|` — is what the
+    * downstream re-curation pays; between adjacent snapshots of a
+    * 100 TB corpus that is the whole point.
+    */
+  def delta(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      contentCols: Seq[String]): DataFrame =
+    newSnap.join(
+      diff(oldSnap, newSnap, keyCol, contentCols)
+        .filter(col("status").isin("added", "changed"))
+        .select(keyCol),
+      Seq(keyCol), "left_semi")
+
+  /** Keys present only in the old snapshot — the retirement list the
+    * downstream state tables (fingerprints, postings, index cells)
+    * subtract.
+    */
+  def removedKeys(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      contentCols: Seq[String]): DataFrame =
+    diff(oldSnap, newSnap, keyCol, contentCols)
+      .filter(col("status") === "removed")
+      .select(keyCol)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 class SnapshotSpec extends SparkTestBase {
   import spark.implicits._
@@ -53,5 +54,32 @@ class SnapshotSpec extends SparkTestBase {
 
   test("diff of a snapshot against itself is empty") {
     assert(Snapshot.diff(oldSnap, oldSnap, "doc_id", Seq("source", "text")).count() == 0L)
+  }
+
+  test("delta + unchanged partition the new snapshot; fingerprint state maintained via delta equals full recompute") {
+    val cols = Seq("source", "text")
+    val delta = Snapshot.delta(oldSnap, newSnap, "doc_id", cols)
+      .as[(Long, Option[String], Option[String])].collect()
+    // added (4) and changed (2, 6); NOT the null-vs-empty doc 5, NOT unchanged 1
+    assert(delta.map(_._1).sorted.toSeq == Seq(2L, 4L, 6L))
+    // delta rows are the full new-snapshot rows, not fingerprints
+    assert(delta.find(_._1 == 2L).get._2.contains("beta v2"))
+
+    val removed = Snapshot.removedKeys(oldSnap, newSnap, "doc_id", cols)
+      .as[Long].collect()
+    assert(removed.toSeq == Seq(3L))
+
+    // the incremental-refresh identity the API exists for: retire
+    // (removed ∪ changed) from the old fingerprint table, add the
+    // delta's fingerprints -> EXACTLY the new snapshot's table
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Snapshot.fingerprint(cols).as("fp"))
+    val diffKeys = Snapshot.diff(oldSnap, newSnap, "doc_id", cols)
+      .filter(col("status") =!= "added").select("doc_id")
+    val maintained = fps(oldSnap).join(diffKeys, Seq("doc_id"), "left_anti")
+      .unionByName(fps(Snapshot.delta(oldSnap, newSnap, "doc_id", cols)))
+      .as[(Long, String)].collect().toSet
+    val full = fps(newSnap).as[(Long, String)].collect().toSet
+    assert(maintained == full, "delta-maintained fingerprint state diverged from recompute")
   }
 }
