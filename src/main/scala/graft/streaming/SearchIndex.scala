@@ -99,7 +99,12 @@ object SearchIndex {
     DedupIngest.markApplied(spark, sink, table, batchId)
   }
 
-  /** Start the search-index ingest over a document stream. */
+  /** Start the search-index ingest over a document stream.
+    * `compactEvery > 0` folds accumulated `(tb, batch)` delta
+    * partitions back into the `batch = -1` base every N batches
+    * (maintenance, not correctness — the ANN tier's discipline: run
+    * after the ack, so a replayed batch never compacts mid-append).
+    */
   def start(
       docs: DataFrame,
       idCol: String,
@@ -109,15 +114,53 @@ object SearchIndex {
       table: String,
       checkpointDir: String,
       trigger: Trigger,
-      buckets: Int = 16): StreamingQuery =
+      buckets: Int = 16,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, idCol, textCol, indexPath, sink, table, buckets)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactPostings(batch.sparkSession, indexPath)
       }
       .start()
+
+  /** Compacts the postings artifact's accumulated per-trigger deltas:
+    * every `(tb, batch)` partition rewrites into the base `batch = -1`
+    * layout with ONE write task per term bucket, so the partition/file
+    * count collapses back to ≈ `buckets` instead of growing one
+    * partition per bucket per trigger — the long-running-ingest
+    * failure mode the ANN tier's compaction closes, closed the same
+    * way (write-then-swap: a concurrent reader sees either the old or
+    * the new complete artifact; a replayed compaction is a no-op on
+    * row content). Layout-only: document RETIREMENT is deliberately
+    * not here — dropping a doc's postings without adjusting the
+    * df/stats tables would skew every idf, so removals rebuild the
+    * index from the current snapshot instead.
+    */
+  def compactPostings(spark: SparkSession, indexPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"compactPostings: no postings artifact at $indexPath")
+    val stamp = System.nanoTime()
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_tmp_$stamp")
+    spark.read.parquet(indexPath)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+      .repartition(col("tb"))
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("tb", "batch").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_old_$stamp")
+    require(fs.rename(root, old), s"compactPostings: swap-out of $indexPath failed")
+    require(fs.rename(tmp, root), s"compactPostings: swap-in of $tmp failed")
+    fs.delete(old, true)
+  }
 
   /** BM25 top-`topK` for a fixed query, served FROM the maintained
     * index: a partition-pruned postings read (only the query terms'

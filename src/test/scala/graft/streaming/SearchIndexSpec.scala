@@ -88,5 +88,24 @@ class SearchIndexSpec extends SparkTestBase {
     // a query for an unseen term returns nothing (and does not error on
     // the pruned-empty read)
     assert(SearchIndex.search(spark, idxPath, sink, "srch", Seq("zzz-absent")).count() == 0L)
+
+    // compaction: delta partitions collapse to batch=-1, search
+    // identical, re-compaction a row-level no-op
+    def batchDirs(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$idxPath/tb=*/batch=*"))
+        .map(_.getPath.getName).toSet
+    }
+    assert(batchDirs().exists(_ != "batch=-1"), "expected per-trigger delta partitions")
+    SearchIndex.compactPostings(spark, idxPath)
+    assert(batchDirs() == Set("batch=-1"), s"deltas survived compaction: ${batchDirs()}")
+    val compacted = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(compacted.toSeq == got.toSeq, "compaction changed search results")
+    SearchIndex.compactPostings(spark, idxPath)
+    val again = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(again.toSeq == got.toSeq, "re-compaction changed search results")
   }
 }
