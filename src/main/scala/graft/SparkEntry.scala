@@ -1213,6 +1213,17 @@ object SparkEntry {
   private def q110_source_overlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text", n = 3)
 
+  /** Curation funnel (round 14): per-stage survivor counts for the q35
+    * pipeline's gates — one fused `corpus_stats` scan into one
+    * aggregate (conditional sums + a conditional distinct over the
+    * fingerprint), unpivoted to 4 rows
+    * ([[graft.operators.TrainingPrep.funnelReport]]).
+    */
+  private def q111_funnel(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPrep.funnelReport(
+      Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 30, maxTokens = 90, language = "en")
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2036,7 +2047,8 @@ object SparkEntry {
     "q107_snapshot_diff" -> (q107_snapshot_diff _),
     "q108_bm25_join" -> (q108_bm25_join _),
     "q109_mean_pool" -> (q109_mean_pool _),
-    "q110_source_overlap" -> (q110_source_overlap _)
+    "q110_source_overlap" -> (q110_source_overlap _),
+    "q111_funnel" -> (q111_funnel _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3490,6 +3502,34 @@ object SparkEntry {
                  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
           FROM it
           JOIN sz sa ON sa.grp = src_a
-          JOIN sz sb ON sb.grp = src_b"""
+          JOIN sz sb ON sb.grp = src_b""",
+    "q111_funnel" ->
+      // q35's scoring fragments (tokens, stop-word language vote, token
+      // fingerprint), aggregated once with conditional counts
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents),
+          sc AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS s_en,
+                   len(list_filter(t, x -> x IN ${sqlList(stopFr)})) AS s_fr,
+                   len(list_filter(t, x -> x IN ${sqlList(stopDe)})) AS s_de,
+                   len(list_filter(t, x -> x IN ${sqlList(stopEs)})) AS s_es,
+                   md5(array_to_string(t, ' ')) AS fp
+                 FROM tk),
+          fl AS (SELECT n_tokens,
+                   (CASE WHEN text IS NULL THEN NULL
+                         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                         WHEN s_de >= s_es THEN 'de' ELSE 'es' END) AS lang_pred,
+                   fp
+                 FROM sc),
+          ag AS (SELECT
+                   CAST(count(*) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(sum(CASE WHEN n_tokens BETWEEN 30 AND 90 AND lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                   CAST(count(DISTINCT CASE WHEN n_tokens BETWEEN 30 AND 90 AND lang_pred = 'en' THEN fp END) AS BIGINT) AS c4
+                 FROM fl)
+          SELECT '1_ingest' AS stage, c1 AS n_docs FROM ag
+          UNION ALL SELECT '2_token_bounds', c2 FROM ag
+          UNION ALL SELECT '3_language', c3 FROM ag
+          UNION ALL SELECT '4_dedup_canonical', c4 FROM ag"""
   )
 }

@@ -662,6 +662,22 @@ class PlanAuditSpec extends SparkTestBase {
       .foreach(m => assert(!m.group(2).contains("embedding"), m.group(0)))
   }
 
+  test("q111: funnel is one fused scan, one aggregate — only the distinct-fp exchange, no join") {
+    val plan = planOf("q111_funnel")
+    // stages 1–3 are pure conditional sums; stage 4's distinct count
+    // is the single legitimate hash exchange (fingerprints co-locate
+    // for the distinct), keyed on the md5 expression — never raw text
+    assert(shuffles(plan) == 1, s"expected exactly the distinct-fp exchange:\n$plan")
+    // the exchange keys on the conditional-fingerprint CASE over the
+    // fused struct — never the raw text column
+    "Exchange hashpartitioning\\(.*".r
+      .findAllIn(plan).toSeq
+      .foreach(line => assert(line.contains("st#") && !line.contains("text#"), line))
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+    assert(plan.contains("corpus_stats"), s"fused scoring expression missing:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q111 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
