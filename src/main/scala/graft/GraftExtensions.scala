@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.heavyHittersBuilder))
     e.injectFunction(
       (
+        FunctionIdentifier("vector_micro_sum"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.VectorSumAgg].getName, "vector_micro_sum"),
+        GraftFunctions.vectorMicroSumBuilder))
+    e.injectFunction(
+      (
         FunctionIdentifier("shingle_hash_set"),
         new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
         GraftFunctions.shingleHashSetBuilder))
@@ -265,12 +271,17 @@ object GraftFunctions {
       intLit(exprs(1), "heavy_hitters capacity"), intLit(exprs(2), "heavy_hitters k"))
   }
 
+  private[graft] def vectorMicroSumBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.VectorSumAgg(
+      arity(exprs, 1, "vector_micro_sum(vec)").head)
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
     Bridge.registerTempFunction(spark, "norm2_f", norm2FBuilder)
     Bridge.registerTempFunction(spark, "sorted_intersect_count", sortedIntersectCountBuilder)
     Bridge.registerTempFunction(spark, "heavy_hitters", heavyHittersBuilder)
+    Bridge.registerTempFunction(spark, "vector_micro_sum", vectorMicroSumBuilder)
     Bridge.registerTempFunction(spark, "shingle_hash_set", shingleHashSetBuilder)
     Bridge.registerTempFunction(spark, "shingle_mod_hashes", shingleModHashesBuilder)
     Bridge.registerTempFunction(spark, "shingle_hash60s", shingleHash60sBuilder)

@@ -141,6 +141,23 @@ class GraftExtensionsSpec extends SparkTestBase {
       err.getCause != null && err.getCause.getMessage.contains("INT literal"), err.getMessage)
   }
 
+  test("vector_micro_sum aggregate callable from SQL, equals the Column form") {
+    GraftFunctions.register(spark)
+    Seq((0L, Seq(1.0f, -2.0f)), (0L, Seq(0.5f, 0.25f)), (1L, Seq(2.0f, 2.0f)))
+      .toDF("g", "v").createOrReplaceTempView("t_vs")
+    val rows = spark.sql(
+      """SELECT g, vs.n, vs.micro FROM
+           (SELECT g, vector_micro_sum(v) AS vs FROM t_vs GROUP BY g)""")
+      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 == 2L && rows(0L)._3 == Seq(1500000L, -1750000L))
+    assert(rows(1L)._2 == 1L && rows(1L)._3 == Seq(2000000L, 2000000L))
+    // type discipline: non-float-array input fails analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT vector_micro_sum(g) FROM t_vs").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"), err.getMessage)
+  }
+
   test("shingle_hash_set / shingle_mod_hashes: bit-identical to the UDF twins incl. null text") {
     import graft.functions.expressions.{ShingleHashSetExpr, ShingleModHashesExpr}
     import org.apache.spark.sql.functions.col
