@@ -104,7 +104,11 @@ object ScaleBench {
     // — common counts scale linearly, the join stays universe-bounded.
     "q108_bm25_join",
     "q109_mean_pool",
-    "q110_source_overlap")
+    "q110_source_overlap",
+    // q111: one fused corpus_stats scan + one aggregate whose only
+    // exchange carries the conditional fingerprint — the q01 linearity
+    // shape with a distinct on top
+    "q111_funnel")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
