@@ -182,9 +182,13 @@ object TfIdf {
     val qt = queries
       .select(col(qidCol).alias("qid"), explode(col(termsCol)).alias("term"))
       .distinct()
+    // no broadcast hint on the vocabulary prune: a modest query set's
+    // distinct terms auto-broadcast (AQE), while a crawl-scale query
+    // log — millions of distinct terms — must be allowed to
+    // hash-partition instead of being forced through the driver
     val qv = qt.select("term").distinct()
     val tf = postings(docs, idCol, textCol)
-      .join(broadcast(qv), Seq("term"))
+      .join(qv, Seq("term"))
       .localCheckpoint(true)
     val stats = corpusStats(docs, textCol)
     val dfq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
