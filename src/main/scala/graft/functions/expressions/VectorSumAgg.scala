@@ -45,7 +45,13 @@ final class VectorSumBuffer {
     require(d == sums.length,
       s"vector_micro_sum: ragged input (dim $d vs ${sums.length})")
     var j = 0
-    while (j < d) { sums(j) += micro(vec.getFloat(j).toDouble); j += 1 }
+    while (j < d) {
+      // fail loud like the ragged case: ArrayData.getFloat reads a null
+      // slot as 0.0f, which would silently fold bad data into the sum
+      // (and diverge from a NULL-propagating SQL oracle)
+      require(!vec.isNullAt(j), s"vector_micro_sum: null element at index $j")
+      sums(j) += micro(vec.getFloat(j).toDouble); j += 1
+    }
     n += 1L
   }
 

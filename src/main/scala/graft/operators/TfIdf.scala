@@ -121,15 +121,10 @@ object TfIdf {
         terms.indices.map(i =>
           sum((col(s"tf_$i") > 0).cast("long")).alias(s"df_$i")): _*)
 
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val microTerms = terms.indices.map { i =>
-      val tf = col(s"tf_$i").cast("double")
-      val idf = log(lit(1.0) +
-        ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
-          (col(s"df_$i").cast("double") + lit(0.5)))
-      val denom = tf + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
-      round(idf * ((tf * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
+      bm25MicroCols(
+        col(s"tf_$i"), col(s"df_$i"), col("dl"),
+        col("n_docs"), col("sum_dl"), k1, b)
     }
     base
       .crossJoin(broadcast(stats))
@@ -236,19 +231,33 @@ object TfIdf {
         count(lit(1)).alias("n_docs"),
         sum(size(TextFunctions.tokens(col(textCol))).cast("long")).alias("sum_dl"))
 
-  /** The per-(doc, term) BM25 micro-score over columns
-    * `(tf, df, dl, n_docs, sum_dl)` — ONE definition shared by every
-    * BM25 surface so the operand order (and hence the cross-engine
-    * bit pattern the oracles pin) cannot drift between siblings.
+  /** The per-(doc, term) BM25 micro-score — ONE definition shared by
+    * every BM25 surface (bm25Rank's per-term columns, bm25Join's and
+    * the streaming index's posting rows) so the operand order — and
+    * hence the cross-engine bit pattern the oracles pin — cannot drift
+    * between siblings.
     */
-  private[graft] def bm25Micro(k1: Double, b: Double): Column = {
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val tfD = col("tf").cast("double")
+  private[graft] def bm25MicroCols(
+      tf: Column,
+      df: Column,
+      dl: Column,
+      nDocs: Column,
+      sumDl: Column,
+      k1: Double,
+      b: Double): Column = {
+    val avgdl = sumDl.cast("double") / nDocs.cast("double")
+    val tfD = tf.cast("double")
     val idf = log(lit(1.0) +
-      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
+      ((nDocs - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)))
     val denom = tfD + lit(k1) *
-      (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+      (lit(1.0) - lit(b) + lit(b) * (dl.cast("double") / avgdl))
     round(idf * ((tfD * lit(k1 + 1.0)) / denom) * lit(1000000L)).cast("long")
   }
+
+  /** [[bm25MicroCols]] over the standard posting-row column names
+    * `(tf, df, dl, n_docs, sum_dl)`.
+    */
+  private[graft] def bm25Micro(k1: Double, b: Double): Column =
+    bm25MicroCols(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("sum_dl"), k1, b)
 }

@@ -51,6 +51,70 @@ object SearchIndex {
   private def termBucketLocal(term: String, buckets: Int): Long =
     TextFunctions.md5Hash60Local(term) % buckets
 
+  private val BucketsSidecar = "_graft_buckets"
+
+  /** The bucket count is part of the ARTIFACT, not the call site: a
+    * query recomputing `tb` with a different modulus would prune away
+    * the very partitions holding its terms and silently return
+    * empty/partial rankings — so the ingest persists the count beside
+    * the postings and [[search]] reads it back.
+    */
+  private def writeBucketsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, BucketsSidecar)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readBucketsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root, BucketsSidecar)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        Some(s.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Self-healing for [[compactPostings]]' swap window: the compaction
+    * renames root → old then tmp → root, and a crash between the two
+    * leaves the WHOLE artifact stranded in the hidden `old` dir. Every
+    * entry point (ingest, query, compaction) runs this first: if root
+    * is missing but a compaction-old dir exists, the newest one — the
+    * complete pre-compaction artifact — is renamed back; stale tmp/old
+    * dirs from completed or recovered swaps are swept either way, so a
+    * crash can strand work but never lose or double it.
+    */
+  private[streaming] def recoverCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val parent = root.getParent
+    def stamped(kind: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.globStatus(
+        new org.apache.hadoop.fs.Path(parent, s".${root.getName}_${kind}_*")).toSeq
+    if (!fs.exists(root)) {
+      val olds = stamped("compact_old").sortBy(_.getPath.getName)
+      olds.lastOption.foreach { o =>
+        require(fs.rename(o.getPath, root),
+          s"SearchIndex: recovery rename of ${o.getPath} failed")
+      }
+    }
+    // stale leftovers (completed swaps that crashed before cleanup, or
+    // the tmp of an interrupted compaction) are garbage once root exists
+    if (fs.exists(root))
+      (stamped("compact_old") ++ stamped("compact_tmp"))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** The per-micro-batch body (factored out for the replay spec). */
   private[streaming] def applyBatch(
       batch: DataFrame,
@@ -64,9 +128,19 @@ object SearchIndex {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty || DedupIngest.alreadyApplied(spark, sink, table, batchId)) return
     Dedup.requireNumericId(batch, idCol, "SearchIndex")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root) // a fresh write into an un-recovered root would strand history
     val posts = TfIdf.postings(batch, idCol, textCol)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .localCheckpoint(true)
+    // a rows-but-no-postings batch (all texts null) must not create a
+    // data-less parquet dir — later reads would fail schema inference
+    // on it; ack and move on instead
+    if (posts.head(1).isEmpty) {
+      DedupIngest.markApplied(spark, sink, table, batchId)
+      return
+    }
     // postings: idempotent by construction (dynamic overwrite of this
     // batch's own partitions) — no ack needed, safe to re-run
     posts
@@ -75,6 +149,9 @@ object SearchIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(indexPath)
+    // bucket count is an artifact property — persisted once, read back
+    // by search(); a mismatched caller cannot silently mis-prune
+    writeBucketsSidecar(fs, root, buckets)
     if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__df", batchId)) {
       val merged = StateMerge.fullOuterMerge(
         sink.read(spark, s"${table}__df", dfSchema),
@@ -144,7 +221,14 @@ object SearchIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
-    require(fs.exists(root), s"compactPostings: no postings artifact at $indexPath")
+    recoverCompaction(fs, root)
+    // nothing ingested yet (a quiet stream's cadence can fire before
+    // the first non-empty batch), or nothing to fold: a no-op, not an
+    // error — compaction is maintenance
+    if (!fs.exists(root)) return
+    if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*/batch=*"))
+        .forall(_.getPath.getName == "batch=-1")) return
+    val sidecar = readBucketsSidecar(fs, root)
     val stamp = System.nanoTime()
     val tmp = new org.apache.hadoop.fs.Path(
       root.getParent, s".${root.getName}_compact_tmp_$stamp")
@@ -155,9 +239,13 @@ object SearchIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
       .partitionBy("tb", "batch").parquet(tmp.toString)
+    sidecar.foreach(b => writeBucketsSidecar(fs, tmp, b))
     val old = new org.apache.hadoop.fs.Path(
       root.getParent, s".${root.getName}_compact_old_$stamp")
     require(fs.rename(root, old), s"compactPostings: swap-out of $indexPath failed")
+    // a crash in this window strands root in `old`; every entry point
+    // runs recoverCompaction first, which renames it back — stranded,
+    // never lost
     require(fs.rename(tmp, root), s"compactPostings: swap-in of $tmp failed")
     fs.delete(old, true)
   }
@@ -180,16 +268,26 @@ object SearchIndex {
       topK: Int = 20,
       buckets: Int = 16): DataFrame = {
     require(terms.nonEmpty, "SearchIndex.search: empty query-term list")
-    val tbs = terms.map(termBucketLocal(_, buckets)).distinct
     // existence probe through Hadoop's FileSystem (works on any
     // supported filesystem, unlike java.io.File — the r13 ANN-bootstrap
     // lesson); a MISSING index is a real state (nothing ingested yet,
     // empty result), but any other read failure must propagate, not
     // silently serve an empty ranking
     val p = new org.apache.hadoop.fs.Path(indexPath)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p)
+    // data presence, not just dir presence: a recovered-but-empty dir
+    // (or one holding only the sidecar) has no schema to infer
+    val hasData = fs.exists(p) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*")).nonEmpty
+    // the artifact's OWN bucket count wins over the parameter: a
+    // mismatched caller would otherwise prune away the partitions that
+    // hold its terms and silently get an empty ranking
+    val effBuckets =
+      if (hasData) readBucketsSidecar(fs, p).getOrElse(buckets) else buckets
+    val tbs = terms.map(termBucketLocal(_, effBuckets)).distinct
     val posts =
-      if (exists)
+      if (hasData)
         spark.read.parquet(indexPath)
           .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
           .select("term", "doc_id", "dl", "tf")

@@ -102,6 +102,12 @@ object ScaleBench {
     // q110: sources are copy-invariant, so the matrix keeps its 190
     // pairs while each universe grows 10× (disjoint per-copy shingles)
     // — common counts scale linearly, the join stays universe-bounded.
+    // q107 caveat: its own +1e9 "removed" graft collides with THIS
+    // harness's 1e9-per-copy id offsets, so on the derived corpus the
+    // grafted keys alias copy-(k+1) ids (duplicate old-side keys; those
+    // rows classify as changed, rows ≈9.7× not 10×) — the timing still
+    // measures the fingerprint join linearly, but the measured shape is
+    // not byte-identical to the base-scale query (BASELINE.md notes it).
     "q108_bm25_join",
     "q109_mean_pool",
     "q110_source_overlap",

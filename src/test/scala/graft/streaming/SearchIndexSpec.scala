@@ -107,5 +107,52 @@ class SearchIndexSpec extends SparkTestBase {
     val again = SearchIndex.search(spark, idxPath, sink, "srch", terms)
       .as[(Long, Long, Double)].collect()
     assert(again.toSeq == got.toSeq, "re-compaction changed search results")
+
+    // the artifact's persisted bucket count wins over a mismatched
+    // caller parameter — no silent mis-pruned empty ranking
+    val mismatched = SearchIndex.search(spark, idxPath, sink, "srch", terms, buckets = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(mismatched.toSeq == got.toSeq, "bucket-count mismatch mis-pruned the index")
+
+    // crash-window recovery: strand the artifact the way a crash
+    // between compaction's two renames would, then query — every entry
+    // point self-heals
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(idxPath)
+    val stranded = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_old_999")
+    assert(fs.rename(root, stranded))
+    val healed = SearchIndex.search(spark, idxPath, sink, "srch", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(healed.toSeq == got.toSeq, "crash-window recovery lost the artifact")
+    assert(fs.exists(root) && !fs.exists(stranded))
+  }
+
+  test("quiet and null-text streams: compaction no-ops, empty batches never create a dataless dir") {
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch2").toString)
+    val idxPath = Files.createTempDirectory("graft-srch2-idx").toString + "/postings"
+    // cadence firing before any postings exist is maintenance on a
+    // quiet stream, not an error
+    SearchIndex.compactPostings(spark, idxPath)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath)))
+
+    // rows-but-all-null-text batch: acked, no dataless parquet dir
+    SearchIndex.applyBatch(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      batchId = 0L, "doc_id", "text", idxPath, sink, "srch2", buckets = 16)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath)),
+      "all-null batch created a dataless dir")
+    assert(SearchIndex.search(spark, idxPath, sink, "srch2", Seq("anything")).count() == 0L)
+
+    // real data later lands normally under the same table
+    SearchIndex.applyBatch(
+      Seq((2L, "alpha beta")).toDF("doc_id", "text"),
+      batchId = 1L, "doc_id", "text", idxPath, sink, "srch2", buckets = 16)
+    val hits = SearchIndex.search(spark, idxPath, sink, "srch2", Seq("alpha"))
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._1).toSeq == Seq(2L))
   }
 }
