@@ -1472,6 +1472,7 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    ArtifactSwap.recover(fs, root, "compactIvfPqIndex")
     val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
     require(fs.exists(model),
       s"compactIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
@@ -1526,11 +1527,22 @@ object Similarity {
           .pqEncode(checkedVec, codebooks).alias("code"))
   }
 
-  /** Reopens a [[buildIvfPqIndex]] artifact's trained model. */
+  /** Reopens a [[buildIvfPqIndex]] artifact's trained model. Runs the
+    * compaction-swap recovery first: a crash inside
+    * [[compactIvfPqIndex]]'s rename window strands the whole artifact
+    * in its hidden `old` dir, and since every index consumer (append,
+    * top-k, kNN join) opens the model through here, this is the choke
+    * point that heals it before anything reads — or worse, writes a
+    * fresh root that would orphan history.
+    */
   private[graft] def readIvfPqModel(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
+    val hRoot = new org.apache.hadoop.fs.Path(path)
+    ArtifactSwap.recover(
+      hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hRoot, "readIvfPqModel")
     val m = spark.read.parquet(s"$path/$IvfPqModelDir").as[IvfPqIndexModel].head()
     val centroids = m.centroidsFlat.grouped(m.dim).toArray
     val cbs = new Array[Array[Array[Double]]](m.codebookSizes.length)

@@ -776,6 +776,11 @@ object DedupIngest {
             val modelPath = new org.apache.hadoop.fs.Path(
               s"$path/${Similarity.ivfPqModelDirName}")
             val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // heal a crashed compaction swap BEFORE the bootstrap
+            // probe: a stranded root would read as "no model", retrain,
+            // and orphan the whole pre-compaction index
+            graft.operators.ArtifactSwap.recover(
+              fs, new org.apache.hadoop.fs.Path(path), "startUnified(ann)")
             if (!fs.exists(modelPath))
               Similarity.buildIvfPqModelOnly(
                 vecs, "id", "vec", path,

@@ -84,36 +84,15 @@ object SearchIndex {
     }
   }
 
-  /** Self-healing for [[compactPostings]]' swap window: the compaction
-    * renames root → old then tmp → root, and a crash between the two
-    * leaves the WHOLE artifact stranded in the hidden `old` dir. Every
-    * entry point (ingest, query, compaction) runs this first: if root
-    * is missing but a compaction-old dir exists, the newest one — the
-    * complete pre-compaction artifact — is renamed back; stale tmp/old
-    * dirs from completed or recovered swaps are swept either way, so a
-    * crash can strand work but never lose or double it.
+  /** [[graft.operators.ArtifactSwap.recover]] for the postings
+    * artifact — run by every entry point (ingest, query, compaction)
+    * so [[compactPostings]]' swap window can strand the artifact but
+    * never lose it.
     */
   private[streaming] def recoverCompaction(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    val parent = root.getParent
-    def stamped(kind: String): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(parent)) Seq.empty
-      else fs.globStatus(
-        new org.apache.hadoop.fs.Path(parent, s".${root.getName}_${kind}_*")).toSeq
-    if (!fs.exists(root)) {
-      val olds = stamped("compact_old").sortBy(_.getPath.getName)
-      olds.lastOption.foreach { o =>
-        require(fs.rename(o.getPath, root),
-          s"SearchIndex: recovery rename of ${o.getPath} failed")
-      }
-    }
-    // stale leftovers (completed swaps that crashed before cleanup, or
-    // the tmp of an interrupted compaction) are garbage once root exists
-    if (fs.exists(root))
-      (stamped("compact_old") ++ stamped("compact_tmp"))
-        .foreach(s => fs.delete(s.getPath, true))
-  }
+      root: org.apache.hadoop.fs.Path): Unit =
+    graft.operators.ArtifactSwap.recover(fs, root, "SearchIndex")
 
   /** The per-micro-batch body (factored out for the replay spec). */
   private[streaming] def applyBatch(

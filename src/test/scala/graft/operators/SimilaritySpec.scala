@@ -512,6 +512,17 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.compactIvfPqIndex(spark, dir + "-nope")
     }
     assert(e.getMessage.contains("no IVF-PQ artifact"), e.getMessage)
+
+    // crash-window recovery: strand the artifact the way a crash
+    // between the swap renames would; the next index open (the model
+    // read every consumer shares) heals it, losing nothing
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stranded = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_old_999")
+    assert(fs.rename(root, stranded))
+    assert(top === topBefore, "crash-window recovery lost the index")
+    assert(fs.exists(root) && !fs.exists(stranded))
   }
 
   test("appendToIvfPqIndex refuses a legacy cell-only artifact instead of bricking it") {
