@@ -621,7 +621,9 @@ object DedupIngest {
       deconThreshold: Double = 0.95,
       deconNProbe: Int = 4,
       lmPath: Option[String] = None,
-      qualityCutoff: Double = -12.0): Unit = {
+      qualityCutoff: Double = -12.0,
+      searchIndexPath: Option[String] = None,
+      searchBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty || alreadyApplied(spark, sink, table, batchId)) return
     Dedup.requireNumericId(batch, idCol, "applyUnifiedBatch")
@@ -789,6 +791,22 @@ object DedupIngest {
           }
         }
       }
+
+      // ---- optional search tier: the BM25 surface indexes exactly the
+      // FINAL survivors — the retained training corpus, not the raw
+      // stream — so a query can never surface a doc the dedup tiers
+      // rejected. Delegates to [[SearchIndex.applyBatch]], which brings
+      // its own per-table acks, empty-batch skip, bucket sidecar, and
+      // compaction-swap recovery; its replay safety composes with the
+      // surrounding tiers' because finalKept recomputes identically on
+      // a crash replay (the tier-1 replay-stable keep rule).
+      searchIndexPath.foreach { path =>
+        timed("search") {
+          SearchIndex.applyBatch(
+            finalKept.select(col("id"), col("text")), batchId,
+            "id", "text", path, sink, s"${table}__srch", searchBuckets)
+        }
+      }
       }
     }
     markApplied(spark, sink, table, batchId)
@@ -834,7 +852,9 @@ object DedupIngest {
       deconThreshold: Double = 0.95,
       deconNProbe: Int = 4,
       lmPath: Option[String] = None,
-      qualityCutoff: Double = -12.0): StreamingQuery =
+      qualityCutoff: Double = -12.0,
+      searchIndexPath: Option[String] = None,
+      searchBuckets: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -844,7 +864,7 @@ object DedupIngest {
           batch, batchId, idCol, textCol, vecCol, sink, table, annIndexPath,
           n, k, bands, textThreshold, semThreshold, nLists, trainSample,
           annNLists, annM, annCodes, tierTimer, deconBench, deconThreshold, deconNProbe,
-          lmPath, qualityCutoff)
+          lmPath, qualityCutoff, searchIndexPath, searchBuckets)
       }
       .start()
 

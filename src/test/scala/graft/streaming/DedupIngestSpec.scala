@@ -267,11 +267,12 @@ class DedupIngestSpec extends SparkTestBase {
     val sink = new ParquetKVSink(Files.createTempDirectory("graft-unified").toString)
     val ckpt = Files.createTempDirectory("graft-unified-ckpt").toString
     val idx = Files.createTempDirectory("graft-unified-idx").toString + "/index"
+    val srchIdx = Files.createTempDirectory("graft-unified-srch").toString + "/postings"
     val q = DedupIngest.startUnified(
       input.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
       sink, "uni", ckpt, trigger, annIndexPath = Some(idx),
       textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
-      annNLists = 2, annM = 4, annCodes = 4)
+      annNLists = 2, annM = 4, annCodes = 4, searchIndexPath = Some(srchIdx))
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     q.stop()
 
@@ -294,6 +295,20 @@ class DedupIngestSpec extends SparkTestBase {
     // tier 4: the ANN index holds exactly the final survivors
     val indexed = spark.read.parquet(idx).select("id").as[Long].collect().toSet
     assert(indexed === Set(1L, 3L, 7L), s"indexed ids $indexed")
+
+    // search tier: the BM25 surface serves EXACTLY the retained corpus
+    // — a rejected duplicate can never surface — with scores identical
+    // to batch bm25Rank over the kept docs
+    val searchable = spark.read.parquet(srchIdx).select("doc_id").as[Long].collect().toSet
+    assert(searchable === Set(1L, 3L, 7L), s"search index ids $searchable")
+    val served = graft.streaming.SearchIndex.search(
+      spark, srchIdx, sink, "uni__srch", Seq("alpha1", "beta1"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val keptDocs = Seq((1L, textA), (3L, textB), (7L, textD)).toDF("doc_id", "text")
+    val wantScores = graft.operators.TfIdf.bm25Rank(keptDocs, "doc_id", "text",
+      Seq("alpha1", "beta1")).as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(served.keySet === Set(1L, 3L), s"served $served") // doc 7 shares no term
+    served.foreach { case (id, micro) => assert(micro == wantScores(id), s"doc $id") }
 
     // equality to the sequential BATCH composition over the union
     val all = batches.flatten
