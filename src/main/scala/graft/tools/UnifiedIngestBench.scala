@@ -87,8 +87,9 @@ object UnifiedIngestBench {
       Some(dir)
     } else None
 
+    val searchMode = sys.env.get("SPARK_GRAFT_UB_SEARCH").contains("1")
     val tiers = (if (lmMode) Seq("exact", "quality") else Seq("exact")) ++
-      Seq("near", "sem", "ann")
+      Seq("near", "sem", "ann") ++ (if (searchMode) Seq("search") else Seq.empty)
     println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s  " +
       tiers.map(t => f"$t%8s").mkString(" ") + f" ${"other"}%8s  (mean s/trigger)")
 
@@ -105,7 +106,8 @@ object UnifiedIngestBench {
         Trigger.ProcessingTime("0 seconds"),
         annIndexPath = Some(s"$root/index"),
         nLists = 8, trainSample = 2048, annNLists = 8, annM = 8, annCodes = 16,
-        tierTimer = timer, lmPath = lmPath, qualityCutoff = -3.0)
+        tierTimer = timer, lmPath = lmPath, qualityCutoff = -3.0,
+        searchIndexPath = if (searchMode) Some(s"$root/postings") else None)
 
       // warmup trigger (bootstrap: quantizer + ANN model train) is
       // excluded from rates and tier means

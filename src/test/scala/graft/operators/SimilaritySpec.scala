@@ -823,6 +823,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("pipeline composition: chunk embeddings -> mean-pool -> IVF-PQ index -> pruned query") {
+    // 6 docs x 5 chunks, chunk vectors = doc direction + small noise;
+    // the pooled doc vectors feed the persisted-index path end to end
+    val rnd = new scala.util.Random(5)
+    val dirs = Array.tabulate(6)(d => Array.tabulate(8)(j => if (j == d) 1.0 else 0.0))
+    val chunks = for { d <- 0 until 6; c <- 0 until 5 } yield (
+      d.toLong * 100 + c,
+      d.toLong,
+      dirs(d).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val chunkDf = chunks.toDF("chunk_id", "doc_id", "embedding")
+
+    val pooled = Similarity.meanPooledVectors(chunkDf, "doc_id", "embedding")
+      .select(col("doc_id"),
+        col("pooled").cast("array<float>").alias("embedding"))
+    assert(pooled.count() == 6)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-pool-idx").toString + "/index"
+    Similarity.buildIvfPqIndex(pooled, "doc_id", "embedding", dir,
+      nLists = 3, m = 4, nCodes = 4, trainSample = 64)
+    // query with doc 4's clean direction: the pooled vector denoises
+    // the chunk jitter, so doc 4 must rank first
+    val top = Similarity.ivfPqTopKFromIndex(
+      spark, dir, pooled, "doc_id", "embedding", dirs(4).toSeq,
+      k = 3, nProbe = 3, rerank = 6)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 4L, s"pooled ANN lost the target doc: ${top.toSeq}")
+    assert(top.head._2 > 0.99, s"pooled vector should align with its direction: ${top.head}")
+  }
+
   test("vector_micro_sum: half-away-from-zero ties, ragged input fails loud") {
     val b = new graft.functions.expressions.VectorSumBuffer
     assert(b.micro(2.5e-6) == 3L && b.micro(-2.5e-6) == -3L)
