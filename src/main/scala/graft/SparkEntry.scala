@@ -1224,6 +1224,15 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text",
       minTokens = 30, maxTokens = 90, language = "en")
 
+  /** PMI collocations (round 14): top-50 above-chance adjacent pairs
+    * over the q101 LM's own count tables — phrase mining from counts
+    * the pipeline already maintains
+    * ([[graft.operators.NgramLm.pmiCollocations]]).
+    */
+  private def q112_pmi_collocations(s: SparkSession, dir: String): DataFrame =
+    NgramLm.pmiCollocations(
+      Tables.documents(s, dir), "doc_id", "text", minCount = 3L, topK = 50)
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2048,7 +2057,8 @@ object SparkEntry {
     "q108_bm25_join" -> (q108_bm25_join _),
     "q109_mean_pool" -> (q109_mean_pool _),
     "q110_source_overlap" -> (q110_source_overlap _),
-    "q111_funnel" -> (q111_funnel _)
+    "q111_funnel" -> (q111_funnel _),
+    "q112_pmi_collocations" -> (q112_pmi_collocations _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3530,6 +3540,33 @@ object SparkEntry {
           SELECT '1_ingest' AS stage, c1 AS n_docs FROM ag
           UNION ALL SELECT '2_token_bounds', c2 FROM ag
           UNION ALL SELECT '3_language', c3 FROM ag
-          UNION ALL SELECT '4_dedup_canonical', c4 FROM ag"""
+          UNION ALL SELECT '4_dedup_canonical', c4 FROM ag""",
+    "q112_pmi_collocations" ->
+      // q101's gram-count CTEs over the FULL corpus + the identical
+      // PMI operand order and micro rounding
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok
+                FROM (SELECT unnest(t) AS w FROM tk)),
+          bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                       FROM tk,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY w1, w2),
+          nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM bi),
+          sc AS (SELECT w1, w2, c12,
+                        CAST(round(ln((CAST(c12 AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+                          ((CAST(u1.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+                           (CAST(u2.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))) * 1000000) AS BIGINT)
+                          AS pmi_micro
+                 FROM bi
+                 JOIN uni u1 ON bi.w1 = u1.w
+                 JOIN uni u2 ON bi.w2 = u2.w
+                 CROSS JOIN n CROSS JOIN nb
+                 WHERE c12 >= 3)
+          SELECT w1, w2, c12, pmi_micro,
+                 CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+          FROM sc ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50"""
   )
 }

@@ -186,4 +186,52 @@ object NgramLm {
     val lm = train(docs.filter(col(idCol) % splitMod < trainBelow), idCol, textCol)
     score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff)
   }
+
+  /** Top-`topK` PMI collocations — the phrase-mining primitive (which
+    * adjacent word pairs co-occur far above chance: named entities,
+    * multi-word terms, boilerplate signatures worth a tokenizer merge
+    * or a stop-phrase rule). Built on the SAME count tables as the LM
+    * ([[train]]'s `uni`/`bi`/`nTok` — at scale these are the persisted
+    * artifact, so collocations come from counts you already maintain):
+    *
+    *   `PMI(w1, w2) = ln( (c12/n_bi) / ((c1/n_tok) · (c2/n_tok)) )`
+    *
+    * rounded to integer micros row-locally (the q101 fixed-point rule —
+    * PMI is per-pair, so no cross-row double accumulation exists at
+    * all; the micro value is just the hash-stable wire form).
+    *
+    * Shape: the `minCount` filter prunes the Zipf tail BEFORE the two
+    * gram-keyed joins against the unigram table (the LM is never
+    * broadcast — the scoring-join doctrine), totals ride in as 1-row
+    * broadcast frames, and the ranking is a TakeOrdered. Rare-pair
+    * noise (the classic PMI pathology: two hapaxes adjacent once score
+    * maximally) is exactly what `minCount` exists for.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val lm = train(docs, idCol, textCol)
+    val nBi = lm.bi.agg(sum(col("c12")).alias("n_bi"))
+    val pmi =
+      log((col("c12").cast("double") / col("n_bi").cast("double")) /
+        ((col("c1").cast("double") / col("n_tok").cast("double")) *
+          (col("c2").cast("double") / col("n_tok").cast("double"))))
+    lm.bi
+      .filter(col("c12") >= minCount)
+      .join(lm.uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"))
+      .join(lm.uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"))
+      .crossJoin(broadcast(lm.nTok))
+      .crossJoin(broadcast(nBi))
+      .select(
+        col("w1"), col("w2"), col("c12"),
+        round(pmi * lit(1000000L)).cast("long").alias("pmi_micro"))
+      .withColumn("pmi", col("pmi_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

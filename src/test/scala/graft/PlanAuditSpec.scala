@@ -678,6 +678,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q111 path:\n$plan")
   }
 
+  test("q112: PMI joins key on grams with map-side-combined counts; totals broadcast; TakeOrdered rank") {
+    val plan = planOf("q112_pmi_collocations")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected gram-keyed count joins:\n$plan")
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(plan.contains("partial_count"), s"gram counts not map-side combined:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not a TakeOrdered:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort on the q112 path:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q112 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

@@ -167,4 +167,42 @@ class NgramLmSpec extends SparkTestBase {
       .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
     assert(out(8L) > out(9L))
   }
+
+  test("pmiCollocations: planted collocation tops the list with a hand-computed micro; minCount prunes hapax pairs") {
+    // 'new york' always adjacent (4x); 'the'/'cat' frequent but weakly
+    // coupled; 'rare pair' adjacent exactly once (hapax — pruned)
+    val docs = Seq(
+      (1L, "new york is big the cat sat"),
+      (2L, "new york has the cat and the dog"),
+      (3L, "in new york the cat ran"),
+      (4L, "new york again the rare pair")
+    ).toDF("doc_id", "text")
+    val got = NgramLm.pmiCollocations(docs, "doc_id", "text", minCount = 2L, topK = 10)
+      .as[(String, String, Long, Long, Double)].collect()
+
+    // local reference over the same corpus
+    val toks = Seq(
+      "new york is big the cat sat", "new york has the cat and the dog",
+      "in new york the cat ran", "new york again the rare pair")
+      .map(_.split("\\s+").toSeq)
+    val unis = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = toks.flatMap(t => t.zip(t.tail)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = toks.map(_.size).sum.toLong
+    val nBi = bis.values.sum
+    def microOf(w1: String, w2: String): Long =
+      math.round(math.log((bis((w1, w2)).toDouble / nBi.toDouble) /
+        ((unis(w1).toDouble / nTok.toDouble) * (unis(w2).toDouble / nTok.toDouble))) * 1000000L)
+
+    assert(got.head._1 == "new" && got.head._2 == "york", s"top pair ${got.head}")
+    got.foreach { case (w1, w2, c12, micro, pmi) =>
+      assert(c12 == bis((w1, w2)) && c12 >= 2L)
+      assert(micro == microOf(w1, w2), s"($w1,$w2) micro mismatch")
+      assert(pmi == micro.toDouble / 1000000.0)
+    }
+    // the hapax 'rare pair' never appears
+    assert(!got.exists(r => r._1 == "rare" && r._2 == "pair"))
+    // a strong collocation outranks a frequent-but-weak pair
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair(("new", "york")) > byPair.getOrElse(("the", "cat"), Long.MinValue))
+  }
 }
