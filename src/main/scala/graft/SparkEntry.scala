@@ -1233,6 +1233,14 @@ object SparkEntry {
     NgramLm.pmiCollocations(
       Tables.documents(s, dir), "doc_id", "text", minCount = 3L, topK = 50)
 
+  /** Per-source KL divergence vs the corpus mixture (round 14): the
+    * domain-shift dashboard ([[graft.operators.Vocab.sourceDivergence]]
+    * — scan-side term maps, corpus counts derived from the per-source
+    * table, nano fixed-point KL terms summed as BIGINT per source).
+    */
+  private def q113_source_divergence(s: SparkSession, dir: String): DataFrame =
+    Vocab.sourceDivergence(Tables.documents(s, dir), "source", "text")
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2058,7 +2066,8 @@ object SparkEntry {
     "q109_mean_pool" -> (q109_mean_pool _),
     "q110_source_overlap" -> (q110_source_overlap _),
     "q111_funnel" -> (q111_funnel _),
-    "q112_pmi_collocations" -> (q112_pmi_collocations _)
+    "q112_pmi_collocations" -> (q112_pmi_collocations _),
+    "q113_source_divergence" -> (q113_source_divergence _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3567,6 +3576,26 @@ object SparkEntry {
                  WHERE c12 >= 3)
           SELECT w1, w2, c12, pmi_micro,
                  CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
-          FROM sc ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50"""
+          FROM sc ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50""",
+    "q113_source_divergence" ->
+      // identical count derivation and nano fixed-point KL terms; the
+      // per-source BIGINT sum is order-free
+      s"""WITH su AS (SELECT source AS grp, w, CAST(count(*) AS BIGINT) AS c_sw
+                      FROM (SELECT source, unnest(${sqlTokens("text")}) AS w
+                            FROM documents WHERE source IS NOT NULL)
+                      GROUP BY grp, w),
+          st AS (SELECT grp, CAST(sum(c_sw) AS BIGINT) AS n_s FROM su GROUP BY grp),
+          cu AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM su GROUP BY w),
+          n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tok FROM st),
+          terms AS (SELECT su.grp, st.n_s,
+                           CAST(round(((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                             ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+                                (CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))) * 1000000000) AS BIGINT)
+                             AS term_nano
+                    FROM su JOIN st USING (grp) JOIN cu USING (w) CROSS JOIN n)
+          SELECT grp AS source, n_s AS n_tokens,
+                 CAST(sum(term_nano) AS BIGINT) AS kl_nano,
+                 CAST(CAST(sum(term_nano) AS BIGINT) AS DOUBLE) / 1000000000.0 AS kl
+          FROM terms GROUP BY grp, n_s"""
   )
 }

@@ -111,4 +111,56 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topPairs)
   }
+
+  /** Per-source domain-shift profile: `KL(source ‖ corpus)` over
+    * unigram distributions — which sources' language diverges most
+    * from the mixture (the outlier-domain detector behind mixture
+    * re-weighting and "is this new vendor actually more of the same"
+    * calls). One row per group: `(<groupCol>, n_tokens, kl_nano, kl)`.
+    *
+    * Shape: per-doc term counts come from the scan-side `term_counts`
+    * map (no token-level explode rows ever shuffle — the q52 move), the
+    * corpus-side counts DERIVE from the per-source table (one extra
+    * aggregate, no second scan), and each (source, term) contributes a
+    * fixed-point NANO-rounded `p_s·ln(p_s/p)` term summed as BIGINT per
+    * source — the q101 rule, at nano rather than micro scale because
+    * per-term contributions shrink like 1/vocabulary and micros would
+    * round the long tail to zero. KL is always well-defined here: only
+    * OBSERVED (source, term) pairs contribute, and the corpus count of
+    * an observed term is never zero.
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val su = docs
+      .filter(col(groupCol).isNotNull)
+      .select(
+        col(groupCol).alias("grp"),
+        explode(graft.functions.expressions.TermCountsExpr.termCounts(col(textCol)))
+          .as(Seq("w", "c_doc")))
+      .groupBy("grp", "w")
+      .agg(sum(col("c_doc")).alias("c_sw"))
+      .localCheckpoint(true) // feeds source totals, corpus counts, and the KL join
+    val st = su.groupBy("grp").agg(sum(col("c_sw")).alias("n_s"))
+    val cu = su.groupBy("w").agg(sum(col("c_sw")).alias("c_w"))
+    val n = st.agg(sum(col("n_s")).alias("n_tok"))
+    val pSw = col("c_sw").cast("double") / col("n_s").cast("double")
+    val pW = col("c_w").cast("double") / col("n_tok").cast("double")
+    su
+      .join(st, Seq("grp"))
+      .join(cu, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("grp"),
+        col("n_s"),
+        round(pSw * log(pSw / pW) * lit(1000000000L)).cast("long").alias("term_nano"))
+      .groupBy("grp", "n_s")
+      .agg(sum(col("term_nano")).alias("kl_nano"))
+      .select(
+        col("grp").alias(groupCol),
+        col("n_s").alias("n_tokens"),
+        col("kl_nano"),
+        (col("kl_nano").cast("double") / lit(1000000000.0)).alias("kl"))
+  }
 }

@@ -690,6 +690,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q112 path:\n$plan")
   }
 
+  test("q113: KL profile shuffles (group, term) counts, never text; all aggregates map-side combined") {
+    val plan = planOf("q113_source_divergence")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected (grp, w)-keyed count aggregate:\n$plan")
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"counts not map-side combined:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort on the q113 path:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q113 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

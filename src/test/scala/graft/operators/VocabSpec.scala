@@ -48,4 +48,48 @@ class VocabSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("zz", 3L)), s"got $got")
   }
+
+  test("sourceDivergence: local-fold KL match; identical-distribution sources score exactly zero") {
+    // A is skewed toward x; B is uniform; C and D share one distribution
+    val docs = Seq(
+      (1L, "A", "x x x x x x y"),
+      (2L, "A", "x x x y"),
+      (3L, "B", "x y z w"),
+      (4L, "B", "w z y x"),
+      (5L, "C", "p q"),
+      (6L, "D", "q p"),
+      (7L, null, "ignored entirely")
+    ).toDF("doc_id", "source", "text")
+    val got = Vocab.sourceDivergence(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    // local reference with the operator's exact arithmetic
+    val corpus = Map(
+      "A" -> "x x x x x x y x x x y", "B" -> "x y z w w z y x",
+      "C" -> "p q", "D" -> "q p")
+      .view.mapValues(_.split("\\s+").toSeq).toMap
+    val unis = corpus.view.mapValues(_.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val nTok = corpus.values.map(_.size).sum.toLong
+    val corpusCounts = corpus.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def klNano(s: String): Long = {
+      val nS = corpus(s).size.toLong
+      unis(s).map { case (w, cSw) =>
+        val pSw = cSw.toDouble / nS.toDouble
+        val pW = corpusCounts(w).toDouble / nTok.toDouble
+        math.round(pSw * math.log(pSw / pW) * 1000000000L)
+      }.sum
+    }
+    assert(got.keySet == Set("A", "B", "C", "D")) // null source excluded
+    got.foreach { case (s, (_, n, nano, kl)) =>
+      assert(n == corpus(s).size.toLong)
+      assert(nano == klNano(s), s"source $s KL mismatch")
+      assert(kl == nano.toDouble / 1000000000.0)
+    }
+    // KL is against the MIXTURE, which A's mass dominates — so the
+    // uniform minority source B diverges more than the skewed majority
+    // A (the property that makes this the outlier-domain detector);
+    // C and D carry one shared distribution and so score identically
+    assert(got("B")._3 > got("A")._3)
+    assert(got("C")._3 == got("D")._3)
+  }
 }
