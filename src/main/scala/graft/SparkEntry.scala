@@ -1241,6 +1241,15 @@ object SparkEntry {
   private def q113_source_divergence(s: SparkSession, dir: String): DataFrame =
     Vocab.sourceDivergence(Tables.documents(s, dir), "source", "text")
 
+  /** Dedup-gate calibration sweep (round 14): pair/doc survival at
+    * each candidate Jaccard cutoff, from ONE candidate generation at
+    * the lowest threshold ([[graft.operators.Dedup.jaccardThresholdSweep]]).
+    */
+  private def q114_threshold_sweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardThresholdSweep(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 3, thresholds = Seq(0.5, 0.7, 0.9))
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2067,7 +2076,8 @@ object SparkEntry {
     "q110_source_overlap" -> (q110_source_overlap _),
     "q111_funnel" -> (q111_funnel _),
     "q112_pmi_collocations" -> (q112_pmi_collocations _),
-    "q113_source_divergence" -> (q113_source_divergence _)
+    "q113_source_divergence" -> (q113_source_divergence _),
+    "q114_threshold_sweep" -> (q114_threshold_sweep _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3596,6 +3606,26 @@ object SparkEntry {
           SELECT grp AS source, n_s AS n_tokens,
                  CAST(sum(term_nano) AS BIGINT) AS kl_nano,
                  CAST(CAST(sum(term_nano) AS BIGINT) AS DOUBLE) / 1000000000.0 AS kl
-          FROM terms GROUP BY grp, n_s"""
+          FROM terms GROUP BY grp, n_s""",
+    "q114_threshold_sweep" ->
+      // the q18 pair CTEs at the lowest threshold (the prefix filter is
+      // lossless there), then pure conditional counts per cutoff; empty
+      // cutoffs report explicit zeros via the left joins
+      s"""WITH $sqlShingleCtes,
+          $sqlJaccardPairCtes,
+          th AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold),
+          pt AS (SELECT threshold, id_a, id_b
+                 FROM pairs CROSS JOIN th WHERE jaccard >= threshold),
+          pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM pt GROUP BY threshold),
+          dc AS (SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+                 FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM pt)
+                 GROUP BY threshold)
+          SELECT th.threshold,
+                 COALESCE(pc.n_pairs, 0) AS n_pairs,
+                 COALESCE(dc.n_docs, 0) AS n_docs
+          FROM th
+          LEFT JOIN pc ON pc.threshold = th.threshold
+          LEFT JOIN dc ON dc.threshold = th.threshold"""
   )
 }

@@ -1080,6 +1080,52 @@ object Dedup {
         (col(idCol) === col("rep_id")).cast("long").alias("kept"))
   }
 
+  /** Dedup-gate calibration: how many near-dup pairs (and how many
+    * docs they touch) survive at EACH candidate threshold — the sweep
+    * read before committing a Jaccard cutoff to a 100 TB run, where a
+    * 0.7-vs-0.8 call is the difference between trimming boilerplate
+    * and deleting a measurable corpus fraction. One row per threshold:
+    * `(threshold, n_pairs, n_docs)`; thresholds with zero survivors
+    * report explicit zeros.
+    *
+    * One candidate generation at the LOWEST threshold (the AllPairs
+    * prefix filter is lossless there, so every higher cutoff is a pure
+    * row-local filter over the same exact-Jaccard pairs — no per-
+    * threshold rescan), then conditional counts. The pair table is the
+    * already-verified [[ngramJaccard]] output; the sweep adds only
+    * bounded aggregates on top.
+    */
+  def jaccardThresholdSweep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "jaccardThresholdSweep: no thresholds")
+    require(thresholds == thresholds.distinct, "jaccardThresholdSweep: duplicate thresholds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccard(docs, idCol, textCol, n, thresholds.min)
+      .localCheckpoint(true) // feeds the pair counts AND the doc counts
+    val pt = pairs
+      .select(
+        explode(typedlit(thresholds)).alias("threshold"),
+        col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+    val pc = pt.groupBy("threshold").agg(count(lit(1)).alias("n_pairs"))
+    val dc = pt
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).alias("id"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("id")).alias("n_docs"))
+    thresholds.toDF("threshold")
+      .join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
+      .select(
+        col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).alias("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).alias("n_docs"))
+  }
+
   /** GROUP-level content-overlap matrix: pairwise shingle-set Jaccard
     * between corpus partitions (sources, crawls, snapshots, vendors) —
     * the dashboard that answers "which of my sources are mirrors of

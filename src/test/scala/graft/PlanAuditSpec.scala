@@ -702,6 +702,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q113 path:\n$plan")
   }
 
+  test("q114: sweep runs candidate generation once; shuffles carry ids/hashes, never text") {
+    val plan = planOf("q114_threshold_sweep")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    // the per-threshold filters are row-local over ONE materialized
+    // pair table — no threshold may trigger its own shingle pipeline
+    assert(!plan.contains("shingle_hash_set"),
+      s"candidate generation re-ran inside the sweep plan (it must come from the checkpoint):\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q114 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

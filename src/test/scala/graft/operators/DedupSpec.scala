@@ -454,6 +454,29 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L, 6L -> 1L))
   }
 
+  test("jaccardThresholdSweep: each cutoff's counts equal a standalone run at that threshold; empty cutoffs report zeros") {
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(28) :+ "x1" :+ "x2").mkString(" ")),   // high overlap with 1
+      (3L, (base.take(18) ++ (1 to 12).map(i => s"y$i")).mkString(" ")), // medium
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))          // disjoint
+    ).toDF("doc_id", "text")
+    val thresholds = Seq(0.3, 0.6, 0.95)
+    val got = Dedup.jaccardThresholdSweep(docs, "doc_id", "text", n = 3, thresholds)
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == thresholds.toSet)
+    thresholds.foreach { t =>
+      val standalone = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect()
+      assert(got(t)._1 == standalone.length.toLong, s"t=$t pair count")
+      assert(got(t)._2 ==
+        standalone.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong, s"t=$t doc count")
+    }
+    assert(got(0.3)._1 > 0L, "expected surviving pairs at the low cutoff")
+    assert(got(0.95) == ((0L, 0L)), "expected explicit zeros at the top cutoff")
+  }
+
   test("sourceOverlap: known universes yield exact Jaccard; dups collapse; zero-overlap pairs absent") {
     val docs = Seq(
       (1L, "A", "t1 t2 t3"),       // shingle {t1 t2 t3}
