@@ -114,7 +114,16 @@ object ScaleBench {
     // q111: one fused corpus_stats scan + one aggregate whose only
     // exchange carries the conditional fingerprint — the q01 linearity
     // shape with a distinct on top
-    "q111_funnel")
+    "q111_funnel",
+    // q112/q113: gram-keyed count aggregates + joins over per-copy
+    // DISJOINT vocabularies (token prefixing bijects grams) — tables
+    // grow 10×, joins stay gram-co-located, q101's weak-scale argument
+    // verbatim. q114: the q18 pair pipeline at its lowest cutoff plus
+    // bounded conditional counts — q18's within-copy candidate roster
+    // argument carries over unchanged.
+    "q112_pmi_collocations",
+    "q113_source_divergence",
+    "q114_threshold_sweep")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
