@@ -74,8 +74,10 @@ object NgramLm {
     val uni = tk
       .select(explode(col("t")).alias("w"))
       .groupBy("w").agg(count(lit(1)).alias("c"))
-    val nTok = tk.select(explode(col("t")).alias("w"))
-      .agg(count(lit(1)).alias("n_tok"))
+    // total mass DERIVES from the unigram table (identical BIGINT) —
+    // a separate explode+count would tokenize the training slice a
+    // third time for a scalar the counts already hold
+    val nTok = uni.agg(sum(col("c")).alias("n_tok"))
     val bi = bigramStream(tk)
       .groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
     LmTables(uni, bi, nTok)

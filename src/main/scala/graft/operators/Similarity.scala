@@ -1467,6 +1467,14 @@ object Similarity {
     * All I/O goes through Hadoop's FileSystem, so the job runs on any
     * supported store (rename atomicity is the store's own contract —
     * atomic dir rename on HDFS/local, copy-based on S3A).
+    *
+    * WRITER serialization is the caller's job: never run this
+    * out-of-band against a LIVE ingest — a trigger that appends and
+    * acks between this job's read and its swap would have its rows
+    * silently deleted (the ack then blocks the replay that would
+    * restore them). Use the in-trigger hooks
+    * (`startAnnIndex(compactEvery)` / `startUnified(annCompactEvery)`),
+    * which run after the batch ack on the stream's own thread.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

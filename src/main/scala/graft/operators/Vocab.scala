@@ -46,6 +46,9 @@ object Vocab {
     * external tokenizer's stream share the count/top-V/coverage tail.
     */
   def vocabularyFromTokens(tokStream: DataFrame, tokenCol: String, topV: Int): DataFrame = {
+    // validate BEFORE the eager checkpoint below — an invalid topV must
+    // fail in microseconds, not after a corpus-scale aggregation job
+    require(topV > 0, s"topV must be positive, got $topV")
     // materialized ONCE: the counts aggregate feeds both the top-V cut
     // and the total-token-mass scalar — without this the token-stream
     // explode + aggregate runs twice

@@ -854,7 +854,9 @@ object DedupIngest {
       lmPath: Option[String] = None,
       qualityCutoff: Double = -12.0,
       searchIndexPath: Option[String] = None,
-      searchBuckets: Int = 16): StreamingQuery =
+      searchBuckets: Int = 16,
+      annCompactEvery: Int = 0,
+      searchCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -865,6 +867,22 @@ object DedupIngest {
           n, k, bands, textThreshold, semThreshold, nLists, trainSample,
           annNLists, annM, annCodes, tierTimer, deconBench, deconThreshold, deconNProbe,
           lmPath, qualityCutoff, searchIndexPath, searchBuckets)
+        // maintenance hooks AFTER the ack, on the trigger's own thread
+        // — the only safe place to compact a live stream's artifacts
+        // (an out-of-band compaction races the appends; see
+        // compactIvfPqIndex's writer-serialization contract). A crash
+        // that skips one just leaves the deltas for a later cadence.
+        if (annCompactEvery > 0 && (batchId + 1) % annCompactEvery == 0)
+          annIndexPath.foreach { p =>
+            val root = new org.apache.hadoop.fs.Path(
+              s"$p/${Similarity.ivfPqModelDirName}")
+            if (root.getFileSystem(
+                batch.sparkSession.sparkContext.hadoopConfiguration).exists(root))
+              Similarity.compactIvfPqIndex(batch.sparkSession, p)
+          }
+        if (searchCompactEvery > 0 && (batchId + 1) % searchCompactEvery == 0)
+          searchIndexPath.foreach(p =>
+            SearchIndex.compactPostings(batch.sparkSession, p))
       }
       .start()
 

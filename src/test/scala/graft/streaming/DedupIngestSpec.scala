@@ -272,9 +272,23 @@ class DedupIngestSpec extends SparkTestBase {
       input.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
       sink, "uni", ckpt, trigger, annIndexPath = Some(idx),
       textThreshold = 0.8, semThreshold = 0.9, nLists = 1, trainSample = 100,
-      annNLists = 2, annM = 4, annCodes = 4, searchIndexPath = Some(srchIdx))
+      annNLists = 2, annM = 4, annCodes = 4, searchIndexPath = Some(srchIdx),
+      annCompactEvery = 3, searchCompactEvery = 3)
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     q.stop()
+
+    // the in-trigger compaction hooks fired on the last batch: both
+    // artifacts are base-shaped, and every content assertion below
+    // reads the COMPACTED layout
+    def batchDirNames(path: String): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/*/batch=*"))
+        .map(_.getPath.getName).toSet
+    }
+    assert(batchDirNames(idx) == Set("batch=-1"), s"ANN deltas survived: ${batchDirNames(idx)}")
+    assert(batchDirNames(srchIdx) == Set("batch=-1"),
+      s"postings deltas survived: ${batchDirNames(srchIdx)}")
 
     // tier 1: every distinct fingerprint recorded, dup counts exact
     val exact = sink.read(spark, "uni__exact", DedupIngest.exactStateSchema)
