@@ -180,4 +180,48 @@ class PropertySpec extends AnyFunSuite {
       starts.zip(starts.drop(1)).forall { case (a, b) => b - a == stride.toLong }
     })
   }
+
+  test("vector_micro_sum rounding equals the BigDecimal HALF_UP law on arbitrary magnitudes") {
+    val buf = new graft.functions.expressions.VectorSumBuffer
+    val vGen = Gen.chooseNum(-10.0, 10.0).flatMap(base =>
+      Gen.oneOf(base, base / 1e6, base * 1e3, base + 0.5e-6, base - 0.5e-6))
+    check(Prop.forAll(vGen) { v =>
+      val s = v * 1e6
+      val want = new java.math.BigDecimal(s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      buf.micro(v) == want
+    })
+  }
+
+  test("vector_micro_sum buffers form a commutative monoid under merge (any split, any order)") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+    val corpusGen = Gen.listOf(vecGen).map(_.take(24))
+    def arrData(a: Array[Float]) =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
+    def fold(vs: Seq[Array[Float]]): (Long, Seq[Long]) = {
+      val b = new graft.functions.expressions.VectorSumBuffer
+      vs.foreach(v => b.update(arrData(v)))
+      (b.n, Option(b.sums).map(_.toSeq).getOrElse(Seq.empty))
+    }
+    check(Prop.forAll(corpusGen, Gen.choose(0, 24)) { (vs, cut) =>
+      val k = math.min(cut, vs.length)
+      val (l, r) = vs.splitAt(k)
+      val seq = fold(vs)
+      // merge(left, right) and merge(right, left) both equal the
+      // sequential fold — integer element sums are order-free
+      val b1 = new graft.functions.expressions.VectorSumBuffer
+      l.foreach(v => b1.update(arrData(v)))
+      val b2 = new graft.functions.expressions.VectorSumBuffer
+      r.foreach(v => b2.update(arrData(v)))
+      b1.merge(b2)
+      val m12 = (b1.n, Option(b1.sums).map(_.toSeq).getOrElse(Seq.empty))
+      val b3 = new graft.functions.expressions.VectorSumBuffer
+      r.foreach(v => b3.update(arrData(v)))
+      val b4 = new graft.functions.expressions.VectorSumBuffer
+      l.foreach(v => b4.update(arrData(v)))
+      b3.merge(b4)
+      val m21 = (b3.n, Option(b3.sums).map(_.toSeq).getOrElse(Seq.empty))
+      m12 == seq && m21 == seq
+    })
+  }
 }
