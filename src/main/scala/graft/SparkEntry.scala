@@ -1129,7 +1129,10 @@ object SparkEntry {
     * arithmetic (`1.2 + 1.0`, never a pre-folded `2.2` that might round
     * differently from the engine-side sum).
     */
-  private def sqlBm25Oracle: String = {
+  /** The bm25Rank CTE chain up to `sc(doc_id, score_micro)` — shared
+    * by the q106 oracle and q115's candidate stage.
+    */
+  private def sqlBm25Ctes: String = {
     val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     val tfDefs = q106Terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(t, x -> x = '${t.replace("'", "''")}')) AS tf_$i"
@@ -1141,15 +1144,18 @@ object SparkEntry {
            * ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
               (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl))))) * 1000000) AS BIGINT)"""
     }.mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
-                    WHERE text IS NOT NULL),
+    s"""tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+               WHERE text IS NOT NULL),
         bs AS (SELECT doc_id, len(t) AS dl, $tfDefs FROM tk),
         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfDefs
                FROM bs),
-        sc AS (SELECT doc_id, $micros AS score_micro FROM bs CROSS JOIN st)
+        sc AS (SELECT doc_id, $micros AS score_micro FROM bs CROSS JOIN st)"""
+  }
+
+  private def sqlBm25Oracle: String =
+    s"""WITH $sqlBm25Ctes
         SELECT doc_id, score_micro, CAST(score_micro AS DOUBLE) / 1000000.0 AS score
         FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
-  }
 
   /** Snapshot diff (round 14): added/removed/changed report between a
     * deterministically perturbed "previous" snapshot of `documents` and
@@ -1249,6 +1255,25 @@ object SparkEntry {
     Dedup.jaccardThresholdSweep(
       Tables.documents(s, dir), "doc_id", "text",
       n = 3, thresholds = Seq(0.5, 0.7, 0.9))
+
+  /** Hybrid retrieval (round 14): q106's lexical candidates re-ranked
+    * by cosine to the q22 query embedding — the retrieve-then-rerank
+    * composition, both signals as integer micros
+    * ([[graft.operators.TfIdf.hybridRank]]). The embedding table joins
+    * by id AFTER the candidate cut, so at scale it is a point lookup.
+    */
+  private def q115_hybrid_rank(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .map(_.toDouble)
+    TfIdf.hybridRank(
+      Tables.documents(s, dir), "doc_id", "text",
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      q106Terms, qv)
+  }
 
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
@@ -2077,7 +2102,8 @@ object SparkEntry {
     "q111_funnel" -> (q111_funnel _),
     "q112_pmi_collocations" -> (q112_pmi_collocations _),
     "q113_source_divergence" -> (q113_source_divergence _),
-    "q114_threshold_sweep" -> (q114_threshold_sweep _)
+    "q114_threshold_sweep" -> (q114_threshold_sweep _),
+    "q115_hybrid_rank" -> (q115_hybrid_rank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3626,6 +3652,26 @@ object SparkEntry {
                  COALESCE(dc.n_docs, 0) AS n_docs
           FROM th
           LEFT JOIN pc ON pc.threshold = th.threshold
-          LEFT JOIN dc ON dc.threshold = th.threshold"""
+          LEFT JOIN dc ON dc.threshold = th.threshold""",
+    "q115_hybrid_rank" ->
+      // q106's candidate CTEs (LIMIT 100) + the q22 cosine against the
+      // vec_id=0 query embedding, both signals combined as micros in
+      // the operator's exact operand order
+      s"""WITH $sqlBm25Ctes,
+          cand AS (SELECT doc_id, score_micro AS bm25_micro FROM sc
+                   ORDER BY score_micro DESC, doc_id ASC LIMIT 100),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cs AS (SELECT vec_id AS doc_id, ${sqlCos("embedding", "qv")} AS cos
+                 FROM embeddings, q),
+          j AS (SELECT cand.doc_id, bm25_micro,
+                       CAST(round((COALESCE(cs.cos, 0.0) * 1.0) * 1000000) AS BIGINT) AS cos_micro
+                FROM cand LEFT JOIN cs ON cs.doc_id = cand.doc_id),
+          h AS (SELECT doc_id, bm25_micro, cos_micro,
+                       CAST(round(CAST(bm25_micro AS DOUBLE) * 1.0) AS BIGINT) + cos_micro
+                         AS hybrid_micro
+                FROM j)
+          SELECT doc_id, bm25_micro, cos_micro, hybrid_micro,
+                 CAST(hybrid_micro AS DOUBLE) / 1000000.0 AS hybrid
+          FROM h ORDER BY hybrid_micro DESC, doc_id ASC LIMIT 20"""
   )
 }

@@ -260,4 +260,60 @@ object TfIdf {
   private[graft] def bm25Micro(k1: Double, b: Double): Column =
     bm25MicroCols(col("tf"), col("df"), col("dl"),
       col("n_docs"), col("sum_dl"), k1, b)
+
+  /** Hybrid retrieval — the retrieve-then-rerank composition every
+    * modern search/RAG stack runs: [[bm25Rank]] pulls `candidates`
+    * lexical candidates, each is re-scored by the cosine of its
+    * embedding to the query vector, and the final order mixes both
+    * signals. Lexical recall finds what embeddings miss (rare exact
+    * terms, ids, code); the dense side finds paraphrases the terms
+    * miss — the mix beats either alone.
+    *
+    * Scale shape: the candidate set is topK-bounded BEFORE the
+    * embedding join (only `candidates` rows join the embedding table —
+    * at 100 TB that join is an id-keyed point lookup, not a corpus
+    * scan), the cosine is the q22 scan-side expression, and the final
+    * rank is a TakeOrdered over `candidates` rows.
+    *
+    * Determinism: both signals enter as integer micros
+    * (`hybrid_micro = round(bm25_micro · wText) + round(cos · wVec · 1e6)`,
+    * each term row-local), ties break by doc id. A candidate with no
+    * embedding row re-ranks on its lexical score alone (cosine treated
+    * as 0 — documented, not silently dropped).
+    */
+  def hybridRank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      terms: Seq[String],
+      queryVec: Seq[Double],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      wText: Double = 1.0,
+      wVec: Double = 1.0,
+      candidates: Int = 100,
+      topK: Int = 20): DataFrame = {
+    require(queryVec.nonEmpty, "hybridRank: empty query vector")
+    require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
+    val lex = bm25Rank(docs, idCol, textCol, terms, k1, b, topK = candidates)
+      .select(col("doc_id"), col("score_micro").alias("bm25_micro"))
+    val cosed = graft.operators.Similarity
+      .withCosine(emb, vecCol, queryVec)
+      .select(col(embIdCol).alias("doc_id"), col("cos"))
+    lex
+      .join(cosed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("bm25_micro"),
+        round(coalesce(col("cos"), lit(0.0)) * lit(wVec) * lit(1000000L))
+          .cast("long").alias("cos_micro"))
+      .withColumn("hybrid_micro",
+        round(col("bm25_micro").cast("double") * lit(wText)).cast("long") + col("cos_micro"))
+      .withColumn("hybrid", col("hybrid_micro").cast("double") / lit(1000000.0))
+      .orderBy(col("hybrid_micro").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

@@ -714,6 +714,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q114 path:\n$plan")
   }
 
+  test("q115: hybrid rerank joins embeddings AFTER the candidate cut; text never shuffles") {
+    val plan = planOf("q115_hybrid_rank")
+    assert(plan.contains("TakeOrderedAndProject"), s"candidate/final cuts not TakeOrdered:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q115 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

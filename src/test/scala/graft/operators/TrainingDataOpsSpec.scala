@@ -534,4 +534,55 @@ class TrainingDataOpsSpec extends SparkTestBase {
       assert(ord == ord.sorted)
     }
   }
+
+  test("TfIdf.hybridRank: weight extremes reduce to the pure signals; missing embeddings rank lexically") {
+    val docs = Seq(
+      (1L, "rare apple apple"),
+      (2L, "apple apple apple apple banana banana banana banana"),
+      (3L, "apple banana"),
+      (4L, "rare rare apple banana filler filler filler"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    // doc 3's embedding aligns with the query; doc 1's opposes; doc 4
+    // has NO embedding row
+    val emb = Seq(
+      (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(0.3f, 0.6f)),
+      (3L, Seq(1.0f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val terms = Seq("rare", "apple", "banana")
+    val qv = Seq(1.0, 0.0)
+
+    val lex = TfIdf.bm25Rank(docs, "doc_id", "text", terms, topK = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+
+    // wVec = 0: pure lexical order over the candidate set
+    val lexOnly = TfIdf.hybridRank(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      terms, qv, wVec = 0.0, candidates = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(lexOnly.map(_._1).toSeq ==
+      lex.toSeq.sortBy { case (id, m) => (-m, id) }.map(_._1))
+    assert(lexOnly.forall(_._3 == 0L)) // cos_micro zeroed by the weight
+
+    // wText = 0: candidates re-order purely by cosine (doc 4 counts 0)
+    val vecOnly = TfIdf.hybridRank(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      terms, qv, wText = 0.0, candidates = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(vecOnly.head._1 == 3L, s"aligned embedding must lead: ${vecOnly.toSeq}")
+    val doc4 = vecOnly.find(_._1 == 4L).get
+    assert(doc4._3 == 0L && doc4._4 == 0L, "missing embedding must score cosine 0")
+    // doc 1 (opposed embedding) ranks below doc 4's zero
+    assert(vecOnly.map(_._1).indexOf(1L) > vecOnly.map(_._1).indexOf(4L))
+
+    // default weights: hybrid_micro is exactly the sum of the two parts
+    val both = TfIdf.hybridRank(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      terms, qv, candidates = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    both.foreach { case (id, bm, cm, hm, h) =>
+      assert(bm == lex(id))
+      assert(hm == bm + cm, s"doc $id hybrid not the micro sum")
+      assert(h == hm.toDouble / 1000000.0)
+    }
+  }
 }
