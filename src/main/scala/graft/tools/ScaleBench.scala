@@ -123,7 +123,10 @@ object ScaleBench {
     // argument carries over unchanged.
     "q112_pmi_collocations",
     "q113_source_divergence",
-    "q114_threshold_sweep")
+    "q114_threshold_sweep",
+    // q115: q106's two corpus passes + a candidate-bounded embedding
+    // point join — the corpus side is linear, the rerank side constant
+    "q115_hybrid_rank")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
