@@ -298,8 +298,28 @@ object TfIdf {
       topK: Int = 20): DataFrame = {
     require(queryVec.nonEmpty, "hybridRank: empty query vector")
     require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
-    val lex = bm25Rank(docs, idCol, textCol, terms, k1, b, topK = candidates)
-      .select(col("doc_id"), col("score_micro").alias("bm25_micro"))
+    hybridRerank(
+      bm25Rank(docs, idCol, textCol, terms, k1, b, topK = candidates)
+        .select(col("doc_id"), col("score_micro").alias("bm25_micro")),
+      emb, embIdCol, vecCol, queryVec, wText, wVec, topK)
+  }
+
+  /** The rerank tail shared by [[hybridRank]] (corpus-scan candidates)
+    * and the streamed-artifact surface
+    * ([[graft.streaming.SearchIndex.hybridSearch]]): left-join the
+    * `(doc_id, bm25_micro)` candidates to the embedding side, combine
+    * as integer micros, TakeOrdered. ONE definition so the mixing
+    * arithmetic cannot drift between the batch and streaming surfaces.
+    */
+  private[graft] def hybridRerank(
+      lex: DataFrame,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      wText: Double,
+      wVec: Double,
+      topK: Int): DataFrame = {
     val cosed = graft.operators.Similarity
       .withCosine(emb, vecCol, queryVec)
       .select(col(embIdCol).alias("doc_id"), col("cos"))

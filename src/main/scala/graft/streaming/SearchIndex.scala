@@ -183,6 +183,41 @@ object SearchIndex {
       }
       .start()
 
+  /** Hybrid retrieval served ENTIRELY from streamed state: lexical
+    * candidates from the live postings index ([[search]]), re-ranked by
+    * cosine against an embedding table — in the unified deployment,
+    * the semantic tier's own `(id, vec)` state, so both signals come
+    * from artifacts the ingest already maintains and the answer covers
+    * exactly the retained corpus. Shares
+    * [[graft.operators.TfIdf.hybridRerank]] with the batch surface, so
+    * streamed hybrid scores are bit-identical to
+    * [[graft.operators.TfIdf.hybridRank]] over the ingested union
+    * (spec-pinned).
+    */
+  def hybridSearch(
+      spark: SparkSession,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      terms: Seq[String],
+      queryVec: Seq[Double],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      wText: Double = 1.0,
+      wVec: Double = 1.0,
+      candidates: Int = 100,
+      topK: Int = 20): DataFrame = {
+    require(queryVec.nonEmpty, "hybridSearch: empty query vector")
+    require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
+    TfIdf.hybridRerank(
+      search(spark, indexPath, sink, table, terms, k1, b, topK = candidates)
+        .select(col("doc_id"), col("score_micro").alias("bm25_micro")),
+      emb, embIdCol, vecCol, queryVec, wText, wVec, topK)
+  }
+
   /** Compacts the postings artifact's accumulated per-trigger deltas:
     * every `(tb, batch)` partition rewrites into the base `batch = -1`
     * layout with ONE write task per term bucket, so the partition/file

@@ -324,6 +324,25 @@ class DedupIngestSpec extends SparkTestBase {
     assert(served.keySet === Set(1L, 3L), s"served $served") // doc 7 shares no term
     served.foreach { case (id, micro) => assert(micro == wantScores(id), s"doc $id") }
 
+    // hybrid retrieval from STREAMED STATE ONLY (postings + the sem
+    // tier's own (id, vec) table) is bit-identical to the batch
+    // composition over the kept corpus — terms cover all kept docs so
+    // both surfaces see the same candidate set
+    val hybridTerms = Seq("alpha1", "beta1", "delta1")
+    val qvec = Seq.tabulate(8)(j => if (j == 2) 1.0 else 0.0)
+    val semVecs = sink.read(spark, "uni__sem", DedupIngest.semanticStateSchema)
+    val streamedHybrid = graft.streaming.SearchIndex.hybridSearch(
+      spark, srchIdx, sink, "uni__srch", semVecs, "id", "vec", hybridTerms, qvec)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val keptEmb = Seq((1L, unit(0)), (3L, unit(2)), (7L, unit(5)))
+      .toDF("vec_id", "embedding")
+    val batchHybrid = graft.operators.TfIdf.hybridRank(
+      keptDocs, "doc_id", "text", keptEmb, "vec_id", "embedding", hybridTerms, qvec)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(streamedHybrid.toSeq == batchHybrid.toSeq,
+      s"streamed hybrid diverged:\n${streamedHybrid.toSeq}\nvs\n${batchHybrid.toSeq}")
+    assert(streamedHybrid.head._1 == 3L, "the embedding-aligned doc must lead the hybrid mix")
+
     // equality to the sequential BATCH composition over the union
     val all = batches.flatten
     val allDocs = all.map(t => (t._1, t._2)).toDF("doc_id", "text")
