@@ -13,12 +13,17 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * stranded by a crash, never lost or doubled.
   *
   * Single-writer contract (one stream / one maintenance job per
-  * artifact) — concurrent compactions of the same root are not
-  * defended.
+  * artifact); CONCURRENT READERS are allowed and must call the
+  * read-side form — [[recover]] with `sweep = false` — which only
+  * performs the root-missing rename-back and never deletes sibling
+  * dirs: a reader that swept would delete a LIVE compaction's
+  * in-flight tmp out from under the writer (turning every reader into
+  * a writer and failing the swap). Only writer entry points (ingest
+  * bodies, the compactions themselves) sweep stale leftovers.
   */
 private[graft] object ArtifactSwap {
 
-  def recover(fs: FileSystem, root: Path, label: String): Unit = {
+  def recover(fs: FileSystem, root: Path, label: String, sweep: Boolean): Unit = {
     val parent = root.getParent
     def stamped(kind: String): Seq[FileStatus] =
       if (parent == null || !fs.exists(parent)) Seq.empty
@@ -30,7 +35,7 @@ private[graft] object ArtifactSwap {
           s"$label: recovery rename of ${o.getPath} failed")
       }
     }
-    if (fs.exists(root))
+    if (sweep && fs.exists(root))
       (stamped("compact_old") ++ stamped("compact_tmp"))
         .foreach(s => fs.delete(s.getPath, true))
   }

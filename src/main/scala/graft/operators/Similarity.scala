@@ -1480,7 +1480,7 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    ArtifactSwap.recover(fs, root, "compactIvfPqIndex")
+    ArtifactSwap.recover(fs, root, "compactIvfPqIndex", sweep = true)
     val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
     require(fs.exists(model),
       s"compactIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
@@ -1548,9 +1548,11 @@ object Similarity {
       path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import spark.implicits._
     val hRoot = new org.apache.hadoop.fs.Path(path)
+    // read-side recovery: rename-back only, never sweep — top-k/kNN
+    // readers run concurrently with a live compaction by contract
     ArtifactSwap.recover(
       hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      hRoot, "readIvfPqModel")
+      hRoot, "readIvfPqModel", sweep = false)
     val m = spark.read.parquet(s"$path/$IvfPqModelDir").as[IvfPqIndexModel].head()
     val centroids = m.centroidsFlat.grouped(m.dim).toArray
     val cbs = new Array[Array[Array[Double]]](m.codebookSizes.length)

@@ -782,7 +782,8 @@ object DedupIngest {
             // probe: a stranded root would read as "no model", retrain,
             // and orphan the whole pre-compaction index
             graft.operators.ArtifactSwap.recover(
-              fs, new org.apache.hadoop.fs.Path(path), "startUnified(ann)")
+              fs, new org.apache.hadoop.fs.Path(path), "startUnified(ann)",
+              sweep = true)
             if (!fs.exists(modelPath))
               Similarity.buildIvfPqModelOnly(
                 vecs, "id", "vec", path,

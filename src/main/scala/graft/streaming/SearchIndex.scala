@@ -85,14 +85,17 @@ object SearchIndex {
   }
 
   /** [[graft.operators.ArtifactSwap.recover]] for the postings
-    * artifact — run by every entry point (ingest, query, compaction)
-    * so [[compactPostings]]' swap window can strand the artifact but
-    * never lose it.
+    * artifact — run by every entry point so [[compactPostings]]' swap
+    * window can strand the artifact but never lose it. Writers
+    * (ingest, compaction) also sweep stale leftovers; READERS must
+    * not (`sweep = false`): a reader's sweep would delete a live
+    * compaction's in-flight tmp (see [[graft.operators.ArtifactSwap]]).
     */
   private[streaming] def recoverCompaction(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit =
-    graft.operators.ArtifactSwap.recover(fs, root, "SearchIndex")
+      root: org.apache.hadoop.fs.Path,
+      sweep: Boolean): Unit =
+    graft.operators.ArtifactSwap.recover(fs, root, "SearchIndex", sweep)
 
   /** The per-micro-batch body (factored out for the replay spec). */
   private[streaming] def applyBatch(
@@ -109,7 +112,7 @@ object SearchIndex {
     Dedup.requireNumericId(batch, idCol, "SearchIndex")
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, root) // a fresh write into an un-recovered root would strand history
+    recoverCompaction(fs, root, sweep = true) // a fresh write into an un-recovered root would strand history
     val posts = TfIdf.postings(batch, idCol, textCol)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .localCheckpoint(true)
@@ -120,17 +123,23 @@ object SearchIndex {
       DedupIngest.markApplied(spark, sink, table, batchId)
       return
     }
+    // the ARTIFACT's bucket count wins over the parameter on restarts
+    // too: a stream restarted with a different `buckets` would
+    // otherwise write deltas under a modulus the sidecar-driven query
+    // pruning never probes — those docs would silently vanish from
+    // every ranking
+    val effBuckets = readBucketsSidecar(fs, root).getOrElse(buckets)
     // postings: idempotent by construction (dynamic overwrite of this
     // batch's own partitions) — no ack needed, safe to re-run
     posts
-      .withColumn("tb", TextFunctions.md5Hash60(col("term")) % buckets)
+      .withColumn("tb", TextFunctions.md5Hash60(col("term")) % effBuckets)
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(indexPath)
     // bucket count is an artifact property — persisted once, read back
-    // by search(); a mismatched caller cannot silently mis-prune
-    writeBucketsSidecar(fs, root, buckets)
+    // by search() and by every later ingest restart
+    writeBucketsSidecar(fs, root, effBuckets)
     if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__df", batchId)) {
       val merged = StateMerge.fullOuterMerge(
         sink.read(spark, s"${table}__df", dfSchema),
@@ -190,9 +199,17 @@ object SearchIndex {
     * from artifacts the ingest already maintains and the answer covers
     * exactly the retained corpus. Shares
     * [[graft.operators.TfIdf.hybridRerank]] with the batch surface, so
-    * streamed hybrid scores are bit-identical to
-    * [[graft.operators.TfIdf.hybridRank]] over the ingested union
-    * (spec-pinned).
+    * per-candidate hybrid scores are bit-identical to
+    * [[graft.operators.TfIdf.hybridRank]] over the ingested union.
+    *
+    * Candidate-rule caveat: [[search]] only ever surfaces docs
+    * containing ≥ 1 query term, while the batch `bm25Rank` pads its
+    * candidate list with zero-lexical-score docs when the term-matching
+    * set is smaller than `candidates` — under a dense-dominant mix
+    * (`wText ≈ 0`) the batch surface can then rank a no-term doc that
+    * this surface structurally cannot return. Full ranking parity holds
+    * exactly when the query terms cover the corpus or the term-matching
+    * set fills `candidates` (the spec pins the covering case).
     */
   def hybridSearch(
       spark: SparkSession,
@@ -235,7 +252,7 @@ object SearchIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(conf)
-    recoverCompaction(fs, root)
+    recoverCompaction(fs, root, sweep = true)
     // nothing ingested yet (a quiet stream's cadence can fire before
     // the first non-empty batch), or nothing to fold: a no-op, not an
     // error — compaction is maintenance
@@ -289,7 +306,7 @@ object SearchIndex {
     // silently serve an empty ranking
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, p)
+    recoverCompaction(fs, p, sweep = false)
     // data presence, not just dir presence: a recovered-but-empty dir
     // (or one holding only the sidecar) has no schema to infer
     val hasData = fs.exists(p) &&

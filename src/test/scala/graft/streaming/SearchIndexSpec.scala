@@ -154,5 +154,15 @@ class SearchIndexSpec extends SparkTestBase {
     val hits = SearchIndex.search(spark, idxPath, sink, "srch2", Seq("alpha"))
       .as[(Long, Long, Double)].collect()
     assert(hits.map(_._1).toSeq == Seq(2L))
+
+    // a restart with a DIFFERENT buckets parameter adopts the
+    // artifact's sidecar: the new batch's postings stay findable
+    SearchIndex.applyBatch(
+      Seq((3L, "alpha gamma")).toDF("doc_id", "text"),
+      batchId = 2L, "doc_id", "text", idxPath, sink, "srch2", buckets = 5)
+    val after = SearchIndex.search(spark, idxPath, sink, "srch2", Seq("alpha"))
+      .as[(Long, Long, Double)].collect()
+    assert(after.map(_._1).toSet == Set(2L, 3L),
+      s"restart with mismatched buckets lost postings: ${after.toSeq}")
   }
 }
