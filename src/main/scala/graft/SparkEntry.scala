@@ -1275,6 +1275,12 @@ object SparkEntry {
       q106Terms, qv)
   }
 
+  /** Per-source dedup burden (round 14): which feeds waste the dedup
+    * budget ([[graft.operators.Dedup.sourceDupStats]]).
+    */
+  private def q116_source_dup_stats(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceDupStats(Tables.documents(s, dir), "source", "text")
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2103,7 +2109,8 @@ object SparkEntry {
     "q112_pmi_collocations" -> (q112_pmi_collocations _),
     "q113_source_divergence" -> (q113_source_divergence _),
     "q114_threshold_sweep" -> (q114_threshold_sweep _),
-    "q115_hybrid_rank" -> (q115_hybrid_rank _)
+    "q115_hybrid_rank" -> (q115_hybrid_rank _),
+    "q116_source_dup_stats" -> (q116_source_dup_stats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3672,6 +3679,16 @@ object SparkEntry {
                 FROM j)
           SELECT doc_id, bm25_micro, cos_micro, hybrid_micro,
                  CAST(hybrid_micro AS DOUBLE) / 1000000.0 AS hybrid
-          FROM h ORDER BY hybrid_micro DESC, doc_id ASC LIMIT 20"""
+          FROM h ORDER BY hybrid_micro DESC, doc_id ASC LIMIT 20""",
+    "q116_source_dup_stats" ->
+      // same fingerprint, same integer-derived ratio
+      """SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+                CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM documents
+         WHERE text IS NOT NULL AND source IS NOT NULL
+         GROUP BY source"""
   )
 }

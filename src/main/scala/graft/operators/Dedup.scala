@@ -1080,6 +1080,32 @@ object Dedup {
         (col(idCol) === col("rep_id")).cast("long").alias("kept"))
   }
 
+  /** Per-source dedup burden: how much of each source is exact
+    * duplicates of itself — `(source, n_docs, n_distinct_texts,
+    * dup_ratio)` — the dashboard that says WHICH feeds waste the dedup
+    * budget (template farms, scraped mirrors) before any doc-level work
+    * runs. Completes the per-source family (q104 quality, q110 overlap,
+    * q113 divergence). One fingerprint projection into one aggregate;
+    * the distinct count co-locates on the conditional fingerprint
+    * exactly like q111's canonical stage. Null-text docs are excluded
+    * (no content to fingerprint); within-source duplicates only —
+    * cross-source sharing is [[sourceOverlap]]'s job.
+    */
+  def sourceDupStats(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), md5(col(textCol)).alias("fp"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        countDistinct(col("fp")).alias("n_distinct_texts"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double"))
+
   /** Dedup-gate calibration: how many near-dup pairs (and how many
     * docs they touch) survive at EACH candidate threshold — the sweep
     * read before committing a Jaccard cutoff to a 100 TB run, where a

@@ -126,7 +126,10 @@ object ScaleBench {
     "q114_threshold_sweep",
     // q115: q106's two corpus passes + a candidate-bounded embedding
     // point join — the corpus side is linear, the rerank side constant
-    "q115_hybrid_rank")
+    "q115_hybrid_rank",
+    // q116: one fingerprint projection into one aggregate (q111's
+    // distinct-fp shape, grouped by source) — q01 linearity
+    "q116_source_dup_stats")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -477,6 +477,22 @@ class DedupSpec extends SparkTestBase {
     assert(got(0.95) == ((0L, 0L)), "expected explicit zeros at the top cutoff")
   }
 
+  test("sourceDupStats: within-source ratios exact; null text/source excluded; cross-source dups not counted") {
+    val docs = Seq(
+      (1L, "A", "same text"),
+      (2L, "A", "same text"),     // within-A dup
+      (3L, "A", "other text"),
+      (4L, "B", "same text"),     // equals A's text — NOT a within-B dup
+      (5L, "B", null),            // no content: excluded
+      (6L, null, "orphan")        // no source: excluded
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceDupStats(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    assert(got("A") == (("A", 3L, 2L, 1.0 / 3.0)))
+    assert(got("B") == (("B", 1L, 1L, 0.0)))
+  }
+
   test("sourceOverlap: known universes yield exact Jaccard; dups collapse; zero-overlap pairs absent") {
     val docs = Seq(
       (1L, "A", "t1 t2 t3"),       // shingle {t1 t2 t3}
