@@ -310,6 +310,18 @@ object TfIdf {
     * `(doc_id, bm25_micro)` candidates to the embedding side, combine
     * as integer micros, TakeOrdered. ONE definition so the mixing
     * arithmetic cannot drift between the batch and streaming surfaces.
+    *
+    * Scale shape: the embedding side is PRUNED FIRST — a broadcast
+    * left-semi join of the (topK-bounded, so broadcastable by
+    * construction) candidate id list against the embedding table —
+    * and only the surviving ≤`candidates` rows pay the cosine. At
+    * 100 TB that makes the rerank an id-keyed point lookup: the
+    * alternative (cosine over the full table, then join) is a
+    * full-corpus scan per query AND a full-table BroadcastExchange —
+    * a driver OOM waiting to happen. The candidate frame is
+    * materialized once (`localCheckpoint`) because it feeds both the
+    * semi-join build side and the final left join, and its lexical
+    * lineage (a corpus scan in [[hybridRank]]) must not execute twice.
     */
   private[graft] def hybridRerank(
       lex: DataFrame,
@@ -320,10 +332,15 @@ object TfIdf {
       wText: Double,
       wVec: Double,
       topK: Int): DataFrame = {
+    val cand = lex.localCheckpoint(true)
+    val candEmb = emb.join(
+      broadcast(cand.select(col("doc_id").alias("__cand_id"))),
+      col(embIdCol) === col("__cand_id"),
+      "left_semi")
     val cosed = graft.operators.Similarity
-      .withCosine(emb, vecCol, queryVec)
+      .withCosine(candEmb, vecCol, queryVec)
       .select(col(embIdCol).alias("doc_id"), col("cos"))
-    lex
+    cand
       .join(cosed, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -23,6 +23,23 @@ class PlanAuditSpec extends SparkTestBase {
   private def shuffles(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllIn(plan).length
 
+  /** Structural collector that descends through the AQE wrappers
+    * (`AdaptiveSparkPlanExec`, materialized `QueryStageExec`s, reused
+    * exchanges) that `SparkPlan.collect` treats as leaves — required to
+    * see scans living inside broadcast stages of an adaptive plan.
+    */
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ kids.flatMap(collectAll(_)(pf))
+  }
+
   test("q06: predicate pushdown and column pruning reach the parquet scan") {
     val df = SparkEntry.queries("q06_filter_pushdown")(spark, dir)
     df.collect()
@@ -721,6 +738,41 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(plan)
       .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q115 path:\n$plan")
+  }
+
+  test("q115: embedding side is semi-join-pruned to the candidate ids, never broadcast whole") {
+    val df = SparkEntry.queries("q115_hybrid_rank")(spark, dir)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    def embScans(p: org.apache.spark.sql.execution.SparkPlan) =
+      collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.mkString.contains("embeddings") => s
+      }
+    // (a) the embedding scan sits BEHIND a broadcast LeftSemi prune on
+    // the candidate ids — the cosine only ever touches ≤candidates rows
+    val semiOverEmb = collectAll(root) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi &&
+            embScans(j.left).nonEmpty => j
+    }
+    assert(semiOverEmb.nonEmpty,
+      s"embedding scan not behind a broadcast semi-join on the candidate ids:\n$root")
+    // (b) no BroadcastExchange ships the UN-pruned embedding relation:
+    // any broadcast subtree containing the embeddings scan must also
+    // contain the LeftSemi prune below it
+    collectAll(root) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.foreach { ex =>
+      if (embScans(ex).nonEmpty) {
+        val pruned = collectAll(ex) {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }
+        assert(pruned.nonEmpty,
+          s"full-relation BroadcastExchange of the embedding table:\n$ex")
+      }
+    }
   }
 
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
