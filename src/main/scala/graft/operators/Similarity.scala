@@ -1484,9 +1484,8 @@ object Similarity {
     val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
     require(fs.exists(model),
       s"compactIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
-    val stamp = System.nanoTime()
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}_compact_tmp_$stamp")
+    val stamp = ArtifactSwap.newStamp()
+    val tmp = ArtifactSwap.tmpPath(root, stamp)
     // one shuffle on the scalar cell id: each write task owns whole
     // cells, so every occupied cell lands as one file under batch=-1
     spark.read.parquet(path)
@@ -1500,11 +1499,7 @@ object Similarity {
       org.apache.hadoop.fs.FileUtil.copy(fs, model, fs,
         new org.apache.hadoop.fs.Path(s"$tmp/$IvfPqModelDir"), false, conf),
       s"compactIvfPqIndex: copying the model sidecar to $tmp failed")
-    val old = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}_compact_old_$stamp")
-    require(fs.rename(root, old), s"compactIvfPqIndex: swap-out of $path failed")
-    require(fs.rename(tmp, root), s"compactIvfPqIndex: swap-in of $tmp failed")
-    fs.delete(old, true)
+    ArtifactSwap.swap(fs, root, stamp, "compactIvfPqIndex")
   }
 
   /** The `(id, cell, code)` projection both index writers share:

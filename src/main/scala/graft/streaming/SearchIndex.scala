@@ -65,8 +65,18 @@ object SearchIndex {
       buckets: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(root, BucketsSidecar)
     if (!fs.exists(p)) {
-      val out = fs.create(p, true)
+      // write-to-temp + rename: explicitly-permitted concurrent readers
+      // must never observe a half-written sidecar (an empty/truncated
+      // value would throw or mis-prune) — rename publishes it whole
+      val tmp = new org.apache.hadoop.fs.Path(root, BucketsSidecar + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) {
+        // lost an (idempotent — the value is batch-invariant) race:
+        // someone else published it; drop the temp, keep theirs
+        fs.delete(tmp, false)
+        require(fs.exists(p), s"writeBucketsSidecar: publish of $p failed")
+      }
     }
   }
 
@@ -116,10 +126,15 @@ object SearchIndex {
     val posts = TfIdf.postings(batch, idCol, textCol)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .localCheckpoint(true)
-    // a rows-but-no-postings batch (all texts null) must not create a
-    // data-less parquet dir — later reads would fail schema inference
-    // on it; ack and move on instead
-    if (posts.head(1).isEmpty) {
+    val hasPosts = posts.head(1).nonEmpty
+    // a batch with no non-null-text docs at all contributes nothing to
+    // any table: ack and move on. But the gate must be CORPUS presence,
+    // not postings presence — a non-null text that tokenizes to ZERO
+    // tokens produces no postings yet still counts toward
+    // n_docs/sum_dl in bm25Rank, so skipping the stats merge for such
+    // batches would skew idf/avgdl for every other doc (score-parity
+    // contract violation)
+    if (!hasPosts && batch.filter(col(textCol).isNotNull).head(1).isEmpty) {
       DedupIngest.markApplied(spark, sink, table, batchId)
       return
     }
@@ -129,25 +144,32 @@ object SearchIndex {
     // pruning never probes — those docs would silently vanish from
     // every ranking
     val effBuckets = readBucketsSidecar(fs, root).getOrElse(buckets)
-    // postings: idempotent by construction (dynamic overwrite of this
-    // batch's own partitions) — no ack needed, safe to re-run
-    posts
-      .withColumn("tb", TextFunctions.md5Hash60(col("term")) % effBuckets)
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("tb", "batch").parquet(indexPath)
-    // bucket count is an artifact property — persisted once, read back
-    // by search() and by every later ingest restart
-    writeBucketsSidecar(fs, root, effBuckets)
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__df", batchId)) {
-      val merged = StateMerge.fullOuterMerge(
-        sink.read(spark, s"${table}__df", dfSchema),
-        posts.groupBy("term").agg(count(lit(1)).alias("df")),
-        keyCols = Seq("term"),
-        valueCombiners = Seq("df" -> StateMerge.addLong))
-      sink.write(merged, s"${table}__df", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}__df", batchId)
+    if (hasPosts) {
+      // sidecar BEFORE the first postings write: the reverse order left
+      // a window where a crash + restart with a different `buckets`
+      // parameter replayed the batch under a new modulus while the
+      // old-modulus (tb, batch) partitions persisted (dynamic overwrite
+      // only replaces the newly-written partitions) — duplicate
+      // postings. The sidecar is idempotent, so writing it first closes
+      // the window
+      writeBucketsSidecar(fs, root, effBuckets)
+      // postings: idempotent by construction (dynamic overwrite of this
+      // batch's own partitions) — no ack needed, safe to re-run
+      posts
+        .withColumn("tb", TextFunctions.md5Hash60(col("term")) % effBuckets)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb", "batch").parquet(indexPath)
+      if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__df", batchId)) {
+        val merged = StateMerge.fullOuterMerge(
+          sink.read(spark, s"${table}__df", dfSchema),
+          posts.groupBy("term").agg(count(lit(1)).alias("df")),
+          keyCols = Seq("term"),
+          valueCombiners = Seq("df" -> StateMerge.addLong))
+        sink.write(merged, s"${table}__df", SaveMode.Overwrite)
+        DedupIngest.markApplied(spark, sink, s"${table}__df", batchId)
+      }
     }
     if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__stats", batchId)) {
       val merged = StateMerge.fullOuterMerge(
@@ -260,9 +282,8 @@ object SearchIndex {
     if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*/batch=*"))
         .forall(_.getPath.getName == "batch=-1")) return
     val sidecar = readBucketsSidecar(fs, root)
-    val stamp = System.nanoTime()
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}_compact_tmp_$stamp")
+    val stamp = graft.operators.ArtifactSwap.newStamp()
+    val tmp = graft.operators.ArtifactSwap.tmpPath(root, stamp)
     spark.read.parquet(indexPath)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
       .repartition(col("tb"))
@@ -271,14 +292,9 @@ object SearchIndex {
       .option("partitionOverwriteMode", "static")
       .partitionBy("tb", "batch").parquet(tmp.toString)
     sidecar.foreach(b => writeBucketsSidecar(fs, tmp, b))
-    val old = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}_compact_old_$stamp")
-    require(fs.rename(root, old), s"compactPostings: swap-out of $indexPath failed")
-    // a crash in this window strands root in `old`; every entry point
-    // runs recoverCompaction first, which renames it back — stranded,
-    // never lost
-    require(fs.rename(tmp, root), s"compactPostings: swap-in of $tmp failed")
-    fs.delete(old, true)
+    // marker-guarded two-rename publish; a crash at any point strands
+    // root for recoverCompaction — stranded, never lost
+    graft.operators.ArtifactSwap.swap(fs, root, stamp, "compactPostings")
   }
 
   /** BM25 top-`topK` for a fixed query, served FROM the maintained

@@ -165,4 +165,43 @@ class SearchIndexSpec extends SparkTestBase {
     assert(after.map(_._1).toSet == Set(2L, 3L),
       s"restart with mismatched buckets lost postings: ${after.toSeq}")
   }
+
+  test("zero-token texts count toward corpus stats even in a no-postings batch (score parity)") {
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch3").toString)
+    val idxPath = Files.createTempDirectory("graft-srch3-idx").toString + "/postings"
+    // batch 0: normal docs; batch 1: non-null texts that tokenize to
+    // ZERO tokens (punctuation only) — no postings, but bm25Rank still
+    // counts them in n_docs/sum_dl, so the streamed stats must too or
+    // every other doc's idf skews
+    val batches = Seq(
+      Seq((1L, "alpha alpha beta"), (2L, "alpha gamma gamma gamma")),
+      Seq((3L, "!!! ... ???"), (4L, "$$$")),
+      Seq((5L, "beta gamma")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SearchIndex.applyBatch(
+        b.toDF("doc_id", "text"), batchId = i.toLong,
+        "doc_id", "text", idxPath, sink, "srch3", buckets = 16)
+    }
+    val stats = sink.read(spark, "srch3__stats", SearchIndex.statsSchema)
+      .as[(Long, Long, Long)].head()
+    assert(stats._2 == 5L, s"zero-token docs missing from n_docs: $stats")
+    val union = batches.flatten.toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta", "gamma")
+    val served = SearchIndex.search(spark, idxPath, sink, "srch3", terms)
+      .as[(Long, Long, Double)].collect()
+    val want = TfIdf.bm25Rank(union, "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(served.map(_._1).toSet == Set(1L, 2L, 5L))
+    served.foreach { case (doc, micro, _) =>
+      assert(micro == want(doc), s"doc $doc diverged from batch BM25 after a zero-token batch")
+    }
+    // the zero-postings batch was acked (a replay is a no-op, not a
+    // double count)
+    SearchIndex.applyBatch(
+      batches(1).toDF("doc_id", "text"), batchId = 1L,
+      "doc_id", "text", idxPath, sink, "srch3", buckets = 16)
+    val statsAfter = sink.read(spark, "srch3__stats", SearchIndex.statsSchema)
+      .as[(Long, Long, Long)].head()
+    assert(statsAfter == stats, "replayed zero-postings batch double-counted stats")
+  }
 }
