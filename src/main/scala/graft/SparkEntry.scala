@@ -1281,6 +1281,31 @@ object SparkEntry {
   private def q116_source_dup_stats(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceDupStats(Tables.documents(s, dir), "source", "text")
 
+  /** Hybrid retrieval JOIN (round 15): q108's derived query table
+    * (every `doc_id % 97 = 0` doc queries with its own first three
+    * tokens), each query carrying its OWN embedding as the dense
+    * signal — per-query hybrid (BM25 + cosine) top-20 through the
+    * pruned rerank ([[graft.operators.TfIdf.hybridJoin]]): q115's
+    * single-query composition in the join shape an eval harness runs.
+    * Queries restricted to docs with an embedding row (inner join).
+    */
+  private def q117_hybrid_join(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = docs
+      .filter(col("doc_id") % 97 === 0)
+      .select(
+        col("doc_id").alias("qid"),
+        slice(TextFunctions.tokens(col("text")), 1, 3).alias("qterms"))
+      .join(
+        emb.select(col("vec_id").alias("qid"), col("embedding").alias("qvec")),
+        Seq("qid"))
+    TfIdf.hybridJoin(
+      docs, "doc_id", "text",
+      emb, "vec_id", "embedding",
+      queries, "qid", "qterms", "qvec")
+  }
+
   private val q51Rates = Map("en" -> 200, "fr" -> 500, "de" -> 500, "es" -> 500, "zh" -> 100)
 
   /** Deterministic per-language stratified sample (keep-rates in ‰,
@@ -2110,7 +2135,8 @@ object SparkEntry {
     "q113_source_divergence" -> (q113_source_divergence _),
     "q114_threshold_sweep" -> (q114_threshold_sweep _),
     "q115_hybrid_rank" -> (q115_hybrid_rank _),
-    "q116_source_dup_stats" -> (q116_source_dup_stats _)
+    "q116_source_dup_stats" -> (q116_source_dup_stats _),
+    "q117_hybrid_join" -> (q117_hybrid_join _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3689,6 +3715,61 @@ object SparkEntry {
                   / CAST(count(*) AS DOUBLE) AS dup_ratio
          FROM documents
          WHERE text IS NOT NULL AND source IS NOT NULL
-         GROUP BY source"""
+         GROUP BY source""",
+    "q117_hybrid_join" ->
+      // q108's per-(qid, doc) BM25 micro arithmetic (query set further
+      // restricted to docs with an embedding row), candidate cut at
+      // 100 per query, then q115's cosine-micro mix per (qid, doc) with
+      // each query's own embedding — same operand order throughout
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+                      WHERE text IS NOT NULL),
+          qe AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings),
+          qt AS (SELECT DISTINCT qid, term FROM (
+                   SELECT doc_id AS qid, unnest(t[1:3]) AS term
+                   FROM tk WHERE doc_id % 97 = 0
+                     AND doc_id IN (SELECT qid FROM qe))),
+          tfm AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w),
+          dlt AS (SELECT doc_id, len(t) AS dl FROM tk),
+          idx AS (SELECT tfm.doc_id, tfm.term, tfm.tf, dlt.dl
+                  FROM tfm JOIN dlt USING (doc_id)
+                  WHERE tfm.term IN (SELECT term FROM qt)),
+          st AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl
+                 FROM tk),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY term),
+          mc AS (SELECT qt.qid, idx.doc_id,
+                        CAST(round((ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)))
+                          * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                             (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) * 1000000) AS BIGINT)
+                          AS micro
+                 FROM idx
+                 JOIN dfq USING (term)
+                 CROSS JOIN st
+                 JOIN qt ON qt.term = idx.term),
+          sc AS (SELECT qid, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+                 FROM mc GROUP BY qid, doc_id),
+          cand AS (SELECT qid, doc_id, score_micro AS bm25_micro
+                   FROM (SELECT qid, doc_id, score_micro,
+                                row_number() OVER (PARTITION BY qid
+                                                   ORDER BY score_micro DESC, doc_id ASC) AS rn
+                         FROM sc)
+                   WHERE rn <= 100),
+          j AS (SELECT cand.qid, cand.doc_id, bm25_micro,
+                       CAST(round((COALESCE(${sqlCos("e.embedding", "qe.qvec")}, 0.0) * 1.0) * 1000000) AS BIGINT)
+                         AS cos_micro
+                FROM cand
+                LEFT JOIN embeddings e ON e.vec_id = cand.doc_id
+                JOIN qe ON qe.qid = cand.qid),
+          h AS (SELECT qid, doc_id, bm25_micro, cos_micro,
+                       CAST(round(CAST(bm25_micro AS DOUBLE) * 1.0) AS BIGINT) + cos_micro
+                         AS hybrid_micro
+                FROM j),
+          rk AS (SELECT qid, doc_id, bm25_micro, cos_micro, hybrid_micro,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY hybrid_micro DESC, doc_id ASC) AS rn
+                 FROM h)
+          SELECT qid, doc_id, bm25_micro, cos_micro, hybrid_micro,
+                 CAST(hybrid_micro AS DOUBLE) / 1000000.0 AS hybrid
+          FROM rk WHERE rn <= 20"""
   )
 }

@@ -304,6 +304,93 @@ object TfIdf {
       emb, embIdCol, vecCol, queryVec, wText, wVec, topK)
   }
 
+  /** Hybrid retrieval JOIN — per-query hybrid (BM25 + cosine) top-`topK`
+    * for a whole QUERY TABLE `(qid, array<term>, query vector)`: the
+    * composition of [[bm25Join]] (lexical candidates per query) and
+    * [[hybridRank]]'s pruned rerank — the shape a reranking eval
+    * harness or hard-negative miner actually runs, where issuing
+    * [[hybridRank]] once per query would rescan the corpus |Q| times.
+    *
+    * Shape, and why it survives 100 TB:
+    *
+    *  - lexical candidates come from ONE [[bm25Join]] pass (postings
+    *    move on term keys, documents never shuffle), bounded at
+    *    `candidates` rows per query and materialized once;
+    *  - the embedding side is semi-join-pruned to the DISTINCT
+    *    candidate ids across all queries (≤ |Q|·`candidates` — no
+    *    broadcast hint, like [[bm25Join]]'s vocabulary prune: a modest
+    *    eval set auto-broadcasts under AQE, a crawl-scale query log
+    *    may legitimately hash-partition) before any cosine is paid;
+    *  - vectors are consumed IN the per-(qid, doc) projection — ids
+    *    and scalar micros shuffle, embedding arrays never key a
+    *    partitioning — and the per-query cut is a `row_number` window
+    *    over scalar triples.
+    *
+    * Determinism: the same integer-micro mixing as [[hybridRerank]],
+    * row-local per (qid, doc), ties by doc id. Candidate-rule caveat
+    * (inherited from [[bm25Join]], exactly like
+    * [[graft.streaming.SearchIndex.hybridSearch]]'s): a query's
+    * candidates are docs sharing ≥ 1 term with it, so per-query parity
+    * with [[hybridRank]] holds when the term-matching set covers the
+    * corpus or fills `candidates`. A candidate with no embedding row —
+    * or a query with a null vector — reranks on its lexical score
+    * alone (cosine treated as 0).
+    */
+  def hybridJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      qvecCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      wText: Double = 1.0,
+      wVec: Double = 1.0,
+      candidates: Int = 100,
+      topK: Int = 20): DataFrame = {
+    require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
+    val lex = bm25Join(docs, idCol, textCol, queries, qidCol, termsCol, k1, b, topK = candidates)
+      .select(col("qid"), col("doc_id"), col("score_micro").alias("bm25_micro"))
+      .localCheckpoint(true)
+    val candEmb = emb
+      .join(
+        lex.select(col("doc_id").alias("__cand_id")).distinct(),
+        col(embIdCol) === col("__cand_id"),
+        "left_semi")
+      .select(col(embIdCol).alias("doc_id"), col(vecCol).alias("__vec"))
+    val qv = queries.select(col(qidCol).alias("qid"), col(qvecCol).alias("__qvec"))
+    // bit-parity with hybridRerank's cosine: dot terms and the norm
+    // product are commutative multiplications, the index-order fold is
+    // identical, so per-(doc, query) cosines match the single-query
+    // surface exactly
+    val cos = graft.functions.VectorFunctions.nanDiv(
+      graft.functions.expressions.DotProductFloat.dotF(col("__qvec"), col("__vec")),
+      graft.functions.expressions.Norm2Float.norm2F(col("__qvec")) *
+        graft.functions.expressions.Norm2Float.norm2F(col("__vec")))
+    val w = Window.partitionBy("qid").orderBy(col("hybrid_micro").desc, col("doc_id").asc)
+    lex
+      .join(candEmb, Seq("doc_id"), "left")
+      .join(qv, Seq("qid"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        col("bm25_micro"),
+        round(coalesce(cos, lit(0.0)) * lit(wVec) * lit(1000000L))
+          .cast("long").alias("cos_micro"))
+      .withColumn("hybrid_micro",
+        round(col("bm25_micro").cast("double") * lit(wText)).cast("long") + col("cos_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("doc_id"), col("bm25_micro"), col("cos_micro"),
+        col("hybrid_micro"),
+        (col("hybrid_micro").cast("double") / lit(1000000.0)).alias("hybrid"))
+  }
+
   /** The rerank tail shared by [[hybridRank]] (corpus-scan candidates)
     * and the streamed-artifact surface
     * ([[graft.streaming.SearchIndex.hybridSearch]]): left-join the

@@ -775,6 +775,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q117: hybrid join never keys a shuffle on text/vectors; corpus embeddings semi-pruned") {
+    val df = SparkEntry.queries("q117_hybrid_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // ids and scalar micros shuffle; raw text and embedding arrays
+    // must never appear in a partitioning expression
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach { m =>
+        assert(!m.group(2).contains("text"), m.group(0))
+        assert(!m.group(2).contains("embedding"), m.group(0))
+      }
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q117 path:\n$plan")
+    // the CORPUS-side embedding scan pays cosine only behind the
+    // candidate-id LeftSemi prune (the query-side scan is the |Q|-row
+    // query table itself — bounded by the qid filter, not pruned here)
+    val semis = collectAll(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    val overEmb = semis.filter(j => collectAll(j.left) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString.contains("embeddings") => s
+    }.nonEmpty)
+    assert(overEmb.nonEmpty,
+      s"corpus embedding scan not behind a candidate-id semi-join:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

@@ -585,4 +585,62 @@ class TrainingDataOpsSpec extends SparkTestBase {
       assert(h == hm.toDouble / 1000000.0)
     }
   }
+
+  test("TfIdf.hybridJoin equals per-query hybridRank on the covering case; null qvec ranks lexically") {
+    val docs = Seq(
+      (1L, "rare apple apple"),
+      (2L, "apple apple apple apple banana banana banana banana"),
+      (3L, "apple banana"),
+      (4L, "rare rare apple banana filler filler filler"),
+      (5L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(0.3f, 0.6f)),
+      (3L, Seq(1.0f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // both queries' term sets match >= candidates docs is not needed:
+    // parity holds whenever the term-matching set fills the per-query
+    // candidate list OR covers every doc the batch surface would rank —
+    // here each query's terms are checked against hybridRank over the
+    // SAME candidate rule by restricting the comparison to docs sharing
+    // >= 1 term (bm25Join's candidate rule)
+    val queries = Seq(
+      (10L, Seq("rare", "apple", "banana"), Seq(1.0f, 0.0f)),
+      (11L, Seq("unrelated", "banana"), Seq(0.0f, 1.0f))
+    ).toDF("qid", "qterms", "qvec")
+    val joined = TfIdf.hybridJoin(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      queries, "qid", "qterms", "qvec", candidates = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq).toMap
+
+    for ((qid, terms, qv) <- Seq(
+        (10L, Seq("rare", "apple", "banana"), Seq(1.0, 0.0)),
+        (11L, Seq("unrelated", "banana"), Seq(0.0, 1.0)))) {
+      val termMatch = docs.as[(Long, String)].collect()
+        .filter { case (_, t) => t != null && terms.exists(t.split(" ").contains(_)) }
+        .map(_._1).toSet
+      val want = TfIdf.hybridRank(docs, "doc_id", "text", emb, "vec_id", "embedding",
+        terms, qv, candidates = 10, topK = 10)
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .filter(r => termMatch.contains(r._1)) // bm25Join's candidate rule
+        .toSeq
+      // order-insensitive compare on the full score tuples (the rank
+      // order is itself a total function of the tuples)
+      assert(joined(qid).sortBy(r => (-r._4, r._1)) == want.sortBy(r => (-r._4, r._1)),
+        s"qid $qid diverged from the single-query surface:\n${joined(qid)}\nvs\n$want")
+    }
+
+    // a query with a NULL vector reranks on lexical score alone
+    val nullVec = Seq((12L, Seq("apple"), null.asInstanceOf[Seq[Float]]))
+      .toDF("qid", "qterms", "qvec")
+    val lexOnly = TfIdf.hybridJoin(
+      docs, "doc_id", "text", emb, "vec_id", "embedding",
+      nullVec, "qid", "qterms", "qvec", candidates = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(lexOnly.nonEmpty && lexOnly.forall(r => r._4 == 0L && r._5 == r._3),
+      s"null qvec must zero the cosine: ${lexOnly.toSeq}")
+  }
 }
