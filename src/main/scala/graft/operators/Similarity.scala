@@ -1502,6 +1502,61 @@ object Similarity {
     ArtifactSwap.swap(fs, root, stamp, "compactIvfPqIndex")
   }
 
+  /** Document RETIREMENT through a persisted IVF-PQ index
+    * ([[graft.operators.Snapshot.removedKeys]]'s work list): rewrites
+    * the code artifact WITHOUT the retired ids — an anti-join on the
+    * scalar id (AQE broadcasts a small retirement list, hash-partitions
+    * a crawl-scale one; codes and vectors never key a partitioning) —
+    * folded to the `batch = -1` compaction layout and published by the
+    * marker-guarded [[ArtifactSwap.swap]]. The trained model sidecar is
+    * kept: quantization cells are a PROPERTY OF THE MODEL, not of
+    * corpus membership, so surviving rows' cells/codes — and therefore
+    * every query's ADC scan and exact re-rank — are bit-identical to an
+    * index whose survivors were appended under the same model. (A
+    * model retrained on the survivors would re-cluster; that is a
+    * rebuild, not a retirement.)
+    *
+    * Content-idempotent like compaction (filtering an already-filtered
+    * artifact is a no-op), so it needs no ack and is safe to re-run
+    * after a crash at any point; the swap window self-heals through
+    * [[readIvfPqModel]]'s recovery like every other entry point.
+    * Single-writer: run on the maintenance thread that owns the
+    * artifact, never concurrently with a live append.
+    */
+  def removeFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      removed: DataFrame,
+      removedIdCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    ArtifactSwap.recover(fs, root, "removeFromIvfPqIndex", sweep = true)
+    val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
+    require(fs.exists(model),
+      s"removeFromIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
+    val idx = spark.read.parquet(path).select(col("id"), col("code"), col("cell"))
+    // match the artifact's own id type so the anti-join never
+    // null-casts a retirement key into a silent keep
+    val idType = idx.schema("id").dataType
+    val stamp = ArtifactSwap.newStamp()
+    val tmp = ArtifactSwap.tmpPath(root, stamp)
+    idx
+      .join(
+        removed.select(col(removedIdCol).cast(idType).alias("id")).distinct(),
+        Seq("id"), "left_anti")
+      .repartition(col("cell"))
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell", "batch").parquet(tmp.toString)
+    require(
+      org.apache.hadoop.fs.FileUtil.copy(fs, model, fs,
+        new org.apache.hadoop.fs.Path(s"$tmp/$IvfPqModelDir"), false, conf),
+      s"removeFromIvfPqIndex: copying the model sidecar to $tmp failed")
+    ArtifactSwap.swap(fs, root, stamp, "removeFromIvfPqIndex")
+  }
+
   /** The `(id, cell, code)` projection both index writers share:
     * null vectors filtered out, every surviving vector dim-checked
     * PER ROW (a wider vector would silently prefix-encode; a shorter

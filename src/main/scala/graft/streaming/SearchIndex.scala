@@ -297,6 +297,110 @@ object SearchIndex {
     graft.operators.ArtifactSwap.swap(fs, root, stamp, "compactPostings")
   }
 
+  /** Document RETIREMENT through the live index — takedowns, opt-outs,
+    * recrawl-removals ([[graft.operators.Snapshot.removedKeys]]'s work
+    * list, fed here as the full OLD-snapshot rows): drops the retired
+    * docs' postings AND reverses their df / corpus-stats contributions,
+    * so every surviving doc's BM25 score equals a fresh build from the
+    * surviving snapshot — dropping postings alone would leave n_docs /
+    * sum_dl / df inflated and skew every idf (the reason
+    * [[compactPostings]] scopes removals out).
+    *
+    * Contract: `removedDocs` are the rows AS INGESTED (id + the same
+    * text) and a SUBSET of the ingested corpus — the df/stats reversal
+    * recomputes their term counts with the identical scan-side
+    * expressions, which is what makes the subtraction exact (and what
+    * handles zero-token docs, which live in the stats but have no
+    * postings to derive anything from). Retiring a never-ingested or
+    * since-edited row under-/over-subtracts: garbage in, garbage out.
+    *
+    * Replay safety mirrors the ingest: the postings rewrite is a
+    * content-idempotent anti-join published by the marker-guarded
+    * [[graft.operators.ArtifactSwap.swap]] (a replayed filter of an
+    * already-filtered artifact is a no-op), while the df / stats
+    * subtractions are NOT idempotent and sit behind per-table
+    * `retireId` acks in their own meta namespace (`<table>__retire*`) —
+    * `retireId`s must be monotonically increasing per index, exactly
+    * like trigger batch ids. Crash anywhere, re-run with the same
+    * `retireId`: each step applies at most once. Single-writer: run on
+    * the maintenance thread that owns the artifact, never concurrently
+    * with a live ingest trigger.
+    *
+    * Scale shape: one partition-pruned-write rewrite of the postings
+    * artifact (anti-join on the scalar doc id — AQE broadcasts a small
+    * retirement list, hash-partitions a crawl-scale one; text never
+    * shuffles) plus one `term_counts` pass over the retired rows into
+    * vocabulary-bounded negative merges.
+    */
+  def retire(
+      removedDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      retireId: Long): Unit = {
+    val spark = removedDocs.sparkSession
+    if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
+    Dedup.requireNumericId(removedDocs, idCol, "SearchIndex.retire")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root, sweep = true)
+    val removed = removedDocs
+      .select(col(idCol).cast("long").alias("doc_id"), col(textCol).alias("__text"))
+      .localCheckpoint(true)
+    // 1. postings rewrite (idempotent): anti-join the retired ids out,
+    //    fold to the batch = -1 base (one write task per bucket, the
+    //    compaction layout), publish via the marker-guarded swap
+    val hasData = fs.exists(root) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*")).nonEmpty
+    if (hasData) {
+      val sidecar = readBucketsSidecar(fs, root)
+      val stamp = graft.operators.ArtifactSwap.newStamp()
+      val tmp = graft.operators.ArtifactSwap.tmpPath(root, stamp)
+      spark.read.parquet(indexPath)
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+        .join(removed.select("doc_id"), Seq("doc_id"), "left_anti")
+        .repartition(col("tb"))
+        .withColumn("batch", lit(-1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("tb", "batch").parquet(tmp.toString)
+      sidecar.foreach(b => writeBucketsSidecar(fs, tmp, b))
+      graft.operators.ArtifactSwap.swap(fs, root, stamp, "SearchIndex.retire")
+    }
+    // 2. df reversal (acked): per-term counts of the retired docs,
+    //    subtracted; terms whose df reaches 0 leave the table entirely
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__retire_df", retireId)) {
+      val negDf = TfIdf.postings(removed, "doc_id", "__text")
+        .groupBy("term").agg((-count(lit(1))).alias("df"))
+      val merged = StateMerge.fullOuterMerge(
+        sink.read(spark, s"${table}__df", dfSchema),
+        negDf,
+        keyCols = Seq("term"),
+        valueCombiners = Seq("df" -> StateMerge.addLong))
+        .filter(col("df") > 0)
+      sink.write(merged, s"${table}__df", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__retire_df", retireId)
+    }
+    // 3. corpus-stats reversal (acked): the exact negation of what
+    //    applyBatch added for these rows
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__retire_stats", retireId)) {
+      val merged = StateMerge.fullOuterMerge(
+        sink.read(spark, s"${table}__stats", statsSchema),
+        TfIdf.corpusStats(removed, "__text").select(
+          lit(0L).alias("k"), (-col("n_docs")).alias("n_docs"),
+          (-col("sum_dl")).alias("sum_dl")),
+        keyCols = Seq("k"),
+        valueCombiners = Seq(
+          "n_docs" -> StateMerge.addLong,
+          "sum_dl" -> StateMerge.addLong))
+      sink.write(merged, s"${table}__stats", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__retire_stats", retireId)
+    }
+    DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+  }
+
   /** BM25 top-`topK` for a fixed query, served FROM the maintained
     * index: a partition-pruned postings read (only the query terms'
     * `tb` buckets), the bounded df/stats tables, and the shared

@@ -464,6 +464,50 @@ class SimilaritySpec extends SparkTestBase {
       s"appended row $qid not recovered as its own nearest neighbor: ${top.toSeq}")
   }
 
+  test("removeFromIvfPqIndex: retired ids gone, survivors equal a same-model append; replay no-op") {
+    val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivfpq-rm").toString + "/index"
+    Similarity.buildIvfPqIndex(
+      embR, "vec_id", "embedding", dirA,
+      nLists = 16, m = 16, nCodes = 64, trainSample = 2048)
+    val removedIds = embR.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val removedSet = removedIds.as[Long].collect().toSet
+    def rows(dir: String): Set[(Long, Long, Seq[Byte])] =
+      spark.read.parquet(dir).select("id", "cell", "code")
+        .as[(Long, Long, Array[Byte])].collect().map(r => (r._1, r._2, r._3.toSeq)).toSet
+    val before = rows(dirA)
+
+    Similarity.removeFromIvfPqIndex(spark, dirA, removedIds, "vec_id")
+    val after = rows(dirA)
+    assert(after == before.filterNot(r => removedSet(r._1)),
+      "retired rows not exactly the removed ids (or surviving codes changed)")
+
+    // query parity: the retired index answers exactly like an index
+    // whose SURVIVORS were appended under the SAME model (cells/codes
+    // are a property of the model, not of corpus membership)
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivfpq-rm-b").toString + "/index"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsB = new org.apache.hadoop.fs.Path(dirB).getFileSystem(conf)
+    assert(org.apache.hadoop.fs.FileUtil.copy(
+      fsB, new org.apache.hadoop.fs.Path(s"$dirA/${Similarity.ivfPqModelDirName}"),
+      fsB, new org.apache.hadoop.fs.Path(s"$dirB/${Similarity.ivfPqModelDirName}"), false, conf))
+    Similarity.appendToIvfPqIndex(
+      embR.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", dirB, batchId = 0L)
+    val q = embR.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def top(dir: String): Seq[(Long, Double)] =
+      Similarity.ivfPqTopKFromIndex(
+        spark, dir, embR, "vec_id", "embedding", q, k = 10, nProbe = 4, rerank = 50)
+        .as[(Long, Double)].collect().toSeq
+    val gotA = top(dirA)
+    assert(gotA.forall(r => !removedSet(r._1)), s"retired id served from the index: $gotA")
+    assert(gotA == top(dirB), "retired index diverged from the same-model survivor append")
+
+    // content-idempotent: a crash-replay of the removal is a no-op
+    Similarity.removeFromIvfPqIndex(spark, dirA, removedIds, "vec_id")
+    assert(rows(dirA) == after, "replayed removal changed the artifact")
+  }
+
   test("compactIvfPqIndex: deltas collapse to one batch=-1 file per cell; queries row-identical; replay no-op") {
     val embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString + "/index"

@@ -166,6 +166,77 @@ class SearchIndexSpec extends SparkTestBase {
       s"restart with mismatched buckets lost postings: ${after.toSeq}")
   }
 
+  test("retire: postings, df, and stats all reversed; survivors score as a fresh build; replay-safe") {
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch4").toString)
+    val idxPath = Files.createTempDirectory("graft-srch4-idx").toString + "/postings"
+    val batches = Seq(
+      Seq((1L, "alpha alpha beta"), (2L, "alpha gamma gamma gamma")),
+      Seq((3L, "beta beta gamma"), (4L, "$$$"), (5L, null.asInstanceOf[String])),
+      Seq((6L, "alpha beta gamma")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SearchIndex.applyBatch(
+        b.toDF("doc_id", "text"), batchId = i.toLong,
+        "doc_id", "text", idxPath, sink, "srch4", buckets = 16)
+    }
+    // retire a scored doc, the zero-token doc, and the null-text doc —
+    // each exercises a different reversal path (postings+df+stats,
+    // stats-only, nothing)
+    val removed = Seq(
+      (2L, "alpha gamma gamma gamma"),
+      (4L, "$$$"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    SearchIndex.retire(removed, "doc_id", "text", idxPath, sink, "srch4", retireId = 0L)
+
+    val surviving = Seq(
+      (1L, "alpha alpha beta"), (3L, "beta beta gamma"), (6L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta", "gamma")
+    def serve(): Seq[(Long, Long, Double)] =
+      SearchIndex.search(spark, idxPath, sink, "srch4", terms)
+        .as[(Long, Long, Double)].collect().toSeq
+    val got = serve()
+    val want = TfIdf.bm25Rank(surviving, "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.map(_._1).toSet == Set(1L, 3L, 6L), s"retired doc still served: $got")
+    got.foreach { case (doc, micro, _) =>
+      assert(micro == want(doc),
+        s"doc $doc diverged from a fresh build over the survivors")
+    }
+    val stats = sink.read(spark, "srch4__stats", SearchIndex.statsSchema)
+      .as[(Long, Long, Long)].head()
+    assert(stats._2 == 3L, s"n_docs not reversed: $stats")
+    assert(sink.read(spark, "srch4__df", SearchIndex.dfSchema)
+      .filter(org.apache.spark.sql.functions.col("df") <= 0).count() == 0L,
+      "zero/negative df rows survived retirement")
+
+    // replay with the same retireId: a no-op end to end
+    SearchIndex.retire(removed, "doc_id", "text", idxPath, sink, "srch4", retireId = 0L)
+    assert(serve() == got, "replayed retirement double-subtracted")
+
+    // crash window: top-level ack lost, per-table acks present — the
+    // postings rewrite re-runs (content-idempotent), the df/stats
+    // subtractions short-circuit on their own acks
+    import org.apache.spark.sql.SaveMode
+    sink.write(Seq(-1L).toDF("last_batch_id"), "srch4__retire__meta", SaveMode.Overwrite)
+    SearchIndex.retire(removed, "doc_id", "text", idxPath, sink, "srch4", retireId = 0L)
+    assert(serve() == got, "crash-window retirement replay double-applied")
+
+    // a later ingest keeps working against the retired artifact
+    SearchIndex.applyBatch(
+      Seq((7L, "alpha beta")).toDF("doc_id", "text"), batchId = 3L,
+      "doc_id", "text", idxPath, sink, "srch4", buckets = 16)
+    val withNew = SearchIndex.search(spark, idxPath, sink, "srch4", terms)
+      .as[(Long, Long, Double)].collect()
+    val wantNew = TfIdf.bm25Rank(
+      surviving.unionByName(Seq((7L, "alpha beta")).toDF("doc_id", "text")),
+      "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(withNew.map(_._1).toSet == Set(1L, 3L, 6L, 7L))
+    withNew.foreach { case (doc, micro, _) =>
+      assert(micro == wantNew(doc), s"post-retirement ingest skewed doc $doc")
+    }
+  }
+
   test("zero-token texts count toward corpus stats even in a no-postings batch (score parity)") {
     val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch3").toString)
     val idxPath = Files.createTempDirectory("graft-srch3-idx").toString + "/postings"
