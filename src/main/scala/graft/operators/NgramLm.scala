@@ -113,18 +113,48 @@ object NgramLm {
       idCol: String,
       textCol: String,
       lm: LmTables,
-      backoff: Double = 0.4): DataFrame = {
+      backoff: Double = 0.4,
+      hotKeys: Int = 0): DataFrame = {
     // per-(doc, bigram) term frequency, then three gram-keyed shuffle
     // joins against the LM (bigram, w1-unigram for the seen-bigram
-    // denominator, w2-unigram for the backoff path)
+    // denominator, w2-unigram for the backoff path).
+    //
+    // hotKeys > 0 is the SKEW-HARDENED mode for Zipf-headed corpora:
+    // each of the three joins routes probe rows whose gram is in the
+    // top-`hotKeys` of that join's count table through a broadcast
+    // map-side lookup instead of the shuffle ([[Skew.hotColdLeftJoin]])
+    // — the head's reducer funnel ("the"-keyed rows all landing on one
+    // task) disappears from the exchange entirely. Results are
+    // row-identical either way (spec-pinned); the default stays 0
+    // because AQE's skew-join split plus map-side combine already hold
+    // the fixture-scale spread, and the hardened plan references the
+    // probe twice per join (exchange-reuse-deduped).
     val hb = bigramStream(tokenized(docs, idCol, textCol))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
 
-    val joined = hb
-      .join(lm.bi, Seq("w1", "w2"), "left")
-      .join(lm.uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"), "left")
-      .join(lm.uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"), "left")
-      .crossJoin(broadcast(lm.nTok))
+    val uniW1 = lm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
+    val uniW2 = lm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
+    val joined0 =
+      if (hotKeys <= 0)
+        hb
+          .join(lm.bi, Seq("w1", "w2"), "left")
+          .join(uniW1, Seq("w1"), "left")
+          .join(uniW2, Seq("w2"), "left")
+      else {
+        // deterministic bounded hot sets: total-order top-K by count
+        val hotBi = lm.bi
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(hotKeys).select("w1", "w2")
+        val hotUni = lm.uni
+          .orderBy(col("c").desc, col("w").asc)
+          .limit(hotKeys).select("w")
+        Skew.hotColdLeftJoin(
+          Skew.hotColdLeftJoin(
+            Skew.hotColdLeftJoin(hb, lm.bi, Seq("w1", "w2"), hotBi),
+            uniW1, Seq("w1"), hotUni.select(col("w").alias("w1"))),
+          uniW2, Seq("w2"), hotUni.select(col("w").alias("w2")))
+      }
+    val joined = joined0.crossJoin(broadcast(lm.nTok))
 
     // Evaluation order inside each term mirrors the oracle exactly
     // (left-to-right products, same casts) so both engines round the
@@ -181,12 +211,14 @@ object NgramLm {
       textCol: String,
       splitMod: Int = 10,
       trainBelow: Int = 8,
-      backoff: Double = 0.4): DataFrame = {
+      backoff: Double = 0.4,
+      hotKeys: Int = 0): DataFrame = {
     require(splitMod > 0, s"splitMod must be positive, got $splitMod")
     require(trainBelow > 0 && trainBelow < splitMod,
       s"trainBelow must be in (0, $splitMod), got $trainBelow")
     val lm = train(docs.filter(col(idCol) % splitMod < trainBelow), idCol, textCol)
-    score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff)
+    score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff,
+      hotKeys = hotKeys)
   }
 
   /** Top-`topK` PMI collocations — the phrase-mining primitive (which
@@ -214,7 +246,8 @@ object NgramLm {
       idCol: String,
       textCol: String,
       minCount: Long = 5L,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50,
+      hotKeys: Int = 0): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(topK > 0, s"topK must be positive, got $topK")
     val lm = train(docs, idCol, textCol)
@@ -223,10 +256,30 @@ object NgramLm {
       log((col("c12").cast("double") / col("n_bi").cast("double")) /
         ((col("c1").cast("double") / col("n_tok").cast("double")) *
           (col("c2").cast("double") / col("n_tok").cast("double"))))
-    lm.bi
-      .filter(col("c12") >= minCount)
-      .join(lm.uni.select(col("w").alias("w1"), col("c").alias("c1")), Seq("w1"))
-      .join(lm.uni.select(col("w").alias("w2"), col("c").alias("c2")), Seq("w2"))
+    val bif = lm.bi.filter(col("c12") >= minCount)
+    val uniW1 = lm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
+    val uniW2 = lm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
+    // the probe here is the bigram TABLE (one row per distinct pair),
+    // so the hot key's fan-in is vocabulary-bounded, not corpus-bounded
+    // — but at web scale "the"-initial distinct pairs are still
+    // millions of rows on one reducer; same hardening, same contract
+    // (hotKeys = 0 default, results row-identical, spec-pinned). Inner
+    // joins here: every bigram's component words exist in uni by
+    // construction, so the left joins the split produces are
+    // match-total and row-equal to the inner originals.
+    val joined =
+      if (hotKeys <= 0)
+        bif.join(uniW1, Seq("w1")).join(uniW2, Seq("w2"))
+      else {
+        val hotUni = lm.uni
+          .orderBy(col("c").desc, col("w").asc)
+          .limit(hotKeys).select("w")
+        Skew.hotColdLeftJoin(
+          Skew.hotColdLeftJoin(bif, uniW1, Seq("w1"),
+            hotUni.select(col("w").alias("w1"))),
+          uniW2, Seq("w2"), hotUni.select(col("w").alias("w2")))
+      }
+    joined
       .crossJoin(broadcast(lm.nTok))
       .crossJoin(broadcast(nBi))
       .select(

@@ -31,4 +31,46 @@ object Skew {
   /** Salted count — the wordcount shape. */
   def saltedCount(df: DataFrame, keyCol: String, resultCol: String, saltBuckets: Int = 64): DataFrame =
     saltedSum(df.withColumn("__one", lit(1L)), keyCol, "__one", resultCol, saltBuckets)
+
+  /** Hot-key-hardened LEFT equi-join for lookups whose build side is
+    * UNIQUE per key (dimension/count tables — the LM's gram counts):
+    * probe rows carrying one of the bounded `hotKeys` never enter the
+    * join's shuffle at all. The probe splits on the broadcast hot-key
+    * list; the hot slice joins the (≤ |hotKeys|-row, broadcast) hot
+    * build rows map-side, the cold slice shuffle-joins the remainder —
+    * whose key distribution is hot-free by construction. Row-for-row
+    * equal to `probe.join(build, keys, "left")` (union order is
+    * irrelevant to the aggregating/ranking consumers).
+    *
+    * vs AQE skew-join: AQE splits a skewed partition only past its
+    * size thresholds and still sorts/ships the hot rows; this removes
+    * them from the exchange entirely, at the cost of the probe being
+    * referenced twice (its upstream EXCHANGE is reuse-deduped by
+    * Catalyst — the classic hot/cold split trade).
+    *
+    * `hotKeys` must be BOUNDED (a top-K over the build side's counts —
+    * driver-broadcastable) and deterministic (total-order ranked) for
+    * reproducible plans; membership does not affect results.
+    */
+  def hotColdLeftJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      hotKeys: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "hotColdLeftJoin: no join keys")
+    // the probe feeds BOTH branches — materialize it once (the
+    // codebase's localCheckpoint idiom) or chained splits re-execute
+    // their upstream per branch, doubling per level (measured 5x wall
+    // on the 3-level LM chain before this line existed). One linear
+    // scalar-row materialization per split, never the corpus text.
+    val p = probe.localCheckpoint(true)
+    val hk = hotKeys.select(keys.map(col): _*).distinct()
+    val hot = p
+      .join(broadcast(hk), keys, "left_semi")
+      .join(broadcast(build.join(broadcast(hk), keys, "left_semi")), keys, "left")
+    val cold = p
+      .join(broadcast(hk), keys, "left_anti")
+      .join(build, keys, "left")
+    hot.unionByName(cold)
+  }
 }

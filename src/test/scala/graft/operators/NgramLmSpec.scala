@@ -118,6 +118,29 @@ class NgramLmSpec extends SparkTestBase {
     assert(expected.nonEmpty)
   }
 
+  test("hot-key-hardened scoring and PMI are row-identical to the plain joins") {
+    val rnd = new scala.util.Random(43)
+    val vocabWords = (0 until 20).map(i => s"w$i")
+    // a synthetic Zipf head: every other draw is the hot token
+    def randText(): String =
+      (0 until (2 + rnd.nextInt(12)))
+        .map(i => if (i % 2 == 0) "hot" else vocabWords(rnd.nextInt(vocabWords.length)))
+        .mkString(" ")
+    val docs = (0L until 80L).map(i => (i, randText())).toDF("doc_id", "text")
+    for (hk <- Seq(1, 4, 1000)) { // head-only, partial, everything-hot
+      val plain = NgramLm.perplexity(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val hardened = NgramLm.perplexity(docs, "doc_id", "text", hotKeys = hk)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(hardened == plain, s"hotKeys=$hk diverged from the plain plan")
+      val pmiPlain = NgramLm.pmiCollocations(docs, "doc_id", "text", minCount = 2)
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+      val pmiHard = NgramLm.pmiCollocations(docs, "doc_id", "text", minCount = 2, hotKeys = hk)
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+      assert(pmiHard == pmiPlain, s"PMI hotKeys=$hk diverged from the plain plan")
+    }
+  }
+
   test("fixed-point reduction is partitioning-independent") {
     val base = corpus(
       (8L, "the cat sat on the mat while dogs bark"),

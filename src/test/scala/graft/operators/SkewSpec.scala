@@ -23,4 +23,21 @@ class SkewSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("x" -> 1000L, "a" -> 2L, "b" -> 1L))
   }
+
+  test("hotColdLeftJoin equals a plain left join across hot-list choices") {
+    val probe = (Seq.fill(2000)(("hot", 7L)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong)) ++
+      Seq(("missing", 99L))) // key absent from the build side
+      .toDF("k", "p").repartition(8)
+    val build = (Seq(("hot", 1L)) ++ (1 to 50).map(i => (s"k$i", i * 10L)))
+      .toDF("k", "b")
+    val plain = probe.join(build, Seq("k"), "left")
+      .as[(String, Long, Option[Long])].collect().sorted.toSeq
+    for (hot <- Seq(Seq("hot"), Seq("hot", "k1", "k2"), Seq("nope"), Seq.empty[String])) {
+      val hk = hot.toDF("k")
+      val got = Skew.hotColdLeftJoin(probe, build, Seq("k"), hk)
+        .as[(String, Long, Option[Long])].collect().sorted.toSeq
+      assert(got == plain, s"hot list $hot diverged from the plain left join")
+    }
+  }
 }
