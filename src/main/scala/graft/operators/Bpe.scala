@@ -300,9 +300,18 @@ object Bpe {
         sum(col("n")).alias("n_tokens"),
         sum(length(col("w")).cast("long")).alias("n_chars"))
     val docCounts = docs.groupBy(groupCol).agg(count(lit(1)).alias("n_docs"))
-    docCounts.join(wordAgg, docCounts(groupCol) <=> wordAgg(groupCol), "left")
+    // null-safe key join between two frames sharing lineage: alias the
+    // keys apart first — dataframe-qualified columns (`docCounts(c) <=>
+    // wordAgg(c)`) resolve to the SAME attribute here and Spark logs a
+    // "trivially true equals predicate" warn on every run (it then
+    // disambiguates correctly, but a warning-bearing plan is
+    // indistinguishable from a real self-join bug in a log scan)
+    docCounts.select(col(groupCol).alias("__dk"), col("n_docs"))
+      .join(
+        wordAgg.select(col(groupCol).alias("__wk"), col("n_tokens"), col("n_chars")),
+        col("__dk") <=> col("__wk"), "left")
       .select(
-        docCounts(groupCol),
+        col("__dk").alias(groupCol),
         col("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).alias("n_tokens"),
         coalesce(col("n_chars"), lit(0L)).alias("n_chars"))

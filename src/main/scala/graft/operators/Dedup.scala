@@ -1120,18 +1120,38 @@ object Dedup {
     * threshold rescan), then conditional counts. The pair table is the
     * already-verified [[ngramJaccard]] output; the sweep adds only
     * bounded aggregates on top.
+    *
+    * Calibration modes: the default (`maxShingleFreq = None`) is the
+    * EXACT control — lossless at `thresholds.min`, but its AllPairs
+    * candidate population inherits the quadratic tail on a dense
+    * (boilerplate-heavy) corpus, where the calibration itself becomes
+    * a multi-hour job (the r14 100× exponent on this path measured
+    * 0.80, the roster's worst). For dense corpora pass
+    * `maxShingleFreq = Some(f)` — [[ngramJaccard]]'s hot-shingle
+    * filter, the q34 generator — which drops shingles shared by more
+    * than `f` docs BEFORE pair generation. CAVEAT: that mode computes
+    * Jaccard over the FILTERED shingle universe (sizes and common
+    * counts from the same filtered sets — self-consistent, but not the
+    * raw-universe Jaccard), so the sweep's counts approximate the
+    * exact sweep's from below for docs dominated by hot boilerplate;
+    * the lossless-at-min-threshold guarantee applies WITHIN the
+    * filtered universe only. That is the right trade for a
+    * calibration read — the decision variable is the SHAPE of
+    * pairs-vs-threshold, and the production run it calibrates (the
+    * q34 filtered [[ngramJaccard]] mode) prunes the same hot shingles.
     */
   def jaccardThresholdSweep(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+      thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9),
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     require(thresholds.nonEmpty, "jaccardThresholdSweep: no thresholds")
     require(thresholds == thresholds.distinct, "jaccardThresholdSweep: duplicate thresholds")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = ngramJaccard(docs, idCol, textCol, n, thresholds.min)
+    val pairs = ngramJaccard(docs, idCol, textCol, n, thresholds.min, maxShingleFreq)
       .localCheckpoint(true) // feeds the pair counts AND the doc counts
     val pt = pairs
       .select(

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training preparation: vocabulary construction with
@@ -73,22 +72,32 @@ object Vocab {
     val counts = countsIn.select(
       col(tokenCol).alias("token"), col(cntCol).cast("long").alias("cnt"))
     val total = counts.agg(sum("cnt").alias("total"))
-    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
-    // rank + running mass over the V surviving rows only (single
-    // partition by design: V is the tokenizer budget, not the corpus)
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // explicit 1-row cartesian (V rows × the single total row) — not an
-    // accidental unconditioned join, and independent of the session's
-    // spark.sql.crossJoin.enabled setting
-    top.crossJoin(broadcast(total))
-      .select(
-        col("token"),
-        col("cnt"),
-        row_number().over(
-          Window.orderBy(col("cnt").desc, col("token").asc)).cast("long").alias("rank"),
-        (sum("cnt").over(w).cast("double") / col("total").cast("double"))
-          .alias("cum_share"))
+    // rank + running mass over the V surviving rows only — V is the
+    // tokenizer budget (32–256k), DRIVER-SCALE BY DEFINITION, so the
+    // tail is computed driver-side: the distributed alternative is an
+    // unpartitioned window (single-partition by construction and
+    // harmless at V rows, but it logs Spark's "No Partition Defined"
+    // serialize-the-world warning on every run, indistinguishable from
+    // a real regression in a log scan — and Catalyst eliminates any
+    // constant partition key one would add to silence it). Identical
+    // arithmetic: long cumulative sum cast to double over the long
+    // total cast to double, ties already totally ordered by the
+    // TakeOrdered cut.
+    val spark = countsIn.sparkSession
+    import spark.implicits._
+    val topRows = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
+      .select(col("token"), col("cnt")).collect()
+    if (topRows.isEmpty) {
+      Seq.empty[(String, Long, Long, Double)].toDF("token", "cnt", "rank", "cum_share")
+    } else {
+      val totalMass = total.head().getLong(0)
+      var cum = 0L
+      topRows.toSeq.zipWithIndex.map { case (r, i) =>
+        val cnt = r.getLong(1)
+        cum += cnt
+        (r.getString(0), cnt, (i + 1).toLong, cum.toDouble / totalMass.toDouble)
+      }.toDF("token", "cnt", "rank", "cum_share")
+    }
   }
 
   /** One BPE-training pair-count step over the corpus: adjacent

@@ -223,6 +223,20 @@ object ScaleBench {
     * the reassembly/count side scales — the measured advantage
     * BASELINE.md's round-13 split predicts.
     */
+  /** The q114 calibration sweep in its DENSE-CORPUS mode (hot-shingle
+    * filtered candidate generation — the q34 generator): the registry
+    * q114 is the exact AllPairs CONTROL (r14 100× exponent 0.80, the
+    * roster's worst — acceptable only as a run-once control); this is
+    * the documented calibration path for corpora where boilerplate
+    * makes the exact sweep itself a multi-hour job.
+    */
+  private def sweepQueries(
+      spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
+    "threshold_sweep(msf16)" -> ((dir: String) =>
+      graft.operators.Dedup.jaccardThresholdSweep(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 3, thresholds = Seq(0.5, 0.7, 0.9), maxShingleFreq = Some(16))))
+
   private def bpeFormQueries(
       spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
     "bpe_apply(projection)" -> ((dir: String) => {
@@ -262,7 +276,7 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
     val allQueries: Seq[(String, String => DataFrame)] =
       (registryQueries.map(q => q -> ((dir: String) => SparkEntry.queries(q)(spark, dir))) ++
-        embeddingQueries(spark) ++ bpeFormQueries(spark))
+        embeddingQueries(spark) ++ bpeFormQueries(spark) ++ sweepQueries(spark))
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // JVM warmup: one full pass over both dirs before timing.

@@ -477,6 +477,36 @@ class DedupSpec extends SparkTestBase {
     assert(got(0.95) == ((0L, 0L)), "expected explicit zeros at the top cutoff")
   }
 
+  test("jaccardThresholdSweep dense-corpus mode: filtered generator, boilerplate-only pairs drop") {
+    // every doc shares the same 4-token boilerplate banner; contentful
+    // overlap exists only between docs 1 and 2
+    val banner = "copyright footer legal banner"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta epsilon"),
+      (2L, s"$banner alpha beta gamma delta zeta"),
+      (3L, s"$banner completely different words here now"),
+      (4L, s"$banner other unrelated content tokens only")
+    ).toDF("doc_id", "text")
+    val thresholds = Seq(0.1, 0.5)
+    // a cap no shingle exceeds: identical to the exact sweep
+    val exact = Dedup.jaccardThresholdSweep(docs, "doc_id", "text", 3, thresholds)
+      .as[(Double, Long, Long)].collect().toSet
+    val uncapped = Dedup.jaccardThresholdSweep(
+      docs, "doc_id", "text", 3, thresholds, maxShingleFreq = Some(100))
+      .as[(Double, Long, Long)].collect().toSet
+    assert(uncapped == exact, "a never-binding cap must reproduce the exact sweep")
+    // a binding cap (shingles in >2 docs die): the banner-only pairs
+    // (1,3) (1,4) (2,3) (2,4) (3,4) disappear; the contentful (1,2)
+    // pair survives at the low threshold
+    val filtered = Dedup.jaccardThresholdSweep(
+      docs, "doc_id", "text", 3, thresholds, maxShingleFreq = Some(2))
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exactM = exact.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(exactM(0.1)._1 == 6L, s"exact sweep should see all boilerplate pairs: $exactM")
+    assert(filtered(0.1) == ((1L, 2L)),
+      s"filtered sweep must keep only the contentful pair: $filtered")
+  }
+
   test("sourceDupStats: within-source ratios exact; null text/source excluded; cross-source dups not counted") {
     val docs = Seq(
       (1L, "A", "same text"),
