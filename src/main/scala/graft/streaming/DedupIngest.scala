@@ -235,13 +235,30 @@ object DedupIngest {
       .select("id")
       .localCheckpoint(true)
     val survivors = batchDocs.join(keptIds, Seq("id"))
-    def appendNew(state: DataFrame, rows: DataFrame): DataFrame =
-      state.unionByName(
-        rows.join(state.select("id").distinct(), Seq("id"), "left_anti"))
     (keptIds,
       (appendNew(corpus, survivors),
         appendNew(bandState, Dedup.bandTable(survivors, "id", "text", n, k, bands)),
         appendNew(setState, Dedup.shingleSetTable(survivors, "id", "text", n))))
+  }
+
+  /** `state ∪ (rows minus ids already in state)` — the idempotent-append
+    * primitive every snapshot-state tier shares (a replayed batch's
+    * survivors must not union a second time). The duplicate check is
+    * shaped so the STATE side is only ever SCANNED, never shuffled:
+    * the naive `rows ANTI state.ids` puts the corpus-scale state on the
+    * anti join's build side — unbroadcastable at scale, so both sides
+    * shuffle and the state pays a full exchange (plus a distinct
+    * aggregate) per table per trigger. Instead the (batch-bounded) row
+    * ids broadcast INTO a semi-probe of the state — `existing` is the
+    * intersection, ≤ |rows| — and the anti join runs between two
+    * batch-sized broadcast frames. At fixture scale AQE broadcasts
+    * either shape; at 100 TB only this one stays map-side
+    * (spec-asserted with broadcasts force-disabled).
+    */
+  private[streaming] def appendNew(state: DataFrame, rows: DataFrame): DataFrame = {
+    val rowIds = rows.select("id").distinct()
+    val existing = state.select("id").join(broadcast(rowIds), Seq("id"), "left_semi")
+    state.unionByName(rows.join(broadcast(existing), Seq("id"), "left_anti"))
   }
 
   /** The near-dup tier's per-micro-batch body (factored out for the
@@ -358,9 +375,7 @@ object DedupIngest {
           nLists = nLists, trainSample = trainSample)
           .filter(col("kept") === 1L)
           .select("id")
-    state.unionByName(
-      batchVecs.join(keptIds, Seq("id"))
-        .join(state.select("id"), Seq("id"), "left_anti"))
+    appendNew(state, batchVecs.join(keptIds, Seq("id")))
   }
 
   /** Start the semantic-dedup ingest: every micro-batch of `(id, vec)`
@@ -507,12 +522,10 @@ object DedupIngest {
       .filter(col("kept") === 1L)
       .select("id")
       .localCheckpoint(true)
-    // append with an id anti-join so a replayed batch's survivors are
-    // not unioned a second time (idempotent per table, the same shape
-    // as the near-dup tier's appendNew)
-    (keptIds, state.unionByName(
-      batchVecs.join(keptIds, Seq("id"))
-        .join(state.select("id"), Seq("id"), "left_anti")))
+    // idempotent append via the shared [[appendNew]] (a replayed
+    // batch's survivors must not union a second time; state side
+    // scanned, never shuffled)
+    (keptIds, appendNew(state, batchVecs.join(keptIds, Seq("id"))))
   }
 
   /** The frozen semantic tier's per-micro-batch body (factored out for

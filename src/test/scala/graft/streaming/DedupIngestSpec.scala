@@ -117,6 +117,39 @@ class DedupIngestSpec extends SparkTestBase {
     assert(eDbl.getMessage.contains("integral"), eDbl.getMessage)
   }
 
+  test("appendNew: state side never shuffles even with broadcasts force-disabled (100 TB shape)") {
+    import org.apache.spark.sql.functions.col
+    // a parquet-backed "state" so the plan has a real scan to audit
+    val dir = Files.createTempDirectory("graft-appendnew").toString
+    (1L to 5000L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val state = spark.read.parquet(dir)
+    val rows = ((4990L to 5010L).map(i => (i, s"doc $i"))).toDF("id", "text")
+    val saved = (
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = DedupIngest.appendNew(state, rows)
+      val got = out.select("id").as[Long].collect().toSeq.sorted
+      // idempotent append semantics: the 4990-5000 overlap is suppressed
+      assert(got == (1L to 5010L).toSeq, s"wrong append result: ${got.take(20)}...")
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the naive shape (rows ANTI state.ids) degrades to a sort-merge
+      // join with a full state exchange when the state outgrows every
+      // broadcast threshold; the semi-probe shape must not
+      assert(!plan.contains("SortMergeJoin"),
+        s"state entered a shuffle join under disabled broadcasts:\n$plan")
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+      assert(shuffles <= 1, // the batch-row distinct only
+        s"expected at most the rows-side distinct exchange, got $shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
   test("near-dup ingest: final text corpus equals the batch LSH pipeline's kept representatives") {
     // tight dup clusters (exact copies) with increasing ids — the regime
     // where incremental first-wins equals the batch CC's min-id keep
