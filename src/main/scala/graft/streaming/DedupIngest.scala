@@ -900,6 +900,136 @@ object DedupIngest {
       }
       .start()
 
+  /** Document RETIREMENT across EVERY unified-state artifact — the
+    * takedown/opt-out/recrawl-removal path
+    * ([[graft.operators.Snapshot.removedRows]]'s work list) applied in
+    * one call, so a retired doc disappears from the whole deployment:
+    *
+    *  - **exact state**: fingerprints whose RETAINED representative
+    *    (`keep_id`) is retired are deleted — the blocker's reason is
+    *    gone, so a future identical doc is admitted as fresh; for
+    *    fingerprints whose representative survives, `dup_count` is
+    *    decremented by the retired copies it counted (history
+    *    bookkeeping stays exact). Not idempotent (the decrement) →
+    *    acked per `retireId` in its own meta namespace.
+    *  - **near state** (corpus + band index + shingle sets) and
+    *    **semantic state**: rows with retired ids are deleted — a
+    *    retired representative stops blocking future near/semantic
+    *    duplicates (same rationale). Pure filters, idempotent.
+    *  - **ANN index**: [[Similarity.removeFromIvfPqIndex]] (same model,
+    *    swap-safe, idempotent); skipped when no index exists yet. Ids
+    *    absent from the index simply don't match — no over-removal is
+    *    possible, so the full retirement list is safe here.
+    *  - **search index**: [[SearchIndex.retire]] (postings dropped,
+    *    df/corpus-stats reversed, its own acks) — runs FIRST and only
+    *    for retired docs the index actually holds (final-survivor
+    *    membership = the semantic state's ids, probed before the
+    *    deletions below erase it; see the inline ordering note), since
+    *    feeding it docs an earlier tier rejected would over-subtract
+    *    the df/corpus-stats those docs never contributed.
+    *
+    * Deliberately NOT touched: the frozen quantizer and any persisted
+    * LM — they are trained MODELS, properties of a training decision,
+    * not corpus membership (retraining on the post-retirement corpus is
+    * a refresh decision, exactly like any other model refresh).
+    *
+    * Contract mirrors [[SearchIndex.retire]]: `removedDocs` are the
+    * rows AS INGESTED (same id/text/vec) and a subset of the ingested
+    * stream; `retireId`s are monotone per deployment; single-writer —
+    * run on the maintenance thread that owns the artifacts, never
+    * concurrently with a live trigger (the compaction contract). Crash
+    * anywhere and re-run with the same `retireId`: idempotent steps
+    * re-filter to the same result, the acked steps skip.
+    */
+  def retireUnified(
+      removedDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      sink: KVTableSink,
+      table: String,
+      retireId: Long,
+      annIndexPath: Option[String] = None,
+      searchIndexPath: Option[String] = None,
+      searchBuckets: Int = 16): Unit = {
+    val spark = removedDocs.sparkSession
+    if (alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
+    Dedup.requireNumericId(removedDocs, idCol, "retireUnified")
+    val removed = removedDocs.select(
+      col(idCol).cast("long").alias("id"),
+      col(textCol).cast("string").alias("text"),
+      col(vecCol).alias("vec"))
+      .localCheckpoint(true)
+    val ids = removed.select("id").distinct().localCheckpoint(true)
+
+    // SEARCH FIRST, and only for docs that actually REACHED the search
+    // index: the index holds the FINAL survivors — exactly the semantic
+    // state's membership — while the retirement list may include docs
+    // an earlier tier dropped (an exact dup, a near-dup, a sem-reject
+    // that never got indexed). Feeding those to SearchIndex.retire
+    // would over-subtract df/corpus-stats for docs the index never
+    // counted. The membership probe must read the sem state BEFORE the
+    // deletions below remove it, and the search step must come first so
+    // a crash-replay still sees the membership (crash before the search
+    // ack → sem state intact, same probe recomputes; crash after → the
+    // ack skips it).
+    searchIndexPath.foreach { path =>
+      val searchRemoved = removed
+        .join(sink.read(spark, s"${table}__sem", semanticStateSchema).select("id"),
+          Seq("id"), "left_semi")
+        .localCheckpoint(true)
+      if (searchRemoved.head(1).nonEmpty)
+        SearchIndex.retire(
+          searchRemoved.select(col("id"), col("text")), "id", "text",
+          path, sink, s"${table}__srch", retireId)
+    }
+
+    // exact tier (acked — the dup_count decrement must apply once)
+    if (!alreadyApplied(spark, sink, s"${table}__exact__retire", retireId)) {
+      val state = sink.read(spark, s"${table}__exact", exactStateSchema)
+      val rem = removed.select(md5(col("text")).alias("fp"), col("id"))
+      // fingerprints whose retained representative is being retired
+      // (bounded by the retirement list, so it broadcasts back into
+      // the anti join — the state side only streams)
+      val dropFps = state.alias("s")
+        .join(rem.alias("r"),
+          col("s.fp") === col("r.fp") && col("s.keep_id") === col("r.id"),
+          "left_semi")
+        .select("fp")
+      val nrm = rem.groupBy("fp").agg(count(lit(1)).alias("__nrm"))
+      val adjusted = state
+        .join(broadcast(dropFps), Seq("fp"), "left_anti")
+        .join(broadcast(nrm), Seq("fp"), "left")
+        .select(
+          col("fp"), col("keep_id"),
+          (col("dup_count") - coalesce(col("__nrm"), lit(0L))).alias("dup_count"))
+      sink.write(adjusted, s"${table}__exact", SaveMode.Overwrite)
+      markApplied(spark, sink, s"${table}__exact__retire", retireId)
+    }
+
+    // near + semantic states: pure id filters (idempotent; state side
+    // streams, the bounded retirement ids broadcast under AQE)
+    def deleteIds(tbl: String, schema: StructType): Unit =
+      sink.write(
+        sink.read(spark, tbl, schema).join(ids, Seq("id"), "left_anti"),
+        tbl, SaveMode.Overwrite)
+    deleteIds(s"${table}__near", nearDupStateSchema)
+    deleteIds(s"${table}__near__bands", nearDupBandStateSchema)
+    deleteIds(s"${table}__near__sets", nearDupSetStateSchema)
+    deleteIds(s"${table}__sem", semanticStateSchema)
+
+    // ANN index (idempotent, swap-safe); a deployment that never wrote
+    // one — or whose first batch hasn't landed — has nothing to retire
+    annIndexPath.foreach { path =>
+      val model = new org.apache.hadoop.fs.Path(
+        s"$path/${Similarity.ivfPqModelDirName}")
+      if (model.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(model))
+        Similarity.removeFromIvfPqIndex(spark, path, ids, "id")
+    }
+
+    markApplied(spark, sink, s"${table}__retire", retireId)
+  }
+
   // ==== ANN index tier ======================================================
 
   /** The ANN-index tier's per-micro-batch body (factored out for the

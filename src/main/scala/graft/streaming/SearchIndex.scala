@@ -349,6 +349,12 @@ object SearchIndex {
     val removed = removedDocs
       .select(col(idCol).cast("long").alias("doc_id"), col(textCol).alias("__text"))
       .localCheckpoint(true)
+    // an empty retirement list has nothing to reverse — ack and return
+    // rather than pointlessly rewriting the postings artifact
+    if (removed.head(1).isEmpty) {
+      DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+      return
+    }
     // 1. postings rewrite (idempotent): anti-join the retired ids out,
     //    fold to the batch = -1 base (one write task per bucket, the
     //    compaction layout), publish via the marker-guarded swap

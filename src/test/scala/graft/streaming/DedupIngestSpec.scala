@@ -277,6 +277,96 @@ class DedupIngestSpec extends SparkTestBase {
     assert(got.keySet == Set(1L, 3L, 5L, 8L))
   }
 
+  test("retireUnified: a takedown disappears from every artifact; blockers lift; replay-safe") {
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val textD = (1 to 40).map(i => s"delta$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val batches = Seq(
+      Seq((1L, textA, unit(0)), (2L, textA, unit(1)), (3L, textB, unit(2))),
+      Seq((5L, textC, unit(0).updated(1, 0.1f))), // sem dup of vec 1 -> dropped at sem
+      Seq((6L, textA, unit(4)), (7L, textD, unit(5)))) // 6: exact dup across batches
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-retire-uni").toString)
+    val idx = Files.createTempDirectory("graft-retire-uni-idx").toString + "/index"
+    val srchIdx = Files.createTempDirectory("graft-retire-uni-srch").toString + "/postings"
+    def apply(b: Seq[(Long, String, Seq[Float])], id: Long): Unit =
+      DedupIngest.applyUnifiedBatch(
+        b.toDF("doc_id", "text", "embedding"), id, "doc_id", "text", "embedding",
+        sink, "runi", Some(idx), nLists = 1, trainSample = 100,
+        annNLists = 2, annM = 4, annCodes = 4, searchIndexPath = Some(srchIdx))
+    batches.zipWithIndex.foreach { case (b, i) => apply(b, i.toLong) }
+
+    def exactState: Map[Long, Long] =
+      sink.read(spark, "runi__exact", DedupIngest.exactStateSchema)
+        .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    def idsOf(tbl: String, schema: org.apache.spark.sql.types.StructType): Set[Long] =
+      sink.read(spark, tbl, schema).select("id").as[Long].collect().toSet
+    assert(exactState == Map(1L -> 3L, 3L -> 1L, 5L -> 1L, 7L -> 1L))
+    assert(idsOf("runi__near", DedupIngest.nearDupStateSchema) == Set(1L, 3L, 5L, 7L))
+    assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(1L, 3L, 7L))
+
+    // retirement 0: ONLY the counted dup (id 6, never retained) — the
+    // textA blocker stays (keeper 1 survives), its count decrements
+    DedupIngest.retireUnified(
+      Seq((6L, textA, unit(4))).toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", sink, "runi", retireId = 0L,
+      annIndexPath = Some(idx), searchIndexPath = Some(srchIdx))
+    assert(exactState == Map(1L -> 2L, 3L -> 1L, 5L -> 1L, 7L -> 1L),
+      s"dup_count not decremented: $exactState")
+    assert(idsOf("runi__near", DedupIngest.nearDupStateSchema) == Set(1L, 3L, 5L, 7L))
+
+    // retirement 1: the retained representative (id 1) and a
+    // sem-rejected-but-near-kept doc (id 5) — every artifact forgets them
+    val takedown = Seq((1L, textA, unit(0)), (5L, textC, unit(0).updated(1, 0.1f)))
+      .toDF("doc_id", "text", "embedding")
+    DedupIngest.retireUnified(
+      takedown, "doc_id", "text", "embedding", sink, "runi", retireId = 1L,
+      annIndexPath = Some(idx), searchIndexPath = Some(srchIdx))
+    assert(exactState == Map(3L -> 1L, 7L -> 1L), s"retired fp rows survived: $exactState")
+    assert(idsOf("runi__near", DedupIngest.nearDupStateSchema) == Set(3L, 7L))
+    assert(idsOf("runi__near__bands", DedupIngest.nearDupBandStateSchema) == Set(3L, 7L))
+    assert(idsOf("runi__near__sets", DedupIngest.nearDupSetStateSchema) == Set(3L, 7L))
+    assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L))
+    assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet == Set(3L, 7L))
+    assert(spark.read.parquet(srchIdx).select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
+
+    // the blocker is lifted: an identical copy of the retired text is
+    // admitted as a FRESH doc by every tier
+    apply(Seq((10L, textA, unit(6))), 3L)
+    assert(exactState == Map(3L -> 1L, 7L -> 1L, 10L -> 1L), s"re-ingest blocked: $exactState")
+    assert(idsOf("runi__near", DedupIngest.nearDupStateSchema) == Set(3L, 7L, 10L))
+    assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L, 10L))
+    assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet == Set(3L, 7L, 10L))
+    val served = graft.streaming.SearchIndex.search(
+      spark, srchIdx, sink, "runi__srch", Seq("alpha1"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(served.keySet == Set(10L), s"search served ${served.keySet}")
+    // score parity proves the df/corpus-stats reversal was exact: the
+    // served micro equals a fresh batch build over the current corpus
+    val wantMicro = graft.operators.TfIdf.bm25Rank(
+      Seq((3L, textB), (7L, textD), (10L, textA)).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha1"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(served(10L) == wantMicro(10L),
+      s"retired stats skewed the post-retirement score: ${served(10L)} vs ${wantMicro(10L)}")
+
+    // replay (acked) and crash-window replay (top ack lost, sub-acks
+    // present): nothing double-applies
+    val before = exactState
+    DedupIngest.retireUnified(
+      takedown, "doc_id", "text", "embedding", sink, "runi", retireId = 1L,
+      annIndexPath = Some(idx), searchIndexPath = Some(srchIdx))
+    assert(exactState == before, "acked replay changed state")
+    import org.apache.spark.sql.SaveMode
+    sink.write(Seq(0L).toDF("last_batch_id"), "runi__retire__meta", SaveMode.Overwrite)
+    DedupIngest.retireUnified(
+      takedown, "doc_id", "text", "embedding", sink, "runi", retireId = 1L,
+      annIndexPath = Some(idx), searchIndexPath = Some(srchIdx))
+    assert(exactState == before, "crash-window replay double-applied the exact decrement")
+    assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L, 10L))
+  }
+
   test("unified ingest: exact -> near-dup -> semantic -> ANN index in one foreachBatch, tier-exact states") {
     // 40-word base text: the one-word-appended variant keeps shingle
     // Jaccard ≈ 38/40 = 0.95 >= 0.8 (near-dup), while the exact tier
