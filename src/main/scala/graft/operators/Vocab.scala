@@ -85,8 +85,7 @@ object Vocab {
     // TakeOrdered cut.
     val spark = countsIn.sparkSession
     import spark.implicits._
-    val topRows = counts.orderBy(col("cnt").desc, col("token").asc).limit(topV)
-      .select(col("token"), col("cnt")).collect()
+    val topRows = topCut(counts, topV).collect()
     if (topRows.isEmpty) {
       Seq.empty[(String, Long, Long, Double)].toDF("token", "cnt", "rank", "cum_share")
     } else {
@@ -99,6 +98,19 @@ object Vocab {
       }.toDF("token", "cnt", "rank", "cum_share")
     }
   }
+
+  /** The distributed half of the coverage tail — the top-V cut over a
+    * `(token, cnt)` table, a `TakeOrderedAndProject` (per-partition
+    * heaps, never a global sort). Exposed within the package so the
+    * plan audit can assert the cut's physical shape directly: the
+    * coverage tail collects THIS frame driver-side, which leaves the
+    * registry query's own plan a bounded `LocalTableScan` with nothing
+    * left to audit.
+    */
+  private[graft] def topCut(counts: DataFrame, topV: Int): DataFrame =
+    counts
+      .orderBy(col("cnt").desc, col("token").asc).limit(topV)
+      .select(col("token"), col("cnt"))
 
   /** One BPE-training pair-count step over the corpus: adjacent
     * character pairs of every word, weighted by word frequency —

@@ -436,13 +436,29 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q89: top-V vocab cut is a TakeOrdered, not a global sort of the token counts") {
+    // the coverage tail is computed driver-side over the collected
+    // top-V rows (round 15 — the unpartitioned V-row window was the
+    // bench tail's warning source), so the registry query's own plan is
+    // a bounded LocalTableScan; the distributed property to audit is
+    // the CUT that feeds the collect — Vocab.topCut over the token
+    // counts, which must be a TakeOrdered (per-partition heaps), never
+    // a range-partitioned global sort
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).alias("token"))
+      .groupBy("token").agg(count(lit(1)).alias("cnt"))
+    val cut = graft.operators.Vocab.topCut(counts, 500)
+    cut.collect()
+    val cutPlan = cut.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(cutPlan.contains("TakeOrderedAndProject"), s"top-V not TakeOrdered:\n$cutPlan")
+    assert(!cutPlan.contains("rangepartitioning"), s"token counts range-partitioned:\n$cutPlan")
+    assert(!cutPlan.toLowerCase.contains("scalaudf"), s"closure UDF on the cut path:\n$cutPlan")
+    // and the registry query itself now materializes as driver-local
+    // bounded rows (no distributed tail at all)
     val plan = planOf("q89_vocab_coverage")
-    assert(plan.contains("TakeOrderedAndProject"), s"top-V not TakeOrdered:\n$plan")
-    // the only full sort allowed is the V-row coverage window (a
-    // SinglePartition exchange over V rows); the token-count aggregate
-    // itself must never range-partition
-    assert(!plan.contains("rangepartitioning"), s"token counts range-partitioned:\n$plan")
-    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q89 path:\n$plan")
+    assert(plan.contains("LocalTableScan"), s"expected the driver-local tail:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.toLowerCase.contains("scalaudf"), plan)
   }
 
   test("q90: pair explode runs over distinct words, not the token stream") {
@@ -512,8 +528,12 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q96: vocab top-V cut is a TakeOrdered over the bounded subword vocab, no global stream sort") {
+    // same round-15 shape as q89: the distributed cut (shared
+    // Vocab.topCut code path, audited there) feeds a driver-side tail,
+    // so the registry plan is bounded LocalTableScan rows
     val plan = planOf("q96_bpe_vocab")
-    assert(plan.contains("TakeOrderedAndProject"), s"top-V not a TakeOrdered:\n$plan")
+    assert(plan.contains("LocalTableScan"), s"expected the driver-local tail:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global stream sort:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q96 path:\n$plan")
   }
 
