@@ -1281,6 +1281,31 @@ object SparkEntry {
   private def q116_source_dup_stats(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceDupStats(Tables.documents(s, dir), "source", "text")
 
+  /** Skew-hardened perplexity (round 15): q101's exact computation with
+    * the hot-gram hot/cold split engaged (`hotKeys = 32` — every gram
+    * join routes its top-32 hottest keys through a broadcast map-side
+    * lookup, [[graft.operators.Skew.hotColdLeftJoin]]). Results are
+    * row-identical to q101 BY CONSTRUCTION, so the oracle is q101's
+    * verbatim — this entry oracle-checks the split arithmetic
+    * end-to-end at gate scale (LmSkewBench covers the plan/skew side).
+    */
+  private def q118_perplexity_hardened(s: SparkSession, dir: String): DataFrame =
+    NgramLm.perplexity(Tables.documents(s, dir), "doc_id", "text", hotKeys = 32)
+
+  /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
+    * through the q34 hot-shingle-filtered candidate generator
+    * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
+    * documented calibration mode for boilerplate-heavy corpora (the
+    * exact q114 is the run-once control; two-decade exponents 0.80 vs
+    * 0.58, BASELINE.md round 15). Jaccard here is over the FILTERED
+    * shingle universe — the same universe the q34 production run
+    * prunes — and the oracle reproduces exactly that.
+    */
+  private def q119_threshold_sweep_filtered(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardThresholdSweep(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 3, thresholds = Seq(0.5, 0.7, 0.9), maxShingleFreq = Some(3))
+
   /** Hybrid retrieval JOIN (round 15): q108's derived query table
     * (every `doc_id % 97 = 0` doc queries with its own first three
     * tokens), each query carrying its OWN embedding as the dense
@@ -2136,8 +2161,56 @@ object SparkEntry {
     "q114_threshold_sweep" -> (q114_threshold_sweep _),
     "q115_hybrid_rank" -> (q115_hybrid_rank _),
     "q116_source_dup_stats" -> (q116_source_dup_stats _),
-    "q117_hybrid_join" -> (q117_hybrid_join _)
+    "q117_hybrid_join" -> (q117_hybrid_join _),
+    "q118_perplexity_hardened" -> (q118_perplexity_hardened _),
+    "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _)
   )
+
+  /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
+    * its skew-hardened twin q118 (row-identical by construction —
+    * per-term evaluation order mirrors `NgramLm.perplexity` exactly so
+    * both engines round the same IEEE double into the same BIGINT
+    * micro-unit; the per-doc sums are then exact integers).
+    */
+  private def sqlPerplexity: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+        train AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
+        heldout AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
+        uni AS (SELECT w, count(*) AS c1
+                FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+        n AS (SELECT count(*) AS n_tok
+              FROM (SELECT unnest(t) AS w FROM train)),
+        bi AS (SELECT w1, w2, count(*) AS c12
+               FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                     FROM train,
+                          LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+               GROUP BY w1, w2),
+        hb AS (SELECT doc_id, w1, w2, count(*) AS tf
+               FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                     FROM heldout,
+                          LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+               GROUP BY doc_id, w1, w2),
+        terms AS (
+          SELECT hb.doc_id, hb.tf,
+                 CASE
+                   WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                   WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
+                   ELSE ln(0.4 / n.n_tok)
+                 END AS logp
+          FROM hb
+          LEFT JOIN bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+          LEFT JOIN uni u1 ON hb.w1 = u1.w
+          LEFT JOIN uni u2 ON hb.w2 = u2.w
+          CROSS JOIN n),
+        agg AS (SELECT doc_id,
+                       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                       CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
+                         AS nll_micro
+                FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, nll_micro,
+               CAST(nll_micro AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+                 AS avg_nll
+        FROM agg"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_tpch_q1" ->
@@ -3342,49 +3415,10 @@ object SparkEntry {
                  md5(array_to_string(toks, '|')) AS seq_hash,
                  COALESCE(i.ids_hash, md5('')) AS ids_hash
           FROM bfin b LEFT JOIN idh i USING (doc_id)""",
-    "q101_ngram_perplexity" ->
-      // Stupid-Backoff bigram LM: per-term evaluation order (casts,
-      // left-to-right products) mirrors NgramLm.perplexity exactly so
-      // both engines round the same IEEE double into the same BIGINT
-      // micro-unit; the per-doc sums are then exact integers
-      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
-          train AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
-          heldout AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
-          uni AS (SELECT w, count(*) AS c1
-                  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
-          n AS (SELECT count(*) AS n_tok
-                FROM (SELECT unnest(t) AS w FROM train)),
-          bi AS (SELECT w1, w2, count(*) AS c12
-                 FROM (SELECT t[i] AS w1, t[i+1] AS w2
-                       FROM train,
-                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
-                 GROUP BY w1, w2),
-          hb AS (SELECT doc_id, w1, w2, count(*) AS tf
-                 FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-                       FROM heldout,
-                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
-                 GROUP BY doc_id, w1, w2),
-          terms AS (
-            SELECT hb.doc_id, hb.tf,
-                   CASE
-                     WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
-                     WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
-                     ELSE ln(0.4 / n.n_tok)
-                   END AS logp
-            FROM hb
-            LEFT JOIN bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
-            LEFT JOIN uni u1 ON hb.w1 = u1.w
-            LEFT JOIN uni u2 ON hb.w2 = u2.w
-            CROSS JOIN n),
-          agg AS (SELECT doc_id,
-                         CAST(sum(tf) AS BIGINT) AS n_bigrams,
-                         CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
-                           AS nll_micro
-                  FROM terms GROUP BY doc_id)
-          SELECT doc_id, n_bigrams, nll_micro,
-                 CAST(nll_micro AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
-                   AS avg_nll
-          FROM agg""",
+    "q101_ngram_perplexity" -> sqlPerplexity,
+    // q118 = q101 with the hot/cold split engaged — row-identical by
+    // construction, so the oracle is literally q101's
+    "q118_perplexity_hardened" -> sqlPerplexity,
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment
@@ -3770,6 +3804,36 @@ object SparkEntry {
                  FROM h)
           SELECT qid, doc_id, bm25_micro, cos_micro, hybrid_micro,
                  CAST(hybrid_micro AS DOUBLE) / 1000000.0 AS hybrid
-          FROM rk WHERE rn <= 20"""
+          FROM rk WHERE rn <= 20""",
+    "q119_threshold_sweep_filtered" ->
+      // q34's hot-shingle-filtered candidate CTEs (Jaccard over the
+      // FILTERED universe, sizes and common counts from the same
+      // filtered sets) at the sweep's lowest threshold, then q114's
+      // conditional counts per cutoff
+      s"""WITH $sqlShingleCtes,
+          hot AS (SELECT h FROM (SELECT h, count(*) AS f FROM ds GROUP BY h) WHERE f > 3),
+          flt AS (SELECT id, h FROM ds WHERE h NOT IN (SELECT h FROM hot)),
+          fsz AS (SELECT id, count(*) AS sz FROM flt GROUP BY id),
+          cm AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                 FROM flt a JOIN flt b USING (h) WHERE a.id < b.id GROUP BY 1, 2),
+          pairs AS (SELECT * FROM (
+                      SELECT id_a, id_b,
+                             CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS jaccard
+                      FROM cm JOIN fsz x ON x.id = id_a JOIN fsz y ON y.id = id_b)
+                    WHERE jaccard >= 0.5),
+          th AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold),
+          pt AS (SELECT threshold, id_a, id_b
+                 FROM pairs CROSS JOIN th WHERE jaccard >= threshold),
+          pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM pt GROUP BY threshold),
+          dc AS (SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+                 FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM pt)
+                 GROUP BY threshold)
+          SELECT th.threshold,
+                 COALESCE(pc.n_pairs, 0) AS n_pairs,
+                 COALESCE(dc.n_docs, 0) AS n_docs
+          FROM th
+          LEFT JOIN pc ON pc.threshold = th.threshold
+          LEFT JOIN dc ON dc.threshold = th.threshold"""
   )
 }

@@ -129,7 +129,12 @@ object ScaleBench {
     "q115_hybrid_rank",
     // q116: one fingerprint projection into one aggregate (q111's
     // distinct-fp shape, grouped by source) — q01 linearity
-    "q116_source_dup_stats")
+    "q116_source_dup_stats",
+    // round-15. q117: q108's postings/joins (linear in corpus, query
+    // count ∝ corpus/97) + a candidate-bounded embedding semi-join —
+    // the rerank side is |Q|·candidates rows, so the whole composition
+    // should track q108's weak-scale shape
+    "q117_hybrid_join")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
