@@ -354,16 +354,38 @@ object TfIdf {
       candidates: Int = 100,
       topK: Int = 20): DataFrame = {
     require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
-    val lex = bm25Join(docs, idCol, textCol, queries, qidCol, termsCol, k1, b, topK = candidates)
-      .select(col("qid"), col("doc_id"), col("score_micro").alias("bm25_micro"))
-      .localCheckpoint(true)
+    hybridJoinRerank(
+      bm25Join(docs, idCol, textCol, queries, qidCol, termsCol, k1, b, topK = candidates)
+        .select(col("qid"), col("doc_id"), col("score_micro").alias("bm25_micro")),
+      emb, embIdCol, vecCol,
+      queries.select(col(qidCol).alias("qid"), col(qvecCol).alias("__qvec")),
+      wText, wVec, topK)
+  }
+
+  /** [[hybridJoin]]'s rerank tail — lex candidates `(qid, doc_id,
+    * bm25_micro)` (already bounded per query) + a `(qid, __qvec)` query
+    * table — shared with the streamed-artifact surface
+    * ([[graft.streaming.SearchIndex.hybridJoin]]), ONE definition so
+    * the mixing arithmetic cannot drift between the batch and
+    * streaming query-set surfaces (exactly [[hybridRerank]]'s role for
+    * the single-query pair).
+    */
+  private[graft] def hybridJoinRerank(
+      lexIn: DataFrame,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      qv: DataFrame,
+      wText: Double,
+      wVec: Double,
+      topK: Int): DataFrame = {
+    val lex = lexIn.localCheckpoint(true)
     val candEmb = emb
       .join(
         lex.select(col("doc_id").alias("__cand_id")).distinct(),
         col(embIdCol) === col("__cand_id"),
         "left_semi")
       .select(col(embIdCol).alias("doc_id"), col(vecCol).alias("__vec"))
-    val qv = queries.select(col(qidCol).alias("qid"), col(qvecCol).alias("__qvec"))
     // bit-parity with hybridRerank's cosine: dot terms and the norm
     // product are commutative multiplications, the index-order fold is
     // identical, so per-(doc, query) cosines match the single-query

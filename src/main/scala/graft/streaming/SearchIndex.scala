@@ -257,6 +257,117 @@ object SearchIndex {
       emb, embIdCol, vecCol, queryVec, wText, wVec, topK)
   }
 
+  /** BM25 retrieval JOIN served FROM the maintained index — per-query
+    * top-`topK` for a whole query table `(qid, array<term>)`, the
+    * streamed twin of [[graft.operators.TfIdf.bm25Join]] exactly as
+    * [[search]] is of `bm25Rank`: same shared micro expression, same
+    * integers over the ingested union, same candidate rule (docs
+    * sharing ≥ 1 term with the query).
+    *
+    * Scale shape: the postings scan is partition-pruned WITHOUT
+    * driver-collecting the (possibly crawl-scale) query vocabulary —
+    * the distinct `tb` bucket values of the query terms are bounded by
+    * the artifact's bucket count (a ≤`buckets`-int collect), so the
+    * scan reads only buckets some query term hashes into; within them
+    * the postings semi-join the query vocabulary (no broadcast hint —
+    * bm25Join's rule) before the term-keyed scoring join.
+    */
+  def searchJoin(
+      spark: SparkSession,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      buckets: Int = 16): DataFrame = {
+    val qt = queries
+      .select(col(qidCol).alias("qid"), explode(col(termsCol)).alias("term"))
+      .distinct()
+      .localCheckpoint(true) // feeds the bucket probe, the vocab prune, and the scoring join
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, p, sweep = false)
+    val hasData = fs.exists(p) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*")).nonEmpty
+    val effBuckets =
+      if (hasData) readBucketsSidecar(fs, p).getOrElse(buckets) else buckets
+    val posts =
+      if (hasData) {
+        // bounded by the artifact's bucket count, never by the queries
+        val tbs = qt
+          .select((TextFunctions.md5Hash60(col("term")) % effBuckets).alias("tb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(indexPath)
+          .filter(col("tb").isInCollection(tbs))
+          .select("term", "doc_id", "dl", "tf")
+          .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+      } else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType()
+            .add("term", StringType).add("doc_id", LongType)
+            .add("dl", LongType).add("tf", LongType))
+    val dfT = sink.read(spark, s"${table}__df", dfSchema)
+      .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+    val stats = sink.read(spark, s"${table}__stats", statsSchema).drop("k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
+    posts
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(qt, Seq("term"))
+      .select(col("qid"), col("doc_id"), TfIdf.bm25Micro(k1, b).alias("micro"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("micro")).alias("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).alias("score"))
+  }
+
+  /** Query-SET hybrid retrieval served entirely from streamed state —
+    * [[searchJoin]]'s lexical candidates re-ranked by each query's own
+    * embedding against the (typically sem-tier) embedding table:
+    * [[graft.operators.TfIdf.hybridJoin]]'s streamed twin, sharing its
+    * rerank tail so per-(qid, doc) hybrid scores are bit-identical to
+    * the batch surface over the ingested union. Candidate-rule caveat
+    * as [[hybridSearch]]'s: candidates are docs sharing ≥ 1 term with
+    * their query ([[TfIdf.bm25Join]]'s rule — the batch hybridJoin
+    * shares it, so the two SURFACES agree exactly).
+    */
+  def hybridJoin(
+      spark: SparkSession,
+      indexPath: String,
+      sink: KVTableSink,
+      table: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      qvecCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      wText: Double = 1.0,
+      wVec: Double = 1.0,
+      candidates: Int = 100,
+      topK: Int = 20,
+      buckets: Int = 16): DataFrame = {
+    require(topK <= candidates, s"topK=$topK must be <= candidates=$candidates")
+    TfIdf.hybridJoinRerank(
+      searchJoin(spark, indexPath, sink, table, queries, qidCol, termsCol,
+        k1, b, topK = candidates, buckets = buckets)
+        .select(col("qid"), col("doc_id"), col("score_micro").alias("bm25_micro")),
+      emb, embIdCol, vecCol,
+      queries.select(col(qidCol).alias("qid"), col(qvecCol).alias("__qvec")),
+      wText, wVec, topK)
+  }
+
   /** Compacts the postings artifact's accumulated per-trigger deltas:
     * every `(tb, batch)` partition rewrites into the base `batch = -1`
     * layout with ONE write task per term bucket, so the partition/file

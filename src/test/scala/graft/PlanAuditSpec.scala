@@ -827,6 +827,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus embedding scan not behind a candidate-id semi-join:\n$plan")
   }
 
+  test("q118: hot/cold split — hot lookups broadcast, cold shuffles never carry text, no UDFs") {
+    val plan = planOf("q118_perplexity_hardened")
+    // the split's whole point: the hot-key lookups are broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"hot lookups did not broadcast:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q118 path:\n$plan")
+  }
+
+  test("q119: filtered sweep reuses one candidate generation; shuffles carry ids/hashes, never text") {
+    val plan = planOf("q119_threshold_sweep_filtered")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    // per-threshold filters run over ONE materialized pair table (the
+    // q114 property, inherited via the shared sweep tail)
+    assert(!plan.contains("shingle_hash_set"),
+      s"candidate generation re-ran inside the sweep plan:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q119 path:\n$plan")
+  }
+
   test("q110: overlap matrix shuffles (group, hash) longs; sizes broadcast; text never keys") {
     val plan = planOf("q110_source_overlap")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r

@@ -237,6 +237,55 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("searchJoin/hybridJoin from streamed state equal the batch query-set surfaces") {
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srchj").toString)
+    val idxPath = Files.createTempDirectory("graft-srchj-idx").toString + "/postings"
+    val batches = Seq(
+      Seq((1L, "rare apple apple"), (2L, "apple apple banana banana banana")),
+      Seq((3L, "apple banana"), (4L, "rare rare apple banana filler filler")),
+      Seq((5L, "unrelated words only here")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SearchIndex.applyBatch(
+        b.toDF("doc_id", "text"), batchId = i.toLong,
+        "doc_id", "text", idxPath, sink, "srchj", buckets = 16)
+    }
+    val union = batches.flatten.toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("rare", "apple"), Seq(1.0f, 0.0f)),
+      (11L, Seq("banana", "unrelated"), Seq(0.0f, 1.0f)),
+      (12L, Seq("zzz-absent"), Seq(1.0f, 1.0f))) // no term matches: absent from results
+      .toDF("qid", "qterms", "qvec")
+
+    val servedLex = SearchIndex.searchJoin(
+      spark, idxPath, sink, "srchj", queries, "qid", "qterms")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val wantLex = graft.operators.TfIdf.bm25Join(
+      union, "doc_id", "text", queries, "qid", "qterms")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(servedLex == wantLex, s"streamed searchJoin diverged:\n$servedLex\nvs\n$wantLex")
+    assert(servedLex.map(_._1) == Set(10L, 11L), "no-term query leaked into the ranking")
+
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.3f, 0.6f)),
+      (3L, Seq(0.0f, 1.0f)), (5L, Seq(0.5f, 0.5f))) // doc 4 has no embedding
+      .toDF("vec_id", "embedding")
+    val servedHyb = SearchIndex.hybridJoin(
+      spark, idxPath, sink, "srchj", emb, "vec_id", "embedding",
+      queries, "qid", "qterms", "qvec")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val wantHyb = graft.operators.TfIdf.hybridJoin(
+      union, "doc_id", "text", emb, "vec_id", "embedding",
+      queries, "qid", "qterms", "qvec")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(servedHyb == wantHyb, s"streamed hybridJoin diverged:\n$servedHyb\nvs\n$wantHyb")
+
+    // empty index: every query simply has no candidates (no error)
+    val sink2 = new ParquetKVSink(Files.createTempDirectory("graft-srchj2").toString)
+    val emptyIdx = Files.createTempDirectory("graft-srchj2-idx").toString + "/postings"
+    assert(SearchIndex.searchJoin(
+      spark, emptyIdx, sink2, "none", queries, "qid", "qterms").count() == 0L)
+  }
+
   test("zero-token texts count toward corpus stats even in a no-postings batch (score parity)") {
     val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch3").toString)
     val idxPath = Files.createTempDirectory("graft-srch3-idx").toString + "/postings"
