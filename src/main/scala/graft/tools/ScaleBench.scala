@@ -134,7 +134,15 @@ object ScaleBench {
     // count ∝ corpus/97) + a candidate-bounded embedding semi-join —
     // the rerank side is |Q|·candidates rows, so the whole composition
     // should track q108's weak-scale shape
-    "q117_hybrid_join")
+    "q117_hybrid_join",
+    // q118 = q101 + the hot/cold split: the three probe
+    // materializations add a linear constant, hot sets stay top-32 —
+    // expect q101's weak-scale shape plus the materialization floor.
+    // q119: the filtered sweep at maxF=3 — on the derived corpus the
+    // cap binds per copy (disjoint universes), so candidate volume
+    // stays frequency-capped; the msf16 variant measured 0.58 at 100×
+    "q118_perplexity_hardened",
+    "q119_threshold_sweep_filtered")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
