@@ -367,6 +367,75 @@ class DedupIngestSpec extends SparkTestBase {
     assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L, 10L))
   }
 
+  test("snapshot refresh: delta-ingest + retirement lands on a fresh build of the new snapshot") {
+    // the incremental-refresh contract end-to-end: given corpus
+    // snapshots v1 and v2, `Snapshot.removedRows -> retireUnified` plus
+    // `Snapshot.delta -> applyUnifiedBatch` must leave every artifact
+    // equal to a fresh unified build over v2 alone. (Representative
+    // IDENTITY can differ when v2 still contains a never-retained dup
+    // of a retired representative — content-equal either way; the
+    // fixture keeps ids aligned so equality is exact.)
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val v1 = Seq((1L, textA, unit(0)), (2L, textB, unit(2)))
+    val v2 = Seq((2L, textB, unit(2)), (10L, textA, unit(4)), (11L, textC, unit(5)))
+    val v1df = v1.toDF("doc_id", "text", "embedding")
+    val v2df = v2.toDF("doc_id", "text", "embedding")
+
+    def build(tag: String): (ParquetKVSink, String, String) = (
+      new ParquetKVSink(Files.createTempDirectory(s"graft-refresh-$tag").toString),
+      Files.createTempDirectory(s"graft-refresh-$tag-idx").toString + "/index",
+      Files.createTempDirectory(s"graft-refresh-$tag-srch").toString + "/postings")
+    def apply(sink: ParquetKVSink, idx: String, srch: String,
+              rows: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DedupIngest.applyUnifiedBatch(
+        rows, id, "doc_id", "text", "embedding", sink, "rf", Some(idx),
+        nLists = 1, trainSample = 100, annNLists = 2, annM = 4, annCodes = 4,
+        searchIndexPath = Some(srch))
+
+    // incremental: v1 ingest -> retire removedRows -> ingest delta
+    val (incSink, incIdx, incSrch) = build("inc")
+    apply(incSink, incIdx, incSrch, v1df, 0L)
+    val removed = graft.operators.Snapshot.removedRows(v1df, v2df, "doc_id", Seq("text"))
+    assert(removed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    DedupIngest.retireUnified(
+      removed, "doc_id", "text", "embedding", incSink, "rf", retireId = 0L,
+      annIndexPath = Some(incIdx), searchIndexPath = Some(incSrch))
+    val delta = graft.operators.Snapshot.delta(v1df, v2df, "doc_id", Seq("text"))
+    assert(delta.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+    apply(incSink, incIdx, incSrch, delta, 1L)
+
+    // fresh: v2 in one pass into clean artifacts
+    val (frSink, frIdx, frSrch) = build("fresh")
+    apply(frSink, frIdx, frSrch, v2df, 0L)
+
+    def exact(s: ParquetKVSink): Set[(String, Long, Long)] =
+      s.read(spark, "rf__exact", DedupIngest.exactStateSchema)
+        .as[(String, Long, Long)].collect().toSet
+    def ids(s: ParquetKVSink, t: String, sc: org.apache.spark.sql.types.StructType): Set[Long] =
+      s.read(spark, t, sc).select("id").as[Long].collect().toSet
+    assert(exact(incSink) == exact(frSink),
+      s"exact states diverged:\n${exact(incSink)}\nvs\n${exact(frSink)}")
+    assert(ids(incSink, "rf__near", DedupIngest.nearDupStateSchema) ==
+      ids(frSink, "rf__near", DedupIngest.nearDupStateSchema))
+    assert(ids(incSink, "rf__sem", DedupIngest.semanticStateSchema) ==
+      ids(frSink, "rf__sem", DedupIngest.semanticStateSchema))
+    // ANN: membership equality (codes/cells are properties of each
+    // deployment's own trained model, legitimately different)
+    assert(spark.read.parquet(incIdx).select("id").as[Long].collect().toSet ==
+      spark.read.parquet(frIdx).select("id").as[Long].collect().toSet)
+    // search: SCORE equality, not just membership — df/corpus-stats
+    // reversal + delta additions must land on v2's exact statistics
+    val terms = Seq("alpha1", "beta1", "gamma1")
+    def serve(s: ParquetKVSink, path: String): Seq[(Long, Long)] =
+      SearchIndex.search(spark, path, s, "rf__srch", terms)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSeq.sorted
+    assert(serve(incSink, incSrch) == serve(frSink, frSrch),
+      s"search diverged:\n${serve(incSink, incSrch)}\nvs\n${serve(frSink, frSrch)}")
+  }
+
   test("unified ingest: exact -> near-dup -> semantic -> ANN index in one foreachBatch, tier-exact states") {
     // 40-word base text: the one-word-appended variant keeps shingle
     // Jaccard ≈ 38/40 = 0.95 >= 0.8 (near-dup), while the exact tier
