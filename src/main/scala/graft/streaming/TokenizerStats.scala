@@ -112,6 +112,66 @@ object TokenizerStats {
     DedupIngest.markApplied(spark, sink, table, batchId)
   }
 
+  /** Document RETIREMENT through the tokenizer-statistics states — the
+    * [[DedupIngest.retireUnified]] family's discipline applied to the
+    * two additive count tables: the retired docs' subword counts and
+    * per-source fertility totals are recomputed with the SAME frozen
+    * merge list and subtracted (the exact negation of what
+    * [[applyBatch]] added, which is what makes the reversal exact).
+    * Tokens/sources whose counts reach zero leave their tables.
+    *
+    * Contract mirrors [[graft.streaming.SearchIndex.retire]]:
+    * `removedDocs` are the rows AS INGESTED and a subset of the
+    * ingested stream (retiring a never-ingested or since-edited row
+    * under-/over-subtracts); `retireId`s are monotone per deployment;
+    * subtractions are not idempotent and sit behind per-table acks in
+    * their own `__retire` meta namespace; single-writer maintenance.
+    */
+  def retire(
+      removedDocs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      sink: KVTableSink,
+      table: String,
+      retireId: Long): Unit = {
+    val spark = removedDocs.sparkSession
+    if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
+    val removed = removedDocs
+      .select(col(groupCol).alias(groupCol), col(textCol).cast("string").alias(textCol))
+      .localCheckpoint(true)
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__tokens__retire", retireId)) {
+      val tokState = sink.read(spark, s"${table}__tokens", tokenStateSchema)
+      val merged = StateMerge.fullOuterMerge(
+        tokState,
+        Bpe.tokenStream(removed, textCol, merges)
+          .groupBy("token").agg((-count(lit(1))).alias("cnt")),
+        keyCols = Seq("token"),
+        valueCombiners = Seq("cnt" -> StateMerge.addLong))
+        .filter(col("cnt") > 0)
+      sink.write(merged, s"${table}__tokens", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__tokens__retire", retireId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__sources__retire", retireId)) {
+      val srcState = sink.read(spark, s"${table}__sources", sourceStateSchema)
+      val merged = StateMerge.fullOuterMerge(
+        srcState,
+        Bpe.groupTokenStats(removed, groupCol, textCol, merges)
+          .withColumnRenamed(groupCol, "source")
+          .select(col("source"), (-col("n_docs")).alias("n_docs"),
+            (-col("n_tokens")).alias("n_tokens"), (-col("n_chars")).alias("n_chars")),
+        keyCols = Seq("source"),
+        valueCombiners = Seq(
+          "n_docs" -> StateMerge.addLong,
+          "n_tokens" -> StateMerge.addLong,
+          "n_chars" -> StateMerge.addLong))
+        .filter(col("n_docs") > 0)
+      sink.write(merged, s"${table}__sources", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}__sources__retire", retireId)
+    }
+    DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+  }
+
   /** Start the tokenizer-stats ingest over a document stream. */
   def start(
       docs: DataFrame,

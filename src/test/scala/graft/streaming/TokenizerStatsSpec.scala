@@ -68,6 +68,63 @@ class TokenizerStatsSpec extends SparkTestBase {
     assert(replayed === batchStats, "replayed batch double-counted")
   }
 
+  test("retire: retired docs' counts reverse exactly; survivors equal a fresh build; replay-safe") {
+    val v1 = Seq(
+      (1L, "the merge then the", "web"), (2L, "stream of merges", "web"),
+      (3L, "the the the", "books"), (4L, "merge the stream", null.asInstanceOf[String]))
+    val union = v1.toDF("doc_id", "text", "source")
+    val merges = Bpe.rankedBigramMerges(union, "text", topPairs = 8)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-tokret").toString)
+    TokenizerStats.applyBatch(union, 0L, "source", "text", merges, sink, "tkr")
+
+    // retire the whole 'books' source and one web doc (incl. a
+    // null-source doc staying put) — states must equal a fresh build
+    // over the survivors, with the SAME frozen merges
+    val removed = Seq((3L, "the the the", "books"), (2L, "stream of merges", "web"))
+      .toDF("doc_id", "text", "source")
+    TokenizerStats.retire(removed, "source", "text", merges, sink, "tkr", retireId = 0L)
+    val survivors = Seq(
+      (1L, "the merge then the", "web"), (4L, "merge the stream", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+
+    def srcStats: Map[Option[String], (Long, Long, Long)] =
+      TokenizerStats.sourceStats(spark, sink, "tkr")
+        .select("source", "n_docs", "n_tokens", "n_chars")
+        .as[(Option[String], Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def tokState: Map[String, Long] =
+      sink.read(spark, "tkr__tokens", TokenizerStats.tokenStateSchema)
+        .as[(String, Long)].collect().toMap
+    val wantSrc = Bpe.groupTokenStats(survivors, "source", "text", merges)
+      .as[(Option[String], Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val wantTok = Bpe.tokenStream(survivors, "text", merges)
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    assert(srcStats == wantSrc, s"fertility not reversed:\n$srcStats\nvs\n$wantSrc")
+    assert(!srcStats.contains(Some("books")), "fully-retired source row survived")
+    assert(tokState == wantTok, s"token counts not reversed:\n$tokState\nvs\n$wantTok")
+
+    // acked replay and crash-window replay (top ack lost, per-table
+    // acks present): no double subtraction
+    TokenizerStats.retire(removed, "source", "text", merges, sink, "tkr", retireId = 0L)
+    assert(srcStats == wantSrc && tokState == wantTok, "acked replay double-applied")
+    sink.write(Seq(-1L).toDF("last_batch_id"), "tkr__retire__meta",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    TokenizerStats.retire(removed, "source", "text", merges, sink, "tkr", retireId = 0L)
+    assert(srcStats == wantSrc && tokState == wantTok, "crash-window replay double-applied")
+
+    // the state stays live for later ingest after retirement
+    TokenizerStats.applyBatch(
+      Seq((9L, "then then stream", "web")).toDF("doc_id", "text", "source"),
+      1L, "source", "text", merges, sink, "tkr")
+    val after = Bpe.groupTokenStats(
+      survivors.unionByName(Seq((9L, "then then stream", "web")).toDF("doc_id", "text", "source")),
+      "source", "text", merges)
+      .as[(Option[String], Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(srcStats == after, "post-retirement ingest skewed the totals")
+  }
+
   test("crash between the two state writes: replay merges only the table that never acked") {
     val merges = Seq(("a", "l"))
     def ingestClean(batches: Seq[Seq[(Long, String, String)]]): (Map[String, Long], Map[Option[String], Long]) = {
