@@ -30,6 +30,17 @@ import org.apache.spark.sql.types._
   * broadcast or collected) and a merge keyed on (source, bin) —
   * mixture-config × histogram-width scale, so the state never grows
   * with the corpus.
+  *
+  * Document RETIREMENT is deliberately NOT offered here, unlike the
+  * other maintained states (`DedupIngest.retireUnified`,
+  * `SearchIndex.retire`, `TokenizerStats.retire`): `n_docs` is
+  * subtractable, but `best_nll`/`worst_nll` are extrema — retiring the
+  * doc that set a bin's max cannot restore the runner-up without
+  * rescanning that bin's survivors, which the state does not hold.
+  * Retirement for this dashboard is a rebuild from the surviving
+  * snapshot (cheap: one scoring pass against the same frozen LM); a
+  * subtract-counts-only retire would silently turn the extrema into
+  * historical watermarks and was rejected for that reason.
   */
 object QualityProfile {
 
