@@ -1030,6 +1030,59 @@ object DedupIngest {
     markApplied(spark, sink, s"${table}__retire", retireId)
   }
 
+  /** The rows of a NEW snapshot that must RE-INGEST alongside a
+    * retirement — the refresh contract's third work list, beside
+    * [[graft.operators.Snapshot.removedRows]] (retire) and
+    * [[graft.operators.Snapshot.delta]] (ingest):
+    *
+    * content whose retained REPRESENTATIVE is being retired, but which
+    * the new snapshot still contains through never-retained duplicate
+    * rows. Those rows exist in the artifacts only as a `dup_count`
+    * under the representative's fingerprint — [[retireUnified]]
+    * rightly deletes that fingerprint (its retained doc is gone), so
+    * without re-ingesting them the content silently vanishes from
+    * every artifact even though the snapshot kept it, and a fresh
+    * build of the new snapshot would retain it.
+    *
+    * Shape: the dropped-fingerprint list is bounded by the retirement
+    * list (state side streams through the semi-probe, the
+    * [[appendNew]] discipline), and the new snapshot pays one
+    * scan-side fingerprint projection. MUST be computed BEFORE
+    * [[retireUnified]] runs — it reads the exact state the retirement
+    * is about to rewrite. A NEW arrival whose content matches a
+    * dropped fingerprint appears in this list AND in the delta (both
+    * definitions legitimately claim it), so the refresh recipe unions
+    * BY KEY: `reRepresent = reRepresentRows(...);
+    * retireUnified(removed);
+    * ingest((delta ∪ reRepresent).dropDuplicates(key))` — spec-pinned
+    * equal to a fresh unified build of the new snapshot.
+    */
+  def reRepresentRows(
+      sink: KVTableSink,
+      table: String,
+      removedDocs: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = removedDocs.sparkSession
+    val state = sink.read(spark, s"${table}__exact", exactStateSchema)
+    val rem = removedDocs.select(
+      md5(col(textCol)).alias("fp"), col(idCol).cast("long").alias("id"))
+    // fingerprints whose retained representative is in the retirement
+    // list — exactly the rows retireUnified's exact tier will drop
+    val dropFps = state.alias("s")
+      .join(rem.alias("r"),
+        col("s.fp") === col("r.fp") && col("s.keep_id") === col("r.id"),
+        "left_semi")
+      .select("fp")
+    newSnap
+      .join(broadcast(dropFps.withColumnRenamed("fp", "__dfp")),
+        md5(col(textCol)) === col("__dfp"), "left_semi")
+      .join(
+        broadcast(removedDocs.select(col(idCol).cast("long").alias("__rid")).distinct()),
+        col(idCol).cast("long") === col("__rid"), "left_anti")
+  }
+
   // ==== ANN index tier ======================================================
 
   /** The ANN-index tier's per-micro-batch body (factored out for the

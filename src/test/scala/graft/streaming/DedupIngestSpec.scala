@@ -369,18 +369,21 @@ class DedupIngestSpec extends SparkTestBase {
 
   test("snapshot refresh: delta-ingest + retirement lands on a fresh build of the new snapshot") {
     // the incremental-refresh contract end-to-end: given corpus
-    // snapshots v1 and v2, `Snapshot.removedRows -> retireUnified` plus
-    // `Snapshot.delta -> applyUnifiedBatch` must leave every artifact
-    // equal to a fresh unified build over v2 alone. (Representative
-    // IDENTITY can differ when v2 still contains a never-retained dup
-    // of a retired representative — content-equal either way; the
-    // fixture keeps ids aligned so equality is exact.)
+    // snapshots v1 and v2, the THREE work lists —
+    // `Snapshot.removedRows -> retireUnified`, `Snapshot.delta`, and
+    // `DedupIngest.reRepresentRows` (v2 rows whose retained
+    // representative is being retired: doc 3 below exists in the
+    // artifacts only as a dup_count under doc 1's fingerprint, so
+    // without re-ingesting it the content would silently vanish even
+    // though v2 keeps it) — must leave every artifact equal to a fresh
+    // unified build over v2 alone.
     val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
     val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
     val textC = (1 to 40).map(i => s"gamma$i").mkString(" ")
     def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
-    val v1 = Seq((1L, textA, unit(0)), (2L, textB, unit(2)))
-    val v2 = Seq((2L, textB, unit(2)), (10L, textA, unit(4)), (11L, textC, unit(5)))
+    val v1 = Seq((1L, textA, unit(0)), (2L, textB, unit(2)), (3L, textA, unit(3)))
+    val v2 = Seq((2L, textB, unit(2)), (3L, textA, unit(3)),
+      (10L, textA, unit(4)), (11L, textC, unit(5)))
     val v1df = v1.toDF("doc_id", "text", "embedding")
     val v2df = v2.toDF("doc_id", "text", "embedding")
 
@@ -395,17 +398,26 @@ class DedupIngestSpec extends SparkTestBase {
         nLists = 1, trainSample = 100, annNLists = 2, annM = 4, annCodes = 4,
         searchIndexPath = Some(srch))
 
-    // incremental: v1 ingest -> retire removedRows -> ingest delta
+    // incremental: v1 ingest -> reRepresent probe -> retire -> ingest
+    // (delta ∪ reRepresent) in one batch
     val (incSink, incIdx, incSrch) = build("inc")
     apply(incSink, incIdx, incSrch, v1df, 0L)
     val removed = graft.operators.Snapshot.removedRows(v1df, v2df, "doc_id", Seq("text"))
     assert(removed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // BEFORE the retirement rewrites the exact state it reads
+    val reRep = DedupIngest.reRepresentRows(
+      incSink, "rf", removed, v2df, "doc_id", "text").localCheckpoint(true)
+    // doc 3 (the never-retained dup) must re-ingest; doc 10 (a NEW
+    // arrival with the same content) matches the dropped fingerprint
+    // too and is also delta's — hence the by-key union below
+    assert(reRep.select("doc_id").as[Long].collect().toSet == Set(3L, 10L))
     DedupIngest.retireUnified(
       removed, "doc_id", "text", "embedding", incSink, "rf", retireId = 0L,
       annIndexPath = Some(incIdx), searchIndexPath = Some(incSrch))
     val delta = graft.operators.Snapshot.delta(v1df, v2df, "doc_id", Seq("text"))
     assert(delta.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
-    apply(incSink, incIdx, incSrch, delta, 1L)
+    apply(incSink, incIdx, incSrch,
+      delta.unionByName(reRep).dropDuplicates("doc_id"), 1L)
 
     // fresh: v2 in one pass into clean artifacts
     val (frSink, frIdx, frSrch) = build("fresh")
