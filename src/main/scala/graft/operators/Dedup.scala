@@ -112,7 +112,7 @@ object Dedup {
     * plain codegen'd column expressions. Two empty sets are defined as
     * Jaccard 1 (same convention as the previous UDF and the oracle).
     */
-  private def jaccardSorted(a: Column, b: Column): Column = {
+  private[graft] def jaccardSorted(a: Column, b: Column): Column = {
     val c = SortedIntersectCountLong.intersectCountF(a, b)
     val u = size(a).cast("long") + size(b).cast("long") - c
     when(u === 0L, lit(1.0)).otherwise(c.cast("double") / u.cast("double"))

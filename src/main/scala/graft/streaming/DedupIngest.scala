@@ -1030,6 +1030,64 @@ object DedupIngest {
     markApplied(spark, sink, s"${table}__retire", retireId)
   }
 
+  /** The RETAINED corpus ids substantially similar to a takedown list —
+    * "remove this content and everything near-duplicate of it", the
+    * expansion a real takedown (copyright, PII, opt-out) usually
+    * requires, since the near/sem tiers only ever retained ONE
+    * representative per near-dup cluster: the others were dropped, so
+    * the retained doc carrying the offending content may well not be
+    * the doc named in the takedown. Computed ENTIRELY against the
+    * persisted band/set state — the retained corpus's text is never
+    * read: the takedown docs' band keys probe the band index
+    * (candidates), exact Jaccard verifies against the stored shingle
+    * sets, and only verified corpus ids come back (the takedown's own
+    * ids excluded). Feed the result, joined to the near-corpus state
+    * for full rows, into [[retireUnified]] alongside the original list.
+    *
+    * This is also why the near/sem tiers deliberately have NO
+    * [[reRepresentRows]] analogue: a doc near-dup-dropped at ingest is
+    * a near-copy of its retired representative — under a content
+    * takedown it should be retired WITH it (this expansion), not
+    * re-admitted; re-representation is exact-tier semantics only
+    * (byte-identical content whose only sin was redundancy).
+    */
+  def similarToRetired(
+      sink: KVTableSink,
+      table: String,
+      removedDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = removedDocs.sparkSession
+    Dedup.requireNumericId(removedDocs, idCol, "similarToRetired")
+    val rem = removedDocs.select(
+      col(idCol).cast("long").alias("id"), col(textCol).cast("string").alias("text"))
+      .localCheckpoint(true)
+    val bandState = sink.read(spark, s"${table}__near__bands", nearDupBandStateSchema)
+    val setState = sink.read(spark, s"${table}__near__sets", nearDupSetStateSchema)
+    // takedown side is batch-bounded: its band table broadcasts into
+    // the candidate probe and its shingle sets into the verify join —
+    // the state only ever streams (the appendNew discipline)
+    val bandR = Dedup.bandTable(rem, "id", "text", n, k, bands)
+      .select(col("id").alias("id_r"), col("band"), col("key"))
+    val cand = bandState
+      .join(broadcast(bandR), Seq("band", "key"))
+      .select(col("id").alias("id_c"), col("id_r"))
+      .distinct()
+    val setsR = Dedup.shingleSetTable(rem, "id", "text", n)
+      .select(col("id").alias("id_r"), col("hs").alias("hs_r"))
+    cand
+      .join(setState.select(col("id").alias("id_c"), col("hs").alias("hs_c")), Seq("id_c"))
+      .join(broadcast(setsR), Seq("id_r"))
+      .filter(Dedup.jaccardSorted(col("hs_c"), col("hs_r")) >= threshold)
+      .select(col("id_c").alias("id"))
+      .distinct()
+      .join(broadcast(rem.select("id")), Seq("id"), "left_anti")
+  }
+
   /** The rows of a NEW snapshot that must RE-INGEST alongside a
     * retirement — the refresh contract's third work list, beside
     * [[graft.operators.Snapshot.removedRows]] (retire) and

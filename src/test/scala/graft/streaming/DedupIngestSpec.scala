@@ -367,6 +367,54 @@ class DedupIngestSpec extends SparkTestBase {
     assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L, 10L))
   }
 
+  test("similarToRetired expands a takedown to retained near-duplicates via the band/set state") {
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textA2 = textA + " tail" // J ~ 38/40 >= 0.8 vs textA
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-sim-ret").toString)
+    val idx = Files.createTempDirectory("graft-sim-ret-idx").toString + "/index"
+    DedupIngest.applyUnifiedBatch(
+      Seq((1L, textA, unit(0)), (2L, textB, unit(2)), (4L, textA2, unit(3)))
+        .toDF("doc_id", "text", "embedding"),
+      0L, "doc_id", "text", "embedding", sink, "sr", Some(idx),
+      nLists = 1, trainSample = 100, annNLists = 2, annM = 4, annCodes = 4)
+    // 4 was near-dup-dropped: the retained carrier of the content is 1
+    assert(sink.read(spark, "sr__near", DedupIngest.nearDupStateSchema)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // the takedown names the DROPPED doc's content (the usual case: the
+    // named doc is not the retained representative) — the expansion
+    // finds the retained near-copy, never reading corpus text
+    val takedown = Seq((4L, textA2)).toDF("doc_id", "text")
+    val similar = DedupIngest.similarToRetired(
+      sink, "sr", takedown, "doc_id", "text")
+    assert(similar.as[Long].collect().toSet == Set(1L),
+      "expansion missed the retained near-duplicate")
+
+    // unrelated content expands to nothing; a self-named retained doc
+    // excludes itself
+    assert(DedupIngest.similarToRetired(
+      sink, "sr", Seq((9L, "totally different words everywhere here now")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0L)
+    assert(DedupIngest.similarToRetired(
+      sink, "sr", Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[Long].collect().toSet == Set.empty[Long])
+
+    // the full loop: expand, join the corpus rows, retire both
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val expandedRows = sink.read(spark, "sr__near", DedupIngest.nearDupStateSchema)
+      .join(similar, Seq("id"), "left_semi")
+      .select(col("id").alias("doc_id"), col("text"))
+      .withColumn("embedding", typedlit(unit(0)))
+    DedupIngest.retireUnified(
+      expandedRows, "doc_id", "text", "embedding", sink, "sr", retireId = 0L,
+      annIndexPath = Some(idx))
+    assert(sink.read(spark, "sr__near", DedupIngest.nearDupStateSchema)
+      .select("id").as[Long].collect().toSet == Set(2L),
+      "the expanded takedown did not retire the retained near-copy")
+  }
+
   test("snapshot refresh: delta-ingest + retirement lands on a fresh build of the new snapshot") {
     // the incremental-refresh contract end-to-end: given corpus
     // snapshots v1 and v2, the THREE work lists —
