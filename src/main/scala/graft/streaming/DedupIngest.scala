@@ -1088,6 +1088,42 @@ object DedupIngest {
       .join(broadcast(rem.select("id")), Seq("id"), "left_anti")
   }
 
+  /** [[similarToRetired]]'s SEMANTIC twin: retained corpus ids whose
+    * EMBEDDING sits within cosine `threshold` of any takedown doc's —
+    * the paraphrase expansion the text bands cannot see (reworded
+    * copies of removed content), probed against the semantic tier's
+    * own state and FROZEN quantizer (cells consistent with the tier's
+    * dedup decisions by construction; the
+    * [[graft.operators.Decontaminate.semanticMatches]] machinery with
+    * the takedown as the "benchmark" side). Takedown vectors
+    * broadcast; the state only streams. Union with the band-state
+    * expansion for a full similarity takedown.
+    */
+  def semanticSimilarToRetired(
+      sink: KVTableSink,
+      table: String,
+      removedDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      nProbe: Int = 4): DataFrame = {
+    val spark = removedDocs.sparkSession
+    Dedup.requireNumericId(removedDocs, idCol, "semanticSimilarToRetired")
+    val centroids = readQuantizer(spark, sink, s"${table}__sem")
+    require(centroids.nonEmpty,
+      s"semanticSimilarToRetired: no persisted quantizer for $table (nothing ingested yet?)")
+    val rem = removedDocs.select(
+      col(idCol).cast("long").alias("id"), col(vecCol).alias("vec"))
+      .localCheckpoint(true)
+    graft.operators.Decontaminate.semanticMatches(
+      sink.read(spark, s"${table}__sem", semanticStateSchema),
+      rem, "id", "vec", centroids,
+      threshold, math.min(nProbe, centroids.length))
+      .select(col("doc_id").alias("id"))
+      .distinct()
+      .join(broadcast(rem.select("id")), Seq("id"), "left_anti")
+  }
+
   /** The rows of a NEW snapshot that must RE-INGEST alongside a
     * retirement — the refresh contract's third work list, beside
     * [[graft.operators.Snapshot.removedRows]] (retire) and

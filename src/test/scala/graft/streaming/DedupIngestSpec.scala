@@ -401,6 +401,17 @@ class DedupIngestSpec extends SparkTestBase {
       sink, "sr", Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text")
       .as[Long].collect().toSet == Set.empty[Long])
 
+    // the SEMANTIC twin: a paraphrase (different text, near-identical
+    // embedding) of retained doc 2's content expands through the sem
+    // state + frozen quantizer; doc 1 (orthogonal vec) does not match
+    val paraphrase = Seq((7L, Seq.tabulate(8)(j =>
+        if (j == 2) 1.0f else if (j == 3) 0.05f else 0.0f)))
+      .toDF("doc_id", "embedding")
+    val semSimilar = DedupIngest.semanticSimilarToRetired(
+      sink, "sr", paraphrase, "doc_id", "embedding", threshold = 0.9)
+    assert(semSimilar.as[Long].collect().toSet == Set(2L),
+      "semantic expansion missed the retained paraphrase target")
+
     // the full loop: expand, join the corpus rows, retire both
     import org.apache.spark.sql.functions.{col, typedlit}
     val expandedRows = sink.read(spark, "sr__near", DedupIngest.nearDupStateSchema)
