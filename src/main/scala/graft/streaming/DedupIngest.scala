@@ -83,17 +83,21 @@ object DedupIngest {
     // cast to null silently and the min-id semantics would be lost —
     // fail loud at plan time instead
     Dedup.requireNumericId(batch, idCol, "mergeExactState")
-    val delta = batch
-      .select(col(idCol).cast("long").alias("keep_id"), md5(col(textCol)).alias("fp"))
-      .groupBy("fp")
-      .agg(min(col("keep_id")).alias("b_id"), count(lit(1)).alias("b_n"))
-    state
-      .select(col("fp"), col("keep_id").alias("s_id"), col("dup_count").alias("s_n"))
-      .join(delta, Seq("fp"), "full_outer")
-      .select(
-        col("fp"),
-        least(col("s_id"), col("b_id")).alias("keep_id"), // least skips nulls
-        (coalesce(col("s_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).alias("dup_count"))
+    // NULL-SAFE merge key (StateMerge's <=> join): a null-text doc has
+    // a null fingerprint, and `Dedup.exact`'s GROUP BY puts all nulls
+    // in ONE group — a plain equi-join would never match null against
+    // null, so every batch would append a fresh null-fp row and the
+    // state would diverge from the pinned batch-equality contract
+    StateMerge.fullOuterMerge(
+      state,
+      batch
+        .select(col(idCol).cast("long").alias("keep_id"), md5(col(textCol)).alias("fp"))
+        .groupBy("fp")
+        .agg(min(col("keep_id")).alias("keep_id"), count(lit(1)).alias("dup_count")),
+      keyCols = Seq("fp"),
+      valueCombiners = Seq(
+        "keep_id" -> ((a, b) => least(a, b)), // least skips nulls
+        "dup_count" -> StateMerge.addLong))
   }
 
   /** The exact tier's per-micro-batch body — factored out so the replay
@@ -672,15 +676,24 @@ object DedupIngest {
     // reach the sem/ANN tiers.)
     val exactKept = timed("exact") {
       val exactState = sink.read(spark, s"${table}__exact", exactStateSchema)
+      // NULL-SAFE fingerprint joins throughout (mergeExactState's <=>
+      // contract): a null-text doc's null fingerprint is ONE dedup
+      // group — the "no content" group, Dedup.exact's GROUP BY
+      // semantics and the Snapshot family's null ≡ '' convention. A
+      // plain equi-join would never match null keys, silently dropping
+      // every null-text row from all tiers while the state still
+      // counted them.
       val fp = docs.withColumn("__fp", md5(col("text")))
-      val minIds = fp.groupBy("__fp").agg(min(col("id")).alias("id"))
+      val minIds = fp.groupBy("__fp")
+        .agg(min(col("id")).alias("__mid"))
+        .select(col("__fp").alias("__mfp"), col("__mid"))
       val kept = fp
-        .join(minIds, Seq("__fp", "id"))
+        .join(minIds, col("__fp") <=> col("__mfp") && col("id") === col("__mid"))
         .join(
-          exactState.select(col("fp").alias("__fp"), col("keep_id").alias("__kid")),
-          Seq("__fp"), "left")
+          exactState.select(col("fp").alias("__sfp"), col("keep_id").alias("__kid")),
+          col("__fp") <=> col("__sfp"), "left")
         .filter(col("__kid").isNull || col("__kid") === col("id"))
-        .drop("__fp", "__kid")
+        .drop("__fp", "__mfp", "__mid", "__sfp", "__kid")
         .localCheckpoint(true)
       // per-tier applied guard: the dup_count sum is the one non-idempotent
       // write in the pipeline (re-merging a batch doubles its counts), so
@@ -991,15 +1004,19 @@ object DedupIngest {
       // fingerprints whose retained representative is being retired
       // (bounded by the retirement list, so it broadcasts back into
       // the anti join — the state side only streams)
+      // null-safe fingerprint joins (the mergeExactState <=> contract:
+      // null text = the one "no content" group)
       val dropFps = state.alias("s")
         .join(rem.alias("r"),
-          col("s.fp") === col("r.fp") && col("s.keep_id") === col("r.id"),
+          col("s.fp") <=> col("r.fp") && col("s.keep_id") === col("r.id"),
           "left_semi")
         .select("fp")
       val nrm = rem.groupBy("fp").agg(count(lit(1)).alias("__nrm"))
       val adjusted = state
-        .join(broadcast(dropFps), Seq("fp"), "left_anti")
-        .join(broadcast(nrm), Seq("fp"), "left")
+        .join(broadcast(dropFps.select(col("fp").alias("__dfp"))),
+          col("fp") <=> col("__dfp"), "left_anti")
+        .join(broadcast(nrm.select(col("fp").alias("__nfp"), col("__nrm"))),
+          col("fp") <=> col("__nfp"), "left")
         .select(
           col("fp"), col("keep_id"),
           (col("dup_count") - coalesce(col("__nrm"), lit(0L))).alias("dup_count"))
@@ -1166,12 +1183,12 @@ object DedupIngest {
     // list — exactly the rows retireUnified's exact tier will drop
     val dropFps = state.alias("s")
       .join(rem.alias("r"),
-        col("s.fp") === col("r.fp") && col("s.keep_id") === col("r.id"),
+        col("s.fp") <=> col("r.fp") && col("s.keep_id") === col("r.id"),
         "left_semi")
       .select("fp")
     newSnap
       .join(broadcast(dropFps.withColumnRenamed("fp", "__dfp")),
-        md5(col(textCol)) === col("__dfp"), "left_semi")
+        md5(col(textCol)) <=> col("__dfp"), "left_semi")
       .join(
         broadcast(removedDocs.select(col(idCol).cast("long").alias("__rid")).distinct()),
         col(idCol).cast("long") === col("__rid"), "left_anti")

@@ -43,6 +43,43 @@ class DedupIngestSpec extends SparkTestBase {
     assert(got.size == 4 && got.toSeq.map(_._3).sum == 8L)
   }
 
+  test("null-text docs form ONE dedup group across batches (Dedup.exact's null semantics)") {
+    // a plain fp equi-join would never match null against null: each
+    // batch would append a fresh null-fp state row and the unified
+    // keep rule would silently drop every null-text row from tiers 2+
+    val sink = new graft.sinks.InMemoryKVSink
+    val batches = Seq(
+      Seq((5L, null.asInstanceOf[String]), (2L, "alpha")),
+      Seq((7L, null.asInstanceOf[String]), (3L, "alpha")),
+      Seq((9L, null.asInstanceOf[String])))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupIngest.applyExactBatch(b.toDF("doc_id", "text"), i.toLong, "doc_id", "text", sink, "nt")
+    }
+    val got = sink.read(spark, "nt", DedupIngest.exactStateSchema)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Dedup.exact(batches.flatten.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"null-group state diverged:\n$got\nvs Dedup.exact:\n$want")
+    assert(got.exists(r => r._1 == null && r._2 == 5L && r._3 == 3L),
+      s"null texts must be one group keyed by the first arrival: $got")
+
+    // unified tier 1: the FIRST null-text doc is retained (it carries
+    // its vec to the later tiers), later ones are exact dups of the
+    // "no content" group
+    val usink = new ParquetKVSink(Files.createTempDirectory("graft-nulluni").toString)
+    def unit(axis: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    DedupIngest.applyUnifiedBatch(
+      Seq((5L, null.asInstanceOf[String], unit(0)), (2L, "alpha beta gamma", unit(1)))
+        .toDF("doc_id", "text", "embedding"),
+      0L, "doc_id", "text", "embedding", usink, "nu", None, nLists = 1, trainSample = 100)
+    DedupIngest.applyUnifiedBatch(
+      Seq((7L, null.asInstanceOf[String], unit(2))).toDF("doc_id", "text", "embedding"),
+      1L, "doc_id", "text", "embedding", usink, "nu", None, nLists = 1, trainSample = 100)
+    val near = usink.read(spark, "nu__near", DedupIngest.nearDupStateSchema)
+      .select("id").as[Long].collect().toSet
+    assert(near == Set(5L, 2L), s"first null-text doc must be retained, later blocked: $near")
+  }
+
   test("mergeExactState is batching-invariant: any grouping or order of batches lands on Dedup.exact") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 40L).map(i => (i, s"text${rnd.nextInt(9)}"))
