@@ -334,7 +334,9 @@ object TfIdf {
     * with [[hybridRank]] holds when the term-matching set covers the
     * corpus or fills `candidates`. A candidate with no embedding row —
     * or a query with a null vector — reranks on its lexical score
-    * alone (cosine treated as 0).
+    * alone (cosine treated as 0). `qid`s must be unique in `queries`
+    * (a duplicated qid with two vectors is ambiguous and would fan the
+    * rerank join out).
     */
   def hybridJoin(
       docs: DataFrame,

@@ -286,6 +286,10 @@ object SearchIndex {
       buckets: Int = 16): DataFrame = {
     val qt = queries
       .select(col(qidCol).alias("qid"), explode(col(termsCol)).alias("term"))
+      // a null element inside a terms array matches no posting anyway
+      // (the batch twin drops it in its joins) — and unguarded it would
+      // NPE the driver-side bucket collect below
+      .filter(col("term").isNotNull)
       .distinct()
       .localCheckpoint(true) // feeds the bucket probe, the vocab prune, and the scoring join
     val p = new org.apache.hadoop.fs.Path(indexPath)
