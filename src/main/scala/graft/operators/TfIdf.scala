@@ -382,9 +382,15 @@ object TfIdf {
       wVec: Double,
       topK: Int): DataFrame = {
     val lex = lexIn.localCheckpoint(true)
+    // The candidate-id set is bounded by |Q|·candidates ints — always
+    // broadcastable. Without the explicit hint Catalyst cannot see
+    // that (the localCheckpoint lineage carries no stats) and plans a
+    // SortMergeJoin LeftSemi that hash-exchanges the ENTIRE embeddings
+    // relation with the vector payload — a full-corpus shuffle per
+    // retrieval run at scale. Same pattern as hybridRerank below.
     val candEmb = emb
       .join(
-        lex.select(col("doc_id").alias("__cand_id")).distinct(),
+        broadcast(lex.select(col("doc_id").alias("__cand_id")).distinct()),
         col(embIdCol) === col("__cand_id"),
         "left_semi")
       .select(col(embIdCol).alias("doc_id"), col(vecCol).alias("__vec"))
