@@ -126,8 +126,16 @@ private[graft] object ArtifactSwap {
         if (!fs.exists(root)) {
           val olds = stamped(fs, root, "compact_old").sortBy(numericStamp)
           olds.lastOption.foreach { o =>
-            require(fs.rename(o.getPath, root),
-              s"$label: recovery rename of ${o.getPath} failed")
+            if (!fs.rename(o.getPath, root)) {
+              // cross-JVM race: the JVM-wide lock only serializes
+              // recoverers in THIS driver, so another process (a
+              // concurrent recoverer, or the live writer's swap-in)
+              // can win between our exists-check and the rename — on
+              // stores where the loser's rename just fails, the loser
+              // is harmless iff the root is now in place
+              require(fs.exists(root),
+                s"$label: recovery rename of ${o.getPath} failed and $root is still missing")
+            }
           }
           // the swap this marker guarded is adjudicated dead (timeout
           // above, or writer-side entry): clear it so later reads

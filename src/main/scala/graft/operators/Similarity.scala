@@ -1484,12 +1484,21 @@ object Similarity {
     val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
     require(fs.exists(model),
       s"compactIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
+    // a fully-retired-then-folded artifact is model-sidecar-only (no
+    // cell partitions): nothing to fold, and a parquet read of it has
+    // no schema to infer — maintenance no-op, not an error
+    if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/cell=*")).isEmpty) return
     val stamp = ArtifactSwap.newStamp()
     val tmp = ArtifactSwap.tmpPath(root, stamp)
     // one shuffle on the scalar cell id: each write task owns whole
-    // cells, so every occupied cell lands as one file under batch=-1
-    spark.read.parquet(path)
-      .select(col("id"), col("code"), col("cell"))
+    // cells, so every occupied cell lands as one file under batch=-1.
+    // [[removeFromIvfPqIndex]]'s tombstones fold in here: retired rows
+    // are anti-joined out of the rewrite and the swapped-in
+    // replacement carries no sidecar
+    Tombstones.mask(
+      spark.read.parquet(path)
+        .select(col("id"), col("code"), col("cell")),
+      "id", spark, fs, path)
       .repartition(col("cell"))
       .withColumn("batch", lit(-1L))
       .write.mode("overwrite")
@@ -1503,31 +1512,41 @@ object Similarity {
   }
 
   /** Document RETIREMENT through a persisted IVF-PQ index
-    * ([[graft.operators.Snapshot.removedKeys]]'s work list): rewrites
-    * the code artifact WITHOUT the retired ids — an anti-join on the
-    * scalar id (AQE broadcasts a small retirement list, hash-partitions
-    * a crawl-scale one; codes and vectors never key a partitioning) —
-    * folded to the `batch = -1` compaction layout and published by the
-    * marker-guarded [[ArtifactSwap.swap]]. The trained model sidecar is
-    * kept: quantization cells are a PROPERTY OF THE MODEL, not of
-    * corpus membership, so surviving rows' cells/codes — and therefore
-    * every query's ADC scan and exact re-rank — are bit-identical to an
-    * index whose survivors were appended under the same model. (A
-    * model retrained on the survivors would re-cluster; that is a
-    * rebuild, not a retirement.)
+    * ([[graft.operators.Snapshot.removedKeys]]'s work list) — the
+    * tombstone shape: the retired ids are APPENDED to the artifact's
+    * `_graft_tombstones` sidecar; [[ivfPqTopKFromIndex]] and
+    * [[knnJoinFromIndex]] anti-probe the (takedown-sized, broadcast)
+    * list, and [[compactIvfPqIndex]] folds it into the full rewrite it
+    * performs anyway on the maintenance cadence. Retire latency
+    * therefore tracks the TAKEDOWN size, not the artifact size
+    * (pre-round-16, every takedown batch rewrote the entire code
+    * table). Pass `compactNow = true` to chain the eager fold and
+    * physically purge the rows immediately (the old behavior, for
+    * erasure-deadline callers).
     *
-    * Content-idempotent like compaction (filtering an already-filtered
-    * artifact is a no-op), so it needs no ack and is safe to re-run
-    * after a crash at any point; the swap window self-heals through
-    * [[readIvfPqModel]]'s recovery like every other entry point.
+    * The trained model sidecar is untouched throughout: quantization
+    * cells are a PROPERTY OF THE MODEL, not of corpus membership, so
+    * surviving rows' cells/codes — and therefore every query's ADC
+    * scan and exact re-rank — are bit-identical to an index whose
+    * survivors were appended under the same model. (A model retrained
+    * on the survivors would re-cluster; that is a rebuild, not a
+    * retirement.)
+    *
+    * Idempotent at the semantics level (the mask and the fold are
+    * anti-joins — duplicate tombstone ids change nothing), so it needs
+    * no ack and is safe to re-run after a crash at any point.
     * Single-writer: run on the maintenance thread that owns the
-    * artifact, never concurrently with a live append.
+    * artifact, never concurrently with a live append. Caveat shared
+    * with the postings tier: a RETIRED id must not be re-appended
+    * before a compaction folds its tombstone, or the mask hides the
+    * new rows too.
     */
   def removeFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       removed: DataFrame,
-      removedIdCol: String): Unit = {
+      removedIdCol: String,
+      compactNow: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -1535,26 +1554,11 @@ object Similarity {
     val model = new org.apache.hadoop.fs.Path(s"$path/$IvfPqModelDir")
     require(fs.exists(model),
       s"removeFromIvfPqIndex: no IVF-PQ artifact at $path (missing $IvfPqModelDir)")
-    val idx = spark.read.parquet(path).select(col("id"), col("code"), col("cell"))
-    // match the artifact's own id type so the anti-join never
-    // null-casts a retirement key into a silent keep
-    val idType = idx.schema("id").dataType
-    val stamp = ArtifactSwap.newStamp()
-    val tmp = ArtifactSwap.tmpPath(root, stamp)
-    idx
-      .join(
-        removed.select(col(removedIdCol).cast(idType).alias("id")).distinct(),
-        Seq("id"), "left_anti")
-      .repartition(col("cell"))
-      .withColumn("batch", lit(-1L))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell", "batch").parquet(tmp.toString)
-    require(
-      org.apache.hadoop.fs.FileUtil.copy(fs, model, fs,
-        new org.apache.hadoop.fs.Path(s"$tmp/$IvfPqModelDir"), false, conf),
-      s"removeFromIvfPqIndex: copying the model sidecar to $tmp failed")
-    ArtifactSwap.swap(fs, root, stamp, "removeFromIvfPqIndex")
+    // the tombstone store keys on longs; a non-numeric id would
+    // null-cast into a mask that silently keeps the retired rows
+    Dedup.requireNumericId(removed, removedIdCol, "removeFromIvfPqIndex")
+    Tombstones.append(removed, removedIdCol, path)
+    if (compactNow) compactIvfPqIndex(spark, path)
   }
 
   /** The `(id, cell, code)` projection both index writers share:
@@ -1646,8 +1650,24 @@ object Similarity {
     val rer = if (rerank > 0) rerank else math.max(10 * k, 100)
     val probeCells = nearestCentroids(centroids, query.toArray, nProbe)
 
-    val cand = spark.read.parquet(path)
-      .filter(col("cell").isInCollection(probeCells))
+    val hRoot = new org.apache.hadoop.fs.Path(path)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fully-retired-then-compacted artifact keeps its model sidecar
+    // but holds zero cell partitions — a valid state with an empty
+    // answer, not a schema-inference crash
+    if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/cell=*")).isEmpty)
+      return emb
+        .select(col(idCol).alias("id"), col(vecCol).alias("vec"))
+        .limit(0)
+        .transform(withCosine(_, "vec", query))
+        .select(col("id"), col("cos"))
+
+    // retirement tombstones anti-probed BEFORE the rerank cut, so
+    // retired rows neither surface nor occupy candidate slots —
+    // row-parity with an index whose survivors were appended fresh
+    val cand = Tombstones.mask(
+      spark.read.parquet(path).filter(col("cell").isInCollection(probeCells)),
+      "id", spark, fs, path)
       .select(col("id"), pqAdcScoreCol(col("code"), codebooks, query).alias("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(rer)
@@ -1720,9 +1740,22 @@ object Similarity {
 
     val probedCells = probes.select("cell").distinct().as[Int].collect().toSeq
 
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isInCollection(probedCells))
-      .select(col("id"), col("cell"))
+    val hRoot = new org.apache.hadoop.fs.Path(path)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index =
+      // fully-retired-then-compacted artifact (model only, no cell
+      // partitions): a valid empty-answer state, typed off the corpus
+      // frame so the downstream joins keep their schemas
+      if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/cell=*")).isEmpty)
+        emb.select(col(idCol).alias("id")).limit(0).withColumn("cell", lit(0))
+      else
+        // retirement tombstones anti-probed inline (takedown-sized,
+        // broadcast) — retired rows never become candidates
+        Tombstones.mask(
+          spark.read.parquet(path)
+            .filter(col("cell").isInCollection(probedCells))
+            .select(col("id"), col("cell")),
+          "id", spark, fs, path)
 
     val cand = probes.join(index, Seq("cell")).select(col(qidCol), col("id"))
 

@@ -89,13 +89,28 @@ object Vocab {
     if (topRows.isEmpty) {
       Seq.empty[(String, Long, Long, Double)].toDF("token", "cnt", "rank", "cum_share")
     } else {
-      val totalMass = total.head().getLong(0)
+      // SQL-division parity in the degenerate cases: an all-null or
+      // zero total mass yields NULL cum_share (not NaN/Infinity from
+      // a driver-side /0.0), and a null cnt contributes nothing to
+      // the running mass (a SQL sum skips it) instead of NPE-ing the
+      // primitive getter
+      val totalRow = total.head()
+      val totalMass = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       var cum = 0L
-      topRows.toSeq.zipWithIndex.map { case (r, i) =>
-        val cnt = r.getLong(1)
-        cum += cnt
-        (r.getString(0), cnt, (i + 1).toLong, cum.toDouble / totalMass.toDouble)
-      }.toDF("token", "cnt", "rank", "cum_share")
+      val out = topRows.toSeq.zipWithIndex.map { case (r, i) =>
+        val cnt: java.lang.Long = if (r.isNullAt(1)) null else r.getLong(1)
+        if (cnt != null) cum += cnt
+        val share: java.lang.Double =
+          if (totalMass == 0L) null else cum.toDouble / totalMass.toDouble
+        org.apache.spark.sql.Row(r.getString(0), cnt, (i + 1).toLong, share)
+      }
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava,
+        new org.apache.spark.sql.types.StructType()
+          .add("token", org.apache.spark.sql.types.StringType)
+          .add("cnt", org.apache.spark.sql.types.LongType)
+          .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+          .add("cum_share", org.apache.spark.sql.types.DoubleType))
     }
   }
 

@@ -953,6 +953,16 @@ object DedupIngest {
     * concurrently with a live trigger (the compaction contract). Crash
     * anywhere and re-run with the same `retireId`: idempotent steps
     * re-filter to the same result, the acked steps skip.
+    *
+    * Scale shape: the search and ANN artifacts retire via TOMBSTONE
+    * sidecars by default — their query paths anti-probe the
+    * (takedown-sized, broadcast) id list and their compactions fold it
+    * into the rewrite they already do — so the takedown's cost tracks
+    * its own size, not the artifact sizes. `compactNow = true` chains
+    * the eager folds (physical purge in this call — the
+    * erasure-deadline path, at full-rewrite cost). The KV state tables
+    * (exact/near/sem) are corpus-bounded metadata, always rewritten
+    * inline as before.
     */
   def retireUnified(
       removedDocs: DataFrame,
@@ -964,7 +974,8 @@ object DedupIngest {
       retireId: Long,
       annIndexPath: Option[String] = None,
       searchIndexPath: Option[String] = None,
-      searchBuckets: Int = 16): Unit = {
+      searchBuckets: Int = 16,
+      compactNow: Boolean = false): Unit = {
     val spark = removedDocs.sparkSession
     if (alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
     Dedup.requireNumericId(removedDocs, idCol, "retireUnified")
@@ -972,8 +983,14 @@ object DedupIngest {
       col(idCol).cast("long").alias("id"),
       col(textCol).cast("string").alias("text"),
       col(vecCol).alias("vec"))
+      // the exact-tier dup_count decrement and the downstream
+      // df/corpus-stats subtractions are NOT idempotent per row: a
+      // work list carrying the same id twice would double-subtract
+      // silently (the delete paths were already immune — `ids` is
+      // distinct'ed). One row per id, like [[SearchIndex.retire]]
+      .dropDuplicates("id")
       .localCheckpoint(true)
-    val ids = removed.select("id").distinct().localCheckpoint(true)
+    val ids = removed.select("id").localCheckpoint(true)
 
     // SEARCH FIRST, and only for docs that actually REACHED the search
     // index: the index holds the FINAL survivors — exactly the semantic
@@ -994,7 +1011,7 @@ object DedupIngest {
       if (searchRemoved.head(1).nonEmpty)
         SearchIndex.retire(
           searchRemoved.select(col("id"), col("text")), "id", "text",
-          path, sink, s"${table}__srch", retireId)
+          path, sink, s"${table}__srch", retireId, compactNow = compactNow)
     }
 
     // exact tier (acked — the dup_count decrement must apply once)
@@ -1041,7 +1058,7 @@ object DedupIngest {
       val model = new org.apache.hadoop.fs.Path(
         s"$path/${Similarity.ivfPqModelDirName}")
       if (model.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(model))
-        Similarity.removeFromIvfPqIndex(spark, path, ids, "id")
+        Similarity.removeFromIvfPqIndex(spark, path, ids, "id", compactNow = compactNow)
     }
 
     markApplied(spark, sink, s"${table}__retire", retireId)

@@ -305,10 +305,14 @@ object SearchIndex {
         val tbs = qt
           .select((TextFunctions.md5Hash60(col("term")) % effBuckets).alias("tb"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        spark.read.parquet(indexPath)
-          .filter(col("tb").isInCollection(tbs))
-          .select("term", "doc_id", "dl", "tf")
-          .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+        // retirement tombstones anti-probed inline (takedown-sized,
+        // broadcast) — same mask as [[search]]'s
+        graft.operators.Tombstones.mask(
+          spark.read.parquet(indexPath)
+            .filter(col("tb").isInCollection(tbs))
+            .select("term", "doc_id", "dl", "tf")
+            .join(qt.select("term").distinct(), Seq("term"), "left_semi"),
+          "doc_id", spark, fs, indexPath)
       } else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -380,10 +384,15 @@ object SearchIndex {
     * failure mode the ANN tier's compaction closes, closed the same
     * way (write-then-swap: a concurrent reader sees either the old or
     * the new complete artifact; a replayed compaction is a no-op on
-    * row content). Layout-only: document RETIREMENT is deliberately
-    * not here — dropping a doc's postings without adjusting the
-    * df/stats tables would skew every idf, so removals rebuild the
-    * index from the current snapshot instead.
+    * row content). Also the fold point for [[retire]]'s tombstone
+    * sidecar: retired docs' postings are anti-joined out of the
+    * rewrite (their df/stats contributions were already reversed at
+    * retire time), and the swapped-in replacement carries no sidecar —
+    * the query-side anti-probe resets to empty. Consequence: a
+    * RETIRED id must not be re-ingested before a compaction has
+    * folded its tombstone (the mask would hide the new postings too);
+    * the unified refresh path never does — re-represented rows are
+    * surviving duplicates, id-disjoint from the retired docs.
     */
   def compactPostings(spark: SparkSession, indexPath: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -394,13 +403,23 @@ object SearchIndex {
     // the first non-empty batch), or nothing to fold: a no-op, not an
     // error — compaction is maintenance
     if (!fs.exists(root)) return
-    if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*/batch=*"))
-        .forall(_.getPath.getName == "batch=-1")) return
+    val parts =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*/batch=*"))
+    // no data partitions: nothing to fold (a tombstone-only sidecar
+    // masks nothing — harmless to leave until data arrives)
+    if (parts.isEmpty) return
+    val tombs = graft.operators.Tombstones.exist(spark, fs, indexPath)
+    if (!tombs && parts.forall(_.getPath.getName == "batch=-1")) return
     val sidecar = readBucketsSidecar(fs, root)
     val stamp = graft.operators.ArtifactSwap.newStamp()
     val tmp = graft.operators.ArtifactSwap.tmpPath(root, stamp)
-    spark.read.parquet(indexPath)
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
+    // the fold consumes any retirement tombstones ([[retire]]'s
+    // scale path): the swapped-in replacement carries no sidecar, so
+    // the query-side anti-probe cost resets to zero here
+    graft.operators.Tombstones.mask(
+      spark.read.parquet(indexPath)
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb")),
+      "doc_id", spark, fs, indexPath)
       .repartition(col("tb"))
       .withColumn("batch", lit(-1L))
       .write.mode("overwrite")
@@ -429,23 +448,30 @@ object SearchIndex {
     * postings to derive anything from). Retiring a never-ingested or
     * since-edited row under-/over-subtracts: garbage in, garbage out.
     *
-    * Replay safety mirrors the ingest: the postings rewrite is a
-    * content-idempotent anti-join published by the marker-guarded
-    * [[graft.operators.ArtifactSwap.swap]] (a replayed filter of an
-    * already-filtered artifact is a no-op), while the df / stats
-    * subtractions are NOT idempotent and sit behind per-table
-    * `retireId` acks in their own meta namespace (`<table>__retire*`) —
-    * `retireId`s must be monotonically increasing per index, exactly
-    * like trigger batch ids. Crash anywhere, re-run with the same
-    * `retireId`: each step applies at most once. Single-writer: run on
-    * the maintenance thread that owns the artifact, never concurrently
+    * Replay safety mirrors the ingest: every step — the tombstone
+    * append, and the df / stats subtractions (NOT idempotent) — sits
+    * behind per-table `retireId` acks in its own meta namespace
+    * (`<table>__retire*`); `retireId`s must be monotonically
+    * increasing per index, exactly like trigger batch ids. Crash
+    * anywhere, re-run with the same `retireId`: each step applies at
+    * most once (and a half-replayed tombstone append is harmless
+    * regardless — the mask and the compaction fold are anti-joins, so
+    * duplicate ids change nothing). Single-writer: run on the
+    * maintenance thread that owns the artifact, never concurrently
     * with a live ingest trigger.
     *
-    * Scale shape: one partition-pruned-write rewrite of the postings
-    * artifact (anti-join on the scalar doc id — AQE broadcasts a small
-    * retirement list, hash-partitions a crawl-scale one; text never
-    * shuffles) plus one `term_counts` pass over the retired rows into
-    * vocabulary-bounded negative merges.
+    * Scale shape — tombstones, not rewrites: the postings artifact is
+    * NOT touched beyond appending the retired ids to its
+    * `_graft_tombstones` sidecar; [[search]]/[[searchJoin]]
+    * anti-probe the (takedown-sized, broadcast) list, and
+    * [[compactPostings]] folds it into the full rewrite it performs
+    * anyway on the maintenance cadence. Retire cost is therefore one
+    * `term_counts` pass over the RETIRED rows into vocabulary-bounded
+    * negative merges plus an id-list write — independent of the
+    * artifact size (pre-round-16, each takedown batch paid a full
+    * postings rewrite). Pass `compactNow = true` to chain the eager
+    * fold and physically purge the rows immediately (the old
+    * behavior, for erasure-deadline callers).
     */
   def retire(
       removedDocs: DataFrame,
@@ -454,7 +480,8 @@ object SearchIndex {
       indexPath: String,
       sink: KVTableSink,
       table: String,
-      retireId: Long): Unit = {
+      retireId: Long,
+      compactNow: Boolean = false): Unit = {
     val spark = removedDocs.sparkSession
     if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
     Dedup.requireNumericId(removedDocs, idCol, "SearchIndex.retire")
@@ -463,32 +490,34 @@ object SearchIndex {
     recoverCompaction(fs, root, sweep = true)
     val removed = removedDocs
       .select(col(idCol).cast("long").alias("doc_id"), col(textCol).alias("__text"))
+      // the df/stats subtractions below are NOT idempotent per row: a
+      // caller whose work list carries the same doc twice would
+      // double-decrement df and double-subtract n_docs/sum_dl —
+      // silently. One row per id, like the delete paths already
+      // guarantee for their id lists
+      .dropDuplicates("doc_id")
       .localCheckpoint(true)
     // an empty retirement list has nothing to reverse — ack and return
-    // rather than pointlessly rewriting the postings artifact
+    // rather than pointlessly touching the postings artifact
     if (removed.head(1).isEmpty) {
       DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
       return
     }
-    // 1. postings rewrite (idempotent): anti-join the retired ids out,
-    //    fold to the batch = -1 base (one write task per bucket, the
-    //    compaction layout), publish via the marker-guarded swap
+    // 1. postings TOMBSTONES (the scale path): append the retired ids
+    //    to the artifact's sidecar instead of rewriting the whole
+    //    postings artifact — [[search]]/[[searchJoin]] anti-probe the
+    //    (takedown-sized, broadcast) list and [[compactPostings]]
+    //    folds it into the rewrite it already does, so retire latency
+    //    tracks the takedown size, not the corpus. Acked to bound
+    //    sidecar growth across replays; a half-replayed append is
+    //    harmless anyway (the mask and the fold are anti-joins —
+    //    duplicate ids change nothing).
     val hasData = fs.exists(root) &&
       fs.globStatus(new org.apache.hadoop.fs.Path(s"$indexPath/tb=*")).nonEmpty
-    if (hasData) {
-      val sidecar = readBucketsSidecar(fs, root)
-      val stamp = graft.operators.ArtifactSwap.newStamp()
-      val tmp = graft.operators.ArtifactSwap.tmpPath(root, stamp)
-      spark.read.parquet(indexPath)
-        .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("tb"))
-        .join(removed.select("doc_id"), Seq("doc_id"), "left_anti")
-        .repartition(col("tb"))
-        .withColumn("batch", lit(-1L))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("tb", "batch").parquet(tmp.toString)
-      sidecar.foreach(b => writeBucketsSidecar(fs, tmp, b))
-      graft.operators.ArtifactSwap.swap(fs, root, stamp, "SearchIndex.retire")
+    if (hasData &&
+      !DedupIngest.alreadyApplied(spark, sink, s"${table}__retire_tomb", retireId)) {
+      graft.operators.Tombstones.append(removed, "doc_id", indexPath)
+      DedupIngest.markApplied(spark, sink, s"${table}__retire_tomb", retireId)
     }
     // 2. df reversal (acked): per-term counts of the retired docs,
     //    subtracted; terms whose df reaches 0 leave the table entirely
@@ -520,6 +549,10 @@ object SearchIndex {
       DedupIngest.markApplied(spark, sink, s"${table}__retire_stats", retireId)
     }
     DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+    // optional eager fold — the pre-tombstone full-rewrite behavior,
+    // for callers that want the takedown physically purged NOW (legal
+    // erasure deadlines) rather than at the next maintenance cadence
+    if (compactNow) compactPostings(spark, indexPath)
   }
 
   /** BM25 top-`topK` for a fixed query, served FROM the maintained
@@ -560,9 +593,14 @@ object SearchIndex {
     val tbs = terms.map(termBucketLocal(_, effBuckets)).distinct
     val posts =
       if (hasData)
-        spark.read.parquet(indexPath)
-          .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
-          .select("term", "doc_id", "dl", "tf")
+        // retirement tombstones anti-probed inline (takedown-sized,
+        // broadcast): retired docs stay physically present until the
+        // next compaction folds them out, but never surface
+        graft.operators.Tombstones.mask(
+          spark.read.parquet(indexPath)
+            .filter(col("tb").isInCollection(tbs) && col("term").isInCollection(terms))
+            .select("term", "doc_id", "dl", "tf"),
+          "doc_id", spark, fs, indexPath)
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -134,10 +134,18 @@ object TokenizerStats {
       merges: Seq[(String, String)],
       sink: KVTableSink,
       table: String,
-      retireId: Long): Unit = {
+      retireId: Long,
+      idCol: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
     if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
-    val removed = removedDocs
+    // the count subtractions below are NOT idempotent per row: a work
+    // list carrying the same doc twice double-subtracts silently.
+    // With an id column available, enforce one row per doc here; a
+    // caller without one owns the uniqueness contract (full-row dedup
+    // would be WRONG — two distinct docs may share group and text,
+    // and each must subtract)
+    val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
+    val removed = uniq
       .select(col(groupCol).alias(groupCol), col(textCol).cast("string").alias(textCol))
       .localCheckpoint(true)
     if (!DedupIngest.alreadyApplied(spark, sink, s"${table}__tokens__retire", retireId)) {

@@ -478,9 +478,10 @@ class SimilaritySpec extends SparkTestBase {
     val before = rows(dirA)
 
     Similarity.removeFromIvfPqIndex(spark, dirA, removedIds, "vec_id")
-    val after = rows(dirA)
-    assert(after == before.filterNot(r => removedSet(r._1)),
-      "retired rows not exactly the removed ids (or surviving codes changed)")
+    // tombstone shape: the code artifact is NOT rewritten at retire
+    // time — physical rows survive until compaction folds the sidecar
+    assert(rows(dirA) == before,
+      "tombstone retire rewrote the code artifact (should be sidecar-only)")
 
     // query parity: the retired index answers exactly like an index
     // whose SURVIVORS were appended under the SAME model (cells/codes
@@ -503,9 +504,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(gotA.forall(r => !removedSet(r._1)), s"retired id served from the index: $gotA")
     assert(gotA == top(dirB), "retired index diverged from the same-model survivor append")
 
-    // content-idempotent: a crash-replay of the removal is a no-op
+    // kNN-join parity through the mask: retired ids never become
+    // candidates, and results equal the survivor-append index's
+    val queries = embR.filter(col("vec_id").isin(1L, 7L))
+      .select(col("vec_id").alias("qid"), col("embedding").alias("qvec"))
+    def knn(dir: String): Set[(Long, Long, Double)] =
+      Similarity.knnJoinFromIndex(
+        spark, dir, embR, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 8, nProbe = 4)
+        .as[(Long, Long, Double)].collect().toSet
+    val knnA = knn(dirA)
+    assert(knnA.forall(r => !removedSet(r._2)), s"retired id in kNN join: $knnA")
+    assert(knnA == knn(dirB), "kNN join through tombstones diverged from survivor append")
+
+    // idempotent at the semantics level: a crash-replay of the removal
+    // changes neither the artifact nor any answer
     Similarity.removeFromIvfPqIndex(spark, dirA, removedIds, "vec_id")
-    assert(rows(dirA) == after, "replayed removal changed the artifact")
+    assert(rows(dirA) == before && top(dirA) == gotA, "replayed removal not a no-op")
+
+    // compaction folds the tombstones: NOW the physical rows go, the
+    // sidecar is consumed, and every answer is unchanged
+    Similarity.compactIvfPqIndex(spark, dirA)
+    assert(rows(dirA) == before.filterNot(r => removedSet(r._1)),
+      "compaction did not fold the tombstones into the rewrite")
+    assert(!new java.io.File(dirA, "_graft_tombstones").exists(),
+      "compacted artifact still carries the tombstone sidecar")
+    assert(top(dirA) == gotA && knn(dirA) == knnA,
+      "answers changed when the tombstones folded")
+
+    // compactNow = the pre-tombstone eager behavior: physical purge in
+    // the retire call itself
+    val dirC = java.nio.file.Files.createTempDirectory("graft-ivfpq-rm-c").toString + "/index"
+    Similarity.buildIvfPqIndex(
+      embR, "vec_id", "embedding", dirC,
+      nLists = 16, m = 16, nCodes = 64, trainSample = 2048)
+    Similarity.removeFromIvfPqIndex(spark, dirC, removedIds, "vec_id", compactNow = true)
+    assert(rows(dirC).forall(r => !removedSet(r._1)),
+      "compactNow retire left retired rows in the artifact")
+
+    // retiring EVERY row then folding leaves a model-only artifact —
+    // queries must answer empty, not crash on schema inference
+    Similarity.removeFromIvfPqIndex(
+      spark, dirC, embR.select("vec_id"), "vec_id", compactNow = true)
+    assert(top(dirC).isEmpty, "fully-retired index did not answer empty top-k")
+    assert(knn(dirC).isEmpty, "fully-retired index did not answer empty kNN join")
+    // and compacting the empty artifact again is a quiet no-op
+    Similarity.compactIvfPqIndex(spark, dirC)
+    assert(top(dirC).isEmpty)
   }
 
   test("compactIvfPqIndex: deltas collapse to one batch=-1 file per cell; queries row-identical; replay no-op") {

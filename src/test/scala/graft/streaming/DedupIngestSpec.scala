@@ -365,6 +365,12 @@ class DedupIngestSpec extends SparkTestBase {
     assert(idsOf("runi__near__bands", DedupIngest.nearDupBandStateSchema) == Set(3L, 7L))
     assert(idsOf("runi__near__sets", DedupIngest.nearDupSetStateSchema) == Set(3L, 7L))
     assert(idsOf("runi__sem", DedupIngest.semanticStateSchema) == Set(3L, 7L))
+    // the index artifacts retire via tombstone sidecars (retire cost
+    // tracks the takedown, not the artifact): physical purge happens
+    // at the next maintenance fold, which we run before asserting
+    // physical membership
+    graft.operators.Similarity.compactIvfPqIndex(spark, idx)
+    graft.streaming.SearchIndex.compactPostings(spark, srchIdx)
     assert(spark.read.parquet(idx).select("id").as[Long].collect().toSet == Set(3L, 7L))
     assert(spark.read.parquet(srchIdx).select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
 
@@ -531,7 +537,10 @@ class DedupIngestSpec extends SparkTestBase {
     assert(ids(incSink, "rf__sem", DedupIngest.semanticStateSchema) ==
       ids(frSink, "rf__sem", DedupIngest.semanticStateSchema))
     // ANN: membership equality (codes/cells are properties of each
-    // deployment's own trained model, legitimately different)
+    // deployment's own trained model, legitimately different). The
+    // incremental side retired via tombstones, so fold them first —
+    // the refresh loop's real maintenance cadence
+    graft.operators.Similarity.compactIvfPqIndex(spark, incIdx)
     assert(spark.read.parquet(incIdx).select("id").as[Long].collect().toSet ==
       spark.read.parquet(frIdx).select("id").as[Long].collect().toSet)
     // search: SCORE equality, not just membership — df/corpus-stats

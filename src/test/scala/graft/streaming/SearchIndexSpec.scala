@@ -235,6 +235,51 @@ class SearchIndexSpec extends SparkTestBase {
     withNew.foreach { case (doc, micro, _) =>
       assert(micro == wantNew(doc), s"post-retirement ingest skewed doc $doc")
     }
+
+    // tombstone shape: retire did NOT rewrite the postings — the
+    // retired doc's rows are physically present, masked by the sidecar
+    def physicalDocs(): Set[Long] =
+      spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
+    assert(physicalDocs().contains(2L),
+      "tombstone retire rewrote the postings artifact (should be sidecar-only)")
+    assert(new java.io.File(idxPath, "_graft_tombstones").exists(),
+      "retire left no tombstone sidecar")
+
+    // compaction folds the tombstones: rows physically purged, sidecar
+    // consumed, every score unchanged
+    SearchIndex.compactPostings(spark, idxPath)
+    assert(physicalDocs() == Set(1L, 3L, 6L, 7L),
+      "compaction did not fold the retirement tombstones")
+    assert(!new java.io.File(idxPath, "_graft_tombstones").exists(),
+      "compacted artifact still carries the tombstone sidecar")
+    val folded = SearchIndex.search(spark, idxPath, sink, "srch4", terms)
+      .as[(Long, Long, Double)].collect()
+    assert(folded.toSeq == withNew.toSeq, "scores changed when the tombstones folded")
+  }
+
+  test("retire with compactNow purges physically in the call (the erasure-deadline path)") {
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-srch6").toString)
+    val idxPath = Files.createTempDirectory("graft-srch6-idx").toString + "/postings"
+    SearchIndex.applyBatch(
+      Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"))
+        .toDF("doc_id", "text"),
+      batchId = 0L, "doc_id", "text", idxPath, sink, "srch6", buckets = 4)
+    SearchIndex.retire(
+      Seq((2L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idxPath, sink, "srch6", retireId = 0L, compactNow = true)
+    assert(spark.read.parquet(idxPath).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L), "compactNow retire left the retired doc's postings")
+    assert(!new java.io.File(idxPath, "_graft_tombstones").exists())
+    val got = SearchIndex.search(spark, idxPath, sink, "srch6", Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long, Double)].collect()
+    val want = TfIdf.bm25Rank(
+      Seq((1L, "alpha beta"), (3L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    got.foreach { case (doc, micro, _) =>
+      assert(micro == want(doc), s"doc $doc diverged after compactNow retire")
+    }
   }
 
   test("searchJoin/hybridJoin from streamed state equal the batch query-set surfaces") {
