@@ -1139,6 +1139,17 @@ object Dedup {
     * calibration read — the decision variable is the SHAPE of
     * pairs-vs-threshold, and the production run it calibrates (the
     * q34 filtered [[ngramJaccard]] mode) prunes the same hot shingles.
+    *
+    * WHICH MODE TO REACH FOR: the filtered mode (registry q119) is
+    * the default calibration path for any corpus you have not
+    * measured — web crawl, multi-source mixture, anything that might
+    * carry boilerplate. At the 100× gate cap it held a 0.58 two-decade
+    * exponent in 4.8 s where the exact control took 111.8 s at 0.80 —
+    * the roster's worst growth rate, and the multi-hour-job cliff a
+    * default should never sit on. Reserve the exact mode (registry
+    * q114) for what it is: the run-ONCE control that validates the
+    * filtered curve's shape on a corpus sample, or a corpus already
+    * known boilerplate-light.
     */
   def jaccardThresholdSweep(
       docs: DataFrame,

@@ -100,6 +100,56 @@ object NgramLm {
       spark.read.parquet(s"$path/bi"),
       spark.read.parquet(s"$path/meta"))
 
+  /** Decides the skew-hardened mode's hot-set size from the LM's OWN
+    * count tables — `hotKeys = -1`'s resolution path, so a user does
+    * not need to know their corpus is Zipf-headed (or eyeball K from a
+    * bench table, the round-15 state: K=8 was measured insufficient
+    * against a 50%-mass head, 64 needed).
+    *
+    * Three bounded driver-side aggregates over tables the joins read
+    * anyway:
+    *
+    *  1. total token mass (1 row, from `nTok`);
+    *  2. the HEAD set: unigrams whose individual share of that mass is
+    *     ≥ `headShare` — bounded by `1 / headShare` rows (≤ 50 at the
+    *     2% default) regardless of vocabulary size;
+    *  3. if the worst head share is under `enableShare`, return 0 — a
+    *     near-uniform vocabulary has no reducer funnel for the split
+    *     to fix (with P reducers a key of share s costs ≈ s·P× the
+    *     median; at `enableShare` = 5% that is already 1.6× at 32 and
+    *     catastrophic at cluster partition counts). Otherwise K =
+    *     the number of distinct bigrams TOUCHING a head token (one
+    *     count over `bi`), clamped to [`floorK`, `capK`]: the bigram
+    *     hot set must cover the head's successor/predecessor fan —
+    *     the LmSkewBench lesson that the head count alone (K = 1
+    *     there) leaves the (head, x) probe rows in the cold shuffle.
+    *
+    * Deterministic for a given LM (no sampling), so replay-stable in
+    * streaming gates; the split itself is row-identical either way.
+    */
+  private[graft] def autoHotKeys(
+      lm: LmTables,
+      headShare: Double = 0.02,
+      enableShare: Double = 0.05,
+      floorK: Int = 64,
+      capK: Int = 65536): Int = {
+    val ntRow = lm.nTok.head()
+    val nTok = if (ntRow.isNullAt(0)) 0L else ntRow.getLong(0)
+    if (nTok <= 0L) return 0
+    val headFloor = math.max(1L, math.ceil(headShare * nTok).toLong)
+    val heads = lm.uni.filter(col("c") >= headFloor)
+      .select(col("w"), col("c")).collect()
+    if (heads.isEmpty) return 0
+    val maxShare = heads.map(_.getLong(1)).max.toDouble / nTok.toDouble
+    if (maxShare < enableShare) return 0
+    val headWords = heads.map(_.getString(0)).toSeq
+    val touching = lm.bi
+      .filter(col("w1").isInCollection(headWords) ||
+        col("w2").isInCollection(headWords))
+      .count()
+    math.min(capK.toLong, math.max(floorK.toLong, touching)).toInt
+  }
+
   /** Stupid-Backoff NLL per document against a (frozen or in-plan) LM.
     * Output: `(doc_id, n_bigrams, nll_micro, avg_nll)` where
     * `nll_micro` is the BIGINT sum over the doc's bigram occurrences of
@@ -132,10 +182,14 @@ object NgramLm {
     val hb = bigramStream(tokenized(docs, idCol, textCol))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
 
+    // hotKeys = -1: measure the head instead of asking the caller
+    // ([[autoHotKeys]] — 0 on a near-uniform vocabulary, a fan-covering
+    // K on a Zipf-headed one)
+    val effHotKeys = if (hotKeys < 0) autoHotKeys(lm) else hotKeys
     val uniW1 = lm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
     val uniW2 = lm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
     val joined0 =
-      if (hotKeys <= 0)
+      if (effHotKeys <= 0)
         hb
           .join(lm.bi, Seq("w1", "w2"), "left")
           .join(uniW1, Seq("w1"), "left")
@@ -144,10 +198,10 @@ object NgramLm {
         // deterministic bounded hot sets: total-order top-K by count
         val hotBi = lm.bi
           .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
-          .limit(hotKeys).select("w1", "w2")
+          .limit(effHotKeys).select("w1", "w2")
         val hotUni = lm.uni
           .orderBy(col("c").desc, col("w").asc)
-          .limit(hotKeys).select("w")
+          .limit(effHotKeys).select("w")
         Skew.hotColdLeftJoin(
           Skew.hotColdLeftJoin(
             Skew.hotColdLeftJoin(hb, lm.bi, Seq("w1", "w2"), hotBi),
@@ -267,13 +321,14 @@ object NgramLm {
     // joins here: every bigram's component words exist in uni by
     // construction, so the left joins the split produces are
     // match-total and row-equal to the inner originals.
+    val effHotKeys = if (hotKeys < 0) autoHotKeys(lm) else hotKeys
     val joined =
-      if (hotKeys <= 0)
+      if (effHotKeys <= 0)
         bif.join(uniW1, Seq("w1")).join(uniW2, Seq("w2"))
       else {
         val hotUni = lm.uni
           .orderBy(col("c").desc, col("w").asc)
-          .limit(hotKeys).select("w")
+          .limit(effHotKeys).select("w")
         Skew.hotColdLeftJoin(
           Skew.hotColdLeftJoin(bif, uniW1, Seq("w1"),
             hotUni.select(col("w").alias("w1"))),

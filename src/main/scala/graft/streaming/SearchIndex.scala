@@ -107,8 +107,10 @@ object SearchIndex {
       sweep: Boolean): Unit =
     graft.operators.ArtifactSwap.recover(fs, root, "SearchIndex", sweep)
 
-  /** The per-micro-batch body (factored out for the replay spec). */
-  private[streaming] def applyBatch(
+  /** The per-micro-batch body (factored out for the replay spec and
+    * the `tools` measurement harnesses).
+    */
+  private[graft] def applyBatch(
       batch: DataFrame,
       batchId: Long,
       idCol: String,

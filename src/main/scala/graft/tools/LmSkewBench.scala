@@ -168,7 +168,24 @@ object LmSkewBench {
       ("q101_perplexity(10x-zipf,hot64)", Map.empty[String, String], () =>
         graft.operators.NgramLm.perplexity(zdocs, "doc_id", "text", hotKeys = 64)),
       ("q112_pmi(10x-zipf,hot64)", Map.empty[String, String], () =>
-        graft.operators.NgramLm.pmiCollocations(zdocs, "doc_id", "text", hotKeys = 64)))
+        graft.operators.NgramLm.pmiCollocations(zdocs, "doc_id", "text", hotKeys = 64)),
+      // hotKeys = -1: the operator measures the head itself
+      // (autoHotKeys) — must land at K >= 64 on the zipf corpus and
+      // resolve to 0 (plain plan) on the near-uniform dup corpus
+      ("q101_perplexity(10x-zipf,hotAuto)", Map.empty[String, String], () =>
+        graft.operators.NgramLm.perplexity(zdocs, "doc_id", "text", hotKeys = -1)),
+      ("q112_pmi(10x-zipf,hotAuto)", Map.empty[String, String], () =>
+        graft.operators.NgramLm.pmiCollocations(zdocs, "doc_id", "text", hotKeys = -1)),
+      ("q101_perplexity(10x-dup,hotAuto)", Map.empty[String, String], () =>
+        graft.operators.NgramLm.perplexity(docs, "doc_id", "text", hotKeys = -1)))
+
+    // the K each corpus resolves to under hotKeys = -1 (the same LM
+    // split q101's perplexity trains on) — the BASELINE table's auto row
+    Seq("10x-dup" -> docs, "10x-zipf" -> zdocs).foreach { case (tag, d) =>
+      val lm = graft.operators.NgramLm.train(
+        d.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+      println(s"[lmskew] autoHotKeys($tag) = ${graft.operators.NgramLm.autoHotKeys(lm)}")
+    }
 
     queries.foreach { case (label, confs, fn) =>
       confs.foreach { case (k, v) => spark.conf.set(k, v) }

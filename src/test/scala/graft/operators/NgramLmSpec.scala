@@ -127,7 +127,8 @@ class NgramLmSpec extends SparkTestBase {
         .map(i => if (i % 2 == 0) "hot" else vocabWords(rnd.nextInt(vocabWords.length)))
         .mkString(" ")
     val docs = (0L until 80L).map(i => (i, randText())).toDF("doc_id", "text")
-    for (hk <- Seq(1, 4, 1000)) { // head-only, partial, everything-hot
+    // -1 = auto: the operator measures the ~50%-mass "hot" head itself
+    for (hk <- Seq(1, 4, 1000, -1)) { // head-only, partial, everything-hot, auto
       val plain = NgramLm.perplexity(docs, "doc_id", "text")
         .as[(Long, Long, Long, Double)].collect().toSet
       val hardened = NgramLm.perplexity(docs, "doc_id", "text", hotKeys = hk)
@@ -139,6 +140,39 @@ class NgramLmSpec extends SparkTestBase {
         .as[(String, String, Long, Long, Double)].collect().toSeq
       assert(pmiHard == pmiPlain, s"PMI hotKeys=$hk diverged from the plain plan")
     }
+  }
+
+  test("autoHotKeys: fan-covering K on a Zipf head, 0 on near-uniform, 0 on empty") {
+    // ~50%-mass head: auto must enable AND cover the head's bigram fan
+    // (the LmSkewBench lesson — K must reach the floor of 64, not the
+    // head count of 1)
+    val rnd = new scala.util.Random(7)
+    val vocabWords = (0 until 20).map(i => s"w$i")
+    def zipfText(): String =
+      (0 until 20)
+        .map(i => if (i % 2 == 0) "hot" else vocabWords(rnd.nextInt(vocabWords.length)))
+        .mkString(" ")
+    val zipfLm = NgramLm.train(
+      (0L until 60L).map(i => (i, zipfText())).toDF("doc_id", "text"), "doc_id", "text")
+    val autoK = NgramLm.autoHotKeys(zipfLm)
+    assert(autoK >= 64, s"auto K=$autoK under-covers the 50%-mass head's fan")
+
+    // near-uniform vocabulary (50 words, ~2% share each — safely
+    // under both thresholds): no funnel, auto must keep the plain
+    // single-shuffle plan
+    val wideVocab = (0 until 50).map(i => s"u$i")
+    def uniformText(): String =
+      (0 until 20).map(_ => wideVocab(rnd.nextInt(wideVocab.length))).mkString(" ")
+    val uniLm = NgramLm.train(
+      (0L until 60L).map(i => (i, uniformText())).toDF("doc_id", "text"), "doc_id", "text")
+    assert(NgramLm.autoHotKeys(uniLm) == 0,
+      "auto enabled the split on a near-uniform vocabulary")
+
+    // degenerate: an empty training slice resolves to 0, not an NPE on
+    // the null total-mass row
+    val emptyLm = NgramLm.train(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(NgramLm.autoHotKeys(emptyLm) == 0)
   }
 
   test("fixed-point reduction is partitioning-independent") {
