@@ -1292,6 +1292,31 @@ object SparkEntry {
   private def q118_perplexity_hardened(s: SparkSession, dir: String): DataFrame =
     NgramLm.perplexity(Tables.documents(s, dir), "doc_id", "text", hotKeys = 32)
 
+  /** Auto-skew perplexity (round 16): `hotKeys = -1` — the operator
+    * measures the head itself ([[graft.operators.NgramLm.autoHotKeys]])
+    * instead of being handed a K. The fixture vocabulary is
+    * near-uniform (auto would resolve 0 and this entry would not
+    * exercise the split), so the corpus is first Zipf-collapsed the
+    * way `tools/LmSkewBench` derives its stress corpus: every token
+    * whose md5-60 is even folds onto the literal `zipfhot` (≈ half the
+    * token mass on one unigram — a harsher head than natural text).
+    * Auto then ENABLES the hot/cold split at gate scale
+    * (plan-audited), and the oracle is the SAME perplexity SQL over
+    * the same collapse — row-identical by the split's construction,
+    * so the gate hash-checks the whole auto path end-to-end.
+    */
+  private def q120_perplexity_autoskew(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, lit, pmod, split, transform, when}
+    val collapsed = Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_join(
+        transform(split(col("text"), " "),
+          w => when(pmod(graft.functions.TextFunctions.md5Hash60(w), lit(2L)) === 0L,
+            lit("zipfhot")).otherwise(w)),
+        " ").alias("text"))
+    NgramLm.perplexity(collapsed, "doc_id", "text", hotKeys = -1)
+  }
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2163,7 +2188,8 @@ object SparkEntry {
     "q116_source_dup_stats" -> (q116_source_dup_stats _),
     "q117_hybrid_join" -> (q117_hybrid_join _),
     "q118_perplexity_hardened" -> (q118_perplexity_hardened _),
-    "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _)
+    "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _),
+    "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -2172,8 +2198,16 @@ object SparkEntry {
     * both engines round the same IEEE double into the same BIGINT
     * micro-unit; the per-doc sums are then exact integers).
     */
-  private def sqlPerplexity: String =
-    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+  private def sqlPerplexity: String = sqlPerplexityOver("text")
+
+  /** The same oracle over a derived text expression — q120 feeds the
+    * Zipf-collapsed corpus through it (the collapse happens BEFORE
+    * tokenization on both engines, so the shared pipeline below stays
+    * verbatim).
+    */
+  private def sqlPerplexityOver(textExpr: String): String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t
+                    FROM (SELECT doc_id, $textExpr AS text FROM documents)),
         train AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
         heldout AS (SELECT * FROM tk WHERE doc_id % 10 >= 8),
         uni AS (SELECT w, count(*) AS c1
@@ -3419,6 +3453,15 @@ object SparkEntry {
     // q118 = q101 with the hot/cold split engaged — row-identical by
     // construction, so the oracle is literally q101's
     "q118_perplexity_hardened" -> sqlPerplexity,
+    // q120 = the AUTO-resolved split over the Zipf-collapsed corpus;
+    // the oracle is the same perplexity SQL over the same collapse
+    // (md5-even tokens fold onto 'zipfhot' before tokenization)
+    "q120_perplexity_autoskew" -> sqlPerplexityOver(
+      s"""array_to_string(
+            list_transform(string_split(text, ' '),
+              w -> CASE WHEN ${sqlMd5h60("w")} % 2 = 0
+                        THEN 'zipfhot' ELSE w END),
+            ' ')"""),
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment

@@ -945,6 +945,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q118 path:\n$plan")
   }
 
+  test("q120: auto-resolved hot keys ENGAGE the split on the collapsed corpus") {
+    val plan = planOf("q120_perplexity_autoskew")
+    // hotKeys = -1 must resolve to a positive K here (the collapse
+    // puts ~half the mass on one unigram): the hot lookups broadcast,
+    // exactly q118's audited shape — if auto mis-resolved to 0 the
+    // plan collapses to q101's and this fails
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"auto mode did not engage the hot/cold split:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"), m.group(0)))
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q120 path:\n$plan")
+  }
+
   test("q119: filtered sweep reuses one candidate generation; shuffles carry ids/hashes, never text") {
     val plan = planOf("q119_threshold_sweep_filtered")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
