@@ -478,10 +478,17 @@ object Dedup {
       // handful of ids per batch): computing them corpus-wide would
       // re-hash far more text to verify a few pairs. Single plan
       // position, so no materialization either — only candidates pay
-      // the shingle-set verify.
+      // the shingle-set verify. The candidate frame's lineage is a
+      // localCheckpoint (no stats), so the semi-join needs the
+      // explicit broadcast — without it the planner hash-exchanges
+      // the ENTIRE corpus text on id to meet a handful of candidate
+      // ids (the q115/q117 hint-class defect; the registry-wide text
+      // sweep now fails on it)
       candIds =>
         shingleSets(
-          corpus.join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+          corpus.join(
+            broadcast(candIds.withColumnRenamed("id", idCol)),
+            Seq(idCol), "left_semi"),
           idCol, textCol, n))
 
   /** [[incrementalNearDup]] against a PREBUILT corpus index — the
@@ -508,7 +515,11 @@ object Dedup {
     incrementalNearDupFrom(
       batch, idCol, textCol, n, k, bands, threshold,
       corpusBands,
-      candIds => corpusSets.join(candIds, Seq("id"), "left_semi"))
+      // broadcast for the same reason as incrementalNearDup's lambda:
+      // trigger-bounded candidate ids vs the corpus-scale set state —
+      // un-hinted, the whole (id, hs) state would hash-exchange to
+      // meet them
+      candIds => corpusSets.join(broadcast(candIds), Seq("id"), "left_semi"))
 
   /** Shared core of the two incremental near-dup forms. `corpusBands`
     * supplies the corpus `(id, band, key)` rows; `corpusSetsFor` maps a

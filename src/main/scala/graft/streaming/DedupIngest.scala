@@ -1004,9 +1004,15 @@ object DedupIngest {
     // ack → sem state intact, same probe recomputes; crash after → the
     // ack skips it).
     searchIndexPath.foreach { path =>
+      // membership probe shape: the corpus-scale sem state streams
+      // map-side against the broadcast takedown ids (never the other
+      // way round — an un-hinted `removed ⋉ state` semi would shuffle
+      // the whole state id column to meet a takedown-sized frame)
+      val memberIds = sink.read(spark, s"${table}__sem", semanticStateSchema)
+        .select("id")
+        .join(broadcast(ids), Seq("id"), "left_semi")
       val searchRemoved = removed
-        .join(sink.read(spark, s"${table}__sem", semanticStateSchema).select("id"),
-          Seq("id"), "left_semi")
+        .join(broadcast(memberIds), Seq("id"), "left_semi")
         .localCheckpoint(true)
       if (searchRemoved.head(1).nonEmpty)
         SearchIndex.retire(
@@ -1019,12 +1025,14 @@ object DedupIngest {
       val state = sink.read(spark, s"${table}__exact", exactStateSchema)
       val rem = removed.select(md5(col("text")).alias("fp"), col("id"))
       // fingerprints whose retained representative is being retired
-      // (bounded by the retirement list, so it broadcasts back into
-      // the anti join — the state side only streams)
+      // (bounded by the retirement list — broadcast EXPLICITLY: the
+      // checkpoint lineage carries no stats, so without the hint the
+      // state would hash-exchange on fp to meet a takedown-sized
+      // probe)
       // null-safe fingerprint joins (the mergeExactState <=> contract:
       // null text = the one "no content" group)
       val dropFps = state.alias("s")
-        .join(rem.alias("r"),
+        .join(broadcast(rem.alias("r")),
           col("s.fp") <=> col("r.fp") && col("s.keep_id") === col("r.id"),
           "left_semi")
         .select("fp")
@@ -1042,10 +1050,13 @@ object DedupIngest {
     }
 
     // near + semantic states: pure id filters (idempotent; state side
-    // streams, the bounded retirement ids broadcast under AQE)
+    // streams map-side against the EXPLICITLY broadcast retirement ids
+    // — the checkpoint lineage carries no stats, so relying on AQE to
+    // notice the small side leaves the plan one heuristic away from a
+    // full-state shuffle per takedown)
     def deleteIds(tbl: String, schema: StructType): Unit =
       sink.write(
-        sink.read(spark, tbl, schema).join(ids, Seq("id"), "left_anti"),
+        sink.read(spark, tbl, schema).join(broadcast(ids), Seq("id"), "left_anti"),
         tbl, SaveMode.Overwrite)
     deleteIds(s"${table}__near", nearDupStateSchema)
     deleteIds(s"${table}__near__bands", nearDupBandStateSchema)
@@ -1198,8 +1209,9 @@ object DedupIngest {
       md5(col(textCol)).alias("fp"), col(idCol).cast("long").alias("id"))
     // fingerprints whose retained representative is in the retirement
     // list — exactly the rows retireUnified's exact tier will drop
+    // (takedown-sized probe, broadcast explicitly like the tier's own)
     val dropFps = state.alias("s")
-      .join(rem.alias("r"),
+      .join(broadcast(rem.alias("r")),
         col("s.fp") <=> col("r.fp") && col("s.keep_id") === col("r.id"),
         "left_semi")
       .select("fp")

@@ -934,6 +934,52 @@ class PlanAuditSpec extends SparkTestBase {
       s"un-pruned corpus-vector shuffles (missing broadcast hint?):\n${offenders.mkString("\n")}")
   }
 
+  /** The text-payload half of the hint-class sweep: no shuffle
+    * exchange may carry the raw `documents.text` column out of the
+    * corpus scan without a broadcast-bounded cut below it. Same
+    * failure class as the vector sweep (a bounded-by-contract frame
+    * met by shuffling the whole corpus WITH its payload), different
+    * payload column. Operators for which moving text once is the
+    * design are allowlisted by name with the justification inline.
+    */
+  test("registry sweep: corpus text payload never feeds an un-pruned shuffle exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val allow: Map[String, String] = Map.empty
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !allow.contains(name)) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val scansDocs = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              r.relation
+                .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.mkString.contains("documents") => r
+      }.nonEmpty
+      if (scansDocs) {
+        df.collect()
+        val root = df.queryExecution.executedPlan
+        collectAll(root) { case e: ShuffleExchangeExec => e }.foreach { ex =>
+          val fromCorpus = collectAll(ex) {
+            case s: FileSourceScanExec
+                if s.relation.location.rootPaths.mkString.contains("documents") &&
+                  s.output.exists(_.name == "text") => s
+          }.nonEmpty
+          val carriesText = ex.output.exists(_.name == "text")
+          val bounded = collectAll(ex) {
+            case j: BroadcastHashJoinExec => j
+          }.nonEmpty
+          if (fromCorpus && carriesText && !bounded)
+            offenders += s"$name: ${ex.outputPartitioning} over ${ex.output.map(_.name)}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"un-pruned corpus-text shuffles (missing broadcast hint?):\n${offenders.mkString("\n")}")
+  }
+
   test("q118: hot/cold split — hot lookups broadcast, cold shuffles never carry text, no UDFs") {
     val plan = planOf("q118_perplexity_hardened")
     // the split's whole point: the hot-key lookups are broadcast joins
