@@ -40,12 +40,20 @@ object Dedup {
   /** Incremental exact dedup — the production shape: deduplicate a NEW
     * batch against the existing corpus without reprocessing the corpus.
     * Keeps each batch fingerprint's minimum-id doc (intra-batch dedup,
-    * one hash aggregate) and anti-joins against the corpus fingerprint
-    * table (inter-batch dedup). At scale the corpus side is the big one:
-    * the anti join shuffles both sides on the 128-bit fingerprint — the
-    * co-partitioned shape — and never moves document text; store the
-    * corpus as a bucketed fingerprint table and even that shuffle
-    * disappears. Emits `(id, fp, batch_dup_count)` for the kept docs.
+    * one hash aggregate), then removes fingerprints the corpus already
+    * holds. Emits `(id, fp, batch_dup_count)` for the kept docs.
+    *
+    * Scale shape — the state side never shuffles: a direct
+    * `batch ANTI corpus` must hash the CORPUS side (anti joins build
+    * on the right), which at 100 TB means either an impossible
+    * broadcast or shuffling every corpus fingerprint per trigger. The
+    * two-step probe inverts it: the corpus fingerprint scan streams
+    * MAP-SIDE against the broadcast (trigger-bounded by contract)
+    * batch fingerprints, producing the matched set — bounded by the
+    * batch — which then broadcasts back into the anti join. Corpus
+    * cost per trigger is one scalar-column scan, zero exchanges,
+    * regardless of layout (no bucketing prerequisite). The batch
+    * aggregate feeds both steps, so it is materialized once.
     */
   def incrementalExact(
       batch: DataFrame,
@@ -53,11 +61,16 @@ object Dedup {
       idCol: String,
       textCol: String): DataFrame = {
     val corpusFps = corpus.select(md5(col(textCol)).alias("fp"))
-    batch
+    val batchAgg = batch
       .select(col(idCol).alias("id"), md5(col(textCol)).alias("fp"))
       .groupBy("fp")
       .agg(min(col("id")).alias("id"), count(lit(1)).alias("batch_dup_count"))
-      .join(corpusFps, Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    val matched = corpusFps
+      .join(broadcast(batchAgg.select("fp")), Seq("fp"), "left_semi")
+      .distinct()
+    batchAgg
+      .join(broadcast(matched), Seq("fp"), "left_anti")
       .select("id", "fp", "batch_dup_count")
   }
 
@@ -829,7 +842,13 @@ object Dedup {
       .crossJoin(nDocs) // one-row frame: broadcast, no collect
       .filter(!keep(col("f"), col("n_docs")))
       .select("lh")
-    val kept = lines.join(hot, Seq("lh"), "left_anti")
+    // the hot list is bounded by construction (a line must clear the
+    // frequency threshold, so distinct hot lines ≤ occurrences /
+    // threshold) — broadcast it EXPLICITLY: the `lines` side is a
+    // checkpoint leaf with no stats, and an estimate-driven SMJ here
+    // would shuffle every exploded line WITH its text on lh to meet a
+    // boilerplate-sized list (the hint-class defect, line edition)
+    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
     val rebuilt = kept
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).alias("a"))

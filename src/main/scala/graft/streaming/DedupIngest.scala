@@ -687,11 +687,20 @@ object DedupIngest {
       val minIds = fp.groupBy("__fp")
         .agg(min(col("id")).alias("__mid"))
         .select(col("__fp").alias("__mfp"), col("__mid"))
+      // state probe shape: the corpus-scale exact state STREAMS
+      // map-side against the broadcast (trigger-bounded) batch
+      // fingerprints, and only the matching state rows — bounded by
+      // the batch — broadcast back into the keep-rule join. A direct
+      // left join against the state would hash-exchange the whole
+      // (fp, keep_id) table per trigger to meet one batch.
+      val relevantState = exactState
+        .select(col("fp").alias("__sfp"), col("keep_id").alias("__kid"))
+        .join(
+          broadcast(minIds.select(col("__mfp").alias("__pfp"))),
+          col("__sfp") <=> col("__pfp"), "left_semi")
       val kept = fp
         .join(minIds, col("__fp") <=> col("__mfp") && col("id") === col("__mid"))
-        .join(
-          exactState.select(col("fp").alias("__sfp"), col("keep_id").alias("__kid")),
-          col("__fp") <=> col("__sfp"), "left")
+        .join(broadcast(relevantState), col("__fp") <=> col("__sfp"), "left")
         .filter(col("__kid").isNull || col("__kid") === col("id"))
         .drop("__fp", "__mfp", "__mid", "__sfp", "__kid")
         .localCheckpoint(true)

@@ -242,9 +242,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("q72: incremental dedup anti-join carries fingerprints, never document text") {
-    val plan = planOf("q72_incremental_dedup")
+  test("q72: incremental dedup — corpus fps stream map-side, text never shuffles") {
+    val df = SparkEntry.queries("q72_incremental_dedup")(spark, dir)
+    df.collect()
+    // audit the FULL adaptive string (final + initial): at fixture
+    // scale no batch fp matches the corpus, so AQE's empty-relation
+    // propagation eliminates the anti join from the final plan — the
+    // structural shape lives in the initial plan
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan)
+    // the two-step probe: the corpus fingerprint scan meets the batch
+    // fps through a BROADCAST semi (map-side, zero state exchange) —
+    // never a shuffled join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus probe not a broadcast semi:\n$plan")
+    // every join is broadcast-built (the batch side is bounded by
+    // contract): a shuffled join here would mean the corpus fps went
+    // onto the wire to meet it. The fp exchanges that remain are the
+    // BATCH aggregate's own groupBy and the bounded matched-set
+    // distinct — batch-sized by construction.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus fingerprints shuffled to meet a bounded frame:\n$plan")
     "Exchange (hash|range)partitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
       assert(!m.group(2).contains("text"), s"text on the shuffle wire:\n${m.group(0)}")
     }

@@ -54,10 +54,12 @@ class BucketingSpec extends SparkTestBase {
   }
 
   test("incremental dedup against a fp-bucketed corpus shuffles only the batch side") {
-    // grounds the claim in Dedup.incrementalExact's doc: with the corpus
-    // stored as a fingerprint table bucketed by fp, the corpus-side
-    // shuffle of the anti join disappears — only the (small) batch
-    // aggregation/join shuffle remains
+    // grounds the BUCKETED alternative to Dedup.incrementalExact's
+    // two-step probe: with the corpus stored as a fingerprint table
+    // bucketed by fp, even a direct anti join sheds its corpus-side
+    // shuffle — only the (small) batch aggregation/join shuffle
+    // remains. (The operator itself no longer needs this: its map-side
+    // probe shape never exchanges the state regardless of layout.)
     val root = Files.createTempDirectory("graft-fp-corpus").toString
     spark.sql("DROP TABLE IF EXISTS fp_corpus")
     (1 to 1000).map(i => s"stored doc $i").toDF("text")
