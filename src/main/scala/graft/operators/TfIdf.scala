@@ -403,9 +403,14 @@ object TfIdf {
       graft.functions.expressions.Norm2Float.norm2F(col("__qvec")) *
         graft.functions.expressions.Norm2Float.norm2F(col("__vec")))
     val w = Window.partitionBy("qid").orderBy(col("hybrid_micro").desc, col("doc_id").asc)
+    // the query table is |Q| rows by contract — broadcast it so the
+    // cosine is computed MAP-SIDE over the candidate frame and the
+    // vectors never touch a shuffle: un-hinted, Catalyst SMJs this
+    // qid join and hash-exchanges the candidates WITH their __vec
+    // payload (the window's qid exchange then moves scalars only)
     lex
       .join(candEmb, Seq("doc_id"), "left")
-      .join(qv, Seq("qid"))
+      .join(broadcast(qv), Seq("qid"))
       .select(
         col("qid"),
         col("doc_id"),

@@ -857,10 +857,12 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(broadcastSemiOverEmb.nonEmpty,
       s"corpus embedding scan not behind a broadcast candidate-id semi-join:\n$plan")
-    // and no shuffle Exchange moves a vector payload that has not
-    // first passed a broadcast-bounded cut: the |Q|-row query-vector
-    // frame (bounded by the broadcast qid join below it) may exchange;
-    // the raw corpus relation may not
+    // and NO shuffle Exchange moves a vector payload at all: the
+    // query table broadcasts (|Q| rows by contract), the candidate
+    // vectors stay map-side through the broadcast qid join, and the
+    // window's qid exchange carries only scalar micros. (r16
+    // tightening — the earlier version allowed a "bounded" candidate
+    // exchange with the __vec payload; broadcasting qv removes it.)
     collectAll(root) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.foreach { ex =>
@@ -869,11 +871,8 @@ class PlanAuditSpec extends SparkTestBase {
               org.apache.spark.sql.types.FloatType, _) => true
         case _ => false
       })
-      val bounded = collectAll(ex) {
-        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
-      }.nonEmpty
-      assert(!carriesVec || bounded,
-        s"shuffle Exchange carries an un-bounded embedding payload:\n$ex")
+      assert(!carriesVec,
+        s"shuffle Exchange carries an embedding payload:\n$ex")
     }
   }
 
