@@ -1317,6 +1317,50 @@ object SparkEntry {
     NgramLm.perplexity(collapsed, "doc_id", "text", hotKeys = -1)
   }
 
+  /** Markup extraction (round 16): every real pretraining corpus
+    * starts as crawled markup, so the text family needs an ingestion
+    * front door. Each document is wrapped in a deterministic HTML
+    * template — entity-escaped payload, a `<style>` block, a
+    * `<script>` block whose body contains raw `<`/`>`/`&` (the
+    * reason script bodies must be dropped BEFORE tag/entity
+    * processing), an HTML comment, and decimal/hex numeric entities —
+    * then recovered with the native codegen
+    * [[graft.functions.expressions.HtmlToTextExpr]] scan. `round_trip`
+    * re-derives the expected extraction from the raw columns
+    * independently on BOTH engines, so the oracle pins not just
+    * hash-parity of the strip but its semantic correctness. The whole
+    * plan is one fused scan projection — no shuffle, no UDF.
+    */
+  private def q121_html_extract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.HtmlToTextExpr
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    def norm(c: Column): Column =
+      trim(regexp_replace(c, "[ \\t\\n\\r\\f\\x0B]+", " "))
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>"), esc(col("source")),
+      lit("</title><style type=\"text/css\">body { color: #222; }</style>"),
+      lit("<script>if (2 < 3 && 1 > 0) { var x = \"a&b\"; }</script></head><body><!-- doc "),
+      col("doc_id").cast("string"),
+      lit(" --><h1>"), esc(col("lang")), lit("</h1><div class=\"main\"><p>"),
+      esc(col("text")),
+      lit("</p><br/>&#8212;&nbsp;fin&#x21;</div></body></html>"))
+    val expected = concat(
+      col("source"), lit(" "), col("lang"), lit(" "),
+      when(norm(col("text")) === "", lit("")).otherwise(concat(norm(col("text")), lit(" "))),
+      lit("— fin!"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        HtmlToTextExpr.htmlToText(html).alias("extracted"),
+        expected.alias("expected"))
+      .select(
+        col("doc_id"),
+        col("extracted"),
+        length(col("extracted")).cast("long").alias("n_out"),
+        (col("extracted") === col("expected")).alias("round_trip"))
+  }
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2189,7 +2233,8 @@ object SparkEntry {
     "q117_hybrid_join" -> (q117_hybrid_join _),
     "q118_perplexity_hardened" -> (q118_perplexity_hardened _),
     "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _),
-    "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _)
+    "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _),
+    "q121_html_extract" -> (q121_html_extract _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3462,6 +3507,50 @@ object SparkEntry {
               w -> CASE WHEN ${sqlMd5h60("w")} % 2 = 0
                         THEN 'zipfhot' ELSE w END),
             ' ')"""),
+    // q121 = the regexp/replace-chain twin of the native single-pass
+    // html_to_text scan: script/style blocks first (their bodies hold
+    // raw < > &), then comments, then tags -> ' ', then one
+    // non-rescanning entity replace chain (&amp; LAST — single-pass
+    // parity: replace() never rescans its own output), then
+    // whitespace collapse + trim. round_trip re-derives the expected
+    // text from the raw columns so both engines check semantics, not
+    // just each other.
+    "q121_html_extract" ->
+      """WITH h AS (
+            SELECT doc_id, source, lang, text,
+                   '<!DOCTYPE html><html><head><title>'
+                   || replace(replace(replace(source, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</title><style type="text/css">body { color: #222; }</style>'
+                   || '<script>if (2 < 3 && 1 > 0) { var x = "a&b"; }</script></head><body><!-- doc '
+                   || CAST(doc_id AS VARCHAR)
+                   || ' --><h1>'
+                   || replace(replace(replace(lang, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</h1><div class="main"><p>'
+                   || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</p><br/>&#8212;&nbsp;fin&#x21;</div></body></html>' AS html
+            FROM documents),
+          st AS (SELECT doc_id, source, lang, text,
+                        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+                 FROM h),
+          cm AS (SELECT doc_id, source, lang, text,
+                        regexp_replace(t, '<!--.*?-->', ' ', 'g') AS t FROM st),
+          tg AS (SELECT doc_id, source, lang, text,
+                        regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM cm),
+          en AS (SELECT doc_id, source, lang, text,
+                        replace(replace(replace(replace(replace(replace(replace(replace(t,
+                          '&#8212;', '—'), '&#x21;', '!'), '&nbsp;', ' '),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS t
+                 FROM tg),
+          fin AS (SELECT doc_id, source, lang, text,
+                         trim(regexp_replace(t, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS extracted
+                  FROM en)
+          SELECT doc_id, extracted,
+                 len(extracted) AS n_out,
+                 extracted = (source || ' ' || lang || ' '
+                   || CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) = ''
+                           THEN '' ELSE trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) || ' ' END
+                   || '— fin!') AS round_trip
+          FROM fin""",
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment
