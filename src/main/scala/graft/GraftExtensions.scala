@@ -20,6 +20,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // deployment guard: the hint-class defect (an un-pruned
+    // corpus-vector shuffle) warns — or, opted-in, fails — at plan
+    // time instead of shipping silently; see VectorShuffleGuardRule
+    e.injectQueryStagePrepRule(graft.plans.VectorShuffleGuardRule.apply)
     e.injectFunction(
       (
         FunctionIdentifier("md5_hash60"),
@@ -134,6 +138,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("term_counts"),
         new ExpressionInfo(classOf[TermCountsExpr].getName, "term_counts"),
         GraftFunctions.termCountsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("html_to_text"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.HtmlToTextExpr].getName, "html_to_text"),
+        GraftFunctions.htmlToTextBuilder))
     e.injectFunction(
       (
         FunctionIdentifier("keyword_classify"),
@@ -254,6 +264,10 @@ object GraftFunctions {
   private[graft] def cleanTextFastBuilder: Seq[Expr] => Expr =
     exprs => CleanTextFastExpr(arity(exprs, 1, "clean_text_fast(text)").head)
 
+  private[graft] def htmlToTextBuilder: Seq[Expr] => Expr =
+    exprs => graft.functions.expressions.HtmlToTextExpr(
+      arity(exprs, 1, "html_to_text(html)").head)
+
   private[graft] def tokensBuilder: Seq[Expr] => Expr =
     exprs => TokensExpr(arity(exprs, 1, "tokens(text)").head)
 
@@ -297,6 +311,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "clean_tokens", cleanTokensBuilder)
     Bridge.registerTempFunction(spark, "simhash60", simHash60Builder)
     Bridge.registerTempFunction(spark, "clean_text_fast", cleanTextFastBuilder)
+    Bridge.registerTempFunction(spark, "html_to_text", htmlToTextBuilder)
     Bridge.registerTempFunction(spark, "tokens", tokensBuilder)
     Bridge.registerTempFunction(spark, "keyword_classify", keywordClassifyBuilder)
   }

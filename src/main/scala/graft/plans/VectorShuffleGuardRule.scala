@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Runtime twin of the CI hint-class audit (`PlanAuditSpec`'s registry
+  * sweeps): a deployment guard that inspects every AQE-prepared
+  * physical plan for the one failure shape that has shipped twice
+  * (q115 in r14, q117 in r15) — a shuffle Exchange whose input
+  * subtree contains a corpus file scan, whose output still carries a
+  * raw float-vector payload, with no broadcast-bounded join between
+  * scan and exchange. Bounded-by-contract candidate frames
+  * (`localCheckpoint` lineage) carry no stats, so Catalyst cannot
+  * choose broadcast on its own — a missed `broadcast()` hint
+  * silently becomes a full-corpus vector shuffle, invisible at test
+  * scale and ruinous at 100 TB. CI catches the registry; this rule
+  * catches USER compositions of the library's operators in
+  * production.
+  *
+  * Injected via [[graft.GraftExtensions]] as a query-stage-prep rule
+  * (runs under adaptive execution, before stages materialize — early
+  * enough for `fail` mode to stop the shuffle from ever running).
+  * Knobs (read per query, so they can be flipped mid-session):
+  *
+  *  - `spark.graft.guard.vectorShuffle` = `off` | `warn` (default) |
+  *    `fail`. `warn` logs one line per offending exchange; `fail`
+  *    throws [[VectorShuffleGuardRule.VectorShuffleException]].
+  *  - `spark.graft.guard.corpusPattern` — substring-regex over the
+  *    scan's root paths that marks a relation as corpus-scale
+  *    (default `.*`: any file-backed vector relation qualifies).
+  *
+  * Intentional vector movement — the blocked all-pairs cosine
+  * primitive, cell/band-keyed repartitions whose per-key volume is
+  * bounded by construction — should run under `warn` (the default)
+  * or scope `off`/`corpusPattern` around the job; `fail` is the
+  * strictness for retrieval/serving pipelines where no plan should
+  * ever move corpus vectors wholesale. The rule never rewrites the
+  * plan — it only observes (and, in `fail` mode, vetoes).
+  */
+case class VectorShuffleGuardRule(session: SparkSession)
+  extends Rule[SparkPlan] with Logging {
+
+  import VectorShuffleGuardRule._
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val mode = session.conf.get(ModeKey, "warn").toLowerCase
+    if (mode == "off") return plan
+    val pattern = session.conf.get(PatternKey, ".*").r
+
+    plan.foreach {
+      case ex: ShuffleExchangeExec if carriesVec(ex) =>
+        val corpusScans = ex.child.collect {
+          case s: FileSourceScanExec
+              if s.output.exists(a => isVec(a.dataType)) &&
+                pattern.findFirstIn(s.relation.location.rootPaths.mkString(",")).isDefined => s
+        }
+        // any broadcast hash join below the exchange is a bounded cut
+        // (semi/inner against a broadcast id list bounds the exchanged
+        // row count); the failure shape has none
+        val pruned = ex.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
+        if (corpusScans.nonEmpty && !pruned) {
+          val msg =
+            s"un-pruned corpus-vector shuffle: Exchange ${ex.outputPartitioning} moves " +
+              s"columns ${ex.output.map(_.name).mkString("[", ", ", "]")} fed by corpus " +
+              s"scan(s) ${corpusScans.map(_.relation.location.rootPaths.mkString).distinct.mkString("; ")} " +
+              "with no broadcast-bounded cut below it. At corpus scale this shuffles every " +
+              "vector; a bounded candidate frame should be broadcast() into a semi-join " +
+              s"prune first. (Set $ModeKey=off to silence, =fail to enforce.)"
+          if (mode == "fail") throw new VectorShuffleException(msg)
+          else logWarning(s"[graft-guard] $msg")
+        }
+      case _ =>
+    }
+    plan
+  }
+}
+
+object VectorShuffleGuardRule {
+  val ModeKey = "spark.graft.guard.vectorShuffle"
+  val PatternKey = "spark.graft.guard.corpusPattern"
+
+  class VectorShuffleException(msg: String) extends IllegalStateException(msg)
+
+  private def isVec(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def carriesVec(ex: ShuffleExchangeExec): Boolean =
+    ex.output.exists(a => isVec(a.dataType))
+}
