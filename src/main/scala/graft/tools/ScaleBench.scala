@@ -62,6 +62,10 @@ object ScaleBench {
     "q96_bpe_vocab",
     "q97_shard_manifest",
     "q98_source_token_stats",
+    // round-16: markup extraction — a pure fused scan projection, the
+    // canonical weak-scaler; its presence keeps the ingestion front
+    // door in the sweep as the template/corpus grow
+    "q121_html_extract",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

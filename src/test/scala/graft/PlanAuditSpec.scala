@@ -177,6 +177,16 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q121: markup extraction is one shuffle-free fused codegen scan") {
+    val plan = planOf("q121_html_extract")
+    assert(shuffles(plan) == 0, s"q121 is per-row — must not shuffle:\n$plan")
+    // the wrap, the strip, the length, and the round-trip compare all
+    // live in one WholeStageCodegen projection over the parquet scan
+    assert("\\*\\(\\d+\\) Project \\[".r.findFirstIn(plan).isDefined, s"q121 lost codegen:\n$plan")
+    assert(plan.contains("html_to_text"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
