@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1361,6 +1361,21 @@ object SparkEntry {
         (col("extracted") === col("expected")).alias("round_trip"))
   }
 
+  /** Fuzzy (edit-distance) self-join (round 16): all document pairs
+    * whose 16-char text prefix is within Levenshtein distance 3 —
+    * the near-identical-title / typo'd-key matcher hash dedup misses.
+    * Candidates come from PassJoin segment blocking
+    * ([[graft.operators.EditDistanceJoin]]); the oracle is the exact
+    * DuckDB `levenshtein` cross-join, so the gate proves the blocking
+    * loses NO pair at threshold 3.
+    */
+  private def q122_edit_join(s: SparkSession, dir: String): DataFrame =
+    EditDistanceJoin.selfJoin(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 16).alias("k")),
+      "doc_id", "k", maxDist = 3)
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2234,7 +2249,8 @@ object SparkEntry {
     "q118_perplexity_hardened" -> (q118_perplexity_hardened _),
     "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _),
     "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _),
-    "q121_html_extract" -> (q121_html_extract _)
+    "q121_html_extract" -> (q121_html_extract _),
+    "q122_edit_join" -> (q122_edit_join _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3551,6 +3567,18 @@ object SparkEntry {
                            THEN '' ELSE trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) || ' ' END
                    || '— fin!') AS round_trip
           FROM fin""",
+    // q122 = the EXACT quadratic control for the PassJoin blocking:
+    // every pair within levenshtein <= 3 on the 16-char prefix, the
+    // length filter only shrinking the cross join (|len diff| > d
+    // implies dist > d)
+    "q122_edit_join" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS k FROM documents)
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 levenshtein(a.k, b.k) AS dist
+          FROM k a JOIN k b
+            ON a.doc_id < b.doc_id
+           AND abs(length(a.k) - length(b.k)) <= 3
+          WHERE levenshtein(a.k, b.k) <= 3""",
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity self-join — the fuzzy-match
+  * primitive a curation pipeline needs for near-identical titles,
+  * normalized URLs, and OCR'd or typo'd keys that hash-exact dedup
+  * misses and token-set Jaccard over-matches (Jaccard is order-blind;
+  * edit distance is not).
+  *
+  * Candidate generation is segment blocking (the PassJoin family,
+  * Li/Deng/Feng, ICDE'11 — public literature): partition every key
+  * into `maxDist + 1` contiguous segments; by pigeonhole, any string
+  * within edit distance `maxDist` of it must contain at least one of
+  * those segments VERBATIM, shifted by at most `maxDist` positions.
+  * So the join is
+  *
+  *   1. index side — each key emits its `d+1` segments, keyed by
+  *      `(len(key), segIdx, segText)`;
+  *   2. probe side — each key emits, for every target length `l`
+  *      within `±d` of its own and every segment index, the
+  *      substrings at the segment's position `±d` (a CONSTANT
+  *      `O(d³)` fan-out per row, independent of corpus size);
+  *   3. equi-join on the triple, `left < right` to keep each pair
+  *      once, map-side verify with the banded `levenshtein(a, b, d)`
+  *      (threshold form: the DP early-exits above `d`), THEN the
+  *      pair-level distinct — verification runs before the dedup
+  *      shuffle so only true matches pay it.
+  *
+  * Scale shape: both explodes are map-side projections fused into the
+  * scan; the only shuffles are the candidate equi-join on short
+  * `(int, int, segment)` keys — never the document payload — and the
+  * final distinct on matched id pairs (output-sized). Candidate
+  * volume is `O(d³ · corpus)` probe rows against `O(d · corpus)`
+  * index rows; within a block key the fan-out is quadratic in that
+  * key's frequency, so a boilerplate-heavy key column (every title
+  * starting with the same 4-gram) concentrates — the standard remedy
+  * is the same as q34's: normalize/strip boilerplate before keying,
+  * or raise the segment count by lowering `maxDist`. The index keys
+  * include the segment INDEX and target LENGTH, which spreads hot
+  * text across `(2d+1)·(d+1)` distinct block keys for free.
+  *
+  * Not in the reference (its NLP stage has no fuzzy matching);
+  * registry q122 runs it over a 16-char document prefix with the
+  * DuckDB `levenshtein` cross-join as the exact oracle.
+  */
+object EditDistanceJoin {
+
+  /** All unordered pairs `(left_id, right_id, dist)` with
+    * `levenshtein(key_left, key_right) <= maxDist`, `left_id <
+    * right_id`. Null keys are dropped (null matches nothing, like
+    * SQL equality); empty strings participate (distance = other
+    * string's length).
+    */
+  def selfJoin(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val nSeg = d + 1
+
+    val base = df
+      .select(col(idCol).alias("__id"), col(keyCol).alias("__key"))
+      .na.drop(Seq("__key"))
+      .withColumn("__len", length(col("__key")))
+
+    // Segment layout for a string of length l cut into nSeg pieces:
+    // the first (nSeg - l % nSeg) segments have floor(l/nSeg) chars,
+    // the rest one more. 0-based start of segment i:
+    //   i * base + max(0, i - (nSeg - rem))
+    def segLen(l: Column, i: Column): Column =
+      (l / nSeg).cast("int") +
+        when(i >= lit(nSeg) - pmod(l, lit(nSeg)), lit(1)).otherwise(lit(0))
+    def segStart(l: Column, i: Column): Column =
+      i * (l / nSeg).cast("int") +
+        greatest(lit(0), i - (lit(nSeg) - pmod(l, lit(nSeg))))
+
+    // 1. index side: the d+1 segments of every key.
+    val index = base
+      .select(col("__id").alias("s_id"), col("__key").alias("s_key"),
+        col("__len").alias("__tl"),
+        explode(sequence(lit(0), lit(d))).alias("__i"))
+      .select(col("s_id"), col("s_key"), col("__tl"), col("__i"),
+        col("s_key")
+          .substr(segStart(col("__tl"), col("__i")) + lit(1),
+            segLen(col("__tl"), col("__i")))
+          .alias("__seg"))
+
+    // 2. probe side: for every target length l in [len-d, len+d] and
+    // every segment index, the substrings at the target segment's
+    // position shifted by at most d — a constant fan-out projection.
+    val probe = base
+      .select(col("__id").alias("r_id"), col("__key").alias("r_key"),
+        col("__len").alias("__m"),
+        explode(sequence(col("__len") - lit(d), col("__len") + lit(d)))
+          .alias("__tl"))
+      .filter(col("__tl") >= 0)
+      .select(col("r_id"), col("r_key"), col("__m"), col("__tl"),
+        explode(sequence(lit(0), lit(d))).alias("__i"))
+      .withColumn("__sl", segLen(col("__tl"), col("__i")))
+      .withColumn("__p",
+        explode(sequence(
+          greatest(lit(0), segStart(col("__tl"), col("__i")) - lit(d)),
+          least(col("__m") - col("__sl"),
+            segStart(col("__tl"), col("__i")) + lit(d)))))
+      .select(col("r_id"), col("r_key"), col("__tl"), col("__i"),
+        col("r_key").substr(col("__p") + lit(1), col("__sl")).alias("__seg"))
+
+    // 3. block join on (target length, segment index, segment text);
+    // verify map-side with the banded DP, then distinct the pairs.
+    index
+      .join(probe, Seq("__tl", "__i", "__seg"))
+      .filter(col("s_id") < col("r_id"))
+      .withColumn("dist", levenshtein(col("s_key"), col("r_key"), d))
+      .filter(col("dist") >= 0)
+      .select(col("s_id").alias("left_id"), col("r_id").alias("right_id"),
+        col("dist"))
+      .dropDuplicates("left_id", "right_id")
+  }
+}

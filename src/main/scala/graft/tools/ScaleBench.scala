@@ -66,6 +66,10 @@ object ScaleBench {
     // canonical weak-scaler; its presence keeps the ingestion front
     // door in the sweep as the template/corpus grow
     "q121_html_extract",
+    // round-16: PassJoin edit-distance self-join — candidate volume is
+    // O(d^3 · corpus) by construction, so the sweep checks the block
+    // join (not the verify) stays the cost center as copies multiply
+    "q122_edit_join",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

@@ -187,6 +187,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("q122: edit-distance join blocks on segments — no cartesian, no text payload in a shuffle") {
+    val plan = planOf("q122_edit_join")
+    // candidate gen must stay an equi-join on the (len, segIdx, segment)
+    // triple — a CartesianProduct/BNLJ means the blocking collapsed to
+    // the quadratic control
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q122 candidate generation went quadratic:\n$plan")
+    // both explodes (index segments, probe substrings) are map-side
+    // projections under the join; the raw text column is cut to the
+    // 16-char key in the Project directly over the scan, so no
+    // exchange ever carries it (the hash exchange here moves only the
+    // matched id pairs)
+    assert("Generate explode".r.findAllIn(plan).length >= 2, s"q122 lost its explodes:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanged.contains("text#") && !exchanged.contains("__key"),
+      s"q122 shuffled a text payload:\n$plan")
+    // join (2 exchanges) + pair-level distinct (1) is the whole shuffle
+    // budget; the levenshtein verify runs map-side between them
+    assert(shuffles(plan) <= 3, s"q122 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PassJoin segment blocking must lose NO pair the exact quadratic
+  * levenshtein join finds — parity here is against brute force on a
+  * deterministic corpus engineered for the tricky shapes: lengths
+  * below the segment count, empty strings, exact duplicates, hot
+  * shared prefixes, and edits at segment boundaries.
+  */
+class EditDistanceJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def brute(df: DataFrame, d: Int): Set[(String, String, Int)] = {
+    val a = df.select(col("id").alias("aid"), col("k").alias("ak"))
+    val b = df.select(col("id").alias("bid"), col("k").alias("bk"))
+    a.crossJoin(b)
+      .filter(col("aid") < col("bid"))
+      .withColumn("dist", levenshtein(col("ak"), col("bk")))
+      .filter(col("dist") <= d)
+      .select("aid", "bid", "dist")
+      .as[(String, String, Int)]
+      .collect()
+      .toSet
+  }
+
+  private def blocked(df: DataFrame, d: Int): Set[(String, String, Int)] =
+    EditDistanceJoin.selfJoin(df, "id", "k", d)
+      .as[(String, String, Int)]
+      .collect()
+      .toSet
+
+  // deterministic word-salad corpus: a small vocab recombined by index
+  // arithmetic, then targeted mutations (substitute / insert / delete /
+  // boundary edits) applied to alternating rows so every edit class is
+  // represented at every distance 0..4
+  private def corpus(n: Int): DataFrame = {
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "tbl", "val")
+    val rows = (0 until n).map { i =>
+      val base = (0 until 4).map(j => vocab((i / (j + 1) + j) % vocab.size)).mkString(" ")
+      val s = i % 7 match {
+        case 0 => base
+        case 1 => base.updated(base.length / 2, 'Z') // substitute mid
+        case 2 => base.drop(1) // delete at segment 0 boundary
+        case 3 => base + "x" // insert at tail
+        case 4 => "Q" + base.dropRight(2) // shift the whole string
+        case 5 => base.take(3) // shorter than the segment count
+        case 6 => base.updated(0, 'A').updated(base.length - 1, 'B')
+      }
+      (i.toString, s)
+    } :+ ("e1", "") :+ ("e2", "") :+ ("e3", "ab")
+    rows.toDF("id", "k")
+  }
+
+  test("parity with brute force at maxDist 0..4 incl. empty and short strings") {
+    val df = corpus(60).cache()
+    for (d <- 0 to 4) {
+      val exact = brute(df, d)
+      val fast = blocked(df, d)
+      assert(fast === exact, s"maxDist=$d: blocking lost or invented pairs")
+      if (d >= 2) assert(exact.nonEmpty, s"maxDist=$d: fixture produced no pairs — weak test")
+    }
+  }
+
+  test("null keys are dropped, not matched") {
+    val df = Seq(("1", "abc"), ("2", "abd"), ("3", null)).toDF("id", "k")
+    val out = blocked(df, 1)
+    assert(out === Set(("1", "2", 1)))
+  }
+
+  test("exact duplicates pair at distance 0 exactly once") {
+    val df = Seq(("a", "same"), ("b", "same"), ("c", "same")).toDF("id", "k")
+    val out = blocked(df, 0)
+    assert(out === Set(("a", "b", 0), ("a", "c", 0), ("b", "c", 0)))
+  }
+
+  test("dist column honors the banded threshold (no -1 leaks through)") {
+    val df = Seq(("1", "aaaaaaaa"), ("2", "bbbbbbbb"), ("3", "aaaaaaab")).toDF("id", "k")
+    val out = blocked(df, 1)
+    assert(out === Set(("1", "3", 1)))
+  }
+}
