@@ -1376,6 +1376,21 @@ object SparkEntry {
       "doc_id", "k", maxDist = 3)
 
 
+  /** Incremental fuzzy join (round 16): q122's matcher in the
+    * per-trigger production shape — a bounded new batch (every
+    * `doc_id % 29 = 0` doc) probed against the FULL corpus with the
+    * corpus side as a never-shuffled map-side segment index and the
+    * batch's probe substrings broadcast
+    * ([[graft.operators.EditDistanceJoin.incrementalJoin]]).
+    */
+  private def q123_edit_join_incremental(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 16).alias("k"))
+    EditDistanceJoin.incrementalJoin(
+      keys, keys.filter(col("doc_id") % 29 === 0), "doc_id", "k", maxDist = 3)
+  }
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2250,7 +2265,8 @@ object SparkEntry {
     "q119_threshold_sweep_filtered" -> (q119_threshold_sweep_filtered _),
     "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _),
     "q121_html_extract" -> (q121_html_extract _),
-    "q122_edit_join" -> (q122_edit_join _)
+    "q122_edit_join" -> (q122_edit_join _),
+    "q123_edit_join_incremental" -> (q123_edit_join_incremental _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3579,6 +3595,17 @@ object SparkEntry {
             ON a.doc_id < b.doc_id
            AND abs(length(a.k) - length(b.k)) <= 3
           WHERE levenshtein(a.k, b.k) <= 3""",
+    // q123 = same exact control, batch-restricted and directional
+    // (corpus x batch, identity pairs excluded)
+    "q123_edit_join_incremental" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS k FROM documents),
+            b AS (SELECT * FROM k WHERE doc_id % 29 = 0)
+          SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+                 levenshtein(c.k, b.k) AS dist
+          FROM k c JOIN b
+            ON c.doc_id <> b.doc_id
+           AND abs(length(c.k) - length(b.k)) <= 3
+          WHERE levenshtein(c.k, b.k) <= 3""",
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment

@@ -47,6 +47,58 @@ import org.apache.spark.sql.functions._
   */
 object EditDistanceJoin {
 
+  // Segment layout for a string of length l cut into nSeg pieces:
+  // the first (nSeg - l % nSeg) segments have floor(l/nSeg) chars,
+  // the rest one more. 0-based start of segment i:
+  //   i * base + max(0, i - (nSeg - rem))
+  private def segLen(nSeg: Int)(l: Column, i: Column): Column =
+    (l / nSeg).cast("int") +
+      when(i >= lit(nSeg) - pmod(l, lit(nSeg)), lit(1)).otherwise(lit(0))
+  private def segStart(nSeg: Int)(l: Column, i: Column): Column =
+    i * (l / nSeg).cast("int") +
+      greatest(lit(0), i - (lit(nSeg) - pmod(l, lit(nSeg))))
+
+  private def keyed(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.select(col(idCol).alias("__id"), col(keyCol).alias("__key"))
+      .na.drop(Seq("__key"))
+      .withColumn("__len", length(col("__key")))
+
+  /** Index side: the d+1 segments of every key, keyed by
+    * `(len, segIdx, segText)` — a constant-fanout map-side projection.
+    */
+  private def segIndex(base: DataFrame, d: Int): DataFrame =
+    base
+      .select(col("__id").alias("s_id"), col("__key").alias("s_key"),
+        col("__len").alias("__tl"),
+        explode(sequence(lit(0), lit(d))).alias("__i"))
+      .select(col("s_id"), col("s_key"), col("__tl"), col("__i"),
+        col("s_key")
+          .substr(segStart(d + 1)(col("__tl"), col("__i")) + lit(1),
+            segLen(d + 1)(col("__tl"), col("__i")))
+          .alias("__seg"))
+
+  /** Probe side: for every target length l in [len-d, len+d] and every
+    * segment index, the substrings at the target segment's position
+    * shifted by at most d — an `O(d^3)` constant fan-out per row.
+    */
+  private def probes(base: DataFrame, d: Int): DataFrame =
+    base
+      .select(col("__id").alias("r_id"), col("__key").alias("r_key"),
+        col("__len").alias("__m"),
+        explode(sequence(col("__len") - lit(d), col("__len") + lit(d)))
+          .alias("__tl"))
+      .filter(col("__tl") >= 0)
+      .select(col("r_id"), col("r_key"), col("__m"), col("__tl"),
+        explode(sequence(lit(0), lit(d))).alias("__i"))
+      .withColumn("__sl", segLen(d + 1)(col("__tl"), col("__i")))
+      .withColumn("__p",
+        explode(sequence(
+          greatest(lit(0), segStart(d + 1)(col("__tl"), col("__i")) - lit(d)),
+          least(col("__m") - col("__sl"),
+            segStart(d + 1)(col("__tl"), col("__i")) + lit(d)))))
+      .select(col("r_id"), col("r_key"), col("__tl"), col("__i"),
+        col("r_key").substr(col("__p") + lit(1), col("__sl")).alias("__seg"))
+
   /** All unordered pairs `(left_id, right_id, dist)` with
     * `levenshtein(key_left, key_right) <= maxDist`, `left_id <
     * right_id`. Null keys are dropped (null matches nothing, like
@@ -59,65 +111,51 @@ object EditDistanceJoin {
       keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val d = maxDist
-    val nSeg = d + 1
-
-    val base = df
-      .select(col(idCol).alias("__id"), col(keyCol).alias("__key"))
-      .na.drop(Seq("__key"))
-      .withColumn("__len", length(col("__key")))
-
-    // Segment layout for a string of length l cut into nSeg pieces:
-    // the first (nSeg - l % nSeg) segments have floor(l/nSeg) chars,
-    // the rest one more. 0-based start of segment i:
-    //   i * base + max(0, i - (nSeg - rem))
-    def segLen(l: Column, i: Column): Column =
-      (l / nSeg).cast("int") +
-        when(i >= lit(nSeg) - pmod(l, lit(nSeg)), lit(1)).otherwise(lit(0))
-    def segStart(l: Column, i: Column): Column =
-      i * (l / nSeg).cast("int") +
-        greatest(lit(0), i - (lit(nSeg) - pmod(l, lit(nSeg))))
-
-    // 1. index side: the d+1 segments of every key.
-    val index = base
-      .select(col("__id").alias("s_id"), col("__key").alias("s_key"),
-        col("__len").alias("__tl"),
-        explode(sequence(lit(0), lit(d))).alias("__i"))
-      .select(col("s_id"), col("s_key"), col("__tl"), col("__i"),
-        col("s_key")
-          .substr(segStart(col("__tl"), col("__i")) + lit(1),
-            segLen(col("__tl"), col("__i")))
-          .alias("__seg"))
-
-    // 2. probe side: for every target length l in [len-d, len+d] and
-    // every segment index, the substrings at the target segment's
-    // position shifted by at most d — a constant fan-out projection.
-    val probe = base
-      .select(col("__id").alias("r_id"), col("__key").alias("r_key"),
-        col("__len").alias("__m"),
-        explode(sequence(col("__len") - lit(d), col("__len") + lit(d)))
-          .alias("__tl"))
-      .filter(col("__tl") >= 0)
-      .select(col("r_id"), col("r_key"), col("__m"), col("__tl"),
-        explode(sequence(lit(0), lit(d))).alias("__i"))
-      .withColumn("__sl", segLen(col("__tl"), col("__i")))
-      .withColumn("__p",
-        explode(sequence(
-          greatest(lit(0), segStart(col("__tl"), col("__i")) - lit(d)),
-          least(col("__m") - col("__sl"),
-            segStart(col("__tl"), col("__i")) + lit(d)))))
-      .select(col("r_id"), col("r_key"), col("__tl"), col("__i"),
-        col("r_key").substr(col("__p") + lit(1), col("__sl")).alias("__seg"))
-
-    // 3. block join on (target length, segment index, segment text);
+    val base = keyed(df, idCol, keyCol)
+    // block join on (target length, segment index, segment text);
     // verify map-side with the banded DP, then distinct the pairs.
-    index
-      .join(probe, Seq("__tl", "__i", "__seg"))
+    segIndex(base, maxDist)
+      .join(probes(base, maxDist), Seq("__tl", "__i", "__seg"))
       .filter(col("s_id") < col("r_id"))
-      .withColumn("dist", levenshtein(col("s_key"), col("r_key"), d))
+      .withColumn("dist", levenshtein(col("s_key"), col("r_key"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("s_id").alias("left_id"), col("r_id").alias("right_id"),
         col("dist"))
       .dropDuplicates("left_id", "right_id")
+  }
+
+  /** Incremental form — the per-trigger production shape: every
+    * `(corpus_id, batch_id, dist)` pair with `levenshtein <= maxDist`
+    * between a BOUNDED new batch and the full corpus, identity pairs
+    * (same id) excluded.
+    *
+    * Scale shape mirrors round-16's state probes: the corpus side is
+    * the segment index — a map-side projection over the corpus scan
+    * that NEVER shuffles — and the batch side is the `O(d^3 ·
+    * |batch|)` probe-substring frame, broadcast by construction
+    * (bounded batch ⇒ bounded probes). The block join is therefore a
+    * map-side BroadcastHashJoin over the corpus; the only shuffle in
+    * the whole plan is the output-sized matched-pair distinct.
+    * Completeness is the same pigeonhole as [[selfJoin]], applied
+    * with the corpus as index: a corpus key within distance d of a
+    * batch key has an untouched segment appearing verbatim (shifted
+    * <= d) in the batch key, which the probe frame enumerates.
+    */
+  def incrementalJoin(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    segIndex(keyed(corpus, idCol, keyCol), maxDist)
+      .join(broadcast(probes(keyed(batch, idCol, keyCol), maxDist)),
+        Seq("__tl", "__i", "__seg"))
+      .filter(col("s_id") =!= col("r_id"))
+      .withColumn("dist", levenshtein(col("s_key"), col("r_key"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("s_id").alias("corpus_id"), col("r_id").alias("batch_id"),
+        col("dist"))
+      .dropDuplicates("corpus_id", "batch_id")
   }
 }

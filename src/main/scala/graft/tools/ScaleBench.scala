@@ -70,6 +70,10 @@ object ScaleBench {
     // O(d^3 · corpus) by construction, so the sweep checks the block
     // join (not the verify) stays the cost center as copies multiply
     "q122_edit_join",
+    // the incremental form's cost should track the (fixed-rate) batch,
+    // not the growing corpus: the closest thing to a flat line the
+    // sweep can show
+    "q123_edit_join_incremental",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

@@ -208,6 +208,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 3, s"q122 shuffle budget exceeded:\n$plan")
   }
 
+  test("q123: incremental edit join streams the corpus index map-side against broadcast probes") {
+    val plan = planOf("q123_edit_join_incremental")
+    assert(plan.contains("BroadcastHashJoin"), s"q123 block join must broadcast the batch probes:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q123 corpus side must not shuffle into the join:\n$plan")
+    // the matched-pair distinct is the plan's ONLY shuffle — the
+    // corpus-sized segment index never leaves its scan stage
+    assert(shuffles(plan) == 1, s"q123 must shuffle only the matched pairs:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()

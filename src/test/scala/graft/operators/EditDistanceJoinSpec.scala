@@ -64,6 +64,32 @@ class EditDistanceJoinSpec extends SparkTestBase {
     }
   }
 
+  test("incremental join: parity with the exact corpus-x-batch product") {
+    val df = corpus(60).cache()
+    val batch = df.filter(col("id").rlike("^[0-9]+$") && col("id").cast("int") % 5 === 0)
+    for (d <- 0 to 3) {
+      val exact = df.select(col("id").alias("cid"), col("k").alias("ck"))
+        .crossJoin(batch.select(col("id").alias("bid"), col("k").alias("bk")))
+        .filter(col("cid") =!= col("bid"))
+        .withColumn("dist", levenshtein(col("ck"), col("bk")))
+        .filter(col("dist") <= d)
+        .select("cid", "bid", "dist")
+        .as[(String, String, Int)].collect().toSet
+      val fast = EditDistanceJoin.incrementalJoin(df, batch, "id", "k", d)
+        .as[(String, String, Int)].collect().toSet
+      assert(fast === exact, s"maxDist=$d: incremental blocking lost or invented pairs")
+      if (d >= 2) assert(exact.nonEmpty, s"maxDist=$d: fixture produced no pairs — weak test")
+    }
+  }
+
+  test("incremental join: batch docs match their own corpus twins but not themselves") {
+    val corpusDf = Seq(("1", "alpha"), ("2", "alpha"), ("3", "beta")).toDF("id", "k")
+    val batchDf = Seq(("1", "alpha")).toDF("id", "k")
+    val out = EditDistanceJoin.incrementalJoin(corpusDf, batchDf, "id", "k", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(out === Set(("2", "1", 0)))
+  }
+
   test("null keys are dropped, not matched") {
     val df = Seq(("1", "abc"), ("2", "abd"), ("3", null)).toDF("id", "k")
     val out = blocked(df, 1)
