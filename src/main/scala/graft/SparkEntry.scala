@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1391,6 +1391,32 @@ object SparkEntry {
   }
 
 
+  /** Count-Min point-query sketch (round 16): per-token frequency
+    * estimates for a bounded watchlist (tokens of every `doc_id % 101
+    * = 0` doc) from a `3 x 64` sketch over the full corpus, with the
+    * exact counts as the in-query control — `over = est - exact` is
+    * the collision mass, provably >= 0 (one-sided error). The oracle
+    * rebuilds the same md5-bucketed sketch in SQL, so the gate checks
+    * the ESTIMATES bit-for-bit ([[graft.operators.CountMin]]).
+    */
+  private def q124_countmin_freq(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(explode(TextFunctions.tokens(col("text"))).alias("w"))
+    val watch = docs.filter(col("doc_id") % 101 === 0)
+      .select(explode(TextFunctions.tokens(col("text"))).alias("w")).distinct()
+    val est = CountMin.estimate(
+      CountMin.buildTable(tok, "w", depth = 3, width = 64),
+      watch, "w", depth = 3, width = 64)
+    // exact control: corpus tokens pruned by the broadcast watchlist
+    // BEFORE the count shuffle
+    val exact = tok.join(broadcast(watch), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).alias("exact"))
+    est.join(exact, col("key") === col("w"))
+      .select(col("key").alias("token"), col("est"), col("exact"),
+        (col("est") - col("exact")).alias("over"))
+  }
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2266,7 +2292,8 @@ object SparkEntry {
     "q120_perplexity_autoskew" -> (q120_perplexity_autoskew _),
     "q121_html_extract" -> (q121_html_extract _),
     "q122_edit_join" -> (q122_edit_join _),
-    "q123_edit_join_incremental" -> (q123_edit_join_incremental _)
+    "q123_edit_join_incremental" -> (q123_edit_join_incremental _),
+    "q124_countmin_freq" -> (q124_countmin_freq _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3606,6 +3633,34 @@ object SparkEntry {
             ON c.doc_id <> b.doc_id
            AND abs(length(c.k) - length(b.k)) <= 3
           WHERE levenshtein(c.k, b.k) <= 3""",
+    // q124 = the same 3x64 md5-bucketed sketch rebuilt in SQL: bucket
+    // sums over (row, h(row,token) % 64), estimate = min across rows,
+    // exact from the plain GROUP BY — the gate hash-checks estimates
+    // AND the collision mass
+    "q124_countmin_freq" ->
+      s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+            watch AS (SELECT DISTINCT unnest(${sqlTokens("text")}) AS w
+                      FROM documents WHERE doc_id % 101 = 0),
+            buckets AS (
+              SELECT t.r,
+                     ${sqlMd5h60("'cms' || CAST(t.r AS VARCHAR) || ':' || tok.w")} % 64 AS b,
+                     count(*) AS cnt
+              FROM tok CROSS JOIN range(3) t(r)
+              GROUP BY 1, 2),
+            est AS (
+              SELECT watch.w,
+                     min(coalesce(buckets.cnt, 0)) AS est
+              FROM watch CROSS JOIN range(3) t(r)
+              LEFT JOIN buckets
+                ON buckets.r = t.r
+               AND buckets.b = ${sqlMd5h60("'cms' || CAST(t.r AS VARCHAR) || ':' || watch.w")} % 64
+              GROUP BY watch.w),
+            exact AS (
+              SELECT w, count(*) AS exact FROM tok
+              WHERE w IN (SELECT w FROM watch) GROUP BY w)
+          SELECT est.w AS token, est.est AS est, exact.exact AS exact,
+                 est.est - exact.exact AS over
+          FROM est JOIN exact ON est.w = exact.w""",
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment

@@ -74,6 +74,9 @@ object ScaleBench {
     // not the growing corpus: the closest thing to a flat line the
     // sweep can show
     "q123_edit_join_incremental",
+    // the sketch's whole point: state is depth x width regardless of
+    // corpus size — time should track the token scan alone
+    "q124_countmin_freq",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

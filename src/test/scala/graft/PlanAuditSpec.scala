@@ -218,6 +218,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 1, s"q123 must shuffle only the matched pairs:\n$plan")
   }
 
+  test("q124: count-min lookup broadcasts the sketch; the corpus never meets a sort-merge join") {
+    val plan = planOf("q124_countmin_freq")
+    // the sketch table (<= depth*width rows) and the watchlist both
+    // ride broadcasts; every hash exchange left is a partial-agg
+    // combine (sketch build / watch counts), never a join shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"q124 lost its broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q124 shuffled a join side:\n$plan")
+    // build agg + estimate min-agg + exact count + final distinct-ish
+    // joins: the shuffle budget is the aggregates only
+    assert(shuffles(plan) <= 4, s"q124 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
