@@ -158,4 +158,57 @@ object EditDistanceJoin {
         col("dist"))
       .dropDuplicates("corpus_id", "batch_id")
   }
+
+  /** Incremental fuzzy DEDUP decision — [[incrementalJoin]] composed
+    * into the keep-rule contract the streaming tiers share
+    * (`Dedup.incrementalNearDup`'s output shape): batch docs with a
+    * corpus match within `maxDist` are dropped (`corpus_dup = 1`),
+    * the survivors' intra-batch match graph keeps the min id per
+    * connected component (`kept = 1` iff the doc heads its group).
+    *
+    * Scale shape: the corpus meets the plan ONLY as the map-side
+    * segment index under the broadcast batch probes
+    * ([[incrementalJoin]]); everything after the corpus check —
+    * survivor anti-join, intra-batch [[selfJoin]], components — is
+    * batch-bounded. Same documented first-wins caveat as the LSH
+    * tier: tight clusters with increasing ids reproduce the
+    * one-batch pipeline; fuzzy chains straddling batch boundaries
+    * can differ (edit distance is not transitive).
+    */
+  def incrementalKeep(
+      batch: DataFrame,
+      corpusKeys: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int): DataFrame = {
+    Dedup.requireNumericId(batch, idCol, "incrementalKeep (batch)")
+    val batchKeys = batch
+      .select(col(idCol).cast("long").alias("id"), col(keyCol).cast("string").alias("k"))
+      .localCheckpoint(true)
+    val corpusNorm = corpusKeys
+      .select(col(idCol).alias("id"), col(keyCol).cast("string").alias("k"))
+    val hits = incrementalJoin(corpusNorm, batchKeys, "id", "k", maxDist)
+      .select(col("batch_id").alias("id"))
+      .distinct()
+      .localCheckpoint(true)
+    val survivorIds = batchKeys.select("id")
+      .join(broadcast(hits), Seq("id"), "left_anti")
+    val survivors = batchKeys.join(survivorIds, Seq("id"), "left_semi")
+    val pairs = selfJoin(survivors, "id", "k", maxDist)
+    val groups = Components
+      .connectedComponents(pairs, "left_id", "right_id", survivorIds, "id")
+      .withColumnRenamed("cluster_id", "dup_group")
+    survivorIds
+      .join(groups, Seq("id"))
+      .select(
+        col("id"),
+        lit(0L).alias("corpus_dup"),
+        col("dup_group"),
+        (col("id") === col("dup_group")).cast("long").alias("kept"))
+      .unionByName(hits.select(
+        col("id"),
+        lit(1L).alias("corpus_dup"),
+        lit(-1L).alias("dup_group"),
+        lit(0L).alias("kept")))
+  }
 }

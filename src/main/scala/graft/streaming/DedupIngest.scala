@@ -325,6 +325,104 @@ object DedupIngest {
       }
       .start()
 
+  // ==== fuzzy (edit-distance) tier ==========================================
+
+  /** The fuzzy tier's persisted state: each kept representative's id
+    * and match KEY (a normalized short string — title, URL, prefix —
+    * not the document). The segment index the corpus check needs is a
+    * map-side projection of this table
+    * ([[graft.operators.EditDistanceJoin.incrementalJoin]]), so no
+    * derived index table has to be maintained.
+    */
+  def fuzzyStateSchema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("key", StringType, nullable = true)
+
+  /** One batch merged into the fuzzy kept-corpus: batch docs within
+    * `maxDist` (Levenshtein on `keyCol`) of a kept representative are
+    * dropped, intra-batch match groups keep their min id
+    * ([[graft.operators.EditDistanceJoin.incrementalKeep]]), and the
+    * survivors' `(id, key)` rows APPEND to the state. Per-trigger
+    * cost: one corpus-state scan under broadcast batch probes plus
+    * batch-bounded work — corpus keys never shuffle. Same first-wins
+    * boundary caveat as the LSH tier (edit distance is not
+    * transitive).
+    */
+  def mergeFuzzyStateWithKept(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int): (DataFrame, DataFrame) = {
+    Dedup.requireNumericId(batch, idCol, "mergeFuzzyState")
+    val batchKeys = batch.select(
+      col(idCol).cast("long").alias("id"),
+      col(keyCol).cast("string").alias("key"))
+    // replay shield (same as the LSH tier): a state row carrying a
+    // batch id is this batch's own partially-persisted earlier run —
+    // it must not block its own re-arrival
+    val batchIds = batchKeys.select("id").localCheckpoint(true)
+    val screened = state.join(broadcast(batchIds), Seq("id"), "left_anti")
+    val keptIds = graft.operators.EditDistanceJoin
+      .incrementalKeep(batchKeys, screened, "id", "key", maxDist)
+      .filter(col("kept") === 1L)
+      .select("id")
+      .localCheckpoint(true)
+    // append to the ORIGINAL state: appendNew's id anti-join makes a
+    // replayed batch's already-persisted survivors a no-op
+    (keptIds, appendNew(state, batchKeys.join(keptIds, Seq("id"))))
+  }
+
+  def mergeFuzzyState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int): DataFrame =
+    mergeFuzzyStateWithKept(state, batch, idCol, keyCol, maxDist)._2
+
+  /** The fuzzy tier's per-micro-batch body (factored out for the
+    * replay spec — applying the same batchId twice is a no-op).
+    */
+  private[streaming] def applyFuzzyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      keyCol: String,
+      sink: KVTableSink,
+      table: String,
+      maxDist: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).nonEmpty && !alreadyApplied(spark, sink, table, batchId)) {
+      val state = sink.read(spark, table, fuzzyStateSchema)
+      sink.write(
+        mergeFuzzyState(state, batch, idCol, keyCol, maxDist),
+        table, SaveMode.Overwrite)
+      markApplied(spark, sink, table, batchId)
+    }
+  }
+
+  /** Start the fuzzy ingest: every micro-batch of `(id, key)` rows
+    * merges into the kept-representative state at `table`.
+    */
+  def startFuzzy(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: String,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      maxDist: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFuzzyBatch(batch, batchId, idCol, keyCol, sink, table, maxDist)
+      }
+      .start()
+
   // ==== semantic (embedding) tier ===========================================
 
   /** One embedding batch merged into the kept-representative corpus

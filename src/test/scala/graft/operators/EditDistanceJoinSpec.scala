@@ -90,6 +90,26 @@ class EditDistanceJoinSpec extends SparkTestBase {
     assert(out === Set(("2", "1", 0)))
   }
 
+  test("incrementalKeep: corpus dups drop, intra-batch groups keep min id, chains stay greedy") {
+    val corpusState = Seq((100L, "hello world")).toDF("id", "key")
+    // 1 matches corpus (drop); 2/3 form an intra-batch pair (2 kept);
+    // 4 is a chain hop from 3 only (2..4 dist 2 via 3) — CC groups the
+    // chain, so 4 lands in 2's component and drops (documented
+    // min-id-per-component rule, not sequential-greedy)
+    val batch = Seq(
+      (1L, "hello worlds"), (2L, "graft engine"), (3L, "graft enginee"),
+      (4L, "graft engineee"), (5L, "unrelated thing")).toDF("doc_id", "k")
+    val out = EditDistanceJoin
+      .incrementalKeep(batch, corpusState.toDF("doc_id", "k"), "doc_id", "k", 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, -1L, 0L),
+      (2L, 0L, 2L, 1L),
+      (3L, 0L, 2L, 0L),
+      (4L, 0L, 2L, 0L),
+      (5L, 0L, 5L, 1L)))
+  }
+
   test("null keys are dropped, not matched") {
     val df = Seq(("1", "abc"), ("2", "abd"), ("3", null)).toDF("id", "k")
     val out = blocked(df, 1)

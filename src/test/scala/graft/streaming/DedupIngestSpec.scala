@@ -142,6 +142,14 @@ class DedupIngestSpec extends SparkTestBase {
     }
     assert(eInc.getMessage.contains("doc_id must be"), eInc.getMessage)
 
+    val eFz = intercept[IllegalArgumentException] {
+      DedupIngest.mergeFuzzyState(
+        new ParquetKVSink(Files.createTempDirectory("graft-guard4").toString)
+          .read(spark, "none", DedupIngest.fuzzyStateSchema),
+        strDocs, "doc_id", "text", maxDist = 1)
+    }
+    assert(eFz.getMessage.contains("doc_id must be an integral type"), eFz.getMessage)
+
     // fractional ids are just as unsafe: cast("long") TRUNCATES (1.2
     // and 1.7 would merge into state key 1), so doubles are rejected too
     val dblDocs = Seq((1.2, "alpha"), (1.7, "beta")).toDF("doc_id", "text")
@@ -212,6 +220,55 @@ class DedupIngestSpec extends SparkTestBase {
     assert(got.keySet == Set(1L, 3L, 5L, 8L), s"corpus ids ${got.keySet}")
     // representatives keep their original text
     assert(got(1L) == a && got(3L) == b && got(5L) == c)
+  }
+
+  test("fuzzy ingest: final key state equals first-wins edit-distance dedup across batches") {
+    // typo'd twins within and across batches; maxDist=2 so each twin
+    // pair matches while distinct keys stay far apart
+    val batches = Seq(
+      Seq((1L, "spark streaming"), (2L, "spark streaming!"), (3L, "duckdb oracle")),
+      Seq((4L, "spark streamin"), (5L, "novel unrelated")),
+      Seq((6L, "duckdb oraclee"), (7L, "novel unrelated"), (8L, "completely different words")))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-ingest-fz").toString)
+    val ckpt = Files.createTempDirectory("graft-ingest-fz-ckpt").toString
+    val q = DedupIngest.startFuzzy(
+      input.toDF().toDF("doc_id", "k"), "doc_id", "k",
+      sink, "fuzzy_keys", ckpt, trigger, maxDist = 2)
+    batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
+    q.stop()
+
+    val got = sink.read(spark, "fuzzy_keys", DedupIngest.fuzzyStateSchema)
+      .as[(Long, String)].collect().toMap
+    // 2 intra-batch dup of 1; 4 corpus dup of 1; 6 corpus dup of 3;
+    // 7 exact corpus dup of 5; 8 novel
+    assert(got.keySet == Set(1L, 3L, 5L, 8L), s"fuzzy state ids ${got.keySet}")
+    assert(got(1L) == "spark streaming" && got(3L) == "duckdb oracle")
+  }
+
+  test("fuzzy ingest replay: same batchId re-applied is a no-op; partial-persist re-arrival unblocked") {
+    val sink = new graft.sinks.InMemoryKVSink
+    val b1 = Seq((1L, "alpha"), (2L, "alphaa")).toDF("doc_id", "k")
+    DedupIngest.applyFuzzyBatch(b1, batchId = 0L, "doc_id", "k", sink, "fz", maxDist = 1)
+    def state: Set[(Long, String)] =
+      sink.read(spark, "fz", DedupIngest.fuzzyStateSchema)
+        .as[(Long, String)].collect().toSet
+    val afterFirst = state
+    assert(afterFirst == Set((1L, "alpha")))
+    DedupIngest.applyFuzzyBatch(b1, batchId = 0L, "doc_id", "k", sink, "fz", maxDist = 1)
+    assert(state == afterFirst, "replay double-applied the batch")
+    // the replay SHIELD: even when the meta mark was lost (crash between
+    // state and meta writes), doc 1's own persisted row must not block
+    // its re-arrival — merge directly, as the recovery path would
+    val merged = DedupIngest.mergeFuzzyState(
+      sink.read(spark, "fz", DedupIngest.fuzzyStateSchema), b1, "doc_id", "k", maxDist = 1)
+      .as[(Long, String)].collect().toSet
+    assert(merged == afterFirst, s"shielded re-merge diverged: $merged")
+    DedupIngest.applyFuzzyBatch(
+      Seq((3L, "alphab"), (4L, "wholly distinct")).toDF("doc_id", "k"),
+      batchId = 1L, "doc_id", "k", sink, "fz", maxDist = 1)
+    assert(state == Set((1L, "alpha"), (4L, "wholly distinct")))
   }
 
   test("replayed micro-batch (same batchId) is a no-op: counts are not double-applied") {
