@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1417,6 +1417,19 @@ object SparkEntry {
   }
 
 
+  /** Content-defined chunking profile (round 16): every document cut
+    * at content-derived boundaries (trailing-8 md5 window, residue 0
+    * mod 16 — expected 16-char chunks), per-doc chunk counts and
+    * cross-doc duplicate-chunk mass ([[graft.operators.Cdc]]). The
+    * byte-level dedup primitive for opaque payloads: boundaries move
+    * with the content, so a prefix insertion re-fingerprints one
+    * chunk, not the document (spec-pinned in `CdcSpec`).
+    */
+  private def q125_cdc_profile(s: SparkSession, dir: String): DataFrame =
+    Cdc.dupChunkProfile(Tables.documents(s, dir), "doc_id", "text",
+      window = 8, divisor = 16)
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2293,7 +2306,8 @@ object SparkEntry {
     "q121_html_extract" -> (q121_html_extract _),
     "q122_edit_join" -> (q122_edit_join _),
     "q123_edit_join_incremental" -> (q123_edit_join_incremental _),
-    "q124_countmin_freq" -> (q124_countmin_freq _)
+    "q124_countmin_freq" -> (q124_countmin_freq _),
+    "q125_cdc_profile" -> (q125_cdc_profile _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3661,6 +3675,38 @@ object SparkEntry {
           SELECT est.w AS token, est.est AS est, exact.exact AS exact,
                  est.est - exact.exact AS over
           FROM est JOIN exact ON est.w = exact.w""",
+    // q125 = the same content-defined chunker in SQL: cut positions
+    // from the trailing-8 md5 window, spans from consecutive
+    // boundaries, per-chunk md5-60 fingerprints, then the
+    // window-counted cross-doc dup rollup
+    "q125_cdc_profile" ->
+      s"""WITH ch AS (
+            SELECT doc_id, text,
+              list_concat(list_concat([CAST(0 AS BIGINT)],
+                list_filter(range(8, length(text)+1),
+                  i -> ${sqlMd5h60("substr(text, i-7, 8)")} % 16 = 0)),
+                [CAST(length(text) AS BIGINT)]) AS b
+            FROM documents),
+          spans AS (
+            SELECT doc_id, unnest(
+              list_filter(
+                list_transform(range(2, len(b)+1),
+                  j -> CASE WHEN b[j] > b[j-1]
+                       THEN ${sqlMd5h60("substr(text, b[j-1]+1, b[j]-b[j-1])")} END),
+                x -> x IS NOT NULL)) AS h
+            FROM ch),
+          pcd AS (SELECT h, doc_id, count(*) AS c FROM spans GROUP BY 1, 2),
+          fl AS (SELECT *, count(*) OVER (PARTITION BY h) AS n_docs FROM pcd),
+          pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+                        CAST(sum(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_chunks
+                 FROM fl GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(pd.n_chunks, 0) AS n_chunks,
+                 coalesce(pd.dup_chunks, 0) AS dup_chunks,
+                 CASE WHEN coalesce(pd.n_chunks, 0) > 0
+                      THEN CAST(round(pd.dup_chunks * 1000000.0 / pd.n_chunks) AS BIGINT)
+                 END AS dup_ratio_micro
+          FROM documents d LEFT JOIN pd USING (doc_id)""",
     "q102_containment" ->
       // asymmetric prefix-probe (smaller side's floor((1-t)*sz)+1
       // prefix) against the FULL inverted index, then exact containment

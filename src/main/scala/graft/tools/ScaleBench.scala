@@ -77,6 +77,10 @@ object ScaleBench {
     // the sketch's whole point: state is depth x width regardless of
     // corpus size — time should track the token scan alone
     "q124_countmin_freq",
+    // CDC chunking is a per-row projection plus fingerprint-keyed
+    // scalar aggregates; dup mass grows with the copies but chunk
+    // arithmetic should stay linear
+    "q125_cdc_profile",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

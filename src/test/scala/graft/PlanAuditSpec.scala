@@ -230,6 +230,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 4, s"q124 shuffle budget exceeded:\n$plan")
   }
 
+  test("q125: CDC chunking is one payload scan; only scalar fingerprints ever shuffle") {
+    val plan = planOf("q125_cdc_profile")
+    // the chunker is a fused HOF projection over the scan (no UDF) and
+    // the document text never rides an exchange — every shuffle after
+    // the explode carries (fingerprint, doc_id, counts) scalars
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(plan.contains("Generate explode"), s"q125 lost its chunk explode:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q125 shuffled the payload:\n$plan")
+    // per-(chunk,doc) agg + fingerprint window + per-doc rollup (+ the
+    // id restore join under AQE) bound the budget
+    assert(shuffles(plan) <= 4, s"q125 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
