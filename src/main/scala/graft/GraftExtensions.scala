@@ -146,6 +146,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.htmlToTextBuilder))
     e.injectFunction(
       (
+        FunctionIdentifier("cdc_chunk_hashes"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.CdcChunkHashesExpr].getName, "cdc_chunk_hashes"),
+        GraftFunctions.cdcChunkHashesBuilder))
+    e.injectFunction(
+      (
         FunctionIdentifier("keyword_classify"),
         new ExpressionInfo(
           classOf[graft.functions.expressions.KeywordClassifyExpr].getName, "keyword_classify"),
@@ -271,6 +277,12 @@ object GraftFunctions {
   private[graft] def tokensBuilder: Seq[Expr] => Expr =
     exprs => TokensExpr(arity(exprs, 1, "tokens(text)").head)
 
+  private[graft] def cdcChunkHashesBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "cdc_chunk_hashes(text, window, divisor)")
+    graft.functions.expressions.CdcChunkHashesExpr(exprs.head,
+      intLit(exprs(1), "cdc_chunk_hashes window"), intLit(exprs(2), "cdc_chunk_hashes divisor"))
+  }
+
   /** `keyword_classify(text)` — labels from the bundled default keyword
     * model (loaded once from the classpath, deterministic).
     */
@@ -313,6 +325,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "clean_text_fast", cleanTextFastBuilder)
     Bridge.registerTempFunction(spark, "html_to_text", htmlToTextBuilder)
     Bridge.registerTempFunction(spark, "tokens", tokensBuilder)
+    Bridge.registerTempFunction(spark, "cdc_chunk_hashes", cdcChunkHashesBuilder)
     Bridge.registerTempFunction(spark, "keyword_classify", keywordClassifyBuilder)
   }
 }

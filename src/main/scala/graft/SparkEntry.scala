@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1430,6 +1430,23 @@ object SparkEntry {
       window = 8, divisor = 16)
 
 
+  /** KMV distinct-count sketch (round 16): per-source distinct-token
+    * estimates from a k-minimum-values sketch (k = 256) with the exact
+    * `count(DISTINCT …)` control beside them
+    * ([[graft.operators.Kmv]]). Unlike q40's built-in HLL (whose
+    * estimate is engine-specific, oracle-checkable only via an in-plan
+    * error bound), the KMV minima derive from the repo-wide md5-60
+    * hash, so the DuckDB oracle reproduces the k-th order statistic —
+    * and therefore the ESTIMATE — bit-for-bit. The sketch side is a
+    * map-side-partial `TypedImperativeAggregate` (k longs per group
+    * per partition; only sketches cross the shuffle): the scale path
+    * for distinct counting, with the exact side standing in as the
+    * control it replaces.
+    */
+  private def q126_kmv_distinct(s: SparkSession, dir: String): DataFrame =
+    Kmv.distinctTokensPerSource(Tables.documents(s, dir), "source", "text", k = 256)
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2307,7 +2324,8 @@ object SparkEntry {
     "q122_edit_join" -> (q122_edit_join _),
     "q123_edit_join_incremental" -> (q123_edit_join_incremental _),
     "q124_countmin_freq" -> (q124_countmin_freq _),
-    "q125_cdc_profile" -> (q125_cdc_profile _)
+    "q125_cdc_profile" -> (q125_cdc_profile _),
+    "q126_kmv_distinct" -> (q126_kmv_distinct _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3675,6 +3693,32 @@ object SparkEntry {
           SELECT est.w AS token, est.est AS est, exact.exact AS exact,
                  est.est - exact.exact AS over
           FROM est JOIN exact ON est.w = exact.w""",
+    // q126 = the KMV estimator re-derived in SQL: the k smallest
+    // distinct md5-60 token hashes per source via a rank window, then
+    // the same (k-1)*2^60/h_k arithmetic on the k-th order statistic —
+    // every operand an exact integer, one IEEE division on identical
+    // values, so the ESTIMATE hash-matches (not just the exact control)
+    "q126_kmv_distinct" ->
+      s"""WITH tok AS (
+            SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents),
+          dh AS (SELECT DISTINCT source, ${sqlMd5h60("t")} AS h FROM tok),
+          r AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM dh),
+          kth AS (SELECT source, count(*) AS nh,
+                    max(CASE WHEN rn = 256 THEN h END) AS hk
+                  FROM r WHERE rn <= 256 GROUP BY source),
+          ex AS (SELECT source, count(DISTINCT t) AS n_exact FROM tok GROUP BY source),
+          est AS (SELECT ex.source, ex.n_exact,
+                    CASE WHEN kth.nh < 256 THEN kth.nh
+                         ELSE CAST(round(255 * POW(2, 60) /
+                                CAST(GREATEST(kth.hk, 1) AS DOUBLE)) AS BIGINT)
+                    END AS est_distinct
+                  FROM ex JOIN kth USING (source))
+          SELECT source, n_exact, est_distinct,
+                 CAST(round(1000.0 * abs(est_distinct - n_exact) /
+                        CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_permille
+          FROM est""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

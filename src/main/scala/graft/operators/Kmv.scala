@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.KmvSketchAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketches (Bar-Yossef et al.,
+  * public literature) — the distinct-counting member of the mergeable-
+  * summary family, next to Count-Min frequencies (q124), Space-Saving
+  * heavy hitters (q71) and the Bloom membership filter (q86).
+  *
+  * Why this exists when q40 already wraps Spark's built-in HLL:
+  * `approx_count_distinct`'s estimate is ENGINE-SPECIFIC (q40's oracle
+  * can only check an error bound the plan computes about itself). A
+  * KMV sketch over the repo-wide md5-60 hash is engine-REPRODUCIBLE —
+  * the k minima, the k-th order statistic, and therefore the estimate
+  * `(k−1)·2^60 / h_(k)` come out bit-identical in DuckDB, so the gate
+  * hash-checks the approximation itself (q126), the same standard the
+  * Count-Min estimates meet.
+  *
+  * Scale shape: the sketch is a `TypedImperativeAggregate`
+  * ([[KmvSketchAgg]]) — k longs of state per group per partition,
+  * map-side partial aggregation, only sketches cross the shuffle —
+  * counting distinct items per group at corpus scale WITHOUT
+  * shuffling the distinct (group, item) universe the way
+  * `count(DISTINCT …)`'s expand does. Sketch union = sketch of the
+  * union (exact, associative), so per-batch sketches compose
+  * streaming-side. NOT subtractable: an evicted minimum is
+  * unrecoverable, so retirement of counted items means rebuild (the
+  * same trade HLL makes; Count-Min is the subtractable one).
+  */
+object Kmv {
+
+  /** Per-group sketch table: `(group, kmv)` with `kmv` the sorted ≤ k
+    * smallest distinct md5-60 hashes of `itemCol` (pre-hashed by this
+    * method; null items ignored).
+    */
+  def sketchTable(items: DataFrame, groupCol: String, itemCol: String, k: Int): DataFrame =
+    items
+      .select(col(groupCol).alias("grp"),
+        TextFunctions.md5Hash60(col(itemCol).cast("string")).alias("h"))
+      .na.drop(Seq("h"))
+      .groupBy("grp")
+      .agg(KmvSketchAgg.kmvSketch(col("h"), k).alias("kmv"))
+
+  /** The KMV estimator as a projection over the sketch array: fewer
+    * than k minima ⇒ the sketch is the distinct set (exact count);
+    * otherwise `(k−1) · 2^60 / h_(k)` rounded to a long. Every operand
+    * is an exact integer cast to double, so the one IEEE division (and
+    * its DuckDB mirror) is bit-deterministic; `greatest(…, 1)` guards
+    * the measure-zero h=0 hash identically on both sides.
+    */
+  def estimateFromSketch(kmv: Column, k: Int): Column = {
+    require(k >= 2, s"need k >= 2, got $k")
+    when(size(kmv) < k, size(kmv).cast("long"))
+      .otherwise(
+        round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+          greatest(element_at(kmv, k), lit(1L)).cast("double")).cast("long"))
+  }
+
+  /** Per-source distinct-TOKEN profile with the exact control beside
+    * the estimate: `(source, n_exact, est_distinct, err_permille)`.
+    * The exact side is the full `count(DISTINCT token)` — the very
+    * (group, token)-universe shuffle the sketch exists to avoid; it is
+    * computed as a SEPARATE aggregation joined back on the (tiny)
+    * group keys so the sketch side's map-side partial plan stays
+    * visible and auditable rather than being fused into the expand.
+    */
+  def distinctTokensPerSource(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(
+      col(sourceCol).alias("source"),
+      explode(TextFunctions.tokens(col(textCol))).alias("tok"))
+    val sk = toks.groupBy("source")
+      .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("tok")), k).alias("kmv"))
+      .select(col("source"), estimateFromSketch(col("kmv"), k).alias("est_distinct"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).alias("n_exact"))
+    exact.join(sk, Seq("source"))
+      .select(
+        col("source"), col("n_exact"), col("est_distinct"),
+        round(lit(1000.0) * abs(col("est_distinct") - col("n_exact")) /
+          col("n_exact").cast("double")).cast("long").alias("err_permille"))
+  }
+}

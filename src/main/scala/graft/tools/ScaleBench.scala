@@ -81,6 +81,10 @@ object ScaleBench {
     // scalar aggregates; dup mass grows with the copies but chunk
     // arithmetic should stay linear
     "q125_cdc_profile",
+    // KMV sketch state is k longs per source regardless of corpus
+    // size; the exact control column is the corpus-shuffling path the
+    // sketch replaces, so the pair bounds what the sketch saves
+    "q126_kmv_distinct",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

@@ -343,6 +343,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("cdc_chunk_hashes is callable from SQL and matches the Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "spark order data column join " * 12), (2L, "short"), (3L, ""))
+      .toDF("id", "t")
+    df.createOrReplaceTempView("cdc_docs")
+    val viaSql = spark.sql(
+      "SELECT id, cdc_chunk_hashes(t, 8, 16) AS hs FROM cdc_docs ORDER BY id")
+      .as[(Long, Seq[Long])].collect()
+    val viaCol = df
+      .select($"id", graft.operators.Cdc.chunkHashes($"t", 8, 16).alias("hs"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(viaSql === viaCol)
+    assert(viaSql.head._2.size > 1, "long payload should produce multiple chunks")
+    // window/divisor are plan-time literals
+    val m = intercept[Exception](
+      spark.sql("SELECT cdc_chunk_hashes(t, length(t), 16) FROM cdc_docs").collect())
+      .getMessage
+    assert(m.contains("cdc_chunk_hashes window"), m)
+  }
+
   test("wrong-arity SQL calls fail analysis naming the signature, not IndexOutOfBounds") {
     GraftFunctions.register(spark)
     def messageFor(sql: String): String =

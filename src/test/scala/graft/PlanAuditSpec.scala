@@ -244,6 +244,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 4, s"q125 shuffle budget exceeded:\n$plan")
   }
 
+  test("q126: the KMV sketch partial-aggregates map-side; the payload never shuffles") {
+    val plan = planOf("q126_kmv_distinct")
+    // the sketch side must show a partial ObjectHashAggregate below its
+    // exchange — k longs per (partition, group) is the whole scale story
+    assert(plan.contains("partial_kmv_sketch"),
+      s"q126 sketch build lost its map-side partial:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    val exchanged = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q126 shuffled the payload:\n$plan")
+    // sketch agg + exact-control distinct agg (2) + the tiny source join
+    assert(shuffles(plan) <= 5, s"q126 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
