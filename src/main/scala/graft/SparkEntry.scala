@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, HistQuantile, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1447,6 +1447,20 @@ object SparkEntry {
     Kmv.distinctTokensPerSource(Tables.documents(s, dir), "source", "text", k = 256)
 
 
+  /** Log-bucket histogram quantiles (round 16): per-source p50/p90/p99
+    * of the per-doc token count from a ≤ 64-bucket power-of-two
+    * histogram, the exact discrete percentile beside the bounds as the
+    * control — and `bounded` proving the sketch guarantee in-data
+    * ([[graft.operators.HistQuantile]]). The bucket index is exact
+    * integer arithmetic (`length(bin(v))`), so unlike
+    * `approx_percentile` the DuckDB oracle reproduces the estimate
+    * itself. Histograms merge by adding counts and SUBTRACT exactly
+    * (retirement-friendly, unlike KMV).
+    */
+  private def q127_hist_quantiles(s: SparkSession, dir: String): DataFrame =
+    HistQuantile.tokenCountProfile(Tables.documents(s, dir), "source", "text")
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2325,7 +2339,8 @@ object SparkEntry {
     "q123_edit_join_incremental" -> (q123_edit_join_incremental _),
     "q124_countmin_freq" -> (q124_countmin_freq _),
     "q125_cdc_profile" -> (q125_cdc_profile _),
-    "q126_kmv_distinct" -> (q126_kmv_distinct _)
+    "q126_kmv_distinct" -> (q126_kmv_distinct _),
+    "q127_hist_quantiles" -> (q127_hist_quantiles _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3693,6 +3708,44 @@ object SparkEntry {
           SELECT est.w AS token, est.est AS est, exact.exact AS exact,
                  est.est - exact.exact AS over
           FROM est JOIN exact ON est.w = exact.w""",
+    // q127 = the log-bucket quantile arithmetic in SQL: bucket = bit
+    // length of the token count (length(bin(v)) — exact both engines),
+    // cumulative bucket mass vs rank ceil(pct*n/100), bounds from
+    // POW(2, b); the exact control is the value at that rank
+    "q127_hist_quantiles" ->
+      s"""WITH vals AS (
+            SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS v
+            FROM documents WHERE text IS NOT NULL),
+          hist AS (
+            SELECT source,
+                   CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS b,
+                   count(*) AS c
+            FROM vals GROUP BY 1, 2),
+          cum AS (
+            SELECT source, b, c,
+                   sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n
+            FROM hist),
+          pf AS (
+            SELECT source, b, c, cum, n, pct,
+                   CAST(floor((pct * n + 99) / 100.0) AS BIGINT) AS r
+            FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct)),
+          sel AS (
+            SELECT source, pct, CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(POW(2, b - 1) AS BIGINT) END AS est_lo,
+                   CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(POW(2, b) AS BIGINT) - 1 END AS est_hi,
+                   r
+            FROM pf WHERE cum - c < r AND r <= cum),
+          ranked AS (
+            SELECT source, v,
+                   row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+            FROM vals)
+          SELECT s.source, s.pct, s.n_docs, s.est_lo, s.est_hi,
+                 rk.v AS exact_len,
+                 s.est_lo <= rk.v AND rk.v <= s.est_hi AS bounded
+          FROM sel s JOIN ranked rk ON rk.source = s.source AND rk.rn = s.r""",
     // q126 = the KMV estimator re-derived in SQL: the k smallest
     // distinct md5-60 token hashes per source via a rank window, then
     // the same (k-1)*2^60/h_k arithmetic on the k-th order statistic —

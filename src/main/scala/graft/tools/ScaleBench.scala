@@ -85,6 +85,10 @@ object ScaleBench {
     // size; the exact control column is the corpus-shuffling path the
     // sketch replaces, so the pair bounds what the sketch saves
     "q126_kmv_distinct",
+    // histogram state is <= 64 buckets per source; the exact-control
+    // rank join is the per-source sort the sketch replaces, so the
+    // sweep times sketch + control together (control dominates)
+    "q127_hist_quantiles",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

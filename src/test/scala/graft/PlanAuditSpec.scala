@@ -257,6 +257,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 5, s"q126 shuffle budget exceeded:\n$plan")
   }
 
+  test("q127: the histogram partial-aggregates map-side; the bounded quantile frame broadcasts into the rank join") {
+    val plan = planOf("q127_hist_quantiles")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // the sketch side: partial HashAggregate below its exchange
+    assert(plan.contains("partial_count"), s"q127 histogram lost its map-side partial:\n$plan")
+    // the |sources|x|pcts| selection frame must broadcast into the
+    // corpus-sized rank join, never pull it through another exchange
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q127 rank join is not broadcast:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q127 shuffled the payload:\n$plan")
+    // histogram agg + two source-window sorts share one exchange each
+    assert(shuffles(plan) <= 4, s"q127 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
