@@ -64,6 +64,27 @@ object HistQuantile {
   def mergeHistograms(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source", "b").agg(sum("c").alias("c"))
 
+  /** Quantile bounds from the SKETCH ALONE — the 100 TB query shape
+    * (no corpus pass): `(source, pct, n_docs, est_lo, est_hi, r)` with
+    * `r = ceil(pct·n/100)` the covered rank. A constant |pcts|-row
+    * fan-out over a ≤ 64-rows-per-source frame, nothing corpus-sized.
+    */
+  def profileFromHistogram(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    val bySource = Window.partitionBy("source")
+    hist
+      .withColumn("cum", sum("c").over(bySource.orderBy("b")))
+      .withColumn("n", sum("c").over(bySource))
+      .select(col("*"), explode(typedlit(pcts)).alias("pct"))
+      .withColumn("r",
+        floor((col("pct") * col("n") + lit(99)) / lit(100.0)).cast("long"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("source"), col("pct"), col("n").alias("n_docs"),
+        bucketLo(col("b")).alias("est_lo"), bucketHi(col("b")).alias("est_hi"),
+        col("r"))
+  }
+
   /** Per-group percentile profile of the per-doc TOKEN COUNT:
     * `(source, pct, n_docs, est_lo, est_hi, exact_len, bounded)` for
     * each requested percentile. `est_lo/est_hi` come from the
@@ -79,23 +100,8 @@ object HistQuantile {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1, 100], got $pcts")
     val vals = tokenCounts(docs, sourceCol, textCol)
-    val hist = histogram(vals)
+    val sel = profileFromHistogram(histogram(vals), pcts)
     val bySource = Window.partitionBy("source")
-    val cum = hist
-      .withColumn("cum", sum("c").over(bySource.orderBy("b")))
-      .withColumn("n", sum("c").over(bySource))
-
-    // bucket selection per (source, pct): the bucket whose cumulative
-    // range covers rank r = ceil(pct·n/100) — a constant 3-row fan-out
-    // over a ≤64-rows-per-source frame, nothing corpus-sized
-    val sel = cum
-      .select(col("*"), explode(typedlit(pcts)).alias("pct"))
-      .withColumn("r",
-        floor((col("pct") * col("n") + lit(99)) / lit(100.0)).cast("long"))
-      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
-      .select(col("source"), col("pct"), col("n").alias("n_docs"),
-        bucketLo(col("b")).alias("est_lo"), bucketHi(col("b")).alias("est_hi"),
-        col("r"))
 
     // exact control: the value at rank r of the per-source sort — the
     // full shuffle+sort the histogram replaces (ties collapse to the
