@@ -1461,6 +1461,20 @@ object SparkEntry {
     HistQuantile.tokenCountProfile(Tables.documents(s, dir), "source", "text")
 
 
+  /** Chunk-containment dedup (round 16): the action form of q125 —
+    * drop any document whose chunk mass is ≥ 50% OWNED by an earlier
+    * document (owner = smallest doc id sharing the fingerprint, the
+    * exact tier's keep-best rule). Byte-level PARTIAL-duplication
+    * dedup: boilerplate-plus-a-paragraph pages, prepended-header
+    * re-uploads, re-crawled append-only logs — the cases whole-doc
+    * fingerprints miss and token-set containment (q102) under-weights
+    * ([[graft.operators.Cdc.containmentDedup]]).
+    */
+  private def q128_cdc_containment(s: SparkSession, dir: String): DataFrame =
+    Cdc.containmentDedup(Tables.documents(s, dir), "doc_id", "text",
+      window = 8, divisor = 16, maxCoveredMicro = 500000L)
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2340,7 +2354,8 @@ object SparkEntry {
     "q124_countmin_freq" -> (q124_countmin_freq _),
     "q125_cdc_profile" -> (q125_cdc_profile _),
     "q126_kmv_distinct" -> (q126_kmv_distinct _),
-    "q127_hist_quantiles" -> (q127_hist_quantiles _)
+    "q127_hist_quantiles" -> (q127_hist_quantiles _),
+    "q128_cdc_containment" -> (q128_cdc_containment _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3772,6 +3787,42 @@ object SparkEntry {
                  CAST(round(1000.0 * abs(est_distinct - n_exact) /
                         CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_permille
           FROM est""",
+    // q128 = q125's chunker CTEs plus the ownership window: owner =
+    // min(doc_id) per fingerprint, borrowed mass = occurrences whose
+    // owner is earlier, keep when < 50% borrowed (or chunk-less)
+    "q128_cdc_containment" ->
+      s"""WITH ch AS (
+            SELECT doc_id, text,
+              list_concat(list_concat([CAST(0 AS BIGINT)],
+                list_filter(range(8, length(text)+1),
+                  i -> ${sqlMd5h60("substr(text, i-7, 8)")} % 16 = 0)),
+                [CAST(length(text) AS BIGINT)]) AS b
+            FROM documents),
+          spans AS (
+            SELECT doc_id, unnest(
+              list_filter(
+                list_transform(range(2, len(b)+1),
+                  j -> CASE WHEN b[j] > b[j-1]
+                       THEN ${sqlMd5h60("substr(text, b[j-1]+1, b[j]-b[j-1])")} END),
+                x -> x IS NOT NULL)) AS h
+            FROM ch),
+          pcd AS (SELECT h, doc_id, count(*) AS c FROM spans GROUP BY 1, 2),
+          owned AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS owner FROM pcd),
+          pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+                        CAST(sum(CASE WHEN owner < doc_id THEN c ELSE 0 END) AS BIGINT)
+                          AS borrowed_chunks
+                 FROM owned GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(pd.n_chunks, 0) AS n_chunks,
+                 coalesce(pd.borrowed_chunks, 0) AS borrowed_chunks,
+                 CASE WHEN coalesce(pd.n_chunks, 0) > 0
+                      THEN CAST(round(pd.borrowed_chunks * 1000000.0 / pd.n_chunks) AS BIGINT)
+                 END AS covered_micro,
+                 CASE WHEN coalesce(pd.n_chunks, 0) > 0
+                      THEN CAST(round(pd.borrowed_chunks * 1000000.0 / pd.n_chunks) AS BIGINT)
+                             < 500000
+                      ELSE TRUE END AS keep
+          FROM documents d LEFT JOIN pd USING (doc_id)""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

@@ -100,6 +100,55 @@ object Cdc {
     * repeated WITHIN a doc is not a cross-doc dup, but every
     * occurrence of a shared chunk counts toward the doc's dup mass.
     */
+  /** Chunk-CONTAINMENT dedup — the action form of [[dupChunkProfile]]:
+    * a document is dropped when ≥ `maxCoveredMicro` of its chunk mass
+    * is OWNED by an earlier document (owner = smallest doc id sharing
+    * the chunk fingerprint — the deterministic keep-best rule the
+    * exact tier uses). This catches PARTIAL duplication token shingles
+    * under-weight: a page that is 80% boilerplate plus a fresh
+    * paragraph, a re-upload with a prepended header, an append-only
+    * log re-crawl — byte-level containment, not whole-document
+    * similarity (q102 is token-set containment; this is its opaque-
+    * payload sibling).
+    *
+    * Scale shape: identical to the profile — the payload never leaves
+    * the scan (chunk fingerprints explode to scalars), ownership is
+    * one window min over the fingerprint key, and the rollup is
+    * per-doc arithmetic. Ties cannot happen (owner of a doc's own
+    * chunk is ≤ its id); a doc with no chunks (empty payload) is kept.
+    */
+  def containmentDedup(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      window: Int = 8,
+      divisor: Int = 16,
+      maxCoveredMicro: Long = 500000L): DataFrame = {
+    require(maxCoveredMicro >= 0, s"need maxCoveredMicro >= 0, got $maxCoveredMicro")
+    val chunks = df
+      .select(col(idCol).alias("doc_id"),
+        explode(chunkHashes(col(contentCol), window, divisor)).alias("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).alias("c"))
+    val byFingerprint = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val perDoc = chunks
+      .withColumn("owner", min("doc_id").over(byFingerprint))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").alias("n_chunks"),
+        sum(when(col("owner") < col("doc_id"), col("c")).otherwise(lit(0L)))
+          .alias("borrowed_chunks"))
+    df.select(col(idCol).alias("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_chunks", "borrowed_chunks"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("borrowed_chunks"),
+        when(col("n_chunks") > 0,
+          round(col("borrowed_chunks") * lit(1000000.0) / col("n_chunks")).cast("long"))
+          .alias("covered_micro"))
+      .withColumn("keep",
+        col("covered_micro").isNull || col("covered_micro") < maxCoveredMicro)
+  }
+
   def dupChunkProfile(
       df: DataFrame,
       idCol: String,

@@ -89,6 +89,11 @@ object ScaleBench {
     // rank join is the per-source sort the sketch replaces, so the
     // sweep times sketch + control together (control dominates)
     "q127_hist_quantiles",
+    // the containment rollup is q125's shape plus one window min on
+    // the fingerprint key; copy-derived dup mass makes every copied
+    // doc fully-borrowed, so output semantics shift but cost should
+    // track the chunk stream linearly
+    "q128_cdc_containment",
     // q100: the multi-level trainer is a bounded driver job (vocab-
     // capped) and the apply is the q93 projection — both should
     // weak-scale. q99 is deliberately NOT here: its registry config is

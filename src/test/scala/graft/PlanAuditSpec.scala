@@ -272,6 +272,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 4, s"q127 shuffle budget exceeded:\n$plan")
   }
 
+  test("q128: containment dedup keeps the payload in the scan; ownership shuffles fingerprints only") {
+    val plan = planOf("q128_cdc_containment")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(plan.contains("Generate explode"), s"q128 lost its chunk explode:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q128 shuffled the payload:\n$plan")
+    // per-(chunk,doc) agg + owner window + per-doc rollup + id restore
+    assert(shuffles(plan) <= 4, s"q128 shuffle budget exceeded:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()

@@ -83,6 +83,39 @@ class CdcSpec extends SparkTestBase {
       assert(k === h, s"kernel/HOF divergence on payload $i: ${payloads(i).take(40)}…")
   }
 
+  test("containmentDedup: a prepended-header re-upload is dropped, fresh content survives") {
+    val base = fakeText(7, 300)
+    val reupload = "RE-UPLOADED WITH HEADER >>> " + base
+    val fresh = fakeText(42, 150)
+    val halfNew = base.take(base.length / 4) + " " + fakeText(77, 200)
+    val docs = Seq(
+      (1L, base), (2L, reupload), (3L, fresh), (4L, halfNew), (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Cdc.containmentDedup(docs, "doc_id", "text", w, d)
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5, "the original must be kept (owns its chunks)")
+    assert(got(1L)._3 === 0L)
+    assert(!got(2L)._5,
+      s"the re-upload shares all post-boundary chunks and must drop: ${got(2L)}")
+    assert(got(3L)._5 && got(3L)._3 === 0L, s"fresh doc wrongly flagged: ${got(3L)}")
+    // empty payload: no chunks, null ratio, kept
+    assert(got(5L) === ((5L, 0L, 0L, None, true)))
+    // ratio arithmetic: borrowed/total matches a direct recount
+    val baseChunks = refChunks(base).toSet
+    val huChunks = refChunks(halfNew)
+    val borrowed = huChunks.count(baseChunks.contains)
+    assert(got(4L)._2 === huChunks.size.toLong && got(4L)._3 === borrowed.toLong)
+  }
+
+  test("containmentDedup ownership is by smallest id: reordering ids flips which twin survives") {
+    val t = fakeText(3, 120)
+    val out = Seq((9L, t), (2L, t)).toDF("doc_id", "text")
+    val got = Cdc.containmentDedup(out, "doc_id", "text", w, d)
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().map(r => r._1 -> r._5).toMap
+    assert(got(2L) && !got(9L), s"keep-best must retain the smallest id: $got")
+  }
+
   test("null payloads yield a null chunk array") {
     val out = Seq((1L, null.asInstanceOf[String]), (2L, "some payload text"))
       .toDF("id", "t")
