@@ -156,6 +156,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[graft.functions.expressions.KeywordClassifyExpr].getName, "keyword_classify"),
         GraftFunctions.keywordClassifyBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.NfcNormalizeExpr].getName, "nfc_normalize"),
+        GraftFunctions.nfcNormalizeBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("strip_accents"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.StripAccentsExpr].getName, "strip_accents"),
+        GraftFunctions.stripAccentsBuilder))
   }
 }
 
@@ -291,6 +303,14 @@ object GraftFunctions {
       arity(exprs, 1, "keyword_classify(text)").head,
       graft.classify.TextClassifier.default)
 
+  private[graft] def nfcNormalizeBuilder: Seq[Expr] => Expr =
+    exprs => graft.functions.expressions.NfcNormalizeExpr(
+      arity(exprs, 1, "nfc_normalize(text)").head)
+
+  private[graft] def stripAccentsBuilder: Seq[Expr] => Expr =
+    exprs => graft.functions.expressions.StripAccentsExpr(
+      arity(exprs, 1, "strip_accents(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -327,5 +347,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "tokens", tokensBuilder)
     Bridge.registerTempFunction(spark, "cdc_chunk_hashes", cdcChunkHashesBuilder)
     Bridge.registerTempFunction(spark, "keyword_classify", keywordClassifyBuilder)
+    Bridge.registerTempFunction(spark, "nfc_normalize", nfcNormalizeBuilder)
+    Bridge.registerTempFunction(spark, "strip_accents", stripAccentsBuilder)
   }
 }

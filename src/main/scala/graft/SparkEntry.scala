@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sentiment, TextFunctions}
 import graft.model.IrcParser
-import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, HistQuantile, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
+import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, HistQuantile, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, RangeJoin, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1475,6 +1475,72 @@ object SparkEntry {
       window = 8, divisor = 16, maxCoveredMicro = 500000L)
 
 
+  /** Interval (range) join (round 16): purchase attribution over the
+    * event log — per purchase, the count of the same user's
+    * click/view events inside the following hour
+    * ([[graft.operators.RangeJoin.intervalJoin]], bin-bucketed: both
+    * sides equi-join on scalar `(user_id, hour-bin)` and the
+    * containment predicate runs on candidates only, versus the
+    * theta-join the direct `BETWEEN` formulation plans — per-key
+    * points × intervals fan-out, or a BroadcastNestedLoop once the
+    * key is dropped). Zero-match purchases survive with `n_follow = 0`
+    * via the aggregate-then-left-join tail; the oracle is the direct
+    * inequality LEFT JOIN, so the gate proves the bucketing loses —
+    * and fabricates — no pair.
+    */
+  private def q129_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val pts = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"))
+    val pairs = RangeJoin.intervalJoin(
+      pts, "ts", purchases, "w_start", "w_end", Seq("user_id"),
+      binWidthSec = 3600L, lowerInclusive = false, upperInclusive = true)
+    purchases
+      .join(
+        pairs.groupBy("purchase_id").agg(count(lit(1)).as("__n")),
+        Seq("purchase_id"), "left")
+      .select(
+        col("purchase_id"), col("user_id"),
+        coalesce(col("__n"), lit(0L)).as("n_follow"))
+  }
+
+
+  /** Unicode normalization front door (round 16): every document
+    * deterministically decorated with the encoding hazards a web crawl
+    * actually serves — composed accents (`É ç ï`), a DECOMPOSED
+    * `e + COMBINING ACUTE`, and the mark-free lookalikes (`ß`, the
+    * `ﬁ` ligature) that naive regex "accent removal" corrupts — then
+    * pushed through the native codegen pair
+    * ([[graft.functions.expressions.UnicodeNormExprs]]):
+    * `nfc_normalize` (canonical composition, the pre-fingerprint
+    * canonicalization) and `strip_accents` (NFD → drop Mn/Mc/Me →
+    * recompose, DuckDB/utf8proc semantics — the oracle IS DuckDB's
+    * own `nfc_normalize`/`strip_accents` over the same decoration).
+    * Scan-stage-fused, shuffle-free; ASCII rows take a zero-allocation
+    * fast path.
+    */
+  private def q130_unicode_norm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.UnicodeNormExprs
+    val decorated = concat(
+      lit("\u00c9l\u00e9v\u00e0t\u00efon \u00c7af\u00e9 \u00fc \u00df \ufb01 e\u0301 "),
+      col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        UnicodeNormExprs.nfcNormalize(decorated).as("nfc_text"),
+        UnicodeNormExprs.stripAccentsCol(decorated).as("clean_text"))
+      .withColumn("n_chars_nfc", length(col("nfc_text")).cast("long"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+  }
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2355,7 +2421,9 @@ object SparkEntry {
     "q125_cdc_profile" -> (q125_cdc_profile _),
     "q126_kmv_distinct" -> (q126_kmv_distinct _),
     "q127_hist_quantiles" -> (q127_hist_quantiles _),
-    "q128_cdc_containment" -> (q128_cdc_containment _)
+    "q128_cdc_containment" -> (q128_cdc_containment _),
+    "q129_interval_join" -> (q129_interval_join _),
+    "q130_unicode_norm" -> (q130_unicode_norm _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3823,6 +3891,37 @@ object SparkEntry {
                              < 500000
                       ELSE TRUE END AS keep
           FROM documents d LEFT JOIN pd USING (doc_id)""",
+    // q129 = the DIRECT inequality join the bin-bucketed operator
+    // restates: any pair the bucketing lost (or fabricated) breaks the
+    // per-purchase counts
+    "q129_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+          e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type IN ('click', 'view'))
+          SELECT p.purchase_id, p.user_id,
+                 CAST(count(e.ts) AS BIGINT) AS n_follow
+          FROM p LEFT JOIN e
+            ON e.user_id = p.user_id
+           AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+          GROUP BY 1, 2""",
+    // q130 = DuckDB's OWN nfc_normalize/strip_accents (utf8proc) over
+    // the identical decoration — the prefix is rebuilt from chr() codes
+    // so the hazard set (composed accents, a decomposed e+U+0301, the
+    // mark-free lookalikes ß/ﬁ) is byte-identical on both sides
+    "q130_unicode_norm" ->
+      """WITH dec AS (
+           SELECT doc_id,
+                  chr(201)||'l'||chr(233)||'v'||chr(224)||'t'||chr(239)||'on '||
+                  chr(199)||'af'||chr(233)||' '||chr(252)||' '||chr(223)||' '||
+                  chr(64257)||' e'||chr(769)||' '||text AS d
+           FROM documents)
+         SELECT doc_id,
+                nfc_normalize(d) AS nfc_text,
+                strip_accents(d) AS clean_text,
+                CAST(length(nfc_normalize(d)) AS BIGINT) AS n_chars_nfc,
+                CAST(length(strip_accents(d)) AS BIGINT) AS n_chars_clean
+         FROM dec""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the
