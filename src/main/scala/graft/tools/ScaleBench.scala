@@ -174,7 +174,17 @@ object ScaleBench {
     // cap binds per copy (disjoint universes), so candidate volume
     // stays frequency-capped; the msf16 variant measured 0.58 at 100×
     "q118_perplexity_hardened",
-    "q119_threshold_sweep_filtered")
+    "q119_threshold_sweep_filtered",
+    // round-16: interval join over the DERIVED event log (user/event
+    // ids offset per copy → per-copy attribution structure identical,
+    // user universes disjoint) — candidates grow 10× but stay split
+    // across disjoint (user, bin) keys, so the equi-join formulation
+    // should weak-scale where the theta-join would go quadratic
+    "q129_interval_join",
+    // round-16: the unicode front door — q121's fused-scan shape (one
+    // projection, no exchange); ASCII fast path makes the corpus pass
+    // near-free, the decorated prefix pays the Normalizer per row
+    "q130_unicode_norm")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
@@ -310,7 +320,8 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (!new java.io.File(s"$outDir/documents.parquet").exists() ||
-        !new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+        !new java.io.File(s"$outDir/embeddings.parquet").exists() ||
+        !new java.io.File(s"$outDir/events.parquet").exists()) {
       println(s"[scale] generating ${copies}x corpus at $outDir from $baseDir")
       generate(spark, baseDir, outDir, copies)
     }
@@ -403,7 +414,26 @@ object ScaleBench {
       }
       .toDF("vec_id", "embedding", "label")
     scaledEmb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"[scale] wrote ${scaledDocs.count()} docs, ${scaledEmb.count()} embeddings")
+
+    // events: ids offset per copy (event AND user — the user offset is
+    // what keeps per-copy attribution structure isomorphic to the base
+    // log while copies never cross-match), timestamps unchanged so the
+    // time-bin population grows 10× — exactly the densification a 10×
+    // event log implies
+    val ev = graft.tables.Tables.events(spark, baseDir)
+    val evCols = ev.columns
+    val scaledEv = ev
+      .select(col("*"), explode(lit((0 until copies).toArray)).as("cp"))
+      .select(evCols.map {
+        case "event_id" =>
+          (col("event_id").cast("long") + col("cp").cast("long") * idOffset).as("event_id")
+        case "user_id" =>
+          (col("user_id").cast("long") + col("cp").cast("long") * 1000000L).as("user_id")
+        case other => col(other)
+      }.toSeq: _*)
+    scaledEv.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"[scale] wrote ${scaledDocs.count()} docs, ${scaledEmb.count()} embeddings, " +
+      s"${scaledEv.count()} events")
   }
 }
 
