@@ -184,31 +184,47 @@ object NgramLm {
 
     // hotKeys = -1: measure the head instead of asking the caller
     // ([[autoHotKeys]] — 0 on a near-uniform vocabulary, a fan-covering
-    // K on a Zipf-headed one)
-    val effHotKeys = if (hotKeys < 0) autoHotKeys(lm) else hotKeys
-    val uniW1 = lm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
-    val uniW2 = lm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
+    // K on a Zipf-headed one). The resolution runs THREE driver-side
+    // actions against the LM tables, and the scoring joins read them
+    // again: with an IN-PLAN LM (the q120 shape — `train` over a
+    // derived projection) each action would re-execute the projection
+    // lineage from the corpus scan up, so the count tables are
+    // materialized ONCE first. They are vocabulary-bounded (counts,
+    // never documents), so the checkpoint is the cheap side of the
+    // trade at any corpus scale; measured 4.1 → ~1.9 s on the q120
+    // gate query (sf0.1, the collapse's interpreted-HOF md5 pass was
+    // running 7× instead of 3×).
+    val effLm =
+      if (hotKeys < 0)
+        LmTables(
+          lm.uni.localCheckpoint(true),
+          lm.bi.localCheckpoint(true),
+          lm.nTok.localCheckpoint(true))
+      else lm
+    val effHotKeys = if (hotKeys < 0) autoHotKeys(effLm) else hotKeys
+    val uniW1 = effLm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
+    val uniW2 = effLm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
     val joined0 =
       if (effHotKeys <= 0)
         hb
-          .join(lm.bi, Seq("w1", "w2"), "left")
+          .join(effLm.bi, Seq("w1", "w2"), "left")
           .join(uniW1, Seq("w1"), "left")
           .join(uniW2, Seq("w2"), "left")
       else {
         // deterministic bounded hot sets: total-order top-K by count
-        val hotBi = lm.bi
+        val hotBi = effLm.bi
           .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
           .limit(effHotKeys).select("w1", "w2")
-        val hotUni = lm.uni
+        val hotUni = effLm.uni
           .orderBy(col("c").desc, col("w").asc)
           .limit(effHotKeys).select("w")
         Skew.hotColdLeftJoin(
           Skew.hotColdLeftJoin(
-            Skew.hotColdLeftJoin(hb, lm.bi, Seq("w1", "w2"), hotBi),
+            Skew.hotColdLeftJoin(hb, effLm.bi, Seq("w1", "w2"), hotBi),
             uniW1, Seq("w1"), hotUni.select(col("w").alias("w1"))),
           uniW2, Seq("w2"), hotUni.select(col("w").alias("w2")))
       }
-    val joined = joined0.crossJoin(broadcast(lm.nTok))
+    val joined = joined0.crossJoin(broadcast(effLm.nTok))
 
     // Evaluation order inside each term mirrors the oracle exactly
     // (left-to-right products, same casts) so both engines round the
@@ -304,15 +320,25 @@ object NgramLm {
       hotKeys: Int = 0): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(topK > 0, s"topK must be positive, got $topK")
-    val lm = train(docs, idCol, textCol)
-    val nBi = lm.bi.agg(sum(col("c12")).alias("n_bi"))
+    val lm0 = train(docs, idCol, textCol)
+    // same in-plan-LM materialization rule as [[score]]: auto
+    // resolution must not re-execute the in-plan training lineage per
+    // driver action (the tables are vocabulary-bounded)
+    val effLm =
+      if (hotKeys < 0)
+        LmTables(
+          lm0.uni.localCheckpoint(true),
+          lm0.bi.localCheckpoint(true),
+          lm0.nTok.localCheckpoint(true))
+      else lm0
+    val nBi = effLm.bi.agg(sum(col("c12")).alias("n_bi"))
     val pmi =
       log((col("c12").cast("double") / col("n_bi").cast("double")) /
         ((col("c1").cast("double") / col("n_tok").cast("double")) *
           (col("c2").cast("double") / col("n_tok").cast("double"))))
-    val bif = lm.bi.filter(col("c12") >= minCount)
-    val uniW1 = lm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
-    val uniW2 = lm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
+    val bif = effLm.bi.filter(col("c12") >= minCount)
+    val uniW1 = effLm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
+    val uniW2 = effLm.uni.select(col("w").alias("w2"), col("c").alias("c2"))
     // the probe here is the bigram TABLE (one row per distinct pair),
     // so the hot key's fan-in is vocabulary-bounded, not corpus-bounded
     // — but at web scale "the"-initial distinct pairs are still
@@ -321,12 +347,12 @@ object NgramLm {
     // joins here: every bigram's component words exist in uni by
     // construction, so the left joins the split produces are
     // match-total and row-equal to the inner originals.
-    val effHotKeys = if (hotKeys < 0) autoHotKeys(lm) else hotKeys
+    val effHotKeys = if (hotKeys < 0) autoHotKeys(effLm) else hotKeys
     val joined =
       if (effHotKeys <= 0)
         bif.join(uniW1, Seq("w1")).join(uniW2, Seq("w2"))
       else {
-        val hotUni = lm.uni
+        val hotUni = effLm.uni
           .orderBy(col("c").desc, col("w").asc)
           .limit(effHotKeys).select("w")
         Skew.hotColdLeftJoin(
@@ -335,7 +361,7 @@ object NgramLm {
           uniW2, Seq("w2"), hotUni.select(col("w").alias("w2")))
       }
     joined
-      .crossJoin(broadcast(lm.nTok))
+      .crossJoin(broadcast(effLm.nTok))
       .crossJoin(broadcast(nBi))
       .select(
         col("w1"), col("w2"), col("c12"),
