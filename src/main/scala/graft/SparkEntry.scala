@@ -1541,6 +1541,22 @@ object SparkEntry {
   }
 
 
+  /** Join-key overlap diagnostic (round 16): distinct-key estimates
+    * for `orders.o_custkey` vs `customer.c_custkey` — both sides,
+    * union, and intersection by inclusion–exclusion — from two KMV
+    * sketches and their (exact-property) merge, with the exact
+    * controls beside them ([[graft.operators.Kmv.keyOverlap]]). The
+    * pre-join probe a 100 TB join is sized with: two map-side sketch
+    * aggregates instead of shuffling either key universe; every
+    * estimate an integer-order-statistic derivation the oracle
+    * reproduces bit-for-bit (q126's standard).
+    */
+  private def q131_key_overlap(s: SparkSession, dir: String): DataFrame =
+    Kmv.keyOverlap(
+      Tables.orders(s, dir), "o_custkey",
+      Tables.customer(s, dir), "c_custkey", k = 128)
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2423,7 +2439,8 @@ object SparkEntry {
     "q127_hist_quantiles" -> (q127_hist_quantiles _),
     "q128_cdc_containment" -> (q128_cdc_containment _),
     "q129_interval_join" -> (q129_interval_join _),
-    "q130_unicode_norm" -> (q130_unicode_norm _)
+    "q130_unicode_norm" -> (q130_unicode_norm _),
+    "q131_key_overlap" -> (q131_key_overlap _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3922,6 +3939,58 @@ object SparkEntry {
                 CAST(length(nfc_normalize(d)) AS BIGINT) AS n_chars_nfc,
                 CAST(length(strip_accents(d)) AS BIGINT) AS n_chars_clean
          FROM dec""",
+    // q131 = the KMV overlap algebra re-derived in SQL: per-side k-th
+    // order statistics (q126's estimator), the union's k smallest over
+    // the deduped combined hash set (= the merged sketch, an exact KMV
+    // property), intersection by inclusion-exclusion — plus the exact
+    // controls the sketches replace
+    "q131_key_overlap" ->
+      s"""WITH ha AS (SELECT DISTINCT ${sqlMd5h60("CAST(o_custkey AS VARCHAR)")} AS h
+                      FROM orders WHERE o_custkey IS NOT NULL),
+          hb AS (SELECT DISTINCT ${sqlMd5h60("CAST(c_custkey AS VARCHAR)")} AS h
+                 FROM customer WHERE c_custkey IS NOT NULL),
+          hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+          est AS (
+            SELECT
+              (SELECT CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE CAST(round(127 * POW(2, 60) /
+                             CAST(GREATEST(max(CASE WHEN rn = 128 THEN h END), 1)
+                                  AS DOUBLE)) AS BIGINT) END
+               FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+               WHERE rn <= 128) AS est_a,
+              (SELECT CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE CAST(round(127 * POW(2, 60) /
+                             CAST(GREATEST(max(CASE WHEN rn = 128 THEN h END), 1)
+                                  AS DOUBLE)) AS BIGINT) END
+               FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+               WHERE rn <= 128) AS est_b,
+              (SELECT CASE WHEN count(*) < 128 THEN count(*)
+                      ELSE CAST(round(127 * POW(2, 60) /
+                             CAST(GREATEST(max(CASE WHEN rn = 128 THEN h END), 1)
+                                  AS DOUBLE)) AS BIGINT) END
+               FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hu)
+               WHERE rn <= 128) AS est_union,
+              (SELECT count(*) FROM
+                (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+                 WHERE o_custkey IS NOT NULL)) AS n_exact_a,
+              (SELECT count(*) FROM
+                (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+                 WHERE c_custkey IS NOT NULL)) AS n_exact_b,
+              (SELECT count(*) FROM
+                (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM customer)))
+                AS n_exact_intersect)
+          SELECT est_a, CAST(n_exact_a AS BIGINT) AS n_exact_a,
+                 est_b, CAST(n_exact_b AS BIGINT) AS n_exact_b,
+                 est_union,
+                 GREATEST(est_a + est_b - est_union, 0) AS est_intersect,
+                 CAST(n_exact_intersect AS BIGINT) AS n_exact_intersect,
+                 CASE WHEN est_a > 0
+                      THEN CAST(round(1000.0 *
+                             GREATEST(est_a + est_b - est_union, 0) /
+                             CAST(est_a AS DOUBLE)) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS containment_a_permille
+          FROM est""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

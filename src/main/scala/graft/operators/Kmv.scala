@@ -97,4 +97,74 @@ object Kmv {
         round(lit(1000.0) * abs(col("est_distinct") - col("n_exact")) /
           col("n_exact").cast("double")).cast("long").alias("err_permille"))
   }
+
+  /** Join-KEY overlap diagnostic — the pre-join cardinality probe a
+    * planner (or an engineer sizing a 100 TB join) reads BEFORE paying
+    * the join: distinct-key estimates for both sides, their union and
+    * intersection, from two KMV sketches and their merge.
+    *
+    * Sketch algebra (all exact properties of KMV, not approximations
+    * of approximations): union sketch = k smallest of the combined
+    * minima — identical to the sketch OF the union — so
+    * `est_union` applies the same estimator to the merged array, and
+    * `est_intersect = max(est_a + est_b − est_union, 0)` by
+    * inclusion–exclusion. Every ingredient is an integer order
+    * statistic of the repo-wide md5-60 hash, so the DuckDB oracle
+    * reproduces all three estimates bit-for-bit (q131) — the q126
+    * standard.
+    *
+    * Scale shape: each side is ONE map-side-partial sketch aggregate
+    * (k longs cross the shuffle per partition); the merge is an array
+    * op on two k-arrays in a 1-row frame. The exact controls beside
+    * the estimates (`count(DISTINCT)` per side + the distinct-key
+    * semi-join) are exactly the key-universe shuffles the sketch path
+    * replaces — kept in-query as controls, dropped in production use.
+    *
+    * Output (1 row): `est_a, n_exact_a, est_b, n_exact_b, est_union,
+    * est_intersect, n_exact_intersect, containment_a_permille`
+    * (estimated fraction of A's keys present in B, in permille —
+    * `broadcast B` / `prune by B` decisions read this).
+    */
+  def keyOverlap(
+      a: DataFrame,
+      aKey: String,
+      b: DataFrame,
+      bKey: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    def hashes(df: DataFrame, key: String): DataFrame =
+      df.select(TextFunctions.md5Hash60(col(key).cast("string")).alias("h"))
+        .na.drop(Seq("h"))
+    val skA = hashes(a, aKey).agg(KmvSketchAgg.kmvSketch(col("h"), k).alias("kmv_a"))
+    val skB = hashes(b, bKey).agg(KmvSketchAgg.kmvSketch(col("h"), k).alias("kmv_b"))
+    val exA = a.select(col(aKey).cast("string").alias("ka")).na.drop(Seq("ka")).distinct()
+    val exB = b.select(col(bKey).cast("string").alias("kb")).na.drop(Seq("kb")).distinct()
+    val exACnt = exA.agg(count(lit(1)).alias("n_exact_a"))
+    val exBCnt = exB.agg(count(lit(1)).alias("n_exact_b"))
+    val exInt = exA
+      .join(exB, col("ka") === col("kb"), "left_semi")
+      .agg(count(lit(1)).alias("n_exact_intersect"))
+    val estA = estimateFromSketch(col("kmv_a"), k)
+    val estB = estimateFromSketch(col("kmv_b"), k)
+    // merged minima: distinct union of the two sorted arrays, k
+    // smallest — array_union dedupes but does not sort, so sort
+    // explicitly before the cut
+    val kmvU = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
+    val estU = estimateFromSketch(kmvU, k)
+    skA.crossJoin(skB)
+      .crossJoin(broadcast(exACnt))
+      .crossJoin(broadcast(exBCnt))
+      .crossJoin(broadcast(exInt))
+      .select(
+        estA.alias("est_a"), col("n_exact_a"),
+        estB.alias("est_b"), col("n_exact_b"),
+        estU.alias("est_union"),
+        greatest(estA + estB - estU, lit(0L)).alias("est_intersect"),
+        col("n_exact_intersect"))
+      .withColumn("containment_a_permille",
+        when(col("est_a") > 0,
+          round(lit(1000.0) * col("est_intersect") / col("est_a").cast("double"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -84,4 +84,58 @@ class KmvSpec extends SparkTestBase {
     assert(firstAgg.exists(_.contains("partial_kmv_sketch")),
       s"sketch build lost its map-side partial:\n$plan")
   }
+
+  test("keyOverlap: below k every estimate is exact and matches the controls") {
+    val a = (1L to 40L).map(i => Tuple1(i)).toDF("ka")
+    val b = (21L to 70L).map(i => Tuple1(i)).toDF("kb")
+    val r = Kmv.keyOverlap(a, "ka", b, "kb", k = 128).head()
+    assert(r.getAs[Long]("est_a") === 40L)
+    assert(r.getAs[Long]("n_exact_a") === 40L)
+    assert(r.getAs[Long]("est_b") === 50L)
+    assert(r.getAs[Long]("n_exact_b") === 50L)
+    assert(r.getAs[Long]("est_union") === 70L)
+    assert(r.getAs[Long]("est_intersect") === 20L)
+    assert(r.getAs[Long]("n_exact_intersect") === 20L)
+    assert(r.getAs[Long]("containment_a_permille") === 500L)
+  }
+
+  test("keyOverlap: merged-array union estimate equals the sketch OF the union") {
+    val a = (1L to 4000L).map(i => Tuple1(i)).toDF("ka")
+    val b = (2000L to 7000L).map(i => Tuple1(i)).toDF("kb")
+    val k = 64
+    val r = Kmv.keyOverlap(a, "ka", b, "kb", k).head()
+    // sketch the union DIRECTLY and apply the estimator — must equal
+    // the merged-array derivation inside keyOverlap (KMV merge is the
+    // sketch of the union, exactly)
+    val direct = a.select(col("ka").cast("string").alias("s"))
+      .union(b.select(col("kb").cast("string").alias("s")))
+      .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("s")), k).alias("kmv"))
+      .select(Kmv.estimateFromSketch(col("kmv"), k).alias("e"))
+      .head().getAs[Long]("e")
+    assert(r.getAs[Long]("est_union") === direct)
+    // inclusion-exclusion consistency, and the clamp keeps it non-negative
+    assert(r.getAs[Long]("est_intersect") ===
+      math.max(r.getAs[Long]("est_a") + r.getAs[Long]("est_b") -
+        r.getAs[Long]("est_union"), 0L))
+  }
+
+  test("keyOverlap: disjoint sides estimate ~zero intersection (clamped at 0)") {
+    val a = (1L to 3000L).map(i => Tuple1(i)).toDF("ka")
+    val b = (100000L to 103000L).map(i => Tuple1(i)).toDF("kb")
+    val r = Kmv.keyOverlap(a, "ka", b, "kb", k = 64).head()
+    assert(r.getAs[Long]("n_exact_intersect") === 0L)
+    assert(r.getAs[Long]("est_intersect") >= 0L)
+    // a disjoint estimate may be slightly positive (sketch noise) but
+    // must stay well under either side's cardinality
+    assert(r.getAs[Long]("est_intersect") < 1000L)
+  }
+
+  test("keyOverlap: null keys are ignored on both sides") {
+    val a = Seq[Option[Long]](Some(1L), Some(2L), None).map(Tuple1(_)).toDF("ka")
+    val b = Seq[Option[Long]](Some(2L), None).map(Tuple1(_)).toDF("kb")
+    val r = Kmv.keyOverlap(a, "ka", b, "kb", k = 16).head()
+    assert(r.getAs[Long]("n_exact_a") === 2L)
+    assert(r.getAs[Long]("n_exact_b") === 1L)
+    assert(r.getAs[Long]("est_intersect") === 1L)
+  }
 }
