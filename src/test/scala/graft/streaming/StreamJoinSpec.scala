@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.Trigger
 
 import java.nio.file.Files
@@ -88,5 +89,67 @@ class StreamJoinSpec extends SparkTestBase {
     assert(got.contains("b") && got("b").isEmpty,
       s"unmatched impression should emit with null click, got $got")
     query.stop()
+  }
+
+  test("streamed interval join matches the batch RangeJoin pair set (q129's shape)") {
+    // random per-user purchase/click history; ground truth = the batch
+    // bin-bucketed interval join, itself spec-pinned against the naive
+    // theta-join in RangeJoinSpec — this pins the STREAMING surface to
+    // the same semantics: same keyed [t, t+delay] containment, 1:N
+    // multiplicity, inclusive bounds on both ends
+    val rnd = new scala.util.Random(7)
+    val base = ts(0).getTime
+    val purchases = (1L to 30L).map { id =>
+      (id, rnd.nextInt(3).toLong, new Timestamp(base + rnd.nextInt(40 * 60) * 1000L))
+    }
+    val clicks = (101L to 200L).map { id =>
+      (id, rnd.nextInt(3).toLong, new Timestamp(base + rnd.nextInt(50 * 60) * 1000L))
+    }
+
+    val batchPairs = graft.operators.RangeJoin.intervalJoin(
+        clicks.toDF("click_id", "c_user", "click_ts")
+          .withColumnRenamed("c_user", "user"),
+        "click_ts",
+        purchases.toDF("purchase_id", "p_user", "p_ts")
+          .withColumn("w_end", col("p_ts") + expr("INTERVAL 5 MINUTES"))
+          .withColumnRenamed("p_user", "user"),
+        "p_ts", "w_end", Seq("user"),
+        binWidthSec = 300L)
+      .select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    val pSrc = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cSrc = MemoryStream[(Long, Long, Timestamp)](spark)
+    val ckpt = Files.createTempDirectory("graft-ssjp").toString
+    val joined = StreamJoin.intervalJoin(
+      pSrc.toDF().toDF("purchase_id", "p_user", "p_ts"),
+      cSrc.toDF().toDF("click_id", "c_user", "click_ts"),
+      "p_user", "c_user", "p_ts", "click_ts",
+      // the delayed second delivery re-winds event time by up to the
+      // full 50-minute span; the watermark must cover that disorder or
+      // the late rows are (correctly) dropped — which is the semantics
+      // under test for ON-TIME data, not what we want to exercise here
+      watermark = "1 hour", maxDelay = "5 minutes")
+    val query = joined
+      .selectExpr("purchase_id", "click_id")
+      .writeStream
+      .format("memory").queryName("ssjp")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    // deliver out of order across two triggers — the join must still
+    // find every pair (watermark covers the full disorder span)
+    val (p1, p2) = purchases.splitAt(17)
+    val (c1, c2) = clicks.splitAt(60)
+    pSrc.addData(p2: _*); cSrc.addData(c2: _*)
+    query.processAllAvailable()
+    pSrc.addData(p1: _*); cSrc.addData(c1: _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT purchase_id, click_id FROM ssjp")
+      .as[(Long, Long)].collect().toSet
+    query.stop()
+    assert(streamed === batchPairs)
   }
 }
