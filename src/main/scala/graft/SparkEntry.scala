@@ -1013,7 +1013,11 @@ object SparkEntry {
   private def q100_bpe_multilevel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = Bpe.trainMergesFromCorpus(docs, "text", numMerges = 24)
-    val toks = Bpe.tokenize(docs, "doc_id", "text", merges)
+    // tokenize ONCE and reuse: the vocabulary derivation collects over
+    // this frame and the final projection reads it again — without the
+    // checkpoint the 24-merge replace chain runs over the corpus twice
+    // (and a real pipeline materializes its tokenized corpus anyway)
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges).localCheckpoint(true)
     val vm = typedlit(Bpe.vocabIds(toks, "toks"))
     toks.select(
       col("id").alias("doc_id"),
