@@ -60,6 +60,14 @@ object RangeJoin {
     *                   length so each interval explodes into ≤ 2 bins
     * @param lowerInclusive ts == start matches (default true)
     * @param upperInclusive ts == end matches (default true)
+    * @param maxBinsPerInterval fail-fast cap on per-interval explode
+    *                   fan-out: a mis-sized `W` (or a corrupt
+    *                   centuries-long interval) would otherwise
+    *                   silently explode one row into millions —
+    *                   an executor OOM with no actionable message.
+    *                   Raise it deliberately for genuinely long
+    *                   horizons; better: split the interval table by
+    *                   length decade and union per-decade joins.
     */
   def intervalJoin(
       points: DataFrame,
@@ -70,16 +78,30 @@ object RangeJoin {
       keyCols: Seq[String],
       binWidthSec: Long,
       lowerInclusive: Boolean = true,
-      upperInclusive: Boolean = true): DataFrame = {
+      upperInclusive: Boolean = true,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val binMicros = lit(binWidthSec * 1000000L)
     def bin(ts: Column): Column = floor(unix_micros(ts) / binMicros)
 
     val p = points.withColumn("__bin", bin(col(tsCol)))
+    // the cap is checked ARITHMETICALLY (scalar bin count), before the
+    // sequence array is ever built — guarding on size(sequence(...))
+    // would materialize the very allocation it guards against
+    val nBins = bin(col(endCol)) - bin(col(startCol)) + lit(1L)
+    val guardedSeq = when(
+      nBins <= maxBinsPerInterval,
+      sequence(bin(col(startCol)), bin(col(endCol))))
+      .otherwise(raise_error(concat(
+        lit(s"intervalJoin: interval spans "), nBins.cast("string"),
+        lit(s" bins > maxBinsPerInterval=$maxBinsPerInterval at binWidthSec=$binWidthSec; " +
+          "widen the bin or split the interval table by length"))))
     val i = intervals
       // end < start matches nothing; sequence() would count DOWN
       .filter(col(endCol) >= col(startCol))
-      .withColumn("__bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+      .withColumn("__bin", explode(guardedSeq))
 
     val lower =
       if (lowerInclusive) col(tsCol) >= col(startCol) else col(tsCol) > col(startCol)

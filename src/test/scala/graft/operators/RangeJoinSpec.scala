@@ -112,6 +112,22 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fail-fast on a pathological interval instead of a silent mega-explode") {
+    val p = points((1L, "2024-01-01 10:00:00", 1L))
+    // a 2-year interval at a 1-second bin: ~63M bins — must raise, not OOM
+    val i = intervals((1L, "2024-01-01 00:00:00", "2026-01-01 00:00:00", 10L))
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(p, "ts", i, "w_start", "w_end", Seq("key"), 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxBinsPerInterval")), ex.toString)
+    // the same interval passes once the cap is raised deliberately
+    val ok = RangeJoin.intervalJoin(p, "ts", i, "w_start", "w_end", Seq("key"),
+      binWidthSec = 30 * 24 * 3600L, maxBinsPerInterval = 100)
+    assert(ok.count() === 1L)
+  }
+
   test("rejects a non-positive bin width") {
     val p = points((1L, "2024-01-01 10:00:00", 1L))
     val i = intervals((1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 10L))
