@@ -282,6 +282,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 4, s"q128 shuffle budget exceeded:\n$plan")
   }
 
+  test("q129: interval join is a pure equi-join on (key, bin) — no nested-loop, no cartesian") {
+    val plan = planOf("q129_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q129 fell back to the theta-join shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q129 planned a cartesian:\n$plan")
+    assert(plan.contains("Generate explode"), s"q129 lost its bin explode:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
+  test("q130: unicode normalization is one shuffle-free fused scan") {
+    val plan = planOf("q130_unicode_norm")
+    assert(shuffles(plan) === 0, s"q130 must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(plan.contains("nfc_normalize") && plan.contains("strip_accents"),
+      s"q130 lost its native expressions:\n$plan")
+  }
+
+  test("q131: both overlap sketches partial-aggregate map-side; the key universe shuffles only in the exact controls") {
+    val plan = planOf("q131_key_overlap")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // two sketch builds, each with a map-side partial before its exchange
+    assert("partial_kmv_sketch".r.findAllIn(plan).length >= 2,
+      s"q131 lost a map-side sketch partial:\n$plan")
+    // no nested-loop anywhere (the 1-row combine frames must broadcast)
+    assert(!plan.contains("CartesianProduct"), s"q131 planned a cartesian:\n$plan")
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
