@@ -1561,6 +1561,23 @@ object SparkEntry {
       Tables.customer(s, dir), "c_custkey", k = 128)
 
 
+  /** Weighted sampling without replacement (round 16):
+    * Efraimidis–Spirakis A-ES over the corpus — top-15 docs per source
+    * with probability proportional to `n_chars`
+    * ([[graft.operators.Sampling.weightedSample]]): the
+    * quality/length-proportional draw the training-mix family
+    * (uniform q51, stratified, mixture q73, temperature q94) lacked.
+    * Priorities are seeded-hash uniforms through `ln(u)/w` in integer
+    * micros (no `pow` — libm-portable), so the oracle reproduces
+    * rank order exactly.
+    */
+  private def q132_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(s, dir), "source", "doc_id", "n_chars", k = 15)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("pri_micro"), col("rank"))
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2444,7 +2461,8 @@ object SparkEntry {
     "q128_cdc_containment" -> (q128_cdc_containment _),
     "q129_interval_join" -> (q129_interval_join _),
     "q130_unicode_norm" -> (q130_unicode_norm _),
-    "q131_key_overlap" -> (q131_key_overlap _)
+    "q131_key_overlap" -> (q131_key_overlap _),
+    "q132_weighted_sample" -> (q132_weighted_sample _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3995,6 +4013,24 @@ object SparkEntry {
                              CAST(est_a AS DOUBLE)) AS BIGINT)
                       ELSE CAST(0 AS BIGINT) END AS containment_a_permille
           FROM est""",
+    // q132 = A-ES re-derived: the same seeded-hash uniform, the same
+    // ln(u)/w micro rounding, the same (pri desc, id) window cut
+    "q132_weighted_sample" ->
+      s"""WITH wt AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(round(
+                     ln((CAST(${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1)
+                        / POW(2, 60))
+                     / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS pri_micro
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+              AND CAST(n_chars AS DOUBLE) > 0),
+          rk AS (
+            SELECT *, row_number() OVER (
+                     PARTITION BY source ORDER BY pri_micro DESC, doc_id ASC) AS rank
+            FROM wt)
+          SELECT doc_id, source, n_chars, pri_micro, CAST(rank AS BIGINT) AS rank
+          FROM rk WHERE rank <= 15""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

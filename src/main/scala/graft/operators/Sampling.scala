@@ -245,4 +245,49 @@ object Sampling {
       .drop("__graft_hk", "__graft_rn")
     under.unionByName(capped)
   }
+
+  /** Weighted sampling without replacement — Efraimidis–Spirakis A-ES
+    * (public literature): each row draws a deterministic uniform
+    * `u ∈ (0, 1]` from its seeded key hash and ranks by priority
+    * `u^(1/w)`; the top `k` per group ARE a weight-proportional
+    * without-replacement sample. The curation member the uniform/
+    * stratified/temperature family lacks: "sample documents
+    * proportional to quality/length score", reproducibly.
+    *
+    * Determinism & cross-engine parity: `u = (h + 1) / 2^60` from the
+    * repo-wide seeded md5-60; the rank key is `ln(u)/w` (monotone in
+    * `u^(1/w)` for `w > 0` — avoids `pow` entirely) rounded to integer
+    * MICROS (the q101 fixed-point rule: both engines round the same
+    * IEEE double into the same BIGINT), ties broken by id. Rows with
+    * `w <= 0` or null weight/id carry no sampling mass and are
+    * dropped (documented; a zero-weight row can never win A-ES).
+    *
+    * Scale shape: one scan-side projection (hash, one ln, one
+    * division) + one `(group)`-keyed window cut — the same physical
+    * shape as [[capPerGroup]]'s capped branch; k bounds the output per
+    * group. Output: input columns + `pri_micro` (the auditable
+    * priority) + `rank`.
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (TextFunctions.seededHash60(seed, col(idCol)).cast("double") + lit(1.0)) /
+      pow(lit(2.0), lit(60.0))
+    val priMicro = round(log(u) / col(weightCol).cast("double") * lit(1000000L))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("pri_micro").desc, col(idCol).asc)
+    df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .withColumn("pri_micro", priMicro)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

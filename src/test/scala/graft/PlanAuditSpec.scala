@@ -709,13 +709,25 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q100: multi-level BPE apply + id mapping is still a zero-exchange projection") {
+    // since round 16 the registry query checkpoints its tokenized frame
+    // (one replace-chain pass feeds both the vocab collect and the
+    // output), so the REGISTRY plan reads the materialized RDD; the
+    // replace-chain / scan-pruning shape is audited on the tokenize
+    // phase itself, exactly as the query builds it
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.trainMergesFromCorpus(docs, "text", numMerges = 24)
+    val tokPlan = graft.operators.Bpe.tokenize(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(tokPlan) == 0,
+      s"the tokenize phase must stay scan->project:\n$tokPlan")
+    assert(tokPlan.contains("replace(replace("),
+      s"merge chain not chained native replace:\n$tokPlan")
+    assert(tokPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two consumed columns:\n$tokPlan")
     val plan = planOf("q100_bpe_multilevel")
     assert(shuffles(plan) == 0,
-      s"trainer and vocab are driver jobs; the apply must stay scan->project:\n$plan")
-    assert(plan.contains("replace(replace("), s"merge chain not chained native replace:\n$plan")
+      s"the id-mapping tail must stay a zero-exchange projection:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q100 path:\n$plan")
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"scan not pruned to the two consumed columns:\n$plan")
   }
 
   test("q99: benchmark probes broadcast; the corpus embedding stream never shuffles, vectors never key") {

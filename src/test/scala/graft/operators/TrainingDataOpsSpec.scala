@@ -643,4 +643,40 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(lexOnly.nonEmpty && lexOnly.forall(r => r._4 == 0L && r._5 == r._3),
       s"null qvec must zero the cosine: ${lexOnly.toSeq}")
   }
+
+  test("weightedSample: A-ES semantics — weight-proportional, deterministic, without replacement") {
+    val rows = (1L to 400L).map { id =>
+      // two groups; weights 1 vs 9 in group g1 via id parity
+      val g = if (id <= 200) "g1" else "g2"
+      val w = if (id % 2 == 0) 9L else 1L
+      (id, g, w)
+    }
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, "grp", "id", "w", k = 50)
+    val picked = got.select("grp", "id").as[(String, Long)].collect().toSeq
+    // exactly k per group, no duplicates (without replacement)
+    assert(picked.count(_._1 == "g1") === 50)
+    assert(picked.count(_._1 == "g2") === 50)
+    assert(picked.distinct.size === picked.size)
+    // weight proportionality: heavy ids (w=9) dominate the draw —
+    // with 9:1 weights and half the population heavy, expect far more
+    // than half the sample heavy (binomial argument; deterministic
+    // given the fixed seed, so this is a regression pin, not a flake)
+    val heavy = picked.count { case (_, id) => id % 2 == 0 }
+    assert(heavy > 70, s"heavy-weight rows under-drawn: $heavy/100")
+    // determinism: a second run is row-identical
+    val again = Sampling.weightedSample(df, "grp", "id", "w", k = 50)
+      .select("grp", "id").as[(String, Long)].collect().toSeq
+    assert(again.toSet === picked.toSet)
+    // a different seed draws a different sample (the knob is live)
+    val other = Sampling.weightedSample(df, "grp", "id", "w", k = 50, seed = 7L)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(other !== picked.toSet)
+    // zero/negative/null weights carry no mass
+    val degenerate = Seq((1L, "g", 0L), (2L, "g", -5L)).toDF("id", "grp", "w")
+    assert(Sampling.weightedSample(degenerate, "grp", "id", "w", k = 10).count() === 0L)
+    // k larger than the group returns the whole group, ranked
+    val tiny = Seq((1L, "g", 5L), (2L, "g", 1L)).toDF("id", "grp", "w")
+    assert(Sampling.weightedSample(tiny, "grp", "id", "w", k = 10).count() === 2L)
+  }
 }
