@@ -184,7 +184,11 @@ object ScaleBench {
     // round-16: the unicode front door — q121's fused-scan shape (one
     // projection, no exchange); ASCII fast path makes the corpus pass
     // near-free, the decorated prefix pays the Normalizer per row
-    "q130_unicode_norm")
+    "q130_unicode_norm",
+    // round-16: A-ES weighted sample — 3-column pruned scan + map-side
+    // WindowGroupLimit, so the exchange carries O(groups*k) scalars
+    // regardless of corpus size; expect flat-ish weak scaling
+    "q132_weighted_sample")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -309,6 +309,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"q131 planned a cartesian:\n$plan")
   }
 
+  test("q132: weighted sample prunes text out of the scan and top-k's map-side before the exchange") {
+    val plan = planOf("q132_weighted_sample")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"q132 scan must prune to the three consumed columns (no text):\n$plan")
+    // Spark's WindowGroupLimit must run below the group exchange: each
+    // map task forwards at most k rows per group, so the shuffle moves
+    // O(groups * k) scalars, not the corpus
+    val exchangeLine = plan.linesIterator.indexWhere(_.contains("Exchange hashpartitioning"))
+    val preLimit = plan.linesIterator.zipWithIndex
+      .exists { case (l, i) => l.contains("WindowGroupLimit") && i > exchangeLine }
+    assert(exchangeLine >= 0 && preLimit,
+      s"q132 lost the map-side WindowGroupLimit below its exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("q65: the OR'd brand/size predicate reaches the part side below the broadcast join") {
     val df = SparkEntry.queries("q65_disjunctive")(spark, dir)
     df.collect()
