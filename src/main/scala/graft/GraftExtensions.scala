@@ -168,6 +168,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[graft.functions.expressions.StripAccentsExpr].getName, "strip_accents"),
         GraftFunctions.stripAccentsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("char_entropy"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.CharEntropyExpr].getName, "char_entropy"),
+        GraftFunctions.charEntropyBuilder))
   }
 }
 
@@ -311,6 +317,10 @@ object GraftFunctions {
     exprs => graft.functions.expressions.StripAccentsExpr(
       arity(exprs, 1, "strip_accents(text)").head)
 
+  private[graft] def charEntropyBuilder: Seq[Expr] => Expr =
+    exprs => graft.functions.expressions.CharEntropyExpr(
+      arity(exprs, 1, "char_entropy(text)").head)
+
   private[graft] def heavyHittersBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "heavy_hitters(item, capacity, k)")
     HeavyHittersAgg(exprs.head,
@@ -349,5 +359,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "keyword_classify", keywordClassifyBuilder)
     Bridge.registerTempFunction(spark, "nfc_normalize", nfcNormalizeBuilder)
     Bridge.registerTempFunction(spark, "strip_accents", stripAccentsBuilder)
+    Bridge.registerTempFunction(spark, "char_entropy", charEntropyBuilder)
   }
 }

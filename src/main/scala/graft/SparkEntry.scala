@@ -1578,6 +1578,33 @@ object SparkEntry {
         col("pri_micro"), col("rank"))
 
 
+  /** Character-entropy quality signal (round 16): per-doc unigram
+    * code-point entropy in integer micro-nats through the native
+    * `char_entropy` scan kernel
+    * ([[graft.functions.expressions.CharEntropyExpr]]) — the
+    * gibberish/compressibility member of the quality family (base64
+    * blobs, key dumps, padding runs have statistically wrong character
+    * distributions that token-level stats miss), plus the per-source
+    * extrema/mean rollup a filtering threshold is calibrated from.
+    * Per-term micro rounding, exact integer sum (the q101 fixed-point
+    * rule), so the oracle reproduces every value bit-for-bit.
+    */
+  private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("source"),
+        graft.functions.expressions.CharEntropyExpr.charEntropy(col("text"))
+          .alias("ent_micro"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        min(col("ent_micro")).alias("min_ent_micro"),
+        max(col("ent_micro")).alias("max_ent_micro"),
+        sum(col("ent_micro")).alias("sum_ent_micro"))
+      .withColumn("mean_ent",
+        col("sum_ent_micro").cast("double") / col("n_docs").cast("double") / lit(1000000.0))
+
+
   /** Dense-corpus calibration sweep (round 15): q114's threshold sweep
     * through the q34 hot-shingle-filtered candidate generator
     * (`maxShingleFreq = 3`, q34's gate-scale binding cap) — the
@@ -2462,7 +2489,8 @@ object SparkEntry {
     "q129_interval_join" -> (q129_interval_join _),
     "q130_unicode_norm" -> (q130_unicode_norm _),
     "q131_key_overlap" -> (q131_key_overlap _),
-    "q132_weighted_sample" -> (q132_weighted_sample _)
+    "q132_weighted_sample" -> (q132_weighted_sample _),
+    "q133_char_entropy" -> (q133_char_entropy _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4031,6 +4059,34 @@ object SparkEntry {
             FROM wt)
           SELECT doc_id, source, n_chars, pri_micro, CAST(rank AS BIGINT) AS rank
           FROM rk WHERE rank <= 15""",
+    // q133 = the entropy kernel re-derived per char class: each term
+    // rounds (1e6 * (c/n) * ln(n/c)) from exact integer counts, the
+    // cross-term sum is exact BIGINT (order-free), then the same
+    // per-source rollup
+    "q133_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, source, unnest(string_split(text, '')) AS c
+           FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT doc_id, source, c, count(*) AS cnt
+                FROM ch GROUP BY doc_id, source, c),
+          n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM ch GROUP BY doc_id),
+          ent AS (
+            SELECT f.source, f.doc_id,
+                   CAST(sum(CAST(round(
+                     1000000 * (CAST(cnt AS DOUBLE) / n.n) *
+                     ln(CAST(n.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS ent_micro
+            FROM f JOIN n USING (doc_id)
+            GROUP BY f.source, f.doc_id)
+          -- empty text needs no special branch: string_split('', '')
+          -- yields [''] (one zero-entropy pseudo-char, term = ln(1) = 0),
+          -- matching the kernel's explicit empty -> 0 fast path
+          SELECT source, count(*) AS n_docs,
+                 min(ent_micro) AS min_ent_micro,
+                 max(ent_micro) AS max_ent_micro,
+                 CAST(sum(ent_micro) AS BIGINT) AS sum_ent_micro,
+                 CAST(sum(ent_micro) AS DOUBLE) / count(*) / 1000000.0 AS mean_ent
+          FROM ent GROUP BY source""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

@@ -251,3 +251,62 @@ object TermCountsExpr {
 
   def termCounts(c: Column): Column = Bridge.column(TermCountsExpr(Bridge.expression(c)))
 }
+
+/** `char_entropy(text)` — unigram character entropy in integer
+  * MICRO-nats: `Σ_c round(1e6 · (n_c/n) · ln(n/n_c))` over the
+  * distinct code points, each term rounded row-locally and summed as
+  * an exact integer (the q101 fixed-point rule: the ONLY doubles are
+  * per-term, from exact integer counts, so the oracle reproduces the
+  * value bit-for-bit; a cross-term double sum would depend on
+  * summation order). The gibberish/compressibility quality signal:
+  * natural text sits ~3.0–4.5 nats-equivalent; base64 blobs, key
+  * dumps and repeated-char padding land far outside, in BOTH
+  * directions — the quality family's member for "statistically wrong
+  * character distribution" that token-level stats miss.
+  *
+  * Empty text → 0 (a zero-length doc has no distribution, not an
+  * error); null → null.
+  */
+case class CharEntropyExpr(child: Expression) extends TextStatsBase {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyExpr.run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.CharEntropyExpr.run($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+
+  def charEntropy(c: Column): Column = Bridge.column(CharEntropyExpr(Bridge.expression(c)))
+
+  /** Called from generated code — per-term micro rounding, exact
+    * integer total (order-independent by construction).
+    */
+  def run(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return 0L
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    var total = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      total += Math.round(
+        1000000.0 * (c.toDouble / n.toDouble) * Math.log(n.toDouble / c.toDouble))
+    }
+    total
+  }
+}

@@ -184,4 +184,46 @@ class TextStatsExprsSpec extends SparkTestBase {
       spark.sql("SELECT quality_stats('x', lower('english'))").collect()).getMessage
     assert(m2.contains("STRING literal"), m2)
   }
+
+  test("char_entropy: per-term micro rounding matches a local reference; edge cases pinned") {
+    import graft.functions.expressions.CharEntropyExpr
+
+    def reference(s: String): Long = {
+      if (s.isEmpty) return 0L
+      val cps = s.codePoints().toArray
+      val n = cps.length.toDouble
+      cps.groupBy(identity).values.map { g =>
+        val c = g.length.toDouble
+        Math.round(1e6 * (c / n) * Math.log(n / c))
+      }.sum
+    }
+
+    // edge pins: empty = 0; single repeated char = 0; uniform k-ary
+    // alphabet = ln(k) in micro-nats
+    assert(CharEntropyExpr.run(org.apache.spark.unsafe.types.UTF8String.fromString("")) === 0L)
+    assert(CharEntropyExpr.run(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaaaa")) === 0L)
+    val quad = CharEntropyExpr.run(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdabcdabcd"))
+    assert(math.abs(quad - Math.round(1e6 * Math.log(4.0))) <= 2L, quad.toString)
+
+    val rnd = new scala.util.Random(11)
+    val samples = (0 until 50).map { _ =>
+      val len = rnd.nextInt(200)
+      (0 until len).map(_ => ('a' + rnd.nextInt(30)).toChar).mkString
+    } :+ "Üñíçødé 文本 🙂 mixed" // multi-byte code points count once each
+    for (s0 <- samples)
+      assert(CharEntropyExpr.run(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0)) === reference(s0), s0)
+
+    // null propagates; fuses under strict codegen; SQL-registered
+    withStrictCodegen {
+      val df = Seq(Some("abab"), None).toDF("t")
+        .select(CharEntropyExpr.charEntropy(org.apache.spark.sql.functions.col("t")).as("e"))
+      val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(got(0).contains(reference("abab")) && got(1).isEmpty)
+    }
+    graft.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT char_entropy('abab') AS e").as[Long].head() === reference("abab"))
+  }
 }
