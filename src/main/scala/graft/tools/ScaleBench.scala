@@ -188,7 +188,10 @@ object ScaleBench {
     // round-16: A-ES weighted sample — 3-column pruned scan + map-side
     // WindowGroupLimit, so the exchange carries O(groups*k) scalars
     // regardless of corpus size; expect flat-ish weak scaling
-    "q132_weighted_sample")
+    "q132_weighted_sample",
+    // round-16: char-entropy rollup — one fused scan kernel + a
+    // 20-group aggregate; the q01/q121 linearity shape
+    "q133_char_entropy")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
