@@ -1589,6 +1589,28 @@ object SparkEntry {
     * Per-term micro rounding, exact integer sum (the q101 fixed-point
     * rule), so the oracle reproduces every value bit-for-bit.
     */
+  /** As-of join with direction + tolerance (round 16): each click gets
+    * the SAME USER's most recent prior purchase value, but only if it
+    * happened within the last 2 hours — the pandas-`merge_asof`
+    * surface ([[graft.operators.AsOfJoin.asOf]], one key shuffle + one
+    * window pass; no inequality fan-out). The oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN` with a staleness CASE — an independent
+    * second-engine implementation of as-of, not a re-transcription of
+    * our plan.
+    */
+  private def q134_asof_tolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    operators.AsOfJoin.asOf(
+        clicks, purchases, "user_id", "ts", "value",
+        direction = "backward", toleranceSec = Some(7200L))
+      .select("event_id", "user_id", "asof_value", "asof_ts")
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2490,7 +2512,8 @@ object SparkEntry {
     "q130_unicode_norm" -> (q130_unicode_norm _),
     "q131_key_overlap" -> (q131_key_overlap _),
     "q132_weighted_sample" -> (q132_weighted_sample _),
-    "q133_char_entropy" -> (q133_char_entropy _)
+    "q133_char_entropy" -> (q133_char_entropy _),
+    "q134_asof_tolerance" -> (q134_asof_tolerance _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4087,6 +4110,20 @@ object SparkEntry {
                  CAST(sum(ent_micro) AS BIGINT) AS sum_ent_micro,
                  CAST(sum(ent_micro) AS DOUBLE) / count(*) / 1000000.0 AS mean_ent
           FROM ent GROUP BY source""",
+    // q134 = DuckDB's NATIVE ASOF LEFT JOIN (an independent second
+    // implementation of as-of) + the staleness CASE for the tolerance
+    "q134_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+                CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 2 HOUR
+                     THEN p.value END AS asof_value,
+                CASE WHEN p.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 2 HOUR
+                     THEN p.ts END AS asof_ts
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

@@ -36,4 +36,61 @@ class AsOfJoinSpec extends SparkTestBase {
     // left row count preserved
     assert(got.size == 5)
   }
+
+  private val quotes = Seq(
+    ("A", ts(0), 10.0),
+    ("A", ts(10), 11.0),
+    ("B", ts(5), 20.0)).toDF("sym", "ts", "price")
+  private val trades = Seq(
+    ("A", ts(4), 1L),
+    ("A", ts(10), 2L),
+    ("A", ts(30), 3L),
+    ("B", ts(4), 4L),
+    ("C", ts(9), 5L)).toDF("sym", "ts", "qty")
+
+  private def run(direction: String, tolSec: Option[Long]): Map[Long, Option[Any]] =
+    AsOfJoin.asOf(trades, quotes, "sym", "ts", "price", direction, tolSec)
+      .select("qty", "asof_price")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+
+  test("asOf forward: earliest right row at or after the left time") {
+    val got = run("forward", None)
+    assert(got(1L) == Some(11.0)) // next quote at ts 10
+    assert(got(2L) == Some(11.0)) // simultaneous visible
+    assert(got(3L) == None) //       nothing after ts 30
+    assert(got(4L) == Some(20.0)) // B's quote at ts 5
+    assert(got(5L) == None)
+  }
+
+  test("asOf tolerance: matches farther than the staleness bound resolve to null") {
+    // backward with 5-minute tolerance: trade at ts 30 matched quote at
+    // ts 10 (20 min stale) -> null; trade at ts 4 matched ts 0 -> keeps
+    val got = run("backward", Some(300L))
+    assert(got(1L) == Some(10.0))
+    assert(got(2L) == Some(11.0)) // zero staleness
+    assert(got(3L) == None) //       20 minutes > tolerance
+    assert(got(4L) == None) //       no match at all
+  }
+
+  test("asOf emits the matched right timestamp (asof_ts), null when no match") {
+    val rows = AsOfJoin.asOf(trades, quotes, "sym", "ts", "price")
+      .select("qty", "asof_ts")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(rows(1L).contains(ts(0)))
+    assert(rows(3L).contains(ts(10)))
+    assert(rows(5L).isEmpty)
+  }
+
+  test("asOf rejects an unknown direction and a negative tolerance") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes, "sym", "ts", "price", direction = "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes, "sym", "ts", "price", toleranceSec = Some(-1L))
+    }
+  }
 }
