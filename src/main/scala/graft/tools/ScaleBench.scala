@@ -191,7 +191,11 @@ object ScaleBench {
     "q132_weighted_sample",
     // round-16: char-entropy rollup — one fused scan kernel + a
     // 20-group aggregate; the q01/q121 linearity shape
-    "q133_char_entropy")
+    "q133_char_entropy",
+    // round-16: as-of with tolerance over the derived event log — one
+    // user-keyed exchange + one window pass; per-copy users are
+    // disjoint so per-key timelines keep their base length
+    "q134_asof_tolerance")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
