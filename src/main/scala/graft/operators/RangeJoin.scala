@@ -8,9 +8,15 @@ import org.apache.spark.sql.functions._
   * additional equi keys. Spark has no native range join: the direct
   * formulation is a theta-join (`p.ts BETWEEN i.start AND i.end`),
   * which Catalyst can only plan as a BroadcastNestedLoop — or, with an
-  * equi key, a per-key SortMergeJoin whose inequality residual still
-  * fans every key's points × intervals — O(n·m) work per key and a
-  * driver OOM once neither side broadcasts.
+  * equi key, an equi-join whose inequality RESIDUAL examines every
+  * key's points × intervals: Σ_k p_k·i_k pairs, quadratic in per-key
+  * density. At sparse keys that residual is competitive (measured:
+  * 0.8× on the sf0.1 event log, `tools/RangeJoinAB`); as keys densify
+  * — longer retention, more traffic per entity, coarser keys — it
+  * diverges quadratically while the bucketed form stays linear
+  * (14× faster at 10× volume with 10 keys; see BASELINE.md). With no
+  * equi key at all the theta-join needs one side broadcast — a driver
+  * OOM at corpus scale.
   *
   * This is the standard bin-bucketing restatement (the same trick
   * behind Databricks' range-join hint and interval joins in genomics
