@@ -1610,6 +1610,21 @@ object SparkEntry {
       .select("event_id", "user_id", "asof_value", "asof_ts")
   }
 
+  /** DSIR-style importance-weighted data selection (round 16): score
+    * each candidate doc under a target-domain bigram LM (trained on
+    * the `doc_id % 10 = 8` slice) and a raw-corpus LM (the `= 9`
+    * slice), take the per-bigram log-likelihood ratio as the
+    * importance log-weight, and Gumbel-top-k draw 15 docs without
+    * replacement proportional to `exp(lw)` —
+    * [[graft.operators.NgramLm.importanceSelect]] (Xie et al. 2023).
+    * One tokenization feeds both scorings (ReusedExchange,
+    * plan-audited); LMs join gram-keyed, never broadcast; the final
+    * cut is a TakeOrdered of scalars. Every micro value is the q101
+    * fixed-point rule, so the oracle reproduces the draw bit-for-bit.
+    */
+  private def q135_dsir_select(s: SparkSession, dir: String): DataFrame =
+    NgramLm.importanceSelect(Tables.documents(s, dir), "doc_id", "text", k = 15)
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2513,7 +2528,8 @@ object SparkEntry {
     "q131_key_overlap" -> (q131_key_overlap _),
     "q132_weighted_sample" -> (q132_weighted_sample _),
     "q133_char_entropy" -> (q133_char_entropy _),
-    "q134_asof_tolerance" -> (q134_asof_tolerance _)
+    "q134_asof_tolerance" -> (q134_asof_tolerance _),
+    "q135_dsir_select" -> (q135_dsir_select _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4124,6 +4140,88 @@ object SparkEntry {
                      THEN p.ts END AS asof_ts
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    // q135 = the q101 Stupid-Backoff pipeline instantiated twice
+    // (target slice doc_id%10=8, raw slice =9) over ONE candidate
+    // gram table, then the Gumbel-top-k draw: per-bigram log-ratio
+    // micros + seeded-Gumbel micros, rank by the sum
+    "q135_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+          ttrain AS (SELECT * FROM tk WHERE doc_id % 10 = 8),
+          rtrain AS (SELECT * FROM tk WHERE doc_id % 10 = 9),
+          cand AS (SELECT * FROM tk WHERE doc_id % 10 < 8),
+          tuni AS (SELECT w, count(*) AS c1
+                   FROM (SELECT unnest(t) AS w FROM ttrain) GROUP BY w),
+          tn AS (SELECT count(*) AS n_tok
+                 FROM (SELECT unnest(t) AS w FROM ttrain)),
+          tbi AS (SELECT w1, w2, count(*) AS c12
+                  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                        FROM ttrain,
+                             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                  GROUP BY w1, w2),
+          runi AS (SELECT w, count(*) AS c1
+                   FROM (SELECT unnest(t) AS w FROM rtrain) GROUP BY w),
+          rn AS (SELECT count(*) AS n_tok
+                 FROM (SELECT unnest(t) AS w FROM rtrain)),
+          rbi AS (SELECT w1, w2, count(*) AS c12
+                  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                        FROM rtrain,
+                             LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                  GROUP BY w1, w2),
+          hb AS (SELECT doc_id, w1, w2, count(*) AS tf
+                 FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                       FROM cand,
+                            LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i))
+                 GROUP BY doc_id, w1, w2),
+          tterms AS (
+            SELECT hb.doc_id, hb.tf,
+                   CASE
+                     WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                     WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
+                     ELSE ln(0.4 / n.n_tok)
+                   END AS logp
+            FROM hb
+            LEFT JOIN tbi bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+            LEFT JOIN tuni u1 ON hb.w1 = u1.w
+            LEFT JOIN tuni u2 ON hb.w2 = u2.w
+            CROSS JOIN tn n),
+          rterms AS (
+            SELECT hb.doc_id, hb.tf,
+                   CASE
+                     WHEN bi.c12 IS NOT NULL THEN ln(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                     WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n.n_tok)
+                     ELSE ln(0.4 / n.n_tok)
+                   END AS logp
+            FROM hb
+            LEFT JOIN rbi bi ON hb.w1 = bi.w1 AND hb.w2 = bi.w2
+            LEFT JOIN runi u1 ON hb.w1 = u1.w
+            LEFT JOIN runi u2 ON hb.w2 = u2.w
+            CROSS JOIN rn n),
+          tagg AS (SELECT doc_id,
+                          CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                          CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
+                            AS ll_t_micro
+                   FROM tterms GROUP BY doc_id),
+          ragg AS (SELECT doc_id,
+                          CAST(sum(CAST(round(tf * logp * 1000000) AS BIGINT)) AS BIGINT)
+                            AS ll_r_micro
+                   FROM rterms GROUP BY doc_id),
+          keyed AS (
+            SELECT tagg.doc_id, tagg.n_bigrams, tagg.ll_t_micro, ragg.ll_r_micro,
+                   CAST(round(CAST(tagg.ll_t_micro - ragg.ll_r_micro AS DOUBLE)
+                              / CAST(tagg.n_bigrams AS DOUBLE)) AS BIGINT) AS lw_micro,
+                   CAST(round(-ln(-ln(
+                     (CAST(${sqlMd5h60("'42:' || CAST(tagg.doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+                     / POW(2, 60))) * 1000000) AS BIGINT) AS gum_micro
+            FROM tagg JOIN ragg ON tagg.doc_id = ragg.doc_id),
+          cut AS (
+            SELECT *, lw_micro + gum_micro AS key_micro
+            FROM keyed
+            ORDER BY key_micro DESC, doc_id ASC LIMIT 15)
+          SELECT doc_id, n_bigrams, ll_t_micro, ll_r_micro, lw_micro, gum_micro,
+                 key_micro,
+                 CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+          FROM cut""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

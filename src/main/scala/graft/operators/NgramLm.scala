@@ -165,9 +165,24 @@ object NgramLm {
       lm: LmTables,
       backoff: Double = 0.4,
       hotKeys: Int = 0): DataFrame = {
-    // per-(doc, bigram) term frequency, then three gram-keyed shuffle
-    // joins against the LM (bigram, w1-unigram for the seen-bigram
-    // denominator, w2-unigram for the backoff path).
+    val hb = bigramStream(tokenized(docs, idCol, textCol))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
+    scoreGrams(hb, lm, backoff, hotKeys)
+  }
+
+  /** [[score]] over a pre-built per-(doc, bigram) term-frequency table
+    * `hb(doc_id, w1, w2, tf)` — the seam that lets one tokenization
+    * pass feed multiple models ([[importanceSelect]] scores the same
+    * grams against two LMs; the `hb` exchange is identical in both
+    * branches, so Spark's ReusedExchange materializes it once).
+    */
+  private[graft] def scoreGrams(
+      hb: DataFrame,
+      lm: LmTables,
+      backoff: Double = 0.4,
+      hotKeys: Int = 0): DataFrame = {
+    // three gram-keyed shuffle joins against the LM (bigram, w1-unigram
+    // for the seen-bigram denominator, w2-unigram for the backoff path).
     //
     // hotKeys > 0 is the SKEW-HARDENED mode for Zipf-headed corpora:
     // each of the three joins routes probe rows whose gram is in the
@@ -179,9 +194,7 @@ object NgramLm {
     // because AQE's skew-join split plus map-side combine already hold
     // the fixture-scale spread, and the hardened plan references the
     // probe twice per join (exchange-reuse-deduped).
-    val hb = bigramStream(tokenized(docs, idCol, textCol))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
-
+    //
     // hotKeys = -1: measure the head instead of asking the caller
     // ([[autoHotKeys]] — 0 on a near-uniform vocabulary, a fan-covering
     // K on a Zipf-headed one). The resolution runs THREE driver-side
@@ -289,6 +302,90 @@ object NgramLm {
     val lm = train(docs.filter(col(idCol) % splitMod < trainBelow), idCol, textCol)
     score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff,
       hotKeys = hotKeys)
+  }
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public literature): score each candidate document under a
+    * TARGET-domain n-gram LM and a RAW-corpus n-gram LM, take the
+    * log-likelihood ratio as the importance log-weight, and draw `k`
+    * documents without replacement proportional to the (exponentiated)
+    * weight via the Gumbel-top-k trick — candidates that look more
+    * like the target domain than the background corpus are favored,
+    * but the tail keeps sampling mass (the whole point of resampling
+    * over hard thresholding).
+    *
+    * Two deliberate fixed-point choices (documented deviations from
+    * the paper's float pipeline, both for engine-portable determinism):
+    *
+    *  - The log-ratio is normalized PER BIGRAM
+    *    (`(ll_target − ll_raw) / n_bigrams`, single row-local rounding
+    *    to integer micros): un-normalized full-sequence ratios are
+    *    dominated by document length, so selection would devolve into
+    *    a length lottery; the per-gram form scores domain FIT.
+    *  - Gumbel noise `g = −ln(−ln(u))` uses `u = (h + 0.5) / 2^60`
+    *    from the repo-wide seeded md5-60 — the `+0.5` (not
+    *    [[Sampling.weightedSample]]'s `+1`) keeps `u` strictly inside
+    *    `(0, 1)`: `u = 1` would send the Gumbel to `+∞`, which has no
+    *    BIGINT micro form. Ranking `lw_micro + gum_micro` descending
+    *    is exactly Gumbel-top-k over weights `exp(lw)` at micro
+    *    resolution — and unlike A-ES's `ln(u)/w` it never
+    *    exponentiates the weight, so log-weights of either sign and
+    *    any magnitude are safe.
+    *
+    * Scale shape: the candidate corpus is tokenized ONCE — both
+    * scoring branches grow from the same `hb` gram-frequency exchange,
+    * which Spark materializes once (ReusedExchange, plan-audited); the
+    * two LMs are vocabulary-bounded count tables joined gram-keyed
+    * (never broadcast, never collected — the scoring-join doctrine);
+    * the doc-keyed join of the two score frames moves ids and micros
+    * only; the final cut is a `TakeOrdered` of scalars. Text never
+    * shuffles. Docs with fewer than two tokens are unscorable under a
+    * bigram LM and carry no selection mass (compose a length gate
+    * upstream if they must be handled).
+    */
+  def importanceSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      splitMod: Int = 10,
+      targetSlot: Int = 8,
+      rawSlot: Int = 9,
+      backoff: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(splitMod > 0, s"splitMod must be positive, got $splitMod")
+    require(targetSlot != rawSlot,
+      s"target and raw slots must differ, got $targetSlot")
+    require(targetSlot >= 0 && targetSlot < splitMod &&
+      rawSlot >= 0 && rawSlot < splitMod,
+      s"slots must be in [0, $splitMod), got $targetSlot/$rawSlot")
+    val slot = col(idCol) % splitMod
+    val tgtLm = train(docs.filter(slot === targetSlot), idCol, textCol)
+    val rawLm = train(docs.filter(slot === rawSlot), idCol, textCol)
+    val cand = docs.filter(slot =!= targetSlot && slot =!= rawSlot)
+    val hb = bigramStream(tokenized(cand, idCol, textCol))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
+    val st = scoreGrams(hb, tgtLm, backoff)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll_micro").alias("ll_t_micro"))
+    val sr = scoreGrams(hb, rawLm, backoff)
+      .select(col("doc_id"), col("nll_micro").alias("ll_r_micro"))
+    val u = (TextFunctions.seededHash60(seed, col("doc_id")).cast("double") +
+      lit(0.5)) / pow(lit(2.0), lit(60.0))
+    val ord = Seq(col("key_micro").desc, col("doc_id").asc)
+    st.join(sr, Seq("doc_id"))
+      .withColumn("lw_micro",
+        round((col("ll_t_micro") - col("ll_r_micro")).cast("double") /
+          col("n_bigrams").cast("double")).cast("long"))
+      .withColumn("gum_micro",
+        round(-log(-log(u)) * lit(1000000L)).cast("long"))
+      .withColumn("key_micro", col("lw_micro") + col("gum_micro"))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
   }
 
   /** Top-`topK` PMI collocations — the phrase-mining primitive (which

@@ -1156,6 +1156,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"un-pruned corpus-text shuffles (missing broadcast hint?):\n${offenders.mkString("\n")}")
   }
 
+  test("q135: one tokenization feeds both LM scorings; the draw is a TakeOrdered of scalars") {
+    val df = SparkEntry.queries("q135_dsir_select")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the candidate gram-frequency exchange is built once and REUSED by
+    // the second scoring branch — without reuse the corpus tokenizes
+    // twice (2× the dominant scan+explode cost at 100 TB)
+    assert(plan.contains("ReusedExchange") || collectAll(df.queryExecution.executedPlan) {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.nonEmpty,
+      s"q135 lost the shared-gram-table exchange reuse:\n$plan")
+    // the final k-cut is a TakeOrdered over id/micro scalars, never a
+    // global sort of the corpus
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q135 selection cut must be a TakeOrdered:\n$plan")
+    // text never keys a partitioning (the q101 doctrine, twice over)
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q135 path:\n$plan")
+  }
+
   test("q118: hot/cold split — hot lookups broadcast, cold shuffles never carry text, no UDFs") {
     val plan = planOf("q118_perplexity_hardened")
     // the split's whole point: the hot-key lookups are broadcast joins

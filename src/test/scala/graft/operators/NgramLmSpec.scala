@@ -262,4 +262,69 @@ class NgramLmSpec extends SparkTestBase {
     val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
     assert(byPair(("new", "york")) > byPair.getOrElse(("the", "cat"), Long.MinValue))
   }
+
+  test("importanceSelect: matches the two-independent-score composition and a local Gumbel-top-k") {
+    // slots: %10==8 target train, ==9 raw train, rest candidates
+    val docs = (0L until 40L).map { id =>
+      val txt =
+        if (id % 10 == 8) "the cat sat on the mat and the cat ran"
+        else if (id % 10 == 9) "stock market prices fell sharply in trading today"
+        else if (id % 3 == 0) s"the cat sat quietly ${id}"
+        else s"market prices moved ${id} in trading"
+      (id, txt)
+    }.toDF("doc_id", "text")
+
+    val got = NgramLm.importanceSelect(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "n_bigrams", "ll_t_micro", "ll_r_micro",
+        "lw_micro", "gum_micro", "key_micro", "rank")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    assert(got.map(_._8).toSeq == (1L to 5L), s"ranks: ${got.map(_._8).toSeq}")
+
+    // independent composition: two plain score() calls over the same slices
+    val tgtLm = NgramLm.train(docs.filter($"doc_id" % 10 === 8), "doc_id", "text")
+    val rawLm = NgramLm.train(docs.filter($"doc_id" % 10 === 9), "doc_id", "text")
+    val cand = docs.filter($"doc_id" % 10 =!= 8 && $"doc_id" % 10 =!= 9)
+    val st = NgramLm.score(cand, "doc_id", "text", tgtLm)
+      .select("doc_id", "n_bigrams", "nll_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sr = NgramLm.score(cand, "doc_id", "text", rawLm)
+      .select("doc_id", "nll_micro")
+      .as[(Long, Long)].collect().toMap
+
+    // local Gumbel-top-k over the independently-derived micros
+    val keyed = st.keys.toSeq.map { id =>
+      val (nb, llT) = st(id)
+      val llR = sr(id)
+      val lw = math.round((llT - llR).toDouble / nb.toDouble)
+      val h = graft.functions.TextFunctions.md5Hash60Local(s"42:$id")
+      val u = (h.toDouble + 0.5) / math.pow(2.0, 60.0)
+      val gum = math.round(-math.log(-math.log(u)) * 1000000L)
+      (id, nb, llT, llR, lw, gum, lw + gum)
+    }.sortBy { case (id, _, _, _, _, _, key) => (-key, id) }.take(5)
+
+    got.zip(keyed).zipWithIndex.foreach { case ((g, e), i) =>
+      assert((g._1, g._2, g._3, g._4, g._5, g._6, g._7) == e,
+        s"rank ${i + 1}: got $g expected $e")
+    }
+
+    // the draw favors target-fit: selected docs should skew toward the
+    // cat-flavored candidates (positive lw) over the market-flavored ones
+    val lwById = keyed.map(k => k._1 -> k._5).toMap
+    assert(got.count(g => lwById(g._1) > 0) >= 3,
+      s"selection did not favor target-domain docs: ${got.map(_._1).toSeq}")
+  }
+
+  test("importanceSelect: k caps the draw; result is repartitioning-invariant") {
+    val docs = (0L until 30L).map(id => (id, s"alpha beta gamma ${id % 7} delta"))
+      .toDF("doc_id", "text")
+    val a = NgramLm.importanceSelect(docs, "doc_id", "text", k = 100)
+    // only 24 candidates (slots 8/9 train), all scorable
+    assert(a.count() == 24)
+    val b = NgramLm.importanceSelect(docs.repartition(13), "doc_id", "text", k = 7)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    val a7 = NgramLm.importanceSelect(docs, "doc_id", "text", k = 7)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(b.toSeq == a7.toSeq, "draw changed under repartitioning")
+  }
 }
