@@ -1625,6 +1625,26 @@ object SparkEntry {
   private def q135_dsir_select(s: SparkSession, dir: String): DataFrame =
     NgramLm.importanceSelect(Tables.documents(s, dir), "doc_id", "text", k = 15)
 
+  /** Int8 scalar-quantized (SQ8) cosine top-k (round 16): the 4×
+    * storage tier between raw float32 and PQ —
+    * [[graft.operators.Similarity.int8TopK]], one fused codegen pass
+    * per row (max-abs quantize + integer dot + norm divide, no code
+    * array materialized), exact float cosine riding along from the
+    * same scan so per-row quantization error is auditable. Rounding is
+    * half-away-from-zero on BOTH engines, the integer dot is exact,
+    * and the final divide is one fixed IEEE order — the oracle
+    * reproduces every quantized score bit-for-bit.
+    */
+  private def q136_int8_topk(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    Similarity.int8TopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
+  }
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2529,7 +2549,8 @@ object SparkEntry {
     "q132_weighted_sample" -> (q132_weighted_sample _),
     "q133_char_entropy" -> (q133_char_entropy _),
     "q134_asof_tolerance" -> (q134_asof_tolerance _),
-    "q135_dsir_select" -> (q135_dsir_select _)
+    "q135_dsir_select" -> (q135_dsir_select _),
+    "q136_int8_topk" -> (q136_int8_topk _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4222,6 +4243,37 @@ object SparkEntry {
                  CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
                    AS BIGINT) AS rank
           FROM cut""",
+    // q136 = the same max-abs/127 quantization, integer dot, and
+    // norm divide in SQL; round() is half-away-from-zero on both
+    // engines, so codes (and therefore every score) agree exactly
+    "q136_int8_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          qc AS (SELECT CASE WHEN mx = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(qv, x ->
+                          CAST(round(CAST(x AS DOUBLE) / (mx / 127.0)) AS BIGINT)) END AS qcodes
+                 FROM (SELECT qv,
+                         list_max(list_transform(qv, y -> abs(CAST(y AS DOUBLE)))) AS mx
+                       FROM q)),
+          dc AS (SELECT vec_id, embedding,
+                        CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding, x ->
+                          CAST(round(CAST(x AS DOUBLE) / (mx / 127.0)) AS BIGINT)) END AS codes
+                 FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS mx
+                       FROM embeddings)),
+          sc AS (SELECT vec_id, embedding,
+                        CAST(list_sum(list_transform(list_zip(codes, qcodes),
+                          p -> p[1] * p[2])) AS BIGINT) AS idot,
+                        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS dd,
+                        CAST(list_sum(list_transform(qcodes, x -> x * x)) AS BIGINT) AS qq
+                 FROM dc, qc)
+          SELECT vec_id,
+                 CASE WHEN dd = 0 OR qq = 0 THEN 0.0
+                      ELSE CAST(idot AS DOUBLE) / (sqrt(CAST(dd AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+                 END AS cos_q,
+                 ${sqlCos("embedding", "qv")} AS cos
+          FROM sc, q
+          ORDER BY cos_q DESC, vec_id ASC LIMIT 20""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

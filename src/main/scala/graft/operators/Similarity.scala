@@ -54,6 +54,63 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  // --- int8 scalar quantization (SQ8) ---------------------------------------
+
+  /** The int8 codes artifact: `(id, codes ARRAY<TINYINT>)` — 4× smaller
+    * than float32, cosine-preserving up to quantization noise (uniform
+    * per-vector scaling cancels in cosine, so no scale column is needed
+    * for search; see [[graft.functions.expressions.Int8Exprs]]). The
+    * middle rung of the storage ladder: float32 (exact) → SQ8 (4×, this)
+    * → PQ ([[pqEncode]], ~dim×4/m ×). Persist partitioned like any
+    * embedding table; [[int8TopKFromCodes]] is the read path.
+    */
+  def scalarQuantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      graft.functions.expressions.Int8Exprs.int8Codes(col(vecCol)).alias("codes"))
+
+  /** Brute-force top-k by QUANTIZED cosine, fused: one codegen pass per
+    * row quantizes the float vector and scores it against the
+    * driver-quantized query — no code array materializes, the scan
+    * reads only (id, vec), and the cut is a TakeOrdered of
+    * (id, double). `cos` (exact float cosine from the SAME scan) rides
+    * along so recall against the exact ranking is auditable row-by-row.
+    */
+  def int8TopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val qc = graft.functions.expressions.Int8Exprs.quantizeLocal(query)
+    withCosine(emb, vecCol, query.map(_.toDouble).toSeq)
+      .select(
+        col(idCol),
+        graft.functions.expressions.Int8Exprs.int8Cos(col(vecCol), qc).alias("cos_q"),
+        col("cos"))
+      .orderBy(col("cos_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[int8TopK]] over a PERSISTED codes table (the artifact read path —
+    * pure small-integer arithmetic, no float vector ever loaded).
+    */
+  def int8TopKFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      codesCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val qc = graft.functions.expressions.Int8Exprs.quantizeLocal(query)
+    codes
+      .select(
+        col(idCol),
+        graft.functions.expressions.Int8Exprs.int8CosCodes(col(codesCol), qc)
+          .alias("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into `nLists` cells; a query probes only the `nProbe` cells whose
     * centroids are nearest, scanning ≈ `nProbe/nLists` of the data. The

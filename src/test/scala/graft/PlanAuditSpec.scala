@@ -1178,6 +1178,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q135 path:\n$plan")
   }
 
+  test("q136: int8 search is one fused scan + TakeOrdered — no shuffle, no UDF, native kernels") {
+    val plan = planOf("q136_int8_topk")
+    assert(shuffles(plan) === 0, s"q136 must not shuffle (scan + TakeOrdered):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"q136 cut must be a TakeOrdered:\n$plan")
+    assert(plan.contains("int8_cos"), s"q136 lost the fused quantize+cos kernel:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q136 path:\n$plan")
+  }
+
   test("q118: hot/cold split — hot lookups broadcast, cold shuffles never carry text, no UDFs") {
     val plan = planOf("q118_perplexity_hardened")
     // the split's whole point: the hot-key lookups are broadcast joins

@@ -952,4 +952,74 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("int8TopK matches a local quantize+cosine reference; fused and stored-codes paths agree") {
+    import graft.functions.expressions.Int8Exprs
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+
+    val got = Similarity.int8TopK(df, "vec_id", "embedding", q, 10)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+
+    // local reference: quantize every vector with the driver twin, rank
+    // by integer-dot cosine
+    val qc = Int8Exprs.quantizeLocal(q)
+    def cosL(c: Array[Byte]): Double = {
+      var idot = 0L; var dd = 0L; var qq = 0L
+      var i = 0
+      while (i < c.length) {
+        idot += c(i).toLong * qc(i).toLong
+        dd += c(i).toLong * c(i).toLong
+        qq += qc(i).toLong * qc(i).toLong
+        i += 1
+      }
+      if (dd == 0L || qq == 0L) 0.0
+      else idot.toDouble / (math.sqrt(dd.toDouble) * math.sqrt(qq.toDouble))
+    }
+    val expect = vecs
+      .map { case (id, v) => (id, cosL(Int8Exprs.quantizeLocal(v.toArray))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(g => (g._1, g._2)).toSeq == expect,
+      s"fused path diverged from the local reference:\n${got.toSeq}\n$expect")
+
+    // the persisted-artifact read path scores identically
+    val codes = Similarity.scalarQuantizeInt8(df, "vec_id", "embedding")
+    val fromCodes = Similarity.int8TopKFromCodes(codes, "vec_id", "codes", q, 10)
+      .as[(Long, Double)].collect()
+    assert(fromCodes.toSeq == got.map(g => (g._1, g._2)).toSeq,
+      "stored-codes path diverged from the fused path")
+
+    // quantization preserves ranking well enough on smooth data:
+    // recall@10 against the exact float cosine top-10
+    val exact = Similarity.bruteForceTopK(
+      df, "vec_id", "embedding", q.map(_.toDouble).toSeq, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = got.count(g => exact.contains(g._1)) / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 too low: $recall")
+  }
+
+  test("int8 quantization: zero vectors, exact-boundary codes, half-away rounding") {
+    import graft.functions.expressions.Int8Exprs
+    // max element maps to exactly +/-127; zero vector maps to all zeros
+    assert(Int8Exprs.quantizeLocal(Array(1.0f, -1.0f, 0.5f)).toSeq ==
+      Seq[Byte](127, -127, 64)) // 0.5/ (1/127) = 63.5 -> half away -> 64
+    assert(Int8Exprs.quantizeLocal(Array(0.0f, 0.0f)).toSeq == Seq[Byte](0, 0))
+    // negative half rounds AWAY from zero (Spark SQL / DuckDB round), not
+    // Math.round's half-up: -0.5 scaled is -63.5 -> -64
+    assert(Int8Exprs.quantizeLocal(Array(1.0f, -0.5f)).toSeq == Seq[Byte](127, -64))
+
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.int8TopK(df, "vec_id", "embedding", Array(1.0f, 0.0f, 0.0f), 2)
+      .as[(Long, Double, Double)].collect()
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((2L, 1.0), (1L, 0.0)),
+      s"zero vector must score 0: ${got.toSeq}")
+  }
 }
