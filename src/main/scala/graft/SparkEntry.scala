@@ -1645,6 +1645,22 @@ object SparkEntry {
     Similarity.int8TopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
   }
 
+  /** Gopher-rules composite quality gate (round 16): the seven absolute
+    * document heuristics of Rae et al. 2021 A1.1 — word count, mean
+    * word length, alphabetic-word fraction, stop-word presence,
+    * ellipsis/bullet line fractions, symbol ratio — over ONE native
+    * `gopher_stats` scan pass
+    * ([[graft.operators.QualityPrune.gopherGate]]), emitting every rule
+    * input, every flag, `keep`, and the first-failing `fail_reason`
+    * (the auditable form). `minTokens = 25` and `minStopHits = 1` so
+    * the gate discriminates at fixture scale (fixture docs run 10–99
+    * tokens of stop-word-poor word salad); everything else is the
+    * paper's thresholds.
+    */
+  private def q137_gopher_gate(s: SparkSession, dir: String): DataFrame =
+    QualityPrune.gopherGate(Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 25L, minStopHits = 1L)
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2550,7 +2566,8 @@ object SparkEntry {
     "q133_char_entropy" -> (q133_char_entropy _),
     "q134_asof_tolerance" -> (q134_asof_tolerance _),
     "q135_dsir_select" -> (q135_dsir_select _),
-    "q136_int8_topk" -> (q136_int8_topk _)
+    "q136_int8_topk" -> (q136_int8_topk _),
+    "q137_gopher_gate" -> (q137_gopher_gate _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4274,6 +4291,54 @@ object SparkEntry {
                  ${sqlCos("embedding", "qv")} AS cos
           FROM sc, q
           ORDER BY cos_q DESC, vec_id ASC LIMIT 20""",
+    // q137 = the same seven Gopher rules in SQL: tokens via the shared
+    // sqlTokens fragment, lines via string_split on chr(10), symbol
+    // counts via replace-length arithmetic (non-overlapping '...')
+    "q137_gopher_gate" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t,
+                             string_split(text, chr(10)) AS ls
+                      FROM documents),
+          st AS (SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_token_len,
+                   CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS frac_alpha,
+                   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(t, s))) AS BIGINT) AS n_stop_hits,
+                   CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+                     / CAST(len(ls) AS DOUBLE) AS frac_ellipsis_lines,
+                   CAST(len(list_filter(ls, l ->
+                     list_contains(['-','*','•'], substr(ltrim(l, ' ' || chr(9)), 1, 1)))) AS DOUBLE)
+                     / CAST(len(ls) AS DOUBLE) AS frac_bullet_lines,
+                   CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio
+                 FROM tk),
+          fl AS (SELECT *,
+                   coalesce(n_tokens >= 25 AND n_tokens <= 100000, FALSE) AS r_len,
+                   coalesce(mean_token_len >= 3.0 AND mean_token_len <= 10.0, FALSE) AS r_mean_len,
+                   coalesce(frac_alpha >= 0.8, FALSE) AS r_alpha,
+                   coalesce(n_stop_hits >= 1, FALSE) AS r_stop,
+                   coalesce(frac_ellipsis_lines <= 0.3, FALSE) AS r_ellipsis,
+                   coalesce(frac_bullet_lines <= 0.9, FALSE) AS r_bullet,
+                   coalesce(symbol_ratio <= 0.1, FALSE) AS r_symbol
+                 FROM st)
+          SELECT doc_id, n_tokens, mean_token_len, frac_alpha, n_stop_hits,
+                 frac_ellipsis_lines, frac_bullet_lines, symbol_ratio,
+                 r_len, r_mean_len, r_alpha, r_stop, r_ellipsis, r_bullet, r_symbol,
+                 (r_len AND r_mean_len AND r_alpha AND r_stop
+                   AND r_ellipsis AND r_bullet AND r_symbol) AS keep,
+                 CASE WHEN NOT r_len THEN 'len'
+                      WHEN NOT r_mean_len THEN 'mean_len'
+                      WHEN NOT r_alpha THEN 'alpha'
+                      WHEN NOT r_stop THEN 'stop'
+                      WHEN NOT r_ellipsis THEN 'ellipsis'
+                      WHEN NOT r_bullet THEN 'bullet'
+                      WHEN NOT r_symbol THEN 'symbol'
+                 END AS fail_reason
+          FROM fl""",
     // q125 = the same content-defined chunker in SQL: cut positions
     // from the trailing-8 md5 window, spans from consecutive
     // boundaries, per-chunk md5-60 fingerprints, then the

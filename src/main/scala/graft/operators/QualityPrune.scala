@@ -84,4 +84,77 @@ object QualityPrune {
       .filter(col(scoreCol) >= col("thr"))
       .drop("__graft_grp", "thr")
   }
+
+  /** The Gopher document-quality gate (Rae et al. 2021, Appendix A1.1):
+    * seven ABSOLUTE rules over one
+    * [[graft.functions.expressions.GopherStatsExpr]] scan pass — word
+    * count in `[minTokens, maxTokens]`, mean word length in
+    * `[minMeanLen, maxMeanLen]`, ≥ `minAlphaFrac` of words containing
+    * an alphabetic character, ≥ `minStopHits` distinct members of the
+    * fixed 8-word stop set, ≤ `maxEllipsisFrac` of lines ending in an
+    * ellipsis, ≤ `maxBulletFrac` of lines starting with a bullet, and
+    * a `#`/`…` symbol-to-word ratio ≤ `maxSymbolRatio`. The complement
+    * of [[pruneByGroupQuantile]]: absolute floors that don't shift with
+    * corpus quality (a corpus that is 90 % spam should FAIL 90 %, not
+    * keep its best spam).
+    *
+    * Emits every rule input and every flag plus `keep` and the
+    * first-failing `fail_reason` — the auditable form (a filter that
+    * only returns survivors can't tell you WHY the corpus shrank 40 %).
+    * Scale shape: one native-codegen scan projection + scalar
+    * comparisons; no shuffle, no UDF, nothing driver-side. Null text
+    * fails every rule (`fail_reason = 'len'`).
+    */
+  def gopherGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxEllipsisFrac: Double = 0.3,
+      maxBulletFrac: Double = 0.9,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol))
+    val st = docs.select(col(idCol), g.as("g"))
+      .select(
+        col(idCol),
+        col("g.n_tokens").as("n_tokens"),
+        col("g.mean_token_len").as("mean_token_len"),
+        col("g.frac_alpha").as("frac_alpha"),
+        col("g.n_stop_hits").as("n_stop_hits"),
+        col("g.frac_ellipsis_lines").as("frac_ellipsis_lines"),
+        col("g.frac_bullet_lines").as("frac_bullet_lines"),
+        col("g.symbol_ratio").as("symbol_ratio"))
+    val rLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val rMean = col("mean_token_len") >= minMeanLen &&
+      col("mean_token_len") <= maxMeanLen
+    val rAlpha = col("frac_alpha") >= minAlphaFrac
+    val rStop = col("n_stop_hits") >= minStopHits
+    val rEll = col("frac_ellipsis_lines") <= maxEllipsisFrac
+    val rBul = col("frac_bullet_lines") <= maxBulletFrac
+    val rSym = col("symbol_ratio") <= maxSymbolRatio
+    st
+      .withColumn("r_len", coalesce(rLen, lit(false)))
+      .withColumn("r_mean_len", coalesce(rMean, lit(false)))
+      .withColumn("r_alpha", coalesce(rAlpha, lit(false)))
+      .withColumn("r_stop", coalesce(rStop, lit(false)))
+      .withColumn("r_ellipsis", coalesce(rEll, lit(false)))
+      .withColumn("r_bullet", coalesce(rBul, lit(false)))
+      .withColumn("r_symbol", coalesce(rSym, lit(false)))
+      .withColumn("keep",
+        col("r_len") && col("r_mean_len") && col("r_alpha") && col("r_stop") &&
+          col("r_ellipsis") && col("r_bullet") && col("r_symbol"))
+      .withColumn("fail_reason",
+        when(!col("r_len"), "len")
+          .when(!col("r_mean_len"), "mean_len")
+          .when(!col("r_alpha"), "alpha")
+          .when(!col("r_stop"), "stop")
+          .when(!col("r_ellipsis"), "ellipsis")
+          .when(!col("r_bullet"), "bullet")
+          .when(!col("r_symbol"), "symbol"))
+  }
 }

@@ -1186,6 +1186,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q136 path:\n$plan")
   }
 
+  test("q137: gopher gate is one fused native scan — no shuffle, no UDF") {
+    val plan = planOf("q137_gopher_gate")
+    assert(shuffles(plan) === 0, s"q137 must not shuffle:\n$plan")
+    assert(plan.contains("gopher_stats"), s"q137 lost the native stats kernel:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q137 path:\n$plan")
+  }
+
   test("q118: hot/cold split — hot lookups broadcast, cold shuffles never carry text, no UDFs") {
     val plan = planOf("q118_perplexity_hardened")
     // the split's whole point: the hot-key lookups are broadcast joins

@@ -679,4 +679,47 @@ class TrainingDataOpsSpec extends SparkTestBase {
     val tiny = Seq((1L, "g", 5L), (2L, "g", 1L)).toDF("id", "grp", "w")
     assert(Sampling.weightedSample(tiny, "grp", "id", "w", k = 10).count() === 2L)
   }
+
+  test("gopherGate: each rule trips on a crafted doc, a clean doc passes, null text fails closed") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "sits down with a friendly cat to have a long talk about dinner plans"
+    val docs = Seq[(Long, String)](
+      (1L, good),                                               // keep
+      (2L, "too short to pass the gate"),                       // len
+      (3L, ("a " * 40).trim),                                   // mean_len < 3
+      (4L, (1 to 30).map(i => s"$i$i$i").mkString(" ")),        // alpha: digit tokens
+      (5L, good.replaceAll("\\b(the|and|with|to|have)\\b", "xx")), // stop
+      (6L, (1 to 10).map(i => s"line $i trails off...").mkString("\n") +
+        "\nthe end and that is all folks we have covered it with care to be sure of it now"), // ellipsis > 0.3
+      (7L, (1 to 10).map(i => s"- bullet item $i").mkString("\n")), // bullet > 0.9 (also stop/len)
+      (8L, good + " " + ("#" * 20))                             // symbol ratio
+    ).toDF("doc_id", "text")
+    val nullDoc = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+
+    val got = QualityPrune.gopherGate(
+      docs.unionByName(nullDoc), "doc_id", "text",
+      minTokens = 20L, minStopHits = 2L)
+      .select("doc_id", "keep", "fail_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(got(1L) == (true, None), s"clean doc must keep: ${got(1L)}")
+    assert(got(2L) == (false, Some("len")))
+    assert(got(3L) == (false, Some("mean_len")))
+    assert(got(4L) == (false, Some("alpha")))
+    assert(got(5L) == (false, Some("stop")))
+    assert(got(6L)._1 == false && got(6L)._2 == Some("ellipsis"), s"${got(6L)}")
+    assert(got(7L)._1 == false, s"${got(7L)}")
+    assert(got(9L) == (false, Some("len")), s"null text must fail closed: ${got(9L)}")
+
+    // rule inputs behind doc 6/8: line fraction and symbol arithmetic
+    val st = QualityPrune.gopherGate(docs, "doc_id", "text")
+      .select("doc_id", "frac_ellipsis_lines", "frac_bullet_lines", "symbol_ratio")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(st(6L)._1 == 10.0 / 11.0, s"ellipsis fraction: ${st(6L)}")
+    assert(st(7L)._2 == 1.0, s"bullet fraction: ${st(7L)}")
+    // doc 8: 20 '#' over 26 tokens
+    assert(st(8L)._3 == 20.0 / 26.0, s"symbol ratio: ${st(8L)}")
+  }
 }
