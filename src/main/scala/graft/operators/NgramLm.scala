@@ -365,7 +365,50 @@ object NgramLm {
     val tgtLm = train(docs.filter(slot === targetSlot), idCol, textCol)
     val rawLm = train(docs.filter(slot === rawSlot), idCol, textCol)
     val cand = docs.filter(slot =!= targetSlot && slot =!= rawSlot)
-    val hb = bigramStream(tokenized(cand, idCol, textCol))
+    importanceSelectWith(cand, idCol, textCol, tgtLm, rawLm, k, backoff, seed)
+  }
+
+  /** [[importanceSelect]] against EXPLICIT (typically frozen/persisted)
+    * target and raw LMs — the deployment form: train once on curated
+    * slices, [[saveLm]] both, select from any candidate corpus (or any
+    * stream micro-batch — priorities are row-intrinsic, so the
+    * streaming tier's bounded-state top-k over these keys equals this
+    * batch draw; see `graft.streaming.DsirSelect`).
+    */
+  def importanceSelectWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tgtLm: LmTables,
+      rawLm: LmTables,
+      k: Int,
+      backoff: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ord = Seq(col("key_micro").desc, col("doc_id").asc)
+    scoreRatio(docs, idCol, textCol, tgtLm, rawLm, backoff, seed)
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
+  }
+
+  /** The DSIR scoring core shared by the batch draw and the streaming
+    * tier: every scorable doc's two log-likelihoods, per-bigram
+    * log-ratio, Gumbel noise, and selection key (all integer micros;
+    * see [[importanceSelect]] for the fixed-point and Gumbel
+    * conventions). No cut — callers rank (batch) or fold into bounded
+    * state (streaming).
+    */
+  def scoreRatio(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tgtLm: LmTables,
+      rawLm: LmTables,
+      backoff: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    val hb = bigramStream(tokenized(docs, idCol, textCol))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).alias("tf"))
     val st = scoreGrams(hb, tgtLm, backoff)
       .select(col("doc_id"), col("n_bigrams"),
@@ -374,7 +417,6 @@ object NgramLm {
       .select(col("doc_id"), col("nll_micro").alias("ll_r_micro"))
     val u = (TextFunctions.seededHash60(seed, col("doc_id")).cast("double") +
       lit(0.5)) / pow(lit(2.0), lit(60.0))
-    val ord = Seq(col("key_micro").desc, col("doc_id").asc)
     st.join(sr, Seq("doc_id"))
       .withColumn("lw_micro",
         round((col("ll_t_micro") - col("ll_r_micro")).cast("double") /
@@ -382,10 +424,6 @@ object NgramLm {
       .withColumn("gum_micro",
         round(-log(-log(u)) * lit(1000000L)).cast("long"))
       .withColumn("key_micro", col("lw_micro") + col("gum_micro"))
-      .orderBy(ord: _*)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
   }
 
   /** Top-`topK` PMI collocations — the phrase-mining primitive (which

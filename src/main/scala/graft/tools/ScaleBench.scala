@@ -195,7 +195,23 @@ object ScaleBench {
     // round-16: as-of with tolerance over the derived event log — one
     // user-keyed exchange + one window pass; per-copy users are
     // disjoint so per-key timelines keep their base length
-    "q134_asof_tolerance")
+    "q134_asof_tolerance",
+    // round-16: DSIR selection = two q101-shaped LM scorings over ONE
+    // shared gram exchange + a doc-keyed micro join + TakeOrdered —
+    // the 1e9 offset is ≡ 0 mod 10 so train/candidate slots are
+    // copy-stable, vocabularies disjoint per copy: q101's weak-scale
+    // argument twice over, plus the reused exchange amortizing the
+    // tokenize
+    "q135_dsir_select",
+    // round-16: SQ8 search — one fused quantize+dot scan +
+    // TakeOrdered; sign-flip derivation preserves max-abs and
+    // within-copy structure, so this is the q01 linearity shape over
+    // embeddings
+    "q136_int8_topk",
+    // round-16: the gopher gate — one fused native scan, no exchange;
+    // the q121/q133 linearity shape (copy prefixes zero the stop hits
+    // outside copy 0, which changes flags, not cost)
+    "q137_gopher_gate")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
