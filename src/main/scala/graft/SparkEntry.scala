@@ -1661,6 +1661,38 @@ object SparkEntry {
     QualityPrune.gopherGate(Tables.documents(s, dir), "doc_id", "text",
       minTokens = 25L, minStopHits = 1L)
 
+  /** IVF-SQ8 composed ANN (round 16): coarse cells route the probe,
+    * int8 codes score inside the probed cells, exact float re-rank of
+    * the bounded candidate set in the SAME plan
+    * ([[graft.operators.Similarity.ivfSq8TopK]] — zero shuffles, no
+    * second corpus pass). Like q41/q82 the oracle is an in-plan
+    * accuracy bound: deterministic seed ⇒ deterministic recall, so the
+    * 1-row summary's constants are the gate.
+    */
+  private def q138_ivf_sq8(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    val emb = Tables.embeddings(s, dir)
+    val ann = Similarity.ivfSq8TopK(
+      emb, "vec_id", "embedding", q, k = 20, nLists = 16, nProbe = 10,
+      rerank = 60)
+    val brute = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q.map(_.toDouble).toSeq, 20)
+    val overlap = ann.select("vec_id")
+      .join(brute.select("vec_id"), Seq("vec_id"))
+      .agg(count(lit(1)).as("overlap"))
+    ann.agg(count(lit(1)).as("n_ann"))
+      .crossJoin(overlap)
+      .select(
+        lit(20L).as("k"),
+        col("n_ann").cast("long").as("n_ann"),
+        (col("overlap").cast("double") >= lit(13.0)).as("recall_ok"))
+  }
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2567,7 +2599,8 @@ object SparkEntry {
     "q134_asof_tolerance" -> (q134_asof_tolerance _),
     "q135_dsir_select" -> (q135_dsir_select _),
     "q136_int8_topk" -> (q136_int8_topk _),
-    "q137_gopher_gate" -> (q137_gopher_gate _)
+    "q137_gopher_gate" -> (q137_gopher_gate _),
+    "q138_ivf_sq8" -> (q138_ivf_sq8 _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -2903,6 +2936,9 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
     "q41_ivf_ann" ->
       """SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_ivf,
+                TRUE AS recall_ok""",
+    "q138_ivf_sq8" ->
+      """SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_ann,
                 TRUE AS recall_ok""",
     "q42_skew_salted" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",

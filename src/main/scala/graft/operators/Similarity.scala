@@ -92,6 +92,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-SQ8 composed ANN (FAISS's `IVF<n>,SQ8` recipe): the coarse
+    * quantizer routes the query to `nProbe` cells, and INSIDE the
+    * probed cells scoring runs the fused int8 kernel — so the scan
+    * touches ≈ `nProbe/nLists` of the corpus and pays small-integer
+    * arithmetic per row instead of a float dot. With `rerank > 0` the
+    * top `rerank` quantized candidates are re-scored with the exact
+    * float cosine INSIDE the same plan: the candidate TakeOrdered
+    * carries the vector column (≤ `rerank` rows — bounded by
+    * construction), so the re-rank needs no second corpus pass and no
+    * join. Zero shuffles end to end.
+    */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      rerank: Int = 0,
+      seed: Long = 42L,
+      trainSample: Int = 4096): DataFrame = {
+    val centroids =
+      trainCentroids(emb, idCol, vecCol, nLists, seed, trainSample)
+    val probeCells =
+      nearestCentroids(centroids, query.map(_.toDouble).toArray, nProbe)
+    val qc = graft.functions.expressions.Int8Exprs.quantizeLocal(query)
+    val scanned = emb.filter(
+      graft.functions.expressions.NearestCellExpr
+        .nearestCell(col(vecCol), centroids)
+        .isInCollection(probeCells))
+    if (rerank <= 0)
+      scanned
+        .select(col(idCol),
+          graft.functions.expressions.Int8Exprs.int8Cos(col(vecCol), qc)
+            .alias("cos_q"))
+        .orderBy(col("cos_q").desc, col(idCol).asc)
+        .limit(k)
+    else {
+      val cand = scanned
+        .select(col(idCol), col(vecCol),
+          graft.functions.expressions.Int8Exprs.int8Cos(col(vecCol), qc)
+            .alias("cos_q"))
+        .orderBy(col("cos_q").desc, col(idCol).asc)
+        .limit(math.max(rerank, k))
+      cand
+        .transform(withCosine(_, vecCol, query.map(_.toDouble).toSeq))
+        .select(col(idCol), col("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+    }
+  }
+
   /** [[int8TopK]] over a PERSISTED codes table (the artifact read path —
     * pure small-integer arithmetic, no float vector ever loaded).
     */

@@ -211,7 +211,12 @@ object ScaleBench {
     // round-16: the gopher gate — one fused native scan, no exchange;
     // the q121/q133 linearity shape (copy prefixes zero the stop hits
     // outside copy 0, which changes flags, not cost)
-    "q137_gopher_gate")
+    "q137_gopher_gate",
+    // round-16: IVF-SQ8 — the probe scans ~nProbe/nLists of the corpus
+    // through the fused int8 kernel and the rerank is TakeOrdered-
+    // bounded, so the sweep should show the pruned-scan fraction of
+    // q136's already-flat line (plus the fixed quantizer-fit cost)
+    "q138_ivf_sq8")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

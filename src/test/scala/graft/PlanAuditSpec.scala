@@ -1186,6 +1186,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q136 path:\n$plan")
   }
 
+  test("q138: IVF-SQ8 probe is a pruned fused scan; rerank stays in-plan — no shuffle beyond the 1-row combine") {
+    val plan = planOf("q138_ivf_sq8")
+    // cell routing + int8 scoring + exact rerank: all scan-side
+    assert(plan.contains("nearest_cell"), s"q138 lost the cell-probe filter:\n$plan")
+    assert(plan.contains("int8_cos"), s"q138 lost the quantized scoring kernel:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"q138 cuts must be TakeOrdered:\n$plan")
+    // the only exchanges are the 1-row summary combines (SinglePartition)
+    assert(shuffles(plan) === 0,
+      s"q138 must not hash/range-shuffle (candidates are TakeOrdered-bounded):\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q138 path:\n$plan")
+  }
+
   test("q137: gopher gate is one fused native scan — no shuffle, no UDF") {
     val plan = planOf("q137_gopher_gate")
     assert(shuffles(plan) === 0, s"q137 must not shuffle:\n$plan")

@@ -1004,6 +1004,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"int8 recall@10 too low: $recall")
   }
 
+  test("ivfSq8TopK: full probe + full rerank equals brute force; quantized path equals int8TopK; narrow probe finds the home cluster") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map { i =>
+      // two well-separated clusters with jitter
+      val base = if (i < 40) Array(1.0, 0.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0, 0.0)
+      (i, base.map(b => (b + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toArray
+
+    // full probe + corpus-wide rerank reduces to exact brute force
+    val full = Similarity.ivfSq8TopK(df, "vec_id", "embedding", q, k = 10,
+      nLists = 4, nProbe = 4, rerank = 80)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(
+      df, "vec_id", "embedding", q.map(_.toDouble).toSeq, 10)
+      .as[(Long, Double)].collect()
+    assert(full.toSeq == brute.toSeq,
+      s"full-probe full-rerank must equal brute force:\n${full.toSeq}\n${brute.toSeq}")
+
+    // rerank=0 full probe reduces to the flat quantized search
+    val quant = Similarity.ivfSq8TopK(df, "vec_id", "embedding", q, k = 10,
+      nLists = 4, nProbe = 4)
+      .as[(Long, Double)].collect()
+    val flat = Similarity.int8TopK(df, "vec_id", "embedding", q, 10)
+      .select("vec_id", "cos_q").as[(Long, Double)].collect()
+    assert(quant.toSeq == flat.toSeq,
+      s"full-probe quantized must equal int8TopK:\n${quant.toSeq}\n${flat.toSeq}")
+
+    // a 1-cell probe stays inside the query's cluster
+    val narrow = Similarity.ivfSq8TopK(df, "vec_id", "embedding", q, k = 10,
+      nLists = 2, nProbe = 1, rerank = 20)
+      .as[(Long, Double)].collect()
+    assert(narrow.forall(_._1 < 40L),
+      s"narrow probe escaped the home cluster: ${narrow.toSeq}")
+  }
+
   test("int8 quantization: zero vectors, exact-boundary codes, half-away rounding") {
     import graft.functions.expressions.Int8Exprs
     // max element maps to exactly +/-127; zero vector maps to all zeros
