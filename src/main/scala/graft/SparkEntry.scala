@@ -4283,9 +4283,9 @@ object SparkEntry {
             SELECT tagg.doc_id, tagg.n_bigrams, tagg.ll_t_micro, ragg.ll_r_micro,
                    CAST(round(CAST(tagg.ll_t_micro - ragg.ll_r_micro AS DOUBLE)
                               / CAST(tagg.n_bigrams AS DOUBLE)) AS BIGINT) AS lw_micro,
-                   CAST(round(-ln(-ln(
+                   CAST(round(-ln(-ln(least(
                      (CAST(${sqlMd5h60("'42:' || CAST(tagg.doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
-                     / POW(2, 60))) * 1000000) AS BIGINT) AS gum_micro
+                     / POW(2, 60), 1.0 - 1e-9))) * 1000000) AS BIGINT) AS gum_micro
             FROM tagg JOIN ragg ON tagg.doc_id = ragg.doc_id),
           cut AS (
             SELECT *, lw_micro + gum_micro AS key_micro

@@ -24,8 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (Gopher: ≥ 2);
   *  - `frac_ellipsis_lines` / `frac_bullet_lines` — fraction of
   *    `\n`-lines ending with `...`/`…`, resp. starting (after
-  *    space/tab strip) with `-`/`*`/`•` (Gopher: ≤ 30 % ellipsis,
-  *    ≥ 90 % non-bullet);
+  *    space/tab strip) with `-`/`*`/`•` (Gopher: remove when > 30 %
+  *    of lines end in an ellipsis or > 90 % START with a bullet —
+  *    i.e. the bullet gate only drops near-pure bullet lists);
   *  - `symbol_ratio` — (`#` chars + `…` chars + non-overlapping `...`
   *    runs) per token (Gopher: ≤ 10 %).
   *
@@ -76,7 +77,10 @@ object GopherStatsExpr {
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      lenSum += t.length.toLong
+      // code points, not UTF-16 units — DuckDB's length() counts
+      // characters, so supplementary-plane tokens must measure the same
+      // (the cleanTokensLocal convention)
+      lenSum += t.codePointCount(0, t.length).toLong
       var j = 0
       var hasAlpha = false
       while (j < t.length && !hasAlpha) {

@@ -324,10 +324,13 @@ object NgramLm {
     *    dominated by document length, so selection would devolve into
     *    a length lottery; the per-gram form scores domain FIT.
     *  - Gumbel noise `g = −ln(−ln(u))` uses `u = (h + 0.5) / 2^60`
-    *    from the repo-wide seeded md5-60 — the `+0.5` (not
-    *    [[Sampling.weightedSample]]'s `+1`) keeps `u` strictly inside
-    *    `(0, 1)`: `u = 1` would send the Gumbel to `+∞`, which has no
-    *    BIGINT micro form. Ranking `lw_micro + gum_micro` descending
+    *    from the repo-wide seeded md5-60, clamped by
+    *    `least(u, 1 − 1e-9)` — the `+0.5` (not
+    *    [[Sampling.weightedSample]]'s `+1`) plus the clamp keep `u`
+    *    strictly inside `(0, 1)` even where the long→double cast
+    *    rounds top-of-range hashes to exactly `2^60`: `u = 1` would
+    *    send the Gumbel to `+∞`, which has no BIGINT micro form.
+    *    Ranking `lw_micro + gum_micro` descending
     *    is exactly Gumbel-top-k over weights `exp(lw)` at micro
     *    resolution — and unlike A-ES's `ln(u)/w` it never
     *    exponentiates the weight, so log-weights of either sign and
@@ -415,8 +418,18 @@ object NgramLm {
         col("nll_micro").alias("ll_t_micro"))
     val sr = scoreGrams(hb, rawLm, backoff)
       .select(col("doc_id"), col("nll_micro").alias("ll_r_micro"))
-    val u = (TextFunctions.seededHash60(seed, col("doc_id")).cast("double") +
-      lit(0.5)) / pow(lit(2.0), lit(60.0))
+    // (h + 0.5) / 2^60 is strictly inside (0, 1) in exact arithmetic,
+    // but NOT in IEEE doubles: hashes within ~64 of 2^60 round to 2^60
+    // on the long→double cast (ulp there is 128, the +0.5 is absorbed),
+    // sending u to exactly 1.0 and the Gumbel to +∞ — which has no
+    // BIGINT micro form in either engine. The least() clamp restores
+    // the invariant deterministically on BOTH engines (the clamped rows
+    // get the same finite max-Gumbel everywhere), at probability
+    // ~2^-30 per doc.
+    val u = least(
+      (TextFunctions.seededHash60(seed, col("doc_id")).cast("double") +
+        lit(0.5)) / pow(lit(2.0), lit(60.0)),
+      lit(1.0 - 1e-9))
     st.join(sr, Seq("doc_id"))
       .withColumn("lw_micro",
         round((col("ll_t_micro") - col("ll_r_micro")).cast("double") /

@@ -137,11 +137,10 @@ object Similarity {
             .alias("cos_q"))
         .orderBy(col("cos_q").desc, col(idCol).asc)
         .limit(math.max(rerank, k))
-      cand
-        .transform(withCosine(_, vecCol, query.map(_.toDouble).toSeq))
-        .select(col(idCol), col("cos"))
-        .orderBy(col("cos").desc, col(idCol).asc)
-        .limit(k)
+      // the exact re-rank IS brute force over the bounded candidates —
+      // one shared implementation keeps the cosine/tie-break identical
+      // to the exact path (the spec's full-probe ≡ brute invariant)
+      bruteForceTopK(cand, idCol, vecCol, query.map(_.toDouble).toSeq, k)
     }
   }
 

@@ -298,7 +298,7 @@ class NgramLmSpec extends SparkTestBase {
       val llR = sr(id)
       val lw = math.round((llT - llR).toDouble / nb.toDouble)
       val h = graft.functions.TextFunctions.md5Hash60Local(s"42:$id")
-      val u = (h.toDouble + 0.5) / math.pow(2.0, 60.0)
+      val u = math.min((h.toDouble + 0.5) / math.pow(2.0, 60.0), 1.0 - 1e-9)
       val gum = math.round(-math.log(-math.log(u)) * 1000000L)
       (id, nb, llT, llR, lw, gum, lw + gum)
     }.sortBy { case (id, _, _, _, _, _, key) => (-key, id) }.take(5)
