@@ -1693,6 +1693,27 @@ object SparkEntry {
         (col("overlap").cast("double") >= lit(13.0)).as("recall_ok"))
   }
 
+  /** Hard-negative mining (round 16): for each query (every 97th doc,
+    * first-3-token query, the doc ITSELF as the known positive — the
+    * classic self-supervised setup), the top-5 BM25-scoring OTHER docs
+    * ([[graft.operators.TfIdf.hardNegatives]] — one bm25Join at
+    * candidate depth 20, per-query anti-join of positives, re-rank).
+    * The contrastive-training counterpart of q108: same postings
+    * pruning, same fixed-point micros, so the oracle extends q108's
+    * SQL with the anti-join and the re-rank cut.
+    */
+  private def q139_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = docs
+      .filter(col("doc_id") % 97 === 0)
+      .select(
+        col("doc_id").alias("qid"),
+        slice(TextFunctions.tokens(col("text")), 1, 3).alias("qterms"),
+        col("doc_id").alias("pos_id"))
+    TfIdf.hardNegatives(docs, "doc_id", "text", pairs, "qid", "qterms",
+      "pos_id", nNeg = 5, candidates = 20)
+  }
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2600,7 +2621,8 @@ object SparkEntry {
     "q135_dsir_select" -> (q135_dsir_select _),
     "q136_int8_topk" -> (q136_int8_topk _),
     "q137_gopher_gate" -> (q137_gopher_gate _),
-    "q138_ivf_sq8" -> (q138_ivf_sq8 _)
+    "q138_ivf_sq8" -> (q138_ivf_sq8 _),
+    "q139_hard_negatives" -> (q139_hard_negatives _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4580,6 +4602,48 @@ object SparkEntry {
           SELECT qid, doc_id, score_micro,
                  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
           FROM rk WHERE rn <= 10""",
+    // q139 = q108's pipeline at candidate depth 20, then the per-query
+    // positive anti-join (here: the query doc itself) and the 5-deep
+    // negative re-rank
+    "q139_hard_negatives" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+                      WHERE text IS NOT NULL),
+          qt AS (SELECT DISTINCT qid, term FROM (
+                   SELECT doc_id AS qid, unnest(t[1:3]) AS term
+                   FROM tk WHERE doc_id % 97 = 0)),
+          tfm AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+                  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w),
+          dlt AS (SELECT doc_id, len(t) AS dl FROM tk),
+          idx AS (SELECT tfm.doc_id, tfm.term, tfm.tf, dlt.dl
+                  FROM tfm JOIN dlt USING (doc_id)
+                  WHERE tfm.term IN (SELECT term FROM qt)),
+          st AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl
+                 FROM tk),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY term),
+          mc AS (SELECT qt.qid, idx.doc_id,
+                        CAST(round((ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)))
+                          * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                             (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) * 1000000) AS BIGINT)
+                          AS micro
+                 FROM idx
+                 JOIN dfq USING (term)
+                 CROSS JOIN st
+                 JOIN qt ON qt.term = idx.term),
+          sc AS (SELECT qid, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+                 FROM mc GROUP BY qid, doc_id),
+          rk AS (SELECT qid, doc_id, score_micro,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score_micro DESC, doc_id ASC) AS rn
+                 FROM sc),
+          cand AS (SELECT qid, doc_id, score_micro FROM rk WHERE rn <= 20),
+          neg AS (SELECT qid, doc_id, score_micro,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY score_micro DESC, doc_id ASC) AS neg_rank
+                  FROM cand WHERE doc_id <> qid)
+          SELECT qid, doc_id, score_micro,
+                 CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+                 CAST(neg_rank AS BIGINT) AS neg_rank
+          FROM neg WHERE neg_rank <= 5""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

@@ -202,6 +202,57 @@ object TfIdf {
         (col("score_micro").cast("double") / lit(1000000.0)).alias("score"))
   }
 
+  /** Hard-negative mining for retrieval/contrastive training: for each
+    * (query, known-positive) pair, the top `nNeg` BM25-scoring docs
+    * that are NOT positives of that query — the highest-scoring wrong
+    * answers, which is what makes a negative "hard" (random negatives
+    * are trivially separable; the standard recipe mines them from the
+    * lexical retriever's own top candidates).
+    *
+    * Shape: one [[bm25Join]] over the query set (`candidates` deep —
+    * all its scale properties carry: postings pruned to the query
+    * vocabulary, term-keyed shuffles, per-query map-side top-k), then
+    * a `(qid, doc_id)`-keyed LEFT ANTI against the positives table
+    * (per-query exclusion — a doc positive for query A can still be a
+    * negative for query B), then the per-query re-rank window over
+    * ≤ `candidates` surviving rows. `candidates` must exceed `nNeg`
+    * by at least the per-query positive count or depleted queries
+    * return fewer than `nNeg` rows (they are not padded — fail-visible
+    * beats silently easy negatives).
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      qidCol: String,
+      termsCol: String,
+      posCol: String,
+      nNeg: Int = 5,
+      candidates: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(nNeg > 0, s"nNeg must be positive, got $nNeg")
+    require(candidates > nNeg,
+      s"candidates ($candidates) must exceed nNeg ($nNeg)")
+    val queries = pairs
+      .select(col(qidCol).alias("qid"), col(termsCol).alias("qterms"))
+      .distinct()
+    val cand = bm25Join(docs, idCol, textCol, queries, "qid", "qterms",
+      k1, b, topK = candidates)
+    val pos = pairs
+      .select(col(qidCol).alias("qid"), col(posCol).alias("doc_id"))
+      .distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    cand
+      .join(pos, Seq("qid", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("qid"), col("doc_id"), col("score_micro"), col("score"),
+        col("neg_rank"))
+  }
+
   /** Scan-side postings `(term, doc_id, dl, tf)` — the inverted-index
     * rows every BM25 surface consumes: one `term_counts` map per doc
     * (no token explode), `dl` a fold over its values, one output row

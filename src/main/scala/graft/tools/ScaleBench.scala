@@ -216,7 +216,11 @@ object ScaleBench {
     // through the fused int8 kernel and the rerank is TakeOrdered-
     // bounded, so the sweep should show the pruned-scan fraction of
     // q136's already-flat line (plus the fixed quantizer-fit cost)
-    "q138_ivf_sq8")
+    "q138_ivf_sq8",
+    // round-16: hard negatives = q108's pipeline + an id-keyed
+    // anti-join + the bounded re-rank — q108's weak-scale shape
+    // (postings ∝ corpus, queries ∝ corpus/97, negatives ≤ 5/query)
+    "q139_hard_negatives")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -862,6 +862,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"micro totals not map-side combined:\n$plan")
   }
 
+  test("q139: hard-negative mining inherits q108's shuffle discipline; the anti-join stays id-keyed") {
+    val plan = planOf("q139_hard_negatives")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, s"expected term/qid-keyed shuffles:\n$plan")
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(!plan.contains("rangepartitioning"),
+      s"per-query re-rank must be a qid-partitioned window, not a global sort:\n$plan")
+    // the positive exclusion is an anti-join over (qid, doc_id) scalars
+    assert(plan.contains("LeftAnti"), s"q139 lost the positive anti-join:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q139 path:\n$plan")
+  }
+
   test("q109: mean-pool shuffles one vector buffer per group, map-side combined; vectors never key") {
     val plan = planOf("q109_mean_pool")
     assert(plan.contains("vector_micro_sum"), s"native aggregate missing:\n$plan")

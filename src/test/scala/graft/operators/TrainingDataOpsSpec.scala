@@ -680,6 +680,51 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(Sampling.weightedSample(tiny, "grp", "id", "w", k = 10).count() === 2L)
   }
 
+  test("hardNegatives: per-query positive exclusion, score parity with bm25Join, depleted queries shrink visibly") {
+    val docs = Seq[(Long, String)](
+      (1L, "apple banana cherry durian"),
+      (2L, "apple banana cherry elder"),
+      (3L, "apple banana fig grape"),
+      (4L, "apple honey icewine jackfruit"),
+      (5L, "kiwi lemon mango nectarine")).toDF("doc_id", "text")
+    // two queries: qA's positive is doc 1, qB's positive is doc 2 — doc 1
+    // must still be eligible as qB's negative (per-query exclusion)
+    val pairs = Seq(
+      (100L, Seq("apple", "banana", "cherry"), 1L),
+      (200L, Seq("apple", "banana", "cherry"), 2L)).toDF("qid", "qterms", "pos_id")
+    val got = TfIdf.hardNegatives(docs, "doc_id", "text", pairs,
+      "qid", "qterms", "pos_id", nNeg = 3, candidates = 5)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+
+    assert(!got(100L).exists(_._2 == 1L), s"qA's positive leaked: ${got(100L).toSeq}")
+    assert(!got(200L).exists(_._2 == 2L), s"qB's positive leaked: ${got(200L).toSeq}")
+    assert(got(200L).exists(_._2 == 1L),
+      s"doc 1 must be eligible as qB's negative: ${got(200L).toSeq}")
+    // negatives come ranked by the SAME bm25Join scores
+    val cand = TfIdf.bm25Join(docs, "doc_id", "text",
+        pairs.select($"qid", $"qterms").distinct(), "qid", "qterms", topK = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.values.flatten.foreach { n =>
+      assert(cand((n._1, n._2)) == n._3, s"score drifted from bm25Join: $n")
+    }
+    // ranks are contiguous from 1 and descending in score
+    got.values.foreach { ns =>
+      assert(ns.map(_._5).toSeq == (1L to ns.length).toSeq)
+      assert(ns.map(_._3).toSeq == ns.map(_._3).toSeq.sorted.reverse)
+    }
+    // a query whose terms only its positive contains comes back EMPTY,
+    // not padded with easy negatives
+    val lonely = Seq((300L, Seq("icewine", "jackfruit"), 4L)).toDF("qid", "qterms", "pos_id")
+    assert(TfIdf.hardNegatives(docs, "doc_id", "text", lonely,
+      "qid", "qterms", "pos_id", nNeg = 3, candidates = 5).count() == 0L)
+    intercept[IllegalArgumentException] {
+      TfIdf.hardNegatives(docs, "doc_id", "text", pairs, "qid", "qterms",
+        "pos_id", nNeg = 5, candidates = 5)
+    }
+  }
+
   test("gopherGate: each rule trips on a crafted doc, a clean doc passes, null text fails closed") {
     val good = "the quick brown fox jumps over the lazy dog and then " +
       "sits down with a friendly cat to have a long talk about dinner plans"
