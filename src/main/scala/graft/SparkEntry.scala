@@ -1714,6 +1714,18 @@ object SparkEntry {
       "pos_id", nNeg = 5, candidates = 20)
   }
 
+  /** Corpus data card (round 16): one datasheet row per source — doc
+    * and token volume, exact-dup fraction, majority language + share,
+    * mean character entropy
+    * ([[graft.operators.TrainingPrep.dataCard]] — one fused native
+    * scan pass, two source-keyed aggregates, text never shuffles). The
+    * Gebru-et-al. "datasheets" summary a mixture decision or audit
+    * starts from, built from signals the registry already gates
+    * individually (q35 fingerprints, q24 language, q133 entropy).
+    */
+  private def q140_data_card(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPrep.dataCard(Tables.documents(s, dir), "text", "source")
+
 
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2622,7 +2634,8 @@ object SparkEntry {
     "q136_int8_topk" -> (q136_int8_topk _),
     "q137_gopher_gate" -> (q137_gopher_gate _),
     "q138_ivf_sq8" -> (q138_ivf_sq8 _),
-    "q139_hard_negatives" -> (q139_hard_negatives _)
+    "q139_hard_negatives" -> (q139_hard_negatives _),
+    "q140_data_card" -> (q140_data_card _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4644,6 +4657,57 @@ object SparkEntry {
                  CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
                  CAST(neg_rank AS BIGINT) AS neg_rank
           FROM neg WHERE neg_rank <= 5""",
+    // q140 = the q111 stats fragments (tokens, language vote, token
+    // fingerprint) + the q133 entropy pipeline, rolled up per source
+    // with the majority-language window
+    "q140_data_card" ->
+      s"""WITH tk AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS t
+                      FROM documents),
+          sc AS (SELECT doc_id, source,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(len(t) AS BIGINT) END AS n_tokens,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE md5(array_to_string(t, ' ')) END AS fp,
+                   (CASE WHEN text IS NULL THEN NULL
+                         WHEN len(list_filter(t, x -> x IN ${sqlList(stopEn)})) >= len(list_filter(t, x -> x IN ${sqlList(stopFr)}))
+                          AND len(list_filter(t, x -> x IN ${sqlList(stopEn)})) >= len(list_filter(t, x -> x IN ${sqlList(stopDe)}))
+                          AND len(list_filter(t, x -> x IN ${sqlList(stopEn)})) >= len(list_filter(t, x -> x IN ${sqlList(stopEs)})) THEN 'en'
+                         WHEN len(list_filter(t, x -> x IN ${sqlList(stopFr)})) >= len(list_filter(t, x -> x IN ${sqlList(stopDe)}))
+                          AND len(list_filter(t, x -> x IN ${sqlList(stopFr)})) >= len(list_filter(t, x -> x IN ${sqlList(stopEs)})) THEN 'fr'
+                         WHEN len(list_filter(t, x -> x IN ${sqlList(stopDe)})) >= len(list_filter(t, x -> x IN ${sqlList(stopEs)})) THEN 'de'
+                         ELSE 'es' END) AS lang_pred
+                 FROM tk),
+          ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+          n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id),
+          ent AS (SELECT f.doc_id,
+                    CAST(sum(CAST(round(
+                      1000000 * (CAST(cnt AS DOUBLE) / n.n) *
+                      ln(CAST(n.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS ent_micro
+                  FROM f JOIN n USING (doc_id) GROUP BY f.doc_id),
+          base AS (SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                     CAST(sum(ent_micro) AS BIGINT) AS sum_ent_micro
+                   FROM sc LEFT JOIN ent USING (doc_id)
+                   GROUP BY source),
+          votes AS (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS lc
+                    FROM sc WHERE lang_pred IS NOT NULL
+                    GROUP BY source, lang_pred),
+          top AS (SELECT source, lang_pred AS top_lang, lc AS top_lang_docs
+                  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY lc DESC, lang_pred ASC) AS rn FROM votes)
+                  WHERE rn = 1)
+          SELECT base.source, n_docs, n_tokens, n_unique,
+                 CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+                 top_lang, top_lang_docs,
+                 CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share,
+                 sum_ent_micro,
+                 CAST(sum_ent_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+                   AS mean_ent
+          FROM base LEFT JOIN top USING (source)""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

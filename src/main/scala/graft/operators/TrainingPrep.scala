@@ -84,4 +84,75 @@ object TrainingPrep {
         struct(lit("4_dedup_canonical").alias("stage"), col("c4").alias("n_docs")))))
       .select(col("col.stage").alias("stage"), col("col.n_docs").alias("n_docs"))
   }
+
+  /** The corpus DATA CARD — one datasheet row per source ("Datasheets
+    * for Datasets", Gebru et al. 2018/2021, public literature): doc and
+    * token volume, exact-duplicate fraction (distinct token-normalized
+    * fingerprints), the majority predicted language with its share, and
+    * mean character entropy — the summary a mixture decision or a data
+    * audit starts from.
+    *
+    * Shape: ONE native scan pass (`corpus_stats` + `char_entropy`
+    * fused per row — no tokenize-per-column), then two source-keyed
+    * aggregates (the rollup and the per-(source, lang) vote counts,
+    * both map-side combined) and a broadcast-sized join of the ≤
+    * |sources|·|langs| vote table back onto ≤ |sources| rows. Raw text
+    * never shuffles; the exchanges carry counts and fingerprints.
+    * Null-text docs count toward `n_docs` but contribute no tokens, no
+    * fingerprint, no language vote, and no entropy (their stats are
+    * null — the family's null-intolerant contract); means divide by
+    * `n_docs`, so a null-heavy source reads as low-volume, not as
+    * missing.
+    */
+  def dataCard(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val st = docs
+      .select(
+        col(srcCol).alias("source"),
+        graft.functions.expressions.CorpusStatsExpr.corpusStats(col(textCol)).as("cs"),
+        graft.functions.expressions.CharEntropyExpr.charEntropy(col(textCol))
+          .alias("ent_micro"))
+      .select(
+        col("source"),
+        col("cs.n_tokens").alias("n_tokens"),
+        col("cs.lang_pred").alias("lang_pred"),
+        col("cs.fp").alias("fp"),
+        col("ent_micro"))
+    val base = st
+      .groupBy("source")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum("n_tokens").alias("n_tokens"),
+        countDistinct("fp").alias("n_unique"),
+        sum("ent_micro").alias("sum_ent_micro"))
+    val votes = st
+      .filter(col("lang_pred").isNotNull)
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).alias("lc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("lc").desc, col("lang_pred").asc)
+    val top = votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang_pred").alias("top_lang"),
+        col("lc").alias("top_lang_docs"))
+    base
+      .join(broadcast(top), Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double")).alias("dup_frac"),
+        col("top_lang"),
+        col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .alias("top_lang_share"),
+        col("sum_ent_micro"),
+        (col("sum_ent_micro").cast("double") / col("n_docs").cast("double") /
+          lit(1000000.0)).alias("mean_ent"))
+  }
 }

@@ -220,7 +220,11 @@ object ScaleBench {
     // round-16: hard negatives = q108's pipeline + an id-keyed
     // anti-join + the bounded re-rank — q108's weak-scale shape
     // (postings ∝ corpus, queries ∝ corpus/97, negatives ≤ 5/query)
-    "q139_hard_negatives")
+    "q139_hard_negatives",
+    // round-16: the data card — one fused scan + two source-keyed
+    // count aggregates; the q111/q133 linearity shape with a
+    // 20-row broadcast join on top
+    "q140_data_card")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

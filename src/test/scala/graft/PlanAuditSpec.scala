@@ -875,6 +875,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q139 path:\n$plan")
   }
 
+  test("q140: data card is one fused scan into source-keyed aggregates — text never shuffles, vote table broadcasts") {
+    val plan = planOf("q140_data_card")
+    assert(plan.contains("corpus_stats") && plan.contains("char_entropy"),
+      s"q140 lost a native stats kernel:\n$plan")
+    val exchanges = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e => !e.contains("text#")),
+      s"document text crossed a shuffle:\n$exchanges")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vote table must broadcast onto the rollup:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q140 path:\n$plan")
+  }
+
   test("q109: mean-pool shuffles one vector buffer per group, map-side combined; vectors never key") {
     val plan = planOf("q109_mean_pool")
     assert(plan.contains("vector_micro_sum"), s"native aggregate missing:\n$plan")

@@ -725,6 +725,45 @@ class TrainingDataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dataCard: volumes, dup fraction, majority language with deterministic tie-break, null-text accounting") {
+    val docs = Seq[(Long, Option[String], String)](
+      (1L, Some("the cat sat on the mat"), "a"),      // en
+      (2L, Some("the cat sat on the mat"), "a"),      // exact dup of 1
+      (3L, Some("le chat est sur le tapis et il dort"), "a"), // fr
+      (4L, Some("der hund und die katze sind hier"), "a"),    // de
+      (5L, None, "a"),                                 // null text
+      (6L, Some("the dog ran"), "b"),
+      (7L, Some("le chien"), "b")).toDF("doc_id", "text", "source")
+
+    val got = TrainingPrep.dataCard(docs, "text", "source")
+      .select("source", "n_docs", "n_tokens", "n_unique", "dup_frac",
+        "top_lang", "top_lang_docs", "top_lang_share")
+      .as[(String, Long, Long, Long, Double, String, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val a = got("a")
+    assert(a._2 == 5, s"n_docs counts null-text docs too: $a")
+    // 6+6+9+7 tokens; the null doc contributes none
+    assert(a._3 == 28, s"token total: $a")
+    // docs 1/2 share a fingerprint; null-text doc has none
+    assert(a._4 == 3 && a._5 == (5 - 3).toDouble / 5.0, s"dup accounting: $a")
+    // language votes: en=2, fr=1, de=1; null doc doesn't vote
+    assert(a._6 == "en" && a._7 == 2 && a._8 == 2.0 / 5.0, s"majority lang: $a")
+
+    // source b ties en=1, fr=1 — deterministic alphabetical tie-break
+    val b = got("b")
+    assert(b._6 == "de" || b._6 == "en" || b._6 == "fr", s"sanity: $b")
+    assert(b._7 == 1, s"tie vote count: $b")
+    // the tie-break is (count desc, lang asc): 'en' vs 'fr' → 'en'...
+    // unless the short 'le chien' votes differently — pin whatever the
+    // shared lang_id kernel says, which is what the card must surface
+    val langs = docs.filter($"source" === "b" && $"text".isNotNull)
+      .select(graft.functions.expressions.LangIdExpr.langId($"text"))
+      .as[String].collect().sorted
+    assert(b._6 == langs.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (l, c) => (-c, l) }.head._1, s"card majority diverged from lang_id: $b")
+  }
+
   test("gopherGate: each rule trips on a crafted doc, a clean doc passes, null text fails closed") {
     val good = "the quick brown fox jumps over the lazy dog and then " +
       "sits down with a friendly cat to have a long talk about dinner plans"
