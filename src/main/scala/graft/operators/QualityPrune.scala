@@ -157,4 +157,39 @@ object QualityPrune {
           .when(!col("r_bullet"), "bullet")
           .when(!col("r_symbol"), "symbol"))
   }
+
+  /** [[gopherGate]] as a row FILTER that keeps the input's own columns —
+    * the form that composes: `startUnified(keepByGopher(stream, ...),
+    * ...)` puts the heuristic gate in front of a streaming ingest as a
+    * stateless projection+filter (no state, no watermark, replay-safe
+    * because it is a pure function of each row), and batch pipelines
+    * chain it like any other transform. The audit form (flags +
+    * fail_reason) stays [[gopherGate]]; this is the enforcement form.
+    * Null text fails closed here too.
+    */
+  def keepByGopher(
+      docs: DataFrame,
+      textCol: String,
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxEllipsisFrac: Double = 0.3,
+      maxBulletFrac: Double = 0.9,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol))
+    val pass =
+      g.getField("n_tokens") >= minTokens &&
+        g.getField("n_tokens") <= maxTokens &&
+        g.getField("mean_token_len") >= minMeanLen &&
+        g.getField("mean_token_len") <= maxMeanLen &&
+        g.getField("frac_alpha") >= minAlphaFrac &&
+        g.getField("n_stop_hits") >= minStopHits &&
+        g.getField("frac_ellipsis_lines") <= maxEllipsisFrac &&
+        g.getField("frac_bullet_lines") <= maxBulletFrac &&
+        g.getField("symbol_ratio") <= maxSymbolRatio
+    docs.filter(coalesce(pass, lit(false)))
+  }
 }

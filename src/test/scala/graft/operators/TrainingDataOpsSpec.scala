@@ -725,6 +725,34 @@ class TrainingDataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("keepByGopher filters to exactly gopherGate's keep set, preserving input columns; streams accept it") {
+    val docs = Seq[(Long, Option[String], String)](
+      (1L, Some("the quick brown fox jumps over the lazy dog and then " +
+        "sits down with a friendly cat to have a long talk about dinner plans"), "x"),
+      (2L, Some("too short"), "x"),
+      (3L, None, "x")).toDF("doc_id", "text", "extra")
+    val kept = QualityPrune.keepByGopher(docs, "text", minTokens = 20L)
+      .as[(Long, Option[String], String)].collect()
+    val expect = QualityPrune.gopherGate(docs, "doc_id", "text", minTokens = 20L)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet === expect)
+    assert(kept.map(_._1).toSet === Set(1L))
+    assert(kept.head._3 == "x", "input columns must survive")
+
+    // streaming-safe: a pure stateless filter plans in append mode
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = QualityPrune.keepByGopher(
+        input.toDF().toDF("doc_id", "text"), "text", minTokens = 20L)
+      .writeStream.format("memory").queryName("gopher_kept")
+      .outputMode("append").start()
+    input.addData((10L, ("word " * 30).trim + " the cat and that dog have fun with all of it to be sure"),
+      (11L, "tiny"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gopher_kept").select("doc_id").as[Long].collect()
+    assert(streamed.toSet === Set(10L))
+  }
+
   test("dataCard: volumes, dup fraction, majority language with deterministic tie-break, null-text accounting") {
     val docs = Seq[(Long, Option[String], String)](
       (1L, Some("the cat sat on the mat"), "a"),      // en
