@@ -1,0 +1,257 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.{CharEntropyExpr, CorpusStatsExpr, KmvSketchAgg}
+import graft.operators.Kmv
+import graft.sinks.KVTableSink
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming corpus data card —
+  * [[graft.operators.TrainingPrep.dataCard]]'s bounded-state twin: the
+  * per-source datasheet (docs, tokens, duplicate fraction, majority
+  * language, mean character entropy) maintained live across an
+  * unbounded ingest. Three state tables, each with the merge contract
+  * its summary admits (the [[DistStats]] doctrine):
+  *
+  *  - `<table>_add(source, n_docs, n_tokens, sum_ent_micro)` — pure
+  *    additive longs: batching-invariant AND exactly retirable
+  *    (subtraction re-derives each removed doc's contribution from its
+  *    text, the [[TokenizerStats]] pattern);
+  *  - `<table>_lang(source, lang_pred, lc)` — additive votes, same
+  *    contract;
+  *  - `<table>_fp(source, h)` — the ≤ k KMV minima of the per-doc
+  *    token-normalized fingerprints. Union is associative
+  *    (batching-invariant), but an evicted minimum is unrecoverable,
+  *    so the DISTINCT-DOC estimate (and therefore `dup_frac_est`) is
+  *    approximate and NOT retirable — [[retire]] subtracts the exact
+  *    tables and leaves the sketch, so after heavy takedowns the
+  *    estimate reads STALE-high until [[rebuildFp]] re-sketches the
+  *    survivors (the KMV trade, stated, not silent).
+  *
+  * At 100 TB: each batch pays one fused `corpus_stats`+`char_entropy`
+  * scan of ITS OWN rows; every merge touches state-sized frames
+  * (≤ |sources| + |sources|·|langs| + |sources|·k rows); [[card]]
+  * reads the states alone — no corpus pass, ever.
+  */
+object DataCard {
+
+  val addStateSchema: StructType = new StructType()
+    .add("source", StringType)
+    .add("n_docs", LongType, nullable = false)
+    .add("n_tokens", LongType, nullable = false)
+    .add("sum_ent_micro", LongType, nullable = false)
+
+  val langStateSchema: StructType = new StructType()
+    .add("source", StringType)
+    .add("lang_pred", StringType)
+    .add("lc", LongType, nullable = false)
+
+  val fpStateSchema: StructType = new StructType()
+    .add("source", StringType)
+    .add("h", LongType, nullable = false)
+
+  /** One fused scan of a batch's rows into the per-doc stats frame —
+    * the same kernels and null semantics as the batch card (null text:
+    * no tokens, no vote, no fingerprint, no entropy).
+    */
+  private def docStats(batch: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    batch
+      .select(
+        col(sourceCol).alias("source"),
+        CorpusStatsExpr.corpusStats(col(textCol)).as("cs"),
+        CharEntropyExpr.charEntropy(col(textCol)).alias("ent_micro"))
+      .select(
+        col("source"),
+        col("cs.n_tokens").alias("n_tokens"),
+        col("cs.lang_pred").alias("lang_pred"),
+        col("cs.fp").alias("fp"),
+        col("ent_micro"))
+
+  private def addDelta(st: DataFrame): DataFrame =
+    st.groupBy("source")
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).alias("n_tokens"),
+        coalesce(sum("ent_micro"), lit(0L)).alias("sum_ent_micro"))
+
+  private def langDelta(st: DataFrame): DataFrame =
+    st.filter(col("lang_pred").isNotNull)
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).alias("lc"))
+
+  def mergeAddState(state: DataFrame, batch: DataFrame,
+      sourceCol: String, textCol: String): DataFrame =
+    StateMerge.fullOuterMerge(
+      state, addDelta(docStats(batch, sourceCol, textCol)),
+      keyCols = Seq("source"),
+      valueCombiners = Seq(
+        "n_docs" -> StateMerge.addLong,
+        "n_tokens" -> StateMerge.addLong,
+        "sum_ent_micro" -> StateMerge.addLong))
+
+  def mergeLangState(state: DataFrame, batch: DataFrame,
+      sourceCol: String, textCol: String): DataFrame =
+    StateMerge.fullOuterMerge(
+      state, langDelta(docStats(batch, sourceCol, textCol)),
+      keyCols = Seq("source", "lang_pred"),
+      valueCombiners = Seq("lc" -> StateMerge.addLong))
+
+  def mergeFpState(state: DataFrame, batch: DataFrame,
+      sourceCol: String, textCol: String, k: Int): DataFrame = {
+    val minima = docStats(batch, sourceCol, textCol)
+      .filter(col("fp").isNotNull)
+      .groupBy("source")
+      .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
+      .select(col("source"), explode(col("kmv")).alias("h"))
+    state.unionByName(minima)
+      .distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** The live card — read the three states, no corpus pass. Shape
+    * matches the batch card with `dup_frac` replaced by the KMV
+    * estimate pair (`est_distinct_fp`, `dup_frac_est`, clamped at 0 —
+    * the estimator can overshoot `n_docs` on near-dup-free sources).
+    */
+  def card(spark: SparkSession, sink: KVTableSink, table: String, k: Int): DataFrame = {
+    val add = sink.read(spark, s"${table}_add", addStateSchema)
+    val lang = sink.read(spark, s"${table}_lang", langStateSchema)
+    val fp = sink.read(spark, s"${table}_fp", fpStateSchema)
+    val w = Window.partitionBy("source").orderBy(col("lc").desc, col("lang_pred").asc)
+    val top = lang
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang_pred").alias("top_lang"),
+        col("lc").alias("top_lang_docs"))
+    add
+      .join(broadcast(Kmv.estimateFromMinimaRows(fp, k)
+        .withColumnRenamed("est_distinct", "est_distinct_fp")), Seq("source"), "left")
+      .join(broadcast(top), Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("est_distinct_fp"),
+        greatest(lit(0.0),
+          (col("n_docs") - col("est_distinct_fp")).cast("double") /
+            col("n_docs").cast("double")).alias("dup_frac_est"),
+        col("top_lang"), col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .alias("top_lang_share"),
+        col("sum_ent_micro"),
+        (col("sum_ent_micro").cast("double") / col("n_docs").cast("double") /
+          lit(1000000.0)).alias("mean_ent"))
+  }
+
+  /** Exact retirement of the ADDITIVE tables: each removed doc's
+    * contribution is re-derived from its text and subtracted; zeroed
+    * rows are pruned. The fingerprint sketch is NOT touched (an
+    * evicted minimum is unrecoverable) — see [[rebuildFp]]. The
+    * subtraction is not idempotent per row, so a retireId ack guards
+    * replays and `idCol` (when given) enforces one row per doc.
+    */
+  def retire(
+      removedDocs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String,
+      retireId: Long,
+      idCol: Option[String] = None): Unit = {
+    val spark = removedDocs.sparkSession
+    if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
+    val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
+    val st = docStats(uniq, sourceCol, textCol).localCheckpoint(true)
+    val subLong = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      coalesce(a, lit(0L)) - coalesce(b, lit(0L))
+    val add = sink.read(spark, s"${table}_add", addStateSchema)
+    sink.write(
+      StateMerge.fullOuterMerge(add, addDelta(st), Seq("source"), Seq(
+          "n_docs" -> subLong, "n_tokens" -> subLong, "sum_ent_micro" -> subLong))
+        .filter(col("n_docs") > 0L),
+      s"${table}_add", SaveMode.Overwrite)
+    val lang = sink.read(spark, s"${table}_lang", langStateSchema)
+    sink.write(
+      StateMerge.fullOuterMerge(lang, langDelta(st), Seq("source", "lang_pred"),
+          Seq("lc" -> subLong))
+        .filter(col("lc") > 0L),
+      s"${table}_lang", SaveMode.Overwrite)
+    DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+  }
+
+  /** Re-sketch the fingerprint minima from the surviving corpus — the
+    * post-takedown path that makes `dup_frac_est` honest again. One
+    * pass over `survivors` (the corpus read the sketch otherwise never
+    * needs), state back to ≤ k rows per source.
+    */
+  def rebuildFp(
+      survivors: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      sink: KVTableSink,
+      table: String,
+      k: Int): Unit = {
+    val spark = survivors.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpStateSchema)
+    sink.write(
+      mergeFpState(empty, survivors, sourceCol, textCol, k),
+      s"${table}_fp", SaveMode.Overwrite)
+  }
+
+  /** Per-table acks (the [[DistStats]] doctrine): a crash between
+    * state writes must not double-add on replay.
+    */
+  private[streaming] def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sourceCol: String,
+      textCol: String,
+      k: Int,
+      sink: KVTableSink,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).isEmpty) return
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_add", batchId)) {
+      val add = sink.read(spark, s"${table}_add", addStateSchema)
+      sink.write(mergeAddState(add, batch, sourceCol, textCol),
+        s"${table}_add", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}_add", batchId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_lang", batchId)) {
+      val lang = sink.read(spark, s"${table}_lang", langStateSchema)
+      sink.write(mergeLangState(lang, batch, sourceCol, textCol),
+        s"${table}_lang", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}_lang", batchId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_fp", batchId)) {
+      val fp = sink.read(spark, s"${table}_fp", fpStateSchema)
+      sink.write(mergeFpState(fp, batch, sourceCol, textCol, k),
+        s"${table}_fp", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}_fp", batchId)
+    }
+  }
+
+  /** Start the card ingest over a streaming frame. */
+  def start(
+      docs: DataFrame,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      k: Int = 256): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, sourceCol, textCol, k, sink, table)
+      }
+      .start()
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import graft.functions.expressions.KmvSketchAgg
+import graft.operators.TrainingPrep
+import graft.sinks.{InMemoryKVSink, ParquetKVSink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** The tier's contract: the additive tables are batching-invariant
+  * and match the one-pass batch `dataCard` exactly; the fingerprint
+  * sketch equals the one-pass KMV over everything ingested (union
+  * associativity); retirement subtracts the additive tables exactly
+  * and leaves the sketch (the documented KMV trade) until `rebuildFp`.
+  */
+class DataCardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trigger = Trigger.ProcessingTime("50 milliseconds")
+  private val k = 16
+
+  private def doc(i: Int): (Long, String, String) = {
+    val src = s"s${i % 3}"
+    val txt =
+      if (i % 7 == 0) "the cat sat on the mat"          // exact dups across i
+      else if (i % 3 == 1) s"le chat ${i} est sur le tapis et il dort bien"
+      else s"the dog ${i} ran far and fast with joy"
+    (i.toLong, txt, src)
+  }
+
+  test("streamed card equals the batch dataCard on additive fields; sketch equals one-pass KMV") {
+    val all = (0 until 90).map(doc)
+    val batches = Seq(all.slice(0, 40), all.slice(40, 55), all.slice(55, 90))
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    val sink = new ParquetKVSink(Files.createTempDirectory("graft-card").toString)
+    val ckpt = Files.createTempDirectory("graft-card-ckpt").toString
+    val q = DataCard.start(
+      input.toDF().toDF("doc_id", "text", "source"), sink, "card", ckpt,
+      trigger, "source", "text", k)
+    batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
+    q.stop()
+
+    val live = DataCard.card(spark, sink, "card", k)
+      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs",
+        "sum_ent_micro", "mean_ent")
+      .as[(String, Long, Long, String, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val batch = TrainingPrep.dataCard(all.toDF("doc_id", "text", "source"), "text", "source")
+      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs",
+        "sum_ent_micro", "mean_ent")
+      .as[(String, Long, Long, String, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(live.keySet === batch.keySet)
+    live.keySet.foreach(s => assert(live(s) === batch(s), s"source $s diverged"))
+
+    // the sketch state IS the one-pass KMV over everything ingested
+    val liveMinima = sink.read(spark, "card_fp", DataCard.fpStateSchema)
+      .as[(String, Long)].collect().toSet
+    val onePass = all.toDF("doc_id", "text", "source")
+      .select(col("source"),
+        graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
+          .getField("fp").alias("fp"))
+      .groupBy("source")
+      .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
+      .select(col("source"), explode(col("kmv")).alias("h"))
+      .as[(String, Long)].collect().toSet
+    assert(liveMinima === onePass)
+
+    // dup_frac_est is sensible: s0 carries the planted exact dups
+    val est = DataCard.card(spark, sink, "card", k)
+      .select("source", "dup_frac_est").as[(String, Double)].collect().toMap
+    assert(est.values.forall(v => v >= 0.0 && v < 1.0))
+    assert(est("s0") > 0.0, s"planted dups invisible: $est")
+  }
+
+  test("replay is a no-op; retire subtracts additive tables exactly and rebuildFp re-honests the sketch") {
+    val sink = new InMemoryKVSink
+    val rows = (0 until 60).map(doc).toDF("doc_id", "text", "source")
+    DataCard.applyBatch(rows, 0L, "source", "text", k, sink, "card")
+    val first = DataCard.card(spark, sink, "card", k).collect().map(_.toSeq).toSet
+    DataCard.applyBatch(rows, 0L, "source", "text", k, sink, "card") // acked replay
+    assert(DataCard.card(spark, sink, "card", k).collect().map(_.toSeq).toSet === first)
+
+    // retire 20 docs; additive fields must equal a fresh card over survivors
+    val (removed, kept) = (0 until 60).map(doc).partition(_._1 < 20)
+    DataCard.retire(removed.toDF("doc_id", "text", "source"),
+      "source", "text", sink, "card", retireId = 1L, idCol = Some("doc_id"))
+    // replayed retire: ack makes it a no-op
+    DataCard.retire(removed.toDF("doc_id", "text", "source"),
+      "source", "text", sink, "card", retireId = 1L, idCol = Some("doc_id"))
+    val after = DataCard.card(spark, sink, "card", k)
+      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs", "sum_ent_micro")
+      .as[(String, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val fresh = TrainingPrep.dataCard(kept.toDF("doc_id", "text", "source"), "text", "source")
+      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs", "sum_ent_micro")
+      .as[(String, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(after === fresh, s"retired additive state diverged:\n$after\n$fresh")
+
+    // the sketch was NOT retired (documented) — rebuild re-honests it
+    DataCard.rebuildFp(kept.toDF("doc_id", "text", "source"),
+      "source", "text", sink, "card", k)
+    val rebuilt = sink.read(spark, "card_fp", DataCard.fpStateSchema)
+      .as[(String, Long)].collect().toSet
+    val onePassKept = kept.toDF("doc_id", "text", "source")
+      .select(col("source"),
+        graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
+          .getField("fp").alias("fp"))
+      .groupBy("source")
+      .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
+      .select(col("source"), explode(col("kmv")).alias("h"))
+      .as[(String, Long)].collect().toSet
+    assert(rebuilt === onePassKept)
+  }
+}
