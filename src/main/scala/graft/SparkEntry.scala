@@ -4688,9 +4688,10 @@ object SparkEntry {
                   FROM f JOIN n USING (doc_id) GROUP BY f.doc_id),
           base AS (SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(count(fp) AS BIGINT) AS n_texted,
+                     CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
                      CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
-                     CAST(sum(ent_micro) AS BIGINT) AS sum_ent_micro
+                     CAST(coalesce(sum(ent_micro), 0) AS BIGINT) AS sum_ent_micro
                    FROM sc LEFT JOIN ent USING (doc_id)
                    GROUP BY source),
           votes AS (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS lc
@@ -4700,8 +4701,8 @@ object SparkEntry {
                   FROM (SELECT *, row_number() OVER (PARTITION BY source
                           ORDER BY lc DESC, lang_pred ASC) AS rn FROM votes)
                   WHERE rn = 1)
-          SELECT base.source, n_docs, n_tokens, n_unique,
-                 CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+          SELECT base.source, n_docs, n_texted, n_tokens, n_unique,
+                 CAST(n_texted - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
                  top_lang, top_lang_docs,
                  CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share,
                  sum_ent_micro,

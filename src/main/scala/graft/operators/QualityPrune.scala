@@ -129,34 +129,40 @@ object QualityPrune {
         col("g.frac_ellipsis_lines").as("frac_ellipsis_lines"),
         col("g.frac_bullet_lines").as("frac_bullet_lines"),
         col("g.symbol_ratio").as("symbol_ratio"))
-    val rLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
-    val rMean = col("mean_token_len") >= minMeanLen &&
-      col("mean_token_len") <= maxMeanLen
-    val rAlpha = col("frac_alpha") >= minAlphaFrac
-    val rStop = col("n_stop_hits") >= minStopHits
-    val rEll = col("frac_ellipsis_lines") <= maxEllipsisFrac
-    val rBul = col("frac_bullet_lines") <= maxBulletFrac
-    val rSym = col("symbol_ratio") <= maxSymbolRatio
-    st
-      .withColumn("r_len", coalesce(rLen, lit(false)))
-      .withColumn("r_mean_len", coalesce(rMean, lit(false)))
-      .withColumn("r_alpha", coalesce(rAlpha, lit(false)))
-      .withColumn("r_stop", coalesce(rStop, lit(false)))
-      .withColumn("r_ellipsis", coalesce(rEll, lit(false)))
-      .withColumn("r_bullet", coalesce(rBul, lit(false)))
-      .withColumn("r_symbol", coalesce(rSym, lit(false)))
+    val rules = gopherRules(col, minTokens, maxTokens, minMeanLen, maxMeanLen,
+      minAlphaFrac, minStopHits, maxEllipsisFrac, maxBulletFrac, maxSymbolRatio)
+    val flagged = rules.foldLeft(st) { case (df, (name, rule)) =>
+      df.withColumn(s"r_$name", coalesce(rule, lit(false)))
+    }
+    flagged
       .withColumn("keep",
-        col("r_len") && col("r_mean_len") && col("r_alpha") && col("r_stop") &&
-          col("r_ellipsis") && col("r_bullet") && col("r_symbol"))
+        rules.map { case (name, _) => col(s"r_$name") }.reduce(_ && _))
       .withColumn("fail_reason",
-        when(!col("r_len"), "len")
-          .when(!col("r_mean_len"), "mean_len")
-          .when(!col("r_alpha"), "alpha")
-          .when(!col("r_stop"), "stop")
-          .when(!col("r_ellipsis"), "ellipsis")
-          .when(!col("r_bullet"), "bullet")
-          .when(!col("r_symbol"), "symbol"))
+        rules.tail.foldLeft(when(!col(s"r_${rules.head._1}"), rules.head._1)) {
+          case (c, (name, _)) => c.when(!col(s"r_$name"), name)
+        })
   }
+
+  /** The seven rule predicates over a field accessor — ONE definition
+    * shared by [[gopherGate]] (flat columns, per-rule flags) and
+    * [[keepByGopher]] (struct fields, one AND), so the enforcement
+    * filter can never drift from the audit report.
+    */
+  private def gopherRules(
+      f: String => Column,
+      minTokens: Long, maxTokens: Long,
+      minMeanLen: Double, maxMeanLen: Double,
+      minAlphaFrac: Double, minStopHits: Long,
+      maxEllipsisFrac: Double, maxBulletFrac: Double,
+      maxSymbolRatio: Double): Seq[(String, Column)] = Seq(
+    "len" -> (f("n_tokens") >= minTokens && f("n_tokens") <= maxTokens),
+    "mean_len" -> (f("mean_token_len") >= minMeanLen &&
+      f("mean_token_len") <= maxMeanLen),
+    "alpha" -> (f("frac_alpha") >= minAlphaFrac),
+    "stop" -> (f("n_stop_hits") >= minStopHits),
+    "ellipsis" -> (f("frac_ellipsis_lines") <= maxEllipsisFrac),
+    "bullet" -> (f("frac_bullet_lines") <= maxBulletFrac),
+    "symbol" -> (f("symbol_ratio") <= maxSymbolRatio))
 
   /** [[gopherGate]] as a row FILTER that keeps the input's own columns —
     * the form that composes: `startUnified(keepByGopher(stream, ...),
@@ -180,16 +186,9 @@ object QualityPrune {
       maxBulletFrac: Double = 0.9,
       maxSymbolRatio: Double = 0.1): DataFrame = {
     val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol))
-    val pass =
-      g.getField("n_tokens") >= minTokens &&
-        g.getField("n_tokens") <= maxTokens &&
-        g.getField("mean_token_len") >= minMeanLen &&
-        g.getField("mean_token_len") <= maxMeanLen &&
-        g.getField("frac_alpha") >= minAlphaFrac &&
-        g.getField("n_stop_hits") >= minStopHits &&
-        g.getField("frac_ellipsis_lines") <= maxEllipsisFrac &&
-        g.getField("frac_bullet_lines") <= maxBulletFrac &&
-        g.getField("symbol_ratio") <= maxSymbolRatio
+    val pass = gopherRules(g.getField, minTokens, maxTokens, minMeanLen,
+      maxMeanLen, minAlphaFrac, minStopHits, maxEllipsisFrac, maxBulletFrac,
+      maxSymbolRatio).map(_._2).reduce(_ && _)
     docs.filter(coalesce(pass, lit(false)))
   }
 }

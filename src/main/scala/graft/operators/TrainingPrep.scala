@@ -99,10 +99,12 @@ object TrainingPrep {
     * |sources|·|langs| vote table back onto ≤ |sources| rows. Raw text
     * never shuffles; the exchanges carry counts and fingerprints.
     * Null-text docs count toward `n_docs` but contribute no tokens, no
-    * fingerprint, no language vote, and no entropy (their stats are
-    * null — the family's null-intolerant contract); means divide by
-    * `n_docs`, so a null-heavy source reads as low-volume, not as
-    * missing.
+    * fingerprint, no language vote, and no entropy (the family's
+    * null-intolerant contract): sums coalesce to 0, `dup_frac` counts
+    * duplicate mass among TEXTED docs only (`(n_texted − n_unique) /
+    * n_docs` — a null-text doc is not a duplicate of anything), and
+    * means divide by `n_docs`, so a null-heavy source reads as
+    * low-volume, not as missing.
     */
   def dataCard(
       docs: DataFrame,
@@ -124,9 +126,10 @@ object TrainingPrep {
       .groupBy("source")
       .agg(
         count(lit(1)).alias("n_docs"),
-        sum("n_tokens").alias("n_tokens"),
+        count(col("fp")).alias("n_texted"),
+        coalesce(sum("n_tokens"), lit(0L)).alias("n_tokens"),
         countDistinct("fp").alias("n_unique"),
-        sum("ent_micro").alias("sum_ent_micro"))
+        coalesce(sum("ent_micro"), lit(0L)).alias("sum_ent_micro"))
     val votes = st
       .filter(col("lang_pred").isNotNull)
       .groupBy("source", "lang_pred")
@@ -143,9 +146,13 @@ object TrainingPrep {
       .select(
         col("source"),
         col("n_docs"),
+        col("n_texted"),
         col("n_tokens"),
         col("n_unique"),
-        ((col("n_docs") - col("n_unique")).cast("double") /
+        // duplicate mass among TEXTED docs only: a null-text doc has no
+        // fingerprint and is not a duplicate of anything — counting it
+        // in the numerator would inflate the fraction with null share
+        ((col("n_texted") - col("n_unique")).cast("double") /
           col("n_docs").cast("double")).alias("dup_frac"),
         col("top_lang"),
         col("top_lang_docs"),

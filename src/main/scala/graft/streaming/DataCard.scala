@@ -42,6 +42,7 @@ object DataCard {
   val addStateSchema: StructType = new StructType()
     .add("source", StringType)
     .add("n_docs", LongType, nullable = false)
+    .add("n_texted", LongType, nullable = false)
     .add("n_tokens", LongType, nullable = false)
     .add("sum_ent_micro", LongType, nullable = false)
 
@@ -56,7 +57,9 @@ object DataCard {
 
   /** One fused scan of a batch's rows into the per-doc stats frame —
     * the same kernels and null semantics as the batch card (null text:
-    * no tokens, no vote, no fingerprint, no entropy).
+    * no tokens, no vote, no fingerprint, no entropy). [[applyBatch]]
+    * materializes this ONCE per batch and all three merges consume the
+    * checkpointed frame — the batch is never re-scanned per table.
     */
   private def docStats(batch: DataFrame, sourceCol: String, textCol: String): DataFrame =
     batch
@@ -75,6 +78,7 @@ object DataCard {
     st.groupBy("source")
       .agg(
         count(lit(1)).alias("n_docs"),
+        count(col("fp")).alias("n_texted"),
         coalesce(sum("n_tokens"), lit(0L)).alias("n_tokens"),
         coalesce(sum("ent_micro"), lit(0L)).alias("sum_ent_micro"))
 
@@ -83,26 +87,27 @@ object DataCard {
       .groupBy("source", "lang_pred")
       .agg(count(lit(1)).alias("lc"))
 
-  def mergeAddState(state: DataFrame, batch: DataFrame,
-      sourceCol: String, textCol: String): DataFrame =
+  /** Merge a batch's PRE-COMPUTED per-doc stats frame ([[docStats]]
+    * output) into the additive state.
+    */
+  def mergeAddState(state: DataFrame, stats: DataFrame): DataFrame =
     StateMerge.fullOuterMerge(
-      state, addDelta(docStats(batch, sourceCol, textCol)),
+      state, addDelta(stats),
       keyCols = Seq("source"),
       valueCombiners = Seq(
         "n_docs" -> StateMerge.addLong,
+        "n_texted" -> StateMerge.addLong,
         "n_tokens" -> StateMerge.addLong,
         "sum_ent_micro" -> StateMerge.addLong))
 
-  def mergeLangState(state: DataFrame, batch: DataFrame,
-      sourceCol: String, textCol: String): DataFrame =
+  def mergeLangState(state: DataFrame, stats: DataFrame): DataFrame =
     StateMerge.fullOuterMerge(
-      state, langDelta(docStats(batch, sourceCol, textCol)),
+      state, langDelta(stats),
       keyCols = Seq("source", "lang_pred"),
       valueCombiners = Seq("lc" -> StateMerge.addLong))
 
-  def mergeFpState(state: DataFrame, batch: DataFrame,
-      sourceCol: String, textCol: String, k: Int): DataFrame = {
-    val minima = docStats(batch, sourceCol, textCol)
+  def mergeFpState(state: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val minima = stats
       .filter(col("fp").isNotNull)
       .groupBy("source")
       .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
@@ -134,11 +139,14 @@ object DataCard {
         .withColumnRenamed("est_distinct", "est_distinct_fp")), Seq("source"), "left")
       .join(broadcast(top), Seq("source"), "left")
       .select(
-        col("source"), col("n_docs"), col("n_tokens"),
+        col("source"), col("n_docs"), col("n_texted"), col("n_tokens"),
         col("est_distinct_fp"),
+        // duplicate mass only among TEXTED docs (the batch card's rule:
+        // a null-text doc is not a duplicate of anything); the clamp
+        // absorbs estimator overshoot and the no-fp-rows case
         greatest(lit(0.0),
-          (col("n_docs") - col("est_distinct_fp")).cast("double") /
-            col("n_docs").cast("double")).alias("dup_frac_est"),
+          (col("n_texted") - coalesce(col("est_distinct_fp"), lit(0L)))
+            .cast("double") / col("n_docs").cast("double")).alias("dup_frac_est"),
         col("top_lang"), col("top_lang_docs"),
         (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
           .alias("top_lang_share"),
@@ -163,24 +171,33 @@ object DataCard {
       retireId: Long,
       idCol: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
-    if (DedupIngest.alreadyApplied(spark, sink, s"${table}__retire", retireId)) return
     val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
     val st = docStats(uniq, sourceCol, textCol).localCheckpoint(true)
     val subLong = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       coalesce(a, lit(0L)) - coalesce(b, lit(0L))
-    val add = sink.read(spark, s"${table}_add", addStateSchema)
-    sink.write(
-      StateMerge.fullOuterMerge(add, addDelta(st), Seq("source"), Seq(
-          "n_docs" -> subLong, "n_tokens" -> subLong, "sum_ent_micro" -> subLong))
-        .filter(col("n_docs") > 0L),
-      s"${table}_add", SaveMode.Overwrite)
-    val lang = sink.read(spark, s"${table}_lang", langStateSchema)
-    sink.write(
-      StateMerge.fullOuterMerge(lang, langDelta(st), Seq("source", "lang_pred"),
-          Seq("lc" -> subLong))
-        .filter(col("lc") > 0L),
-      s"${table}_lang", SaveMode.Overwrite)
-    DedupIngest.markApplied(spark, sink, s"${table}__retire", retireId)
+    // PER-TABLE retire acks (the TokenizerStats/SearchIndex doctrine):
+    // a crash between the two writes re-applies ONLY the write that
+    // never committed — one end-of-function ack would double-subtract
+    // the already-written table on re-run
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_add__retire", retireId)) {
+      val add = sink.read(spark, s"${table}_add", addStateSchema)
+      sink.write(
+        StateMerge.fullOuterMerge(add, addDelta(st), Seq("source"), Seq(
+            "n_docs" -> subLong, "n_texted" -> subLong,
+            "n_tokens" -> subLong, "sum_ent_micro" -> subLong))
+          .filter(col("n_docs") > 0L),
+        s"${table}_add", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}_add__retire", retireId)
+    }
+    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_lang__retire", retireId)) {
+      val lang = sink.read(spark, s"${table}_lang", langStateSchema)
+      sink.write(
+        StateMerge.fullOuterMerge(lang, langDelta(st), Seq("source", "lang_pred"),
+            Seq("lc" -> subLong))
+          .filter(col("lc") > 0L),
+        s"${table}_lang", SaveMode.Overwrite)
+      DedupIngest.markApplied(spark, sink, s"${table}_lang__retire", retireId)
+    }
   }
 
   /** Re-sketch the fingerprint minima from the surviving corpus — the
@@ -199,7 +216,7 @@ object DataCard {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpStateSchema)
     sink.write(
-      mergeFpState(empty, survivors, sourceCol, textCol, k),
+      mergeFpState(empty, docStats(survivors, sourceCol, textCol), k),
       s"${table}_fp", SaveMode.Overwrite)
   }
 
@@ -216,22 +233,26 @@ object DataCard {
       table: String): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty) return
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_add", batchId)) {
+    val addDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_add", batchId)
+    val langDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_lang", batchId)
+    val fpDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_fp", batchId)
+    if (addDone && langDone && fpDone) return
+    // ONE fused kernel pass over the batch; all three merges consume
+    // the checkpointed stats frame (per-doc scalars — tiny vs text)
+    val st = docStats(batch, sourceCol, textCol).localCheckpoint(true)
+    if (!addDone) {
       val add = sink.read(spark, s"${table}_add", addStateSchema)
-      sink.write(mergeAddState(add, batch, sourceCol, textCol),
-        s"${table}_add", SaveMode.Overwrite)
+      sink.write(mergeAddState(add, st), s"${table}_add", SaveMode.Overwrite)
       DedupIngest.markApplied(spark, sink, s"${table}_add", batchId)
     }
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_lang", batchId)) {
+    if (!langDone) {
       val lang = sink.read(spark, s"${table}_lang", langStateSchema)
-      sink.write(mergeLangState(lang, batch, sourceCol, textCol),
-        s"${table}_lang", SaveMode.Overwrite)
+      sink.write(mergeLangState(lang, st), s"${table}_lang", SaveMode.Overwrite)
       DedupIngest.markApplied(spark, sink, s"${table}_lang", batchId)
     }
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_fp", batchId)) {
+    if (!fpDone) {
       val fp = sink.read(spark, s"${table}_fp", fpStateSchema)
-      sink.write(mergeFpState(fp, batch, sourceCol, textCol, k),
-        s"${table}_fp", SaveMode.Overwrite)
+      sink.write(mergeFpState(fp, st, k), s"${table}_fp", SaveMode.Overwrite)
       DedupIngest.markApplied(spark, sink, s"${table}_fp", batchId)
     }
   }

@@ -764,31 +764,33 @@ class TrainingDataOpsSpec extends SparkTestBase {
       (7L, Some("le chien"), "b")).toDF("doc_id", "text", "source")
 
     val got = TrainingPrep.dataCard(docs, "text", "source")
-      .select("source", "n_docs", "n_tokens", "n_unique", "dup_frac",
+      .select("source", "n_docs", "n_texted", "n_tokens", "n_unique", "dup_frac",
         "top_lang", "top_lang_docs", "top_lang_share")
-      .as[(String, Long, Long, Long, Double, String, Long, Double)]
+      .as[(String, Long, Long, Long, Long, Double, String, Long, Double)]
       .collect().map(r => r._1 -> r).toMap
 
     val a = got("a")
     assert(a._2 == 5, s"n_docs counts null-text docs too: $a")
+    assert(a._3 == 4, s"n_texted excludes the null-text doc: $a")
     // 6+6+9+7 tokens; the null doc contributes none
-    assert(a._3 == 28, s"token total: $a")
-    // docs 1/2 share a fingerprint; null-text doc has none
-    assert(a._4 == 3 && a._5 == (5 - 3).toDouble / 5.0, s"dup accounting: $a")
+    assert(a._4 == 28, s"token total: $a")
+    // docs 1/2 share a fingerprint; the null-text doc has none and is
+    // NOT a duplicate: dup mass = texted - unique = 4 - 3
+    assert(a._5 == 3 && a._6 == (4 - 3).toDouble / 5.0, s"dup accounting: $a")
     // language votes: en=2, fr=1, de=1; null doc doesn't vote
-    assert(a._6 == "en" && a._7 == 2 && a._8 == 2.0 / 5.0, s"majority lang: $a")
+    assert(a._7 == "en" && a._8 == 2 && a._9 == 2.0 / 5.0, s"majority lang: $a")
 
     // source b ties en=1, fr=1 — deterministic alphabetical tie-break
     val b = got("b")
-    assert(b._6 == "de" || b._6 == "en" || b._6 == "fr", s"sanity: $b")
-    assert(b._7 == 1, s"tie vote count: $b")
+    assert(b._7 == "de" || b._7 == "en" || b._7 == "fr", s"sanity: $b")
+    assert(b._8 == 1, s"tie vote count: $b")
     // the tie-break is (count desc, lang asc): 'en' vs 'fr' → 'en'...
     // unless the short 'le chien' votes differently — pin whatever the
     // shared lang_id kernel says, which is what the card must surface
     val langs = docs.filter($"source" === "b" && $"text".isNotNull)
       .select(graft.functions.expressions.LangIdExpr.langId($"text"))
       .as[String].collect().sorted
-    assert(b._6 == langs.groupBy(identity).view.mapValues(_.length).toSeq
+    assert(b._7 == langs.groupBy(identity).view.mapValues(_.length).toSeq
       .sortBy { case (l, c) => (-c, l) }.head._1, s"card majority diverged from lang_id: $b")
   }
 

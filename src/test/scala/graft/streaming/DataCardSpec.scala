@@ -26,7 +26,8 @@ class DataCardSpec extends SparkTestBase {
   private def doc(i: Int): (Long, String, String) = {
     val src = s"s${i % 3}"
     val txt =
-      if (i % 7 == 0) "the cat sat on the mat"          // exact dups across i
+      if (i % 11 == 5) null                             // null text rides along
+      else if (i % 7 == 0) "the cat sat on the mat"     // exact dups across i
       else if (i % 3 == 1) s"le chat ${i} est sur le tapis et il dort bien"
       else s"the dog ${i} ran far and fast with joy"
     (i.toLong, txt, src)
@@ -46,14 +47,14 @@ class DataCardSpec extends SparkTestBase {
     q.stop()
 
     val live = DataCard.card(spark, sink, "card", k)
-      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs",
-        "sum_ent_micro", "mean_ent")
-      .as[(String, Long, Long, String, Long, Long, Double)]
+      .select("source", "n_docs", "n_texted", "n_tokens", "top_lang",
+        "top_lang_docs", "sum_ent_micro", "mean_ent")
+      .as[(String, Long, Long, Long, String, Long, Long, Double)]
       .collect().map(r => r._1 -> r).toMap
     val batch = TrainingPrep.dataCard(all.toDF("doc_id", "text", "source"), "text", "source")
-      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs",
-        "sum_ent_micro", "mean_ent")
-      .as[(String, Long, Long, String, Long, Long, Double)]
+      .select("source", "n_docs", "n_texted", "n_tokens", "top_lang",
+        "top_lang_docs", "sum_ent_micro", "mean_ent")
+      .as[(String, Long, Long, Long, String, Long, Long, Double)]
       .collect().map(r => r._1 -> r).toMap
     assert(live.keySet === batch.keySet)
     live.keySet.foreach(s => assert(live(s) === batch(s), s"source $s diverged"))
@@ -65,6 +66,7 @@ class DataCardSpec extends SparkTestBase {
       .select(col("source"),
         graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
           .getField("fp").alias("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy("source")
       .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
       .select(col("source"), explode(col("kmv")).alias("h"))
@@ -94,11 +96,13 @@ class DataCardSpec extends SparkTestBase {
     DataCard.retire(removed.toDF("doc_id", "text", "source"),
       "source", "text", sink, "card", retireId = 1L, idCol = Some("doc_id"))
     val after = DataCard.card(spark, sink, "card", k)
-      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs", "sum_ent_micro")
-      .as[(String, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      .select("source", "n_docs", "n_texted", "n_tokens", "top_lang",
+        "top_lang_docs", "sum_ent_micro")
+      .as[(String, Long, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     val fresh = TrainingPrep.dataCard(kept.toDF("doc_id", "text", "source"), "text", "source")
-      .select("source", "n_docs", "n_tokens", "top_lang", "top_lang_docs", "sum_ent_micro")
-      .as[(String, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      .select("source", "n_docs", "n_texted", "n_tokens", "top_lang",
+        "top_lang_docs", "sum_ent_micro")
+      .as[(String, Long, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(after === fresh, s"retired additive state diverged:\n$after\n$fresh")
 
     // the sketch was NOT retired (documented) — rebuild re-honests it
@@ -110,6 +114,7 @@ class DataCardSpec extends SparkTestBase {
       .select(col("source"),
         graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
           .getField("fp").alias("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy("source")
       .agg(KmvSketchAgg.kmvSketch(TextFunctions.md5Hash60(col("fp")), k).alias("kmv"))
       .select(col("source"), explode(col("kmv")).alias("h"))
