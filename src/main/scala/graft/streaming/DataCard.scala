@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * unbounded ingest. Three state tables, each with the merge contract
   * its summary admits (the [[DistStats]] doctrine):
   *
-  *  - `<table>_add(source, n_docs, n_tokens, sum_ent_micro)` — pure
-  *    additive longs: batching-invariant AND exactly retirable
-  *    (subtraction re-derives each removed doc's contribution from its
-  *    text, the [[TokenizerStats]] pattern);
+  *  - `<table>_add(source, n_docs, n_texted, n_tokens, sum_ent_micro)`
+  *    — pure additive longs (`n_texted` = docs with non-null text,
+  *    the dup-fraction denominator's honest numerator base):
+  *    batching-invariant AND exactly retirable (subtraction re-derives
+  *    each removed doc's contribution from its text, the
+  *    [[TokenizerStats]] pattern);
   *  - `<table>_lang(source, lang_pred, lc)` — additive votes, same
   *    contract;
   *  - `<table>_fp(source, h)` — the ≤ k KMV minima of the per-doc
@@ -142,10 +144,14 @@ object DataCard {
         col("source"), col("n_docs"), col("n_texted"), col("n_tokens"),
         col("est_distinct_fp"),
         // duplicate mass only among TEXTED docs (the batch card's rule:
-        // a null-text doc is not a duplicate of anything); the clamp
-        // absorbs estimator overshoot and the no-fp-rows case
+        // a null-text doc is not a duplicate of anything). A MISSING
+        // sketch row (a crash between the _add and _fp writes, or a
+        // concurrent read) defaults the estimate to n_texted — zero
+        // claimed duplicates, the neutral reading — never to 0, which
+        // would report the source as entirely duplicate. The clamp
+        // absorbs estimator overshoot.
         greatest(lit(0.0),
-          (col("n_texted") - coalesce(col("est_distinct_fp"), lit(0L)))
+          (col("n_texted") - coalesce(col("est_distinct_fp"), col("n_texted")))
             .cast("double") / col("n_docs").cast("double")).alias("dup_frac_est"),
         col("top_lang"), col("top_lang_docs"),
         (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
@@ -171,15 +177,21 @@ object DataCard {
       retireId: Long,
       idCol: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
+    // PER-TABLE retire acks (the TokenizerStats/SearchIndex doctrine):
+    // a crash between the two writes re-applies ONLY the write that
+    // never committed — one end-of-function ack would double-subtract
+    // the already-written table on re-run. Check BOTH before touching
+    // removedDocs: a fully-acked replay must not pay the stats scan.
+    val addDone =
+      DedupIngest.alreadyApplied(spark, sink, s"${table}_add__retire", retireId)
+    val langDone =
+      DedupIngest.alreadyApplied(spark, sink, s"${table}_lang__retire", retireId)
+    if (addDone && langDone) return
     val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
     val st = docStats(uniq, sourceCol, textCol).localCheckpoint(true)
     val subLong = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       coalesce(a, lit(0L)) - coalesce(b, lit(0L))
-    // PER-TABLE retire acks (the TokenizerStats/SearchIndex doctrine):
-    // a crash between the two writes re-applies ONLY the write that
-    // never committed — one end-of-function ack would double-subtract
-    // the already-written table on re-run
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_add__retire", retireId)) {
+    if (!addDone) {
       val add = sink.read(spark, s"${table}_add", addStateSchema)
       sink.write(
         StateMerge.fullOuterMerge(add, addDelta(st), Seq("source"), Seq(
@@ -189,7 +201,7 @@ object DataCard {
         s"${table}_add", SaveMode.Overwrite)
       DedupIngest.markApplied(spark, sink, s"${table}_add__retire", retireId)
     }
-    if (!DedupIngest.alreadyApplied(spark, sink, s"${table}_lang__retire", retireId)) {
+    if (!langDone) {
       val lang = sink.read(spark, s"${table}_lang", langStateSchema)
       sink.write(
         StateMerge.fullOuterMerge(lang, langDelta(st), Seq("source", "lang_pred"),
