@@ -4181,11 +4181,13 @@ object SparkEntry {
           SELECT est_a, CAST(n_exact_a AS BIGINT) AS n_exact_a,
                  est_b, CAST(n_exact_b AS BIGINT) AS n_exact_b,
                  est_union,
-                 GREATEST(est_a + est_b - est_union, 0) AS est_intersect,
+                 LEAST(GREATEST(est_a + est_b - est_union, 0), est_a, est_b)
+                   AS est_intersect,
                  CAST(n_exact_intersect AS BIGINT) AS n_exact_intersect,
                  CASE WHEN est_a > 0
                       THEN CAST(round(1000.0 *
-                             GREATEST(est_a + est_b - est_union, 0) /
+                             LEAST(GREATEST(est_a + est_b - est_union, 0),
+                                   est_a, est_b) /
                              CAST(est_a AS DOUBLE)) AS BIGINT)
                       ELSE CAST(0 AS BIGINT) END AS containment_a_permille
           FROM est""",
@@ -4195,8 +4197,10 @@ object SparkEntry {
       s"""WITH wt AS (
             SELECT doc_id, source, n_chars,
                    CAST(round(
-                     ln((CAST(${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1)
-                        / POW(2, 60))
+                     ln(least(
+                       (CAST(${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1)
+                          / POW(2, 60),
+                       1 - 1e-9))
                      / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS pri_micro
             FROM documents
             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL

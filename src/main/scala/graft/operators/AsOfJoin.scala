@@ -52,13 +52,19 @@ object AsOfJoin {
 
     val rvType = right.schema(valueCol).dataType
     val tsType = right.schema(tsCol).dataType
+    // the matched (ts, value) travel as ONE struct so the reported
+    // asof value and asof_ts always come from the SAME right row
+    // (two parallel last() calls could disagree when a right value
+    // is null), and so duplicate-timestamp right rows have a
+    // deterministic winner (the struct is the window tiebreaker)
+    val rStruct = new org.apache.spark.sql.types.StructType()
+      .add("ts", tsType).add("v", rvType)
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(rvType))
-      .withColumn("__rts", lit(null).cast(tsType))
+      .withColumn("__r", lit(null).cast(rStruct))
     val r0 = right
       .select(col(keyCol), col(tsCol),
-        col(valueCol).alias("__rv"), col(tsCol).alias("__rts"))
+        struct(col(tsCol).alias("ts"), col(valueCol).alias("v")).alias("__r"))
       .withColumn("__side", lit(0))
     // align the right side to the left's full column set (nulls elsewhere)
     val rAligned = l.columns.foldLeft(r0) { (acc, c) =>
@@ -71,19 +77,28 @@ object AsOfJoin {
     // first), so an exactly-simultaneous right value is visible to the
     // left row — standard ASOF <=/>= semantics. Backward walks time
     // ascending (last right seen = most recent <=); forward walks time
-    // DESCENDING (last right seen = earliest >=).
+    // DESCENDING (last right seen = earliest >=). The __r struct is
+    // the third sort key: among right rows sharing (key, ts) the
+    // LARGEST value deterministically wins in both directions, so
+    // repeated runs (and any partitioning) agree on duplicate
+    // timestamps. This requires the value type to be orderable —
+    // true for every atomic type; as-of over array/map values has no
+    // meaningful "nearest" tiebreak anyway.
     val order =
-      if (direction == "backward") Seq(col(tsCol).asc, col("__side").asc)
-      else Seq(col(tsCol).desc, col("__side").asc)
+      if (direction == "backward")
+        Seq(col(tsCol).asc, col("__side").asc, col("__r").asc_nulls_first)
+      else
+        Seq(col(tsCol).desc, col("__side").asc, col("__r").asc_nulls_first)
     val w = Window
       .partitionBy(keyCol)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = u
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__asof", col("__m.v"))
+      .withColumn("__asof_ts", col("__m.ts"))
 
     // tolerance: null out matches farther than the allowed staleness —
     // row-local, after the window already found the nearest candidate
@@ -96,6 +111,6 @@ object AsOfJoin {
       .withColumn("__keep", col("__asof_ts").isNotNull && inTol)
       .withColumn(s"asof_$valueCol", when(col("__keep"), col("__asof")))
       .withColumn("asof_ts", when(col("__keep"), col("__asof_ts")))
-      .drop("__side", "__rv", "__rts", "__asof", "__asof_ts", "__keep")
+      .drop("__side", "__r", "__m", "__asof", "__asof_ts", "__keep")
   }
 }

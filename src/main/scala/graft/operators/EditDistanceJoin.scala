@@ -35,11 +35,14 @@ import org.apache.spark.sql.functions._
   * volume is `O(d³ · corpus)` probe rows against `O(d · corpus)`
   * index rows; within a block key the fan-out is quadratic in that
   * key's frequency, so a boilerplate-heavy key column (every title
-  * starting with the same 4-gram) concentrates — the standard remedy
-  * is the same as q34's: normalize/strip boilerplate before keying,
-  * or raise the segment count by lowering `maxDist`. The index keys
-  * include the segment INDEX and target LENGTH, which spreads hot
-  * text across `(2d+1)·(d+1)` distinct block keys for free.
+  * starting with the same 4-gram) concentrates — `maxBlockFreq` is
+  * the ENFORCED guard (drop blocks hotter than the cap, see
+  * [[selfJoin]]'s mode split); normalizing/stripping boilerplate
+  * before keying, or lowering `maxDist` to raise the segment count,
+  * remain the semantic remedies when every pair must be found. The
+  * index keys include the segment INDEX and target LENGTH, which
+  * spreads hot text across `(2d+1)·(d+1)` distinct block keys for
+  * free.
   *
   * Not in the reference (its NLP stage has no fuzzy matching);
   * registry q122 runs it over a 16-char document prefix with the
@@ -104,24 +107,89 @@ object EditDistanceJoin {
     * right_id`. Null keys are dropped (null matches nothing, like
     * SQL equality); empty strings participate (distance = other
     * string's length).
+    *
+    * Two calibration modes (the q114/q119 exact-vs-production split):
+    *
+    *  - `maxBlockFreq = None` — the EXACT control: complete by the
+    *    pigeonhole argument, but per-block candidate volume is
+    *    quadratic in a block key's frequency, so a boilerplate-hot
+    *    key column (every title opening with the same prefix — the
+    *    common case in web/product corpora) concentrates candidate
+    *    generation into one executor-killing block. Use only when the
+    *    key column is known non-degenerate (or pre-normalized).
+    *  - `maxBlockFreq = Some(f)` — the PRODUCTION guard, the
+    *    [[Dedup.ngramJaccard]] `maxShingleFreq` /
+    *    [[RangeJoin]] `maxBinsPerInterval` doctrine: block keys whose
+    *    index-side frequency exceeds `f` are dropped from BOTH sides
+    *    before the join, bounding per-block candidate volume at
+    *    `O(f · probes-per-block)`. Completeness caveat: a true pair
+    *    ALL of whose `maxDist + 1` connecting segments are
+    *    boilerplate-hot is missed — exactly the pair a curation user
+    *    wants suppressed (matching on shared boilerplate, not shared
+    *    content). The guarded plan also never carries the key strings
+    *    through the block exchange: candidates travel as bare id
+    *    pairs (deduped while still small), and the keys are joined
+    *    back BY ID — each key crosses a wire once, not once per
+    *    candidate, so an arbitrarily wide key column cannot amplify
+    *    shuffle payload.
     */
   def selfJoin(
       df: DataFrame,
       idCol: String,
       keyCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBlockFreq: Option[Int] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    maxBlockFreq.foreach(f =>
+      require(f >= 1, s"maxBlockFreq must be >= 1, got $f"))
     val base = keyed(df, idCol, keyCol)
-    // block join on (target length, segment index, segment text);
-    // verify map-side with the banded DP, then distinct the pairs.
-    segIndex(base, maxDist)
-      .join(probes(base, maxDist), Seq("__tl", "__i", "__seg"))
-      .filter(col("s_id") < col("r_id"))
-      .withColumn("dist", levenshtein(col("s_key"), col("r_key"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("s_id").alias("left_id"), col("r_id").alias("right_id"),
-        col("dist"))
-      .dropDuplicates("left_id", "right_id")
+    maxBlockFreq match {
+      case None =>
+        // exact control: block join on (target length, segment index,
+        // segment text); verify map-side with the banded DP, then
+        // distinct the pairs.
+        segIndex(base, maxDist)
+          .join(probes(base, maxDist), Seq("__tl", "__i", "__seg"))
+          .filter(col("s_id") < col("r_id"))
+          .withColumn("dist", levenshtein(col("s_key"), col("r_key"), maxDist))
+          .filter(col("dist") >= 0)
+          .select(col("s_id").alias("left_id"), col("r_id").alias("right_id"),
+            col("dist"))
+          .dropDuplicates("left_id", "right_id")
+      case Some(cap) =>
+        // guarded mode: ids-only block join under the hot-block cap,
+        // pair-level dedup on the (16-byte) id pairs, THEN the keys
+        // rejoin by id for the banded verify.
+        val idx = segIndex(base, maxDist)
+          .select(col("s_id"), col("__tl"), col("__i"), col("__seg"))
+        // hot list = block keys over the cap — by construction at most
+        // |segments| / cap entries, so broadcastable whenever the cap
+        // is a meaningful guard
+        val hot = idx
+          .groupBy("__tl", "__i", "__seg")
+          .agg(count(lit(1)).alias("__f"))
+          .filter(col("__f") > cap)
+          .select("__tl", "__i", "__seg")
+        val candidates = idx
+          .join(broadcast(hot), Seq("__tl", "__i", "__seg"), "left_anti")
+          .join(
+            probes(base, maxDist)
+              .select(col("r_id"), col("__tl"), col("__i"), col("__seg"))
+              .join(broadcast(hot), Seq("__tl", "__i", "__seg"), "left_anti"),
+            Seq("__tl", "__i", "__seg"))
+          .filter(col("s_id") < col("r_id"))
+          .select("s_id", "r_id")
+          .dropDuplicates("s_id", "r_id")
+        candidates
+          .join(base.select(col("__id").alias("s_id"),
+            col("__key").alias("s_key")), Seq("s_id"))
+          .join(base.select(col("__id").alias("r_id"),
+            col("__key").alias("r_key")), Seq("r_id"))
+          .withColumn("dist", levenshtein(col("s_key"), col("r_key"), maxDist))
+          .filter(col("dist") >= 0)
+          .select(col("s_id").alias("left_id"), col("r_id").alias("right_id"),
+            col("dist"))
+    }
   }
 
   /** Incremental form — the per-trigger production shape: every

@@ -159,7 +159,12 @@ object Kmv {
         estA.alias("est_a"), col("n_exact_a"),
         estB.alias("est_b"), col("n_exact_b"),
         estU.alias("est_union"),
-        greatest(estA + estB - estU, lit(0L)).alias("est_intersect"),
+        // inclusion-exclusion, clamped into the feasible range
+        // [0, min(est_a, est_b)]: estimator noise could otherwise
+        // report an intersection LARGER than a side — and a
+        // containment diagnostic above 1000 permille
+        least(greatest(estA + estB - estU, lit(0L)), estA, estB)
+          .alias("est_intersect"),
         col("n_exact_intersect"))
       .withColumn("containment_a_permille",
         when(col("est_a") > 0,

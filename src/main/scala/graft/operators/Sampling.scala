@@ -276,8 +276,15 @@ object Sampling {
       k: Int,
       seed: Long = 42L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (TextFunctions.seededHash60(seed, col(idCol)).cast("double") + lit(1.0)) /
-      pow(lit(2.0), lit(60.0))
+    // A-ES requires u in (0,1): a top-of-range hash (plus the
+    // long->double rounding near 2^60 absorbing the +1) would give
+    // u = 1.0 exactly -> pri_micro = 0, a weight-INDEPENDENT
+    // guaranteed win for that row. Same clamp as NgramLm.scoreRatio;
+    // mirrored in the q132 oracle.
+    val u = least(
+      (TextFunctions.seededHash60(seed, col(idCol)).cast("double") + lit(1.0)) /
+        pow(lit(2.0), lit(60.0)),
+      lit(1.0 - 1e-9))
     val priMicro = round(log(u) / col(weightCol).cast("double") * lit(1000000L))
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window

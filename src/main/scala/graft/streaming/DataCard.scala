@@ -17,12 +17,13 @@ import org.apache.spark.sql.types._
   * unbounded ingest. Three state tables, each with the merge contract
   * its summary admits (the [[DistStats]] doctrine):
   *
-  *  - `<table>_add(source, n_docs, n_texted, n_tokens, sum_ent_micro)`
-  *    — pure additive longs (`n_texted` = docs with non-null text,
-  *    the dup-fraction denominator's honest numerator base):
-  *    batching-invariant AND exactly retirable (subtraction re-derives
-  *    each removed doc's contribution from its text, the
-  *    [[TokenizerStats]] pattern);
+  *  - `<table>_add(source, n_docs, n_texted, n_tokens, sum_ent_micro,
+  *    n_retired_texted)` — pure additive longs (`n_texted` = docs with
+  *    non-null text, the dup-fraction denominator's honest numerator
+  *    base; `n_retired_texted` = texted docs retired since the last
+  *    [[rebuildFp]], the sketch-staleness counter): batching-invariant
+  *    AND exactly retirable (subtraction re-derives each removed doc's
+  *    contribution from its text, the [[TokenizerStats]] pattern);
   *  - `<table>_lang(source, lang_pred, lc)` — additive votes, same
   *    contract;
   *  - `<table>_fp(source, h)` — the ≤ k KMV minima of the per-doc
@@ -32,7 +33,21 @@ import org.apache.spark.sql.types._
   *    approximate and NOT retirable — [[retire]] subtracts the exact
   *    tables and leaves the sketch, so after heavy takedowns the
   *    estimate reads STALE-high until [[rebuildFp]] re-sketches the
-  *    survivors (the KMV trade, stated, not silent).
+  *    survivors. The KMV trade is stated AND measured: [[card]] emits
+  *    `fp_staleness` (retired-since-rebuild share of the sketch's
+  *    doc mass) so a card consumer sees exactly how stale, not just
+  *    "possibly stale".
+  *
+  * Replay / crash contract: every state write carries its own acks
+  * (`last_batch_id`, `last_retire_id` columns, constant across the
+  * table's rows) and the sink's Overwrite is an atomic swap — so a
+  * state mutation and its ack commit TOGETHER. There is no window in
+  * which a crash leaves a committed add or subtraction unacked (the
+  * double-subtract hazard of a separate `__meta` ack table). The one
+  * residual case: a retire that empties a table entirely has no rows
+  * left to carry the ids — harmless, because replaying either
+  * operation against an EMPTY table is a net no-op (re-subtraction
+  * yields only non-positive rows, which the `> 0` prune drops).
   *
   * At 100 TB: each batch pays one fused `corpus_stats`+`char_entropy`
   * scan of ITS OWN rows; every merge touches state-sized frames
@@ -47,6 +62,7 @@ object DataCard {
     .add("n_texted", LongType, nullable = false)
     .add("n_tokens", LongType, nullable = false)
     .add("sum_ent_micro", LongType, nullable = false)
+    .add("n_retired_texted", LongType, nullable = false)
 
   val langStateSchema: StructType = new StructType()
     .add("source", StringType)
@@ -56,6 +72,46 @@ object DataCard {
   val fpStateSchema: StructType = new StructType()
     .add("source", StringType)
     .add("h", LongType, nullable = false)
+
+  // ==== in-state acks =======================================================
+
+  /** On-disk layout of each state table: the logical rows plus the two
+    * ack ids, constant across rows, committed ATOMICALLY with the data
+    * by the sink's swap-write.
+    */
+  private def diskSchema(base: StructType): StructType =
+    base.add("last_batch_id", LongType).add("last_retire_id", LongType)
+
+  private final case class TableState(
+      state: DataFrame, lastBatchId: Long, lastRetireId: Long)
+
+  private def readState(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      base: StructType): TableState = {
+    val df = sink.read(spark, table, diskSchema(base))
+    val ids = df.select("last_batch_id", "last_retire_id").head(1)
+    val (b, r) = ids.headOption match {
+      case Some(row) =>
+        (if (row.isNullAt(0)) -1L else row.getLong(0),
+         if (row.isNullAt(1)) -1L else row.getLong(1))
+      case None => (-1L, -1L)
+    }
+    TableState(df.select(base.fieldNames.toIndexedSeq.map(col): _*), b, r)
+  }
+
+  private def writeState(
+      sink: KVTableSink,
+      table: String,
+      state: DataFrame,
+      lastBatchId: Long,
+      lastRetireId: Long): Unit =
+    sink.write(
+      state
+        .withColumn("last_batch_id", lit(lastBatchId))
+        .withColumn("last_retire_id", lit(lastRetireId)),
+      table, SaveMode.Overwrite)
 
   /** One fused scan of a batch's rows into the per-doc stats frame —
     * the same kernels and null semantics as the batch card (null text:
@@ -94,13 +150,14 @@ object DataCard {
     */
   def mergeAddState(state: DataFrame, stats: DataFrame): DataFrame =
     StateMerge.fullOuterMerge(
-      state, addDelta(stats),
+      state, addDelta(stats).withColumn("n_retired_texted", lit(0L)),
       keyCols = Seq("source"),
       valueCombiners = Seq(
         "n_docs" -> StateMerge.addLong,
         "n_texted" -> StateMerge.addLong,
         "n_tokens" -> StateMerge.addLong,
-        "sum_ent_micro" -> StateMerge.addLong))
+        "sum_ent_micro" -> StateMerge.addLong,
+        "n_retired_texted" -> StateMerge.addLong))
 
   def mergeLangState(state: DataFrame, stats: DataFrame): DataFrame =
     StateMerge.fullOuterMerge(
@@ -124,12 +181,17 @@ object DataCard {
   /** The live card — read the three states, no corpus pass. Shape
     * matches the batch card with `dup_frac` replaced by the KMV
     * estimate pair (`est_distinct_fp`, `dup_frac_est`, clamped at 0 —
-    * the estimator can overshoot `n_docs` on near-dup-free sources).
+    * the estimator can overshoot `n_docs` on near-dup-free sources),
+    * plus the staleness pair (`n_retired_texted`, `fp_staleness`): the
+    * sketch was built over `n_texted + n_retired_texted` docs, so the
+    * retired share IS the fraction of sketch mass that no longer
+    * exists — 0 means `dup_frac_est` is as honest as KMV gets, and a
+    * consumer can gate on it ("rebuild when staleness > 0.2").
     */
   def card(spark: SparkSession, sink: KVTableSink, table: String, k: Int): DataFrame = {
-    val add = sink.read(spark, s"${table}_add", addStateSchema)
-    val lang = sink.read(spark, s"${table}_lang", langStateSchema)
-    val fp = sink.read(spark, s"${table}_fp", fpStateSchema)
+    val add = readState(spark, sink, s"${table}_add", addStateSchema).state
+    val lang = readState(spark, sink, s"${table}_lang", langStateSchema).state
+    val fp = readState(spark, sink, s"${table}_fp", fpStateSchema).state
     val w = Window.partitionBy("source").orderBy(col("lc").desc, col("lang_pred").asc)
     val top = lang
       .withColumn("rn", row_number().over(w))
@@ -158,15 +220,24 @@ object DataCard {
           .alias("top_lang_share"),
         col("sum_ent_micro"),
         (col("sum_ent_micro").cast("double") / col("n_docs").cast("double") /
-          lit(1000000.0)).alias("mean_ent"))
+          lit(1000000.0)).alias("mean_ent"),
+        col("n_retired_texted"),
+        when(col("n_texted") + col("n_retired_texted") > 0L,
+          col("n_retired_texted").cast("double") /
+            (col("n_texted") + col("n_retired_texted")).cast("double"))
+          .otherwise(lit(0.0)).alias("fp_staleness"))
   }
 
   /** Exact retirement of the ADDITIVE tables: each removed doc's
     * contribution is re-derived from its text and subtracted; zeroed
-    * rows are pruned. The fingerprint sketch is NOT touched (an
-    * evicted minimum is unrecoverable) — see [[rebuildFp]]. The
-    * subtraction is not idempotent per row, so a retireId ack guards
-    * replays and `idCol` (when given) enforces one row per doc.
+    * rows are pruned; the per-source `n_retired_texted` staleness
+    * counter absorbs the removed texted count. The fingerprint sketch
+    * is NOT touched (an evicted minimum is unrecoverable) — see
+    * [[rebuildFp]], and gate on [[card]]'s `fp_staleness`. The
+    * subtraction commits atomically with its `last_retire_id` ack (the
+    * in-state ack contract above), so a replayed `retireId` is a
+    * no-op — never a double-subtract. `idCol` (when given) enforces
+    * one row per doc.
     */
   def retire(
       removedDocs: DataFrame,
@@ -177,45 +248,43 @@ object DataCard {
       retireId: Long,
       idCol: Option[String] = None): Unit = {
     val spark = removedDocs.sparkSession
-    // PER-TABLE retire acks (the TokenizerStats/SearchIndex doctrine):
-    // a crash between the two writes re-applies ONLY the write that
-    // never committed — one end-of-function ack would double-subtract
-    // the already-written table on re-run. Check BOTH before touching
-    // removedDocs: a fully-acked replay must not pay the stats scan.
-    val addDone =
-      DedupIngest.alreadyApplied(spark, sink, s"${table}_add__retire", retireId)
-    val langDone =
-      DedupIngest.alreadyApplied(spark, sink, s"${table}_lang__retire", retireId)
-    if (addDone && langDone) return
+    // read acks BEFORE touching removedDocs: a fully-acked replay must
+    // not pay the stats scan
+    val addSt = readState(spark, sink, s"${table}_add", addStateSchema)
+    val langSt = readState(spark, sink, s"${table}_lang", langStateSchema)
+    if (addSt.lastRetireId >= retireId && langSt.lastRetireId >= retireId) return
     val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
     val st = docStats(uniq, sourceCol, textCol).localCheckpoint(true)
     val subLong = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       coalesce(a, lit(0L)) - coalesce(b, lit(0L))
-    if (!addDone) {
-      val add = sink.read(spark, s"${table}_add", addStateSchema)
-      sink.write(
-        StateMerge.fullOuterMerge(add, addDelta(st), Seq("source"), Seq(
+    if (addSt.lastRetireId < retireId) {
+      // the removed TEXTED count moves from n_texted into the
+      // staleness counter — same delta column, opposite sign
+      val delta = addDelta(st).withColumn("n_retired_texted", col("n_texted"))
+      writeState(sink, s"${table}_add",
+        StateMerge.fullOuterMerge(addSt.state, delta, Seq("source"), Seq(
             "n_docs" -> subLong, "n_texted" -> subLong,
-            "n_tokens" -> subLong, "sum_ent_micro" -> subLong))
+            "n_tokens" -> subLong, "sum_ent_micro" -> subLong,
+            "n_retired_texted" -> StateMerge.addLong))
           .filter(col("n_docs") > 0L),
-        s"${table}_add", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}_add__retire", retireId)
+        addSt.lastBatchId, retireId)
     }
-    if (!langDone) {
-      val lang = sink.read(spark, s"${table}_lang", langStateSchema)
-      sink.write(
-        StateMerge.fullOuterMerge(lang, langDelta(st), Seq("source", "lang_pred"),
-            Seq("lc" -> subLong))
+    if (langSt.lastRetireId < retireId) {
+      writeState(sink, s"${table}_lang",
+        StateMerge.fullOuterMerge(langSt.state, langDelta(st),
+            Seq("source", "lang_pred"), Seq("lc" -> subLong))
           .filter(col("lc") > 0L),
-        s"${table}_lang", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}_lang__retire", retireId)
+        langSt.lastBatchId, retireId)
     }
   }
 
   /** Re-sketch the fingerprint minima from the surviving corpus — the
     * post-takedown path that makes `dup_frac_est` honest again. One
     * pass over `survivors` (the corpus read the sketch otherwise never
-    * needs), state back to ≤ k rows per source.
+    * needs), state back to ≤ k rows per source; the `_add` staleness
+    * counter resets to 0. (Two table writes: a crash between them
+    * leaves the counter un-reset — staleness OVER-reported until the
+    * rebuild is re-run, the conservative side of the window.)
     */
   def rebuildFp(
       survivors: DataFrame,
@@ -227,13 +296,19 @@ object DataCard {
     val spark = survivors.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpStateSchema)
-    sink.write(
+    val fpSt = readState(spark, sink, s"${table}_fp", fpStateSchema)
+    writeState(sink, s"${table}_fp",
       mergeFpState(empty, docStats(survivors, sourceCol, textCol), k),
-      s"${table}_fp", SaveMode.Overwrite)
+      fpSt.lastBatchId, fpSt.lastRetireId)
+    val addSt = readState(spark, sink, s"${table}_add", addStateSchema)
+    writeState(sink, s"${table}_add",
+      addSt.state.withColumn("n_retired_texted", lit(0L)),
+      addSt.lastBatchId, addSt.lastRetireId)
   }
 
-  /** Per-table acks (the [[DistStats]] doctrine): a crash between
-    * state writes must not double-add on replay.
+  /** Per-table in-state acks: a crash between state writes must not
+    * double-add on replay — and cannot, because each table's ack
+    * commits in the same atomic swap as its data.
     */
   private[streaming] def applyBatch(
       batch: DataFrame,
@@ -245,27 +320,25 @@ object DataCard {
       table: String): Unit = {
     val spark = batch.sparkSession
     if (batch.head(1).isEmpty) return
-    val addDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_add", batchId)
-    val langDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_lang", batchId)
-    val fpDone = DedupIngest.alreadyApplied(spark, sink, s"${table}_fp", batchId)
-    if (addDone && langDone && fpDone) return
+    val addSt = readState(spark, sink, s"${table}_add", addStateSchema)
+    val langSt = readState(spark, sink, s"${table}_lang", langStateSchema)
+    val fpSt = readState(spark, sink, s"${table}_fp", fpStateSchema)
+    if (addSt.lastBatchId >= batchId && langSt.lastBatchId >= batchId &&
+        fpSt.lastBatchId >= batchId) return
     // ONE fused kernel pass over the batch; all three merges consume
     // the checkpointed stats frame (per-doc scalars — tiny vs text)
     val st = docStats(batch, sourceCol, textCol).localCheckpoint(true)
-    if (!addDone) {
-      val add = sink.read(spark, s"${table}_add", addStateSchema)
-      sink.write(mergeAddState(add, st), s"${table}_add", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}_add", batchId)
+    if (addSt.lastBatchId < batchId) {
+      writeState(sink, s"${table}_add", mergeAddState(addSt.state, st),
+        batchId, addSt.lastRetireId)
     }
-    if (!langDone) {
-      val lang = sink.read(spark, s"${table}_lang", langStateSchema)
-      sink.write(mergeLangState(lang, st), s"${table}_lang", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}_lang", batchId)
+    if (langSt.lastBatchId < batchId) {
+      writeState(sink, s"${table}_lang", mergeLangState(langSt.state, st),
+        batchId, langSt.lastRetireId)
     }
-    if (!fpDone) {
-      val fp = sink.read(spark, s"${table}_fp", fpStateSchema)
-      sink.write(mergeFpState(fp, st, k), s"${table}_fp", SaveMode.Overwrite)
-      DedupIngest.markApplied(spark, sink, s"${table}_fp", batchId)
+    if (fpSt.lastBatchId < batchId) {
+      writeState(sink, s"${table}_fp", mergeFpState(fpSt.state, st, k),
+        batchId, fpSt.lastRetireId)
     }
   }
 

@@ -98,9 +98,11 @@ object DsirSelect {
       removedIds: DataFrame,
       idCol: String): Unit = {
     val state = sink.read(spark, table, stateSchema)
+    // no broadcast hint: the takedown list is the unbounded side, the
+    // <=k state is the tiny one — let AQE pick the build side
     val rem = removedIds.select(col(idCol).cast("long").alias("doc_id")).distinct()
     sink.write(
-      state.join(broadcast(rem), Seq("doc_id"), "left_anti"),
+      state.join(rem, Seq("doc_id"), "left_anti"),
       table, SaveMode.Overwrite)
   }
 

@@ -80,6 +80,11 @@ object WeightedReservoir {
   /** Delete retired ids from the reservoir (see the class-level
     * retirement contract: exact for what remains, refills only from
     * the future).
+    *
+    * No broadcast hint on `removedIds`: a mass-takedown list is
+    * unbounded while the state side is <= k rows per group — forcing
+    * the unbounded side driver-resident would be the wrong build
+    * side. AQE picks the small build at runtime.
     */
   def retire(
       spark: SparkSession,
@@ -90,7 +95,7 @@ object WeightedReservoir {
     val state = sink.read(spark, table, stateSchema)
     val rem = removedIds.select(col(idCol).cast("long").alias("id")).distinct()
     sink.write(
-      state.join(broadcast(rem), Seq("id"), "left_anti"),
+      state.join(rem, Seq("id"), "left_anti"),
       table, SaveMode.Overwrite)
   }
 

@@ -85,6 +85,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(rows(5L).isEmpty)
   }
 
+  test("asOf duplicate-timestamp right rows: deterministic winner (largest value), both directions") {
+    // three right rows share (key, ts) — the window tiebreak must pick
+    // the same row on every run and partitioning, and asof_ts must come
+    // from the SAME row as the value
+    val dupQuotes = Seq(
+      ("A", ts(5), 7.0), ("A", ts(5), 9.0), ("A", ts(5), 8.0),
+      ("A", ts(20), 1.0)).toDF("sym", "ts", "price")
+    val oneTrade = Seq(("A", ts(6), 1L)).toDF("sym", "ts", "qty")
+    (1 to 3).foreach { _ =>
+      val back = AsOfJoin.asOf(oneTrade, dupQuotes, "sym", "ts", "price")
+        .select("asof_price", "asof_ts").collect().head
+      assert(back.getDouble(0) == 9.0 && back.getTimestamp(1) == ts(5))
+      val fwd = AsOfJoin.asOf(oneTrade, dupQuotes, "sym", "ts", "price", "forward")
+        .select("asof_price", "asof_ts").collect().head
+      assert(fwd.getDouble(0) == 1.0 && fwd.getTimestamp(1) == ts(20))
+    }
+    // duplicate rows at the FORWARD match point too
+    val fwdDup = AsOfJoin.asOf(
+        Seq(("A", ts(1), 1L)).toDF("sym", "ts", "qty"),
+        dupQuotes, "sym", "ts", "price", "forward")
+      .select("asof_price").collect().head.getDouble(0)
+    assert(fwdDup == 9.0)
+  }
+
   test("asOf rejects an unknown direction and a negative tolerance") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, quotes, "sym", "ts", "price", direction = "sideways")

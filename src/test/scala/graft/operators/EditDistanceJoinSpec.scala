@@ -110,6 +110,123 @@ class EditDistanceJoinSpec extends SparkTestBase {
       (5L, 0L, 5L, 1L)))
   }
 
+  // ==== maxBlockFreq guard ==================================================
+
+  // driver-side reference implementation of the guarded semantics —
+  // the SAME predicate the q141 DuckDB oracle re-derives: a pair
+  // (a, b), a.id < b.id, dist <= d survives iff at least one of a's
+  // d+1 index segments (i) is under the cap and (ii) occurs verbatim
+  // in b at the segment's position shifted by at most d.
+  private def refGuarded(
+      rows: Seq[(String, String)], d: Int, cap: Int): Set[(String, String, Int)] = {
+    val nSeg = d + 1
+    def segLen(l: Int, i: Int) = l / nSeg + (if (i >= nSeg - l % nSeg) 1 else 0)
+    def segStart(l: Int, i: Int) = i * (l / nSeg) + math.max(0, i - (nSeg - l % nSeg))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val keys = rows.filter(_._2 != null)
+    val freq = keys
+      .flatMap { case (_, k) => (0 to d).map(i => (k.length, i, k.substring(segStart(k.length, i), segStart(k.length, i) + segLen(k.length, i)))) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    (for {
+      (aid, ak) <- keys
+      (bid, bk) <- keys
+      if aid < bid
+      dist = lev(ak, bk)
+      if dist <= d
+      if (0 to d).exists { i =>
+        val st = segStart(ak.length, i)
+        val sl = segLen(ak.length, i)
+        val seg = ak.substring(st, st + sl)
+        freq((ak.length, i, seg)) <= cap &&
+          (math.max(0, st - d) to math.min(bk.length - sl, st + d))
+            .exists(p => bk.substring(p, p + sl) == seg)
+      }
+    } yield (aid, bid, dist)).toSet
+  }
+
+  test("maxBlockFreq: a loose cap reproduces the exact control") {
+    val df = corpus(60).cache()
+    for (d <- 0 to 3) {
+      val exact = blocked(df, d)
+      val guarded = EditDistanceJoin.selfJoin(df, "id", "k", d, maxBlockFreq = Some(63))
+        .as[(String, String, Int)].collect().toSet
+      assert(guarded === exact, s"maxDist=$d: loose cap changed the output")
+    }
+  }
+
+  test("maxBlockFreq: hot-prefix pairs drop, cold-segment pairs survive, semantics match the reference predicate") {
+    // 30 same-length keys share the boilerplate first half "AAAA"
+    // (one hot block at d=1) but have pairwise-distant second halves
+    // EXCEPT two planted pairs:
+    //  - (h1, h2): suffixes one edit apart -> connected ONLY via the
+    //    hot prefix block -> must drop under the cap;
+    //  - (c1, c2): identical suffix, prefix one edit apart ->
+    //    connected via the COLD suffix block -> must survive.
+    val hot = (0 until 26).map(i => (f"z$i%02d", "AAAA" + ('a' + i).toChar.toString * 4))
+    val rows = hot ++ Seq(
+      ("h1", "AAAA0001"), ("h2", "AAAA0002"),
+      ("c1", "AAAAtail"), ("c2", "AAABtail"))
+    val df = rows.toDF("id", "k")
+    val d = 1
+    val cap = 10
+    val exact = brute(df, d)
+    assert(exact.contains(("h1", "h2", 1)) && exact.contains(("c1", "c2", 1)))
+    val guarded = EditDistanceJoin.selfJoin(df, "id", "k", d, maxBlockFreq = Some(cap))
+      .as[(String, String, Int)].collect().toSet
+    assert(guarded.subsetOf(exact), "guard invented pairs")
+    assert(!guarded.exists(p => p._1 == "h1" && p._2 == "h2"),
+      "hot-block-only pair should be suppressed by the cap")
+    assert(guarded.contains(("c1", "c2", 1)),
+      "cold-segment pair must survive the cap")
+    assert(guarded === refGuarded(rows, d, cap),
+      "engine semantics diverged from the documented survive-predicate")
+    // the bound witness: every surviving pair has a connecting block
+    // at or under the cap (that is WHY per-block candidate volume is
+    // bounded by cap * probes-per-block)
+  }
+
+  test("maxBlockFreq: reference-predicate parity across caps on the word-salad corpus") {
+    val rowsSeq = (0 until 60).map { i =>
+      val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "tbl", "val")
+      val base = (0 until 4).map(j => vocab((i / (j + 1) + j) % vocab.size)).mkString(" ")
+      val s = i % 7 match {
+        case 0 => base
+        case 1 => base.updated(base.length / 2, 'Z')
+        case 2 => base.drop(1)
+        case 3 => base + "x"
+        case 4 => "Q" + base.dropRight(2)
+        case 5 => base.take(3)
+        case 6 => base.updated(0, 'A').updated(base.length - 1, 'B')
+      }
+      (i.toString, s)
+    } :+ ("e1", "") :+ ("e2", "") :+ ("e3", "ab")
+    val df = rowsSeq.toDF("id", "k").cache()
+    for (cap <- Seq(1, 2, 4, 8, 16)) {
+      val got = EditDistanceJoin.selfJoin(df, "id", "k", 2, maxBlockFreq = Some(cap))
+        .as[(String, String, Int)].collect().toSet
+      assert(got === refGuarded(rowsSeq, 2, cap), s"cap=$cap diverged")
+    }
+  }
+
+  test("maxBlockFreq rejects a non-positive cap") {
+    val df = Seq(("1", "abc")).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      EditDistanceJoin.selfJoin(df, "id", "k", 1, maxBlockFreq = Some(0))
+    }
+  }
+
   test("null keys are dropped, not matched") {
     val df = Seq(("1", "abc"), ("2", "abd"), ("3", null)).toDF("id", "k")
     val out = blocked(df, 1)

@@ -60,8 +60,9 @@ class DataCardSpec extends SparkTestBase {
     live.keySet.foreach(s => assert(live(s) === batch(s), s"source $s diverged"))
 
     // the sketch state IS the one-pass KMV over everything ingested
+    // (select past the in-state ack columns)
     val liveMinima = sink.read(spark, "card_fp", DataCard.fpStateSchema)
-      .as[(String, Long)].collect().toSet
+      .select("source", "h").as[(String, Long)].collect().toSet
     val onePass = all.toDF("doc_id", "text", "source")
       .select(col("source"),
         graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
@@ -105,11 +106,29 @@ class DataCardSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(after === fresh, s"retired additive state diverged:\n$after\n$fresh")
 
+    // the staleness pair makes the KMV trade visible: retired texted
+    // docs are counted, and the share is strictly positive wherever a
+    // texted doc was removed
+    val stale = DataCard.card(spark, sink, "card", k)
+      .select("source", "n_retired_texted", "fp_staleness")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val removedTexted = removed.filter(_._2 != null).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    removedTexted.foreach { case (src, n) =>
+      assert(stale(src)._1 === n, s"retired-texted counter wrong for $src")
+      assert(stale(src)._2 > 0.0, s"fp_staleness not raised for $src")
+    }
+
+    // no sidecar ack tables: the acks ride INSIDE the state tables,
+    // atomic with each swap-write (the double-subtract window is gone
+    // by construction, not by ordering)
+    assert(!sink.tableNames.exists(t => t.contains("__meta") || t.contains("__retire")),
+      s"unexpected sidecar ack tables: ${sink.tableNames}")
+
     // the sketch was NOT retired (documented) — rebuild re-honests it
     DataCard.rebuildFp(kept.toDF("doc_id", "text", "source"),
       "source", "text", sink, "card", k)
     val rebuilt = sink.read(spark, "card_fp", DataCard.fpStateSchema)
-      .as[(String, Long)].collect().toSet
+      .select("source", "h").as[(String, Long)].collect().toSet
     val onePassKept = kept.toDF("doc_id", "text", "source")
       .select(col("source"),
         graft.functions.expressions.CorpusStatsExpr.corpusStats(col("text"))
@@ -120,5 +139,13 @@ class DataCardSpec extends SparkTestBase {
       .select(col("source"), explode(col("kmv")).alias("h"))
       .as[(String, Long)].collect().toSet
     assert(rebuilt === onePassKept)
+
+    // rebuild resets the staleness counter — the card reads honest again
+    val postRebuild = DataCard.card(spark, sink, "card", k)
+      .select("source", "n_retired_texted", "fp_staleness")
+      .as[(String, Long, Double)].collect()
+    postRebuild.foreach { case (src, n, s) =>
+      assert(n === 0L && s === 0.0, s"staleness not reset for $src: ($n, $s)")
+    }
   }
 }
