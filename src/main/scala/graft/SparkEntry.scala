@@ -1727,6 +1727,28 @@ object SparkEntry {
     operators.TrainingPrep.dataCard(Tables.documents(s, dir), "text", "source")
 
 
+  /** Guarded fuzzy self-join (round 17): q122's matcher in its
+    * PRODUCTION configuration — `maxBlockFreq = 4` drops PassJoin
+    * block keys hotter than the cap before the candidate join
+    * ([[graft.operators.EditDistanceJoin.selfJoin]]'s mode split; the
+    * q119/`maxShingleFreq` and [[graft.operators.RangeJoin]]
+    * fail-fast doctrine applied to the segment blocks). The guarded
+    * plan also never shuffles key strings: candidates travel as bare
+    * id pairs, keys rejoin by id. The oracle re-derives the exact
+    * survive-predicate in SQL — segment layout arithmetic, index-side
+    * block frequencies, the ±d probe window — against the exact
+    * levenshtein pair set, so the gate proves BOTH that the cap drops
+    * exactly the all-hot-segment pairs (12 of 76 at sf0.01: shared
+    * boilerplate prefixes, the pairs the cap exists to suppress) and
+    * that the blocking finds every surviving one.
+    */
+  private def q141_edit_join_guarded(s: SparkSession, dir: String): DataFrame =
+    EditDistanceJoin.selfJoin(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 16).alias("k")),
+      "doc_id", "k", maxDist = 3, maxBlockFreq = Some(4))
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2635,7 +2657,8 @@ object SparkEntry {
     "q137_gopher_gate" -> (q137_gopher_gate _),
     "q138_ivf_sq8" -> (q138_ivf_sq8 _),
     "q139_hard_negatives" -> (q139_hard_negatives _),
-    "q140_data_card" -> (q140_data_card _)
+    "q140_data_card" -> (q140_data_card _),
+    "q141_edit_join_guarded" -> (q141_edit_join_guarded _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4713,6 +4736,41 @@ object SparkEntry {
                  CAST(sum_ent_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
                    AS mean_ent
           FROM base LEFT JOIN top USING (source)""",
+    // q141 = the guarded-PassJoin survive-predicate re-derived in SQL
+    // against the exact pair set: the same segment layout arithmetic
+    // (nSeg = 4: length l//4 + 1 for the last l%4 segments, start
+    // i*(l//4) + max(0, i - (4 - l%4))), index-side block frequencies
+    // per (len, segIdx, segment), and a pair survives iff one of the
+    // left key's segments is under the cap AND occurs in the right
+    // key within the pigeonhole ±3 position window
+    "q141_edit_join_guarded" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 16) AS k FROM documents),
+          kk AS (SELECT doc_id, k, length(k) AS l FROM k WHERE k IS NOT NULL),
+          seg AS (
+            SELECT doc_id, k, l, i,
+                   l // 4 + CASE WHEN i >= 4 - (l % 4) THEN 1 ELSE 0 END AS sl,
+                   i * (l // 4) + greatest(0, i - (4 - l % 4)) AS st
+            FROM kk CROSS JOIN generate_series(0, 3) AS g(i)),
+          seg2 AS (SELECT doc_id, k, l, i, sl, st,
+                          substr(k, CAST(st AS INT) + 1, CAST(sl AS INT)) AS seg
+                   FROM seg),
+          freq AS (SELECT l, i, seg, count(*) AS f FROM seg2 GROUP BY 1, 2, 3),
+          pairs AS (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   levenshtein(a.k, b.k) AS dist
+            FROM kk a JOIN kk b
+              ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 3
+            WHERE levenshtein(a.k, b.k) <= 3)
+          SELECT left_id, right_id, dist
+          FROM pairs p
+          WHERE EXISTS (
+            SELECT 1 FROM seg2 sa
+            JOIN freq f ON f.l = sa.l AND f.i = sa.i AND f.seg = sa.seg
+            JOIN kk b ON b.doc_id = p.right_id
+            CROSS JOIN generate_series(-3, 3) AS gp(o)
+            WHERE sa.doc_id = p.left_id AND f.f <= 4
+              AND sa.st + o >= 0 AND sa.st + o <= b.l - sa.sl
+              AND substr(b.k, CAST(sa.st + o AS INT) + 1, CAST(sa.sl AS INT)) = sa.seg)""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

@@ -164,12 +164,16 @@ object EditDistanceJoin {
           .select(col("s_id"), col("__tl"), col("__i"), col("__seg"))
         // hot list = block keys over the cap — by construction at most
         // |segments| / cap entries, so broadcastable whenever the cap
-        // is a meaningful guard
+        // is a meaningful guard. Materialized ONCE (localCheckpoint):
+        // it feeds both sides' anti-joins, and without the checkpoint
+        // each broadcast would re-run the full segment aggregate —
+        // an extra corpus scan at scale.
         val hot = idx
           .groupBy("__tl", "__i", "__seg")
           .agg(count(lit(1)).alias("__f"))
           .filter(col("__f") > cap)
           .select("__tl", "__i", "__seg")
+          .localCheckpoint(true)
         val candidates = idx
           .join(broadcast(hot), Seq("__tl", "__i", "__seg"), "left_anti")
           .join(

@@ -224,7 +224,14 @@ object ScaleBench {
     // round-16: the data card — one fused scan + two source-keyed
     // count aggregates; the q111/q133 linearity shape with a
     // 20-row broadcast join on top
-    "q140_data_card")
+    "q140_data_card",
+    // round-17: q122's guarded production mode (maxBlockFreq=4) — the
+    // copy prefixes (`c<k> `) shift every prefix key but block
+    // frequencies replicate per copy, so the cap binds identically in
+    // each copy; with hot blocks dropped the candidate join loses its
+    // within-block quadratic term and the exponent should sit BELOW
+    // the exact q122's output-driven one
+    "q141_edit_join_guarded")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -208,6 +208,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 3, s"q122 shuffle budget exceeded:\n$plan")
   }
 
+  test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
+    val plan = planOf("q141_edit_join_guarded")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q141 candidate generation went quadratic:\n$plan")
+    // the checkpointed hot list is anti-joined against BOTH the index
+    // and probe segment frames as a broadcast
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(plan).length >= 2,
+      s"q141 hot-block filter must broadcast-anti both sides:\n$plan")
+    // the hot list is materialized once (localCheckpoint), not
+    // recomputed per side: the freq aggregate must NOT appear in the
+    // main plan — its result enters as a checkpointed RDD scan
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"q141 hot list not pre-materialized:\n$plan")
+    // candidates cross wires as bare id pairs: no exchange carries the
+    // key strings or raw text
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#") && !exchanged.contains("__key") &&
+      !exchanged.contains("s_key") && !exchanged.contains("r_key"),
+      s"q141 shuffled a key/text payload:\n$plan")
+    // block join (<=2) + pair dedup (1) + two key rejoins (<=2)
+    assert(shuffles(plan) <= 5, s"q141 shuffle budget exceeded:\n$plan")
+  }
+
   test("q123: incremental edit join streams the corpus index map-side against broadcast probes") {
     val plan = planOf("q123_edit_join_incremental")
     assert(plan.contains("BroadcastHashJoin"), s"q123 block join must broadcast the batch probes:\n$plan")
