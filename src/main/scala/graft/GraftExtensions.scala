@@ -174,6 +174,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[graft.functions.expressions.CharEntropyExpr].getName, "char_entropy"),
         GraftFunctions.charEntropyBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("url_normalize"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.UrlNormalizeExpr].getName, "url_normalize"),
+        GraftFunctions.urlNormalizeBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("url_host"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.UrlHostExpr].getName, "url_host"),
+        GraftFunctions.urlHostBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("registrable_domain"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.RegistrableDomainExpr].getName,
+          "registrable_domain"),
+        GraftFunctions.registrableDomainBuilder))
   }
 }
 
@@ -331,6 +350,20 @@ object GraftFunctions {
     graft.functions.expressions.VectorSumAgg(
       arity(exprs, 1, "vector_micro_sum(vec)").head)
 
+  private[graft] def urlNormalizeBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.UrlNormalizeExpr(
+      arity(exprs, 1, "url_normalize(url)").head,
+      graft.functions.expressions.UrlExprs.DefaultDropParams)
+
+  private[graft] def urlHostBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.UrlHostExpr(
+      arity(exprs, 1, "url_host(url)").head)
+
+  private[graft] def registrableDomainBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.RegistrableDomainExpr(
+      arity(exprs, 1, "registrable_domain(host)").head,
+      graft.functions.expressions.UrlExprs.DefaultSuffixes)
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -360,5 +393,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "nfc_normalize", nfcNormalizeBuilder)
     Bridge.registerTempFunction(spark, "strip_accents", stripAccentsBuilder)
     Bridge.registerTempFunction(spark, "char_entropy", charEntropyBuilder)
+    Bridge.registerTempFunction(spark, "url_normalize", urlNormalizeBuilder)
+    Bridge.registerTempFunction(spark, "url_host", urlHostBuilder)
+    Bridge.registerTempFunction(spark, "registrable_domain", registrableDomainBuilder)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Sentiment, TextFunctions}
+import graft.functions.expressions.UrlExprs
 import graft.model.IrcParser
 import graft.operators.{Bpe, Cdc, Components, CountMin, Decontaminate, Dedup, EditDistanceJoin, HistQuantile, KVTable, Kmv, LabelPrep, Layout, Multimodal, NgramLm, QualityPrune, RangeJoin, Sampling, Sharding, Similarity, Snapshot, TfIdf, Vocab, WordCount}
 import graft.tables.Tables
@@ -59,6 +60,26 @@ object SparkEntry {
     */
   private def sqlMd5h60(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB fragment: `UrlExprs.pctDecode` — single-pass
+    * unreserved-only percent decode, the split-on-% formulation the
+    * engine's scaladoc pins (first piece verbatim; each piece after a
+    * `%` decodes iff its first two chars are hex of an unreserved
+    * code point, else the `%` passes through).
+    */
+  private def sqlPctDecode(expr: String): String = {
+    def hexpos(c: String) = s"strpos('0123456789ABCDEF', upper($c))"
+    val code = s"((${hexpos("e[1]")} - 1) * 16 + ${hexpos("e[2]")} - 1)"
+    s"""array_to_string(list_concat(
+       [string_split($expr, '%')[1]],
+       list_transform(string_split($expr, '%')[2:], e ->
+         CASE WHEN length(e) >= 2
+               AND ${hexpos("e[1]")} > 0 AND ${hexpos("e[2]")} > 0
+               AND ($code BETWEEN 48 AND 57 OR $code BETWEEN 65 AND 90
+                    OR $code BETWEEN 97 AND 122 OR $code IN (45, 46, 95, 126))
+              THEN chr(CAST($code AS INT)) || e[3:]
+              ELSE '%' || e END)), '')"""
+  }
 
   /** DuckDB fragment: word 3-gram shingles of token-list column `t` —
     * mirrors `TextFunctions.shingles(_, 3)` incl. the short-doc rule.
@@ -1749,6 +1770,43 @@ object SparkEntry {
       "doc_id", "k", maxDist = 3, maxBlockFreq = Some(4))
 
 
+  /** URL canonicalization (round 17): the q121/q130 front-door pattern
+    * applied to the web-pipeline dedup key — deterministic messy URLs
+    * derived from fixture columns (mixed-case scheme/host, default and
+    * explicit ports, userinfo, fragments, tracking params, unreserved
+    * and reserved percent-encodings, IP hosts, unknown TLDs, plain
+    * garbage) through the three natives
+    * ([[graft.functions.expressions.UrlExprs]]): `url_normalize`,
+    * `url_host`, `registrable_domain`. DuckDB has NO url functions, so
+    * the oracle re-derives the documented normalization chain from
+    * regexp/string/list ops — including the split-on-% single-pass
+    * percent decode — making the gate a true two-implementation check
+    * of every documented step.
+    */
+  private def q142_url_normalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 8
+    val url = when(m === 0, concat(
+        lit("HTTP://WWW.Example.COM:80/Docs/%41rt%2Ficle-"), id,
+        lit("?utm_source=feed&b=2&a=1#frag")))
+      .when(m === 1, concat(
+        lit("https://Blog.Example.CO.UK:443/"), col("lang"),
+        lit("/page?gclid=x1&UTM_TERM=y")))
+      .when(m === 2, lit("http://user:pw@Example.IO:8080/p%7Ex/?z=%7E0&a=%2F&a=%2E"))
+      .when(m === 3, lit("ftp://Files.Example.net:21/a/b"))
+      .when(m === 4, concat(
+        lit("https://192.168.0."), (col("doc_id") % 250).cast("string"), lit(":443/x")))
+      .when(m === 5, concat(lit("http://intranethost/"), id))
+      .when(m === 6, concat(lit("http://deep.sub.Example.xyz?q="), id, lit("&q")))
+      .otherwise(concat(lit("not-a-url-"), id))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.urlNormalize(url).alias("norm_url"),
+      UrlExprs.urlHost(url).alias("host"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"))
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2658,7 +2716,8 @@ object SparkEntry {
     "q138_ivf_sq8" -> (q138_ivf_sq8 _),
     "q139_hard_negatives" -> (q139_hard_negatives _),
     "q140_data_card" -> (q140_data_card _),
-    "q141_edit_join_guarded" -> (q141_edit_join_guarded _)
+    "q141_edit_join_guarded" -> (q141_edit_join_guarded _),
+    "q142_url_normalize" -> (q142_url_normalize _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4771,6 +4830,100 @@ object SparkEntry {
             WHERE sa.doc_id = p.left_id AND f.f <= 4
               AND sa.st + o >= 0 AND sa.st + o <= b.l - sa.sl
               AND substr(b.k, CAST(sa.st + o AS INT) + 1, CAST(sa.sl AS INT)) = sa.seg)""",
+    // q142 = the documented url_normalize chain re-derived from DuckDB
+    // string/regexp/list ops (DuckDB v1.0 has no URL functions):
+    // fragment strip -> anchored scheme match -> authority split ->
+    // userinfo/port handling -> split-on-% unreserved decode ->
+    // tracking-param filter + bytewise sort; registrable domain via
+    // the suffix VALUES list (longest match) with the IP and
+    // unknown-TLD fallbacks
+    "q142_url_normalize" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE doc_id % 8
+                WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Docs/%41rt%2Ficle-'
+                            || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+                WHEN 1 THEN 'https://Blog.Example.CO.UK:443/' || lang || '/page?gclid=x1&UTM_TERM=y'
+                WHEN 2 THEN 'http://user:pw@Example.IO:8080/p%7Ex/?z=%7E0&a=%2F&a=%2E'
+                WHEN 3 THEN 'ftp://Files.Example.net:21/a/b'
+                WHEN 4 THEN 'https://192.168.0.' || CAST(doc_id % 250 AS VARCHAR) || ':443/x'
+                WHEN 5 THEN 'http://intranethost/' || CAST(doc_id AS VARCHAR)
+                WHEN 6 THEN 'http://deep.sub.Example.xyz?q=' || CAST(doc_id AS VARCHAR) || '&q'
+                ELSE 'not-a-url-' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          p1 AS (SELECT doc_id, regexp_replace(trim(url, ' '), '#.*$$', '') AS fr FROM u),
+          p2 AS (SELECT doc_id, fr,
+                   lower(regexp_extract(fr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(fr, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                 FROM p1),
+          p4 AS (SELECT doc_id, scheme, rest,
+                   regexp_extract(rest, '^([^/?]*)', 1) AS auth
+                 FROM p2),
+          p5 AS (SELECT doc_id, scheme,
+                   substr(rest, length(auth) + 1) AS pq,
+                   lower(regexp_extract(auth, '([^@]*)$$', 1)) AS auth2
+                 FROM p4),
+          p6 AS (SELECT doc_id, scheme, pq,
+                   CASE WHEN strpos(auth2, ':') > 0
+                        THEN regexp_replace(auth2, ':[^:]*$$', '') ELSE auth2 END AS hostp,
+                   CASE WHEN strpos(auth2, ':') > 0
+                        THEN regexp_extract(auth2, ':([^:]*)$$', 1) ELSE '' END AS portp
+                 FROM p5),
+          p7 AS (SELECT doc_id, scheme, hostp, portp,
+                   regexp_extract(pq, '^([^?]*)', 1) AS path,
+                   CASE WHEN strpos(pq, '?') > 0
+                        THEN substr(pq, length(regexp_extract(pq, '^([^?]*)', 1)) + 2) END AS qs
+                 FROM p6),
+          p8 AS (SELECT doc_id, scheme, hostp, portp, qs,
+                   ${sqlPctDecode("path")} AS pd
+                 FROM p7),
+          p9 AS (SELECT doc_id, scheme, hostp, portp,
+                   CASE WHEN pd = '' THEN '/' ELSE pd END AS path_out,
+                   CASE WHEN qs IS NULL THEN NULL ELSE
+                     array_to_string(list_sort(list_transform(
+                       list_filter(string_split(qs, '&'),
+                         x -> x <> '' AND lower(CASE WHEN strpos(x, '=') > 0
+                             THEN regexp_extract(x, '^([^=]*)', 1) ELSE x END)
+                           NOT IN ${sqlList(UrlExprs.DefaultDropParams)}),
+                       x -> ${sqlPctDecode("x")})), '&') END AS q_out
+                 FROM p8),
+          norm AS (SELECT doc_id,
+                     CASE WHEN scheme IS NULL OR scheme = ''
+                               OR hostp IS NULL OR hostp = '' THEN NULL
+                          ELSE scheme || '://' || hostp ||
+                               CASE WHEN portp <> ''
+                                         AND NOT (scheme = 'http' AND portp = '80')
+                                         AND NOT (scheme = 'https' AND portp = '443')
+                                    THEN ':' || portp ELSE '' END ||
+                               path_out ||
+                               CASE WHEN q_out IS NULL OR q_out = '' THEN ''
+                                    ELSE '?' || q_out END
+                     END AS norm_url,
+                     CASE WHEN scheme IS NULL OR scheme = ''
+                               OR hostp IS NULL OR hostp = '' THEN NULL
+                          ELSE hostp END AS host
+                   FROM p9),
+          sfxj AS (SELECT norm.doc_id, norm.norm_url, norm.host, s.s AS sfx
+                   FROM norm LEFT JOIN (VALUES ${UrlExprs.DefaultSuffixes.map(x => s"('$x')").mkString(", ")}) s(s)
+                     ON norm.host = s.s OR ends_with(norm.host, '.' || s.s)),
+          pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY length(sfx) DESC NULLS LAST, sfx) AS rn FROM sfxj)
+          SELECT doc_id, norm_url, host,
+            CASE WHEN host IS NULL THEN NULL
+                 WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+                 WHEN sfx IS NULL THEN
+                   CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN NULL
+                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
+                 WHEN host = sfx THEN NULL
+                 ELSE CASE WHEN regexp_extract(substr(host, 1,
+                             length(host) - length(sfx) - 1), '([^.]*)$$', 1) = ''
+                           THEN NULL
+                           ELSE regexp_extract(substr(host, 1,
+                             length(host) - length(sfx) - 1), '([^.]*)$$', 1)
+                             || '.' || sfx END
+            END AS domain
+          FROM pick WHERE rn = 1""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

@@ -231,7 +231,10 @@ object ScaleBench {
     // each copy; with hot blocks dropped the candidate join loses its
     // within-block quadratic term and the exponent should sit BELOW
     // the exact q122's output-driven one
-    "q141_edit_join_guarded")
+    "q141_edit_join_guarded",
+    // round-17: the URL front door — three fused-scan natives over a
+    // derived column, the q121/q130 linearity shape (no exchange)
+    "q142_url_normalize")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

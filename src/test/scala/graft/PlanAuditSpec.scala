@@ -208,6 +208,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 3, s"q122 shuffle budget exceeded:\n$plan")
   }
 
+  test("q142: url natives are a pure fused-scan projection — codegen, no UDF, zero shuffles") {
+    val plan = planOf("q142_url_normalize")
+    assert(shuffles(plan) == 0, s"q142 is scan-shaped — nothing to exchange:\n$plan")
+    assert("\\*\\(\\d+\\) Project \\[".r.findFirstIn(plan).isDefined, s"q142 lost codegen:\n$plan")
+    assert(plan.contains("url_normalize") && plan.contains("url_host") &&
+      plan.contains("registrable_domain"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
