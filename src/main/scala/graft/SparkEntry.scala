@@ -81,6 +81,113 @@ object SparkEntry {
               ELSE '%' || e END)), '')"""
   }
 
+  /** DuckDB CTE chain re-deriving the ENTIRE unigram-LM tokenizer
+    * trainer + apply (`Unigram.train`/`tokenStats`) for q143 — the
+    * q100 pattern (train re-run in SQL, not embedded): capped word
+    * table, full-corpus alphabet, substring seed counts, then one
+    * generated block per hard-EM round (smoothed micro log-probs →
+    * Viterbi DP as a recursive CTE carrying the score/backpointer
+    * lists → walk-back → piece counts → prune), and the same DP over
+    * ALL corpus words for the apply. The DP tie-break (longest piece
+    * wins equal scores) is the generated CASE checking lengths
+    * 4→3→2→1 — the engine kernel's exact rule. `maxPieceLen` is fixed
+    * at 4 here (the candidate pivot is hand-unrolled per length).
+    */
+  private def sqlUnigramCtes(
+      maxWords: Int, seedMulti: Int, pruneSizes: Seq[Int]): String = {
+    val neg = "-1000000000000000"
+    def dpBlock(tag: String, wordSrc: String, lpTab: String): String = {
+      val idx = Seq("d.j + 1", "d.j", "d.j - 1", "d.j - 2")
+      def cand(l: Int) = s"coalesce(c.lp$l + d.dps[${idx(l - 1)}], $neg)"
+      val best = (1 to 4).map(cand).mkString("greatest(", ", ", ")")
+      val bpCase = "CASE " + (4 to 2 by -1)
+        .map(l => s"WHEN ${cand(l)} = $best THEN $l").mkString(" ") + " ELSE 1 END"
+      s"""pos$tag AS MATERIALIZED (SELECT w, CAST(u.i AS INT) AS j
+            FROM $wordSrc CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) AS u(i)),
+          cand$tag AS MATERIALIZED (
+            SELECT c.w, c.j,
+              max(CASE WHEN c.L = 1 THEN l.lp END) AS lp1,
+              max(CASE WHEN c.L = 2 THEN l.lp END) AS lp2,
+              max(CASE WHEN c.L = 3 THEN l.lp END) AS lp3,
+              max(CASE WHEN c.L = 4 THEN l.lp END) AS lp4
+            FROM (SELECT p.w, p.j, gl.L,
+                         substr(p.w, p.j - CAST(gl.L AS INT) + 1, CAST(gl.L AS INT)) AS piece
+                  FROM pos$tag p, generate_series(1, 4) AS gl(L) WHERE gl.L <= p.j) c
+            JOIN $lpTab l ON l.p = c.piece
+            GROUP BY c.w, c.j),
+          dp$tag AS (
+            SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS dps, CAST([] AS BIGINT[]) AS bps
+            FROM $wordSrc
+            UNION ALL
+            SELECT d.w, d.j + 1,
+              list_append(d.dps, $best),
+              list_append(d.bps, CAST($bpCase AS BIGINT))
+            FROM dp$tag d JOIN cand$tag c ON c.w = d.w AND c.j = d.j + 1),
+          walk$tag AS (
+            SELECT d.w, d.j AS pos, CAST([] AS VARCHAR[]) AS pieces, d.bps AS bps
+            FROM dp$tag d WHERE d.j = length(d.w)
+            UNION ALL
+            SELECT w, pos - CAST(bps[pos] AS INT),
+                   list_prepend(substr(w, pos - CAST(bps[pos] AS INT) + 1,
+                                       CAST(bps[pos] AS INT)), pieces),
+                   bps
+            FROM walk$tag WHERE pos > 0),
+          segs$tag AS MATERIALIZED (SELECT w, pieces FROM walk$tag WHERE pos = 0)"""
+    }
+    def lpCte(lTab: String, vTab: String): String =
+      s"""$lTab AS MATERIALIZED (
+            SELECT p, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+              (SELECT CAST(sum(c + 1) AS DOUBLE) FROM $vTab)) * 1000000) AS BIGINT) AS lp
+            FROM $vTab)"""
+    val rounds = pruneSizes.zipWithIndex.map { case (k, r) =>
+      s"""${lpCte(s"l$r", s"v$r")},
+          ${dpBlock(s"t$r", "wf", s"l$r")},
+          cnt$r AS MATERIALIZED (
+            SELECT u.p, CAST(sum(wf.f) AS BIGINT) AS c
+            FROM (SELECT w, unnest(pieces) AS p FROM segst$r) u JOIN wf ON wf.w = u.w
+            GROUP BY u.p),
+          v${r + 1} AS MATERIALIZED (
+            SELECT a.p, coalesce(c.c, 0) AS c FROM alpha a LEFT JOIN cnt$r c ON c.p = a.p
+            UNION ALL
+            SELECT p, c FROM (
+              SELECT v.p AS p, coalesce(c.c, 0) AS c
+              FROM (SELECT p FROM v$r WHERE length(p) > 1) v
+              LEFT JOIN cnt$r c ON c.p = v.p
+              ORDER BY coalesce(c.c, 0) DESC, v.p LIMIT $k))"""
+    }.mkString(",\n")
+    val rFinal = pruneSizes.length
+    s"""words AS MATERIALIZED (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+        awf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
+        wf AS MATERIALIZED (SELECT w, f FROM awf ORDER BY f DESC, w LIMIT $maxWords),
+        alpha AS MATERIALIZED (SELECT DISTINCT unnest(string_split(w, '')) AS p FROM awf),
+        seedcnt AS MATERIALIZED (
+          SELECT p, CAST(sum(f) AS BIGINT) AS c FROM (
+            SELECT f, unnest(list_transform(range(1, length(w) - gl.L + 2),
+              i -> substr(w, CAST(i AS INT), CAST(gl.L AS INT)))) AS p
+            FROM wf, generate_series(1, 4) AS gl(L))
+          GROUP BY p),
+        v0 AS MATERIALIZED (
+          SELECT a.p, coalesce(s.c, 0) AS c FROM alpha a LEFT JOIN seedcnt s ON s.p = a.p
+          UNION ALL
+          SELECT p, c FROM (SELECT p, c FROM seedcnt WHERE length(p) > 1
+                            ORDER BY c DESC, p LIMIT $seedMulti)),
+        $rounds,
+        ${lpCte(s"l$rFinal", s"v$rFinal")},
+        ${dpBlock("A", "awf", s"l$rFinal")},
+        wsc AS MATERIALIZED (
+          SELECT u.w, CAST(sum(l.lp) AS BIGINT) AS sc
+          FROM (SELECT w, unnest(pieces) AS p FROM segsA) u JOIN l$rFinal l ON l.p = u.p
+          GROUP BY u.w),
+        dtok AS (SELECT doc_id, CAST(u.i AS INT) AS ord, tks[CAST(u.i AS INT)] AS w
+                 FROM (SELECT doc_id, ${sqlTokens("text")} AS tks FROM documents)
+                 CROSS JOIN LATERAL unnest(range(1, len(tks) + 1)) AS u(i)),
+        dseq AS (SELECT d.doc_id,
+                   flatten(list(s.pieces ORDER BY d.ord)) AS pieces,
+                   CAST(sum(w.sc) AS BIGINT) AS sc
+                 FROM dtok d JOIN segsA s ON s.w = d.w JOIN wsc w ON w.w = d.w
+                 GROUP BY d.doc_id)"""
+  }
+
   /** DuckDB fragment: word 3-gram shingles of token-list column `t` —
     * mirrors `TextFunctions.shingles(_, 3)` incl. the short-doc rule.
     */
@@ -1807,6 +1914,27 @@ object SparkEntry {
   }
 
 
+  /** Unigram-LM (SentencePiece-style) tokenizer (round 17): the BPE
+    * family's missing sibling — hard-EM trains a piece vocabulary with
+    * integer-micro log-probs over the capped word table (two EM
+    * rounds, 96-multi seed pruned 64 → 48, alphabet always kept), then
+    * Viterbi-segments every document through ONE native scan
+    * expression ([[graft.operators.Unigram]]). The oracle re-runs the
+    * ENTIRE trainer in SQL (the q100 bar): seed substring counts,
+    * per-round smoothed log-probs, the DP as a recursive CTE with the
+    * same longest-piece tie-break, the prune, and the final apply —
+    * then hash-checks each doc's exact piece sequence and its
+    * fixed-point negative log-likelihood.
+    */
+  private def q143_unigram_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = operators.Unigram.trainFromCorpus(
+      docs, "text", maxWords = 300, seedMulti = 96,
+      maxPieceLen = 4, pruneSizes = Seq(64, 48))
+    operators.Unigram.tokenStats(docs, "doc_id", "text", vocab, maxPieceLen = 4)
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2717,7 +2845,8 @@ object SparkEntry {
     "q139_hard_negatives" -> (q139_hard_negatives _),
     "q140_data_card" -> (q140_data_card _),
     "q141_edit_join_guarded" -> (q141_edit_join_guarded _),
-    "q142_url_normalize" -> (q142_url_normalize _)
+    "q142_url_normalize" -> (q142_url_normalize _),
+    "q143_unigram_tokenize" -> (q143_unigram_tokenize _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -4924,6 +5053,17 @@ object SparkEntry {
                              || '.' || sfx END
             END AS domain
           FROM pick WHERE rn = 1""",
+    // q143 = the full unigram trainer re-run in SQL (seed counts, two
+    // generated hard-EM rounds with the recursive-CTE Viterbi and the
+    // longest-piece tie-break, prune, apply) — wordless docs keep
+    // md5('') and nll 0, like the engine's empty piece array
+    "q143_unigram_tokenize" ->
+      s"""WITH RECURSIVE ${sqlUnigramCtes(maxWords = 300, seedMulti = 96, pruneSizes = Seq(64, 48))}
+          SELECT doc.doc_id,
+                 CAST(coalesce(len(q.pieces), 0) AS BIGINT) AS n_pieces,
+                 md5(coalesce(array_to_string(q.pieces, '|'), '')) AS seq_hash,
+                 CAST(coalesce(-q.sc, 0) AS BIGINT) AS nll_micro
+          FROM documents doc LEFT JOIN dseq q ON q.doc_id = doc.doc_id""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

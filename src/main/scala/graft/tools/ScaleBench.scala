@@ -234,7 +234,12 @@ object ScaleBench {
     "q141_edit_join_guarded",
     // round-17: the URL front door — three fused-scan natives over a
     // derived column, the q121/q130 linearity shape (no exchange)
-    "q142_url_normalize")
+    "q142_url_normalize",
+    // round-17: unigram tokenizer — training is two word/char-sized
+    // aggregates + a driver EM over the capped table (fixed cost as
+    // the corpus grows: the cap binds), apply one native scan; expect
+    // the q100 weak-scale shape
+    "q143_unigram_tokenize")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

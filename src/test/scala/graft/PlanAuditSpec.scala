@@ -217,6 +217,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("q143: unigram apply is one scan projection — native kernel, no UDF, zero shuffles") {
+    val plan = planOf("q143_unigram_tokenize")
+    assert(shuffles(plan) == 0, s"q143 apply is scan-shaped — nothing to exchange:\n$plan")
+    assert(plan.contains("unigram_tokenize"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // the trainer's bounded collects happen before this plan exists;
+    // the apply itself reads only doc_id + text
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scans.contains("doc_id") && scans.contains("text"), plan)
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
