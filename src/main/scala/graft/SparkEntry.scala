@@ -1935,6 +1935,36 @@ object SparkEntry {
   }
 
 
+  /** Perceptual-hash image near-dup (round 17): `dhash64` over derived
+    * opaque payloads with PLANTED perceptual clusters (five consecutive
+    * ids share an md5-chain "image"; four carry only a tiny per-doc
+    * tail edit — near-dups by construction; the fifth gets a 32-byte
+    * shift block — pushed out of range), then Hamming banding (4×16
+    * bits) and the exact `bit_count(xor) <= 6` verify
+    * ([[graft.operators.Multimodal.perceptualNearDup]]). The derived
+    * payloads are deliberately HIGH-entropy (non-repeating md5 chain):
+    * a periodic pattern aligned to the 72 grid windows degenerates the
+    * gradient bits and manufactures cross-cluster collisions — the
+    * measured trap that shaped this fixture. Oracle re-derives pixels,
+    * gradients, hash, bands, and verify from `hex(encode(payload))`
+    * integer ops; at sf0.01 the gate pins exactly the 600 planted
+    * pairs (100 clusters × C(4,2)), zero noise.
+    */
+  private def q144_phash_neardup(s: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / 5).cast("long").cast("string")
+    val unit = concat((0 until 18).map(i =>
+      md5(concat(lit("grp:"), g, lit(s":$i")))): _*)
+    val payload = concat(
+      unit,
+      when(col("doc_id") % 5 === 0,
+        md5(concat(lit("shift:"), col("doc_id").cast("string")))).otherwise(lit("")),
+      lit("#"), col("doc_id").cast("string")).cast("binary")
+    Multimodal.perceptualNearDup(
+      Tables.documents(s, dir).select(col("doc_id"), payload.alias("content")),
+      "doc_id", "content", maxDist = 6)
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2846,7 +2876,8 @@ object SparkEntry {
     "q140_data_card" -> (q140_data_card _),
     "q141_edit_join_guarded" -> (q141_edit_join_guarded _),
     "q142_url_normalize" -> (q142_url_normalize _),
-    "q143_unigram_tokenize" -> (q143_unigram_tokenize _)
+    "q143_unigram_tokenize" -> (q143_unigram_tokenize _),
+    "q144_phash_neardup" -> (q144_phash_neardup _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -5064,6 +5095,47 @@ object SparkEntry {
                  md5(coalesce(array_to_string(q.pieces, '|'), '')) AS seq_hash,
                  CAST(coalesce(-q.sc, 0) AS BIGINT) AS nll_micro
           FROM documents doc LEFT JOIN dseq q ON q.doc_id = doc.doc_id""",
+    // q144 = the dhash64 kernel re-derived from hex(encode(payload))
+    // integer ops (window means, gradient bits, the sign-bit as a
+    // -2^63 addend), the 4x16 banding as an OR of masked shifts, and
+    // the exact bit_count(xor) verify — engine candidates∩verify
+    // semantics, not an approximation
+    "q144_phash_neardup" ->
+      """WITH b AS (
+            SELECT doc_id,
+                   hex(encode(pl)) AS hx, octet_length(encode(pl)) AS n
+            FROM (SELECT doc_id,
+                    array_to_string(list_transform(range(0, 18),
+                      i -> md5('grp:' || CAST(doc_id // 5 AS VARCHAR)
+                               || ':' || CAST(i AS VARCHAR))), '')
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN md5('shift:' || CAST(doc_id AS VARCHAR)) ELSE '' END
+                    || '#' || CAST(doc_id AS VARCHAR) AS pl
+                  FROM documents)),
+          px AS (SELECT doc_id, n,
+            list_transform(range(0, 72), k ->
+              CASE WHEN ((k + 1) * n) // 72 > (k * n) // 72
+                   THEN list_sum(list_transform(range((k * n) // 72, ((k + 1) * n) // 72),
+                          i -> CAST('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2) AS INT)))
+                        // (((k + 1) * n) // 72 - (k * n) // 72)
+                   ELSE 0 END) AS p
+            FROM b),
+          hs AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 63), t ->
+              CASE WHEN p[CAST((t // 8) * 9 + (t % 8) + 2 AS INT)]
+                        > p[CAST((t // 8) * 9 + (t % 8) + 1 AS INT)]
+                   THEN (CAST(1 AS BIGINT) << CAST(t AS INT)) ELSE 0 END)) AS BIGINT)
+            + CASE WHEN p[72] > p[71]
+                   THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS h
+            FROM px)
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist
+          FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+          WHERE ((a.h >> 0) & 65535 = (b.h >> 0) & 65535
+              OR (a.h >> 16) & 65535 = (b.h >> 16) & 65535
+              OR (a.h >> 32) & 65535 = (b.h >> 32) & 65535
+              OR (a.h >> 48) & 65535 = (b.h >> 48) & 65535)
+            AND bit_count(xor(a.h, b.h)) <= 6""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

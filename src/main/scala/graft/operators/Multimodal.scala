@@ -123,4 +123,77 @@ object Multimodal {
       sequence(lit(0), lit(n - 1)),
       i => contentCol.substr((floor(span * i.cast("long") / denom) + 1).cast("int"), lit(frameBytes)))
   }
+
+  /** 64-bit perceptual (difference) hash of an opaque content column —
+    * see [[graft.functions.expressions.DHash64Expr]].
+    */
+  def dhash64(contentCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.expressions.DHash64Expr.dhash64Col(contentCol)
+
+  /** Perceptual near-duplicate pairs over an opaque media column —
+    * the image-content analogue of q21's SimHash text near-dup (the
+    * LAION-scale need: the same image re-encoded, lightly edited, or
+    * re-captioned dedups by CONTENT, not by byte hash):
+    *
+    *  1. one scan computes `dhash64` per item (the content bytes never
+    *     leave the scan stage — only `(id, hash)` rows move);
+    *  2. candidates come from Hamming BANDING, the q21 machinery: the
+    *     64-bit hash splits into 4 disjoint 16-bit bands, items
+    *     sharing ANY band value meet — by pigeonhole this finds EVERY
+    *     pair within Hamming distance 3 and, in practice, nearly all
+    *     within the useful thresholds (the oracle gate re-derives the
+    *     exact candidates∩verify semantics, so nothing is estimated);
+    *  3. map-side verify `bit_count(xor) <= maxDist` BEFORE the
+    *     pair-level distinct — only true matches pay the dedup
+    *     shuffle (the q122 discipline).
+    *
+    * `maxBandFreq` is the hot-bucket guard (the q141/q119 doctrine):
+    * a band value shared by `f` items generates `O(f²)` candidates —
+    * byte-identical boilerplate images (blank thumbnails, tracking
+    * pixels) concentrate into one bucket. The cap drops buckets
+    * hotter than `f` from both sides (broadcast anti-join against the
+    * once-materialized hot list), with the completeness caveat
+    * documented: an all-hot-bands pair is missed — and is exactly the
+    * boilerplate pair a curation run wants suppressed.
+    *
+    * Output: `(left_id, right_id, dist)`, `left_id < right_id`, one
+    * row per pair. Null-content items carry no hash and never pair.
+    */
+  def perceptualNearDup(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxDist: Int,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist must be in [0, 64], got $maxDist")
+    maxBandFreq.foreach(f => require(f >= 1, s"maxBandFreq must be >= 1, got $f"))
+    val hs = df
+      .select(col(idCol).cast("long").alias("id"),
+        dhash64(col(contentCol)).alias("h"))
+      .na.drop(Seq("h"))
+    val bands = hs.select(
+      col("id"), col("h"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("h"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "v")))
+    val guarded = maxBandFreq match {
+      case None => bands
+      case Some(cap) =>
+        val hot = bands.groupBy("band", "v")
+          .agg(count(lit(1)).alias("__f"))
+          .filter(col("__f") > cap)
+          .select("band", "v")
+          .localCheckpoint(true)
+        bands.join(broadcast(hot), Seq("band", "v"), "left_anti")
+    }
+    guarded.select(col("band"), col("v"), col("id").alias("l_id"), col("h").alias("l_h"))
+      .join(
+        guarded.select(col("band"), col("v"), col("id").alias("r_id"), col("h").alias("r_h")),
+        Seq("band", "v"))
+      .filter(col("l_id") < col("r_id"))
+      .withColumn("dist", bit_count(col("l_h").bitwiseXOR(col("r_h"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id").alias("left_id"), col("r_id").alias("right_id"), col("dist"))
+      .dropDuplicates("left_id", "right_id")
+  }
 }

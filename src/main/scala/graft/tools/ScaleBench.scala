@@ -239,7 +239,12 @@ object ScaleBench {
     // aggregates + a driver EM over the capped table (fixed cost as
     // the corpus grows: the cap binds), apply one native scan; expect
     // the q100 weak-scale shape
-    "q143_unigram_tokenize")
+    "q143_unigram_tokenize",
+    // round-17: perceptual near-dup — the derived payloads plant
+    // 5-doc clusters keyed by doc_id//5, so pair volume scales
+    // linearly and the band join carries (id, hash) scalars only;
+    // expect the q21 banding shape
+    "q144_phash_neardup")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -228,6 +228,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans.contains("doc_id") && scans.contains("text"), plan)
   }
 
+  test("q144: perceptual near-dup — band equi-join, content bytes never leave the scan") {
+    val plan = planOf("q144_phash_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q144 candidate generation went quadratic:\n$plan")
+    assert(plan.contains("dhash64"), plan)
+    // only (id, hash, band, value) rows move — the payload stays in its scan
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("content"), s"q144 shuffled the media payload:\n$plan")
+    // band join (<=2) + pair distinct (1)
+    assert(shuffles(plan) <= 3, s"q144 shuffle budget exceeded:\n$plan")
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
