@@ -20,10 +20,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    // deployment guard: the hint-class defect (an un-pruned
-    // corpus-vector shuffle) warns — or, opted-in, fails — at plan
-    // time instead of shipping silently; see VectorShuffleGuardRule
+    // deployment guards: the hint-class defect (an un-pruned
+    // corpus-vector or corpus-text shuffle) warns — or, opted-in,
+    // fails — at plan time instead of shipping silently; see
+    // VectorShuffleGuardRule / TextShuffleGuardRule
     e.injectQueryStagePrepRule(graft.plans.VectorShuffleGuardRule.apply)
+    e.injectQueryStagePrepRule(graft.plans.TextShuffleGuardRule.apply)
     e.injectFunction(
       (
         FunctionIdentifier("md5_hash60"),

@@ -94,3 +94,80 @@ object VectorShuffleGuardRule {
   private def carriesVec(ex: ShuffleExchangeExec): Boolean =
     ex.output.exists(a => isVec(a.dataType))
 }
+
+/** The TEXT-payload sibling of [[VectorShuffleGuardRule]] — closes the
+  * production gap the round-16 review named: the "corpus text never
+  * rides an exchange" discipline was CI-swept for registry queries
+  * (`PlanAuditSpec`) but nothing caught a USER composition that
+  * shuffles `documents.text` un-cut.
+  *
+  * Text needs more precision than vectors: every plan is full of
+  * StringType columns (keys, codes, tokens), so flagging any string in
+  * an exchange would be noise. Two filters make the check exact:
+  *
+  *  1. only columns whose NAME matches `spark.graft.guard.textColumns`
+  *     (anchored regex, default `text|content|body|html|raw` — the
+  *     names document-payload columns actually carry; extend for your
+  *     schema) on a corpus file scan count as text payload;
+  *  2. the exchange is flagged only when its output carries the SAME
+  *     attribute (by exprId) the scan produced — a derived cut
+  *     (`substring(text, 1, 16)`, tokens, hashes) is a NEW attribute
+  *     and passes. That is precisely the doctrine: derive bounded
+  *     keys from text, never move the payload itself.
+  *
+  * Same escape as the vector rule: a broadcast-bounded join below the
+  * exchange marks the row count as cut. Intentional wholesale movers
+  * (a one-off corpus re-layout) run under `warn` or scope the
+  * pattern/columns out. Knobs: `spark.graft.guard.textShuffle` =
+  * `off` | `warn` (default) | `fail`; shares
+  * [[VectorShuffleGuardRule.PatternKey]].
+  */
+case class TextShuffleGuardRule(session: SparkSession)
+  extends Rule[SparkPlan] with Logging {
+
+  import TextShuffleGuardRule._
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val mode = session.conf.get(ModeKey, "warn").toLowerCase
+    if (mode == "off") return plan
+    val pattern = session.conf.get(VectorShuffleGuardRule.PatternKey, ".*").r
+    val nameRe = session.conf.get(ColumnsKey, DefaultColumns).r
+
+    plan.foreach {
+      case ex: ShuffleExchangeExec =>
+        val corpusTextAttrs = ex.child.collect {
+          case s: FileSourceScanExec
+              if pattern.findFirstIn(s.relation.location.rootPaths.mkString(",")).isDefined =>
+            s.output.filter(a =>
+              a.dataType == org.apache.spark.sql.types.StringType &&
+                nameRe.pattern.matcher(a.name).matches())
+        }.flatten
+        if (corpusTextAttrs.nonEmpty) {
+          val ids = corpusTextAttrs.map(_.exprId).toSet
+          val carried = ex.output.filter(a => ids.contains(a.exprId))
+          val pruned = ex.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
+          if (carried.nonEmpty && !pruned) {
+            val msg =
+              s"un-pruned corpus-text shuffle: Exchange ${ex.outputPartitioning} moves raw " +
+                s"text column(s) ${carried.map(_.name).mkString("[", ", ", "]")} straight " +
+                "from a corpus scan with no broadcast-bounded cut below it. At corpus " +
+                "scale this shuffles every document body; derive a bounded key " +
+                "(fingerprint, prefix, token hash) and move that instead. " +
+                s"(Set $ModeKey=off to silence, =fail to enforce.)"
+            if (mode == "fail") throw new TextShuffleException(msg)
+            else logWarning(s"[graft-guard] $msg")
+          }
+        }
+      case _ =>
+    }
+    plan
+  }
+}
+
+object TextShuffleGuardRule {
+  val ModeKey = "spark.graft.guard.textShuffle"
+  val ColumnsKey = "spark.graft.guard.textColumns"
+  val DefaultColumns = "text|content|body|html|raw"
+
+  class TextShuffleException(msg: String) extends IllegalStateException(msg)
+}
