@@ -4,6 +4,7 @@ import graft.sinks.ParquetKVSink
 import graft.streaming.DedupIngest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import scala.collection.mutable
@@ -27,7 +28,15 @@ import scala.collection.mutable
   * SPARK_GRAFT_UB_LM=1 adds the frozen-LM quality tier — ~5.6% of the
   * stream (never the dup-branch docs, so both modes share one dup
   * composition) becomes fully-OOV junk and a persisted bigram LM
-  * gates it between the exact and near tiers).
+  * gates it between the exact and near tiers;
+  * SPARK_GRAFT_UB_COMPOSED=1 runs the FULL streaming composition the
+  * batch PipelineBench proved end-to-end: `keepByGopher` in front of
+  * the unified ingest (a planted ~5.9% symbol-junk slice does real
+  * gate work), the LM tier on, and the three round-16 observer
+  * stores — DataCard, DistStats, and a token FreqSketch — as
+  * parallel streaming queries over the SAME gated stream, with the
+  * per-trigger time split reported per query. This measures what a
+  * real deployment runs concurrently, not tiers in isolation).
   */
 object UnifiedIngestBench {
   def main(args: Array[String]): Unit = {
@@ -41,6 +50,11 @@ object UnifiedIngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_UB_COMPOSED").contains("1")) {
+      runComposed(spark, total)
+      spark.stop()
+      return
+    }
     import spark.implicits._
 
     val words = Array("stream", "corpus", "dedup", "vector", "shard", "token",
@@ -131,5 +145,113 @@ object UnifiedIngestBench {
         tierMeans.map(m => f"$m%8.2f").mkString(" ") + f" $other%8.2f")
     }
     spark.stop()
+  }
+
+  /** The full streaming composition (the batch `PipelineBench`'s
+    * streaming twin): gopher gate → unified dedup ingest with the LM
+    * tier → DataCard + DistStats + token-FreqSketch observers, four
+    * streaming queries over ONE MemoryStream, per-trigger time split
+    * per query plus the unified query's internal tier split.
+    */
+  private def runComposed(spark: SparkSession, total: Int): Unit = {
+    import spark.implicits._
+    val words = Array("stream", "corpus", "dedup", "vector", "shard", "token",
+      "merge", "batch", "index", "probe", "cell", "band")
+    def text(seed: Int): String =
+      s"doc$seed " + (0 until 19).map(j => words((seed * 31 + j * 7) % words.length)).mkString(" ")
+    def vec(seed: Int): Seq[Float] = {
+      val axis = seed % 8
+      Seq.tabulate(16)(d =>
+        (if (d == axis * 2) 1.0f else 0.0f) + ((seed * 131 + d * 17) % 100) / 1000.0f)
+    }
+    // layered junk: every 13th off-dup doc is OOV (the LM tier's work),
+    // every 17th off-dup doc is symbol junk (the GOPHER gate's work —
+    // zero alpha words fail minAlphaFrac before any state is touched)
+    def doc(i: Int): (Long, String, Seq[Float]) = {
+      val onDup = i % 5 == 0 || i % 11 == 0
+      val t =
+        if (!onDup && i % 13 == 0)
+          s"junk$i " + (0 until 19).map(j => s"zz${(i * 17 + j * 5) % 997}").mkString(" ")
+        else if (!onDup && i % 17 == 0)
+          (0 until 20).map(j => "!#$%" * 3).mkString(" ") + s" $i"
+        else if (i % 5 == 0) text((i / 200) * 200)
+        else if (i % 11 == 0) text((i / 550) * 550) + s" tail"
+        else text(i)
+      val vSeed = if (i % 7 == 0) (i / 350) * 350 else i
+      (i.toLong, t, vec(vSeed))
+    }
+
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-ubc-lm").toString
+    graft.operators.NgramLm.saveLm(
+      graft.operators.NgramLm.train(
+        (0 until 5000).map(i => (i.toLong, text(i))).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      lmDir)
+
+    val tiers = Seq("exact", "quality", "near", "sem", "ann")
+    val qNames = Seq("unified", "card", "dist", "freq")
+    println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s ${"kept"}%6s  " +
+      (tiers.map(t => f"$t%8s") ++ qNames.drop(1).map(t => f"$t%8s")).mkString(" ") +
+      "  (mean s/trigger; unified split then observer queries)")
+
+    for (batchSize <- Seq(2500, 10000)) {
+      val nBatches = math.max(1, total / batchSize)
+      val input = MemoryStream[(Long, String, Seq[Float])](spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-ubc").toString
+      val sink = new ParquetKVSink(s"$root/state")
+      val agg = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      val timer = (tier: String, sec: Double) => agg.synchronized { agg(tier) += sec }
+      val trg = Trigger.ProcessingTime("0 seconds")
+
+      val base = input.toDF().toDF("doc_id", "text", "embedding")
+      val gated = graft.operators.QualityPrune.keepByGopher(
+        base, "text", minTokens = 5L, minStopHits = 0L)
+      val withSource = gated
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+
+      val qUni = DedupIngest.startUnified(
+        gated.select("doc_id", "text", "embedding"),
+        "doc_id", "text", "embedding", sink, "uni", s"$root/ckpt_uni", trg,
+        annIndexPath = Some(s"$root/index"),
+        nLists = 8, trainSample = 2048, annNLists = 8, annM = 8, annCodes = 16,
+        tierTimer = timer, lmPath = Some(lmDir), qualityCutoff = -3.0)
+      val qCard = graft.streaming.DataCard.start(
+        withSource, sink, "card", s"$root/ckpt_card", trg)
+      val qDist = graft.streaming.DistStats.start(
+        withSource, sink, "dist", s"$root/ckpt_dist", trg)
+      val qFreq = graft.streaming.FreqSketch.start(
+        gated.select(explode(
+          graft.functions.TextFunctions.tokens(col("text"))).alias("w")),
+        "w", sink, "freq", s"$root/ckpt_freq", trg)
+      val queries = qNames.zip(Seq(qUni, qCard, qDist, qFreq))
+      val perQ = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+
+      // warmup (bootstrap trains quantizer/ANN; observers create state)
+      input.addData((0 until 1000).map(doc))
+      queries.foreach(_._2.processAllAvailable())
+      agg.clear(); perQ.clear()
+
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < nBatches) {
+        input.addData((0 until batchSize).map(i => doc(1000 + b * batchSize + i)))
+        queries.foreach { case (n, q) =>
+          val s = System.nanoTime()
+          q.processAllAvailable()
+          perQ(n) += (System.nanoTime() - s) / 1e9
+        }
+        b += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      queries.foreach(_._2.stop())
+      val kept = graft.streaming.DataCard
+        .card(spark, sink, "card", 256)
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+      val rate = nBatches.toLong * batchSize / sec
+      val keptFrac = kept.toDouble / (nBatches.toLong * batchSize + 1000)
+      println(f"$batchSize%8d $nBatches%7d $rate%8.0f $keptFrac%6.2f  " +
+        (tiers.map(t => f"${agg(t) / nBatches}%8.2f") ++
+          qNames.drop(1).map(n => f"${perQ(n) / nBatches}%8.2f")).mkString(" "))
+    }
   }
 }
