@@ -81,6 +81,66 @@ object SparkEntry {
               ELSE '%' || e END)), '')"""
   }
 
+  /** DuckDB CTE chain re-deriving `UrlExprs.urlNormalize` + `urlHost`
+    * for an upstream CTE `u(doc_id, url)` — the q142 oracle's
+    * normalize pipeline, factored so every oracle that keys on
+    * canonical URLs (q142, q146) reuses ONE definition. Ends with
+    * `norm(doc_id, norm_url, host)`.
+    */
+  private def sqlUrlNormChain: String =
+    s"""p1 AS (SELECT doc_id, regexp_replace(trim(url, ' '), '#.*$$', '') AS fr FROM u),
+          p2 AS (SELECT doc_id, fr,
+                   lower(regexp_extract(fr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(fr, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                 FROM p1),
+          p4 AS (SELECT doc_id, scheme, rest,
+                   regexp_extract(rest, '^([^/?]*)', 1) AS auth
+                 FROM p2),
+          p5 AS (SELECT doc_id, scheme,
+                   substr(rest, length(auth) + 1) AS pq,
+                   lower(regexp_extract(auth, '([^@]*)$$', 1)) AS auth2
+                 FROM p4),
+          p6 AS (SELECT doc_id, scheme, pq,
+                   CASE WHEN strpos(auth2, ':') > 0
+                        THEN regexp_replace(auth2, ':[^:]*$$', '') ELSE auth2 END AS hostp,
+                   CASE WHEN strpos(auth2, ':') > 0
+                        THEN regexp_extract(auth2, ':([^:]*)$$', 1) ELSE '' END AS portp
+                 FROM p5),
+          p7 AS (SELECT doc_id, scheme, hostp, portp,
+                   regexp_extract(pq, '^([^?]*)', 1) AS path,
+                   CASE WHEN strpos(pq, '?') > 0
+                        THEN substr(pq, length(regexp_extract(pq, '^([^?]*)', 1)) + 2) END AS qs
+                 FROM p6),
+          p8 AS (SELECT doc_id, scheme, hostp, portp, qs,
+                   ${sqlPctDecode("path")} AS pd
+                 FROM p7),
+          p9 AS (SELECT doc_id, scheme, hostp, portp,
+                   CASE WHEN pd = '' THEN '/' ELSE pd END AS path_out,
+                   CASE WHEN qs IS NULL THEN NULL ELSE
+                     array_to_string(list_sort(list_transform(
+                       list_filter(string_split(qs, '&'),
+                         x -> x <> '' AND lower(CASE WHEN strpos(x, '=') > 0
+                             THEN regexp_extract(x, '^([^=]*)', 1) ELSE x END)
+                           NOT IN ${sqlList(UrlExprs.DefaultDropParams)}),
+                       x -> ${sqlPctDecode("x")})), '&') END AS q_out
+                 FROM p8),
+          norm AS (SELECT doc_id,
+                     CASE WHEN scheme IS NULL OR scheme = ''
+                               OR hostp IS NULL OR hostp = '' THEN NULL
+                          ELSE scheme || '://' || hostp ||
+                               CASE WHEN portp <> ''
+                                         AND NOT (scheme = 'http' AND portp = '80')
+                                         AND NOT (scheme = 'https' AND portp = '443')
+                                    THEN ':' || portp ELSE '' END ||
+                               path_out ||
+                               CASE WHEN q_out IS NULL OR q_out = '' THEN ''
+                                    ELSE '?' || q_out END
+                     END AS norm_url,
+                     CASE WHEN scheme IS NULL OR scheme = ''
+                               OR hostp IS NULL OR hostp = '' THEN NULL
+                          ELSE hostp END AS host
+                   FROM p9)"""
+
   /** DuckDB CTE chain re-deriving the ENTIRE unigram-LM tokenizer
     * trainer + apply (`Unigram.train`/`tokenStats`) for q143 — the
     * q100 pattern (train re-run in SQL, not embedded): capped word
@@ -1965,6 +2025,69 @@ object SparkEntry {
   }
 
 
+  /** Trained linear quality classifier (round 17): distill the q137
+    * Gopher rule gate into a hashed bag-of-words linear model — the
+    * fastText/CCNet production pattern (cheap student applied at
+    * corpus scale, expensive teacher only at training time) —
+    * via [[graft.operators.QualityClassifier.distillGopher]].
+    * Features: `md5_hash60(token) % 256` presence (one native scan,
+    * [[graft.functions.expressions.HashedBowExpr]]) + bias + an
+    * integer log2 token-count bucket; training is 40 fixed-budget
+    * full-batch GD iterations with the RATIONAL fast-sigmoid and
+    * every cross-engine quantity in integer micros, so the DuckDB
+    * oracle replays the ENTIRE trainer bit-for-bit (the q100/q143
+    * bar: 40 generated weight-update CTE rounds). Corpus text is
+    * scanned once; each iteration moves only `(feature_id, partial
+    * gradient)` rows (≤ 273 after map-side combine). At sf0.01 the
+    * student agrees with the teacher on 488/500 docs — the gate
+    * hash-checks every per-doc margin, not just the agreement rate.
+    */
+  private def q145_quality_classifier(s: SparkSession, dir: String): DataFrame =
+    operators.QualityClassifier.distillGopher(
+      Tables.documents(s, dir), "doc_id", "text",
+      dim = 256, iters = 40, lr = 16.0,
+      minTokens = 25L, minStopHits = 1L)
+
+
+  /** Canonical-URL keep-best dedup (round 17): the web corpus's FIRST
+    * dedup stage — the q142 `url_normalize` native as the group key,
+    * [[graft.operators.Dedup.byCanonicalUrl]]'s argmax
+    * (keep-best-by-token-count, min-id tie-break) as the reduction.
+    * The fixture plants 4-way canonical collisions (per group of four
+    * consecutive ids: the clean spelling, a cased+`:80`+fragment
+    * variant, a percent-encoded-path+`utm_source` variant, and a
+    * reordered-params+`utm_campaign` variant — all normalizing to ONE
+    * canonical URL) plus an unparseable-URL slice (every 17th doc)
+    * that the operator must DROP rather than fold into a NULL hot
+    * key. Oracle reuses the factored q142 normalize chain
+    * (`sqlUrlNormChain`) and replays the argmax as a window.
+    */
+  private def q146_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / 4).cast("long")
+    val site = (g % 50).cast("string")
+    val gs = g.cast("string")
+    val m = col("doc_id") % 4
+    val url = when(col("doc_id") % 17 === 0,
+        concat(lit("not a url "), col("doc_id").cast("string")))
+      .otherwise(
+        when(m === 0, concat(lit("http://www.site"), site,
+          lit(".example.com/article/"), gs, lit("?id="), gs))
+        .when(m === 1, concat(lit("HTTP://WWW.Site"), site,
+          lit(".Example.COM:80/article/"), gs, lit("?id="), gs, lit("#frag")))
+        .when(m === 2, concat(lit("http://www.site"), site,
+          lit(".example.com/articl%65/"), gs, lit("?id="), gs,
+          lit("&utm_source=feed")))
+        .otherwise(concat(lit("http://www.site"), site,
+          lit(".example.com/article/"), gs, lit("?utm_campaign=x&id="), gs)))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      url.alias("url"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").alias("n_tokens"))
+    operators.Dedup.byCanonicalUrl(docs, "doc_id", "url", "n_tokens")
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -2877,7 +3000,9 @@ object SparkEntry {
     "q141_edit_join_guarded" -> (q141_edit_join_guarded _),
     "q142_url_normalize" -> (q142_url_normalize _),
     "q143_unigram_tokenize" -> (q143_unigram_tokenize _),
-    "q144_phash_neardup" -> (q144_phash_neardup _)
+    "q144_phash_neardup" -> (q144_phash_neardup _),
+    "q145_quality_classifier" -> (q145_quality_classifier _),
+    "q146_url_dedup" -> (q146_url_dedup _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -2933,6 +3058,93 @@ object SparkEntry {
                CAST(nll_micro AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
                  AS avg_nll
         FROM agg"""
+
+  /** q145's DuckDB oracle: the ENTIRE fixed-point GD trainer replayed
+    * in SQL — Gopher teacher labels (the q137 rule arithmetic), the
+    * hashed-BoW + bias + integer-log2-length-bucket feature rows, then
+    * `iters` GENERATED weight-update rounds (margin / fast-sigmoid
+    * error / gradient / update CTEs per round, `MATERIALIZED` so
+    * DuckDB evaluates the chain once instead of re-inlining forty
+    * deep), and the final per-doc margin + prediction. Every
+    * cross-engine quantity is an integer micro or a single-expression
+    * IEEE double in the same evaluation order as the Spark side
+    * ([[graft.operators.QualityClassifier]]), and both engines round
+    * HALF_UP — so the gate hash-checks forty rounds of training, not
+    * just the final predictions' shape.
+    */
+  private def sqlDistillOracle(
+      dim: Int, iters: Int, lr: Double,
+      minTokens: Long, minStopHits: Long): String = {
+    val width = dim + 1 + 16
+    val base =
+      s"""tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t,
+                        string_split(text, chr(10)) AS ls
+                 FROM documents),
+          st AS (SELECT doc_id, t,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_token_len,
+                   CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS frac_alpha,
+                   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(t, s))) AS BIGINT) AS n_stop_hits,
+                   CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+                     / CAST(len(ls) AS DOUBLE) AS frac_ellipsis_lines,
+                   CAST(len(list_filter(ls, l ->
+                     list_contains(['-','*','•'], substr(ltrim(l, ' ' || chr(9)), 1, 1)))) AS DOUBLE)
+                     / CAST(len(ls) AS DOUBLE) AS frac_bullet_lines,
+                   CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+                     / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio
+                 FROM tk),
+          lab AS (SELECT doc_id, t, n_tokens,
+                   CASE WHEN coalesce(n_tokens >= $minTokens AND n_tokens <= 100000, FALSE)
+                     AND coalesce(mean_token_len >= 3.0 AND mean_token_len <= 10.0, FALSE)
+                     AND coalesce(frac_alpha >= 0.8, FALSE)
+                     AND coalesce(n_stop_hits >= $minStopHits, FALSE)
+                     AND coalesce(frac_ellipsis_lines <= 0.3, FALSE)
+                     AND coalesce(frac_bullet_lines <= 0.9, FALSE)
+                     AND coalesce(symbol_ratio <= 0.1, FALSE)
+                   THEN 1 ELSE 0 END AS y
+                 FROM st),
+          feat AS MATERIALIZED (
+            SELECT doc_id, y, feat FROM (
+              SELECT doc_id, y,
+                     unnest(list_distinct(list_transform(t, x -> ${sqlMd5h60("x")} % $dim))) AS feat
+              FROM lab
+              UNION ALL
+              SELECT doc_id, y, $dim AS feat FROM lab
+              UNION ALL
+              SELECT doc_id, y,
+                     $dim + 1 + least(length(printf('%b', coalesce(n_tokens, 0) + 1)) - 1, 15) AS feat
+              FROM lab)),
+          nn AS (SELECT count(*) AS n FROM lab),
+          w0 AS (SELECT unnest(range(0, $width)) AS feat, CAST(0 AS BIGINT) AS w)"""
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""z$t AS MATERIALIZED (
+            SELECT f.doc_id, any_value(f.y) AS y, CAST(sum(w.w) AS BIGINT) AS z
+            FROM feat f JOIN w$p w USING (feat) GROUP BY f.doc_id),
+          e$t AS (
+            SELECT doc_id,
+              CAST(round((0.5*(1.0 + (z/1000000.0)/(1.0 + abs(z/1000000.0))))*1000000.0) AS BIGINT)
+                - y*1000000 AS e
+            FROM z$t),
+          g$t AS (
+            SELECT f.feat, CAST(sum(e.e) AS BIGINT) AS g
+            FROM feat f JOIN e$t e USING (doc_id) GROUP BY f.feat),
+          w$t AS MATERIALIZED (
+            SELECT w.feat,
+                   w.w - CAST(round(coalesce(g.g, 0) / (SELECT n FROM nn) * $lr) AS BIGINT) AS w
+            FROM w$p w LEFT JOIN g$t g USING (feat))"""
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")}
+        SELECT doc_id, y = 1 AS label, z AS score_micro, z >= 0 AS pred,
+               (z >= 0) = (y = 1) AS correct
+        FROM (SELECT f.doc_id, any_value(f.y) AS y, CAST(sum(w.w) AS BIGINT) AS z
+              FROM feat f JOIN w$iters w USING (feat) GROUP BY f.doc_id)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_tpch_q1" ->
@@ -5012,58 +5224,7 @@ object SparkEntry {
                 ELSE 'not-a-url-' || CAST(doc_id AS VARCHAR)
               END AS url
             FROM documents),
-          p1 AS (SELECT doc_id, regexp_replace(trim(url, ' '), '#.*$$', '') AS fr FROM u),
-          p2 AS (SELECT doc_id, fr,
-                   lower(regexp_extract(fr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                   regexp_replace(fr, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-                 FROM p1),
-          p4 AS (SELECT doc_id, scheme, rest,
-                   regexp_extract(rest, '^([^/?]*)', 1) AS auth
-                 FROM p2),
-          p5 AS (SELECT doc_id, scheme,
-                   substr(rest, length(auth) + 1) AS pq,
-                   lower(regexp_extract(auth, '([^@]*)$$', 1)) AS auth2
-                 FROM p4),
-          p6 AS (SELECT doc_id, scheme, pq,
-                   CASE WHEN strpos(auth2, ':') > 0
-                        THEN regexp_replace(auth2, ':[^:]*$$', '') ELSE auth2 END AS hostp,
-                   CASE WHEN strpos(auth2, ':') > 0
-                        THEN regexp_extract(auth2, ':([^:]*)$$', 1) ELSE '' END AS portp
-                 FROM p5),
-          p7 AS (SELECT doc_id, scheme, hostp, portp,
-                   regexp_extract(pq, '^([^?]*)', 1) AS path,
-                   CASE WHEN strpos(pq, '?') > 0
-                        THEN substr(pq, length(regexp_extract(pq, '^([^?]*)', 1)) + 2) END AS qs
-                 FROM p6),
-          p8 AS (SELECT doc_id, scheme, hostp, portp, qs,
-                   ${sqlPctDecode("path")} AS pd
-                 FROM p7),
-          p9 AS (SELECT doc_id, scheme, hostp, portp,
-                   CASE WHEN pd = '' THEN '/' ELSE pd END AS path_out,
-                   CASE WHEN qs IS NULL THEN NULL ELSE
-                     array_to_string(list_sort(list_transform(
-                       list_filter(string_split(qs, '&'),
-                         x -> x <> '' AND lower(CASE WHEN strpos(x, '=') > 0
-                             THEN regexp_extract(x, '^([^=]*)', 1) ELSE x END)
-                           NOT IN ${sqlList(UrlExprs.DefaultDropParams)}),
-                       x -> ${sqlPctDecode("x")})), '&') END AS q_out
-                 FROM p8),
-          norm AS (SELECT doc_id,
-                     CASE WHEN scheme IS NULL OR scheme = ''
-                               OR hostp IS NULL OR hostp = '' THEN NULL
-                          ELSE scheme || '://' || hostp ||
-                               CASE WHEN portp <> ''
-                                         AND NOT (scheme = 'http' AND portp = '80')
-                                         AND NOT (scheme = 'https' AND portp = '443')
-                                    THEN ':' || portp ELSE '' END ||
-                               path_out ||
-                               CASE WHEN q_out IS NULL OR q_out = '' THEN ''
-                                    ELSE '?' || q_out END
-                     END AS norm_url,
-                     CASE WHEN scheme IS NULL OR scheme = ''
-                               OR hostp IS NULL OR hostp = '' THEN NULL
-                          ELSE hostp END AS host
-                   FROM p9),
+          $sqlUrlNormChain,
           sfxj AS (SELECT norm.doc_id, norm.norm_url, norm.host, s.s AS sfx
                    FROM norm LEFT JOIN (VALUES ${UrlExprs.DefaultSuffixes.map(x => s"('$x')").mkString(", ")}) s(s)
                      ON norm.host = s.s OR ends_with(norm.host, '.' || s.s)),
@@ -5378,6 +5539,47 @@ object SparkEntry {
                  COALESCE(dc.n_docs, 0) AS n_docs
           FROM th
           LEFT JOIN pc ON pc.threshold = th.threshold
-          LEFT JOIN dc ON dc.threshold = th.threshold"""
+          LEFT JOIN dc ON dc.threshold = th.threshold""",
+    // q145 = the full 40-round fixed-point GD trainer generated as SQL
+    // (see sqlDistillOracle) — teacher labels, features, every weight
+    // update, and the final per-doc margins all replayed in DuckDB
+    "q145_quality_classifier" ->
+      sqlDistillOracle(dim = 256, iters = 40, lr = 16.0,
+        minTokens = 25L, minStopHits = 1L),
+    // q146 = the factored q142 normalize chain over the planted
+    // variant-group URLs, then the keep-best argmax as a window
+    // (score DESC, id ASC — keepRepresentative's max(struct(s, -id)))
+    "q146_url_dedup" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                ELSE CASE doc_id % 4
+                  WHEN 0 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+                  WHEN 1 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.Example.COM:80/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/articl%65/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
+                  ELSE 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?utm_campaign=x&id=' || CAST(doc_id // 4 AS VARCHAR)
+                END
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          sc AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+          mem AS (SELECT n.doc_id, n.norm_url, s.n_tokens
+                  FROM norm n JOIN sc s USING (doc_id)
+                  WHERE n.norm_url IS NOT NULL),
+          rep AS (SELECT *, first_value(doc_id) OVER (
+                    PARTITION BY norm_url ORDER BY n_tokens DESC, doc_id ASC) AS rep_id
+                  FROM mem)
+          SELECT doc_id, norm_url, n_tokens,
+                 CAST(doc_id = rep_id AS BIGINT) AS kept
+          FROM rep"""
   )
 }

@@ -153,6 +153,35 @@ private[expressions] object ShingleKernel {
       out
     }
   }
+
+  /** Per-TOKEN 60-bit md5 hashes, in token order with multiplicity —
+    * [[shingleHash60s]] at n=1 EXCEPT for the zero-token case: a doc
+    * with no tokens yields an EMPTY array here (the bag-of-words
+    * contract: no tokens, no features), not the single hash of the
+    * empty string the shingle-identity convention needs.
+    */
+  def tokenHash60s(text: String): Array[Long] = {
+    val raw = ws.split(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+    val md = digests.get()
+    val out16 = outBuf.get()
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nTok += 1; i += 1 }
+    val out = new Array[Long](nTok)
+    i = 0
+    var w = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        md.reset()
+        md.update(raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.digest(out16, 0, 16)
+        out(w) = pack60(out16)
+        w += 1
+      }
+      i += 1
+    }
+    out
+  }
 }
 
 object ShingleHashSetExpr {

@@ -37,6 +37,40 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("dup_count"))
 
+  /** Canonical-URL keep-best dedup — the FIRST dedup stage of a web
+    * corpus (CommonCrawl-style: the same page arrives under many URL
+    * spellings; group by `url_normalize` BEFORE any content
+    * fingerprinting, keeping the best-scoring capture per canonical
+    * URL). Composes the q142 native with [[keepRepresentative]]'s
+    * argmax-with-min-id-tie-break; rows whose URL does not parse
+    * (normalize ⇒ NULL) are dropped — an unparseable URL cannot key a
+    * dedup group, and folding them into one giant NULL cluster would
+    * manufacture exactly the hot key this family guards against.
+    *
+    * Output `(idCol, norm_url, scoreCol, kept)` — the audit form (every
+    * capture with its winner flag), so a pipeline can count burden per
+    * canonical URL before discarding. Scale shape: one native scan
+    * projection (normalize + score are per-row), then one hash
+    * aggregate on the canonical key and the winner broadcast-back —
+    * only `(id, bounded-length url, score)` scalars ever cross an
+    * exchange; the page CONTENT never moves.
+    */
+  def byCanonicalUrl(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      scoreCol: String): DataFrame = {
+    requireNumericId(docs, idCol, "byCanonicalUrl")
+    val members = docs
+      .select(
+        col(idCol),
+        graft.functions.expressions.UrlExprs.urlNormalize(col(urlCol))
+          .alias("norm_url"),
+        col(scoreCol))
+      .filter(col("norm_url").isNotNull)
+    keepRepresentative(members, idCol, "norm_url", scoreCol)
+  }
+
   /** Incremental exact dedup — the production shape: deduplicate a NEW
     * batch against the existing corpus without reprocessing the corpus.
     * Keeps each batch fingerprint's minimum-id doc (intra-batch dedup,

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.functions.expressions.{HashedBowExpr, PresenceDotExpr}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained linear quality classifier over hashed bag-of-words features
+  * — the fastText/CCNet production pattern: distill an expensive
+  * teacher signal (here the Gopher rule gate; in production often an
+  * LLM labeler) into a cheap linear model, then apply that model at
+  * corpus scale where the teacher is too slow. (Reference analogue:
+  * none; training-data-pipeline extension.)
+  *
+  * Feature space (`width = dim + 17` weights):
+  *   - `0 .. dim-1`   — presence of hashed tokens:
+  *     `md5_hash60(token) % dim`, distinct per doc
+  *     ([[HashedBowExpr]], one codegen scan);
+  *   - `dim`          — the bias feature (every doc);
+  *   - `dim+1 .. dim+16` — a log2 token-count bucket,
+  *     `dim + 1 + min(floor(log2(n_tokens + 1)), 15)` — presence
+  *     features cannot see document LENGTH, and length rules are a
+  *     large share of what any quality teacher encodes, so the bucket
+  *     makes them learnable. Computed via binary-string length
+  *     (`length(bin(n+1)) - 1`), pure integer arithmetic in both
+  *     engines — no libm `log2` ULP hazard at bucket boundaries.
+  *
+  * Training is FULL-BATCH gradient descent with a fixed iteration
+  * budget, every cross-engine quantity in integer micros (the q101
+  * fixed-point conventions) so the DuckDB oracle replays the ENTIRE
+  * trainer bit-for-bit (the q100/q143 bar):
+  *
+  *   z_micro  = Σ w[f]                     (long; [[PresenceDotExpr]])
+  *   m        = z_micro / 1e6              (double)
+  *   p_micro  = round((0.5*(1 + m/(1+|m|))) * 1e6)   (long)
+  *   e        = p_micro - y*1e6            (long)
+  *   grad[f]  = Σ_docs∋f e                 (long — order-free sums)
+  *   w[f]    -= round(grad[f]/N * lr)      (HALF_UP, both engines)
+  *
+  * The sigmoid is the RATIONAL fast-sigmoid `0.5*(1 + m/(1+|m|))` —
+  * division/multiplication/abs are IEEE-deterministic in evaluation
+  * order, where `exp()` would be at the mercy of two libm
+  * implementations. Long sums make the gradient independent of
+  * partitioning and row order (double accumulation would not be).
+  *
+  * Scale shape: the corpus text is touched ONCE — one native-codegen
+  * scan builds the compact `(id, y, feats: array<int-range longs>)`
+  * table, which is `localCheckpoint`ed; each of the `iters`
+  * iterations then costs one scan of that integer table (margin via
+  * [[PresenceDotExpr]] against the broadcast-literal weight array —
+  * no join, no interpreted HOF) plus ONE exchange carrying
+  * `(feature_id, partial-gradient)` rows, map-side-combined to
+  * ≤ width rows per partition; the driver collects the width-row
+  * gradient (bounded by contract: width = dim+17) and updates the
+  * weight array. Nothing corpus-sized ever shuffles, in any
+  * iteration. Applying the trained model is one codegen scan.
+  */
+object QualityClassifier {
+
+  /** Number of length-bucket features (buckets 0..15). */
+  val LenBuckets = 16
+
+  private val Micro = 1000000L
+
+  /** `round` on the exact double value, half away from zero — the
+    * driver-side twin of Spark's `round()` and DuckDB's `round()`
+    * (both BigDecimal-style HALF_UP). NOT `Math.round` (floor(x+.5),
+    * which rounds -0.5 up and misrounds values a ULP below a half).
+    */
+  private[operators] def roundHalfUp(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+
+  /** The log2 token-count bucket feature id, `dim+1+min(len(bin(n+1))-1, 15)`. */
+  private def lenBucketFeat(nTokens: Column, dim: Int): Column =
+    lit(dim.toLong + 1L) +
+      least(length(bin(coalesce(nTokens, lit(0L)) + lit(1L))) - lit(1), lit(15))
+        .cast("long")
+
+  /** Per-doc feature array + teacher label from the Gopher gate: one
+    * native scan of `docs` producing
+    * `(idCol, y: long 0/1, feats: array<long>)` — hashed-token
+    * presence set ++ bias ++ length bucket. The teacher's rule
+    * parameters are [[QualityPrune.gopherGate]]'s, applied through the
+    * same shared rule definitions so teacher and gate cannot drift.
+    */
+  def gopherFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int,
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxEllipsisFrac: Double = 0.3,
+      maxBulletFrac: Double = 0.9,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol))
+    val keep = QualityPrune
+      .gopherRules(col("g").getField, minTokens, maxTokens, minMeanLen,
+        maxMeanLen, minAlphaFrac, minStopHits, maxEllipsisFrac, maxBulletFrac,
+        maxSymbolRatio)
+      .map { case (_, rule) => coalesce(rule, lit(false)) }
+      .reduce(_ && _)
+    docs
+      .select(
+        col(idCol),
+        HashedBowExpr.hashedBow(col(textCol), dim).as("bow"),
+        g.as("g"))
+      .select(
+        col(idCol),
+        when(keep, 1L).otherwise(0L).as("y"),
+        concat(
+          col("bow"),
+          array(lit(dim.toLong)),
+          array(lenBucketFeat(col("g.n_tokens"), dim))).as("feats"))
+  }
+
+  /** Fixed-budget full-batch GD over a `(featsCol: array<long>,
+    * labelCol: long 0/1)` frame. Returns the `width`-long weight array
+    * in micros. The input is localCheckpoint-ed here (eager), so the
+    * caller's lineage — typically the one corpus text scan — runs
+    * exactly once however many iterations follow.
+    */
+  def train(
+      feats: DataFrame,
+      featsCol: String,
+      labelCol: String,
+      width: Int,
+      iters: Int = 40,
+      lr: Double = 16.0): Array[Long] = {
+    val cached = feats.select(col(featsCol), col(labelCol)).localCheckpoint()
+    val n = cached.count()
+    val w = new Array[Long](width)
+    if (n == 0L) return w
+    var t = 0
+    while (t < iters) {
+      val wlit = typedLit(w.toSeq)
+      val z = PresenceDotExpr.presenceDot(col(featsCol), wlit)
+      val m = z.cast("double") / lit(1000000.0)
+      val pMicro = round(
+        (lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))) * lit(1000000.0))
+        .cast("long")
+      val e = (pMicro - col(labelCol) * lit(Micro)).as("e")
+      val grads = cached
+        .select(col(featsCol), e)
+        .select(explode(col(featsCol)).as("feat"), col("e"))
+        .groupBy("feat")
+        .agg(sum("e").as("g"))
+        .collect() // bounded by contract: <= width rows (feature ids)
+      grads.foreach { r =>
+        val f = r.getLong(0)
+        if (f >= 0L && f < width)
+          w(f.toInt) -= roundHalfUp(r.getLong(1).toDouble / n.toDouble * lr)
+      }
+      t += 1
+    }
+    w
+  }
+
+  /** Applies trained weights to a feature frame: adds
+    * `score_micro` (the margin, micros) and `pred` (margin >= 0).
+    * One codegen scan — the corpus-scale path once training is done.
+    */
+  def score(feats: DataFrame, featsCol: String, weights: Array[Long]): DataFrame = {
+    val z = PresenceDotExpr.presenceDot(col(featsCol), typedLit(weights.toSeq))
+    feats
+      .withColumn("score_micro", z)
+      .withColumn("pred", col("score_micro") >= 0L)
+  }
+
+  /** The composed distillation: featurize with the Gopher teacher,
+    * train, score, and report per-doc agreement — the auditable form
+    * (`label`/`pred`/`correct` per document, so a pipeline can measure
+    * exactly where the student disagrees with the teacher before
+    * trusting it at scale).
+    */
+  def distillGopher(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 256,
+      iters: Int = 40,
+      lr: Double = 16.0,
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxEllipsisFrac: Double = 0.3,
+      maxBulletFrac: Double = 0.9,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val feats = gopherFeatures(docs, idCol, textCol, dim, minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minAlphaFrac, minStopHits, maxEllipsisFrac,
+      maxBulletFrac, maxSymbolRatio)
+      .localCheckpoint() // one corpus text scan, shared by train + score
+    val w = train(feats, "feats", "y", dim + 1 + LenBuckets, iters, lr)
+    score(feats, "feats", w)
+      .select(
+        col(idCol),
+        (col("y") === 1L).as("label"),
+        col("score_micro"),
+        col("pred"),
+        (col("pred") === (col("y") === 1L)).as("correct"))
+  }
+}

@@ -244,7 +244,18 @@ object ScaleBench {
     // 5-doc clusters keyed by doc_id//5, so pair volume scales
     // linearly and the band join carries (id, hash) scalars only;
     // expect the q21 banding shape
-    "q144_phash_neardup")
+    "q144_phash_neardup",
+    // round-17: distilled quality classifier — one native feature
+    // scan of the corpus, then 40 GD iterations each costing a scan
+    // of the checkpointed INTEGER feature table + a <=273-row
+    // gradient exchange; expect the q100/q143 trainer shape (the
+    // per-iteration corpus term grows linearly, everything else is
+    // width-bounded)
+    "q145_quality_classifier",
+    // round-17: canonical-url keep-best — a native projection, one
+    // bounded-scalar key aggregate, winners broadcast back; the
+    // q17-exact-dedup linearity shape over (id, url, count) scalars
+    "q146_url_dedup")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

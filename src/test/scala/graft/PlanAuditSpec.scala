@@ -240,6 +240,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 3, s"q144 shuffle budget exceeded:\n$plan")
   }
 
+  test("q145: classifier scoring is a shuffle-free scan of the checkpointed feature table") {
+    val plan = planOf("q145_quality_classifier")
+    // training's 40 gradient jobs ran during construction (each one
+    // scan + a <=273-row exchange); the RETURNED plan is the apply
+    // path: the localCheckpoint'ed (id, y, feats) table scanned once
+    // with the presence-dot margin — nothing corpus-sized shuffles,
+    // and the corpus text is not re-derived (no parquet scan at all)
+    assert(shuffles(plan) == 0, s"q145 apply is scan-shaped — nothing to exchange:\n$plan")
+    assert(plan.contains("presence_dot"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"q145 must score the checkpointed feature table, not re-read text:\n$plan")
+    assert(!plan.contains("FileScan"), s"q145 re-scanned the corpus:\n$plan")
+  }
+
+  test("q146: canonical-url dedup — one key aggregate, winners broadcast back, no text moves") {
+    val plan = planOf("q146_url_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q146 must not go quadratic:\n$plan")
+    assert(plan.contains("url_normalize"), plan)
+    // the members-side join back to the per-key winners is broadcast
+    // (winners <= one row per canonical URL group, aggregated first)
+    assert(plan.contains("BroadcastHashJoin"), s"q146 winners join must broadcast:\n$plan")
+    // the only exchanges are the norm_url aggregate (and AQE's view of
+    // it) — document text never enters this plan at all
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q146 shuffled document text:\n$plan")
+    assert(shuffles(plan) <= 2, s"q146 shuffle budget exceeded:\n$plan")
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.expressions.{HashedBowExpr, PresenceDotExpr}
+import org.apache.spark.sql.functions._
+
+/** [[QualityClassifier]] — the hashed-BoW linear distillation trainer.
+  * Pins (1) the native feature kernel against its composed-column twin,
+  * (2) the driver-side HALF_UP rounding edge cases the oracle depends
+  * on, (3) partitioning-independence of the whole trainer (the
+  * long-micro design's entire point), (4) that fixed-budget training
+  * actually learns (beats the majority class on a separable teacher),
+  * and (5) the empty/degenerate inputs.
+  */
+class QualityClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(s: String): Seq[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("hashed_bow matches md5_hash60 % dim of the distinct tokens, sorted") {
+    withStrictCodegen {
+      val df = Seq(
+        (1L, "The quick brown fox the QUICK"),
+        (2L, "  "),
+        (3L, "one")).toDF("id", "text")
+      val got = df
+        .select(col("id"), HashedBowExpr.hashedBow(col("text"), 64).as("f"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .toMap
+      def expect(s: String): Seq[Long] =
+        toks(s).map(t =>
+          graft.functions.TextFunctions.md5Hash60Local(t) % 64).distinct.sorted
+      assert(got(1L) == expect("The quick brown fox the QUICK"))
+      assert(got(2L) == Seq.empty, "zero tokens must yield NO features")
+      assert(got(3L) == expect("one"))
+    }
+  }
+
+  test("hashed_bow null text behaves as empty text (no features, non-null)") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("word"))).toDF("id", "text")
+    val rows = df
+      .select(col("id"), HashedBowExpr.hashedBow(col("text"), 16).as("f"))
+      .orderBy("id")
+      .collect()
+    assert(rows(0).getSeq[Long](1) == Seq.empty)
+    assert(rows(1).getSeq[Long](1).length == 1)
+  }
+
+  test("presence_dot sums weights at feature ids, ignoring out-of-range") {
+    withStrictCodegen {
+      val w = Seq(10L, 20L, 30L)
+      val df = Seq(
+        (1L, Seq(0L, 2L)),
+        (2L, Seq(1L, 1L)), // multiplicity counts twice
+        (3L, Seq.empty[Long]),
+        (4L, Seq(0L, 99L, -1L))).toDF("id", "f")
+      val got = df
+        .select(col("id"), PresenceDotExpr.presenceDot(col("f"), typedLit(w)).as("z"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == Map(1L -> 40L, 2L -> 40L, 3L -> 0L, 4L -> 10L))
+    }
+  }
+
+  test("roundHalfUp is half-away-from-zero on the exact double (not Math.round)") {
+    assert(QualityClassifier.roundHalfUp(2.5) == 3L)
+    assert(QualityClassifier.roundHalfUp(-2.5) == -3L, "Math.round would give -2")
+    assert(QualityClassifier.roundHalfUp(0.49999999999999994) == 0L,
+      "floor(x+0.5) misrounds the double just below one half")
+    assert(QualityClassifier.roundHalfUp(-0.49999999999999994) == 0L)
+    assert(QualityClassifier.roundHalfUp(7.0) == 7L)
+  }
+
+  /** Deterministic synthetic teacher corpus: "good" docs carry stopwords
+    * and >= 25 tokens; "bad" docs are either stopword-free or too short
+    * — the two failure classes the sf fixtures exhibit.
+    */
+  private def corpus(n: Int) = {
+    val filler = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    (0 until n).map { i =>
+      val text =
+        if (i % 3 == 0) // good: stopword + 30 tokens
+          ("the " + (0 until 29).map(j => filler((i + j) % filler.length)).mkString(" "))
+        else if (i % 3 == 1) // bad: no stopwords, 30 tokens
+          (0 until 30).map(j => filler((i * 7 + j) % filler.length)).mkString(" ")
+        else // bad: stopword but only 5 tokens
+          "the " + (0 until 4).map(j => filler(j)).mkString(" ")
+      (i.toLong, text)
+    }
+  }
+
+  test("distillGopher learns past the majority class and is partition-invariant") {
+    val base = corpus(120)
+    val out1 = QualityClassifier
+      .distillGopher(base.toDF("doc_id", "text").repartition(1),
+        "doc_id", "text", dim = 64, iters = 30, lr = 16.0,
+        minTokens = 25L, minStopHits = 1L)
+      .orderBy("doc_id")
+      .collect()
+    val out7 = QualityClassifier
+      .distillGopher(base.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", dim = 64, iters = 30, lr = 16.0,
+        minTokens = 25L, minStopHits = 1L)
+      .orderBy("doc_id")
+      .collect()
+    assert(out1.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq,
+      "long-micro training must not depend on partitioning")
+    val n = out1.length
+    val pos = out1.count(_.getBoolean(1))
+    val majority = math.max(pos, n - pos)
+    val agree = out1.count(_.getBoolean(4))
+    assert(n == 120 && pos == 40)
+    assert(agree > majority,
+      s"student must beat the majority class: agree=$agree majority=$majority")
+  }
+
+  test("score margins are the presence-dot of the trained weights") {
+    val df = corpus(30).toDF("doc_id", "text")
+    val feats = QualityClassifier.gopherFeatures(
+      df, "doc_id", "text", dim = 64, minTokens = 25L, minStopHits = 1L)
+    val w = QualityClassifier.train(feats, "feats", "y", 64 + 17, iters = 5)
+    val scored = QualityClassifier.score(feats, "feats", w)
+      .select("doc_id", "feats", "score_micro")
+      .collect()
+    scored.foreach { r =>
+      val expect = r.getSeq[Long](1).map(f => w(f.toInt)).sum
+      assert(r.getLong(2) == expect)
+    }
+  }
+
+  test("empty corpus trains to zero weights; zero-token docs get bias+len only") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val feats = QualityClassifier.gopherFeatures(
+      empty, "doc_id", "text", dim = 16)
+    val w = QualityClassifier.train(feats, "feats", "y", 16 + 17, iters = 3)
+    assert(w.forall(_ == 0L))
+    val one = Seq((1L, "   ")).toDF("doc_id", "text")
+    val f = QualityClassifier.gopherFeatures(one, "doc_id", "text", dim = 16)
+      .select("feats").head.getSeq[Long](0)
+    // bias = 16, len bucket for n_tokens=0 -> 16 + 1 + (len(bin(1)) - 1) = 17
+    assert(f == Seq(16L, 17L))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.byCanonicalUrl]] — canonical-URL keep-best dedup. */
+class UrlDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("spelling variants collapse to one canonical group; best score wins") {
+    val df = Seq(
+      (1L, "http://www.site.example.com/a?id=9", 10L),
+      (2L, "HTTP://WWW.Site.Example.COM:80/a?id=9#frag", 30L),
+      (3L, "http://www.site.example.com/%61?utm_source=x&id=9", 20L),
+      (4L, "https://other.example.com/b", 5L)).toDF("doc_id", "url", "score")
+    val out = Dedup.byCanonicalUrl(df, "doc_id", "url", "score")
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 4)
+    val canon = out.map(_.getString(1))
+    assert(canon(0) == canon(1) && canon(1) == canon(2),
+      s"variants must share one canonical URL: ${canon.toSeq}")
+    assert(canon(0) == "http://www.site.example.com/a?id=9")
+    assert(out.map(r => r.getLong(0) -> r.getLong(3)).toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L),
+      "highest score wins its group; the singleton keeps itself")
+  }
+
+  test("score ties break to the minimum id") {
+    val df = Seq(
+      (7L, "http://a.example.com/x", 5L),
+      (3L, "http://A.example.com:80/x", 5L),
+      (9L, "http://a.example.com/x#f", 5L)).toDF("doc_id", "url", "score")
+    val kept = Dedup.byCanonicalUrl(df, "doc_id", "url", "score")
+      .filter(col("kept") === 1L)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("unparseable URLs are dropped, not folded into a NULL hot key") {
+    val df = Seq(
+      (1L, "not a url", 10L),
+      (2L, "also://", 10L), // empty host -> NULL
+      (3L, "http://ok.example.com/", 10L)).toDF("doc_id", "url", "score")
+    val out = Dedup.byCanonicalUrl(df, "doc_id", "url", "score").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(out.head.getLong(3) == 1L)
+  }
+}
