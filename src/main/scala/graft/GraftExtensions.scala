@@ -195,6 +195,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.expressions.RegistrableDomainExpr].getName,
           "registrable_domain"),
         GraftFunctions.registrableDomainBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("hashed_bow"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.HashedBowExpr].getName, "hashed_bow"),
+        GraftFunctions.hashedBowBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("presence_dot"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.PresenceDotExpr].getName,
+          "presence_dot"),
+        GraftFunctions.presenceDotBuilder))
   }
 }
 
@@ -366,6 +379,17 @@ object GraftFunctions {
       arity(exprs, 1, "registrable_domain(host)").head,
       graft.functions.expressions.UrlExprs.DefaultSuffixes)
 
+  private[graft] def hashedBowBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "hashed_bow(text, dim)")
+    graft.functions.expressions.HashedBowExpr(
+      exprs.head, intLit(exprs(1), "hashed_bow dim"))
+  }
+
+  private[graft] def presenceDotBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "presence_dot(feats, weights)")
+    graft.functions.expressions.PresenceDotExpr(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -398,5 +422,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "url_normalize", urlNormalizeBuilder)
     Bridge.registerTempFunction(spark, "url_host", urlHostBuilder)
     Bridge.registerTempFunction(spark, "registrable_domain", registrableDomainBuilder)
+    Bridge.registerTempFunction(spark, "hashed_bow", hashedBowBuilder)
+    Bridge.registerTempFunction(spark, "presence_dot", presenceDotBuilder)
   }
 }

@@ -172,6 +172,61 @@ object QualityClassifier {
       .withColumn("pred", col("score_micro") >= 0L)
   }
 
+  /** Persist trained weights as a tiny `(feat, w)` parquet — the
+    * frozen-model artifact (the `NgramLm.saveLm` convention): train
+    * once on a curated batch, freeze, then gate batch AND streaming
+    * corpora against the SAME weights. Width is implied by the row
+    * count on load.
+    */
+  def saveWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      weights: Array[Long],
+      path: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.zipWithIndex
+      .map { case (w, f) => (f.toLong, w) }
+      .toDF("feat", "w")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveWeights]] artifact (bounded by contract: width rows). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {
+    val rows = spark.read.parquet(path).select("feat", "w").collect()
+    val w = new Array[Long](rows.length)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** The trained model as a streaming-composable row FILTER — the
+    * enforcement form, [[QualityPrune.keepByGopher]]'s sibling with a
+    * LEARNED gate: keeps rows whose margin is at least `cutoffMicro`
+    * (0 = the decision boundary; raise it for precision, lower for
+    * recall). A pure stateless projection+filter over each row (one
+    * codegen scan: gopher-stats for the length bucket, `hashed_bow`,
+    * `presence_dot` against the frozen weight literal), so it chains
+    * in front of `DedupIngest.startUnified` exactly like the rule
+    * gate — no state, no watermark, replay-safe. `dim` must match the
+    * training-time dimension (`weights.length == dim + 17` is
+    * enforced — a silently mismatched hash space would score noise).
+    */
+  def keepByScore(
+      docs: DataFrame,
+      textCol: String,
+      weights: Array[Long],
+      dim: Int,
+      cutoffMicro: Long = 0L): DataFrame = {
+    require(weights.length == dim + 1 + LenBuckets,
+      s"weights width ${weights.length} != dim + 17 = ${dim + 1 + LenBuckets}")
+    val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol))
+    val feats = concat(
+      HashedBowExpr.hashedBow(col(textCol), dim),
+      array(lit(dim.toLong)),
+      array(lenBucketFeat(g.getField("n_tokens"), dim)))
+    docs.filter(
+      PresenceDotExpr.presenceDot(feats, typedLit(weights.toSeq)) >= cutoffMicro)
+  }
+
   /** The composed distillation: featurize with the Gopher teacher,
     * train, score, and report per-doc agreement — the auditable form
     * (`label`/`pred`/`correct` per document, so a pipeline can measure

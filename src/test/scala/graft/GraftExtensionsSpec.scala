@@ -364,6 +364,32 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(m.contains("cdc_chunk_hashes window"), m)
   }
 
+  test("hashed_bow + presence_dot from SQL match the Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "The quick brown fox the"), (2L, " "))
+      .toDF("id", "text").createOrReplaceTempView("t_bow")
+    val viaSql = spark.sql(
+      "SELECT id, hashed_bow(text, 32) AS f, " +
+        "presence_dot(hashed_bow(text, 32), array(" +
+        (0 until 32).map(i => s"${i}L").mkString(", ") + ")) AS z " +
+        "FROM t_bow")
+      .collect().map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2)))).toMap
+    val viaCol = spark.table("t_bow")
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.expressions.HashedBowExpr
+          .hashedBow(org.apache.spark.sql.functions.col("text"), 32).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql.keySet == Set(1L, 2L))
+    viaSql.foreach { case (id, (f, z)) =>
+      assert(f == viaCol(id))
+      assert(z == f.sum, "identity weights => z is the sum of feature ids")
+    }
+    val m = intercept[Exception](
+      spark.sql("SELECT hashed_bow('a b')").collect()).getMessage
+    assert(m.contains("hashed_bow(text, dim)"), m)
+  }
+
   test("wrong-arity SQL calls fail analysis naming the signature, not IndexOutOfBounds") {
     GraftFunctions.register(spark)
     def messageFor(sql: String): String =

@@ -131,6 +131,43 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("saveWeights/loadWeights round-trips; keepByScore enforces the width contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qc-w").toString
+    val w = Array.tabulate(64 + 17)(i => (i * 31 - 700).toLong)
+    QualityClassifier.saveWeights(spark, w, dir)
+    assert(QualityClassifier.loadWeights(spark, dir).toSeq == w.toSeq)
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.keepByScore(df, "text", w, dim = 32)
+    }
+  }
+
+  test("keepByScore: stream and batch keep exactly the same rows at the same cutoff") {
+    val base = corpus(90)
+    val docs = base.toDF("doc_id", "text")
+    val feats = QualityClassifier.gopherFeatures(
+      docs, "doc_id", "text", dim = 64, minTokens = 25L, minStopHits = 1L)
+    val w = QualityClassifier.train(feats, "feats", "y", 64 + 17, iters = 20)
+    val batchKept = QualityClassifier
+      .keepByScore(docs, "text", w, dim = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < 90,
+      s"gate must act on the fixture: kept ${batchKept.size}/90")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = QualityClassifier.keepByScore(
+      input.toDF().toDF("doc_id", "text"), "text", w, dim = 64)
+    val q = gated.writeStream.format("memory").queryName("qc_gate_out").start()
+    try {
+      input.addData(base)
+      q.processAllAvailable()
+      val streamKept = spark.table("qc_gate_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept, "frozen-weight gate must be batch/stream identical")
+    } finally q.stop()
+  }
+
   test("empty corpus trains to zero weights; zero-token docs get bias+len only") {
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     val feats = QualityClassifier.gopherFeatures(
