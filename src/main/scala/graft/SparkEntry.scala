@@ -141,6 +141,33 @@ object SparkEntry {
                           ELSE hostp END AS host
                    FROM p9)"""
 
+  /** DuckDB continuation of [[sqlUrlNormChain]] re-deriving
+    * `registrable_domain(host)` — suffix-list longest-match pick, the
+    * q142 rules verbatim — ending with
+    * `dom(doc_id, norm_url, host, domain)`. Shared by q142 and q147.
+    */
+  private def sqlDomainChain: String =
+    s"""sfxj AS (SELECT norm.doc_id, norm.norm_url, norm.host, s.s AS sfx
+                   FROM norm LEFT JOIN (VALUES ${UrlExprs.DefaultSuffixes.map(x => s"('$x')").mkString(", ")}) s(s)
+                     ON norm.host = s.s OR ends_with(norm.host, '.' || s.s)),
+          pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY length(sfx) DESC NULLS LAST, sfx) AS rn FROM sfxj),
+          dom AS (SELECT doc_id, norm_url, host,
+            CASE WHEN host IS NULL THEN NULL
+                 WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+                 WHEN sfx IS NULL THEN
+                   CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN NULL
+                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
+                 WHEN host = sfx THEN NULL
+                 ELSE CASE WHEN regexp_extract(substr(host, 1,
+                             length(host) - length(sfx) - 1), '([^.]*)$$', 1) = ''
+                           THEN NULL
+                           ELSE regexp_extract(substr(host, 1,
+                             length(host) - length(sfx) - 1), '([^.]*)$$', 1)
+                             || '.' || sfx END
+            END AS domain
+          FROM pick WHERE rn = 1)"""
+
   /** DuckDB CTE chain re-deriving the ENTIRE unigram-LM tokenizer
     * trainer + apply (`Unigram.train`/`tokenStats`) for q143 — the
     * q100 pattern (train re-run in SQL, not embedded): capped word
@@ -2088,6 +2115,35 @@ object SparkEntry {
   }
 
 
+  /** Per-domain quota (round 17): the CC-chain stage AFTER q146 —
+    * roll captures up to `registrable_domain(url_host(url))` and cap
+    * each domain's contribution ([[graft.operators.Sampling
+    * .capPerGroup]]'s two-phase plan: under-cap domains bypass via
+    * broadcast anti-join, only over-cap domains window-sort their own
+    * slice). The fixture plants the motivating skew: HALF the corpus
+    * is one SEO farm arriving under rotating SUBDOMAINS (`www.`/
+    * `cdn.`/`static.`/`m.seofarm.com` — a HOST-keyed quota would
+    * split it four ways and under-cap nothing; the registrable-domain
+    * rollup is the point), the other half a long tail of small
+    * domains that never pay the window. Oracle chains the factored
+    * q142 normalize+domain SQL with q91's single-window cap form.
+    */
+  private def q147_domain_cap(s: SparkSession, dir: String): DataFrame = {
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 97).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"))
+    operators.Sampling.capPerGroup(docs, "doc_id", "domain", cap = 50)
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -3002,7 +3058,8 @@ object SparkEntry {
     "q143_unigram_tokenize" -> (q143_unigram_tokenize _),
     "q144_phash_neardup" -> (q144_phash_neardup _),
     "q145_quality_classifier" -> (q145_quality_classifier _),
-    "q146_url_dedup" -> (q146_url_dedup _)
+    "q146_url_dedup" -> (q146_url_dedup _),
+    "q147_domain_cap" -> (q147_domain_cap _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -5225,26 +5282,8 @@ object SparkEntry {
               END AS url
             FROM documents),
           $sqlUrlNormChain,
-          sfxj AS (SELECT norm.doc_id, norm.norm_url, norm.host, s.s AS sfx
-                   FROM norm LEFT JOIN (VALUES ${UrlExprs.DefaultSuffixes.map(x => s"('$x')").mkString(", ")}) s(s)
-                     ON norm.host = s.s OR ends_with(norm.host, '.' || s.s)),
-          pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                     ORDER BY length(sfx) DESC NULLS LAST, sfx) AS rn FROM sfxj)
-          SELECT doc_id, norm_url, host,
-            CASE WHEN host IS NULL THEN NULL
-                 WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
-                 WHEN sfx IS NULL THEN
-                   CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN NULL
-                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
-                 WHEN host = sfx THEN NULL
-                 ELSE CASE WHEN regexp_extract(substr(host, 1,
-                             length(host) - length(sfx) - 1), '([^.]*)$$', 1) = ''
-                           THEN NULL
-                           ELSE regexp_extract(substr(host, 1,
-                             length(host) - length(sfx) - 1), '([^.]*)$$', 1)
-                             || '.' || sfx END
-            END AS domain
-          FROM pick WHERE rn = 1""",
+          $sqlDomainChain
+          SELECT doc_id, norm_url, host, domain FROM dom""",
     // q143 = the full unigram trainer re-run in SQL (seed counts, two
     // generated hard-EM rounds with the recursive-CTE Viterbi and the
     // longest-piece tie-break, prune, apply) — wordless docs keep
@@ -5580,6 +5619,30 @@ object SparkEntry {
                   FROM mem)
           SELECT doc_id, norm_url, n_tokens,
                  CAST(doc_id = rep_id AS BIGINT) AS kept
-          FROM rep"""
+          FROM rep""",
+    // q147 = the factored normalize+domain chain over the skewed
+    // subdomain fixture, then q91's single-window cap form (the
+    // two-phase Spark plan is row-identical: under-cap domains
+    // satisfy rn <= cap trivially)
+    "q147_domain_cap" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 97 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain
+          SELECT doc_id, domain FROM (
+            SELECT doc_id, domain,
+                   row_number() OVER (PARTITION BY domain
+                     ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                              doc_id) AS rn
+            FROM dom)
+          WHERE rn <= 50"""
   )
 }

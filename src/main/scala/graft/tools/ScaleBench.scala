@@ -255,7 +255,12 @@ object ScaleBench {
     // round-17: canonical-url keep-best — a native projection, one
     // bounded-scalar key aggregate, winners broadcast back; the
     // q17-exact-dedup linearity shape over (id, url, count) scalars
-    "q146_url_dedup")
+    "q146_url_dedup",
+    // round-17: per-domain quota — native domain key in the scan,
+    // q91's two-phase cap (tail bypasses, one hot domain windows its
+    // own slice); the farm domain holds half the corpus at EVERY
+    // scale, so this measures the over-cap branch growing linearly
+    "q147_domain_cap")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -740,6 +740,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q91 path:\n$plan")
   }
 
+  test("q147: domain cap keeps q91's two-phase shape with the url natives fused into the scan") {
+    val plan = planOf("q147_domain_cap")
+    // the registrable-domain key is computed in the scan projection
+    // (native codegen), then the q91 discipline: long tail broadcast
+    // anti-joined past the window, only the farm domain sorts
+    assert(plan.contains("registrable_domain") && plan.contains("url_host"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"under-cap bypass not a broadcast anti-join:\n$plan")
+    assert(plan.contains("Window"), s"no window for the over-cap domains:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"corpus range-partitioned:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q147 shuffled document text:\n$plan")
+  }
+
   test("q92: benchmark grams broadcast; the corpus gram stream is never shuffled before matching") {
     val plan = planOf("q92_contamination_report")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark grams did not broadcast:\n$plan")

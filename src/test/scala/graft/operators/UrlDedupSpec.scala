@@ -40,6 +40,23 @@ class UrlDedupSpec extends SparkTestBase {
     assert(kept == Seq(3L))
   }
 
+  test("registrable-domain rollup unifies subdomains before a per-domain cap") {
+    import graft.functions.expressions.UrlExprs
+    val df = Seq(
+      (1L, "http://www.farm.com/a"),
+      (2L, "http://cdn.farm.com/b"),
+      (3L, "http://static.farm.com/c"),
+      (4L, "http://www.other.com/d")).toDF("doc_id", "url")
+    val domains = df.select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(col("url"))).as("domain"))
+    val capped = Sampling.capPerGroup(domains, "doc_id", "domain", cap = 2)
+    val byDomain = capped.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("farm.com" -> 2L, "other.com" -> 1L),
+      s"three subdomains must collapse into ONE capped domain group: $byDomain")
+  }
+
   test("unparseable URLs are dropped, not folded into a NULL hot key") {
     val df = Seq(
       (1L, "not a url", 10L),
