@@ -2144,6 +2144,39 @@ object SparkEntry {
   }
 
 
+  /** Attribute tagger (round 17): the Dolma/NeMo-Curator "tag first,
+    * filter later" pass — EVERY per-doc curation signal the engine
+    * computes (language id, gopher token stats + keep verdict,
+    * character entropy, repetition profile, exact-dup fingerprint) in
+    * ONE fused codegen scan projection, so a corpus pays a single read
+    * for the whole attribute sheet and every later mix/filter decision
+    * is a cheap scan of the small tag table instead of a re-read of
+    * the text. Plan-audited: one FileScan, zero exchanges, no UDF.
+    * Each column's arithmetic is already oracle-proven standalone
+    * (q24/q137/q133/q59/q17); this query's oracle re-derives them
+    * TOGETHER so the fused projection can't drift from the parts.
+    */
+  private def q148_attribute_tags(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.expressions.GopherStatsExpr.gopherStats(col("text"))
+    val keep = QualityPrune
+      .gopherRules(g.getField _, 25L, 100000L, 3.0, 10.0, 0.8, 1L, 0.3, 0.9, 0.1)
+      .map { case (_, rule) => coalesce(rule, lit(false)) }
+      .reduce(_ && _)
+    val rep = graft.functions.expressions.RepetitionStatsExpr
+      .repetitionStats(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.expressions.LangIdExpr.langId(col("text")).alias("lang_pred"),
+      g.getField("n_tokens").alias("n_tokens"),
+      keep.alias("keep_gopher"),
+      graft.functions.expressions.CharEntropyExpr.charEntropy(col("text"))
+        .alias("ent_micro"),
+      rep.getField("top_bigram_frac").alias("top_bigram_frac"),
+      rep.getField("dup_token_frac").alias("dup_token_frac"),
+      md5(col("text")).alias("fp"))
+  }
+
+
   private def q133_char_entropy(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
@@ -3059,7 +3092,8 @@ object SparkEntry {
     "q144_phash_neardup" -> (q144_phash_neardup _),
     "q145_quality_classifier" -> (q145_quality_classifier _),
     "q146_url_dedup" -> (q146_url_dedup _),
-    "q147_domain_cap" -> (q147_domain_cap _)
+    "q147_domain_cap" -> (q147_domain_cap _),
+    "q148_attribute_tags" -> (q148_attribute_tags _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3116,6 +3150,42 @@ object SparkEntry {
                  AS avg_nll
         FROM agg"""
 
+  /** Shared DuckDB gopher-stats CTE — `GopherStatsExpr`'s seven rule
+    * inputs over an upstream `tk(doc_id, text, t, ls)` — ONE
+    * definition for every oracle that consumes the rule gate (q137,
+    * q145's teacher labels, q148's tag column), mirroring the Spark
+    * side's single `gopherRules` definition.
+    */
+  private def sqlGopherStCte: String =
+    s"""st AS (SELECT doc_id, t,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_token_len,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS frac_alpha,
+                 CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                   s -> list_contains(t, s))) AS BIGINT) AS n_stop_hits,
+                 CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+                   / CAST(len(ls) AS DOUBLE) AS frac_ellipsis_lines,
+                 CAST(len(list_filter(ls, l ->
+                   list_contains(['-','*','•'], substr(ltrim(l, ' ' || chr(9)), 1, 1)))) AS DOUBLE)
+                   / CAST(len(ls) AS DOUBLE) AS frac_bullet_lines,
+                 CAST((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '…', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+                   / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio
+               FROM tk)"""
+
+  /** The seven-rule keep predicate over [[sqlGopherStCte]]'s columns. */
+  private def sqlGopherKeep(minTokens: Long, minStopHits: Long): String =
+    s"""coalesce(n_tokens >= $minTokens AND n_tokens <= 100000, FALSE)
+        AND coalesce(mean_token_len >= 3.0 AND mean_token_len <= 10.0, FALSE)
+        AND coalesce(frac_alpha >= 0.8, FALSE)
+        AND coalesce(n_stop_hits >= $minStopHits, FALSE)
+        AND coalesce(frac_ellipsis_lines <= 0.3, FALSE)
+        AND coalesce(frac_bullet_lines <= 0.9, FALSE)
+        AND coalesce(symbol_ratio <= 0.1, FALSE)"""
+
   /** q145's DuckDB oracle: the ENTIRE fixed-point GD trainer replayed
     * in SQL — Gopher teacher labels (the q137 rule arithmetic), the
     * hashed-BoW + bias + integer-log2-length-bucket feature rows, then
@@ -3137,32 +3207,9 @@ object SparkEntry {
       s"""tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t,
                         string_split(text, chr(10)) AS ls
                  FROM documents),
-          st AS (SELECT doc_id, t,
-                   CAST(len(t) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
-                     / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_token_len,
-                   CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-                     / CAST(greatest(len(t), 1) AS DOUBLE) AS frac_alpha,
-                   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-                     s -> list_contains(t, s))) AS BIGINT) AS n_stop_hits,
-                   CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
-                     / CAST(len(ls) AS DOUBLE) AS frac_ellipsis_lines,
-                   CAST(len(list_filter(ls, l ->
-                     list_contains(['-','*','•'], substr(ltrim(l, ' ' || chr(9)), 1, 1)))) AS DOUBLE)
-                     / CAST(len(ls) AS DOUBLE) AS frac_bullet_lines,
-                   CAST((length(text) - length(replace(text, '#', '')))
-                        + (length(text) - length(replace(text, '…', '')))
-                        + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
-                     / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio
-                 FROM tk),
+          $sqlGopherStCte,
           lab AS (SELECT doc_id, t, n_tokens,
-                   CASE WHEN coalesce(n_tokens >= $minTokens AND n_tokens <= 100000, FALSE)
-                     AND coalesce(mean_token_len >= 3.0 AND mean_token_len <= 10.0, FALSE)
-                     AND coalesce(frac_alpha >= 0.8, FALSE)
-                     AND coalesce(n_stop_hits >= $minStopHits, FALSE)
-                     AND coalesce(frac_ellipsis_lines <= 0.3, FALSE)
-                     AND coalesce(frac_bullet_lines <= 0.9, FALSE)
-                     AND coalesce(symbol_ratio <= 0.1, FALSE)
+                   CASE WHEN ${sqlGopherKeep(minTokens, minStopHits)}
                    THEN 1 ELSE 0 END AS y
                  FROM st),
           feat AS MATERIALIZED (
@@ -5643,6 +5690,60 @@ object SparkEntry {
                      ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
                               doc_id) AS rn
             FROM dom)
-          WHERE rn <= 50"""
+          WHERE rn <= 50""",
+    // q148 = the standalone signal oracles (q24 lang CASE, shared
+    // gopher st CTE, q133 per-doc entropy, q59 repetition, md5 fp)
+    // re-derived TOGETHER and joined per doc — the fused Spark scan
+    // must match every column at once
+    "q148_attribute_tags" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS t,
+                             string_split(text, chr(10)) AS ls
+                      FROM documents),
+          $sqlGopherStCte,
+          lang AS (SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                          WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                          WHEN s_de >= s_es THEN 'de'
+                          ELSE 'es' END AS lang_pred
+                   FROM (SELECT doc_id, text,
+                           len(list_filter(t, x -> x IN ${sqlList(stopEn)})) AS s_en,
+                           len(list_filter(t, x -> x IN ${sqlList(stopFr)})) AS s_fr,
+                           len(list_filter(t, x -> x IN ${sqlList(stopDe)})) AS s_de,
+                           len(list_filter(t, x -> x IN ${sqlList(stopEs)})) AS s_es
+                         FROM tk)),
+          ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+          n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id),
+          ent AS (SELECT f.doc_id,
+                    CAST(sum(CAST(round(
+                      1000000 * (CAST(cnt AS DOUBLE) / n.n) *
+                      ln(CAST(n.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS ent_micro
+                  FROM f JOIN n USING (doc_id) GROUP BY f.doc_id),
+          bg AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS b
+                 FROM tk),
+          bcnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+          btop AS (SELECT doc_id, n FROM (
+                     SELECT doc_id, n,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, b ASC) AS rn
+                     FROM bcnt) WHERE rn = 1),
+          rep AS (SELECT tk.doc_id,
+                    CASE WHEN len(t) <= 1 THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(btop.n AS DOUBLE) / CAST(len(t) - 1 AS DOUBLE) END AS top_bigram_frac,
+                    CASE WHEN len(t) = 0 THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS dup_token_frac
+                  FROM tk LEFT JOIN btop ON btop.doc_id = tk.doc_id)
+          SELECT d.doc_id, lang.lang_pred, st.n_tokens,
+                 (${sqlGopherKeep(25L, 1L)}) AS keep_gopher,
+                 ent.ent_micro,
+                 rep.top_bigram_frac, rep.dup_token_frac,
+                 md5(d.text) AS fp
+          FROM documents d
+          JOIN lang USING (doc_id)
+          JOIN st USING (doc_id)
+          LEFT JOIN ent USING (doc_id)
+          JOIN rep USING (doc_id)"""
   )
 }

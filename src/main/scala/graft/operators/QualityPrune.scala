@@ -148,7 +148,7 @@ object QualityPrune {
     * [[keepByGopher]] (struct fields, one AND), so the enforcement
     * filter can never drift from the audit report.
     */
-  private[operators] def gopherRules(
+  private[graft] def gopherRules(
       f: String => Column,
       minTokens: Long, maxTokens: Long,
       minMeanLen: Double, maxMeanLen: Double,

@@ -260,7 +260,10 @@ object ScaleBench {
     // q91's two-phase cap (tail bypasses, one hot domain windows its
     // own slice); the farm domain holds half the corpus at EVERY
     // scale, so this measures the over-cap branch growing linearly
-    "q147_domain_cap")
+    "q147_domain_cap",
+    // round-17: the attribute sheet — five native kernels in ONE scan
+    // projection, zero exchanges; pure scan linearity is the claim
+    "q148_attribute_tags")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

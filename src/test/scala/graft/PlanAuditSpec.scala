@@ -754,6 +754,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!exchanged.contains("text#"), s"q147 shuffled document text:\n$plan")
   }
 
+  test("q148: the whole attribute sheet is ONE fused scan — no shuffle, no second read, no UDF") {
+    val plan = planOf("q148_attribute_tags")
+    assert(shuffles(plan) == 0, s"q148 tags are per-row — nothing to exchange:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"q148 must read the corpus exactly once:\n$plan")
+    Seq("lang_id", "gopher_stats", "char_entropy", "repetition_stats").foreach(fn =>
+      assert(plan.contains(fn), s"q148 lost the $fn kernel:\n$plan"))
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert("\\*\\(\\d+\\) Project \\[".r.findFirstIn(plan).isDefined, s"q148 lost codegen:\n$plan")
+  }
+
   test("q92: benchmark grams broadcast; the corpus gram stream is never shuffled before matching") {
     val plan = planOf("q92_contamination_report")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark grams did not broadcast:\n$plan")
