@@ -2089,12 +2089,17 @@ object SparkEntry {
     * key. Oracle reuses the factored q142 normalize chain
     * (`sqlUrlNormChain`) and replays the argmax as a window.
     */
-  private def q146_url_dedup(s: SparkSession, dir: String): DataFrame = {
+  /** The q146/q149 fixture URL: 4-way canonical-collision groups (per
+    * group of four consecutive ids — clean, cased+`:80`+fragment,
+    * pct-encoded-path+utm, reordered-params+utm spellings of ONE
+    * canonical URL) plus an unparseable slice every 17th doc.
+    */
+  private def variantGroupUrl: Column = {
     val g = floor(col("doc_id") / 4).cast("long")
     val site = (g % 50).cast("string")
     val gs = g.cast("string")
     val m = col("doc_id") % 4
-    val url = when(col("doc_id") % 17 === 0,
+    when(col("doc_id") % 17 === 0,
         concat(lit("not a url "), col("doc_id").cast("string")))
       .otherwise(
         when(m === 0, concat(lit("http://www.site"), site,
@@ -2106,6 +2111,10 @@ object SparkEntry {
           lit("&utm_source=feed")))
         .otherwise(concat(lit("http://www.site"), site,
           lit(".example.com/article/"), gs, lit("?utm_campaign=x&id="), gs)))
+  }
+
+  private def q146_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val url = variantGroupUrl
     val docs = Tables.documents(s, dir).select(
       col("doc_id"),
       url.alias("url"),
@@ -2141,6 +2150,32 @@ object SparkEntry {
       col("doc_id"),
       UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"))
     operators.Sampling.capPerGroup(docs, "doc_id", "domain", cap = 50)
+  }
+
+
+  /** Incremental canonical-URL dedup (round 17): q146's one-shot form
+    * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
+    * the variant-group fixture — whole collision groups whose
+    * canonicals survive with intra-batch dup counts, plus straddling
+    * members whose groups remain corpus-known and dedup away, so the
+    * probe has real matches to remove at every fixture scale) dedups against the corpus (the
+    * rest)
+    * by `url_normalize` key via
+    * [[graft.operators.Dedup.incrementalExactByKey]], BEFORE any
+    * content comparison. Same state-side contract as q72: the corpus
+    * key scan streams map-side against the broadcast batch keys, zero
+    * corpus exchanges (plan-audited). Unparseable URLs drop on both
+    * sides. The oracle replays the probe as intra-batch min-id
+    * grouping + NOT IN against corpus canonicals.
+    */
+  private def q149_incremental_url_dedup(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.urlNormalize(variantGroupUrl).alias("norm_url"))
+    operators.Dedup.incrementalExactByKey(
+      keyed.filter(col("doc_id") % 20 >= 16 || col("doc_id") % 10 === 9),
+      keyed.filter(!(col("doc_id") % 20 >= 16 || col("doc_id") % 10 === 9)),
+      "doc_id", "norm_url")
   }
 
 
@@ -3093,7 +3128,8 @@ object SparkEntry {
     "q145_quality_classifier" -> (q145_quality_classifier _),
     "q146_url_dedup" -> (q146_url_dedup _),
     "q147_domain_cap" -> (q147_domain_cap _),
-    "q148_attribute_tags" -> (q148_attribute_tags _)
+    "q148_attribute_tags" -> (q148_attribute_tags _),
+    "q149_incremental_url_dedup" -> (q149_incremental_url_dedup _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3175,6 +3211,30 @@ object SparkEntry {
                       + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
                    / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio
                FROM tk)"""
+
+  /** DuckDB twin of [[variantGroupUrl]] — the `u(doc_id, url)` CTE the
+    * q146/q149 oracles feed into [[sqlUrlNormChain]].
+    */
+  private def sqlVariantGroupUrlCte: String =
+    s"""u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                ELSE CASE doc_id % 4
+                  WHEN 0 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+                  WHEN 1 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.Example.COM:80/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/articl%65/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
+                  ELSE 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
+                    || '?utm_campaign=x&id=' || CAST(doc_id // 4 AS VARCHAR)
+                END
+              END AS url
+            FROM documents)"""
 
   /** The seven-rule keep predicate over [[sqlGopherStCte]]'s columns. */
   private def sqlGopherKeep(minTokens: Long, minStopHits: Long): String =
@@ -5636,25 +5696,7 @@ object SparkEntry {
     // variant-group URLs, then the keep-best argmax as a window
     // (score DESC, id ASC — keepRepresentative's max(struct(s, -id)))
     "q146_url_dedup" ->
-      s"""WITH u AS (
-            SELECT doc_id,
-              CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-                ELSE CASE doc_id % 4
-                  WHEN 0 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
-                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
-                    || '?id=' || CAST(doc_id // 4 AS VARCHAR)
-                  WHEN 1 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 50 AS VARCHAR)
-                    || '.Example.COM:80/article/' || CAST(doc_id // 4 AS VARCHAR)
-                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
-                  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
-                    || '.example.com/articl%65/' || CAST(doc_id // 4 AS VARCHAR)
-                    || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
-                  ELSE 'http://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
-                    || '.example.com/article/' || CAST(doc_id // 4 AS VARCHAR)
-                    || '?utm_campaign=x&id=' || CAST(doc_id // 4 AS VARCHAR)
-                END
-              END AS url
-            FROM documents),
+      s"""WITH $sqlVariantGroupUrlCte,
           $sqlUrlNormChain,
           sc AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
                  FROM documents),
@@ -5744,6 +5786,20 @@ object SparkEntry {
           JOIN lang USING (doc_id)
           JOIN st USING (doc_id)
           LEFT JOIN ent USING (doc_id)
-          JOIN rep USING (doc_id)"""
+          JOIN rep USING (doc_id)""",
+    // q149 = intra-batch min-id grouping on the canonical key, then
+    // NOT IN against the corpus slice's canonicals (the probe's
+    // row-equivalent single-pass form)
+    "q149_incremental_url_dedup" ->
+      s"""WITH $sqlVariantGroupUrlCte,
+          $sqlUrlNormChain,
+          k AS (SELECT doc_id, norm_url FROM norm WHERE norm_url IS NOT NULL),
+          b AS (SELECT min(doc_id) AS id, norm_url AS fp,
+                       CAST(count(*) AS BIGINT) AS batch_dup_count
+                FROM k WHERE doc_id % 20 >= 16 OR doc_id % 10 = 9 GROUP BY norm_url)
+          SELECT id, fp, batch_dup_count
+          FROM b
+          WHERE fp NOT IN (SELECT norm_url FROM k
+                           WHERE NOT (doc_id % 20 >= 16 OR doc_id % 10 = 9))"""
   )
 }

@@ -93,10 +93,37 @@ object Dedup {
       batch: DataFrame,
       corpus: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val corpusFps = corpus.select(md5(col(textCol)).alias("fp"))
-    val batchAgg = batch
-      .select(col(idCol).alias("id"), md5(col(textCol)).alias("fp"))
+      textCol: String): DataFrame =
+    incrementalExactOn(
+      batch.select(col(idCol).alias("id"), md5(col(textCol)).alias("fp")),
+      corpus.select(md5(col(textCol)).alias("fp")))
+
+  /** [[incrementalExact]] keyed on an ARBITRARY precomputed column
+    * instead of the content hash — the canonical-URL production case:
+    * a new crawl dedups against the corpus by `url_normalize(url)`
+    * BEFORE any content is even fetched/compared (q146's one-shot form,
+    * made incremental). Null keys drop on both sides (an unparseable
+    * URL cannot key a dedup, and a NULL-keyed corpus scan would
+    * manufacture the hot key the family guards against). Same
+    * state-side zero-exchange probe shape as the content-hash form.
+    */
+  def incrementalExactByKey(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      keyCol: String): DataFrame =
+    incrementalExactOn(
+      batch.select(col(idCol).alias("id"), col(keyCol).alias("fp"))
+        .filter(col("fp").isNotNull),
+      corpus.select(col(keyCol).alias("fp")).filter(col("fp").isNotNull))
+
+  /** Shared probe core over `(id, fp)` / `(fp)` frames — see
+    * [[incrementalExact]]'s scale-shape contract.
+    */
+  private def incrementalExactOn(
+      batchKeyed: DataFrame,
+      corpusFps: DataFrame): DataFrame = {
+    val batchAgg = batchKeyed
       .groupBy("fp")
       .agg(min(col("id")).alias("id"), count(lit(1)).alias("batch_dup_count"))
       .localCheckpoint(true)

@@ -263,7 +263,10 @@ object ScaleBench {
     "q147_domain_cap",
     // round-17: the attribute sheet — five native kernels in ONE scan
     // projection, zero exchanges; pure scan linearity is the claim
-    "q148_attribute_tags")
+    "q148_attribute_tags",
+    // round-17: keyed incremental dedup — the q72 probe shape over
+    // canonical-url keys; corpus side one scalar scan, zero exchanges
+    "q149_incremental_url_dedup")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -36,7 +36,10 @@ import scala.collection.mutable
   * stores — DataCard, DistStats, and a token FreqSketch — as
   * parallel streaming queries over the SAME gated stream, with the
   * per-trigger time split reported per query. This measures what a
-  * real deployment runs concurrently, not tiers in isolation).
+  * real deployment runs concurrently, not tiers in isolation;
+  * SPARK_GRAFT_UB_CLSGATE=1 additionally swaps the rule gate for the
+  * trained classifier gate — the frozen q145 artifact applied via
+  * `keepByScore` — to price the learned gate at the same position).
   */
 object UnifiedIngestBench {
   def main(args: Array[String]): Unit = {
@@ -188,6 +191,22 @@ object UnifiedIngestBench {
         "doc_id", "text"),
       lmDir)
 
+    // SPARK_GRAFT_UB_CLSGATE=1 swaps the rule gate for the TRAINED
+    // classifier gate (keepByScore with weights distilled offline from
+    // the same teacher params over a 5k pre-stream corpus — the frozen
+    // q145 artifact applied in the streaming front door). Measures the
+    // learned gate at the rule gate's position in the same composition.
+    val clsGate = sys.env.get("SPARK_GRAFT_UB_CLSGATE").contains("1")
+    val clsW: Array[Long] =
+      if (clsGate) {
+        val train = (0 until 5000).map(doc).map(d => (d._1, d._2)).toDF("doc_id", "text")
+        graft.operators.QualityClassifier.train(
+          graft.operators.QualityClassifier.gopherFeatures(
+            train, "doc_id", "text", dim = 256, minTokens = 5L, minStopHits = 0L),
+          "feats", "y", 256 + 17, iters = 30)
+      } else null
+    if (clsGate) println("[composed] gate = trained classifier (keepByScore, dim=256)")
+
     val tiers = Seq("exact", "quality", "near", "sem", "ann")
     val qNames = Seq("unified", "card", "dist", "freq")
     println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s ${"kept"}%6s  " +
@@ -204,8 +223,12 @@ object UnifiedIngestBench {
       val trg = Trigger.ProcessingTime("0 seconds")
 
       val base = input.toDF().toDF("doc_id", "text", "embedding")
-      val gated = graft.operators.QualityPrune.keepByGopher(
-        base, "text", minTokens = 5L, minStopHits = 0L)
+      val gated =
+        if (clsGate)
+          graft.operators.QualityClassifier.keepByScore(base, "text", clsW, dim = 256)
+        else
+          graft.operators.QualityPrune.keepByGopher(
+            base, "text", minTokens = 5L, minStopHits = 0L)
       val withSource = gated
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
 

@@ -765,6 +765,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert("\\*\\(\\d+\\) Project \\[".r.findFirstIn(plan).isDefined, s"q148 lost codegen:\n$plan")
   }
 
+  test("q149: incremental url dedup — corpus key scan never shuffles; both probes broadcast") {
+    val plan = planOf("q149_incremental_url_dedup")
+    // the q72 state-side contract carried to the keyed form: the
+    // corpus canonical scan streams map-side against broadcast batch
+    // keys (semi), the matched set broadcasts back (anti); the only
+    // exchange is the batch's own intra-batch aggregate
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"corpus probe not a broadcast semi:\n$plan")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"matched-set removal not a broadcast anti:\n$plan")
+    assert(shuffles(plan) <= 1, s"q149 shuffled more than the batch aggregate:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q149 shuffled document text:\n$plan")
+  }
+
   test("q92: benchmark grams broadcast; the corpus gram stream is never shuffled before matching") {
     val plan = planOf("q92_contamination_report")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark grams did not broadcast:\n$plan")

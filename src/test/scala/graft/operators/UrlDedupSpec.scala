@@ -57,6 +57,28 @@ class UrlDedupSpec extends SparkTestBase {
       s"three subdomains must collapse into ONE capped domain group: $byDomain")
   }
 
+  test("incrementalExactByKey: batch dedups against corpus canonicals, nulls drop") {
+    import graft.functions.expressions.UrlExprs
+    def keyed(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "url").select(
+        col("doc_id"),
+        UrlExprs.urlNormalize(col("url")).as("norm_url"))
+    val corpus = keyed(Seq(
+      (1L, "http://a.example.com/x"),
+      (2L, "http://b.example.com/y")))
+    val batch = keyed(Seq(
+      (10L, "HTTP://A.Example.COM:80/x#f"), // corpus-known canonical -> dropped
+      (11L, "http://c.example.com/z"),      // new
+      (12L, "http://C.example.com/z"),      // intra-batch dup of 11
+      (13L, "not a url")))                  // null key -> dropped
+    val out = Dedup.incrementalExactByKey(batch, corpus, "doc_id", "norm_url")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 11L && r.getString(1) == "http://c.example.com/z"
+      && r.getLong(2) == 2L)
+  }
+
   test("unparseable URLs are dropped, not folded into a NULL hot key") {
     val df = Seq(
       (1L, "not a url", 10L),
