@@ -266,7 +266,11 @@ object ScaleBench {
     "q148_attribute_tags",
     // round-17: keyed incremental dedup — the q72 probe shape over
     // canonical-url keys; corpus side one scalar scan, zero exchanges
-    "q149_incremental_url_dedup")
+    "q149_incremental_url_dedup",
+    // round-17: the sampled-training protocol — per-iteration scans
+    // cover only the 20% train slice; the full corpus pays one
+    // featurization + one scoring scan
+    "q150_classifier_holdout")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

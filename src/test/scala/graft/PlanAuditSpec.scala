@@ -270,6 +270,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 2, s"q146 shuffle budget exceeded:\n$plan")
   }
 
+  test("q150: held-out scoring is the same shuffle-free checkpoint scan as q145") {
+    val plan = planOf("q150_classifier_holdout")
+    assert(shuffles(plan) == 0, s"q150 apply is scan-shaped:\n$plan")
+    assert(plan.contains("presence_dot"), plan)
+    assert(!plan.contains("FileScan"), s"q150 re-scanned the corpus:\n$plan")
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -131,6 +131,26 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("train-on-sample generalizes: held-out agreement beats the majority class") {
+    val base = corpus(150)
+    val feats = QualityClassifier.gopherFeatures(
+      base.toDF("doc_id", "text"), "doc_id", "text", dim = 64,
+      minTokens = 25L, minStopHits = 1L).localCheckpoint()
+    val w = QualityClassifier.train(
+      feats.filter(col("doc_id") % 5 === 0), "feats", "y", 64 + 17, iters = 30)
+    val heldOut = QualityClassifier.score(feats, "feats", w)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("y"), col("pred"))
+      .collect()
+    val n = heldOut.length
+    val pos = heldOut.count(_.getLong(0) == 1L)
+    val majority = math.max(pos, n - pos)
+    val agree = heldOut.count(r => (r.getLong(0) == 1L) == r.getBoolean(1))
+    assert(n == 120)
+    assert(agree > majority,
+      s"held-out agreement must beat majority: agree=$agree majority=$majority n=$n")
+  }
+
   test("saveWeights/loadWeights round-trips; keepByScore enforces the width contract") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qc-w").toString
     val w = Array.tabulate(64 + 17)(i => (i * 31 - 700).toLong)
