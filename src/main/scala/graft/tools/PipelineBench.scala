@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   extract (html_to_text over a deterministic markup wrap, q121's
   *            template) →
+  *   canonical-URL keep-best (url_normalize group key, q146) →
+  *   per-domain quota (registrable_domain rollup + two-phase cap,
+  *            q147) →
   *   quality/langid gate (native quality_stats + lang_id scans) →
   *   exact dedup (fingerprint representative, q17) →
   *   near-dup keep-best (MinHash-LSH pairs → connected components →
@@ -75,9 +78,45 @@ object PipelineBench {
         graft.functions.expressions.HtmlToTextExpr.htmlToText(html).alias("text")))
     }
 
+    // ---- 0.5 web front door: canonical-URL keep-best + domain quota ----
+    // (q146/q147's stages at their CC-chain position: every group of 4
+    // consecutive ids is one page under four URL spellings on one of 50
+    // registrable domains; URL dedup collapses spellings, the quota
+    // caps each domain's survivors)
+    def pageUrl = {
+      val g = floor(col("doc_id") / 4).cast("long")
+      val site = (g % 50).cast("string")
+      val gs = g.cast("string")
+      val m = col("doc_id") % 4
+      when(m === 0, concat(lit("http://www.site"), site, lit(".com/a/"), gs))
+        .when(m === 1, concat(lit("HTTP://WWW.Site"), site, lit(".COM:80/a/"), gs, lit("#f")))
+        .when(m === 2, concat(lit("http://www.site"), site, lit(".com/%61/"), gs, lit("?utm_source=x")))
+        .otherwise(concat(lit("http://www.site"), site, lit(".com/a/"), gs, lit("?utm_campaign=y")))
+    }
+    val urlKept = stage("url_dedup") {
+      val kept = Dedup.byCanonicalUrl(
+        extracted.select(
+          col("doc_id"), pageUrl.alias("url"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").alias("nt")),
+        "doc_id", "url", "nt")
+        .filter(col("kept") === 1L)
+        .select("doc_id")
+      checkpointCount("url_dedup", extracted.join(kept, Seq("doc_id"), "left_semi"))
+    }
+    val quotaed = stage("domain_cap") {
+      val domains = urlKept.select(
+        col("doc_id"),
+        graft.functions.expressions.UrlExprs.registrableDomain(
+          graft.functions.expressions.UrlExprs.urlHost(pageUrl)).alias("domain"))
+      val kept = graft.operators.Sampling
+        .capPerGroup(domains, "doc_id", "domain", cap = 15)
+        .select("doc_id")
+      checkpointCount("domain_cap", urlKept.join(kept, Seq("doc_id"), "left_semi"))
+    }
+
     // ---- 1. quality + langid gate (native one-pass scans) ----
     val gated = stage("quality_gate") {
-      val scored = extracted.select(
+      val scored = quotaed.select(
         col("doc_id"), col("lang"), col("source"), col("text"),
         graft.functions.expressions.QualityStatsExpr
           .qualityStats(col("text"), "english").alias("qs"),
