@@ -2185,6 +2185,38 @@ object SparkEntry {
   }
 
 
+  /** Classifier cutoff calibration (round 17): the q114 sweep pattern
+    * for the LEARNED gate — sweep `keepByScore` cutoffs over q150's
+    * HELD-OUT slice and report kept/precision/recall per cutoff, the
+    * table an operator reads before picking the production threshold
+    * (raise for precision, lower for recall — `keepByScore`'s contract
+    * made measurable). One trained model (the q150 composition), one
+    * ≤5-row aggregate over the held-out scores; integer-micro ratios.
+    */
+  private def q151_classifier_calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cuts = Seq(-500000L, -250000L, 0L, 250000L, 500000L)
+    val heldOut = q150_classifier_holdout(s, dir).filter(!col("is_train"))
+    heldOut
+      .crossJoin(cuts.toDF("cutoff_micro"))
+      .groupBy("cutoff_micro")
+      .agg(
+        sum(when(col("score_micro") >= col("cutoff_micro"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("score_micro") >= col("cutoff_micro") && col("label"), 1L)
+          .otherwise(0L)).as("n_true_pos"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("precision_micro",
+        when(col("n_kept") > 0L,
+          round(col("n_true_pos").cast("double") * lit(1000000.0)
+            / col("n_kept").cast("double")).cast("long")))
+      .withColumn("recall_micro",
+        when(col("n_pos") > 0L,
+          round(col("n_true_pos").cast("double") * lit(1000000.0)
+            / col("n_pos").cast("double")).cast("long")))
+  }
+
+
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
     * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
     * the variant-group fixture — whole collision groups whose
@@ -3162,7 +3194,8 @@ object SparkEntry {
     "q147_domain_cap" -> (q147_domain_cap _),
     "q148_attribute_tags" -> (q148_attribute_tags _),
     "q149_incremental_url_dedup" -> (q149_incremental_url_dedup _),
-    "q150_classifier_holdout" -> (q150_classifier_holdout _)
+    "q150_classifier_holdout" -> (q150_classifier_holdout _),
+    "q151_classifier_calibration" -> (q151_classifier_calibration _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -5846,6 +5879,30 @@ object SparkEntry {
     "q150_classifier_holdout" ->
       sqlDistillOracle(dim = 256, iters = 40, lr = 16.0,
         minTokens = 25L, minStopHits = 1L,
-        trainWhere = Some("doc_id % 5 = 0"))
+        trainWhere = Some("doc_id % 5 = 0")),
+    // q151 = the q150 trainer nested as a derived table, cutoffs swept
+    // over the held-out slice with integer-micro precision/recall
+    "q151_classifier_calibration" ->
+      s"""WITH sc AS (SELECT * FROM (${sqlDistillOracle(dim = 256, iters = 40, lr = 16.0,
+            minTokens = 25L, minStopHits = 1L,
+            trainWhere = Some("doc_id % 5 = 0"))})),
+          cuts AS (SELECT unnest([-500000, -250000, 0, 250000, 500000]) AS cutoff_micro)
+          SELECT CAST(c.cutoff_micro AS BIGINT) AS cutoff_micro,
+                 CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+                 CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CASE WHEN sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS precision_micro,
+                 CASE WHEN sum(CASE WHEN s.label THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS recall_micro
+          FROM sc s CROSS JOIN cuts c
+          WHERE NOT s.is_train
+          GROUP BY c.cutoff_micro"""
   )
 }

@@ -270,7 +270,10 @@ object ScaleBench {
     // round-17: the sampled-training protocol — per-iteration scans
     // cover only the 20% train slice; the full corpus pays one
     // featurization + one scoring scan
-    "q150_classifier_holdout")
+    "q150_classifier_holdout",
+    // round-17: the cutoff sweep adds a 5-row aggregate on top of the
+    // q150 trainer — expect q150's exponent
+    "q151_classifier_calibration")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

@@ -277,6 +277,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("FileScan"), s"q150 re-scanned the corpus:\n$plan")
   }
 
+  test("q151: calibration sweep — checkpoint scan x 5-row cutoff list, one tiny aggregate") {
+    val plan = planOf("q151_classifier_calibration")
+    assert(!plan.contains("FileScan"), s"q151 re-scanned the corpus:\n$plan")
+    // the 5-row literal cutoff frame rides a broadcast nested-loop
+    // cross (the 1-row-attach class, not a corpus cartesian); the only
+    // exchange carries <=5 cutoff aggregate rows
+    assert(shuffles(plan) <= 1, s"q151 shuffled more than the cutoff aggregate:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#") && !exchanged.contains("feats#"),
+      s"q151 shuffled a payload:\n$plan")
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
