@@ -2217,6 +2217,26 @@ object SparkEntry {
   }
 
 
+  /** Source-coherent packing (round 17): the in-context-pretraining
+    * recipe — pack RELATED documents into one context window.
+    * [[graft.operators.Chunker.packSequencesByGroup]]: the q68
+    * cumsum-÷-budget window with the shard key = hash(source) (every
+    * source lands in one shard) and in-shard order `(source, doc_id)`,
+    * so each chunk is a run of one source's documents. Emits the
+    * per-doc assignment (not the summary) so the oracle hash-checks
+    * the exact coherent layout. A single dominant source is one
+    * shard's sort — the documented escalation is the q147 domain
+    * quota in front.
+    */
+  private def q152_source_packing(s: SparkSession, dir: String): DataFrame =
+    operators.Chunker.packSequencesByGroup(
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").alias("n_tokens")),
+      "doc_id", "n_tokens", "source", budget = 512L, shards = 8)
+
+
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
     * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
     * the variant-group fixture — whole collision groups whose
@@ -3195,7 +3215,8 @@ object SparkEntry {
     "q148_attribute_tags" -> (q148_attribute_tags _),
     "q149_incremental_url_dedup" -> (q149_incremental_url_dedup _),
     "q150_classifier_holdout" -> (q150_classifier_holdout _),
-    "q151_classifier_calibration" -> (q151_classifier_calibration _)
+    "q151_classifier_calibration" -> (q151_classifier_calibration _),
+    "q152_source_packing" -> (q152_source_packing _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -5903,6 +5924,25 @@ object SparkEntry {
                  END AS recall_micro
           FROM sc s CROSS JOIN cuts c
           WHERE NOT s.is_train
-          GROUP BY c.cutoff_micro"""
+          GROUP BY c.cutoff_micro""",
+    // q152 = q68's cumsum window with hash(source) sharding and
+    // (source, doc_id) in-shard order — the per-doc coherent layout
+    "q152_source_packing" ->
+      s"""WITH d AS (
+            SELECT doc_id, source,
+                   ${sqlMd5h60("CAST(source AS VARCHAR)")} % 8 AS shard,
+                   CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT shard, doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY source, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM d)
+          SELECT shard,
+                 CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+                 doc_id, source, n_tokens,
+                 CAST(cum_before AS BIGINT) AS cum_before
+          FROM c"""
   )
 }

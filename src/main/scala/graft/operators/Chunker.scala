@@ -75,6 +75,46 @@ object Chunker {
         col("cum_before"))
   }
 
+  /** Source-coherent packing — the in-context-pretraining recipe
+    * (pack RELATED documents into one context window, instead of
+    * whatever interleaving the id order produced): the same
+    * cumsum-÷-budget window as [[packSequencesByCount]], but the shard
+    * key is the HASH of `groupCol` (every doc of a source/domain lands
+    * in ONE shard) and the in-shard order is `(group, id)` — each
+    * chunk is a run of one group's documents, crossing into the next
+    * group only at a group boundary. Shards stay balanced as long as
+    * groups are many (the hash spreads them); ONE group is still one
+    * shard's sort, so a corpus dominated by a single source wants the
+    * per-domain quota (q147) in front — the documented escalation,
+    * same class as `capPerGroup`'s.
+    */
+  def packSequencesByGroup(
+      counts: DataFrame,
+      idCol: String,
+      countCol: String,
+      groupCol: String,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col(groupCol), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .select(
+        col(idCol).alias("doc_id"),
+        col(groupCol),
+        pmod(TextFunctions.md5Hash60(col(groupCol).cast("string")), lit(shards.toLong))
+          .alias("shard"),
+        col(countCol).cast("long").alias("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("shard"),
+        (col("cum_before") / budget).cast("long").alias("chunk_id"),
+        col("doc_id"),
+        col(groupCol),
+        col("n_tokens"),
+        col("cum_before"))
+  }
+
   /** Per-(shard, chunk) pack summary — the row shape a writer consumes. */
   def packSummary(packed: DataFrame): DataFrame =
     packed

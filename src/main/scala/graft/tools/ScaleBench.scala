@@ -273,7 +273,10 @@ object ScaleBench {
     "q150_classifier_holdout",
     // round-17: the cutoff sweep adds a 5-row aggregate on top of the
     // q150 trainer — expect q150's exponent
-    "q151_classifier_calibration")
+    "q151_classifier_calibration",
+    // round-17: source-coherent packing — one count-scalar exchange
+    // into the per-shard window; q68's linearity shape
+    "q152_source_packing")
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are

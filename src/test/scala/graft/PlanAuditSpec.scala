@@ -289,6 +289,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"q151 shuffled a payload:\n$plan")
   }
 
+  test("q152: source packing — one hash exchange of count scalars into the shard window") {
+    val plan = planOf("q152_source_packing")
+    assert(plan.contains("Window"), s"q152 lost its pack window:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"q152 range-partitioned:\n$plan")
+    assert(shuffles(plan) <= 1, s"q152 needs one shard exchange only:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#"), s"q152 shuffled document text:\n$plan")
+  }
+
   test("q141: guarded edit join — hot blocks anti-joined out on both sides, keys never shuffle") {
     val plan = planOf("q141_edit_join_guarded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

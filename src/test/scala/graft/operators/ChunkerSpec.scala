@@ -63,4 +63,37 @@ class ChunkerSpec extends SparkTestBase {
     assert(summary.map(_._4).sum == docs.map(_._2.split(" ").length.toLong).sum)
     assert(summary.map(_._3).sum == docs.length.toLong)
   }
+
+  test("packSequencesByGroup: one shard per group, coherent runs, conserved tokens") {
+    val counts = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L),
+      (4L, "b", 200L), (5L, "b", 200L),
+      (6L, "c", 600L)).toDF("doc_id", "source", "n_tokens")
+    val packed = Chunker.packSequencesByGroup(
+      counts, "doc_id", "n_tokens", "source", budget = 512L, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // every group maps to exactly one shard (hash(group) % shards)
+    val shardOf = packed.groupBy(_._4).map { case (g, rows) =>
+      g -> rows.map(_._1).distinct
+    }
+    assert(shardOf.values.forall(_.size == 1), s"group split across shards: $shardOf")
+    packed.groupBy(_._4).foreach { case (g, rows) =>
+      val expect = graft.functions.TextFunctions.md5Hash60Local(g) % 4
+      assert(rows.head._1 == expect)
+    }
+    // within a shard, cum_before follows (group, id) order exactly
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._3))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r._6 == cum, s"cum_before mismatch at $r")
+        assert(r._2 == cum / 512L)
+        cum += r._5
+      }
+    }
+    // conservation
+    assert(packed.map(_._5).sum == 1900L && packed.length == 6)
+  }
 }
