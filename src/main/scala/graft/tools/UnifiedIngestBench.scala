@@ -208,7 +208,7 @@ object UnifiedIngestBench {
     if (clsGate) println("[composed] gate = trained classifier (keepByScore, dim=256)")
 
     val tiers = Seq("exact", "quality", "near", "sem", "ann")
-    val qNames = Seq("unified", "card", "dist", "freq")
+    val qNames = Seq("unified", "card", "dist", "freq", "pack")
     println(f"${"batch"}%8s ${"batches"}%7s ${"docs/s"}%8s ${"kept"}%6s  " +
       (tiers.map(t => f"$t%8s") ++ qNames.drop(1).map(t => f"$t%8s")).mkString(" ") +
       "  (mean s/trigger; unified split then observer queries)")
@@ -246,7 +246,22 @@ object UnifiedIngestBench {
         gated.select(explode(
           graft.functions.TextFunctions.tokens(col("text"))).alias("w")),
         "w", sink, "freq", s"$root/ckpt_freq", trg)
-      val queries = qNames.zip(Seq(qUni, qCard, qDist, qFreq))
+      // live context-window assignments (StreamPack): the loader path
+      // running beside ingest — packed-shard rows append as docs arrive
+      val qPack = graft.streaming.StreamPack.assignments(
+        withSource.select(
+          col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").alias("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 2048L, shards = 8)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/packed")
+        .option("checkpointLocation", s"$root/ckpt_pack")
+        .outputMode("append")
+        .trigger(trg)
+        .start()
+      val queries = qNames.zip(Seq(qUni, qCard, qDist, qFreq, qPack))
       val perQ = mutable.Map.empty[String, Double].withDefaultValue(0.0)
 
       // warmup (bootstrap trains quantizer/ANN; observers create state)
