@@ -208,6 +208,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.expressions.PresenceDotExpr].getName,
           "presence_dot"),
         GraftFunctions.presenceDotBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("gopher_stats"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.GopherStatsExpr].getName,
+          "gopher_stats"),
+        GraftFunctions.gopherStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("dhash64"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.DHash64Expr].getName, "dhash64"),
+        GraftFunctions.dhash64Builder))
   }
 }
 
@@ -390,6 +403,14 @@ object GraftFunctions {
     graft.functions.expressions.PresenceDotExpr(exprs.head, exprs(1))
   }
 
+  private[graft] def gopherStatsBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.GopherStatsExpr(
+      arity(exprs, 1, "gopher_stats(text)").head)
+
+  private[graft] def dhash64Builder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.DHash64Expr(
+      arity(exprs, 1, "dhash64(content)").head)
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -424,5 +445,7 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "registrable_domain", registrableDomainBuilder)
     Bridge.registerTempFunction(spark, "hashed_bow", hashedBowBuilder)
     Bridge.registerTempFunction(spark, "presence_dot", presenceDotBuilder)
+    Bridge.registerTempFunction(spark, "gopher_stats", gopherStatsBuilder)
+    Bridge.registerTempFunction(spark, "dhash64", dhash64Builder)
   }
 }

@@ -390,6 +390,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(m.contains("hashed_bow(text, dim)"), m)
   }
 
+  test("gopher_stats + dhash64 are callable from SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("t_gs")
+    val g = spark.sql(
+      "SELECT gopher_stats(text).n_tokens AS n, gopher_stats(text).n_stop_hits AS s FROM t_gs")
+      .head()
+    assert(g.getLong(0) == 9L && g.getLong(1) >= 1L)
+    val viaSql = spark.sql("SELECT dhash64(CAST('payload-bytes' AS BINARY)) AS h")
+      .head().getLong(0)
+    val viaCol = Seq(Tuple1("payload-bytes".getBytes("UTF-8"))).toDF("b")
+      .select(graft.functions.expressions.DHash64Expr.dhash64Col(
+        org.apache.spark.sql.functions.col("b")))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+    val m = intercept[Exception](spark.sql("SELECT gopher_stats()").collect()).getMessage
+    assert(m.contains("gopher_stats(text)"), m)
+  }
+
   test("wrong-arity SQL calls fail analysis naming the signature, not IndexOutOfBounds") {
     GraftFunctions.register(spark)
     def messageFor(sql: String): String =
