@@ -2026,16 +2026,19 @@ object SparkEntry {
     * opaque payloads with PLANTED perceptual clusters (five consecutive
     * ids share an md5-chain "image"; four carry only a tiny per-doc
     * tail edit — near-dups by construction; the fifth gets a 32-byte
-    * shift block — pushed out of range), then Hamming banding (4×16
-    * bits) and the exact `bit_count(xor) <= 6` verify
+    * shift block — pushed out of range), then Hamming banding
+    * (`maxDist + 1 = 7` pigeonhole bands since round 18 — complete
+    * recall at the requested threshold) and the exact
+    * `bit_count(xor) <= 6` verify
     * ([[graft.operators.Multimodal.perceptualNearDup]]). The derived
     * payloads are deliberately HIGH-entropy (non-repeating md5 chain):
     * a periodic pattern aligned to the 72 grid windows degenerates the
     * gradient bits and manufactures cross-cluster collisions — the
     * measured trap that shaped this fixture. Oracle re-derives pixels,
-    * gradients, hash, bands, and verify from `hex(encode(payload))`
-    * integer ops; at sf0.01 the gate pins exactly the 600 planted
-    * pairs (100 clusters × C(4,2)), zero noise.
+    * gradients, hash, and the bandless all-pairs verify from
+    * `hex(encode(payload))` integer ops — hash-checking the banding's
+    * completeness claim itself; at sf0.01 the gate pins exactly the
+    * 600 planted pairs (100 clusters × C(4,2)), zero noise.
     */
   private def q144_phash_neardup(s: SparkSession, dir: String): DataFrame = {
     val g = floor(col("doc_id") / 5).cast("long").cast("string")
@@ -5498,9 +5501,11 @@ object SparkEntry {
           FROM documents doc LEFT JOIN dseq q ON q.doc_id = doc.doc_id""",
     // q144 = the dhash64 kernel re-derived from hex(encode(payload))
     // integer ops (window means, gradient bits, the sign-bit as a
-    // -2^63 addend), the 4x16 banding as an OR of masked shifts, and
-    // the exact bit_count(xor) verify — engine candidates∩verify
-    // semantics, not an approximation
+    // -2^63 addend), then the exact bit_count(xor) <= maxDist verify
+    // over ALL pairs — no banding clause, deliberately: since round 18
+    // the engine uses maxDist+1 pigeonhole bands, so its candidate
+    // set provably covers every pair within maxDist and the oracle
+    // hash-checks that COMPLETENESS claim, not just the arithmetic
     "q144_phash_neardup" ->
       """WITH b AS (
             SELECT doc_id,
@@ -5532,11 +5537,7 @@ object SparkEntry {
           SELECT a.doc_id AS left_id, b.doc_id AS right_id,
                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist
           FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-          WHERE ((a.h >> 0) & 65535 = (b.h >> 0) & 65535
-              OR (a.h >> 16) & 65535 = (b.h >> 16) & 65535
-              OR (a.h >> 32) & 65535 = (b.h >> 32) & 65535
-              OR (a.h >> 48) & 65535 = (b.h >> 48) & 65535)
-            AND bit_count(xor(a.h, b.h)) <= 6""",
+          WHERE bit_count(xor(a.h, b.h)) <= 6""",
     "q109_mean_pool" ->
       // element-indexed unnest -> the same half-away-from-zero micro
       // rounding -> order-free BIGINT sums per (group, dim); the mean

@@ -259,7 +259,10 @@ object UrlExprs {
       }
       si += 1
     }
-    // unknown TLD: PSL '*' default — last two NON-EMPTY labels
+    // unknown TLD: PSL '*' default — the last two labels. A
+    // trailing-dot host ('a.b.c.') yields NULL here (the final label
+    // is empty), matching the DuckDB oracle's identical walk — FQDN
+    // root dots are not normalized away, by contract.
     val li = h.lastIndexOf('.')
     if (li < 0 || li == h.length - 1) return null
     val prefix = h.substring(0, li)

@@ -138,11 +138,15 @@ object Multimodal {
     *  1. one scan computes `dhash64` per item (the content bytes never
     *     leave the scan stage — only `(id, hash)` rows move);
     *  2. candidates come from Hamming BANDING, the q21 machinery: the
-    *     64-bit hash splits into 4 disjoint 16-bit bands, items
-    *     sharing ANY band value meet — by pigeonhole this finds EVERY
-    *     pair within Hamming distance 3 and, in practice, nearly all
-    *     within the useful thresholds (the oracle gate re-derives the
-    *     exact candidates∩verify semantics, so nothing is estimated);
+    *     64-bit hash splits into `maxDist + 1` disjoint bands (capped
+    *     at 64 one-bit bands), so by pigeonhole a pair within
+    *     `maxDist` differing bits leaves at least one band untouched
+    *     and MUST meet — recall is complete for the requested
+    *     threshold, not just for a fixed 4-band dist<=3 regime (the
+    *     round-17 review's gap: maxDist in [4, 64] used to lose
+    *     pairs silently). More bands = more candidate rows
+    *     (`(maxDist+1)·n` band rows), the standard LSH recall/cost
+    *     trade made explicit in the one knob that states it;
     *  3. map-side verify `bit_count(xor) <= maxDist` BEFORE the
     *     pair-level distinct — only true matches pay the dedup
     *     shuffle (the q122 discipline).
@@ -171,11 +175,17 @@ object Multimodal {
       .select(col(idCol).cast("long").alias("id"),
         dhash64(col(contentCol)).alias("h"))
       .na.drop(Seq("h"))
+    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — widths differ
+    // by at most one bit when nBands doesn't divide 64
+    val nBands = math.min(maxDist + 1, 64)
     val bands = hs.select(
       col("id"), col("h"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("h"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "v")))
+      posexplode(array((0 until nBands).map { b =>
+        val lo = (b * 64) / nBands
+        val width = ((b + 1) * 64) / nBands - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftright(col("h"), lo).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "v")))
     val guarded = maxBandFreq match {
       case None => bands
       case Some(cap) =>

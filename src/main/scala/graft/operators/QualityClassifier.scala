@@ -190,11 +190,25 @@ object QualityClassifier {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a [[saveWeights]] artifact (bounded by contract: width rows). */
+  /** Load a [[saveWeights]] artifact (bounded by contract: width rows).
+    * Validates the artifact shape before indexing — feature ids must be
+    * exactly a permutation of `[0, rows.length)` (a duplicate, missing,
+    * or out-of-range `feat` row would otherwise crash with a bare
+    * ArrayIndexOutOfBounds or silently corrupt the weight vector).
+    */
   def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {
     val rows = spark.read.parquet(path).select("feat", "w").collect()
     val w = new Array[Long](rows.length)
-    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    val seen = new Array[Boolean](rows.length)
+    rows.foreach { r =>
+      val f = r.getLong(0)
+      require(f >= 0L && f < rows.length,
+        s"corrupt weights artifact at $path: feat id $f outside [0, ${rows.length})")
+      require(!seen(f.toInt),
+        s"corrupt weights artifact at $path: duplicate feat id $f")
+      seen(f.toInt) = true
+      w(f.toInt) = r.getLong(1)
+    }
     w
   }
 

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.ExprId
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -41,6 +42,17 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * strictness for retrieval/serving pipelines where no plan should
   * ever move corpus vectors wholesale. The rule never rewrites the
   * plan — it only observes (and, in `fail` mode, vetoes).
+  *
+  * Cost discipline (round 18): the guard runs on EVERY query-stage
+  * prep, so it must be cheap on plans it will never flag. The naive
+  * shape — `collect` over each exchange's subtree — is
+  * O(exchanges × nodes) per application and showed up as a measurable
+  * ~10-20% driver-side tax on multi-stage queries in the r17 drift
+  * adjudication (BASELINE.md round-18 table). Both rules now compute
+  * one post-order pass per plan: each node folds its children's facts
+  * (corpus scans seen, broadcast cut seen) and every exchange is
+  * checked against its child's already-folded facts — O(nodes) total,
+  * identical verdicts.
   */
 case class VectorShuffleGuardRule(session: SparkSession)
   extends Rule[SparkPlan] with Logging {
@@ -52,30 +64,40 @@ case class VectorShuffleGuardRule(session: SparkSession)
     if (mode == "off") return plan
     val pattern = session.conf.get(PatternKey, ".*").r
 
-    plan.foreach {
-      case ex: ShuffleExchangeExec if carriesVec(ex) =>
-        val corpusScans = ex.child.collect {
-          case s: FileSourceScanExec
-              if s.output.exists(a => isVec(a.dataType)) &&
-                pattern.findFirstIn(s.relation.location.rootPaths.mkString(",")).isDefined => s
-        }
-        // any broadcast hash join below the exchange is a bounded cut
-        // (semi/inner against a broadcast id list bounds the exchanged
-        // row count); the failure shape has none
-        val pruned = ex.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
-        if (corpusScans.nonEmpty && !pruned) {
+    // one post-order pass: facts(node) = fold(facts(children)) + node
+    def walk(p: SparkPlan): Facts = {
+      val kids = p.children
+      var paths: List[String] = Nil
+      var cut = false
+      var i = 0
+      while (i < kids.length) {
+        val f = walk(kids(i))
+        if (f.corpusVecPaths.nonEmpty) paths = f.corpusVecPaths ::: paths
+        cut ||= f.hasCut
+        i += 1
+      }
+      p match {
+        case s: FileSourceScanExec if s.output.exists(a => isVec(a.dataType)) =>
+          val root = s.relation.location.rootPaths.mkString(",")
+          if (pattern.findFirstIn(root).isDefined) paths = root :: paths
+        case _: BroadcastHashJoinExec => cut = true
+        case ex: ShuffleExchangeExec if carriesVec(ex) && paths.nonEmpty && !cut =>
+          // `paths`/`cut` here are exactly the exchange child's facts:
+          // the exchange node itself contributes neither
           val msg =
             s"un-pruned corpus-vector shuffle: Exchange ${ex.outputPartitioning} moves " +
               s"columns ${ex.output.map(_.name).mkString("[", ", ", "]")} fed by corpus " +
-              s"scan(s) ${corpusScans.map(_.relation.location.rootPaths.mkString).distinct.mkString("; ")} " +
+              s"scan(s) ${paths.distinct.mkString("; ")} " +
               "with no broadcast-bounded cut below it. At corpus scale this shuffles every " +
               "vector; a bounded candidate frame should be broadcast() into a semi-join " +
               s"prune first. (Set $ModeKey=off to silence, =fail to enforce.)"
           if (mode == "fail") throw new VectorShuffleException(msg)
           else logWarning(s"[graft-guard] $msg")
-        }
-      case _ =>
+        case _ =>
+      }
+      Facts(paths, cut)
     }
+    walk(plan)
     plan
   }
 }
@@ -85,6 +107,12 @@ object VectorShuffleGuardRule {
   val PatternKey = "spark.graft.guard.corpusPattern"
 
   class VectorShuffleException(msg: String) extends IllegalStateException(msg)
+
+  /** Folded subtree facts: corpus vector-scan root paths below this
+    * node, and whether any broadcast hash join (a bounded cut) sits
+    * below it.
+    */
+  private final case class Facts(corpusVecPaths: List[String], hasCut: Boolean)
 
   private def isVec(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
@@ -120,7 +148,8 @@ object VectorShuffleGuardRule {
   * (a one-off corpus re-layout) run under `warn` or scope the
   * pattern/columns out. Knobs: `spark.graft.guard.textShuffle` =
   * `off` | `warn` (default) | `fail`; shares
-  * [[VectorShuffleGuardRule.PatternKey]].
+  * [[VectorShuffleGuardRule.PatternKey]]. Same single-pass cost
+  * discipline as the vector rule (see its scaladoc).
   */
 case class TextShuffleGuardRule(session: SparkSession)
   extends Rule[SparkPlan] with Logging {
@@ -133,20 +162,29 @@ case class TextShuffleGuardRule(session: SparkSession)
     val pattern = session.conf.get(VectorShuffleGuardRule.PatternKey, ".*").r
     val nameRe = session.conf.get(ColumnsKey, DefaultColumns).r
 
-    plan.foreach {
-      case ex: ShuffleExchangeExec =>
-        val corpusTextAttrs = ex.child.collect {
-          case s: FileSourceScanExec
-              if pattern.findFirstIn(s.relation.location.rootPaths.mkString(",")).isDefined =>
-            s.output.filter(a =>
-              a.dataType == org.apache.spark.sql.types.StringType &&
-                nameRe.pattern.matcher(a.name).matches())
-        }.flatten
-        if (corpusTextAttrs.nonEmpty) {
-          val ids = corpusTextAttrs.map(_.exprId).toSet
+    def walk(p: SparkPlan): Facts = {
+      val kids = p.children
+      var ids: Set[ExprId] = Set.empty
+      var cut = false
+      var i = 0
+      while (i < kids.length) {
+        val f = walk(kids(i))
+        if (f.corpusTextIds.nonEmpty)
+          ids = if (ids.isEmpty) f.corpusTextIds else ids ++ f.corpusTextIds
+        cut ||= f.hasCut
+        i += 1
+      }
+      p match {
+        case s: FileSourceScanExec
+            if pattern.findFirstIn(s.relation.location.rootPaths.mkString(",")).isDefined =>
+          s.output.foreach { a =>
+            if (a.dataType == org.apache.spark.sql.types.StringType &&
+              nameRe.pattern.matcher(a.name).matches()) ids += a.exprId
+          }
+        case _: BroadcastHashJoinExec => cut = true
+        case ex: ShuffleExchangeExec if ids.nonEmpty && !cut =>
           val carried = ex.output.filter(a => ids.contains(a.exprId))
-          val pruned = ex.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
-          if (carried.nonEmpty && !pruned) {
+          if (carried.nonEmpty) {
             val msg =
               s"un-pruned corpus-text shuffle: Exchange ${ex.outputPartitioning} moves raw " +
                 s"text column(s) ${carried.map(_.name).mkString("[", ", ", "]")} straight " +
@@ -157,9 +195,11 @@ case class TextShuffleGuardRule(session: SparkSession)
             if (mode == "fail") throw new TextShuffleException(msg)
             else logWarning(s"[graft-guard] $msg")
           }
-        }
-      case _ =>
+        case _ =>
+      }
+      Facts(ids, cut)
     }
+    walk(plan)
     plan
   }
 }
@@ -170,4 +210,9 @@ object TextShuffleGuardRule {
   val DefaultColumns = "text|content|body|html|raw"
 
   class TextShuffleException(msg: String) extends IllegalStateException(msg)
+
+  /** Folded subtree facts: exprIds of raw corpus text attributes below
+    * this node, and whether a broadcast-bounded cut sits below it.
+    */
+  private final case class Facts(corpusTextIds: Set[ExprId], hasCut: Boolean)
 }

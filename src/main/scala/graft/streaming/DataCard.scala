@@ -43,11 +43,15 @@ import org.apache.spark.sql.types._
   * table's rows) and the sink's Overwrite is an atomic swap — so a
   * state mutation and its ack commit TOGETHER. There is no window in
   * which a crash leaves a committed add or subtraction unacked (the
-  * double-subtract hazard of a separate `__meta` ack table). The one
-  * residual case: a retire that empties a table entirely has no rows
-  * left to carry the ids — harmless, because replaying either
-  * operation against an EMPTY table is a net no-op (re-subtraction
-  * yields only non-positive rows, which the `> 0` prune drops).
+  * double-subtract hazard of a separate `__meta` ack table). For the
+  * acks to survive, at least one row must survive every write — so
+  * [[retire]] keeps fully-subtracted rows as ZEROS instead of pruning
+  * them (the round-17 review's crash+takedown interleaving: a retire
+  * that emptied a table lost `last_batch_id`, and a crash-replayed
+  * ingest batch afterwards re-ADDED docs that were already counted).
+  * Zero rows are bounded by |sources|, honest state ("source seen,
+  * currently zero live docs" — the staleness counters stay visible),
+  * and the next add merges onto them normally.
   *
   * At 100 TB: each batch pays one fused `corpus_stats`+`char_entropy`
   * scan of ITS OWN rows; every merge touches state-sized frames
@@ -212,15 +216,21 @@ object DataCard {
         // claimed duplicates, the neutral reading — never to 0, which
         // would report the source as entirely duplicate. The clamp
         // absorbs estimator overshoot.
-        greatest(lit(0.0),
+        // n_docs = 0 rows exist after a full retirement (zero rows are
+        // the ack carriers) — every per-doc ratio reads 0.0 there, not
+        // a 0/0 NaN
+        when(col("n_docs") > 0L, greatest(lit(0.0),
           (col("n_texted") - coalesce(col("est_distinct_fp"), col("n_texted")))
-            .cast("double") / col("n_docs").cast("double")).alias("dup_frac_est"),
+            .cast("double") / col("n_docs").cast("double")))
+          .otherwise(lit(0.0)).alias("dup_frac_est"),
         col("top_lang"), col("top_lang_docs"),
-        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
-          .alias("top_lang_share"),
+        when(col("n_docs") > 0L,
+          col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)).alias("top_lang_share"),
         col("sum_ent_micro"),
-        (col("sum_ent_micro").cast("double") / col("n_docs").cast("double") /
-          lit(1000000.0)).alias("mean_ent"),
+        when(col("n_docs") > 0L,
+          col("sum_ent_micro").cast("double") / col("n_docs").cast("double") /
+            lit(1000000.0)).otherwise(lit(0.0)).alias("mean_ent"),
         col("n_retired_texted"),
         when(col("n_texted") + col("n_retired_texted") > 0L,
           col("n_retired_texted").cast("double") /
@@ -230,8 +240,9 @@ object DataCard {
 
   /** Exact retirement of the ADDITIVE tables: each removed doc's
     * contribution is re-derived from its text and subtracted; zeroed
-    * rows are pruned; the per-source `n_retired_texted` staleness
-    * counter absorbs the removed texted count. The fingerprint sketch
+    * rows are KEPT (they carry the in-state acks — see the object
+    * scaladoc's crash contract); the per-source `n_retired_texted`
+    * staleness counter absorbs the removed texted count. The fingerprint sketch
     * is NOT touched (an evicted minimum is unrecoverable) — see
     * [[rebuildFp]], and gate on [[card]]'s `fp_staleness`. The
     * subtraction commits atomically with its `last_retire_id` ack (the
@@ -261,19 +272,20 @@ object DataCard {
       // the removed TEXTED count moves from n_texted into the
       // staleness counter — same delta column, opposite sign
       val delta = addDelta(st).withColumn("n_retired_texted", col("n_texted"))
+      // fully-subtracted rows stay as ZEROS — pruning them here could
+      // empty the table and lose the in-state acks (see the replay /
+      // crash contract in the object scaladoc)
       writeState(sink, s"${table}_add",
         StateMerge.fullOuterMerge(addSt.state, delta, Seq("source"), Seq(
             "n_docs" -> subLong, "n_texted" -> subLong,
             "n_tokens" -> subLong, "sum_ent_micro" -> subLong,
-            "n_retired_texted" -> StateMerge.addLong))
-          .filter(col("n_docs") > 0L),
+            "n_retired_texted" -> StateMerge.addLong)),
         addSt.lastBatchId, retireId)
     }
     if (langSt.lastRetireId < retireId) {
       writeState(sink, s"${table}_lang",
         StateMerge.fullOuterMerge(langSt.state, langDelta(st),
-            Seq("source", "lang_pred"), Seq("lc" -> subLong))
-          .filter(col("lc") > 0L),
+            Seq("source", "lang_pred"), Seq("lc" -> subLong)),
         langSt.lastBatchId, retireId)
     }
   }

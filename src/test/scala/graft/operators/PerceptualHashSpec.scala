@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** The dHash kernel's pinned arithmetic (independent in-test
   * re-derivation), its locality property (the reason a perceptual hash
-  * exists), the banding recall guarantee (pigeonhole: Hamming <= 3
-  * always found with 4 bands), exact parity of `perceptualNearDup`
-  * with the brute-force candidates∩verify predicate, and the
-  * hot-bucket guard.
+  * exists), the banding recall guarantee (pigeonhole with
+  * `maxDist + 1` bands: EVERY pair within `maxDist` bits is found, so
+  * the operator equals the brute-force all-pairs verify exactly), and
+  * the hot-bucket guard.
   */
 class PerceptualHashSpec extends SparkTestBase {
   import spark.implicits._
@@ -55,7 +55,7 @@ class PerceptualHashSpec extends SparkTestBase {
     assert(d2 >= 12, s"unrelated payloads only $d2 bits apart — hash degenerate")
   }
 
-  test("perceptualNearDup equals the brute candidates-and-verify predicate; <=3-bit pairs always found") {
+  test("perceptualNearDup equals the brute all-pairs verify: maxDist+1 bands lose nothing") {
     // clusters of light edits + unrelated rows
     val rows = (0 until 40).map { i =>
       val grp = i / 4
@@ -64,26 +64,20 @@ class PerceptualHashSpec extends SparkTestBase {
       (i.toLong, b)
     }
     val df = rows.toDF("id", "content")
-    val maxDist = 8
-    val got = Multimodal.perceptualNearDup(df, "id", "content", maxDist)
-      .as[(Long, Long, Long)].collect().toSet
-
     val hashes = rows.map { case (id, b) => id -> DHash64Expr.dhash64(b) }.toMap
-    def band(h: Long, b: Int): Long = (h >> (16 * b)) & 0xffffL
-    val want = (for {
-      (a, ha) <- hashes; (b, hb) <- hashes if a < b
-      if (0 until 4).exists(k => band(ha, k) == band(hb, k))
-      d = ham(ha, hb) if d <= maxDist
-    } yield (a, b, d.toLong)).toSet
-    assert(got === want, "engine diverged from the candidates∩verify predicate")
-
-    // pigeonhole: every pair within Hamming 3 MUST appear
-    val close = (for {
-      (a, ha) <- hashes; (b, hb) <- hashes if a < b && ham(ha, hb) <= 3
-    } yield (a, b)).toSet
-    assert(close.nonEmpty, "fixture has no close pairs — weak test")
-    close.foreach(p => assert(got.exists(g => (g._1, g._2) == p),
-      s"banding lost a <=3-bit pair $p"))
+    // pigeonhole recall is complete at EVERY threshold, including the
+    // pre-round-18 silent-loss regime maxDist in [4, 64]
+    Seq(3, 8, 24).foreach { maxDist =>
+      val got = Multimodal.perceptualNearDup(df, "id", "content", maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        d = ham(ha, hb) if d <= maxDist
+      } yield (a, b, d.toLong)).toSet
+      assert(want.nonEmpty, s"fixture has no pairs within $maxDist — weak test")
+      assert(got === want,
+        s"maxDist=$maxDist: banding diverged from the exact all-pairs verify")
+    }
   }
 
   test("maxBandFreq: hot buckets drop; survivors subset of the exact run") {

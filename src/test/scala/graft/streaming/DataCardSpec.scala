@@ -148,4 +148,35 @@ class DataCardSpec extends SparkTestBase {
       assert(n === 0L && s === 0.0, s"staleness not reset for $src: ($n, $s)")
     }
   }
+
+  test("crash+takedown interleaving: a retire that zeroes EVERYTHING keeps the acks, " +
+      "so a crash-replayed ingest batch does not re-add retired docs") {
+    val sink = new InMemoryKVSink
+    val rows = (0 until 30).map(doc).toDF("doc_id", "text", "source")
+    DataCard.applyBatch(rows, 0L, "source", "text", k, sink, "card")
+    // takedown of the WHOLE corpus: every additive row subtracts to zero
+    DataCard.retire(rows, "source", "text", sink, "card",
+      retireId = 1L, idCol = Some("doc_id"))
+    val zeroed = DataCard.card(spark, sink, "card", k)
+      .select("source", "n_docs", "n_texted", "dup_frac_est", "top_lang_share", "mean_ent")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(zeroed.nonEmpty, "zero rows must survive as ack carriers")
+    zeroed.foreach { case (src, nd, nt, dfe, tls, me) =>
+      assert(nd === 0L && nt === 0L, s"$src not fully retired: ($nd, $nt)")
+      assert(!dfe.isNaN && !tls.isNaN && !me.isNaN, s"$src card ratio NaN on a zero row")
+    }
+    // the regression: a crash-replayed ingest of the ALREADY-COUNTED
+    // batch — before round 18 the empty table had lost last_batch_id
+    // and this re-added 30 retired docs
+    DataCard.applyBatch(rows, 0L, "source", "text", k, sink, "card")
+    val replayed = DataCard.card(spark, sink, "card", k)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(replayed === 0L, s"replayed batch re-added $replayed retired docs")
+    // and a genuinely NEW batch merges onto the zero rows normally
+    val fresh = (100 until 110).map(doc).toDF("doc_id", "text", "source")
+    DataCard.applyBatch(fresh, 1L, "source", "text", k, sink, "card")
+    val after = DataCard.card(spark, sink, "card", k)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(after === 10L, s"new batch after full retirement miscounted: $after")
+  }
 }
