@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // VectorShuffleGuardRule / TextShuffleGuardRule
     e.injectQueryStagePrepRule(graft.plans.VectorShuffleGuardRule.apply)
     e.injectQueryStagePrepRule(graft.plans.TextShuffleGuardRule.apply)
+    // second injection point: columnar rules run in EVERY plan's
+    // preparations (incl. streaming micro-batch plans, which skip AQE
+    // and therefore the two rules above) — see ShuffleGuardColumnarRule
+    e.injectColumnar(graft.plans.ShuffleGuardColumnarRule.apply)
     e.injectFunction(
       (
         FunctionIdentifier("md5_hash60"),

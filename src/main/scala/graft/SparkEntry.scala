@@ -2217,6 +2217,12 @@ object SparkEntry {
         when(col("n_pos") > 0L,
           round(col("n_true_pos").cast("double") * lit(1000000.0)
             / col("n_pos").cast("double")).cast("long")))
+      // round 18: the sweep now also CHOOSES — f1 per cutoff plus the
+      // two selection rules (argmax-F1; max recall at precision >= 0.9),
+      // closing the train -> calibrate -> freeze -> gate arc without a
+      // fourth trainer re-run ([[operators.QualityClassifier
+      // .markSelectedCutoffs]]; 5-row window, never data-sized)
+      .transform(operators.QualityClassifier.markSelectedCutoffs(_, 900000L))
   }
 
 
@@ -2238,6 +2244,105 @@ object SparkEntry {
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").alias("n_tokens")),
       "doc_id", "n_tokens", "source", budget = 512L, shards = 8)
+
+
+  /** Per-domain boilerplate removal (round 18): the RefinedWeb/C4-style
+    * intra-domain pass — the front-door stage between extract (q121)
+    * and URL dedup (q146) the round-17 review ranked first. The q147
+    * URL fixture supplies the motivating shape: HALF the corpus is one
+    * SEO farm under rotating subdomains (rolled up by
+    * `registrable_domain`, 250 pages at sf0.01 — its recurring
+    * segments are cuttable), the other half a 97-domain long tail of
+    * 2-3 pages each that the `minPages = 10` floor leaves UNTOUCHED
+    * (no statistical basis below the floor). At `maxPagePct = 75` the
+    * farm's 73-79% word band splits — only the >75% members cut.
+    * [[graft.operators.Dedup.domainBoilerplate]]: page-presence counts
+    * per (domain, 16-byte segment fp), aggregated-frames-only joins,
+    * the q81 `cut_covered_spans` doc-local rebuild — segment text
+    * never keys an exchange. Oracle chains the factored q142/q147
+    * normalize+domain SQL with a from-scratch page-frequency +
+    * interleave rebuild.
+    */
+  private def q153_domain_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 97).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
+      col("text"))
+    operators.Dedup.domainBoilerplate(docs, "doc_id", "domain", "text",
+      delim = " ", maxPagePct = 75, minPages = 10L)
+  }
+
+
+  /** Embedding-feature linear probe (round 18): the q145 trainer over
+    * EMBEDDING space — the DCLM-style gate for when text features
+    * saturate ([[graft.operators.EmbeddingProbe]]). Features are the
+    * q136 SQ8 int8 codes plus a bias code; 40 full-batch GD rounds
+    * with the rational fast-sigmoid, every cross-engine quantity in
+    * integer micros, so the DuckDB oracle replays the ENTIRE trainer
+    * bit-for-bit including the quantization (prototyped: duckdb ==
+    * numpy reference on all 500 sf0.01 scores; the integer probe hits
+    * the float logistic ceiling, 0.656 on the label<5 split). Scale
+    * shape: one vector scan quantizes into the checkpointed
+    * byte-codes table; per iteration one codegen `int8_dot` scan +
+    * one ≤65-row gradient exchange; raw vectors NEVER enter an
+    * exchange (q136 discipline, plan-audited).
+    */
+  private def q154_embedding_probe(s: SparkSession, dir: String): DataFrame =
+    operators.EmbeddingProbe.probe(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      positive = col("label") < 5, dim = 64, iters = 40, lr = 0.001)
+
+
+  /** Luhn-validated card scrub (round 18): q64's high-precision
+    * sibling — payment-card redaction gated on the ISO/IEC 7812 mod-10
+    * checksum, so ordinary long numbers (order ids, refs, phones)
+    * survive while real PANs redact
+    * ([[graft.functions.expressions.LuhnScrubExpr]], one native scan).
+    * The synthetic fixture plants all three populations per customer:
+    * a PAN from a 9-entry rotation (6 checksum-VALID test numbers of
+    * lengths 14-16 — raw and dash-grouped forms — plus 3 PAN-LENGTH
+    * checksum-INVALID decoys that must be counted `n_rejected` but
+    * left in place), a 20-digit order id (outside PAN lengths,
+    * untouched), and a q64-style phone (10 digits, untouched — q64's
+    * department). Oracle re-derives candidates with the same maximal
+    * digit-run regex (`regexp_split_to_array` / `regexp_extract_all`
+    * interleave rebuild) and the Luhn sum as pure integer ops
+    * (prototyped: 0 mismatches vs an independent scanner on all 1500
+    * sf0.01 customers).
+    */
+  private def q155_luhn_scrub(s: SparkSession, dir: String): DataFrame = {
+    val pan = element_at(typedLit(q155Pans), (col("c_custkey") % 9).cast("int") + 1)
+    val dashed = concat(
+      substring(pan, 1, 4), lit("-"), substring(pan, 5, 4), lit("-"),
+      substring(pan, 9, 4), lit("-"), substring(pan, 13, 4))
+    val synth = concat(
+      lit("invoice "), col("c_custkey").cast("string"), lit(" total"),
+      lit(" pay "),
+      when(length(pan) === 16 && col("c_custkey") % 2 === 0, dashed).otherwise(pan),
+      when(col("c_custkey") % 5 === 0, lit(" order 98765432109876543210"))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 7 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" ref "), (col("c_custkey") * 13).cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.functions.expressions.LuhnScrubExpr.luhnScrub(synth).alias("sc"))
+      .select(
+        col("c_custkey"),
+        col("sc.n_cards").alias("n_cards"),
+        col("sc.n_rejected").alias("n_rejected"),
+        col("sc.redacted").alias("redacted"))
+  }
 
 
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
@@ -2579,6 +2684,17 @@ object SparkEntry {
   private val piiEmail = graft.functions.Pii.emailPattern
   private val piiUrl = graft.functions.Pii.urlPattern
   private val piiPhone = graft.functions.Pii.phonePattern
+
+  /** q155's PAN rotation: 6 Luhn-VALID public test numbers (16/15/14
+    * digits) + 3 PAN-length checksum-INVALID decoys. ONE definition —
+    * the Spark fixture and the DuckDB oracle both read it.
+    */
+  private val q155Pans = Seq(
+    "4111111111111111", "5500005555555559", "340000000000009",
+    "6011000990139424", "30569309025904", "3566002020360505",
+    "4111111111111112", "1234567890123456", "9999999999999999")
+  private def sqlPanList: String =
+    q155Pans.map(p => s"'$p'").mkString("[", ",", "]")
 
   private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Pii
@@ -3219,7 +3335,10 @@ object SparkEntry {
     "q149_incremental_url_dedup" -> (q149_incremental_url_dedup _),
     "q150_classifier_holdout" -> (q150_classifier_holdout _),
     "q151_classifier_calibration" -> (q151_classifier_calibration _),
-    "q152_source_packing" -> (q152_source_packing _)
+    "q152_source_packing" -> (q152_source_packing _),
+    "q153_domain_boilerplate" -> (q153_domain_boilerplate _),
+    "q154_embedding_probe" -> (q154_embedding_probe _),
+    "q155_luhn_scrub" -> (q155_luhn_scrub _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3405,6 +3524,58 @@ object SparkEntry {
                (z >= 0) = (y = 1) AS correct$isTrain
         FROM (SELECT f.doc_id, any_value(f.y) AS y, CAST(sum(w.w) AS BIGINT) AS z
               FROM feat f JOIN w$iters w USING (feat) GROUP BY f.doc_id)"""
+  }
+
+  /** The q154 embedding-probe trainer replayed in DuckDB — the
+    * [[sqlDistillOracle]] chain with WEIGHTED int8-code features:
+    * quantization re-derived from the raw floats (max-abs scale,
+    * half-away-from-zero round, ±127 clamp — the identical double ops
+    * both engines execute), then per GD round margin join, rational
+    * fast-sigmoid error, `e·code` gradients, HALF_UP weight update.
+    * All MATERIALIZED (the inlined chain is exponential — the q145
+    * lesson).
+    */
+  private def sqlProbeOracle(dim: Int, iters: Int, lr: Double): String = {
+    val width = dim + 1
+    val base =
+      s"""emb AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, embedding
+                  FROM embeddings),
+          mx AS (SELECT vec_id, y, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                 FROM emb),
+          cd AS MATERIALIZED (
+            SELECT vec_id, y, CAST(u.j - 1 AS BIGINT) AS j,
+                   CASE WHEN m > 0 THEN greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                        CAST(round(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE) / (m / 127.0)) AS BIGINT)))
+                        ELSE 0 END AS c
+            FROM mx, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) u
+            UNION ALL
+            SELECT vec_id, y, CAST($dim AS BIGINT) AS j, CAST(1 AS BIGINT) AS c FROM emb),
+          nn AS (SELECT count(*) AS n FROM emb),
+          w0 AS (SELECT unnest(range(0, $width)) AS feat, CAST(0 AS BIGINT) AS w)"""
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""z$t AS MATERIALIZED (
+            SELECT c.vec_id, any_value(c.y) AS y, CAST(sum(c.c * w.w) AS BIGINT) AS z
+            FROM cd c JOIN w$p w ON c.j = w.feat GROUP BY c.vec_id),
+          e$t AS (
+            SELECT vec_id,
+              CAST(round((0.5*(1.0 + (z/1000000.0)/(1.0 + abs(z/1000000.0))))*1000000.0) AS BIGINT)
+                - y*1000000 AS e
+            FROM z$t),
+          g$t AS (
+            SELECT c.j AS feat, CAST(sum(e.e * c.c) AS BIGINT) AS g
+            FROM cd c JOIN e$t e USING (vec_id) GROUP BY c.j),
+          w$t AS MATERIALIZED (
+            SELECT w.feat,
+                   w.w - CAST(round(coalesce(g.g, 0) / (SELECT n FROM nn) * $lr) AS BIGINT) AS w
+            FROM w$p w LEFT JOIN g$t g USING (feat))"""
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")}
+        SELECT vec_id, y = 1 AS label, z AS score_micro, z >= 0 AS pred,
+               (z >= 0) = (y = 1) AS correct
+        FROM (SELECT c.vec_id, any_value(c.y) AS y, CAST(sum(c.c * w.w) AS BIGINT) AS z
+              FROM cd c JOIN w$iters w ON c.j = w.feat GROUP BY c.vec_id)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -5904,11 +6075,16 @@ object SparkEntry {
         trainWhere = Some("doc_id % 5 = 0")),
     // q151 = the q150 trainer nested as a derived table, cutoffs swept
     // over the held-out slice with integer-micro precision/recall
+    // round 18: the sweep also CHOOSES — f1 from the SAME exact-integer
+    // micro P/R in ONE fixed-order double expression (identical IEEE
+    // value both engines), argmax-F1 and precision-floor selections as
+    // rank windows over the 5-row sweep
     "q151_classifier_calibration" ->
       s"""WITH sc AS (SELECT * FROM (${sqlDistillOracle(dim = 256, iters = 40, lr = 16.0,
             minTokens = 25L, minStopHits = 1L,
             trainWhere = Some("doc_id % 5 = 0"))})),
-          cuts AS (SELECT unnest([-500000, -250000, 0, 250000, 500000]) AS cutoff_micro)
+          cuts AS (SELECT unnest([-500000, -250000, 0, 250000, 500000]) AS cutoff_micro),
+          sweep AS (
           SELECT CAST(c.cutoff_micro AS BIGINT) AS cutoff_micro,
                  CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
@@ -5925,7 +6101,24 @@ object SparkEntry {
                  END AS recall_micro
           FROM sc s CROSS JOIN cuts c
           WHERE NOT s.is_train
-          GROUP BY c.cutoff_micro""",
+          GROUP BY c.cutoff_micro),
+          keyed AS (
+          SELECT *,
+                 CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+                           AND precision_micro + recall_micro > 0
+                      THEN 2.0 * CAST(precision_micro * recall_micro AS DOUBLE)
+                           / CAST(precision_micro + recall_micro AS DOUBLE)
+                 END AS f1d,
+                 (precision_micro IS NOT NULL AND precision_micro >= 900000) AS elig
+          FROM sweep)
+          SELECT cutoff_micro, n_kept, n_true_pos, n_pos, precision_micro, recall_micro,
+                 CAST(round(f1d) AS BIGINT) AS f1_micro,
+                 rank() OVER (ORDER BY coalesce(f1d, -1.0) DESC, cutoff_micro ASC) = 1
+                   AS sel_max_f1,
+                 elig AND rank() OVER (ORDER BY elig DESC, recall_micro DESC NULLS LAST,
+                                       cutoff_micro ASC) = 1
+                   AS sel_recall_floor
+          FROM keyed""",
     // q152 = q68's cumsum window with hash(source) sharding and
     // (source, doc_id) in-shard order — the per-doc coherent layout
     "q152_source_packing" ->
@@ -5944,6 +6137,96 @@ object SparkEntry {
                  CAST(cum_before // 512 AS BIGINT) AS chunk_id,
                  doc_id, source, n_tokens,
                  CAST(cum_before AS BIGINT) AS cum_before
-          FROM c"""
+          FROM c""",
+    // q153 = the factored q142/q147 normalize+domain chain over the
+    // skewed subdomain fixture, then the per-domain page-frequency
+    // rule from scratch: page-presence counts per (domain, segment),
+    // the minPages floor, hot cut, and the split/anti-join/string_agg
+    // rebuild (raw segments compare where the engine compares md5 fps
+    // — equality is equality)
+    "q153_domain_boilerplate" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 97 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain,
+          base AS (SELECT d.doc_id, dm.domain, string_split(d.text, ' ') AS segs
+                   FROM documents d JOIN dom dm ON d.doc_id = dm.doc_id),
+          sg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
+                 FROM (SELECT doc_id, domain,
+                         unnest(list_transform(segs, (x, i) -> struct_pack(s := x, pos := i))) AS w
+                       FROM base)),
+          pages AS (SELECT domain, count(*) AS n_pages FROM base GROUP BY domain),
+          hot AS (SELECT g.domain, g.s
+                  FROM (SELECT domain, s, count(DISTINCT doc_id) AS f
+                        FROM sg GROUP BY domain, s) g
+                  JOIN pages p USING (domain)
+                  WHERE p.n_pages >= 10 AND g.f * 100 > p.n_pages * 75),
+          kept AS (SELECT sg.doc_id, sg.s, sg.pos
+                   FROM sg LEFT JOIN hot ON hot.domain = sg.domain AND hot.s = sg.s
+                   WHERE hot.s IS NULL),
+          agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                         count(*) AS nk
+                  FROM kept GROUP BY doc_id)
+          SELECT b.doc_id, b.domain,
+                 coalesce(a.ct, '') AS clean_text,
+                 CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
+                 CAST(len(b.segs) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+          FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // q154 = the embedding-probe trainer replayed end-to-end
+    // (quantization included) — see sqlProbeOracle
+    "q154_embedding_probe" ->
+      sqlProbeOracle(dim = 64, iters = 40, lr = 0.001),
+    // q155 = candidates from the same maximal digit-run regex via the
+    // split/extract interleave, the Luhn sum as pure integer ops,
+    // conditional per-candidate redaction
+    "q155_luhn_scrub" ->
+      s"""WITH synth AS (
+            SELECT c_custkey,
+              'invoice ' || CAST(c_custkey AS VARCHAR) || ' total'
+              || ' pay ' ||
+                 CASE WHEN len($sqlPanList[CAST(c_custkey % 9 + 1 AS INT)]) = 16
+                           AND c_custkey % 2 = 0
+                      THEN substr($sqlPanList[CAST(c_custkey % 9 + 1 AS INT)], 1, 4) || '-' ||
+                           substr($sqlPanList[CAST(c_custkey % 9 + 1 AS INT)], 5, 4) || '-' ||
+                           substr($sqlPanList[CAST(c_custkey % 9 + 1 AS INT)], 9, 4) || '-' ||
+                           substr($sqlPanList[CAST(c_custkey % 9 + 1 AS INT)], 13, 4)
+                      ELSE $sqlPanList[CAST(c_custkey % 9 + 1 AS INT)] END
+              || CASE WHEN c_custkey % 5 = 0 THEN ' order 98765432109876543210' ELSE '' END
+              || CASE WHEN c_custkey % 7 = 0
+                      THEN ' call 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || ' ref ' || CAST(c_custkey * 13 AS VARCHAR) AS s
+            FROM customer),
+          parts AS (SELECT c_custkey, s,
+              regexp_split_to_array(s, '[0-9](?:[ -]?[0-9])+') AS segs,
+              regexp_extract_all(s, '[0-9](?:[ -]?[0-9])+') AS cands
+            FROM synth),
+          val AS (SELECT c_custkey, segs, cands,
+              list_transform(list_transform(cands, c -> regexp_replace(c, '[^0-9]', '', 'g')),
+                d -> CASE WHEN len(d) BETWEEN 13 AND 19 THEN
+                  (list_sum(list_transform(range(1, len(d)+1), i ->
+                     CASE WHEN i % 2 = 1 THEN CAST(substr(d, CAST(len(d)-i+1 AS INT), 1) AS INT)
+                          ELSE CASE WHEN 2*CAST(substr(d, CAST(len(d)-i+1 AS INT), 1) AS INT) > 9
+                                    THEN 2*CAST(substr(d, CAST(len(d)-i+1 AS INT), 1) AS INT) - 9
+                                    ELSE 2*CAST(substr(d, CAST(len(d)-i+1 AS INT), 1) AS INT) END
+                          END)) % 10 = 0)
+                  ELSE NULL END) AS ok
+            FROM parts)
+          SELECT c_custkey,
+                 CAST(len(list_filter(ok, x -> x)) AS BIGINT) AS n_cards,
+                 CAST(len(list_filter(ok, x -> x = false)) AS BIGINT) AS n_rejected,
+                 array_to_string(list_transform(range(1, len(segs)+1), i ->
+                   segs[CAST(i AS INT)] || CASE WHEN i <= len(cands) THEN
+                     (CASE WHEN ok[CAST(i AS INT)] THEN '[CARD]' ELSE cands[CAST(i AS INT)] END)
+                     ELSE '' END), '') AS redacted
+          FROM val"""
   )
 }

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // production wiring (round 18): the correctness gate runs with the
+      // deployment guards registered, like a real session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // dev-only strict mode: a whole-stage-codegen compile failure
       // aborts instead of silently running interpreted (catches e.g.

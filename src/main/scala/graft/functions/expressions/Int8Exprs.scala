@@ -153,7 +153,25 @@ object Int8Exprs {
     else idot.toDouble / (math.sqrt(dd.toDouble) * math.sqrt(qq.toDouble))
   }
 
+  /** Called from generated code: exact integer dot of a codes column
+    * against a micro-weight vector — the [[graft.operators
+    * .EmbeddingProbe]] margin kernel (weights ride in the expression,
+    * codes never widen to longs; order-free exact long arithmetic, so
+    * the DuckDB oracle replays it bit-for-bit). Tail elements on
+    * either side contribute 0 (missing weight / missing code).
+    */
+  def dotCodes(a: ArrayData, w: Array[Long]): Long = {
+    val n = math.min(a.numElements(), w.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i).toLong * w(i); i += 1 }
+    s
+  }
+
   def int8Codes(c: Column): Column = Bridge.column(Int8CodesExpr(Bridge.expression(c)))
+
+  def int8Dot(c: Column, weights: Array[Long]): Column =
+    Bridge.column(Int8DotExpr(Bridge.expression(c), weights.toIndexedSeq))
 
   def int8Cos(c: Column, qCodes: Array[Byte]): Column =
     Bridge.column(Int8CosExpr(Bridge.expression(c), qCodes.toIndexedSeq))
@@ -209,6 +227,38 @@ abstract class Int8QueryScoreExpr extends UnaryExpression {
     defineCodeGen(ctx, ev, a =>
       s"graft.functions.expressions.Int8Exprs.$staticMethod($a, $qRef)")
   }
+}
+
+/** `int8_dot(codes, weights)` — Σ codes[i]·weights[i], exact longs.
+  * The weight vector rides in the expression as an IndexedSeq (value
+  * equality for canonicalization, the [[Int8QueryScoreExpr]] rule) and
+  * reaches generated code as one referenced `long[]`.
+  */
+case class Int8DotExpr(child: Expression, weights: IndexedSeq[Long])
+    extends UnaryExpression {
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override def prettyName: String = "int8_dot"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<TINYINT>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Int8Exprs.dotCodes(a.asInstanceOf[ArrayData], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("int8w", wArr, "long[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.Int8Exprs.dotCodes($a, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8DotExpr =
+    copy(child = newChild)
 }
 
 case class Int8CosExpr(child: Expression, qCodes: IndexedSeq[Byte])

@@ -1151,6 +1151,94 @@ object Dedup {
     * marks members. No window (a window would sort every partition and
     * cannot pre-combine).
     */
+  /** Per-domain boilerplate segment removal — the RefinedWeb/C4-style
+    * intra-domain pass: a nav bar, footer, or cookie banner recurs
+    * VERBATIM across one domain's pages but nowhere else, so
+    * corpus-global frequency ([[lineDedup]]) under-fires on it while
+    * a per-domain page-frequency rule nails it. A segment (paragraph,
+    * line — whatever `delim` splits) is dropped from every document of
+    * domain `d` when it appears on MORE than `maxPagePct`% of `d`'s
+    * pages AND `d` has at least `minPages` pages (below the floor
+    * there is no statistical basis to call anything boilerplate — a
+    * 2-page domain's shared header is just as likely real content).
+    * (Reference analogue: none; training-data-pipeline extension —
+    * the stage between HTML extraction and URL-level dedup in a
+    * CommonCrawl-class front door.)
+    *
+    * Counting is per-PAGE (distinct documents containing the segment),
+    * not per-occurrence — a segment repeated 50× inside one page is
+    * repetition ([[graft.operators.QualityPrune]]'s department), not
+    * domain boilerplate.
+    *
+    * Plan (the [[duplicateSpans]] discipline, domain-scoped): one scan
+    * splits each doc and checkpoints `(doc_id, domain, segs)`; every
+    * frame past that scan carries SCALARS — `(doc_id, domain, pos,
+    * 16-byte md5)` rows feed the distinct + per-(domain, hash) page
+    * count, the page-count-vs-floor filter joins two already-aggregated
+    * frames, hot hits gather back per doc as positions, and the cut is
+    * the doc-local [[CutCoveredSpansExpr]] interval pass with k = 1.
+    * Segment text never keys an exchange; the rebuild join is keyed by
+    * the unique doc id (balanced by construction). Hot-domain skew in
+    * the (domain, hash) aggregate is AQE's skew-join case — per-key
+    * payload is scalar.
+    *
+    * Emits `(doc_id, domain, clean_text, n_kept, n_removed)`;
+    * fully-boilerplate documents survive with `clean_text = ""`.
+    */
+  def domainBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      textCol: String,
+      delim: String = "\n",
+      maxPagePct: Int = 50,
+      minPages: Long = 5L): DataFrame = {
+    require(maxPagePct >= 1 && maxPagePct <= 100,
+      s"maxPagePct must be in [1, 100], got $maxPagePct")
+    require(minPages >= 1L, s"minPages must be >= 1, got $minPages")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val base = docs
+      .select(
+        col(idCol).alias("doc_id"),
+        col(domainCol).alias("domain"),
+        split(col(textCol), quoted).alias("segs"))
+      .localCheckpoint(true)
+    // scalars only from here: 16-byte binary fp per segment (the
+    // lineDedup convention — cheap to move, collision-safe)
+    val segs = base
+      .select(col("doc_id"), col("domain"),
+        posexplode(col("segs")).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("domain"), col("pos"),
+        unhex(md5(col("seg"))).alias("lh"))
+    val pages = base.groupBy("domain").agg(count(lit(1)).alias("n_pages"))
+    val hot = segs
+      .select("domain", "lh", "doc_id")
+      .distinct() // page-level presence, not occurrences
+      .groupBy("domain", "lh")
+      .agg(count(lit(1)).alias("f"))
+      .join(pages, Seq("domain")) // two aggregated frames — stats intact
+      .filter(col("n_pages") >= minPages &&
+        col("f") * lit(100L) > col("n_pages") * lit(maxPagePct.toLong))
+      .select("domain", "lh")
+    val cutStarts = segs
+      .join(hot, Seq("domain", "lh"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).alias("starts"))
+    base
+      .join(cutStarts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("domain"),
+        CutCoveredSpansExpr.cutCoveredSpans(
+          col("segs"), coalesce(col("starts"), typedlit(Array.empty[Int])), 1)
+          .alias("kept"),
+        size(col("segs")).alias("n_segs"))
+      .select(
+        col("doc_id"), col("domain"),
+        concat_ws(delim, col("kept")).alias("clean_text"),
+        size(col("kept")).cast("long").alias("n_kept"),
+        (col("n_segs") - size(col("kept"))).cast("long").alias("n_removed"))
+  }
+
   def keepRepresentative(
       members: DataFrame,
       idCol: String,

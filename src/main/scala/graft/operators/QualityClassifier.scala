@@ -241,6 +241,44 @@ object QualityClassifier {
       PresenceDotExpr.presenceDot(feats, typedLit(weights.toSeq)) >= cutoffMicro)
   }
 
+  /** Cutoff AUTO-SELECTION over a calibration sweep — closes the
+    * train → calibrate → freeze → gate arc (q145 → q150 → q151): the
+    * sweep says what each cutoff buys, this picks one, by the two
+    * rules a pipeline otherwise hand-codes. Input: a sweep frame with
+    * `(cutoff_micro, precision_micro, recall_micro)` (q151's shape;
+    * distinct cutoffs, cutoffs-sized by contract — the single-partition
+    * window here sorts a handful of rows, never data). Adds:
+    *
+    *  - `f1_micro` — harmonic mean of the micro P/R (null when
+    *    undefined). One fixed-order double expression over exact
+    *    integer operands, so both engines produce the identical IEEE
+    *    value and the identical ranking;
+    *  - `sel_max_f1` — true on the argmax-F1 row (ties → LOWER cutoff,
+    *    the higher-recall side);
+    *  - `sel_recall_floor` — true on the max-recall row among cutoffs
+    *    with `precision_micro >= minPrecisionMicro` (ties → lower
+    *    cutoff); all-false when no cutoff meets the floor — an honest
+    *    "nothing qualifies", not a silent fallback.
+    */
+  def markSelectedCutoffs(
+      sweep: DataFrame,
+      minPrecisionMicro: Long = 900000L): DataFrame = {
+    val p = col("precision_micro")
+    val r = col("recall_micro")
+    val f1d = when(p.isNotNull && r.isNotNull && (p + r) > 0L,
+      lit(2.0) * (p * r).cast("double") / (p + r).cast("double"))
+    val f1key = coalesce(f1d, lit(-1.0))
+    val eligible = coalesce(p >= lit(minPrecisionMicro), lit(false))
+    val wF1 = org.apache.spark.sql.expressions.Window
+      .orderBy(f1key.desc, col("cutoff_micro").asc)
+    val wFloor = org.apache.spark.sql.expressions.Window
+      .orderBy(eligible.desc, r.desc_nulls_last, col("cutoff_micro").asc)
+    sweep
+      .withColumn("f1_micro", round(f1d).cast("long"))
+      .withColumn("sel_max_f1", rank().over(wF1) === 1)
+      .withColumn("sel_recall_floor", eligible && rank().over(wFloor) === 1)
+  }
+
   /** The composed distillation: featurize with the Gopher teacher,
     * train, score, and report per-doc agreement — the auditable form
     * (`label`/`pred`/`correct` per document, so a pipeline can measure

@@ -216,3 +216,25 @@ object TextShuffleGuardRule {
     */
   private final case class Facts(corpusTextIds: Set[ExprId], hasCut: Boolean)
 }
+
+/** The guards' second injection point — closes the round-17 review's
+  * streaming gap: `injectQueryStagePrepRule` fires only under ADAPTIVE
+  * execution, and streaming micro-batch plans skip AQE, so a USER
+  * streaming composition that shuffled corpus text straight through a
+  * `writeStream` sink never met either rule. Columnar rules run in
+  * EVERY `QueryExecution`'s physical preparations — batch,
+  * `IncrementalExecution` micro-batch, and each AQE query stage — so
+  * injecting the same checks as a pass-through
+  * `preColumnarTransitions` makes coverage universal. (Under AQE both
+  * injection points observe; the checks are pure observers, O(nodes)
+  * each, and a duplicate warn line is the worst case. `foreachBatch`
+  * bodies were always covered: they plan as ordinary batch queries.)
+  */
+case class ShuffleGuardColumnarRule(session: SparkSession)
+  extends org.apache.spark.sql.execution.ColumnarRule {
+
+  override def preColumnarTransitions: Rule[SparkPlan] = new Rule[SparkPlan] {
+    override def apply(plan: SparkPlan): SparkPlan =
+      TextShuffleGuardRule(session)(VectorShuffleGuardRule(session)(plan))
+  }
+}

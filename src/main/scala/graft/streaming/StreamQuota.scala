@@ -63,4 +63,56 @@ object StreamQuota {
           out.iterator
       }
   }
+
+  final case class DocIn(
+      group: String, docId: Long, text: String, embedding: Seq[Float])
+  final case class DocOut(
+      group: String, doc_id: Long, admitted_rank: Long,
+      text: String, embedding: Seq[Float])
+
+  /** [[admit]] carrying the document payload through — the form that
+    * CHAINS in front of a gate + ingest composition (quota first, so
+    * every downstream stage sees the quota'd stream, the PipelineBench
+    * front-door order). The per-trigger exchange routes the trigger's
+    * `(group, id, text, embedding)` rows onto group keys — bounded by
+    * the trigger by contract (the [[StreamPack]] materialize-then-sort
+    * trade); dropped rows never reach the gate, the dedup state, or
+    * the observers. Same first-come semantics and one-long-per-group
+    * state as [[admit]].
+    */
+  def admitDocs(
+      stream: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      embCol: String,
+      cap: Long): Dataset[DocOut] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    stream
+      .select(
+        col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("docId"),
+        col(textCol).cast("string").as("text"),
+        col(embCol).as("embedding"))
+      .as[DocIn]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[Long, DocOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[DocIn], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          // materialized strictly BEFORE state.update (the family rule)
+          val out = rows.toSeq.sortBy(_.docId).iterator
+            .takeWhile(_ => admitted < cap)
+            .map { r =>
+              val o = DocOut(group, r.docId, admitted, r.text, r.embedding)
+              admitted += 1
+              o
+            }
+            .toVector
+          state.update(admitted)
+          out.iterator
+      }
+  }
 }

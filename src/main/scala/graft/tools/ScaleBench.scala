@@ -276,7 +276,19 @@ object ScaleBench {
     "q151_classifier_calibration",
     // round-17: source-coherent packing — one count-scalar exchange
     // into the per-shard window; q68's linearity shape
-    "q152_source_packing")
+    "q152_source_packing",
+    // round-18: per-domain boilerplate — (domain, fp) scalar aggregates
+    // + the id-keyed doc-local rebuild; q74's linearity shape with the
+    // hot list domain-scoped instead of global
+    "q153_domain_boilerplate",
+    // round-18: embedding linear probe — one quantizing scan into the
+    // checkpointed byte-codes table, then 40 iterations of codegen
+    // int8_dot scans + ≤65-row gradient exchanges; q145's shape over
+    // vectors (trainer-dominated, expect a low exponent)
+    "q154_embedding_probe")
+  // q155 (Luhn scrub) reads `customer`, which the derived corpus does
+  // not scale — its kernel sweeps over scaled DOCUMENTS text via the
+  // luhn_scrub(docs) custom entry below instead.
 
   /** The embedding near-dup queries run at threshold 0.8 here instead of
     * the registry's 0.4: cross-copy cosines in the derived corpus are
@@ -384,6 +396,19 @@ object ScaleBench {
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         n = 3, thresholds = Seq(0.5, 0.7, 0.9), maxShingleFreq = Some(16))))
 
+  /** q155's kernel over the SCALED corpus (the registry query reads
+    * `customer`, which the derived corpus does not include): one native
+    * luhn_scrub scan of documents text — the pure scan-linearity claim.
+    */
+  private def luhnQueries(
+      spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
+    "luhn_scrub(docs)" -> ((dir: String) =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.expressions.LuhnScrubExpr.luhnScrub(col("text")).as("s"))
+        .select(col("doc_id"), col("s.n_cards"), col("s.n_rejected"),
+          length(col("s.redacted")).as("n_chars"))))
+
   private def bpeFormQueries(
       spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
     "bpe_apply(projection)" -> ((dir: String) => {
@@ -424,7 +449,8 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
     val allQueries: Seq[(String, String => DataFrame)] =
       (registryQueries.map(q => q -> ((dir: String) => SparkEntry.queries(q)(spark, dir))) ++
-        embeddingQueries(spark) ++ bpeFormQueries(spark) ++ sweepQueries(spark))
+        embeddingQueries(spark) ++ bpeFormQueries(spark) ++ sweepQueries(spark) ++
+        luhnQueries(spark))
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // JVM warmup: one full pass over both dirs before timing.

@@ -222,7 +222,29 @@ object UnifiedIngestBench {
       val timer = (tier: String, sec: Double) => agg.synchronized { agg(tier) += sec }
       val trg = Trigger.ProcessingTime("0 seconds")
 
-      val base = input.toDF().toDF("doc_id", "text", "embedding")
+      val src = input.toDF().toDF("doc_id", "text", "embedding")
+      // SPARK_GRAFT_UB_QUOTA=1 chains the per-domain admission quota IN
+      // FRONT of the gate (the PipelineBench front-door order, streamed):
+      // a planted hot-domain flood — HALF the stream under one domain —
+      // admits its first `cap` docs and drops the rest, so every
+      // downstream stage (gate, dedup state, observers) sees the
+      // quota'd stream, not the flood. Each streaming query embeds its
+      // own quota stage (the same recompute-per-query shape as the
+      // gate); its cost shows up in each query's trigger split.
+      val quotaOn = sys.env.get("SPARK_GRAFT_UB_QUOTA").contains("1")
+      val quotaCap = 3000L
+      val base =
+        if (quotaOn) {
+          val dom = when(col("doc_id") % 2 === 0, lit("hot"))
+            .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(7))))
+          graft.streaming.StreamQuota.admitDocs(
+              src.withColumn("domain", dom),
+              "doc_id", "domain", "text", "embedding", cap = quotaCap)
+            .toDF()
+            .select(col("doc_id"), col("text"), col("embedding"))
+        } else src
+      if (quotaOn && batchSize == 2500)
+        println(s"[composed] quota = per-domain cap $quotaCap, hot-domain flood (1/2 of stream)")
       val gated =
         if (clsGate)
           graft.operators.QualityClassifier.keepByScore(base, "text", clsW, dim = 256)

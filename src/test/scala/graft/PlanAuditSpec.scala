@@ -1428,4 +1428,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"size table did not broadcast:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q110 path:\n$plan")
   }
+
+  test("q153: domain boilerplate — text never keys an exchange; the rebuild join is id-keyed") {
+    val plan = planOf("q153_domain_boilerplate")
+    // no exchange is keyed by a text-derived string payload; the only
+    // wide column that moves rides the doc_id-keyed rebuild join
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("seg#"),
+        s"text keyed an exchange: ${m.group(0)}"))
+    assert(plan.contains("cut_covered_spans"),
+      s"q153 lost the doc-local span cut:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q153 path:\n$plan")
+    // hot detection (distinct + (domain,lh) agg + doc gather) + rebuild:
+    // bounded exchange count, no quadratic shapes
+    assert(!plan.contains("CartesianProduct"), s"q153 went quadratic:\n$plan")
+    assert(shuffles(plan) <= 6, s"q153 shuffle budget exceeded:\n$plan")
+  }
+
+  test("q154: embedding probe — scoring is a shuffle-free codes scan; vectors never exchange") {
+    val plan = planOf("q154_embedding_probe")
+    // training's 40 gradient jobs ran during construction; the RETURNED
+    // plan is the apply: one scan of the checkpointed codes table
+    assert(plan.contains("int8_dot"), s"q154 lost the native margin kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q154 apply is scan-shaped:\n$plan")
+    assert(!plan.contains("FileScan"), s"q154 re-scanned the embeddings:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q154 path:\n$plan")
+  }
+
+  test("q155: luhn scrub is one native scan — no exchange, no UDF, no regex fallback") {
+    val plan = planOf("q155_luhn_scrub")
+    assert(plan.contains("luhn_scrub"), s"q155 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q155 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q155 path:\n$plan")
+  }
 }

@@ -38,6 +38,10 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // production wiring (round 18): every spec runs with the guard
+      // rules registered — 500+ specs double as a no-misfire sweep for
+      // the deployment guards (warn mode unless a test opts into fail)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.expressions.Int8Exprs
+import org.apache.spark.sql.functions._
+
+/** Contract of [[EmbeddingProbe]]: the int8_dot kernel vs a local
+  * re-derivation, trainer parity with an in-test integer GD twin on a
+  * separable fixture (and that it actually separates), the
+  * frozen-weights gate, and determinism across partitionings (the
+  * long-sum order-freedom the design claims).
+  */
+class EmbeddingProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two separable clusters around ±(1, 0.5, -0.25, ...) + a deterministic wobble
+  private def fixture(n: Int, dim: Int): Seq[(Long, Array[Float], Int)] =
+    (0 until n).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      val v = Array.tabulate(dim) { j =>
+        sign * (1.0f / (1 << (j % 8))) + 0.07f * (((i * 31 + j * 17) % 11) - 5)
+      }
+      (i.toLong, v, i % 2)
+    }
+
+  private def quantLocal(v: Array[Float]): Array[Long] = {
+    val b = Int8Exprs.quantizeLocal(v)
+    b.map(_.toLong) :+ 1L
+  }
+
+  test("int8_dot equals the local re-derivation (incl. short weights and empty codes)") {
+    val rows = fixture(40, 16).map { case (id, v, _) => (id, v) }
+    val df = rows.toDF("id", "vec")
+      .select(col("id"),
+        concat(Int8Exprs.int8Codes(col("vec")), array(lit(1.toByte))).as("codes"))
+    val w = Array.tabulate(17)(j => (j * 1001 - 7000).toLong)
+    val got = withStrictCodegen {
+      df.select(col("id"), Int8Exprs.int8Dot(col("codes"), w).as("z"))
+        .as[(Long, Long)].collect().toMap
+    }
+    rows.foreach { case (id, v) =>
+      val q = quantLocal(v)
+      val want = q.indices.map(j => q(j) * w(j)).sum
+      assert(got(id) === want, s"id=$id")
+    }
+    // short weights: tail codes contribute 0
+    val shortW = w.take(5)
+    val gotShort = df.select(col("id"), Int8Exprs.int8Dot(col("codes"), shortW).as("z"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, v) =>
+      val q = quantLocal(v)
+      val want = (0 until 5).map(j => q(j) * shortW(j)).sum
+      assert(gotShort(id) === want, s"short id=$id")
+    }
+  }
+
+  test("trainer equals the local integer-GD twin and separates the planted clusters") {
+    val rows = fixture(120, 16)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = EmbeddingProbe.probe(df, "vec_id", "embedding",
+        positive = col("label") === 0, dim = 16, iters = 25, lr = 0.001)
+      .as[(Long, Boolean, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+
+    // local twin: identical integer kernel
+    val codes = rows.map { case (id, v, l) => (id, quantLocal(v), if (l == 0) 1L else 0L) }
+    val width = 17
+    val w = new Array[Long](width)
+    val n = codes.length.toDouble
+    def rhu(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    (0 until 25).foreach { _ =>
+      val g = new Array[Long](width)
+      codes.foreach { case (_, q, y) =>
+        val z = q.indices.map(j => q(j) * w(j)).sum
+        val m = z.toDouble / 1e6
+        val p = rhu((0.5 * (1.0 + m / (1.0 + math.abs(m)))) * 1e6)
+        val e = p - y * 1000000L
+        q.indices.foreach(j => g(j) += e * q(j))
+      }
+      (0 until width).foreach(j => w(j) -= rhu(g(j).toDouble / n * 0.001))
+    }
+    var correct = 0
+    codes.foreach { case (id, q, y) =>
+      val z = q.indices.map(j => q(j) * w(j)).sum
+      assert(out(id)._3 === z, s"score diverged for $id")
+      assert(out(id)._4 === (z >= 0L))
+      if ((z >= 0L) == (y == 1L)) correct += 1
+    }
+    assert(correct >= 110, s"probe failed to separate planted clusters: $correct/120")
+  }
+
+  test("keepByScore gates raw vectors with the frozen weights, exactly at the margin") {
+    val rows = fixture(60, 16)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val feats = EmbeddingProbe.features(df, "vec_id", "embedding", col("label") === 0)
+    val w = EmbeddingProbe.train(feats, "codes", "y", 17, iters = 25, lr = 0.001)
+    val kept = EmbeddingProbe.keepByScore(df, "embedding", w, cutoffMicro = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    val scored = EmbeddingProbe.score(feats, "codes", w)
+      .filter(col("score_micro") >= 0L).select("vec_id").as[Long].collect().toSet
+    assert(kept === scored)
+    assert(kept.nonEmpty && kept.size < 60, s"degenerate gate: ${kept.size}")
+  }
+
+  test("training is partitioning-invariant (order-free long sums)") {
+    val rows = fixture(80, 8)
+    val one = rows.toDF("vec_id", "embedding", "label").coalesce(1)
+    val many = rows.reverse.toDF("vec_id", "embedding", "label").repartition(7)
+    def weights(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EmbeddingProbe.train(
+        EmbeddingProbe.features(df, "vec_id", "embedding", col("label") === 0),
+        "codes", "y", 9, iters = 10, lr = 0.001).toSeq
+    assert(weights(one) === weights(many))
+  }
+}

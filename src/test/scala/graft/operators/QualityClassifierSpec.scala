@@ -200,4 +200,54 @@ class QualityClassifierSpec extends SparkTestBase {
     // bias = 16, len bucket for n_tokens=0 -> 16 + 1 + (len(bin(1)) - 1) = 17
     assert(f == Seq(16L, 17L))
   }
+
+  test("loadWeights rejects corrupt artifacts (duplicate / out-of-range feat ids)") {
+    val dir = java.nio.file.Files.createTempDirectory("qc-weights").toString
+    val good = s"$dir/good"
+    QualityClassifier.saveWeights(spark, Array(5L, -3L, 7L), good)
+    assert(QualityClassifier.loadWeights(spark, good).toSeq === Seq(5L, -3L, 7L))
+    val dup = s"$dir/dup"
+    Seq((0L, 1L), (0L, 2L)).toDF("feat", "w").write.parquet(dup)
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.loadWeights(spark, dup)
+    }
+    assert(e1.getMessage.contains("duplicate feat id"), e1.getMessage)
+    val oob = s"$dir/oob"
+    Seq((0L, 1L), (5L, 2L)).toDF("feat", "w").write.parquet(oob)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.loadWeights(spark, oob)
+    }
+    assert(e2.getMessage.contains("outside [0, 2)"), e2.getMessage)
+  }
+
+  test("markSelectedCutoffs: argmax-F1 and precision-floor picks, honest all-false floor") {
+    // hand-built sweep: P/R in micros
+    //   cutoff -2: P=0.50 R=1.00 f1≈0.667   (max recall, fails 0.9 floor)
+    //   cutoff -1: P=0.80 R=0.90 f1≈0.847   (max F1)
+    //   cutoff  0: P=0.92 R=0.60 f1≈0.726   (floor-eligible, higher recall)
+    //   cutoff  1: P=0.95 R=0.40 f1≈0.563   (floor-eligible)
+    //   cutoff  2: P=null R=0.00 (kept nothing)
+    val sweep = Seq(
+      (-2L, Some(500000L), Some(1000000L)),
+      (-1L, Some(800000L), Some(900000L)),
+      (0L, Some(920000L), Some(600000L)),
+      (1L, Some(950000L), Some(400000L)),
+      (2L, None, Some(0L)))
+      .toDF("cutoff_micro", "precision_micro", "recall_micro")
+    val out = QualityClassifier.markSelectedCutoffs(sweep, 900000L)
+      .select("cutoff_micro", "f1_micro", "sel_max_f1", "sel_recall_floor")
+      .as[(Long, Option[Long], Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(-1L)._3, "argmax F1 row not selected")
+    assert(out.values.count(_._3) === 1)
+    assert(out(0L)._4, "precision-floor row not selected")
+    assert(out.values.count(_._4) === 1)
+    // f1 = 2PR/(P+R) micro: 2*0.8*0.9/1.7 = 0.847058... -> 847059
+    assert(out(-1L)._2 === Some(847059L))
+    assert(out(2L)._2 === None, "undefined precision must give null f1")
+    // no cutoff meets an impossible floor -> all-false, never a fallback pick
+    val none = QualityClassifier.markSelectedCutoffs(sweep, 990000L)
+      .agg(sum(when(col("sel_recall_floor"), 1).otherwise(0))).as[Long].head()
+    assert(none === 0L)
+  }
 }

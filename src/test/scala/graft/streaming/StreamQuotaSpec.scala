@@ -45,4 +45,33 @@ class StreamQuotaSpec extends SparkTestBase {
     val out2 = run(1, Seq(Seq((1L, "x")), Seq((2L, "x")), Seq((3L, "x"))))
     assert(out2.map(_.doc_id) == Seq(1L))
   }
+
+  test("admitDocs: payload rides through; admitted ids identical to the scalar form") {
+    val docs = Seq(
+      (5L, "farm", "text five", Seq(0.5f)),
+      (1L, "farm", "text one", Seq(0.1f)),
+      (3L, "farm", "text three", Seq(0.3f)),
+      (7L, "tail", "text seven", Seq(0.7f)))
+    val input = MemoryStream[(Long, String, String, Seq[Float])](spark)
+    val out = StreamQuota.admitDocs(
+      input.toDF().toDF("doc_id", "domain", "text", "embedding"),
+      "doc_id", "domain", "text", "embedding", cap = 2L)
+    val name = s"sqd_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table(name).as[StreamQuota.DocOut].collect().toSeq
+      // same admissions as the scalar form on the same trigger
+      val scalar = run(2, Seq(docs.map(d => (d._1, d._2))))
+      assert(got.map(o => (o.group, o.doc_id, o.admitted_rank)).sorted ==
+        scalar.map(o => (o.group, o.doc_id, o.admitted_rank)).sorted)
+      // the payload is the admitted doc's own, untouched
+      val byId = got.map(o => o.doc_id -> o).toMap
+      assert(byId(1L).text == "text one" && byId(1L).embedding == Seq(0.1f))
+      assert(byId(3L).text == "text three")
+      assert(!byId.contains(5L), "over-cap doc leaked through with its payload")
+    } finally q.stop()
+  }
 }
