@@ -93,15 +93,34 @@ object PipelineBench {
         .when(m === 2, concat(lit("http://www.site"), site, lit(".com/%61/"), gs, lit("?utm_source=x")))
         .otherwise(concat(lit("http://www.site"), site, lit(".com/a/"), gs, lit("?utm_campaign=y")))
     }
+    // ---- 0.25 per-domain boilerplate removal (q153's stage at its
+    // RefinedWeb-chain position: segments on >75% of a registrable
+    // domain's pages are nav/footer-class furniture — cut from every
+    // page BEFORE dedup keys and quality stats are derived from text) ----
+    val deboiled = stage("boilerplate") {
+      val dom = extracted.select(
+        col("doc_id"), col("lang"), col("source"),
+        graft.functions.expressions.UrlExprs.registrableDomain(
+          graft.functions.expressions.UrlExprs.urlHost(pageUrl)).alias("domain"),
+        col("text"))
+      val cleaned = Dedup.domainBoilerplate(
+        dom, "doc_id", "domain", "text",
+        delim = " ", maxPagePct = 75, minPages = 10L)
+      checkpointCount("boilerplate",
+        dom.select("doc_id", "lang", "source").join(
+          cleaned.select(col("doc_id"), col("clean_text").alias("text")),
+          Seq("doc_id")))
+    }
+
     val urlKept = stage("url_dedup") {
       val kept = Dedup.byCanonicalUrl(
-        extracted.select(
+        deboiled.select(
           col("doc_id"), pageUrl.alias("url"),
           graft.functions.TextFunctions.tokenCount(col("text")).cast("long").alias("nt")),
         "doc_id", "url", "nt")
         .filter(col("kept") === 1L)
         .select("doc_id")
-      checkpointCount("url_dedup", extracted.join(kept, Seq("doc_id"), "left_semi"))
+      checkpointCount("url_dedup", deboiled.join(kept, Seq("doc_id"), "left_semi"))
     }
     val quotaed = stage("domain_cap") {
       val domains = urlKept.select(
