@@ -2281,6 +2281,41 @@ object SparkEntry {
   }
 
 
+  /** Frozen boilerplate profile (round 18): the [[q153]] pass split
+    * into its PRODUCTION halves — [[graft.operators.Dedup
+    * .boilerplateProfile]] mines the per-domain hot-segment
+    * fingerprints on a SLICE (here doc_id % 3 > 0 — "yesterday's
+    * crawl"), and [[graft.operators.Dedup.applyBoilerplateProfile]]
+    * applies the frozen table to the WHOLE corpus (today's crawl,
+    * including never-mined docs) as a pure projection: one broadcast
+    * of the per-domain sorted fp arrays, then the native
+    * `cut_segments_by_fp` binary-search kernel per row — NO exchange
+    * anywhere in the apply (plan-audited), which is why the same
+    * operator chains in front of a streaming ingest (spec-pinned
+    * batch/stream parity). Oracle mines the profile and replays the
+    * apply from scratch over raw segments.
+    */
+  private def q156_boilerplate_profile(s: SparkSession, dir: String): DataFrame = {
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 97).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
+      col("text"))
+    val profile = operators.Dedup.boilerplateProfile(
+      docs.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
+      delim = " ", maxPagePct = 75, minPages = 10L)
+    operators.Dedup.applyBoilerplateProfile(
+      docs, profile, "doc_id", "domain", "text", delim = " ")
+  }
+
+
   /** Embedding-feature linear probe (round 18): the q145 trainer over
     * EMBEDDING space — the DCLM-style gate for when text features
     * saturate ([[graft.operators.EmbeddingProbe]]). Features are the
@@ -3338,7 +3373,8 @@ object SparkEntry {
     "q152_source_packing" -> (q152_source_packing _),
     "q153_domain_boilerplate" -> (q153_domain_boilerplate _),
     "q154_embedding_probe" -> (q154_embedding_probe _),
-    "q155_luhn_scrub" -> (q155_luhn_scrub _)
+    "q155_luhn_scrub" -> (q155_luhn_scrub _),
+    "q156_boilerplate_profile" -> (q156_boilerplate_profile _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6179,6 +6215,50 @@ object SparkEntry {
                  coalesce(a.ct, '') AS clean_text,
                  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
                  CAST(len(b.segs) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+          FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // q156 = profile mined on the doc_id % 3 > 0 slice (page-presence
+    // counts, minPages floor — the q153 rule), then the apply replayed
+    // over raw segments for the WHOLE corpus (never-mined docs pass
+    // through; raw strings compare where the engine compares md5h60
+    // fps — equality is equality)
+    "q156_boilerplate_profile" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 97 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain,
+          base AS (SELECT d.doc_id, dm.domain, d.text
+                   FROM documents d JOIN dom dm ON d.doc_id = dm.doc_id),
+          slice AS (SELECT * FROM base WHERE doc_id % 3 > 0),
+          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
+                 FROM slice),
+          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
+          hot AS (SELECT g.domain, g.s
+                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
+                  JOIN pages USING (domain)
+                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
+          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
+                   FROM (SELECT doc_id, domain,
+                           unnest(list_transform(string_split(text, ' '),
+                             (x, i) -> struct_pack(s := x, pos := i))) AS w
+                         FROM base)),
+          kept AS (SELECT a.doc_id, a.s, a.pos
+                   FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
+                   WHERE h.s IS NULL),
+          agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                         count(*) AS nk
+                  FROM kept GROUP BY doc_id)
+          SELECT b.doc_id, b.domain,
+                 coalesce(a.ct, '') AS clean_text,
+                 CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
+                 CAST(len(string_split(b.text, ' ')) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
           FROM base b LEFT JOIN agg a USING (doc_id)""",
     // q154 = the embedding-probe trainer replayed end-to-end
     // (quantization included) — see sqlProbeOracle

@@ -1239,6 +1239,92 @@ object Dedup {
         (col("n_segs") - size(col("kept"))).cast("long").alias("n_removed"))
   }
 
+  /** The FROZEN-profile half of [[domainBoilerplate]] — mine the
+    * per-domain hot-segment fingerprints once (on yesterday's crawl, a
+    * curated slice, or a scheduled batch pass) and hand the table to
+    * [[applyBoilerplateProfile]], which applies it STATELESSLY to any
+    * corpus, batch or streaming (the `ArtifactSwap` pattern: profiles
+    * refresh on their own cadence, appliers never re-aggregate). Same
+    * page-presence rule as [[domainBoilerplate]]; fingerprints are
+    * `md5_hash60` longs (sortable, 8 bytes, binary-searchable row-side
+    * — and re-derivable in the DuckDB oracle). Emits `(domain, fp)`.
+    */
+  def boilerplateProfile(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      textCol: String,
+      delim: String = "\n",
+      maxPagePct: Int = 50,
+      minPages: Long = 5L): DataFrame = {
+    require(maxPagePct >= 1 && maxPagePct <= 100,
+      s"maxPagePct must be in [1, 100], got $maxPagePct")
+    require(minPages >= 1L, s"minPages must be >= 1, got $minPages")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val base = docs.select(
+      col(idCol).alias("doc_id"), col(domainCol).alias("domain"), col(textCol).alias("text"))
+    val segs = base
+      .select(col("doc_id"), col("domain"),
+        explode(split(col("text"), quoted)).alias("seg"))
+      .select(col("doc_id"), col("domain"), md5Hash60(col("seg")).alias("fp"))
+    val pages = base.groupBy("domain").agg(count(lit(1)).alias("n_pages"))
+    segs
+      .distinct() // page presence, not occurrences
+      .groupBy("domain", "fp")
+      .agg(count(lit(1)).alias("f"))
+      .join(pages, Seq("domain"))
+      .filter(col("n_pages") >= minPages &&
+        col("f") * lit(100L) > col("n_pages") * lit(maxPagePct.toLong))
+      .select("domain", "fp")
+  }
+
+  /** Apply a [[boilerplateProfile]] to a corpus — a pure projection:
+    * the profile rolls up to one sorted fp array per domain and
+    * BROADCASTS onto the docs (the doc side never shuffles — there is
+    * no exchange in this operator at all), then the native
+    * [[CutSegmentsByFpExpr]] kernel drops profiled segments row-locally
+    * (binary search per segment). Stateless, so it chains in front of
+    * a streaming ingest exactly like the quality gates — "apply
+    * yesterday's boilerplate profile to today's crawl" with no
+    * corpus-wide aggregation on the live path. Docs from domains
+    * without a profile pass through uncut.
+    *
+    * Broadcast contract: the profile is bounded per domain by the
+    * page-frequency threshold (hot segments ≤ segments-per-page ·
+    * 100/maxPagePct); its TOTAL size scales with the domain count of
+    * the MINED slice. For a profile too large to broadcast, scope it
+    * (per-language, per-domain-shard) and apply per scope — the
+    * operator's one-broadcast shape is the common case, not a limit of
+    * the kernel.
+    *
+    * Emits `(idCol, domain, clean_text, n_kept, n_removed)`.
+    */
+  def applyBoilerplateProfile(
+      docs: DataFrame,
+      profile: DataFrame,
+      idCol: String,
+      domainCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val fps = profile
+      .groupBy("domain")
+      .agg(array_sort(collect_list(col("fp"))).alias("fps"))
+    docs
+      .select(col(idCol), col(domainCol).alias("domain"), col(textCol).alias("text"))
+      .join(broadcast(fps), Seq("domain"), "left")
+      .select(
+        col(idCol), col("domain"),
+        graft.functions.expressions.CutSegmentsByFpExpr.cutSegmentsByFp(
+          col("text"),
+          coalesce(col("fps"), typedlit(Array.empty[Long])),
+          delim).alias("c"))
+      .select(
+        col(idCol), col("domain"),
+        col("c.clean_text").alias("clean_text"),
+        col("c.n_kept").alias("n_kept"),
+        col("c.n_removed").alias("n_removed"))
+  }
+
   def keepRepresentative(
       members: DataFrame,
       idCol: String,

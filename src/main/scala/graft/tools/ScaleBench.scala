@@ -285,7 +285,11 @@ object ScaleBench {
     // checkpointed byte-codes table, then 40 iterations of codegen
     // int8_dot scans + ≤65-row gradient exchanges; q145's shape over
     // vectors (trainer-dominated, expect a low exponent)
-    "q154_embedding_probe")
+    "q154_embedding_probe",
+    // round-18: frozen boilerplate profile — mine on the 2/3 slice
+    // ((domain, fp) scalar aggregates), apply as a broadcast +
+    // native binary-search projection; expect near-scan linearity
+    "q156_boilerplate_profile")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1462,4 +1462,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"q155 is a pure scan query:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q155 path:\n$plan")
   }
+
+  test("q156: profile apply — fps broadcast onto docs, doc side never shuffles, native cut") {
+    val plan = planOf("q156_boilerplate_profile")
+    assert(plan.contains("cut_segments_by_fp"), s"q156 lost the native kernel:\n$plan")
+    // the profile rolls up and BROADCASTS; the apply side has no exchange,
+    // so the only shuffles are the mine's scalar aggregates
+    assert(plan.contains("BroadcastHashJoin"), s"profile did not broadcast:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"),
+        s"doc text keyed an exchange: ${m.group(0)}"))
+    assert(shuffles(plan) <= 5, s"q156 shuffle budget exceeded:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
+  }
 }

@@ -72,4 +72,72 @@ class DomainBoilerplateSpec extends SparkTestBase {
     assert(out(3L)._3 === "one two") // interior order intact
     assert(out(4L)._3 === "keep keep2") // non-adjacent cuts stitch in order
   }
+
+  // ==== frozen profile: mine once, apply statelessly =======================
+
+  private val mineRows = Seq(
+    (1L, "A", "nav body1 foot"),
+    (2L, "A", "nav body2 foot"),
+    (3L, "A", "nav body3 foot"),
+    (4L, "B", "nav tail1"),
+    (5L, "B", "x tail2"),
+    (6L, "B", "y tail3"))
+
+  test("boilerplateProfile mines per-domain fps; applyBoilerplateProfile cuts by them") {
+    import org.apache.spark.sql.functions._
+    val docs = mineRows.toDF("id", "dom", "txt")
+    val profile = Dedup.boilerplateProfile(
+      docs, "id", "dom", "txt", delim = " ", maxPagePct = 60, minPages = 3L)
+    // A (3 pages): nav+foot on 100% -> hot; B: nav on 1/3 only
+    val fps = profile.as[(String, Long)].collect().toSet
+    assert(fps.map(_._1) === Set("A"))
+    assert(fps.size === 2)
+    val applied = Dedup.applyBoilerplateProfile(
+        docs, profile, "id", "dom", "txt", delim = " ")
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(applied(1L)._3 === "body1" && applied(1L)._5 === 2L)
+    assert(applied(4L)._3 === "nav tail1", "B's nav must survive — the profile is per-domain")
+  }
+
+  test("the frozen profile applies to docs the mine never saw — including unseen domains") {
+    val docs = mineRows.toDF("id", "dom", "txt")
+    val profile = Dedup.boilerplateProfile(
+      docs, "id", "dom", "txt", delim = " ", maxPagePct = 60, minPages = 3L)
+    val today = Seq(
+      (10L, "A", "nav fresh foot"), // new page of a mined domain: cut applies
+      (11L, "C", "nav foot other")) // domain with no profile: untouched
+      .toDF("id", "dom", "txt")
+    val out = Dedup.applyBoilerplateProfile(today, profile, "id", "dom", "txt", " ")
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._3 === "fresh")
+    assert(out(11L)._3 === "nav foot other" && out(11L)._5 === 0L)
+  }
+
+  test("streaming parity: the apply is a stateless projection and chains on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = mineRows.toDF("id", "dom", "txt")
+    val profile = Dedup.boilerplateProfile(
+      docs, "id", "dom", "txt", delim = " ", maxPagePct = 60, minPages = 3L)
+      .localCheckpoint(true) // the frozen artifact
+    val today = Seq(
+      (10L, "A", "nav fresh foot"),
+      (11L, "C", "nav foot other"),
+      (12L, "A", "nav foot"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val streamed = Dedup.applyBoilerplateProfile(
+      input.toDF().toDF("id", "dom", "txt"), profile, "id", "dom", "txt", " ")
+    val name = s"bp_out_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(today.take(2)); q.processAllAvailable()
+      input.addData(today.drop(2)); q.processAllAvailable()
+      val got = spark.table(name)
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      val batch = Dedup.applyBoilerplateProfile(
+          today.toDF("id", "dom", "txt"), profile, "id", "dom", "txt", " ")
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      assert(got === batch, "stream and batch apply diverged")
+    } finally q.stop()
+  }
 }
