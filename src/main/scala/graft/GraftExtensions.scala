@@ -225,6 +225,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[graft.functions.expressions.DHash64Expr].getName, "dhash64"),
         GraftFunctions.dhash64Builder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("luhn_scrub"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.LuhnScrubExpr].getName, "luhn_scrub"),
+        GraftFunctions.luhnScrubBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("int8_codes"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.Int8CodesExpr].getName, "int8_codes"),
+        GraftFunctions.int8CodesBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("cut_segments_by_fp"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.CutSegmentsByFpExpr].getName,
+          "cut_segments_by_fp"),
+        GraftFunctions.cutSegmentsByFpBuilder))
   }
 }
 
@@ -415,6 +434,20 @@ object GraftFunctions {
     graft.functions.expressions.DHash64Expr(
       arity(exprs, 1, "dhash64(content)").head)
 
+  private[graft] def luhnScrubBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.LuhnScrubExpr(
+      arity(exprs, 1, "luhn_scrub(text)").head)
+
+  private[graft] def int8CodesBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.Int8CodesExpr(
+      arity(exprs, 1, "int8_codes(vec)").head)
+
+  private[graft] def cutSegmentsByFpBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "cut_segments_by_fp(text, sorted_fps, delim)")
+    graft.functions.expressions.CutSegmentsByFpExpr(
+      exprs.head, exprs(1), strLit(exprs(2), "cut_segments_by_fp delim"))
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -451,5 +484,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "presence_dot", presenceDotBuilder)
     Bridge.registerTempFunction(spark, "gopher_stats", gopherStatsBuilder)
     Bridge.registerTempFunction(spark, "dhash64", dhash64Builder)
+    Bridge.registerTempFunction(spark, "luhn_scrub", luhnScrubBuilder)
+    Bridge.registerTempFunction(spark, "int8_codes", int8CodesBuilder)
+    Bridge.registerTempFunction(spark, "cut_segments_by_fp", cutSegmentsByFpBuilder)
   }
 }

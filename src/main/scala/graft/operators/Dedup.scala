@@ -1297,7 +1297,10 @@ object Dedup {
     * operator's one-broadcast shape is the common case, not a limit of
     * the kernel.
     *
-    * Emits `(idCol, domain, clean_text, n_kept, n_removed)`.
+    * Emits every input column EXCEPT `textCol` (in input order),
+    * followed by `(clean_text, n_kept, n_removed)` — payload columns
+    * (embeddings, metadata) ride through untouched, which is what lets
+    * the apply sit mid-stream in a composed ingest.
     */
   def applyBoilerplateProfile(
       docs: DataFrame,
@@ -1309,20 +1312,19 @@ object Dedup {
     val fps = profile
       .groupBy("domain")
       .agg(array_sort(collect_list(col("fp"))).alias("fps"))
-    docs
-      .select(col(idCol), col(domainCol).alias("domain"), col(textCol).alias("text"))
-      .join(broadcast(fps), Seq("domain"), "left")
-      .select(
-        col(idCol), col("domain"),
-        graft.functions.expressions.CutSegmentsByFpExpr.cutSegmentsByFp(
-          col("text"),
-          coalesce(col("fps"), typedlit(Array.empty[Long])),
-          delim).alias("c"))
-      .select(
-        col(idCol), col("domain"),
-        col("c.clean_text").alias("clean_text"),
-        col("c.n_kept").alias("n_kept"),
-        col("c.n_removed").alias("n_removed"))
+    val joined = docs.join(
+      broadcast(fps), docs(domainCol) === fps("domain"), "left")
+    val cut = graft.functions.expressions.CutSegmentsByFpExpr.cutSegmentsByFp(
+      docs(textCol),
+      coalesce(col("fps"), typedlit(Array.empty[Long])),
+      delim)
+    val carried = docs.columns.filter(_ != textCol)
+    val withC = joined.select(carried.map(docs(_)).toSeq :+ cut.alias("__c"): _*)
+    withC.select(
+      carried.map(col).toSeq ++ Seq(
+        col("__c.clean_text").alias("clean_text"),
+        col("__c.n_kept").alias("n_kept"),
+        col("__c.n_removed").alias("n_removed")): _*)
   }
 
   def keepRepresentative(

@@ -245,12 +245,33 @@ object UnifiedIngestBench {
         } else src
       if (quotaOn && batchSize == 2500)
         println(s"[composed] quota = per-domain cap $quotaCap, hot-domain flood (1/2 of stream)")
+      // SPARK_GRAFT_UB_BOILER=1 chains the FROZEN boilerplate profile
+      // (q156's apply) in front of the gate: the profile is the frozen
+      // artifact by contract (mined offline — here a fixed 3-word
+      // profile per domain, so each ~20-token doc loses a few tokens
+      // and the downstream gate keeps its population), applied per
+      // trigger as a pure broadcast + binary-search projection — the
+      // stateless front-door stage at its streaming position.
+      val boilerOn = sys.env.get("SPARK_GRAFT_UB_BOILER").contains("1")
+      val boiled =
+        if (boilerOn) {
+          val hotWords = Seq("stream", "corpus", "dedup")
+          val profile = (0 until 4).flatMap(d => hotWords.map(w =>
+              (s"s$d", graft.functions.TextFunctions.md5Hash60Local(w))))
+            .toDF("domain", "fp")
+          if (batchSize == 2500)
+            println(s"[composed] boilerplate profile = ${hotWords.size} fps × 4 domains, frozen")
+          graft.operators.Dedup.applyBoilerplateProfile(
+              base.withColumn("domain", concat(lit("s"), pmod(col("doc_id"), lit(4)))),
+              profile, "doc_id", "domain", "text", delim = " ")
+            .select(col("doc_id"), col("clean_text").alias("text"), col("embedding"))
+        } else base
       val gated =
         if (clsGate)
-          graft.operators.QualityClassifier.keepByScore(base, "text", clsW, dim = 256)
+          graft.operators.QualityClassifier.keepByScore(boiled, "text", clsW, dim = 256)
         else
           graft.operators.QualityPrune.keepByGopher(
-            base, "text", minTokens = 5L, minStopHits = 0L)
+            boiled, "text", minTokens = 5L, minStopHits = 0L)
       val withSource = gated
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
 

@@ -431,4 +431,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     val m7 = messageFor("SELECT norm2_f()")
     assert(m7.contains("norm2_f(vec)") && m7.contains("got 0"), m7)
   }
+
+  test("round-18 natives callable from SQL: luhn_scrub, int8_codes, cut_segments_by_fp") {
+    GraftFunctions.register(spark)
+    val scrub = spark.sql("SELECT luhn_scrub('pay 4111111111111111 now') AS s")
+      .selectExpr("s.redacted", "s.n_cards")
+      .as[(String, Long)].head()
+    assert(scrub === (("pay [CARD] now", 1L)))
+    val codes = spark.sql(
+      "SELECT int8_codes(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS c")
+      .as[Seq[Byte]].head()
+    assert(codes === Seq[Byte](127, -64)) // -0.5/(1/127) = -63.5 → half away from zero
+    val cut = spark.sql(
+      "SELECT cut_segments_by_fp('a b c', array(md5_hash60('b')), ' ') AS s")
+      .selectExpr("s.clean_text", "s.n_removed")
+      .as[(String, Long)].head()
+    assert(cut === (("a c", 1L)))
+    // delim must be a literal — the expression captures it at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT cut_segments_by_fp('a', array(1L), repeat(' ', 1))").collect()
+    }
+    assert(err.getMessage.contains("delim"), err.getMessage)
+  }
 }

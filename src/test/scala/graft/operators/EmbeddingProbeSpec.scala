@@ -102,6 +102,22 @@ class EmbeddingProbeSpec extends SparkTestBase {
     assert(kept.nonEmpty && kept.size < 60, s"degenerate gate: ${kept.size}")
   }
 
+  test("frozen probe artifact: the QualityClassifier weight format round-trips and gates identically") {
+    val rows = fixture(60, 16)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val feats = EmbeddingProbe.features(df, "vec_id", "embedding", col("label") === 0)
+    val w = EmbeddingProbe.train(feats, "codes", "y", 17, iters = 15, lr = 0.001)
+    // the (feat, w) parquet artifact is model-agnostic — one format for
+    // the text classifier and the embedding probe
+    val dir = java.nio.file.Files.createTempDirectory("probe-weights").toString
+    QualityClassifier.saveWeights(spark, w, dir)
+    val w2 = QualityClassifier.loadWeights(spark, dir)
+    assert(w2.toSeq === w.toSeq)
+    val a = EmbeddingProbe.keepByScore(df, "embedding", w).select("vec_id").as[Long].collect().toSet
+    val b = EmbeddingProbe.keepByScore(df, "embedding", w2).select("vec_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("training is partitioning-invariant (order-free long sums)") {
     val rows = fixture(80, 8)
     val one = rows.toDF("vec_id", "embedding", "label").coalesce(1)
