@@ -224,4 +224,40 @@ class PropertySpec extends AnyFunSuite {
       m12 == seq && m21 == seq
     })
   }
+
+  test("Luhn kernel: the mod-10 detection guarantees hold on arbitrary PANs") {
+    import graft.functions.expressions.LuhnScrubExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    def scrubOne(s: String): (String, Long, Long) = {
+      val r = LuhnScrubExpr.run(UTF8String.fromString(s))
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+    val digitsGen = for {
+      n <- Gen.chooseNum(12, 18) // body length; +check digit = 13..19
+      ds <- Gen.listOfN(n, Gen.chooseNum(0, 9))
+    } yield ds
+    check(Prop.forAll(digitsGen) { body =>
+      // construct the valid check digit, the way issuers do
+      val sumBody = body.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      val chk = (10 - sumBody % 10) % 10
+      val pan = (body :+ chk).mkString
+      val (red, cards, rej) = scrubOne(s"pay $pan now")
+      val validRedacts = red == "pay [CARD] now" && cards == 1L && rej == 0L
+
+      // any SINGLE-digit corruption must be detected (the property the
+      // checksum exists for) — corrupted PAN-length runs count rejected
+      val pos = (body.size * 7 + chk) % pan.length
+      val orig = pan.charAt(pos) - '0'
+      val corrupted = pan.updated(pos, (((orig + 1 + pos) % 10).max(0) + '0').toChar)
+      val detected =
+        if (corrupted == pan) true
+        else {
+          val (r2, c2, j2) = scrubOne(s"pay $corrupted now")
+          r2 == s"pay $corrupted now" && c2 == 0L && j2 == 1L
+        }
+      validRedacts && detected
+    })
+  }
 }
