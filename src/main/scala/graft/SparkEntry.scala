@@ -2336,6 +2336,36 @@ object SparkEntry {
       positive = col("label") < 5, dim = 64, iters = 40, lr = 0.001)
 
 
+  /** Probe held-out protocol (round 18): q150's protocol applied to
+    * the EMBEDDING probe — train on the 20% seeded slice, score the
+    * whole table, report per-row agreement WITH the `is_train` split
+    * so held-out generalization is measured, not assumed. On this
+    * fixture the protocol EXPOSES a non-generalizing gate: the
+    * embedding clusters barely transfer across a random split
+    * (held-out ~0.54 vs the full-fit 0.656 and vs the TEXT student's
+    * 0.915 at q150) — which is precisely why the held-out instrument
+    * exists; a pipeline reading this table would refuse to freeze the
+    * artifact. The oracle replays the sliced trainer end-to-end
+    * (gradients from the train slice only, quantization included).
+    */
+  private def q157_probe_holdout(s: SparkSession, dir: String): DataFrame = {
+    val feats = operators.EmbeddingProbe.features(
+      Tables.embeddings(s, dir), "vec_id", "embedding", col("label") < 5)
+      .withColumn("is_train", col("vec_id") % 5 === 0)
+      .localCheckpoint()
+    val w = operators.EmbeddingProbe.train(
+      feats.filter(col("is_train")), "codes", "y", 65, iters = 40, lr = 0.001)
+    operators.EmbeddingProbe.score(feats, "codes", w)
+      .select(
+        col("vec_id"),
+        (col("y") === 1L).as("label"),
+        col("score_micro"),
+        col("pred"),
+        (col("pred") === (col("y") === 1L)).as("correct"),
+        col("is_train"))
+  }
+
+
   /** Luhn-validated card scrub (round 18): q64's high-precision
     * sibling — payment-card redaction gated on the ISO/IEC 7812 mod-10
     * checksum, so ordinary long numbers (order ids, refs, phones)
@@ -3374,7 +3404,8 @@ object SparkEntry {
     "q153_domain_boilerplate" -> (q153_domain_boilerplate _),
     "q154_embedding_probe" -> (q154_embedding_probe _),
     "q155_luhn_scrub" -> (q155_luhn_scrub _),
-    "q156_boilerplate_profile" -> (q156_boilerplate_profile _)
+    "q156_boilerplate_profile" -> (q156_boilerplate_profile _),
+    "q157_probe_holdout" -> (q157_probe_holdout _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -3571,8 +3602,13 @@ object SparkEntry {
     * All MATERIALIZED (the inlined chain is exponential — the q145
     * lesson).
     */
-  private def sqlProbeOracle(dim: Int, iters: Int, lr: Double): String = {
+  private def sqlProbeOracle(
+      dim: Int, iters: Int, lr: Double,
+      trainWhere: Option[String] = None): String = {
     val width = dim + 1
+    // trainWhere (q157): gradients come from the TRAIN slice only;
+    // scoring stays over the full table with an is_train column
+    val tf = trainWhere.map(w => s"WHERE $w ").getOrElse("")
     val base =
       s"""emb AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, embedding
                   FROM embeddings),
@@ -3587,13 +3623,13 @@ object SparkEntry {
             FROM mx, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) u
             UNION ALL
             SELECT vec_id, y, CAST($dim AS BIGINT) AS j, CAST(1 AS BIGINT) AS c FROM emb),
-          nn AS (SELECT count(*) AS n FROM emb),
+          nn AS (SELECT count(*) AS n FROM emb $tf),
           w0 AS (SELECT unnest(range(0, $width)) AS feat, CAST(0 AS BIGINT) AS w)"""
     val rounds = (1 to iters).map { t =>
       val p = t - 1
       s"""z$t AS MATERIALIZED (
             SELECT c.vec_id, any_value(c.y) AS y, CAST(sum(c.c * w.w) AS BIGINT) AS z
-            FROM cd c JOIN w$p w ON c.j = w.feat GROUP BY c.vec_id),
+            FROM cd c JOIN w$p w ON c.j = w.feat $tf GROUP BY c.vec_id),
           e$t AS (
             SELECT vec_id,
               CAST(round((0.5*(1.0 + (z/1000000.0)/(1.0 + abs(z/1000000.0))))*1000000.0) AS BIGINT)
@@ -3607,9 +3643,12 @@ object SparkEntry {
                    w.w - CAST(round(coalesce(g.g, 0) / (SELECT n FROM nn) * $lr) AS BIGINT) AS w
             FROM w$p w LEFT JOIN g$t g USING (feat))"""
     }
+    val isTrain = trainWhere
+      .map(w => s",\n               ($w) AS is_train")
+      .getOrElse("")
     s"""WITH ${(base +: rounds).mkString(",\n")}
         SELECT vec_id, y = 1 AS label, z AS score_micro, z >= 0 AS pred,
-               (z >= 0) = (y = 1) AS correct
+               (z >= 0) = (y = 1) AS correct$isTrain
         FROM (SELECT c.vec_id, any_value(c.y) AS y, CAST(sum(c.c * w.w) AS BIGINT) AS z
               FROM cd c JOIN w$iters w ON c.j = w.feat GROUP BY c.vec_id)"""
   }
@@ -6264,6 +6303,12 @@ object SparkEntry {
     // (quantization included) — see sqlProbeOracle
     "q154_embedding_probe" ->
       sqlProbeOracle(dim = 64, iters = 40, lr = 0.001),
+    // q157 = the same generated trainer with gradients restricted to
+    // the train slice (sqlProbeOracle(trainWhere=...) — one
+    // parameterized definition serves q154 and q157)
+    "q157_probe_holdout" ->
+      sqlProbeOracle(dim = 64, iters = 40, lr = 0.001,
+        trainWhere = Some("vec_id % 5 = 0")),
     // q155 = candidates from the same maximal digit-run regex via the
     // split/extract interleave, the Luhn sum as pure integer ops,
     // conditional per-candidate redaction

@@ -289,7 +289,11 @@ object ScaleBench {
     // round-18: frozen boilerplate profile — mine on the 2/3 slice
     // ((domain, fp) scalar aggregates), apply as a broadcast +
     // native binary-search projection; expect near-scan linearity
-    "q156_boilerplate_profile")
+    "q156_boilerplate_profile",
+    // round-18: probe held-out protocol — per-iteration scans cover the
+    // 20% train slice; the full table pays one quantization + one
+    // scoring scan (q150's shape over vectors)
+    "q157_probe_holdout")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1456,6 +1456,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q154 path:\n$plan")
   }
 
+  test("q157: probe holdout — the q154 apply shape over the is_train-tagged checkpoint") {
+    val plan = planOf("q157_probe_holdout")
+    assert(plan.contains("int8_dot"), s"q157 lost the native margin kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q157 apply is scan-shaped:\n$plan")
+    assert(!plan.contains("FileScan"), s"q157 re-scanned the embeddings:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q157 path:\n$plan")
+  }
+
   test("q155: luhn scrub is one native scan — no exchange, no UDF, no regex fallback") {
     val plan = planOf("q155_luhn_scrub")
     assert(plan.contains("luhn_scrub"), s"q155 lost the native kernel:\n$plan")

@@ -118,6 +118,25 @@ class EmbeddingProbeSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("held-out protocol: on a separable fixture, the slice-trained probe generalizes") {
+    val rows = fixture(160, 16)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val feats = EmbeddingProbe.features(df, "vec_id", "embedding", col("label") === 0)
+      .withColumn("is_train", col("vec_id") % 2 === 0)
+      .localCheckpoint()
+    val w = EmbeddingProbe.train(
+      feats.filter(col("is_train")), "codes", "y", 17, iters = 25, lr = 0.001)
+    val held = EmbeddingProbe.score(feats, "codes", w)
+      .filter(!col("is_train"))
+      .select((col("pred") === (col("y") === 1L)).as("ok"))
+      .as[Boolean].collect()
+    val acc = held.count(identity).toDouble / held.length
+    assert(acc >= 0.85, s"slice-trained probe failed to generalize: $acc")
+    // ...which is exactly what the q157 protocol measures — and on the
+    // driver's noisy embeddings fixture it honestly reads ~0.54, the
+    // "do not freeze this artifact" signal
+  }
+
   test("training is partitioning-invariant (order-free long sums)") {
     val rows = fixture(80, 8)
     val one = rows.toDF("vec_id", "embedding", "label").coalesce(1)
