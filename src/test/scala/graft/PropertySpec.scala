@@ -260,4 +260,31 @@ class PropertySpec extends AnyFunSuite {
       validRedacts && detected
     })
   }
+
+  test("cut_segments_by_fp equals the filter-rebuild reference on arbitrary segment mixes") {
+    import graft.functions.expressions.CutSegmentsByFpExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val segGen = Gen.oneOf(
+      Gen.oneOf("nav", "foot", "banner", "", "x", "body"),
+      Gen.alphaNumStr.map(_.take(8)))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 12)
+      segs <- Gen.listOfN(n, segGen)
+      hot <- Gen.someOf(segs.distinct)
+    } yield (segs, hot.toSet)
+    check(Prop.forAll(docGen) { case (segs, hot) =>
+      val text = segs.mkString(" ")
+      val fps = hot.map(TextFunctions.md5Hash60Local).toArray.sorted
+      val r = CutSegmentsByFpExpr.run(
+        UTF8String.fromString(text),
+        ArrayData.toArrayData(fps), " ")
+      // reference: split (trailing empties kept), filter, rejoin
+      val ref = text.split(java.util.regex.Pattern.quote(" "), -1)
+      val kept = ref.filterNot(hot)
+      r.getUTF8String(0).toString == kept.mkString(" ") &&
+        r.getLong(1) == kept.length.toLong &&
+        r.getLong(2) == (ref.length - kept.length).toLong
+    })
+  }
 }

@@ -91,6 +91,11 @@ class UrlExprsSpec extends SparkTestBase {
     // degenerate hosts stay null, not garbage
     assert(dom(".com") === None)
     assert(dom("a..internal") === None)
+    // trailing-dot (FQDN-root) hosts yield NULL — the documented
+    // contract (the final label is empty; root dots are not stripped),
+    // matching the DuckDB oracle's identical label walk
+    assert(dom("a.b.c.") === None)
+    assert(dom("example.com.") === None)
   }
 
   test("SQL registration: url_normalize / url_host / registrable_domain callable from SQL") {
