@@ -239,6 +239,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.int8CodesBuilder))
     e.injectFunction(
       (
+        FunctionIdentifier("dedup_segments"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.DedupSegmentsExpr].getName,
+          "dedup_segments"),
+        GraftFunctions.dedupSegmentsBuilder))
+    e.injectFunction(
+      (
         FunctionIdentifier("cut_segments_by_fp"),
         new ExpressionInfo(
           classOf[graft.functions.expressions.CutSegmentsByFpExpr].getName,
@@ -442,6 +449,12 @@ object GraftFunctions {
     graft.functions.expressions.Int8CodesExpr(
       arity(exprs, 1, "int8_codes(vec)").head)
 
+  private[graft] def dedupSegmentsBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 2, "dedup_segments(text, delim)")
+    graft.functions.expressions.DedupSegmentsExpr(
+      exprs.head, strLit(exprs(1), "dedup_segments delim"))
+  }
+
   private[graft] def cutSegmentsByFpBuilder: Seq[Expr] => Expr = { exprs0 =>
     val exprs = arity(exprs0, 3, "cut_segments_by_fp(text, sorted_fps, delim)")
     graft.functions.expressions.CutSegmentsByFpExpr(
@@ -487,5 +500,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "luhn_scrub", luhnScrubBuilder)
     Bridge.registerTempFunction(spark, "int8_codes", int8CodesBuilder)
     Bridge.registerTempFunction(spark, "cut_segments_by_fp", cutSegmentsByFpBuilder)
+    Bridge.registerTempFunction(spark, "dedup_segments", dedupSegmentsBuilder)
   }
 }

@@ -2366,6 +2366,31 @@ object SparkEntry {
   }
 
 
+  /** Within-doc repeated-segment collapse (round 18): the
+    * self-repetition SCRUB the q59 stats only score — each distinct
+    * segment keeps its FIRST occurrence, order preserved (navigation
+    * loops, scraper stutter, copy-paste runs), via one native per-row
+    * kernel ([[graft.functions.expressions.DedupSegmentsExpr]]) — a
+    * pure scan, no exchange, batch/stream-identical by construction.
+    * Completes the dedup ladder's finest rung: corpus-hot segments
+    * (q74), domain-hot segments (q153/q156), corpus-duplicate spans
+    * (q81) — and now intra-document repeats. The fixture's small-vocab
+    * documents repeat words heavily, so the collapse is strongly
+    * discriminative per doc; the oracle replays it as a min-position
+    * window over the identical split.
+    */
+  private def q158_segment_dedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.expressions.DedupSegmentsExpr
+          .dedupSegments(col("text"), " ").alias("d"))
+      .select(
+        col("doc_id"),
+        col("d.clean_text").alias("clean_text"),
+        col("d.n_kept").alias("n_kept"),
+        col("d.n_removed").alias("n_removed"))
+
+
   /** Luhn-validated card scrub (round 18): q64's high-precision
     * sibling — payment-card redaction gated on the ISO/IEC 7812 mod-10
     * checksum, so ordinary long numbers (order ids, refs, phones)
@@ -3405,7 +3430,8 @@ object SparkEntry {
     "q154_embedding_probe" -> (q154_embedding_probe _),
     "q155_luhn_scrub" -> (q155_luhn_scrub _),
     "q156_boilerplate_profile" -> (q156_boilerplate_profile _),
-    "q157_probe_holdout" -> (q157_probe_holdout _)
+    "q157_probe_holdout" -> (q157_probe_holdout _),
+    "q158_segment_dedup" -> (q158_segment_dedup _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6299,6 +6325,24 @@ object SparkEntry {
                  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
                  CAST(len(string_split(b.text, ' ')) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
           FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // q158 = first-occurrence-per-segment replayed as a min-position
+    // window over the identical split, rebuilt in position order
+    "q158_segment_dedup" ->
+      """WITH sg AS (SELECT doc_id, w.s AS s, w.pos AS pos
+                     FROM (SELECT doc_id,
+                             unnest(list_transform(string_split(text, ' '),
+                               (x, i) -> struct_pack(s := x, pos := i))) AS w
+                           FROM documents)),
+          firsts AS (SELECT doc_id, s, min(pos) AS pos
+                     FROM sg GROUP BY doc_id, s),
+          agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                         count(*) AS nk
+                  FROM firsts GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(a.ct, '') AS clean_text,
+                 CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
+                 CAST(len(string_split(d.text, ' ')) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+          FROM documents d LEFT JOIN agg a USING (doc_id)""",
     // q154 = the embedding-probe trainer replayed end-to-end
     // (quantization included) — see sqlProbeOracle
     "q154_embedding_probe" ->

@@ -293,7 +293,10 @@ object ScaleBench {
     // round-18: probe held-out protocol — per-iteration scans cover the
     // 20% train slice; the full table pays one quantization + one
     // scoring scan (q150's shape over vectors)
-    "q157_probe_holdout")
+    "q157_probe_holdout",
+    // round-18: within-doc segment collapse — one native scan; pure
+    // scan linearity is the claim
+    "q158_segment_dedup")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1464,6 +1464,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q157 path:\n$plan")
   }
 
+  test("q158: segment dedup is one native scan — no exchange, no UDF") {
+    val plan = planOf("q158_segment_dedup")
+    assert(plan.contains("dedup_segments"), s"q158 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q158 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q158 path:\n$plan")
+  }
+
   test("q155: luhn scrub is one native scan — no exchange, no UDF, no regex fallback") {
     val plan = planOf("q155_luhn_scrub")
     assert(plan.contains("luhn_scrub"), s"q155 lost the native kernel:\n$plan")
