@@ -2379,6 +2379,35 @@ object SparkEntry {
     * discriminative per doc; the oracle replays it as a min-position
     * window over the identical split.
     */
+  /** Domain blocklist (round 18): the front door's FIRST stage —
+    * [[graft.operators.UrlFilter.markBlocked]] over the q147 URL
+    * fixture with a 3-domain list. Matching is on the REGISTRABLE
+    * domain, so the SEO farm's rotating `www./cdn./static./m.`
+    * subdomains all block under the one `seofarm.com` entry (listing
+    * hosts instead of domains is the classic bypass this fixture
+    * demonstrates); two long-tail sites block exactly their own
+    * captures. One broadcast probe, corpus side never shuffles.
+    * Oracle: the factored q142/q147 domain chain + a CASE IN list.
+    */
+  private def q159_domain_blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 97).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"))
+    operators.UrlFilter.markBlocked(
+      docs, "domain",
+      Seq("seofarm.com", "site13.com", "site77.com").toDF("domain"))
+  }
+
+
   private def q158_segment_dedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -3431,7 +3460,8 @@ object SparkEntry {
     "q155_luhn_scrub" -> (q155_luhn_scrub _),
     "q156_boilerplate_profile" -> (q156_boilerplate_profile _),
     "q157_probe_holdout" -> (q157_probe_holdout _),
-    "q158_segment_dedup" -> (q158_segment_dedup _)
+    "q158_segment_dedup" -> (q158_segment_dedup _),
+    "q159_domain_blocklist" -> (q159_domain_blocklist _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6325,6 +6355,23 @@ object SparkEntry {
                  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
                  CAST(len(string_split(b.text, ' ')) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
           FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // q159 = the factored q142/q147 domain chain + CASE IN the list
+    "q159_domain_blocklist" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 97 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain
+          SELECT doc_id, domain,
+                 domain IN ('seofarm.com', 'site13.com', 'site77.com') AS blocked
+          FROM dom""",
     // q158 = first-occurrence-per-segment replayed as a min-position
     // window over the identical split, rebuilt in position order
     "q158_segment_dedup" ->

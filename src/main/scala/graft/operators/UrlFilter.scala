@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain blocklist filtering — the FIRST stage of a CC-class front
+  * door (spam/adult/malware domain lists applied before anything else
+  * is spent on a capture): a doc is blocked when its REGISTRABLE
+  * domain is listed, so `www.` / `cdn.` / any-subdomain variants of a
+  * listed domain block together (derive the domain with
+  * `registrable_domain(url_host(url))` — the q142 natives — before
+  * calling; matching on raw hosts is the classic blocklist bypass).
+  * (Reference analogue: none; training-data-pipeline extension.)
+  *
+  * The blocklist is a `(domain)` frame, bounded by contract (curated
+  * lists are 10⁴–10⁷ rows — broadcast-sized by construction); it
+  * broadcasts into ONE hash join against the already-derived domain
+  * column, so the corpus side never shuffles and the stage is a pure
+  * scan + broadcast probe — streaming-composable like every other
+  * front-door gate. NULL domains (unparseable URLs) are NOT blocked
+  * by the list — route them to quarantine explicitly if the pipeline
+  * wants that; a blocklist silently eating parse failures is how
+  * corpora lose whole protocols.
+  */
+object UrlFilter {
+
+  /** Every input row + `blocked: boolean` — the auditable form (count
+    * what the list costs before enforcing it).
+    */
+  def markBlocked(
+      docs: DataFrame,
+      domainCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bl = blocklist
+      .select(col(blocklist.columns.head).cast("string").alias("__bl_domain"))
+      .distinct()
+      .withColumn("__bl", lit(true))
+    docs
+      .join(broadcast(bl), docs(domainCol) === col("__bl_domain"), "left")
+      .drop("__bl_domain")
+      .withColumn("blocked", coalesce(col("__bl"), lit(false)))
+      .drop("__bl")
+  }
+
+  /** The enforcement form: rows whose domain is NOT listed (null
+    * domains pass — see the object scaladoc). One broadcast anti-join.
+    */
+  def keepAllowed(
+      docs: DataFrame,
+      domainCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val bl = blocklist
+      .select(col(blocklist.columns.head).cast("string").alias("__bl_domain"))
+      .distinct()
+    docs.join(
+      broadcast(bl), docs(domainCol) === col("__bl_domain"), "left_anti")
+  }
+}

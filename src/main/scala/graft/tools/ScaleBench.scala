@@ -296,7 +296,10 @@ object ScaleBench {
     "q157_probe_holdout",
     // round-18: within-doc segment collapse — one native scan; pure
     // scan linearity is the claim
-    "q158_segment_dedup")
+    "q158_segment_dedup",
+    // round-18: domain blocklist — one broadcast probe over the scan;
+    // the q148 scan-linearity claim with a join instead of kernels
+    "q159_domain_blocklist")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

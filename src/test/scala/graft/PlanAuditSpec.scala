@@ -1464,6 +1464,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q157 path:\n$plan")
   }
 
+  test("q159: blocklist — one broadcast probe, corpus side never shuffles") {
+    val plan = planOf("q159_domain_blocklist")
+    assert(plan.contains("BroadcastHashJoin"), s"blocklist did not broadcast:\n$plan")
+    // the one permitted exchange is the LIST side's distinct (bounded
+    // by the blocklist contract); the corpus side is scan → project →
+    // broadcast probe with no exchange of its own
+    assert(shuffles(plan) <= 1, s"q159 shuffled the corpus side:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q159 path:\n$plan")
+  }
+
   test("q158: segment dedup is one native scan — no exchange, no UDF") {
     val plan = planOf("q158_segment_dedup")
     assert(plan.contains("dedup_segments"), s"q158 lost the native kernel:\n$plan")
