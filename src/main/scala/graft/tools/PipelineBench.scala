@@ -62,27 +62,9 @@ object PipelineBench {
       c
     }
 
-    // ---- 0. extract: the corpus arrives as markup (q121's template) ----
-    val raw = Tables.documents(spark, dir)
-    raw.count() // session/scan warmup outside every stage timer
-    def esc(c: org.apache.spark.sql.Column) =
-      regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val extracted = stage("extract") {
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>"), esc(col("source")),
-        lit("</title><style>body{}</style><script>var x = 1 < 2;</script></head><body><p>"),
-        esc(col("text")),
-        lit("</p></body></html>"))
-      checkpointCount("extract", raw.select(
-        col("doc_id"), col("lang"), col("source"),
-        graft.functions.expressions.HtmlToTextExpr.htmlToText(html).alias("text")))
-    }
-
-    // ---- 0.5 web front door: canonical-URL keep-best + domain quota ----
-    // (q146/q147's stages at their CC-chain position: every group of 4
-    // consecutive ids is one page under four URL spellings on one of 50
-    // registrable domains; URL dedup collapses spellings, the quota
-    // caps each domain's survivors)
+    // every group of 4 consecutive ids is one page under four URL
+    // spellings on one of 50 registrable domains (shared by the
+    // blocklist, URL-dedup, domain-cap, and boilerplate stages)
     def pageUrl = {
       val g = floor(col("doc_id") / 4).cast("long")
       val site = (g % 50).cast("string")
@@ -93,6 +75,40 @@ object PipelineBench {
         .when(m === 2, concat(lit("http://www.site"), site, lit(".com/%61/"), gs, lit("?utm_source=x")))
         .otherwise(concat(lit("http://www.site"), site, lit(".com/a/"), gs, lit("?utm_campaign=y")))
     }
+
+    // ---- -0.5. blocklist: the literal first stage (q159) — listed
+    // domains never pay extraction or anything after it ----
+    val raw = Tables.documents(spark, dir)
+    raw.count() // session/scan warmup outside every stage timer
+    import spark.implicits._
+    val allowed = stage("blocklist") {
+      checkpointCount("blocklist",
+        graft.operators.UrlFilter.keepAllowed(
+          raw.withColumn("domain",
+            graft.functions.expressions.UrlExprs.registrableDomain(
+              graft.functions.expressions.UrlExprs.urlHost(pageUrl))),
+          "domain",
+          Seq("site7.com", "site13.com", "site23.com").toDF("domain"))
+          .drop("domain"))
+    }
+
+    // ---- 0. extract: the corpus arrives as markup (q121's template) ----
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val extracted = stage("extract") {
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>"), esc(col("source")),
+        lit("</title><style>body{}</style><script>var x = 1 < 2;</script></head><body><p>"),
+        esc(col("text")),
+        lit("</p></body></html>"))
+      checkpointCount("extract", allowed.select(
+        col("doc_id"), col("lang"), col("source"),
+        graft.functions.expressions.HtmlToTextExpr.htmlToText(html).alias("text")))
+    }
+
+    // ---- 0.5 web front door: canonical-URL keep-best + domain quota ----
+    // (q146/q147's stages at their CC-chain position: URL dedup
+    // collapses spellings, the quota caps each domain's survivors)
     // ---- 0.25 per-domain boilerplate removal (q153's stage at its
     // RefinedWeb-chain position: segments on >75% of a registrable
     // domain's pages are nav/footer-class furniture — cut from every
