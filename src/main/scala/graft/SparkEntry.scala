@@ -2366,19 +2366,6 @@ object SparkEntry {
   }
 
 
-  /** Within-doc repeated-segment collapse (round 18): the
-    * self-repetition SCRUB the q59 stats only score — each distinct
-    * segment keeps its FIRST occurrence, order preserved (navigation
-    * loops, scraper stutter, copy-paste runs), via one native per-row
-    * kernel ([[graft.functions.expressions.DedupSegmentsExpr]]) — a
-    * pure scan, no exchange, batch/stream-identical by construction.
-    * Completes the dedup ladder's finest rung: corpus-hot segments
-    * (q74), domain-hot segments (q153/q156), corpus-duplicate spans
-    * (q81) — and now intra-document repeats. The fixture's small-vocab
-    * documents repeat words heavily, so the collapse is strongly
-    * discriminative per doc; the oracle replays it as a min-position
-    * window over the identical split.
-    */
   /** Domain blocklist (round 18): the front door's FIRST stage —
     * [[graft.operators.UrlFilter.markBlocked]] over the q147 URL
     * fixture with a 3-domain list. Matching is on the REGISTRABLE
@@ -2408,6 +2395,19 @@ object SparkEntry {
   }
 
 
+  /** Within-doc repeated-segment collapse (round 18): the
+    * self-repetition SCRUB the q59 stats only score — each distinct
+    * segment keeps its FIRST occurrence, order preserved (navigation
+    * loops, scraper stutter, copy-paste runs), via one native per-row
+    * kernel ([[graft.functions.expressions.DedupSegmentsExpr]]) — a
+    * pure scan, no exchange, batch/stream-identical by construction.
+    * Completes the dedup ladder's finest rung: corpus-hot segments
+    * (q74), domain-hot segments (q153/q156), corpus-duplicate spans
+    * (q81) — and now intra-document repeats. The fixture's small-vocab
+    * documents repeat words heavily, so the collapse is strongly
+    * discriminative per doc; the oracle replays it as a min-position
+    * window over the identical split.
+    */
   private def q158_segment_dedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),

@@ -1300,7 +1300,10 @@ object Dedup {
     * Emits every input column EXCEPT `textCol` (in input order),
     * followed by `(clean_text, n_kept, n_removed)` — payload columns
     * (embeddings, metadata) ride through untouched, which is what lets
-    * the apply sit mid-stream in a composed ingest.
+    * the apply sit mid-stream in a composed ingest. The three output
+    * names plus the `__graft_bp_*` internals are RESERVED: an input
+    * already carrying one is rejected up front (rename it first) rather
+    * than shadowed or left to fail as an ambiguous reference.
     */
   def applyBoilerplateProfile(
       docs: DataFrame,
@@ -1309,23 +1312,42 @@ object Dedup {
       domainCol: String,
       textCol: String,
       delim: String = "\n"): DataFrame = {
+    // "payload columns ride through" needs the appended output names and
+    // the internal join-side names to be FREE in the input — surface a
+    // collision as a caller error here, not as an ambiguous-reference
+    // failure (or silent shadowing) deep in the join/select
+    val reserved =
+      Seq("clean_text", "n_kept", "n_removed", bpDomain, bpFps, bpCut)
+    reserved.filter(docs.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"applyBoilerplateProfile reserves column name '$c' " +
+          s"(reserved: ${reserved.mkString(", ")}); rename it in the input first")
+    }
     val fps = profile
-      .groupBy("domain")
-      .agg(array_sort(collect_list(col("fp"))).alias("fps"))
+      .groupBy(col("domain"))
+      .agg(array_sort(collect_list(col("fp"))).alias(bpFps))
+      .select(col("domain").alias(bpDomain), col(bpFps))
     val joined = docs.join(
-      broadcast(fps), docs(domainCol) === fps("domain"), "left")
+      broadcast(fps), docs(domainCol) === col(bpDomain), "left")
     val cut = graft.functions.expressions.CutSegmentsByFpExpr.cutSegmentsByFp(
       docs(textCol),
-      coalesce(col("fps"), typedlit(Array.empty[Long])),
+      coalesce(col(bpFps), typedlit(Array.empty[Long])),
       delim)
     val carried = docs.columns.filter(_ != textCol)
-    val withC = joined.select(carried.map(docs(_)).toSeq :+ cut.alias("__c"): _*)
+    val withC = joined.select(carried.map(docs(_)).toSeq :+ cut.alias(bpCut): _*)
     withC.select(
       carried.map(col).toSeq ++ Seq(
-        col("__c.clean_text").alias("clean_text"),
-        col("__c.n_kept").alias("n_kept"),
-        col("__c.n_removed").alias("n_removed")): _*)
+        col(s"$bpCut.clean_text").alias("clean_text"),
+        col(s"$bpCut.n_kept").alias("n_kept"),
+        col(s"$bpCut.n_removed").alias("n_removed")): _*)
   }
+
+  /** [[applyBoilerplateProfile]]'s internal (reserved) column names —
+    * prefixed so real payload columns never collide by accident.
+    */
+  private val bpDomain = "__graft_bp_domain"
+  private val bpFps = "__graft_bp_fps"
+  private val bpCut = "__graft_bp_cut"
 
   def keepRepresentative(
       members: DataFrame,

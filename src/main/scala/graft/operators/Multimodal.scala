@@ -169,7 +169,12 @@ object Multimodal {
       contentCol: String,
       maxDist: Int,
       maxBandFreq: Option[Int] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 64, s"maxDist must be in [0, 64], got $maxDist")
+    // 63, not 64: completeness needs maxDist+1 bands and the 64-bit hash
+    // caps at 64 one-bit bands — at maxDist=64 a bit-complement pair
+    // (all 64 bits differ) would share no band and be silently missed.
+    // maxDist=64 means "everything pairs": that is a cross join, not an
+    // LSH problem — reject it rather than return an incomplete answer.
+    require(maxDist >= 0 && maxDist <= 63, s"maxDist must be in [0, 63], got $maxDist")
     maxBandFreq.foreach(f => require(f >= 1, s"maxBandFreq must be >= 1, got $f"))
     val hs = df
       .select(col(idCol).cast("long").alias("id"),

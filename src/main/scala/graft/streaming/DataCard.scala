@@ -266,8 +266,13 @@ object DataCard {
     if (addSt.lastRetireId >= retireId && langSt.lastRetireId >= retireId) return
     val uniq = idCol.fold(removedDocs)(removedDocs.dropDuplicates(_))
     val st = docStats(uniq, sourceCol, textCol).localCheckpoint(true)
+    // clamped at zero: a retire of docs never ingested (or a mismatched
+    // slice) would otherwise leave persistent NEGATIVE counters that the
+    // card's n_docs > 0 guards silently mask as 0.0 ratios — floor the
+    // merge so the worst a bad retire input can do is zero a row out,
+    // the same state an exact full retirement leaves
     val subLong = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      coalesce(a, lit(0L)) - coalesce(b, lit(0L))
+      greatest(coalesce(a, lit(0L)) - coalesce(b, lit(0L)), lit(0L))
     if (addSt.lastRetireId < retireId) {
       // the removed TEXTED count moves from n_texted into the
       // staleness counter — same delta column, opposite sign

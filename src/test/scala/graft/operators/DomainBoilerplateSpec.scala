@@ -140,4 +140,30 @@ class DomainBoilerplateSpec extends SparkTestBase {
       assert(got === batch, "stream and batch apply diverged")
     } finally q.stop()
   }
+
+  test("reserved output/internal names are rejected up front, payload columns ride through") {
+    val docs = mineRows.toDF("id", "dom", "txt")
+    val profile = Dedup.boilerplateProfile(
+      docs, "id", "dom", "txt", delim = " ", maxPagePct = 60, minPages = 3L)
+    // an input already carrying an appended-output name would be
+    // silently shadowed (or die as an ambiguous reference) — caller
+    // error, surfaced as such
+    Seq("clean_text", "n_kept", "n_removed", "__graft_bp_fps").foreach { bad =>
+      val withBad = docs.withColumn(bad,
+        org.apache.spark.sql.functions.lit(1L))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.applyBoilerplateProfile(withBad, profile, "id", "dom", "txt", " ")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    // the ride-through promise itself: an arbitrary payload column
+    // (incl. one named like the PROFILE's own output, 'fps') survives
+    val payload = docs
+      .withColumn("fps", org.apache.spark.sql.functions.lit(7L))
+      .withColumn("meta", org.apache.spark.sql.functions.lit("m"))
+    val out = Dedup.applyBoilerplateProfile(payload, profile, "id", "dom", "txt", " ")
+    assert(out.columns.toSeq ===
+      Seq("id", "dom", "fps", "meta", "clean_text", "n_kept", "n_removed"))
+    assert(out.filter(out("fps") =!= 7L).count() === 0L)
+  }
 }

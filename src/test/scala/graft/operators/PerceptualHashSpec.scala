@@ -106,6 +106,19 @@ class PerceptualHashSpec extends SparkTestBase {
     assert(guarded.contains((100L, 101L, 0L)), s"cold pair lost: $guarded")
   }
 
+  test("maxDist=64 is rejected: 64 one-bit bands cannot cover a bit-complement pair") {
+    // the completeness contract needs maxDist+1 bands and the 64-bit
+    // hash caps at 64 — a pair differing in ALL 64 bits would share no
+    // band, so the operator refuses rather than silently under-recall
+    val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "content")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.perceptualNearDup(df, "id", "content", 64)
+    }
+    assert(e.getMessage.contains("[0, 63]"))
+    // 63 (the new boundary) still constructs
+    Multimodal.perceptualNearDup(df, "id", "content", 63).collect()
+  }
+
   test("null content carries no hash and never pairs") {
     val df = Seq(
       (1L, "payload-payload-payload".getBytes("UTF-8")),

@@ -179,4 +179,24 @@ class DataCardSpec extends SparkTestBase {
       .agg(sum("n_docs")).as[Long].head()
     assert(after === 10L, s"new batch after full retirement miscounted: $after")
   }
+
+  test("retire of never-ingested docs floors at zero — no persistent negative counters") {
+    val sink = new InMemoryKVSink
+    val rows = (0 until 10).map(doc).toDF("doc_id", "text", "source")
+    DataCard.applyBatch(rows, 0L, "source", "text", k, sink, "card")
+    // a BAD retire input: 30 docs when only 10 were ever counted (a
+    // mismatched slice) — before round 19 this stored n_docs = -20 and
+    // the card's n_docs > 0 guards masked it as 0.0 ratios forever
+    val tooMany = (0 until 30).map(doc).toDF("doc_id", "text", "source")
+    DataCard.retire(tooMany, "source", "text", sink, "card",
+      retireId = 1L, idCol = Some("doc_id"))
+    val st = sink.read(spark, "card_add", DataCard.addStateSchema)
+      .select("n_docs", "n_texted", "n_tokens", "sum_ent_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(st.nonEmpty, "zero rows must survive as ack carriers")
+    st.foreach { case (nd, nt, tk, se) =>
+      assert(nd >= 0L && nt >= 0L && tk >= 0L && se >= 0L,
+        s"negative counter stored: ($nd, $nt, $tk, $se)")
+    }
+  }
 }

@@ -33,6 +33,16 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# subset runs are detected EXPLICITLY from the same env var graft.Verify
+# reads (inferring them from missing output dirs would let a full run
+# with a missing output — or a typo'd filter matching nothing — pass)
+subset_env = os.environ.get("SPARK_GRAFT_QUERIES", "").strip()
+prefixes = [q.strip() for q in subset_env.split(",") if q.strip()] if subset_env else None
+
+def in_subset(name):
+    # graft.Verify selects by PREFIX (q151 matches q151_classifier_...)
+    return prefixes is None or any(name.startswith(p) for p in prefixes)
+
 def canon(df, name, side):
     for c in df.columns:
         if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
@@ -46,11 +56,16 @@ def canon(df, name, side):
 fails = 0
 skipped = 0
 for name, sql in sorted(oracle.items()):
-    # subset runs (SPARK_GRAFT_QUERIES=...) only write the selected
-    # query dirs -- a missing dir is a SKIP, not a failure (the real
-    # driver gate always runs the full registry)
-    if not os.path.isdir(os.path.join(outdir, name)):
+    # subset runs (SPARK_GRAFT_QUERIES=...) only write the selected query
+    # dirs -- a query OUTSIDE the requested subset is a SKIP; a missing
+    # output for a query that SHOULD have run falls through and fails
+    # below (the real driver gate always runs the full registry)
+    if not in_subset(name):
         skipped += 1
+        continue
+    if not os.path.isdir(os.path.join(outdir, name)):
+        print(f"FAIL {name}: no Verify output written (expected for this run)")
+        fails += 1
         continue
     try:
         wcols, wrows = canon(con.sql(sql).df(), name, "oracle")
@@ -86,14 +101,13 @@ outputs = {d for d in os.listdir(outdir)
            if os.path.isdir(os.path.join(outdir, d))}
 for n in sorted(outputs - set(oracle)):
     print(f"WARN {n}: output present but no oracle SQL (rows-only check driver-side)")
-# on a FULL run nothing is skipped, so a missing output is a failure;
-# on a subset run the skipped set already covers the absent dirs
-if not skipped:
-    for n in sorted(set(oracle) - outputs):
-        print(f"FAIL {n}: oracle SQL present but no Verify output written")
-        fails += 1
-
+# a filter that matches NOTHING (typo'd query name) must not read as a
+# green gate -- zero queries checked is a failure, not a pass
 checked = len(oracle) - skipped
-suffix = f" ({skipped} skipped: no output dir — subset run)" if skipped else ""
+if checked == 0:
+    print(f"\nFAIL: 0 queries checked (SPARK_GRAFT_QUERIES={subset_env!r} "
+          "matched no oracle entries)")
+    sys.exit(1)
+suffix = f" ({skipped} skipped: outside SPARK_GRAFT_QUERIES subset)" if skipped else ""
 print(f"\n{checked - fails}/{checked} passed{suffix}")
 sys.exit(1 if fails else 0)
