@@ -2197,26 +2197,13 @@ object SparkEntry {
     * ≤5-row aggregate over the held-out scores; integer-micro ratios.
     */
   private def q151_classifier_calibration(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cuts = Seq(-500000L, -250000L, 0L, 250000L, 500000L)
     val heldOut = q150_classifier_holdout(s, dir).filter(!col("is_train"))
-    heldOut
-      .crossJoin(cuts.toDF("cutoff_micro"))
-      .groupBy("cutoff_micro")
-      .agg(
-        sum(when(col("score_micro") >= col("cutoff_micro"), 1L).otherwise(0L))
-          .as("n_kept"),
-        sum(when(col("score_micro") >= col("cutoff_micro") && col("label"), 1L)
-          .otherwise(0L)).as("n_true_pos"),
-        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
-      .withColumn("precision_micro",
-        when(col("n_kept") > 0L,
-          round(col("n_true_pos").cast("double") * lit(1000000.0)
-            / col("n_kept").cast("double")).cast("long")))
-      .withColumn("recall_micro",
-        when(col("n_pos") > 0L,
-          round(col("n_true_pos").cast("double") * lit(1000000.0)
-            / col("n_pos").cast("double")).cast("long")))
+    // round 19: the sweep body is factored into [[operators
+    // .QualityClassifier.cutoffSweep]] (shared with the q160 probe
+    // calibration) — same aggregate, same plan
+    operators.QualityClassifier
+      .cutoffSweep(heldOut, "label", "score_micro",
+        Seq(-500000L, -250000L, 0L, 250000L, 500000L))
       // round 18: the sweep now also CHOOSES — f1 per cutoff plus the
       // two selection rules (argmax-F1; max recall at precision >= 0.9),
       // closing the train -> calibrate -> freeze -> gate arc without a
@@ -2363,6 +2350,37 @@ object SparkEntry {
         col("pred"),
         (col("pred") === (col("y") === 1L)).as("correct"),
         col("is_train"))
+  }
+
+
+  /** Probe calibration + FREEZE/REFUSE decision (round 19): the q151
+    * arc completed for the EMBEDDING probe — the round-18 verdict's #1
+    * missing piece (q157 computed the ~0.53 held-out refuse signal but
+    * nothing consumed it). [[graft.operators.QualityClassifier
+    * .cutoffSweep]] sweeps five cutoffs over q157's HELD-OUT probe
+    * scores (±2.5M/±5M micros — the probe's margin scale, not the text
+    * student's), [[graft.operators.QualityClassifier
+    * .markSelectedCutoffs]] picks by argmax-F1 and the precision-floor
+    * rule, and [[graft.operators.QualityClassifier.markFreezeDecision]]
+    * appends `holdout_acc_micro` + `freeze_ok` — on this fixture the
+    * held-out accuracy (525000µ) is under the 700000µ floor, so every
+    * row says `freeze_ok = false`: the operator REFUSES to freeze the
+    * artifact a q150-style separable gate would ship
+    * (`ProbeCalibrationSpec` pins both branches on controlled
+    * fixtures). One trainer run (the q157 composition), one ≤5-row
+    * sweep aggregate, one scalar accuracy aggregate broadcast back —
+    * nothing data-sized past the scoring scan.
+    */
+  private def q160_probe_calibration(s: SparkSession, dir: String): DataFrame = {
+    val heldOut = q157_probe_holdout(s, dir)
+      .filter(!col("is_train"))
+      .localCheckpoint() // one trainer run feeds sweep AND accuracy
+    operators.QualityClassifier
+      .cutoffSweep(heldOut, "label", "score_micro",
+        Seq(-5000000L, -2500000L, 0L, 2500000L, 5000000L))
+      .transform(operators.QualityClassifier.markSelectedCutoffs(_, 900000L))
+      .transform(operators.QualityClassifier
+        .markFreezeDecision(_, heldOut, "correct", 700000L))
   }
 
 
@@ -3461,7 +3479,8 @@ object SparkEntry {
     "q156_boilerplate_profile" -> (q156_boilerplate_profile _),
     "q157_probe_holdout" -> (q157_probe_holdout _),
     "q158_segment_dedup" -> (q158_segment_dedup _),
-    "q159_domain_blocklist" -> (q159_domain_blocklist _)
+    "q159_domain_blocklist" -> (q159_domain_blocklist _),
+    "q160_probe_calibration" -> (q160_probe_calibration _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6400,6 +6419,53 @@ object SparkEntry {
     "q157_probe_holdout" ->
       sqlProbeOracle(dim = 64, iters = 40, lr = 0.001,
         trainWhere = Some("vec_id % 5 = 0")),
+    // q160 = the q157 trainer nested, the q151 sweep/selection SQL over
+    // the held-out probe scores, plus the freeze decision: held-out
+    // accuracy as one integer-micro scalar, freeze_ok = acc >= floor
+    "q160_probe_calibration" ->
+      s"""WITH sc AS (SELECT * FROM (${sqlProbeOracle(dim = 64, iters = 40, lr = 0.001,
+            trainWhere = Some("vec_id % 5 = 0"))})),
+          ho AS MATERIALIZED (SELECT * FROM sc WHERE NOT is_train),
+          acc AS (SELECT CAST(round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                   * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS holdout_acc_micro
+                  FROM ho),
+          cuts AS (SELECT unnest([-5000000, -2500000, 0, 2500000, 5000000]) AS cutoff_micro),
+          sweep AS (
+          SELECT CAST(c.cutoff_micro AS BIGINT) AS cutoff_micro,
+                 CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+                 CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CASE WHEN sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS precision_micro,
+                 CASE WHEN sum(CASE WHEN s.label THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS recall_micro
+          FROM ho s CROSS JOIN cuts c
+          GROUP BY c.cutoff_micro),
+          keyed AS (
+          SELECT *,
+                 CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+                           AND precision_micro + recall_micro > 0
+                      THEN 2.0 * CAST(precision_micro * recall_micro AS DOUBLE)
+                           / CAST(precision_micro + recall_micro AS DOUBLE)
+                 END AS f1d,
+                 (precision_micro IS NOT NULL AND precision_micro >= 900000) AS elig
+          FROM sweep)
+          SELECT cutoff_micro, n_kept, n_true_pos, n_pos, precision_micro, recall_micro,
+                 CAST(round(f1d) AS BIGINT) AS f1_micro,
+                 rank() OVER (ORDER BY coalesce(f1d, -1.0) DESC, cutoff_micro ASC) = 1
+                   AS sel_max_f1,
+                 elig AND rank() OVER (ORDER BY elig DESC, recall_micro DESC NULLS LAST,
+                                       cutoff_micro ASC) = 1
+                   AS sel_recall_floor,
+                 (SELECT holdout_acc_micro FROM acc) AS holdout_acc_micro,
+                 (SELECT holdout_acc_micro FROM acc) >= 700000 AS freeze_ok
+          FROM keyed""",
     // q155 = candidates from the same maximal digit-run regex via the
     // split/extract interleave, the Luhn sum as pure integer ops,
     // conditional per-candidate redaction

@@ -241,6 +241,69 @@ object QualityClassifier {
       PresenceDotExpr.presenceDot(feats, typedLit(weights.toSeq)) >= cutoffMicro)
   }
 
+  /** Cutoff calibration SWEEP over held-out scored rows — the table an
+    * operator reads before picking a production threshold: per cutoff,
+    * kept count and integer-micro precision/recall over a
+    * `(labelCol: boolean, scoreCol: long micros)` frame (q151's shape,
+    * shared by the text classifier and the embedding probe — any
+    * margin-scored gate sweeps the same way). One aggregate over the
+    * held-out scores; `cutoffsMicro` is config-scale by contract (the
+    * cross join is a literal-array fan-out, never data×data). Ratios
+    * are exact-integer micros via the one fixed-order double expression
+    * both engines evaluate identically.
+    */
+  def cutoffSweep(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      cutoffsMicro: Seq[Long]): DataFrame = {
+    require(cutoffsMicro.nonEmpty, "cutoffSweep needs at least one cutoff")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .crossJoin(cutoffsMicro.toDF("cutoff_micro"))
+      .groupBy("cutoff_micro")
+      .agg(
+        sum(when(col(scoreCol) >= col("cutoff_micro"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col(scoreCol) >= col("cutoff_micro") && col(labelCol), 1L)
+          .otherwise(0L)).as("n_true_pos"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("precision_micro",
+        when(col("n_kept") > 0L,
+          round(col("n_true_pos").cast("double") * lit(1000000.0)
+            / col("n_kept").cast("double")).cast("long")))
+      .withColumn("recall_micro",
+        when(col("n_pos") > 0L,
+          round(col("n_true_pos").cast("double") * lit(1000000.0)
+            / col("n_pos").cast("double")).cast("long")))
+  }
+
+  /** The FREEZE/REFUSE decision — the operator that CONSUMES the
+    * held-out generalization signal instead of leaving it as a number a
+    * human reads: appends to every sweep row the held-out accuracy
+    * (`holdout_acc_micro`, from `correctCol` over the held-out scored
+    * rows) and `freeze_ok` = accuracy ≥ `accFloorMicro`. A pipeline
+    * freezes the weight artifact and gates with the selected cutoff
+    * ONLY when `freeze_ok` — a probe that fits its train slice but
+    * transfers at coin-flip accuracy (the q157 fixture) is refused
+    * here, before it silently curates noise at corpus scale. One
+    * scalar aggregate broadcast onto the config-scale sweep.
+    */
+  def markFreezeDecision(
+      sweep: DataFrame,
+      heldOutScored: DataFrame,
+      correctCol: String,
+      accFloorMicro: Long): DataFrame = {
+    val acc = heldOutScored.agg(
+      round(sum(when(col(correctCol), 1L).otherwise(0L)).cast("double")
+        * lit(1000000.0) / count(lit(1)).cast("double"))
+        .cast("long").as("holdout_acc_micro"))
+    sweep
+      .crossJoin(broadcast(acc))
+      .withColumn("freeze_ok", col("holdout_acc_micro") >= lit(accFloorMicro))
+  }
+
   /** Cutoff AUTO-SELECTION over a calibration sweep — closes the
     * train → calibrate → freeze → gate arc (q145 → q150 → q151): the
     * sweep says what each cutoff buys, this picks one, by the two

@@ -1464,6 +1464,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q157 path:\n$plan")
   }
 
+  test("q160: probe calibration — q151's sweep shape over the held-out checkpoint, " +
+      "plus one scalar accuracy broadcast") {
+    val plan = planOf("q160_probe_calibration")
+    assert(!plan.contains("FileScan"), s"q160 re-scanned the embeddings:\n$plan")
+    // sweep aggregate + the 5-row selection window + the 1-row accuracy
+    // aggregate — every exchange carries cutoff/accuracy scalars, never
+    // scores or codes
+    assert(shuffles(plan) <= 3, s"q160 shuffle budget exceeded:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("codes#") && !exchanged.contains("embedding#"),
+      s"q160 shuffled a payload:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q160 path:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"q160 accuracy scalar did not broadcast:\n$plan")
+  }
+
   test("q159: blocklist — one broadcast probe, corpus side never shuffles") {
     val plan = planOf("q159_domain_blocklist")
     assert(plan.contains("BroadcastHashJoin"), s"blocklist did not broadcast:\n$plan")
