@@ -2482,6 +2482,53 @@ object SparkEntry {
   }
 
 
+  /** Mod-97 (IBAN) checksummed-ID scrub (round 19): [[q155]]'s kernel
+    * pattern extended to the other big checksummed-identifier family
+    * in web text — international bank account numbers, validated by
+    * ISO/IEC 7064 MOD 97-10 before redacting
+    * ([[graft.functions.expressions.Mod97ScrubExpr]], one native
+    * scan). The fixture plants per customer: an IBAN from a 9-entry
+    * rotation (6 checksum-VALID public ISO 13616 examples of lengths
+    * 18-27 — raw and space-grouped print forms — plus 3 IBAN-SHAPED
+    * checksum-INVALID decoys that must be counted `n_rejected` but
+    * left in place), a 20-digit order id (digit-only — no IBAN shape,
+    * untouched; q155's department), and an uppercase product code
+    * whose check-digit positions are letters (shape fails, untouched).
+    * Oracle re-derives candidates with the same maximal
+    * uppercase-alnum-run regex and the mod-97 remainder as a
+    * `list_reduce` fold over the letter-expanded rearranged string
+    * (prototyped: 0 mismatches vs an independent scanner on all 1500
+    * sf0.01 customers). Plan: one codegen scan, zero exchanges.
+    */
+  private def q162_mod97_scrub(s: SparkSession, dir: String): DataFrame = {
+    val iban = element_at(typedLit(q162Ibans), (col("c_custkey") % 9).cast("int") + 1)
+    // the print-grouped form: 4-char groups joined by single spaces —
+    // constructed exactly like the oracle's list_transform/substr loop
+    val grouped = array_join(
+      transform(
+        sequence(lit(0), ((length(iban) + lit(3)) / lit(4)).cast("int") - lit(1)),
+        g => iban.substr(g * lit(4) + lit(1), lit(4))),
+      " ")
+    val synth = concat(
+      lit("acct "), col("c_custkey").cast("string"), lit(" iban "),
+      when(length(iban) % 2 === 0 && col("c_custkey") % 2 === 0, grouped)
+        .otherwise(iban),
+      when(col("c_custkey") % 5 === 0, lit(" order 98765432109876543210"))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 7 === 0, lit(" plan PROJECTX2024PLANB9X"))
+        .otherwise(lit("")),
+      lit(" ref "), (col("c_custkey") * 13).cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.functions.expressions.Mod97ScrubExpr.mod97Scrub(synth).alias("sc"))
+      .select(
+        col("c_custkey"),
+        col("sc.n_ibans").alias("n_ibans"),
+        col("sc.n_rejected").alias("n_rejected"),
+        col("sc.redacted").alias("redacted"))
+  }
+
+
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
     * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
     * the variant-group fixture — whole collision groups whose
@@ -2832,6 +2879,20 @@ object SparkEntry {
     "4111111111111112", "1234567890123456", "9999999999999999")
   private def sqlPanList: String =
     q155Pans.map(p => s"'$p'").mkString("[", ",", "]")
+
+  /** q162's IBAN rotation: 6 mod-97-VALID public example IBANs
+    * (ISO 13616 registry examples, 18-27 chars) + 3 IBAN-shaped
+    * checksum-INVALID decoys (last digit bumped). ONE definition — the
+    * Spark fixture and the DuckDB oracle both read it.
+    */
+  private val q162Ibans = Seq(
+    "GB82WEST12345698765432", "DE89370400440532013000",
+    "FR1420041010050500013M02606", "ES9121000418450200051332",
+    "NL91ABNA0417164300", "IT60X0542811101000000123456",
+    "GB82WEST12345698765433", "DE89370400440532013001",
+    "NL91ABNA0417164301")
+  private def sqlIbanList: String =
+    q162Ibans.map(p => s"'$p'").mkString("[", ",", "]")
 
   private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Pii
@@ -3480,7 +3541,8 @@ object SparkEntry {
     "q157_probe_holdout" -> (q157_probe_holdout _),
     "q158_segment_dedup" -> (q158_segment_dedup _),
     "q159_domain_blocklist" -> (q159_domain_blocklist _),
-    "q160_probe_calibration" -> (q160_probe_calibration _)
+    "q160_probe_calibration" -> (q160_probe_calibration _),
+    "q162_mod97_scrub" -> (q162_mod97_scrub _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6466,6 +6528,52 @@ object SparkEntry {
                  (SELECT holdout_acc_micro FROM acc) AS holdout_acc_micro,
                  (SELECT holdout_acc_micro FROM acc) >= 700000 AS freeze_ok
           FROM keyed""",
+    // q162 = candidates from the same maximal uppercase-alnum-run regex
+    // via the split/extract interleave, shape via one anchored regex,
+    // the mod-97 remainder as a list_reduce fold over the
+    // letter-expanded rearranged string, conditional redaction
+    "q162_mod97_scrub" ->
+      s"""WITH synth AS (
+            SELECT c_custkey,
+              'acct ' || CAST(c_custkey AS VARCHAR) || ' iban ' ||
+              CASE WHEN len($sqlIbanList[CAST(c_custkey % 9 + 1 AS INT)]) % 2 = 0
+                        AND c_custkey % 2 = 0
+                   THEN array_to_string(list_transform(
+                          range(0, (len($sqlIbanList[CAST(c_custkey % 9 + 1 AS INT)]) + 3) // 4),
+                          g -> substr($sqlIbanList[CAST(c_custkey % 9 + 1 AS INT)], CAST(g*4+1 AS INT), 4)), ' ')
+                   ELSE $sqlIbanList[CAST(c_custkey % 9 + 1 AS INT)] END
+              || CASE WHEN c_custkey % 5 = 0 THEN ' order 98765432109876543210' ELSE '' END
+              || CASE WHEN c_custkey % 7 = 0 THEN ' plan PROJECTX2024PLANB9X' ELSE '' END
+              || ' ref ' || CAST(c_custkey * 13 AS VARCHAR) AS s
+            FROM customer),
+          parts AS (SELECT c_custkey, s,
+              regexp_split_to_array(s, '[A-Z0-9](?: ?[A-Z0-9])+') AS segs,
+              regexp_extract_all(s, '[A-Z0-9](?: ?[A-Z0-9])+') AS cands
+            FROM synth),
+          ds AS (SELECT c_custkey, segs, cands,
+              list_transform(list_transform(cands, c -> replace(c, ' ', '')), d ->
+                CASE WHEN regexp_matches(d, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$$') THEN
+                  array_to_string(list_transform(range(1, len(d)+1), i ->
+                    CASE WHEN substr(substr(d,5) || substr(d,1,4), CAST(i AS INT), 1) BETWEEN 'A' AND 'Z'
+                         THEN CAST(ord(substr(substr(d,5) || substr(d,1,4), CAST(i AS INT), 1)) - 55 AS VARCHAR)
+                         ELSE substr(substr(d,5) || substr(d,1,4), CAST(i AS INT), 1) END), '')
+                END) AS exp
+            FROM parts),
+          val AS (SELECT c_custkey, segs, cands,
+              list_transform(exp, e ->
+                CASE WHEN e IS NULL THEN NULL
+                     ELSE list_reduce(
+                       list_transform(range(1, len(e)+1), i -> CAST(substr(e, CAST(i AS INT), 1) AS BIGINT)),
+                       (a, b) -> (a * 10 + b) % 97) = 1 END) AS ok
+            FROM ds)
+          SELECT c_custkey,
+                 CAST(len(list_filter(ok, x -> x)) AS BIGINT) AS n_ibans,
+                 CAST(len(list_filter(ok, x -> x = false)) AS BIGINT) AS n_rejected,
+                 array_to_string(list_transform(range(1, len(segs)+1), i ->
+                   segs[CAST(i AS INT)] || CASE WHEN i <= len(cands) THEN
+                     (CASE WHEN ok[CAST(i AS INT)] THEN '[IBAN]' ELSE cands[CAST(i AS INT)] END)
+                     ELSE '' END), '') AS redacted
+          FROM val""",
     // q155 = candidates from the same maximal digit-run regex via the
     // split/extract interleave, the Luhn sum as pure integer ops,
     // conditional per-candidate redaction

@@ -1504,6 +1504,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q155 path:\n$plan")
   }
 
+  test("q162: mod97 scrub is one native scan — no exchange, no UDF, no regex fallback") {
+    val plan = planOf("q162_mod97_scrub")
+    assert(plan.contains("mod97_scrub"), s"q162 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q162 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q162 path:\n$plan")
+  }
+
   test("q156: profile apply — fps broadcast onto docs, doc side never shuffles, native cut") {
     val plan = planOf("q156_boilerplate_profile")
     assert(plan.contains("cut_segments_by_fp"), s"q156 lost the native kernel:\n$plan")

@@ -261,6 +261,49 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("mod-97 kernel: the ISO 7064 detection guarantees hold on arbitrary IBANs") {
+    import graft.functions.expressions.Mod97ScrubExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    def scrubOne(s: String): (String, Long, Long) = {
+      val r = Mod97ScrubExpr.run(UTF8String.fromString(s))
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+    // independent fold (same public-standard arithmetic, separate code)
+    def mod97(s: String): Int = {
+      var r = 0L
+      (s.substring(4) + s.substring(0, 4)).foreach { c =>
+        r = if (c.isLetter) (r * 100 + (c - 'A' + 10)) % 97
+            else (r * 10 + (c - '0')) % 97
+      }
+      r.toInt
+    }
+    val ibanGen = for {
+      cc <- Gen.listOfN(2, Gen.choose('A', 'Z'))
+      n <- Gen.chooseNum(11, 30)
+      body <- Gen.listOfN(n, Gen.oneOf(Gen.choose('A', 'Z'), Gen.choose('0', '9')))
+    } yield (cc.mkString, body.mkString)
+    check(Prop.forAll(ibanGen) { case (cc, body) =>
+      // construct the valid check digits the ISO 13616 way: place 00,
+      // compute the remainder, check = 98 - r
+      val chk = 98 - mod97(cc + "00" + body)
+      val iban = cc + f"$chk%02d" + body
+      val (red, ibans, rej) = scrubOne(s"to $iban end")
+      val validRedacts = red == "to [IBAN] end" && ibans == 1L && rej == 0L
+
+      // any SINGLE-char substitution must be detected (97 is prime and
+      // every weight is invertible) — corrupted shaped runs count rejected
+      val pos = 4 + (body.length * 13 + chk) % body.length // body only: shape preserved
+      val orig = iban.charAt(pos)
+      val subst =
+        if (orig.isDigit) (((orig - '0') + 1) % 10 + '0').toChar
+        else (((orig - 'A') + 1) % 26 + 'A').toChar
+      val corrupted = iban.updated(pos, subst)
+      val (r2, i2, j2) = scrubOne(s"to $corrupted end")
+      val detected = r2 == s"to $corrupted end" && i2 == 0L && j2 == 1L
+      validRedacts && detected
+    })
+  }
+
   test("cut_segments_by_fp equals the filter-rebuild reference on arbitrary segment mixes") {
     import graft.functions.expressions.CutSegmentsByFpExpr
     import org.apache.spark.sql.catalyst.util.ArrayData
