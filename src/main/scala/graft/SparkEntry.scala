@@ -2482,6 +2482,30 @@ object SparkEntry {
   }
 
 
+  /** Learned mixture weights (round 19): the DoReMi-class operator
+    * between fixed weights (q73) and temperature scaling (q94) — the
+    * round-18 verdict's missing #3. [[graft.operators.Mixture
+    * .learnedMixture]]: per-source weights LEARNED from a per-doc
+    * quality signal (here: word count ≥ 55 — spread 0.28–0.68 across
+    * the 20 fixture sources) by 30 rounds of integer-micro
+    * multiplicative-weights updates with 10% uniform smoothing, then
+    * the q73 availability-capped rate derivation and hash-predicate
+    * resample. The output is the RESAMPLED MIXTURE carrying the whole
+    * learned table per row (n_docs/quality_micro/weight_micro/
+    * n_target/rate_pm), so the oracle hash-checks all 30 trainer
+    * rounds AND the exact membership. Scale shape: one corpus
+    * aggregate → K collected rows (sources are config-scale by
+    * contract) → driver-side trainer → broadcast rates → scan-side
+    * keep predicate; the corpus never shuffles (plan-audited).
+    */
+  private def q161_learned_mixture(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.learnedMixture(
+      Tables.documents(s, dir),
+      "doc_id", "source",
+      positive = size(split(col("text"), " ", -1)) >= 55,
+      budgetPermille = 500, iters = 30, lr = 0.5, epsMicro = 100000L)
+
+
   /** Mod-97 (IBAN) checksummed-ID scrub (round 19): [[q155]]'s kernel
     * pattern extended to the other big checksummed-identifier family
     * in web text — international bank account numbers, validated by
@@ -3542,6 +3566,7 @@ object SparkEntry {
     "q158_segment_dedup" -> (q158_segment_dedup _),
     "q159_domain_blocklist" -> (q159_domain_blocklist _),
     "q160_probe_calibration" -> (q160_probe_calibration _),
+    "q161_learned_mixture" -> (q161_learned_mixture _),
     "q162_mod97_scrub" -> (q162_mod97_scrub _)
   )
 
@@ -3788,6 +3813,65 @@ object SparkEntry {
                (z >= 0) = (y = 1) AS correct$isTrain
         FROM (SELECT c.vec_id, any_value(c.y) AS y, CAST(sum(c.c * w.w) AS BIGINT) AS z
               FROM cd c JOIN w$iters w ON c.j = w.feat GROUP BY c.vec_id)"""
+  }
+
+  /** The q161 mixture-weights trainer replayed in DuckDB — the
+    * [[graft.operators.Mixture]] multiplicative-weights chain: one
+    * per-source signal CTE, then per round a weighted-average CTE, a
+    * multiplicative-step CTE, a renormalize CTE, and a smoothing CTE —
+    * every quantity the same integer micros / fixed-order double ops
+    * the driver-side trainer executes (prototyped bit-for-bit), then
+    * the q73 rate/hash-predicate resample over the learned weights.
+    */
+  private def sqlMixtureOracle(
+      iters: Int, lr: String, epsMicro: Long, budgetPermille: Int,
+      signalSql: String): String = {
+    val keep = 1000000L - epsMicro
+    val base =
+      s"""src AS MATERIALIZED (
+            SELECT source, count(*) AS n,
+                   CAST(round(CAST(sum(CASE WHEN $signalSql THEN 1 ELSE 0 END) AS DOUBLE)
+                     * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS q
+            FROM documents WHERE source IS NOT NULL GROUP BY source),
+          k AS (SELECT count(*) AS k,
+                       CAST(round($epsMicro / CAST(count(*) AS DOUBLE)) AS BIGINT) AS eps_per
+                FROM src),
+          w0 AS (SELECT source,
+                        CAST(round(1000000.0 / CAST((SELECT k FROM k) AS DOUBLE)) AS BIGINT) AS w
+                 FROM src)"""
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""a$t AS (SELECT CAST(round(CAST(sum(w.w * s.q) AS DOUBLE)
+                    / CAST(sum(w.w) AS DOUBLE)) AS BIGINT) AS avg
+                  FROM w$p w JOIN src s USING (source)),
+          r$t AS MATERIALIZED (SELECT w.source,
+                    CAST(round(CAST(w.w AS DOUBLE)
+                      * CAST(1000000 + CAST(round($lr * CAST(s.q - (SELECT avg FROM a$t) AS DOUBLE)) AS BIGINT) AS DOUBLE)
+                      / 1000000.0) AS BIGINT) AS w
+                  FROM w$p w JOIN src s USING (source)),
+          n$t AS (SELECT source,
+                    CAST(round(CAST(w AS DOUBLE) * 1000000.0
+                      / CAST((SELECT sum(w) FROM r$t) AS DOUBLE)) AS BIGINT) AS w
+                  FROM r$t),
+          w$t AS MATERIALIZED (SELECT source,
+                    CAST(round(CAST(w AS DOUBLE) * CAST($keep AS DOUBLE) / 1000000.0) AS BIGINT)
+                      + (SELECT eps_per FROM k) AS w
+                  FROM n$t)"""
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")},
+        mixtarget AS (
+          SELECT s.source, s.n, s.q, w.w,
+                 CAST(round(CAST((SELECT sum(n) FROM src) * $budgetPermille // 1000 AS DOUBLE)
+                   * CAST(w.w AS DOUBLE) / 1000000.0) AS BIGINT) AS n_target
+          FROM src s JOIN w$iters w USING (source)),
+        mixrate AS (SELECT source, n AS n_docs, q AS quality_micro, w AS weight_micro,
+                      n_target,
+                      least(1000, n_target * 1000 // n) AS rate_pm
+               FROM mixtarget)
+        SELECT d.source, d.doc_id, r.n_docs, r.quality_micro, r.weight_micro,
+               r.n_target, CAST(r.rate_pm AS BIGINT) AS rate_pm
+        FROM documents d JOIN mixrate r ON d.source = r.source
+        WHERE ${sqlMd5h60("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_pm"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6528,6 +6612,13 @@ object SparkEntry {
                  (SELECT holdout_acc_micro FROM acc) AS holdout_acc_micro,
                  (SELECT holdout_acc_micro FROM acc) >= 700000 AS freeze_ok
           FROM keyed""",
+    // q161 = the multiplicative-weights trainer replayed round-by-round
+    // (weighted avg -> step -> renormalize -> smooth, all integer
+    // micros), then the q73 rate/hash resample — see sqlMixtureOracle
+    "q161_learned_mixture" ->
+      sqlMixtureOracle(iters = 30, lr = "0.5", epsMicro = 100000L,
+        budgetPermille = 500,
+        signalSql = "len(string_split(text, ' ')) >= 55"),
     // q162 = candidates from the same maximal uppercase-alnum-run regex
     // via the split/extract interleave, shape via one anchored regex,
     // the mod-97 remainder as a list_reduce fold over the

@@ -1504,6 +1504,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q155 path:\n$plan")
   }
 
+  test("q161: learned mixture — rates broadcast onto the corpus scan, zero shuffles") {
+    val plan = planOf("q161_learned_mixture")
+    // the trainer ran driver-side during construction (one aggregate,
+    // collected K source rows); the RETURNED plan is the resample:
+    // scan -> broadcast rate join -> scan-side hash keep predicate
+    assert(plan.contains("BroadcastHashJoin"), s"q161 rates did not broadcast:\n$plan")
+    assert(shuffles(plan) == 0, s"q161 corpus side shuffled:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q161 path:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q161 went quadratic:\n$plan")
+  }
+
   test("q162: mod97 scrub is one native scan — no exchange, no UDF, no regex fallback") {
     val plan = planOf("q162_mod97_scrub")
     assert(plan.contains("mod97_scrub"), s"q162 lost the native kernel:\n$plan")
