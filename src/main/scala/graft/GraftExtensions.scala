@@ -251,6 +251,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.expressions.CutSegmentsByFpExpr].getName,
           "cut_segments_by_fp"),
         GraftFunctions.cutSegmentsByFpBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("bq_codes"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.BqCodesExpr].getName, "bq_codes"),
+        GraftFunctions.bqCodesBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("secret_scrub"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.SecretScrubExpr].getName,
+          "secret_scrub"),
+        GraftFunctions.secretScrubBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("c4_clean"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.C4CleanExpr].getName, "c4_clean"),
+        GraftFunctions.c4CleanBuilder))
   }
 }
 
@@ -461,6 +480,18 @@ object GraftFunctions {
       exprs.head, exprs(1), strLit(exprs(2), "cut_segments_by_fp delim"))
   }
 
+  private[graft] def bqCodesBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.BqCodesExpr(
+      arity(exprs, 1, "bq_codes(vec)").head)
+
+  private[graft] def secretScrubBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.SecretScrubExpr(
+      arity(exprs, 1, "secret_scrub(text)").head)
+
+  private[graft] def c4CleanBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.C4CleanExpr(
+      arity(exprs, 1, "c4_clean(text)").head)
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -501,5 +532,8 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "int8_codes", int8CodesBuilder)
     Bridge.registerTempFunction(spark, "cut_segments_by_fp", cutSegmentsByFpBuilder)
     Bridge.registerTempFunction(spark, "dedup_segments", dedupSegmentsBuilder)
+    Bridge.registerTempFunction(spark, "bq_codes", bqCodesBuilder)
+    Bridge.registerTempFunction(spark, "secret_scrub", secretScrubBuilder)
+    Bridge.registerTempFunction(spark, "c4_clean", c4CleanBuilder)
   }
 }

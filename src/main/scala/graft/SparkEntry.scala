@@ -2553,6 +2553,119 @@ object SparkEntry {
   }
 
 
+  /** Binary (1-bit) quantized Hamming top-k (round 19): the COARSEST
+    * rung of the vector storage ladder — float32 (exact) → SQ8 (q136,
+    * 4×) → PQ (q79, ~16×) → BQ (this, 32×): each float keeps only its
+    * SIGN bit, packed 64 per BIGINT word, and similarity is HAMMING
+    * distance — one XOR + popcount per word, the cheapest
+    * candidate-generation arithmetic there is
+    * ([[graft.functions.expressions.BinaryQuantExprs]], one fused
+    * codegen pass per row, no word array ever materialized). Exact
+    * float cosine rides along from the SAME scan so sign-agreement vs
+    * true similarity is auditable row-by-row (the q136 discipline);
+    * the production shape re-ranks the Hamming candidates exactly
+    * inside the plan ([[graft.operators.Similarity.bqTopK]] rerank
+    * mode — spec-pinned ≡ brute force at full depth). The oracle
+    * counts sign mismatches POSITIONALLY (`(x > 0) <> (q > 0)` per
+    * element) — provably the packed XOR popcount, exact integer
+    * arithmetic both engines share; the packing itself is pinned by
+    * `BinaryQuantSpec`'s local-twin and fused≡stored parity tests.
+    */
+  private def q163_bq_topk(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    Similarity.bqTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 20)
+  }
+
+
+  /** Entropy-validated secret scrub (round 19): the third member of
+    * the checksum/validation redaction family — q64 pattern PII, q155
+    * Luhn cards, q162 mod-97 IBANs, and now API keys/tokens, which
+    * carry no check digit, so the validator is SHANNON ENTROPY (the
+    * detect-secrets recipe on this library's fixed-point rules):
+    * maximal base64-charset runs ≥ 20 chars whose per-candidate
+    * unigram character entropy — the q133 per-term micro-nat rounding,
+    * exact integer sum — reaches 3.0 nats redact to `[SECRET]`;
+    * low-entropy candidates (padding, patterns, long English
+    * compounds) are counted but left in place
+    * ([[graft.functions.expressions.SecretScrubExpr]], one native
+    * scan, zero exchanges). The fixture plants per customer: a token
+    * from an 8-entry rotation (5 high-entropy 39-40-char keys at
+    * 3.66-3.69 nats, 3 candidate-length low-entropy decoys at
+    * 0/1.10/2.45 nats), plus a period-3 blob (c_custkey % 5) and a
+    * short high-entropy fragment (% 7) that is NOT a candidate (11
+    * chars). Oracle: the q155 split/extract interleave + the q133
+    * entropy arithmetic per candidate.
+    */
+  private def q164_secret_scrub(s: SparkSession, dir: String): DataFrame = {
+    val tok = element_at(typedLit(q164Tokens), (col("c_custkey") % 8).cast("int") + 1)
+    val synth = concat(
+      lit("user "), col("c_custkey").cast("string"),
+      lit(" key "), tok,
+      when(col("c_custkey") % 5 === 0,
+        lit(" blob abcabcabcabcabcabcabcabcabcabc")).otherwise(lit("")),
+      when(col("c_custkey") % 7 === 0, lit(" tmp xK9/q2Zp+Aw")).otherwise(lit("")),
+      lit(" end"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.functions.expressions.SecretScrubExpr.secretScrub(synth).alias("sc"))
+      .select(
+        col("c_custkey"),
+        col("sc.redacted").alias("redacted"),
+        col("sc.n_secrets").alias("n_secrets"),
+        col("sc.n_candidates").alias("n_candidates"),
+        col("sc.max_ent_micro").alias("max_ent_micro"))
+  }
+
+
+  /** C4 line-level cleaning (round 19): the Raffel et al. 2020 §2.2
+    * recipe — the SALVAGE member of the quality family (q137's Gopher
+    * gate judges whole documents; this drops a page's boilerplate
+    * LINES and keeps the prose). Line rules: terminal punctuation
+    * (`.`/`!`/`?`/`"`), ≥ 5 words, no "javascript" (case-insensitive);
+    * page vetoes: `{` and "lorem ipsum" ride along as audit columns
+    * ([[graft.operators.QualityPrune.c4Clean]], native `c4_clean` —
+    * one scan pass, no exchange, no UDF; `keepByC4` is the
+    * streaming-composable enforcement form). The fixture wraps every
+    * document in a deterministic page (the q121 discipline): a
+    * guaranteed-kept sentence, a JavaScript boilerplate line (doc_id
+    * % 7), a lorem-ipsum line (% 11 — kept as a LINE but vetoing the
+    * PAGE), a brace code line (% 13), a no-terminal-punct nav line, a
+    * under-5-words line, a parity-gated second sentence, and a
+    * text-derived tail line — so n_kept spans 1-4 and `keep`
+    * discriminates. Oracle replays the same page construction and the
+    * same rules as list/string arithmetic over the identical split.
+    */
+  private def q165_c4_clean(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val page = concat(
+      lit("The quick brown fox jumps over the lazy dog."), nl,
+      when(col("doc_id") % 7 === 0,
+        concat(lit("Please enable JavaScript to view this page."), nl))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."), nl))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("function f() { return 1; }"), nl)).otherwise(lit("")),
+      lit("Home About Contact Privacy Terms"), nl,
+      lit("Too short."), nl,
+      when(col("doc_id") % 2 === 0,
+        concat(lit("This second sentence certainly has enough words to survive."), nl))
+        .otherwise(lit("")),
+      substring(col("text"), 1, 60), lit(" tail words end here."))
+    operators.QualityPrune.c4Clean(
+        Tables.documents(s, dir).select(col("doc_id"), page.alias("page")),
+        "page", minWords = 5, minKeptLines = 3)
+      .select("doc_id", "n_lines", "n_kept", "clean_text",
+        "has_brace", "has_lorem", "keep")
+  }
+
+
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
     * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
     * the variant-group fixture — whole collision groups whose
@@ -2917,6 +3030,26 @@ object SparkEntry {
     "NL91ABNA0417164301")
   private def sqlIbanList: String =
     q162Ibans.map(p => s"'$p'").mkString("[", ",", "]")
+
+  /** q164's rotation: 5 high-entropy base64-class keys (39-40 chars
+    * over 30+ distinct symbols — 3,663,543-3,688,880 µnats, above the
+    * 3,000,000 threshold) + 3 candidate-LENGTH low-entropy decoys
+    * (repeated-char padding = 0, a period-3 pattern = 1,098,612, a
+    * 45-char English compound = 2,446,493 µnats) that must be counted
+    * `n_candidates` but left in place. Values verified against the
+    * fixed-point entropy rule before wiring.
+    */
+  private val q164Tokens = Seq(
+    "sk9Sx2Qw7Lm4Yd0Vt6Hb1Jn8Rc3Zf5Ka+pE/uGi",
+    "A7qT2wX9eK4rP0sLzV6yB1nM8cJ3fD5hgU+iO/=",
+    "Qm5vZ8aR1tY6uI3oP9dF2gH7jK4lS0xWcnEbM+/",
+    "zX3cV7bN1mQ5wE9rT2yU6iO0pA4sD8fGhJkL+=/",
+    "9fK2mP7qR4tW1xZ6cV3bN8jH5gL0sDyEuoAi+a/=",
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+    "abcabcabcabcabcabcabcabcabcabc",
+    "Pneumonoultramicroscopicsilicovolcanoconiosis")
+  private def sqlSecretList: String =
+    q164Tokens.map(p => s"'$p'").mkString("[", ",", "]")
 
   private def q64_pii_scrub(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Pii
@@ -3567,7 +3700,10 @@ object SparkEntry {
     "q159_domain_blocklist" -> (q159_domain_blocklist _),
     "q160_probe_calibration" -> (q160_probe_calibration _),
     "q161_learned_mixture" -> (q161_learned_mixture _),
-    "q162_mod97_scrub" -> (q162_mod97_scrub _)
+    "q162_mod97_scrub" -> (q162_mod97_scrub _),
+    "q163_bq_topk" -> (q163_bq_topk _),
+    "q164_secret_scrub" -> (q164_secret_scrub _),
+    "q165_c4_clean" -> (q165_c4_clean _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6708,6 +6844,107 @@ object SparkEntry {
                    segs[CAST(i AS INT)] || CASE WHEN i <= len(cands) THEN
                      (CASE WHEN ok[CAST(i AS INT)] THEN '[CARD]' ELSE cands[CAST(i AS INT)] END)
                      ELSE '' END), '') AS redacted
-          FROM val"""
+          FROM val""",
+    // q163 = Hamming distance counted POSITIONALLY as sign mismatches
+    // ((x > 0) <> (q > 0) per element) — provably the packed XOR
+    // popcount; exact cosine rides along from the q136 fragments
+    "q163_bq_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+                 CAST(len(list_filter(list_zip(embedding, qv),
+                   p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS ham,
+                 ${sqlCos("embedding", "qv")} AS cos
+          FROM embeddings, q
+          ORDER BY ham ASC, vec_id ASC LIMIT 20""",
+    // q164 = candidates from the same maximal base64-run regex via the
+    // q155 split/extract interleave, per-candidate entropy as the q133
+    // per-term micro-nat rounding (exact BIGINT sum), conditional
+    // per-candidate redaction at the 3,000,000 µnat threshold
+    "q164_secret_scrub" ->
+      s"""WITH synth AS (
+            SELECT c_custkey,
+              'user ' || CAST(c_custkey AS VARCHAR) || ' key '
+              || $sqlSecretList[CAST(c_custkey % 8 + 1 AS INT)]
+              || CASE WHEN c_custkey % 5 = 0
+                      THEN ' blob abcabcabcabcabcabcabcabcabcabc' ELSE '' END
+              || CASE WHEN c_custkey % 7 = 0 THEN ' tmp xK9/q2Zp+Aw' ELSE '' END
+              || ' end' AS s
+            FROM customer),
+          parts AS (SELECT c_custkey, s,
+              regexp_split_to_array(s, '[A-Za-z0-9+/=]{20,}') AS segs,
+              regexp_extract_all(s, '[A-Za-z0-9+/=]{20,}') AS cands
+            FROM synth),
+          run AS (SELECT c_custkey, unnest(range(1, len(cands)+1)) AS i, cands
+                  FROM parts),
+          rn AS (SELECT c_custkey, i, cands[CAST(i AS INT)] AS run FROM run),
+          ch AS (SELECT c_custkey, i, unnest(string_split(run, '')) AS c FROM rn),
+          f AS (SELECT c_custkey, i, c, count(*) AS cnt
+                FROM ch GROUP BY c_custkey, i, c),
+          nn AS (SELECT c_custkey, i, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM f GROUP BY c_custkey, i),
+          e AS (SELECT f.c_custkey, f.i,
+                  CAST(sum(CAST(round(
+                    1000000 * (CAST(cnt AS DOUBLE) / nn.n) *
+                    ln(CAST(nn.n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS ent
+                FROM f JOIN nn USING (c_custkey, i)
+                GROUP BY f.c_custkey, f.i),
+          lst AS (SELECT c_custkey,
+                    list(ent >= 3000000 ORDER BY i) AS hits,
+                    list(ent ORDER BY i) AS ents
+                  FROM e GROUP BY c_custkey)
+          SELECT p.c_custkey,
+                 array_to_string(list_transform(range(1, len(segs)+1), j ->
+                   segs[CAST(j AS INT)] || CASE WHEN j <= len(cands) THEN
+                     (CASE WHEN hits[CAST(j AS INT)] THEN '[SECRET]'
+                           ELSE cands[CAST(j AS INT)] END)
+                     ELSE '' END), '') AS redacted,
+                 CAST(coalesce(len(list_filter(hits, x -> x)), 0) AS BIGINT)
+                   AS n_secrets,
+                 CAST(len(cands) AS BIGINT) AS n_candidates,
+                 CAST(coalesce(list_max(ents), 0) AS BIGINT) AS max_ent_micro
+          FROM parts p LEFT JOIN lst USING (c_custkey)""",
+    // q165 = the same page construction (|| propagates NULL text like
+    // Spark's concat), then the C4 line rules as list/string
+    // arithmetic over the identical chr(10) split
+    "q165_c4_clean" ->
+      """WITH d AS (
+           SELECT doc_id,
+             'The quick brown fox jumps over the lazy dog.' || chr(10)
+             || CASE WHEN doc_id % 7 = 0
+                     THEN 'Please enable JavaScript to view this page.' || chr(10)
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.' || chr(10)
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN 'function f() { return 1; }' || chr(10) ELSE '' END
+             || 'Home About Contact Privacy Terms' || chr(10)
+             || 'Too short.' || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'This second sentence certainly has enough words to survive.' || chr(10)
+                     ELSE '' END
+             || substr(text, 1, 60) || ' tail words end here.' AS page
+           FROM documents),
+          ln AS (SELECT doc_id, page,
+                   list_transform(string_split(page, chr(10)),
+                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
+                 FROM d),
+          k AS (SELECT doc_id, page, ls,
+                  list_filter(ls, l ->
+                    length(l) > 0
+                    AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                    AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
+                          w -> w <> '')) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+                FROM ln)
+          SELECT doc_id,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept,
+                 array_to_string(kept, chr(10)) AS clean_text,
+                 contains(page, '{') AS has_brace,
+                 contains(lower(page), 'lorem ipsum') AS has_lorem,
+                 (len(kept) >= 3 AND NOT contains(page, '{')
+                   AND NOT contains(lower(page), 'lorem ipsum')) AS keep
+          FROM k"""
   )
 }

@@ -191,4 +191,52 @@ object QualityPrune {
       maxSymbolRatio).map(_._2).reduce(_ && _)
     docs.filter(coalesce(pass, lit(false)))
   }
+
+  /** The C4 line-level cleaning rules (Raffel et al. 2020 §2.2) — the
+    * SALVAGE member of the quality family: where [[gopherGate]] judges
+    * a whole document, this drops its boilerplate LINES (no terminal
+    * punctuation / under `minWords` words / "javascript" boilerplate)
+    * and keeps the prose, with the paper's page-level vetoes (`{`,
+    * "lorem ipsum") riding along as audit columns. One native
+    * `c4_clean` scan pass ([[graft.functions.expressions.C4CleanExpr]]),
+    * no shuffle, no UDF — the auditable form: every input row +
+    * `clean_text`/`n_lines`/`n_kept`/`has_brace`/`has_lorem`/`keep`.
+    */
+  def c4Clean(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Int = 5,
+      minKeptLines: Int = 3): DataFrame = {
+    val c = graft.functions.expressions.C4CleanExpr
+      .c4Clean(col(textCol), minWords, minKeptLines)
+    docs
+      .withColumn("__c4", c)
+      .withColumn("clean_text", col("__c4.clean_text"))
+      .withColumn("n_lines", col("__c4.n_lines"))
+      .withColumn("n_kept", col("__c4.n_kept"))
+      .withColumn("has_brace", col("__c4.has_brace"))
+      .withColumn("has_lorem", col("__c4.has_lorem"))
+      .withColumn("keep", col("__c4.keep"))
+      .drop("__c4")
+  }
+
+  /** [[c4Clean]]'s enforcement form: surviving pages only, their
+    * `textCol` REPLACED by the cleaned line-joined text — the
+    * stateless projection+filter shape that chains in front of any
+    * streaming ingest (the [[keepByGopher]] composition rule). Null
+    * text fails closed.
+    */
+  def keepByC4(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Int = 5,
+      minKeptLines: Int = 3): DataFrame = {
+    val c = graft.functions.expressions.C4CleanExpr
+      .c4Clean(col(textCol), minWords, minKeptLines)
+    docs
+      .withColumn("__c4", c)
+      .filter(coalesce(col("__c4.keep"), lit(false)))
+      .withColumn(textCol, col("__c4.clean_text"))
+      .drop("__c4")
+  }
 }

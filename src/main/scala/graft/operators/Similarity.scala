@@ -163,6 +163,84 @@ object Similarity {
       .limit(k)
   }
 
+  // --- binary (1-bit) quantization (BQ) --------------------------------------
+
+  /** The binary-codes artifact: `(id, codes ARRAY<BIGINT>)` — sign
+    * bits packed 64 per word, 32× smaller than float32. The coarsest
+    * rung of the storage ladder (float32 → SQ8 → PQ → BQ); similarity
+    * over the codes is HAMMING distance (XOR + popcount — see
+    * [[graft.functions.expressions.BinaryQuantExprs]]), so BQ is the
+    * candidate-generation tier: scan the codes, take the Hamming
+    * top-`rerank`, re-rank the bounded survivors exactly. Persist
+    * partitioned like any embedding table; [[bqTopKFromCodes]] is the
+    * read path.
+    */
+  def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      graft.functions.expressions.BinaryQuantExprs.bqCodes(col(vecCol)).alias("codes"))
+
+  /** Top-k by HAMMING distance between sign bits, fused: one codegen
+    * pass per row packs the float vector on the fly and XOR/popcounts
+    * it against the driver-packed query — no word array materializes,
+    * and the cut is a TakeOrdered of (id, long). With `rerank = 0`
+    * the exact float cosine rides along from the SAME scan so
+    * sign-agreement vs true similarity is auditable row-by-row; with
+    * `rerank > 0` the top `rerank` Hamming candidates re-rank by exact
+    * cosine INSIDE the plan (the candidate TakeOrdered carries the
+    * vector column, bounded by `rerank` — the [[ivfSq8TopK]] recipe,
+    * no join, no second corpus pass), which is the production BQ
+    * shape: 1-bit scan, exact tail.
+    */
+  def bqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    val qw = graft.functions.expressions.BinaryQuantExprs.packLocal(query)
+    if (rerank <= 0)
+      withCosine(emb, vecCol, query.map(_.toDouble).toSeq)
+        .select(
+          col(idCol),
+          graft.functions.expressions.BinaryQuantExprs
+            .bqHamming(col(vecCol), qw).alias("ham"),
+          col("cos"))
+        .orderBy(col("ham").asc, col(idCol).asc)
+        .limit(k)
+    else {
+      val cand = emb
+        .select(col(idCol), col(vecCol),
+          graft.functions.expressions.BinaryQuantExprs
+            .bqHamming(col(vecCol), qw).alias("ham"))
+        .orderBy(col("ham").asc, col(idCol).asc)
+        .limit(math.max(rerank, k))
+      bruteForceTopK(cand, idCol, vecCol, query.map(_.toDouble).toSeq, k)
+    }
+  }
+
+  /** [[bqTopK]] over a PERSISTED binary-codes table (the artifact read
+    * path — pure XOR/popcount, no float vector ever loaded; follow
+    * with an exact re-rank join against the float table when recall
+    * matters).
+    */
+  def bqTopKFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      codesCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val qw = graft.functions.expressions.BinaryQuantExprs.packLocal(query)
+    codes
+      .select(
+        col(idCol),
+        graft.functions.expressions.BinaryQuantExprs
+          .bqHammingCodes(col(codesCol), qw).alias("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into `nLists` cells; a query probes only the `nProbe` cells whose
     * centroids are nearest, scanning ≈ `nProbe/nLists` of the data. The

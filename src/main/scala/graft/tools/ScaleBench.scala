@@ -299,7 +299,13 @@ object ScaleBench {
     "q158_segment_dedup",
     // round-18: domain blocklist — one broadcast probe over the scan;
     // the q148 scan-linearity claim with a join instead of kernels
-    "q159_domain_blocklist")
+    "q159_domain_blocklist",
+    // round-19: binary-quantized Hamming top-k — one fused scan into a
+    // TakeOrdered heap over scaled embeddings; pure scan linearity
+    "q163_bq_topk",
+    // round-19: C4 line cleaner — one native scan over the wrapped
+    // scaled documents; the q158/q121 scan-linearity claim
+    "q165_c4_clean")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.
@@ -421,7 +427,16 @@ object ScaleBench {
         .select(col("doc_id"),
           graft.functions.expressions.LuhnScrubExpr.luhnScrub(col("text")).as("s"))
         .select(col("doc_id"), col("s.n_cards"), col("s.n_rejected"),
-          length(col("s.redacted")).as("n_chars"))))
+          length(col("s.redacted")).as("n_chars"))),
+    // round-19: the secret-scrub kernel over scaled documents text (the
+    // q164 registry query reads `customer`, which the derived corpus
+    // does not scale — the q155/luhn precedent)
+    "secret_scrub(docs)" -> ((dir: String) =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.expressions.SecretScrubExpr.secretScrub(col("text")).as("s"))
+        .select(col("doc_id"), col("s.n_secrets"), col("s.n_candidates"),
+          col("s.max_ent_micro"), length(col("s.redacted")).as("n_chars"))))
 
   private def bpeFormQueries(
       spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(

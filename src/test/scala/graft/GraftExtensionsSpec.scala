@@ -453,4 +453,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("delim"), err.getMessage)
   }
+
+  test("round-19 natives callable from SQL: bq_codes, secret_scrub, c4_clean") {
+    GraftFunctions.register(spark)
+    val codes = spark.sql(
+      "SELECT bq_codes(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS c")
+      .as[Seq[Long]].head()
+    assert(codes === Seq(5L)) // bits 0 and 2 (strict sign test)
+    val scrub = spark.sql(
+      "SELECT secret_scrub('key sk9Sx2Qw7Lm4Yd0Vt6Hb1Jn8Rc3Zf5Ka+pE/uGi x') AS s")
+      .selectExpr("s.redacted", "s.n_secrets")
+      .as[(String, Long)].head()
+    assert(scrub === (("key [SECRET] x", 1L)))
+    val c4 = spark.sql(
+      "SELECT c4_clean('A sentence with enough words to pass.' || chr(10) || 'nav') AS c")
+      .selectExpr("c.clean_text", "c.n_kept", "c.keep")
+      .as[(String, Long, Boolean)].head()
+    assert(c4 === (("A sentence with enough words to pass.", 1L, false)))
+  }
 }

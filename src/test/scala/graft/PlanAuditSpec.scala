@@ -1522,6 +1522,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q162 path:\n$plan")
   }
 
+  test("q163: BQ hamming top-k — one fused scan into a TakeOrdered heap, zero exchanges") {
+    val plan = planOf("q163_bq_topk")
+    assert(plan.contains("bq_hamming"), s"q163 lost the fused native kernel:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"q163 cut is not a top-k heap:\n$plan")
+    assert(shuffles(plan) == 0, s"q163 is scan + heap, no exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q163 path:\n$plan")
+    // the word array must never materialize: no bq_codes in the plan
+    assert(!plan.contains("bq_codes"), s"q163 materialized the code array:\n$plan")
+  }
+
+  test("q164: secret scrub is one native scan — no exchange, no UDF, no regex fallback") {
+    val plan = planOf("q164_secret_scrub")
+    assert(plan.contains("secret_scrub"), s"q164 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q164 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q164 path:\n$plan")
+  }
+
+  test("q165: c4 clean is one native scan — no exchange, no UDF, no HOF chain") {
+    val plan = planOf("q165_c4_clean")
+    assert(plan.contains("c4_clean"), s"q165 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q165 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q165 path:\n$plan")
+    // the CDC lesson: line logic must be the kernel, not interpreted
+    // higher-order functions re-deriving filters per element
+    assert(!plan.contains("ArrayFilter"), s"interpreted HOF on the q165 path:\n$plan")
+  }
+
   test("q156: profile apply — fps broadcast onto docs, doc side never shuffles, native cut") {
     val plan = planOf("q156_boilerplate_profile")
     assert(plan.contains("cut_segments_by_fp"), s"q156 lost the native kernel:\n$plan")
