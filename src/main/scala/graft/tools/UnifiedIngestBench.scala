@@ -39,7 +39,15 @@ import scala.collection.mutable
   * real deployment runs concurrently, not tiers in isolation;
   * SPARK_GRAFT_UB_CLSGATE=1 additionally swaps the rule gate for the
   * trained classifier gate — the frozen q145 artifact applied via
-  * `keepByScore` — to price the learned gate at the same position).
+  * `keepByScore` — to price the learned gate at the same position.
+  * Front-door stages, each opt-in and chained in the batch
+  * PipelineBench order blocklist → quota → boilerplate → gate:
+  * SPARK_GRAFT_UB_BLOCK=1 fronts the whole composition with the
+  * domain blocklist (`UrlFilter.keepAllowed`; listed-domain docs
+  * never reach the quota, the gate, any dedup state, or any observer
+  * — leak-checked against the final card/shard state after each
+  * run), SPARK_GRAFT_UB_QUOTA=1 the per-domain admission quota,
+  * SPARK_GRAFT_UB_BOILER=1 the frozen boilerplate profile).
   */
 object UnifiedIngestBench {
   def main(args: Array[String]): Unit = {
@@ -222,7 +230,32 @@ object UnifiedIngestBench {
       val timer = (tier: String, sec: Double) => agg.synchronized { agg(tier) += sec }
       val trg = Trigger.ProcessingTime("0 seconds")
 
-      val src = input.toDF().toDF("doc_id", "text", "embedding")
+      val src0 = input.toDF().toDF("doc_id", "text", "embedding")
+      // SPARK_GRAFT_UB_BLOCK=1 chains the domain BLOCKLIST in front of
+      // EVERYTHING (the PipelineBench front-door order, streamed): every
+      // doc carries a registrable domain b{doc_id % 4}.example, the
+      // 1-entry list blocks b3.example, and UrlFilter.keepAllowed drops
+      // the listed quarter BEFORE the quota, the gate, the dedup state,
+      // and every observer — a stateless broadcast anti-probe, so it
+      // composes into each streaming query like the boilerplate stage.
+      // Because the blocked domain is exactly the doc_id % 4 == 3 slice
+      // and the observers' source column is s{doc_id % 4}, "listed docs
+      // never reach any observer" is checkable from the final state:
+      // the DataCard must hold ZERO s3 docs and the packed shards zero
+      // doc_id % 4 == 3 rows (printed after each run).
+      val blockOn = sys.env.get("SPARK_GRAFT_UB_BLOCK").contains("1")
+      val src =
+        if (blockOn) {
+          val bl = Seq("b3.example").toDF("domain")
+          graft.operators.UrlFilter.keepAllowed(
+              src0.withColumn("domain",
+                concat(lit("b"), pmod(col("doc_id"), lit(4)), lit(".example"))),
+              "domain", bl)
+            .drop("domain")
+        } else src0
+      if (blockOn && batchSize == 2500)
+        println("[composed] blocklist = 1 domain (b3.example) fronting every query; " +
+          "drops the doc_id % 4 == 3 quarter")
       // SPARK_GRAFT_UB_QUOTA=1 chains the per-domain admission quota IN
       // FRONT of the gate (the PipelineBench front-door order, streamed):
       // a planted hot-domain flood — HALF the stream under one domain —
@@ -327,12 +360,25 @@ object UnifiedIngestBench {
       queries.foreach(_._2.stop())
       val kept = graft.streaming.DataCard
         .card(spark, sink, "card", 256)
-        .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
       val rate = nBatches.toLong * batchSize / sec
       val keptFrac = kept.toDouble / (nBatches.toLong * batchSize + 1000)
       println(f"$batchSize%8d $nBatches%7d $rate%8.0f $keptFrac%6.2f  " +
         (tiers.map(t => f"${agg(t) / nBatches}%8.2f") ++
           qNames.drop(1).map(n => f"${perQ(n) / nBatches}%8.2f")).mkString(" "))
+      if (blockOn) {
+        // leak check: listed-domain docs must be absent from EVERY
+        // downstream state — the card's per-source counts (s3 = the
+        // blocked quarter) and the packed-shard parquet (doc ids)
+        val cardLeak = graft.streaming.DataCard.card(spark, sink, "card", 256)
+          .filter(col("source") === "s3")
+          .agg(coalesce(org.apache.spark.sql.functions.sum("n_docs"), lit(0L)))
+          .head().getLong(0)
+        val packLeak = spark.read.parquet(s"$root/packed")
+          .filter(pmod(col("doc_id"), lit(4)) === 3).count()
+        println(s"[composed] blocklist leak check: card s3 docs = $cardLeak, " +
+          s"packed doc_id%4==3 rows = $packLeak (contract: 0, 0)")
+      }
     }
   }
 }
