@@ -270,6 +270,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[graft.functions.expressions.C4CleanExpr].getName, "c4_clean"),
         GraftFunctions.c4CleanBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("script_stats"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.ScriptStatsExpr].getName,
+          "script_stats"),
+        GraftFunctions.scriptStatsBuilder))
   }
 }
 
@@ -492,6 +499,10 @@ object GraftFunctions {
     graft.functions.expressions.C4CleanExpr(
       arity(exprs, 1, "c4_clean(text)").head)
 
+  private[graft] def scriptStatsBuilder: Seq[Expr] => Expr = exprs =>
+    graft.functions.expressions.ScriptStatsExpr(
+      arity(exprs, 1, "script_stats(text)").head)
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -535,5 +546,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "bq_codes", bqCodesBuilder)
     Bridge.registerTempFunction(spark, "secret_scrub", secretScrubBuilder)
     Bridge.registerTempFunction(spark, "c4_clean", c4CleanBuilder)
+    Bridge.registerTempFunction(spark, "script_stats", scriptStatsBuilder)
   }
 }

@@ -2666,6 +2666,91 @@ object SparkEntry {
   }
 
 
+  /** BQ candidate-generation + exact re-rank (round 19): q163's
+    * PRODUCTION shape oracle-checked end-to-end — the Hamming top-200
+    * candidates (the 32× tier's cheap scan) re-rank by exact float
+    * cosine INSIDE the plan (the candidate TakeOrdered carries the
+    * vector column, bounded by `rerank` — no join, no second corpus
+    * pass, zero exchanges). The deep candidate cut is what makes BQ
+    * usable at its recall (BASELINE round-19 BqProbe table: Hamming@20
+    * alone recalls 6-7/20 of the exact top-20 on the fixture's 16-dim
+    * vectors, Hamming@200 + exact re-rank recovers 18+; recall grows
+    * with dimension). Both cuts are total orders (ham/cos with vec_id
+    * tie-breaks), so the oracle replays candidate set AND final
+    * ranking exactly.
+    */
+  private def q167_bq_rerank(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    Similarity.bqTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10,
+      rerank = 200)
+  }
+
+
+  /** q166's planted script snippets — ONE constant each, interpolated
+    * into BOTH the Spark page construction and the oracle SQL, so the
+    * two engines classify byte-identical text.
+    */
+  private val q166Lat = " café naïve"
+  private val q166Grk = " γειά σου"
+  private val q166Cyr = " Привет мир"
+  private val q166Ara = " مرحبا بالعالم"
+  private val q166Kana = " こんにちは"
+  private val q166Cjk = " 你好世界"
+  private val q166Han = " 안녕하세요"
+
+  /** Unicode script-mix profile (round 19): the multilingual front
+    * door's FIRST routing signal — q24's stop-word language ID
+    * separates languages that share an alphabet, but a CC-class corpus
+    * must split by SCRIPT (CJK / Cyrillic / Arabic / Greek / Kana /
+    * Hangul) before any per-language model sees a byte
+    * ([[graft.functions.expressions.ScriptStatsExpr]]: documented
+    * BMP code-point ranges, exact integer counts, priority-tie-broken
+    * `main_script` argmax over the seven letter classes; one native
+    * scan, zero exchanges). The fixture decorates every document with
+    * modulo-gated snippets of all seven scripts (shared string
+    * constants interpolated into both engines), and two slices are
+    * script-MAJORITY pages (doc_id % 19 → CJK, % 23 → Cyrillic) so
+    * `main_script` actually discriminates. Oracle: per-code-point
+    * `unicode()` classification over the identical `string_split`,
+    * counts via FILTER aggregates, argmax via the same priority CASE.
+    */
+  private def q166_script_stats(s: SparkSession, dir: String): DataFrame = {
+    val page = when(col("doc_id") % 19 === 0, lit(s"${q166Cjk.trim} " * 12))
+      .when(col("doc_id") % 23 === 0, lit(s"${q166Cyr.trim} " * 10))
+      .otherwise(concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(q166Lat)).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(q166Cyr)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(q166Cjk)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(q166Kana)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(q166Han)).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(q166Ara)).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(q166Grk)).otherwise(lit(""))))
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.expressions.ScriptStatsExpr.scriptStats(page).alias("sc"))
+      .select(
+        col("doc_id"),
+        col("sc.n_chars").alias("n_chars"),
+        col("sc.n_latin").alias("n_latin"),
+        col("sc.n_digit").alias("n_digit"),
+        col("sc.n_greek").alias("n_greek"),
+        col("sc.n_cyrillic").alias("n_cyrillic"),
+        col("sc.n_arabic").alias("n_arabic"),
+        col("sc.n_kana").alias("n_kana"),
+        col("sc.n_cjk").alias("n_cjk"),
+        col("sc.n_hangul").alias("n_hangul"),
+        col("sc.n_space").alias("n_space"),
+        col("sc.n_other").alias("n_other"),
+        col("sc.main_script").alias("main_script"))
+  }
+
+
   /** Incremental canonical-URL dedup (round 17): q146's one-shot form
     * made PRODUCTION-shaped — a new crawl batch (doc_id % 20 ≥ 16 plus a straddling doc_id % 10 = 9 slice of
     * the variant-group fixture — whole collision groups whose
@@ -3703,7 +3788,9 @@ object SparkEntry {
     "q162_mod97_scrub" -> (q162_mod97_scrub _),
     "q163_bq_topk" -> (q163_bq_topk _),
     "q164_secret_scrub" -> (q164_secret_scrub _),
-    "q165_c4_clean" -> (q165_c4_clean _)
+    "q165_c4_clean" -> (q165_c4_clean _),
+    "q166_script_stats" -> (q166_script_stats _),
+    "q167_bq_rerank" -> (q167_bq_rerank _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -6945,6 +7032,96 @@ object SparkEntry {
                  contains(lower(page), 'lorem ipsum') AS has_lorem,
                  (len(kept) >= 3 AND NOT contains(page, '{')
                    AND NOT contains(lower(page), 'lorem ipsum')) AS keep
-          FROM k"""
+          FROM k""",
+    // q166 = per-code-point unicode() classification over the same
+    // page (snippet constants shared with the Spark side), FILTER
+    // aggregates, the same priority-ordered argmax; docs whose page
+    // has no classified letters fall to 'none' via the LEFT JOIN +
+    // coalesce (string_split('') pseudo-chars are filtered out)
+    "q166_script_stats" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 19 = 0 THEN repeat('${q166Cjk.trim} ', 12)
+                   WHEN doc_id % 23 = 0 THEN repeat('${q166Cyr.trim} ', 10)
+                   ELSE text
+                     || CASE WHEN doc_id % 2 = 0 THEN '$q166Lat' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN '$q166Cyr' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '$q166Cjk' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '$q166Kana' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN '$q166Han' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN '$q166Ara' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN '$q166Grk' ELSE '' END
+              END AS page
+            FROM documents WHERE text IS NOT NULL),
+          ch AS (SELECT doc_id, unicode(c) AS cp
+                 FROM (SELECT doc_id, unnest(string_split(page, '')) AS c FROM d)
+                 WHERE c <> ''),
+          cl AS (SELECT doc_id,
+                   CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+                             OR (cp BETWEEN 192 AND 591 AND cp <> 215 AND cp <> 247)
+                        THEN 'latin'
+                        WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+                        WHEN cp BETWEEN 880 AND 1023 THEN 'greek'
+                        WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'
+                        WHEN cp BETWEEN 1536 AND 1791 THEN 'arabic'
+                        WHEN cp BETWEEN 12352 AND 12543 THEN 'kana'
+                        WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+                        WHEN cp BETWEEN 44032 AND 55203 THEN 'hangul'
+                        WHEN cp IN (32, 9, 10, 13) THEN 'space'
+                        ELSE 'other' END AS cls
+                 FROM ch),
+          ag AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chars,
+                   CAST(count(*) FILTER (cls = 'latin') AS BIGINT) AS n_latin,
+                   CAST(count(*) FILTER (cls = 'digit') AS BIGINT) AS n_digit,
+                   CAST(count(*) FILTER (cls = 'greek') AS BIGINT) AS n_greek,
+                   CAST(count(*) FILTER (cls = 'cyrillic') AS BIGINT) AS n_cyrillic,
+                   CAST(count(*) FILTER (cls = 'arabic') AS BIGINT) AS n_arabic,
+                   CAST(count(*) FILTER (cls = 'kana') AS BIGINT) AS n_kana,
+                   CAST(count(*) FILTER (cls = 'cjk') AS BIGINT) AS n_cjk,
+                   CAST(count(*) FILTER (cls = 'hangul') AS BIGINT) AS n_hangul,
+                   CAST(count(*) FILTER (cls = 'space') AS BIGINT) AS n_space,
+                   CAST(count(*) FILTER (cls = 'other') AS BIGINT) AS n_other
+                 FROM cl GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_chars, 0) AS n_chars,
+                 coalesce(n_latin, 0) AS n_latin,
+                 coalesce(n_digit, 0) AS n_digit,
+                 coalesce(n_greek, 0) AS n_greek,
+                 coalesce(n_cyrillic, 0) AS n_cyrillic,
+                 coalesce(n_arabic, 0) AS n_arabic,
+                 coalesce(n_kana, 0) AS n_kana,
+                 coalesce(n_cjk, 0) AS n_cjk,
+                 coalesce(n_hangul, 0) AS n_hangul,
+                 coalesce(n_space, 0) AS n_space,
+                 coalesce(n_other, 0) AS n_other,
+                 CASE WHEN coalesce(n_latin, 0) = 0 AND coalesce(n_greek, 0) = 0
+                           AND coalesce(n_cyrillic, 0) = 0 AND coalesce(n_arabic, 0) = 0
+                           AND coalesce(n_kana, 0) = 0 AND coalesce(n_cjk, 0) = 0
+                           AND coalesce(n_hangul, 0) = 0 THEN 'none'
+                      WHEN n_latin >= greatest(n_greek, n_cyrillic, n_arabic,
+                             n_kana, n_cjk, n_hangul) THEN 'latin'
+                      WHEN n_greek >= greatest(n_cyrillic, n_arabic, n_kana,
+                             n_cjk, n_hangul) THEN 'greek'
+                      WHEN n_cyrillic >= greatest(n_arabic, n_kana, n_cjk,
+                             n_hangul) THEN 'cyrillic'
+                      WHEN n_arabic >= greatest(n_kana, n_cjk, n_hangul) THEN 'arabic'
+                      WHEN n_kana >= greatest(n_cjk, n_hangul) THEN 'kana'
+                      WHEN n_cjk >= n_hangul THEN 'cjk'
+                      ELSE 'hangul' END AS main_script
+          FROM d LEFT JOIN ag USING (doc_id)""",
+    // q167 = the same positional sign-mismatch Hamming for the
+    // candidate cut (total order: ham, vec_id), then the exact cosine
+    // re-rank over the bounded 200 — both cuts replayed exactly
+    "q167_bq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          h AS (SELECT vec_id, embedding,
+                  CAST(len(list_filter(list_zip(embedding, qv),
+                    p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS ham
+                FROM embeddings, q
+                ORDER BY ham ASC, vec_id ASC LIMIT 200)
+          SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
+          FROM h, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 10"""
   )
 }

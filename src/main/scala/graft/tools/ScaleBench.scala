@@ -305,7 +305,13 @@ object ScaleBench {
     "q163_bq_topk",
     // round-19: C4 line cleaner — one native scan over the wrapped
     // scaled documents; the q158/q121 scan-linearity claim
-    "q165_c4_clean")
+    "q165_c4_clean",
+    // round-19: script-mix profile — one native scan over the
+    // decorated scaled documents; same pure-scan class
+    "q166_script_stats",
+    // round-19: BQ candidate scan + bounded exact re-rank — the
+    // production BQ shape; heap depth is constant, so scan linearity
+    "q167_bq_rerank")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -470,5 +470,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       .selectExpr("c.clean_text", "c.n_kept", "c.keep")
       .as[(String, Long, Boolean)].head()
     assert(c4 === (("A sentence with enough words to pass.", 1L, false)))
+    val sc = spark.sql("SELECT script_stats('ab 你好') AS s")
+      .selectExpr("s.n_latin", "s.n_cjk", "s.main_script")
+      .as[(Long, Long, String)].head()
+    assert(sc === ((2L, 2L, "latin"))) // 2-2 tie → priority order
   }
 }

@@ -1539,6 +1539,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q164 path:\n$plan")
   }
 
+  test("q167: BQ rerank — bounded candidate heap feeds the exact re-rank, zero exchanges") {
+    val plan = planOf("q167_bq_rerank")
+    assert(plan.contains("bq_hamming"), s"q167 lost the fused Hamming kernel:\n$plan")
+    // two TakeOrdered cuts: the 200-candidate heap and the final top-10
+    assert(
+      "TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"q167 lost a top-k heap (candidate cut or re-rank):\n$plan")
+    assert(shuffles(plan) == 0, s"q167 re-rank must not join or exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q167 path:\n$plan")
+  }
+
+  test("q166: script stats is one native scan — no exchange, no UDF") {
+    val plan = planOf("q166_script_stats")
+    assert(plan.contains("script_stats"), s"q166 lost the native kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q166 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q166 path:\n$plan")
+  }
+
   test("q165: c4 clean is one native scan — no exchange, no UDF, no HOF chain") {
     val plan = planOf("q165_c4_clean")
     assert(plan.contains("c4_clean"), s"q165 lost the native kernel:\n$plan")
