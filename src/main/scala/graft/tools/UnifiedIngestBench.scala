@@ -192,11 +192,29 @@ object UnifiedIngestBench {
       (i.toLong, t, vec(vSeed))
     }
 
+    // SPARK_GRAFT_UB_C4=1's cleaning transform (see the stage comment
+    // in the loop below) — defined up here because the FROZEN artifacts
+    // trained before the stream starts must see the SAME text the gate
+    // positions downstream of the cleaner will see: an LM trained on
+    // unwrapped text scores every cleaned doc's new tokens as OOV junk
+    // and the quality tier silently drops the whole stream (measured:
+    // near survivors hit 0 and the sem/ANN tiers starved before this
+    // was moved ahead of the LM/classifier training).
+    val c4On = sys.env.get("SPARK_GRAFT_UB_C4").contains("1")
+    def c4Clean(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val tok = element_at(split(col("text"), " ", -1), 1)
+      val paged = df.withColumn("text", concat(col("text"), lit(".\n"),
+        lit("Please enable JavaScript to continue viewing this page.\n"),
+        lit("Home About Contact\n"),
+        lit("Supplementary "), tok, lit(" sentence "), tok, lit(" words pass.")))
+      graft.operators.QualityPrune.keepByC4(paged, "text", minKeptLines = 2)
+    }
+
     val lmDir = java.nio.file.Files.createTempDirectory("graft-ubc-lm").toString
+    val lmTrain = (0 until 5000).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
     graft.operators.NgramLm.saveLm(
       graft.operators.NgramLm.train(
-        (0 until 5000).map(i => (i.toLong, text(i))).toDF("doc_id", "text"),
-        "doc_id", "text"),
+        if (c4On) c4Clean(lmTrain) else lmTrain, "doc_id", "text"),
       lmDir)
 
     // SPARK_GRAFT_UB_CLSGATE=1 swaps the rule gate for the TRAINED
@@ -207,7 +225,8 @@ object UnifiedIngestBench {
     val clsGate = sys.env.get("SPARK_GRAFT_UB_CLSGATE").contains("1")
     val clsW: Array[Long] =
       if (clsGate) {
-        val train = (0 until 5000).map(doc).map(d => (d._1, d._2)).toDF("doc_id", "text")
+        val train0 = (0 until 5000).map(doc).map(d => (d._1, d._2)).toDF("doc_id", "text")
+        val train = if (c4On) c4Clean(train0) else train0
         graft.operators.QualityClassifier.train(
           graft.operators.QualityClassifier.gopherFeatures(
             train, "doc_id", "text", dim = 256, minTokens = 5L, minStopHits = 0L),
@@ -299,12 +318,32 @@ object UnifiedIngestBench {
               profile, "doc_id", "domain", "text", delim = " ")
             .select(col("doc_id"), col("clean_text").alias("text"), col("embedding"))
         } else base
+      // SPARK_GRAFT_UB_C4=1 chains the C4 line cleaner (q165's
+      // keepByC4) between the boilerplate stage and the gate — the
+      // SALVAGE position: every doc is wrapped into a page carrying a
+      // JavaScript-boilerplate line and a nav line that the cleaner
+      // strips (the wrap is a pure function of the text, so exact-dup
+      // copies stay byte-identical after cleaning and the dedup tiers
+      // do the same work on the cleaned stream). The second KEPT line
+      // varies with the TEXT's own first token, interleaved so no
+      // 3-shingle is constant across distinct docs: a constant kept
+      // tail would inflate shingle Jaccard between unrelated docs. The
+      // transform itself (c4Clean) is defined before the frozen-LM /
+      // classifier training above — see the comment there.
+      val c4d =
+        if (c4On) {
+          if (batchSize == 2500)
+            println("[composed] c4 = line cleaner (keepByC4, minKeptLines=2); " +
+              "strips 2 planted boilerplate lines per page; LM + classifier " +
+              "trained on cleaned text")
+          c4Clean(boiled)
+        } else boiled
       val gated =
         if (clsGate)
-          graft.operators.QualityClassifier.keepByScore(boiled, "text", clsW, dim = 256)
+          graft.operators.QualityClassifier.keepByScore(c4d, "text", clsW, dim = 256)
         else
           graft.operators.QualityPrune.keepByGopher(
-            boiled, "text", minTokens = 5L, minStopHits = 0L)
+            c4d, "text", minTokens = 5L, minStopHits = 0L)
       val withSource = gated
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
 
