@@ -330,4 +330,120 @@ class PropertySpec extends AnyFunSuite {
         r.getLong(2) == (ref.length - kept.length).toLong
     })
   }
+
+  test("secret_scrub: candidate grammar matches the regex; threshold extremes; entropy convention") {
+    import graft.functions.expressions.{CharEntropyExpr, SecretScrubExpr}
+    import org.apache.spark.unsafe.types.UTF8String
+    def scrub(s: String, th: Long): (String, Long, Long, Long) = {
+      val r = SecretScrubExpr.run(UTF8String.fromString(s), 20, th)
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val b64 = "ABCXYZabcnpz0159+/="
+    val chunkGen = Gen.oneOf(
+      Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(b64.toSeq)).map(_.mkString)),
+      Gen.oneOf(" ", "  ", "!", ".", " the ", "-", "\n"))
+    val textGen = Gen.listOf(chunkGen).map(_.mkString)
+    val pat = java.util.regex.Pattern.compile("[A-Za-z0-9+/=]{20,}")
+    check(Prop.forAll(textGen) { s =>
+      // (1) an unreachable threshold redacts nothing: identity text
+      val (idTxt, idHits, nCand, maxEnt) = scrub(s, Long.MaxValue)
+      val identity = idTxt == s && idHits == 0L
+      // (2) candidate count equals an independent regex scan
+      val m = pat.matcher(s)
+      var runs = List.empty[String]
+      while (m.find()) runs = m.group() :: runs
+      val grammar = nCand == runs.length.toLong
+      // (3) threshold 0 redacts EVERY candidate
+      val (zTxt, zHits, zCand, _) = scrub(s, 0L)
+      val all = zHits == zCand && zCand == nCand &&
+        !pat.matcher(zTxt).find() // no candidate-length run survives
+      // (4) max entropy is the max of the q133 convention over the runs
+      val entRef =
+        if (runs.isEmpty) 0L
+        else runs.map(r => CharEntropyExpr.run(UTF8String.fromString(r))).max
+      identity && grammar && all && maxEnt == entRef
+    })
+  }
+
+  test("c4_clean: cleaning is idempotent; kept lines satisfy an independent rule check") {
+    import graft.functions.expressions.C4CleanExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    def clean(s: String): (String, Long, Long) = {
+      val r = C4CleanExpr.run(UTF8String.fromString(s), 5, 3)
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "JavaScript", "the", "x")
+    val lineGen = for {
+      n <- Gen.chooseNum(0, 8)
+      ws <- Gen.listOfN(n, wordGen)
+      tail <- Gen.oneOf(".", "!", "?", "\"", "", " ", "\t", "\r", "x")
+    } yield ws.mkString(" ") + tail
+    val pageGen = Gen.listOf(lineGen).map(_.mkString("\n"))
+    check(Prop.forAll(pageGen) { page =>
+      val (txt, nLines, nKept) = clean(page)
+      // independent rule check over the raw split
+      val ref = page.split("\n", -1).map(_.replaceAll("[ \t\r]+$", ""))
+        .filter { l =>
+          l.nonEmpty && ".!?\"".contains(l.last) &&
+            l.split("[ \t]+").count(_.nonEmpty) >= 5 &&
+            !l.toLowerCase.contains("javascript")
+        }
+      val rulesAgree = txt == ref.mkString("\n") && nKept == ref.length.toLong &&
+        nLines == page.split("\n", -1).length.toLong
+      // cleaning its own output changes nothing
+      val (txt2, _, nKept2) = clean(txt)
+      val idempotent = txt2 == txt && (nKept2 == nKept || txt.isEmpty)
+      rulesAgree && idempotent
+    })
+  }
+
+  test("bq hamming: metric laws, packing width, fused == packed-xor reference") {
+    import graft.functions.expressions.BinaryQuantExprs
+    val vGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_ / 16.0f)).map(_.toArray))
+    check(Prop.forAll(vGen, vGen, vGen) { (a, b, c) =>
+      def ham(x: Array[Float], y: Array[Float]): Long =
+        BinaryQuantExprs.hammingFusedLocal(x, y)
+      val codesLen = BinaryQuantExprs.packLocal(a).length == (a.length + 63) / 64
+      val reflexive = ham(a, a) == 0L
+      val symmetric = ham(a, b) == ham(b, a)
+      val triangle = ham(a, c) <= ham(a, b) + ham(b, c)
+      // positional reference: sign mismatches with missing = 0 (the
+      // oracle's formulation)
+      val n = math.max(a.length, b.length)
+      val refHam = (0 until n).count { i =>
+        (i < a.length && a(i) > 0f) != (i < b.length && b(i) > 0f)
+      }.toLong
+      codesLen && reflexive && symmetric && triangle && ham(a, b) == refHam
+    })
+  }
+
+  test("script_stats: class counts partition n_chars; main_script votes only letter classes") {
+    import graft.functions.expressions.ScriptStatsExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.oneOf(
+      ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " \t\n\r!?.{}" ++
+        "Éßλωжщمبか中한×÷ €")
+    val sGen = Gen.listOf(charGen).map(_.mkString)
+    check(Prop.forAll(sGen) { s =>
+      val r = ScriptStatsExpr.run(UTF8String.fromString(s))
+      val counts = (1 to 10).map(r.getLong) // latin..other
+      val partition = counts.sum == r.getLong(0) && r.getLong(0) == s.length.toLong
+      val main = r.getUTF8String(11).toString
+      val letters = Seq(counts(0), counts(2), counts(3), counts(4), counts(5),
+        counts(6), counts(7)) // latin, greek, cyr, arabic, kana, cjk, hangul
+      val noneOk = (main == "none") == letters.forall(_ == 0L)
+      val mainMax = main == "none" || letters.max == (main match {
+        case "latin" => counts(0)
+        case "greek" => counts(2)
+        case "cyrillic" => counts(3)
+        case "arabic" => counts(4)
+        case "kana" => counts(5)
+        case "cjk" => counts(6)
+        case "hangul" => counts(7)
+      })
+      partition && noneOk && mainMax
+    })
+  }
 }
