@@ -2691,6 +2691,40 @@ object SparkEntry {
   }
 
 
+  /** Template-page families by tag-structure fingerprint (round 19):
+    * the LAYOUT-level dedup rung — templated pages (listings,
+    * profiles, archives) share a tag sequence while sharing no text,
+    * so no content rung groups them; [[graft.operators.Templates]]
+    * hashes the lowercased tag-name sequence (closing tags with their
+    * slash, doctype/comments/attributes excluded by the capture
+    * grammar) into a 60-bit family key and aggregates one row per
+    * layout family with the `n_pages >= minPages` template flag. The
+    * fixture builds three big layout families (doc_id % 3 gates an
+    * h1 / a ul-list / neither) each ~29% of the corpus, plus six
+    * small sub-families (a % 7 slice whose structural tail differs by
+    * parity) under the 500-page floor at gate scale — so
+    * `is_template` discriminates. One scan-side fingerprint, one
+    * 60-bit-keyed aggregate; HTML never shuffles (plan-audited).
+    * Oracle: the same RE2-compatible extraction + md5-60 arithmetic.
+    */
+  private def q168_template_families(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title></head><body>"),
+      when(col("doc_id") % 3 === 0, lit("<h1>H</h1>")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 1,
+        lit("<div><ul><li>A</li><li>B</li></ul></div>")).otherwise(lit("")),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 7 === 0,
+        when(col("doc_id") % 2 === 0, lit("<footer><p>f</p></footer>"))
+          .otherwise(lit("<aside>s</aside>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    operators.Templates.templateFamilies(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), html.alias("raw")),
+      "doc_id", "raw", minPages = 500L)
+  }
+
+
   /** q166's planted script snippets — ONE constant each, interpolated
     * into BOTH the Spark page construction and the oracle SQL, so the
     * two engines classify byte-identical text.
@@ -3790,7 +3824,8 @@ object SparkEntry {
     "q164_secret_scrub" -> (q164_secret_scrub _),
     "q165_c4_clean" -> (q165_c4_clean _),
     "q166_script_stats" -> (q166_script_stats _),
-    "q167_bq_rerank" -> (q167_bq_rerank _)
+    "q167_bq_rerank" -> (q167_bq_rerank _),
+    "q168_template_families" -> (q168_template_families _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7122,6 +7157,32 @@ object SparkEntry {
                 ORDER BY ham ASC, vec_id ASC LIMIT 200)
           SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
           FROM h, q
-          ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // q168 = the same page construction, the same RE2-compatible tag
+    // extraction, the same md5-60 over the lowercased joined sequence,
+    // one group-by on the fingerprint
+    "q168_template_families" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+              '<html><head><title>T</title></head><body>'
+              || CASE WHEN doc_id % 3 = 0 THEN '<h1>H</h1>' ELSE '' END
+              || CASE WHEN doc_id % 3 = 1
+                      THEN '<div><ul><li>A</li><li>B</li></ul></div>' ELSE '' END
+              || '<p>' || text || '</p>'
+              || CASE WHEN doc_id % 7 = 0 THEN
+                   CASE WHEN doc_id % 2 = 0 THEN '<footer><p>f</p></footer>'
+                        ELSE '<aside>s</aside>' END
+                 ELSE '' END
+              || '</body></html>' AS raw
+            FROM documents WHERE text IS NOT NULL),
+          t AS (SELECT doc_id,
+                  ${sqlMd5h60(
+                    "lower(array_to_string(regexp_extract_all(raw, " +
+                      "'<(/?[A-Za-z][A-Za-z0-9]*)', 1), ' '))")} AS tag_fp
+                FROM h)
+          SELECT tag_fp, CAST(count(*) AS BIGINT) AS n_pages,
+                 min(doc_id) AS first_doc,
+                 count(*) >= 500 AS is_template
+          FROM t GROUP BY tag_fp"""
   )
 }

@@ -311,7 +311,11 @@ object ScaleBench {
     "q166_script_stats",
     // round-19: BQ candidate scan + bounded exact re-rank — the
     // production BQ shape; heap depth is constant, so scan linearity
-    "q167_bq_rerank")
+    "q167_bq_rerank",
+    // round-19: template families — scan-side tag fingerprint + one
+    // 60-bit-keyed aggregate; family count is layout-bound, not
+    // corpus-bound
+    "q168_template_families")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1539,6 +1539,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q164 path:\n$plan")
   }
 
+  test("q168: template families — scan-side fingerprint, one 60-bit-keyed aggregate, no HTML in any exchange") {
+    val plan = planOf("q168_template_families")
+    assert(plan.contains("regexp_extract_all"), s"q168 lost the tag extraction:\n$plan")
+    assert(shuffles(plan) <= 1, s"q168 is one partial+final aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q168 path:\n$plan")
+    // the only exchange keys on the 60-bit fingerprint — never raw HTML
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(_.contains("tag_fp")),
+      s"q168's exchange does not key on tag_fp:\n$plan")
+    assert(exchangeLines.forall(l => !l.contains("raw")),
+      s"q168 HTML crossed an exchange:\n$plan")
+  }
+
   test("q167: BQ rerank — bounded candidate heap feeds the exact re-rank, zero exchanges") {
     val plan = planOf("q167_bq_rerank")
     assert(plan.contains("bq_hamming"), s"q167 lost the fused Hamming kernel:\n$plan")

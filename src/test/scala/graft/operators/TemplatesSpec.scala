@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Contract of the tag-structure fingerprint: text and attributes are
+  * invisible, tag order and closing tags are not; doctype/comments
+  * never count; family aggregation and the minPages flag; the
+  * broadcast markTemplated enforcement form.
+  */
+class TemplatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fp(htmls: String*): Seq[Long] =
+    htmls.toDF("h")
+      .select(Templates.tagFingerprint(col("h")))
+      .as[Long].collect().toSeq
+
+  test("fingerprint sees structure only: text and attributes are invisible") {
+    val Seq(a, b, c) = fp(
+      "<html><body><p>one text</p></body></html>",
+      "<html><body   ><p class=\"x\" id='7'>совсем другой текст</p></body></html>",
+      "<html><body><div>one text</div></body></html>")
+    assert(a === b, "text/attribute changes must not move the fingerprint")
+    assert(a !== c, "a different tag must move the fingerprint")
+  }
+
+  test("closing tags, order, and repetition distinguish; doctype and comments never count") {
+    val Seq(open, closed, twice, doc) = fp(
+      "<div><p>",
+      "<div><p></p></div>",
+      "<div><p></p><p></p></div>",
+      "<!DOCTYPE html><!-- note --><div><p>")
+    assert(Seq(open, closed, twice).distinct.size === 3)
+    assert(doc === open, "doctype/comments must not count as tags")
+    // tag names are case-folded
+    assert(fp("<DIV><P>").head === open)
+  }
+
+  test("tagless and empty inputs share the 'no structure' family") {
+    val Seq(a, b, c) = fp("", "plain text, no markup", "x < y and y > z")
+    assert(a === b && b === c)
+  }
+
+  test("templateFamilies aggregates per layout; minPages flags; markTemplated joins back") {
+    // two big families (40 pages each, varying text) + one small (3)
+    val docs = ((0 until 40).map(i => (i.toLong, s"<html><body><p>t$i</p></body></html>")) ++
+      (0 until 40).map(i => (100L + i, s"<html><body><h1>h$i</h1></body></html>")) ++
+      (0 until 3).map(i => (200L + i, s"<table><tr><td>c$i</td></tr></table>")))
+      .toDF("doc_id", "raw")
+    val fams = Templates.templateFamilies(docs, "doc_id", "raw", minPages = 10L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._3)
+    assert(fams.map(f => (f._2, f._3, f._4)) ===
+      Seq((40L, 0L, true), (40L, 100L, true), (3L, 200L, false)))
+    val marked = Templates.markTemplated(docs, "doc_id", "raw", minPages = 10L)
+    assert(marked.count() === 83L)
+    assert(marked.filter(col("is_template")).count() === 80L)
+    assert(marked.filter(!col("is_template")).select("doc_id")
+      .as[Long].collect().toSet === Set(200L, 201L, 202L))
+  }
+}
