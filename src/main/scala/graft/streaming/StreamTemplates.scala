@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.operators.Templates
+import graft.sinks.KVTableSink
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming layout-family observer — the live twin of
+  * [[graft.operators.Templates.templateFamilies]] (q168): each
+  * micro-batch fingerprints its own pages scan-side and folds
+  * `(tag_fp, n_pages, first_doc)` into one additive state table, so a
+  * crawl watches its template families GROW as it ingests (a layout
+  * crossing the `minPages` floor mid-crawl is the "machine-generated
+  * family detected" signal — feed the flagged fingerprints to a
+  * per-family cap or drop rule). Both statistics are mergeable
+  * monoids (counts add, first-doc takes the min), so the state after
+  * ANY trigger partitioning equals the batch operator over the union
+  * — spec-pinned. Docs are unique across the stream by the ingest
+  * contract (the [[DedupIngest]] family's standing assumption).
+  *
+  * State size: one row per LAYOUT — thousands, not millions (the
+  * q168 scaladoc's layout-bound argument), the smallest state table
+  * in the streaming family. Per trigger: one fingerprint scan of the
+  * batch's own rows + one scalar-keyed q02-shape merge; HTML never
+  * leaves the scan. Retirement is deliberately not offered —
+  * family-size history follows the [[StreamBoiler]] "refresh is a
+  * re-mine" rule.
+  *
+  * Replay contract: the state merges behind a batch-id ack
+  * ([[DedupIngest.alreadyApplied]]'s `__meta` discipline).
+  */
+object StreamTemplates {
+
+  val stateSchema: StructType = new StructType()
+    .add("tag_fp", LongType, nullable = false)
+    .add("n_pages", LongType, nullable = false)
+    .add("first_doc", LongType, nullable = false)
+
+  /** One batch's layout counts merged into the state. */
+  def mergeState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      htmlCol: String): DataFrame = {
+    val delta = batch
+      .select(col(idCol).cast("long").alias("__id"),
+        Templates.tagFingerprint(col(htmlCol)).alias("tag_fp"))
+      .groupBy("tag_fp")
+      .agg(count(lit(1)).alias("n_pages"), min(col("__id")).alias("first_doc"))
+    StateMerge.fullOuterMerge(
+      state, delta,
+      keyCols = Seq("tag_fp"),
+      valueCombiners = Seq(
+        "n_pages" -> StateMerge.addLong,
+        "first_doc" -> ((a, b) => least(a, b))))
+  }
+
+  private[streaming] def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      htmlCol: String,
+      sink: KVTableSink,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.head(1).isEmpty ||
+      DedupIngest.alreadyApplied(spark, sink, table, batchId)) return
+    val st = sink.read(spark, table, stateSchema)
+    sink.write(
+      mergeState(st, batch, idCol, htmlCol), table, SaveMode.Overwrite)
+    DedupIngest.markApplied(spark, sink, table, batchId)
+  }
+
+  /** The CURRENT family table — exactly the batch operator's output
+    * shape `(tag_fp, n_pages, first_doc, is_template)` over the live
+    * state.
+    */
+  def families(
+      spark: SparkSession,
+      sink: KVTableSink,
+      table: String,
+      minPages: Long): DataFrame =
+    sink.read(spark, table, stateSchema)
+      .withColumn("is_template", col("n_pages") >= minPages)
+
+  /** Start the observer over a streaming frame of `(id, html)` rows. */
+  def start(
+      docs: DataFrame,
+      sink: KVTableSink,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      idCol: String = "doc_id",
+      htmlCol: String = "raw"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, idCol, htmlCol, sink, table)
+      }
+      .start()
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Templates
+import graft.sinks.InMemoryKVSink
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** [[StreamTemplates]] — the live layout-family observer: the state
+  * after any trigger partitioning equals the batch
+  * [[Templates.templateFamilies]] over the union (flag included),
+  * replays are no-ops, and a family crossing the floor mid-stream
+  * flips its flag.
+  */
+class StreamTemplatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trigger = Trigger.ProcessingTime("50 milliseconds")
+
+  // three layouts: ids % 3 pick the structure, text varies per doc
+  private def doc(i: Int): (Long, String) = {
+    val body = (i % 3) match {
+      case 0 => s"<html><body><p>t$i</p></body></html>"
+      case 1 => s"<html><body><h1>h$i</h1><p>t$i</p></body></html>"
+      case _ => s"<table><tr><td>c$i</td></tr></table>"
+    }
+    (i.toLong, body)
+  }
+
+  private def ingest(batches: Seq[Seq[(Long, String)]]): InMemoryKVSink = {
+    val sink = new InMemoryKVSink
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamTemplates.start(
+      input.toDF().toDF("doc_id", "raw"),
+      sink, "tmpl", java.nio.file.Files.createTempDirectory("st").toString,
+      trigger)
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    sink
+  }
+
+  test("streamed families equal the batch operator over the union, any batching") {
+    val docs = (0 until 31).map(doc)
+    val expected = Templates.templateFamilies(
+        docs.toDF("doc_id", "raw"), "doc_id", "raw", minPages = 11L)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(expected.exists(_._4) && expected.exists(!_._4),
+      "fixture must carry both flagged and unflagged families")
+    for (split <- Seq(Seq(docs), Seq(docs.take(5), docs.slice(5, 6), docs.drop(6)))) {
+      val sink = ingest(split)
+      val got = StreamTemplates.families(spark, sink, "tmpl", minPages = 11L)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got === expected, s"split of ${split.length} batches diverged")
+    }
+  }
+
+  test("replayed batch is a no-op behind the ack; a family crossing the floor flips its flag") {
+    val sink = new InMemoryKVSink
+    val first = (0 until 6).map(doc).filter(_._1 % 3 == 0).toDF("doc_id", "raw")
+    StreamTemplates.applyBatch(first, 0L, "doc_id", "raw", sink, "tmpl")
+    val before = StreamTemplates.families(spark, sink, "tmpl", minPages = 3L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(before.map(_._2).sum === 2L && before.forall(!_._4))
+    // replay: no double count
+    StreamTemplates.applyBatch(first, 0L, "doc_id", "raw", sink, "tmpl")
+    val replayed = StreamTemplates.families(spark, sink, "tmpl", minPages = 3L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(replayed.toSet === before.toSet)
+    // a second batch pushes the layout over the floor; first_doc stays min
+    val second = Seq((100L, doc(0)._2), (101L, doc(3)._2)).toDF("doc_id", "raw")
+    StreamTemplates.applyBatch(second, 1L, "doc_id", "raw", sink, "tmpl")
+    val after = StreamTemplates.families(spark, sink, "tmpl", minPages = 3L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(after === Seq((after.head._1, 4L, 0L, true)))
+  }
+}
