@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Line rules (a line = `\n`-separated, right-trimmed of
   * space/tab/CR so CRLF input behaves): KEEP a line iff it
   *  (1) ends in terminal punctuation — `.`, `!`, `?`, or `"` —
-  *  (2) has at least `minWords` whitespace-separated words, and
+  *  (2) has at least `minWords` space/tab-separated words (interior
+  *      CR is NOT a word separator — the `[ \t]+` split convention
+  *      the oracle and the property reference share; CR only matters
+  *      for the right-trim), and
   *  (3) does not contain `javascript` (case-insensitive — the
   *      "please enable JavaScript" boilerplate rule).
   * Document rules: `keep` iff at least `minKeptLines` lines survive
@@ -91,12 +94,15 @@ object C4CleanExpr {
     if (until <= from) return false
     val last = s.charAt(until - 1)
     if (last != '.' && last != '!' && last != '?' && last != '"') return false
-    // count whitespace-separated words
+    // count words separated by space/tab ONLY — the oracle and the
+    // property-test reference both split on `[ \t]+`, so an interior
+    // CR must NOT separate words (isWs keeps CR for right-trim only)
     var words = 0
     var i = from
     var inWord = false
     while (i < until) {
-      val ws = isWs(s.charAt(i))
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t'
       if (!ws && !inWord) { words += 1; inWord = true }
       else if (ws) inWord = false
       i += 1

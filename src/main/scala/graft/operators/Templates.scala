@@ -68,7 +68,11 @@ object Templates {
 
   /** The enforcement form: every input row + its `tag_fp` +
     * `is_template` — family sizes aggregate once and broadcast back
-    * onto the scan, so the corpus never shuffles.
+    * onto the scan, so the corpus never shuffles. The join is
+    * null-SAFE on `tag_fp`: null-html rows fingerprint to the null
+    * family, which [[templateFamilies]] aggregates like any other key
+    * — a plain equi-join would silently drop those rows and the two
+    * forms would disagree on null input.
     */
   def markTemplated(
       docs: DataFrame,
@@ -76,9 +80,10 @@ object Templates {
       htmlCol: String,
       minPages: Long): DataFrame = {
     val fams = templateFamilies(docs, idCol, htmlCol, minPages)
-      .select(col("tag_fp"), col("is_template"))
+      .select(col("tag_fp").alias("__graft_fam_fp"), col("is_template"))
     docs
       .withColumn("tag_fp", tagFingerprint(col(htmlCol)))
-      .join(broadcast(fams), Seq("tag_fp"))
+      .join(broadcast(fams), col("tag_fp") <=> col("__graft_fam_fp"))
+      .drop("__graft_fam_fp")
   }
 }

@@ -38,12 +38,25 @@ object StreamTemplates {
     .add("n_pages", LongType, nullable = false)
     .add("first_doc", LongType, nullable = false)
 
-  /** One batch's layout counts merged into the state. */
+  /** One batch's layout counts merged into the state. The id column
+    * must be integral (the state schema carries `first_doc` as a
+    * long): a non-numeric id would silently become NULL under
+    * `cast("long")` and `first_doc` would degrade instead of erroring,
+    * so the type is checked loudly here — use the batch operator
+    * ([[Templates.templateFamilies]]) for non-integral ids.
+    */
   def mergeState(
       state: DataFrame,
       batch: DataFrame,
       idCol: String,
       htmlCol: String): DataFrame = {
+    val idType = batch.schema(idCol).dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"StreamTemplates requires an integral id column; '$idCol' is $idType")
     val delta = batch
       .select(col(idCol).cast("long").alias("__id"),
         Templates.tagFingerprint(col(htmlCol)).alias("tag_fp"))

@@ -373,7 +373,9 @@ class PropertySpec extends AnyFunSuite {
       val r = C4CleanExpr.run(UTF8String.fromString(s), 5, 3)
       (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
     }
-    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "JavaScript", "the", "x")
+    // "mid\rcr" pins the interior-CR convention: CR is NOT a word
+    // separator (the `[ \t]+` split the oracle uses), only right-trim
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "JavaScript", "the", "x", "mid\rcr")
     val lineGen = for {
       n <- Gen.chooseNum(0, 8)
       ws <- Gen.listOfN(n, wordGen)

@@ -58,4 +58,21 @@ class TemplatesSpec extends SparkTestBase {
     assert(marked.filter(!col("is_template")).select("doc_id")
       .as[Long].collect().toSet === Set(200L, 201L, 202L))
   }
+
+  test("null html rows form the null family in BOTH forms (null-safe mark join)") {
+    val docs = ((0 until 12).map(i => (i.toLong, Some(s"<p>x$i</p>"))) ++
+      Seq((100L, None), (101L, None), (102L, None)))
+      .toDF("doc_id", "raw")
+    val fams = Templates.templateFamilies(docs, "doc_id", "raw", minPages = 3L)
+    // the null fingerprint is a family like any other
+    assert(fams.filter(col("tag_fp").isNull)
+      .select("n_pages", "first_doc", "is_template")
+      .as[(Long, Long, Boolean)].collect().toSeq === Seq((3L, 100L, true)))
+    // markTemplated keeps every input row — including the null-html ones
+    val marked = Templates.markTemplated(docs, "doc_id", "raw", minPages = 3L)
+    assert(marked.count() === 15L)
+    assert(marked.filter(col("tag_fp").isNull).select("doc_id")
+      .as[Long].collect().toSet === Set(100L, 101L, 102L))
+    assert(marked.filter(col("tag_fp").isNull).filter(col("is_template")).count() === 3L)
+  }
 }

@@ -73,4 +73,14 @@ class StreamTemplatesSpec extends SparkTestBase {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(after === Seq((after.head._1, 4L, 0L, true)))
   }
+
+  test("non-integral id column fails loudly (no silent NULL first_doc under cast)") {
+    val sink = new InMemoryKVSink
+    val st = sink.read(spark, "tmpl", StreamTemplates.stateSchema)
+    val strIds = Seq(("a", "<p>x</p>"), ("b", "<p>y</p>")).toDF("doc_id", "raw")
+    val e = intercept[IllegalArgumentException] {
+      StreamTemplates.mergeState(st, strIds, "doc_id", "raw")
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
 }
