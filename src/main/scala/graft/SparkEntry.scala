@@ -2725,6 +2725,98 @@ object SparkEntry {
   }
 
 
+  /** The composed five-stage front door (round 20): blocklist → quota
+    * → boilerplate → C4 → gate as ONE batch pipeline, oracle-replayed
+    * END-TO-END — the round-19 verdict's missing #1. Each stage has
+    * its own green qN (q159/q147/q156/q165/q137), but round 19 proved
+    * stage INTERACTIONS are where the bugs live (the C4
+    * frozen-artifact starvation and the constant-line Jaccard
+    * inflation were both caught by bench luck, not the hash gate) —
+    * this query moves that bug class inside the oracle: the output
+    * hash covers the final kept set, the per-doc boilerplate survivor
+    * count, AND the per-stage survivor totals.
+    *
+    * Fixture (the q147/q153 URL shape, tail narrowed to 7 sites so
+    * every site clears the quota cap and the boilerplate floor at
+    * sf0.01): even ids = one SEO farm under rotating subdomains; odd
+    * ids = a 7-site tail. The stages then interact for real:
+    *  1. blocklist drops the whole farm (rotating subdomains roll up
+    *     to one registrable domain) plus one tail site;
+    *  2. the per-domain quota caps each surviving site to 25 pages
+    *     (the seeded-hash sample — membership feeds every later
+    *     stage);
+    *  3. the boilerplate profile is mined on the ADMITTED slice
+    *     (doc_id % 3 > 0 — quota decides what the miner sees) and cut
+    *     per page, leaving 1–72 content words per doc;
+    *  4. the C4 cleaner sees a page wrapped around the BOILED text —
+    *     a doc whose content the boiler consumed entirely loses its
+    *     content line (4 words < minWords) and dies on minKeptLines,
+    *     the %13 brace slice dies on the page veto;
+    *  5. the Gopher gate (minTokens = 18) reads the C4-cleaned page,
+    *     so its verdict depends on how many words stages 3–4 left.
+    * Scale shape: one broadcast anti-join, one two-phase cap (only
+    * over-cap domains window-sort their slice), aggregated-frames-only
+    * boilerplate joins, two native scans, and four one-row count
+    * frames broadcast back — text never keys an exchange.
+    */
+  private def q169_front_door(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
+      col("text"))
+    // stage 1: domain blocklist (q159's enforcement form)
+    val allowed = operators.UrlFilter.keepAllowed(
+      docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
+    // stage 2: per-domain admission quota (q147's cap)
+    val admitted = operators.Sampling
+      .capPerGroup(allowed, "doc_id", "domain", cap = 25)
+      .localCheckpoint() // one quota pass feeds mine + apply + count
+    // stage 3: boilerplate profile mined on the admitted slice,
+    // applied to every admitted page (q156's frozen-profile shape)
+    val profile = operators.Dedup.boilerplateProfile(
+      admitted.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
+      delim = " ", maxPagePct = 75, minPages = 10L)
+    val boiled = operators.Dedup.applyBoilerplateProfile(
+      admitted, profile, "doc_id", "domain", "text", delim = " ")
+    // stage 4: C4 line cleaning over a page wrapping the BOILED text
+    val nl = lit("\n")
+    val page = concat(
+      lit("Automated crawl record "), col("doc_id").cast("string"),
+      lit(" from "), col("domain"), lit(" follows."), nl,
+      when(col("doc_id") % 5 === 0,
+        concat(lit("Please enable JavaScript to view this page."), nl))
+        .otherwise(lit("")),
+      lit("Home About Contact Privacy Terms"), nl,
+      when(col("doc_id") % 13 === 0,
+        concat(lit("function f() { return 1; }"), nl)).otherwise(lit("")),
+      substring(col("clean_text"), 1, 80), lit(" tail words end here."))
+    val paged = boiled.select(
+      col("doc_id"), col("domain"),
+      col("n_kept").alias("n_boiler_kept"), page.alias("clean_page"))
+    val c4d = operators.QualityPrune.keepByC4(
+      paged, "clean_page", minWords = 5, minKeptLines = 2)
+    // stage 5: the Gopher rule gate over the C4-cleaned page
+    val gated = operators.QualityPrune.keepByGopher(
+      c4d, "clean_page", minTokens = 18L, minStopHits = 0L)
+    // per-stage survivor totals ride along as one-row broadcast frames
+    def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
+    gated
+      .crossJoin(broadcast(n(docs, "n_input")))
+      .crossJoin(broadcast(n(allowed, "n_allowed")))
+      .crossJoin(broadcast(n(admitted, "n_admitted")))
+      .crossJoin(broadcast(n(c4d, "n_c4")))
+  }
+
+
   /** q166's planted script snippets — ONE constant each, interpolated
     * into BOTH the Spark page construction and the oracle SQL, so the
     * two engines classify byte-identical text.
@@ -3825,7 +3917,8 @@ object SparkEntry {
     "q165_c4_clean" -> (q165_c4_clean _),
     "q166_script_stats" -> (q166_script_stats _),
     "q167_bq_rerank" -> (q167_bq_rerank _),
-    "q168_template_families" -> (q168_template_families _)
+    "q168_template_families" -> (q168_template_families _),
+    "q169_front_door" -> (q169_front_door _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7183,6 +7276,99 @@ object SparkEntry {
           SELECT tag_fp, CAST(count(*) AS BIGINT) AS n_pages,
                  min(doc_id) AS first_doc,
                  count(*) >= 500 AS is_template
-          FROM t GROUP BY tag_fp"""
+          FROM t GROUP BY tag_fp""",
+    // q169 = the five stages replayed end-to-end: the factored
+    // q142/q147 domain chain, NOT IN blocklist, the q147 seeded-hash
+    // window cap, the q156 slice-mined page-frequency boilerplate cut,
+    // the q165 line rules over the rebuilt page, and the q137 gopher
+    // keep — plus the per-stage survivor totals as scalar subqueries
+    "q169_front_door" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain,
+          base AS (SELECT d.doc_id, dm.domain, d.text
+                   FROM documents d JOIN dom dm ON d.doc_id = dm.doc_id),
+          allowed AS (SELECT * FROM base
+                      WHERE domain NOT IN ('seofarm.com', 'site3.com')),
+          adm AS (SELECT doc_id, domain, text FROM (
+                    SELECT doc_id, domain, text,
+                           row_number() OVER (PARTITION BY domain
+                             ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                                      doc_id) AS rn
+                    FROM allowed)
+                  WHERE rn <= 25),
+          slice AS (SELECT * FROM adm WHERE doc_id % 3 > 0),
+          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
+                 FROM slice),
+          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
+          hot AS (SELECT g.domain, g.s
+                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
+                  JOIN pages USING (domain)
+                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
+          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
+                   FROM (SELECT doc_id, domain,
+                           unnest(list_transform(string_split(text, ' '),
+                             (x, i) -> struct_pack(s := x, pos := i))) AS w
+                         FROM adm)),
+          keptw AS (SELECT a.doc_id, a.s, a.pos
+                    FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
+                    WHERE h.s IS NULL),
+          bo AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                        count(*) AS nk
+                 FROM keptw GROUP BY doc_id),
+          boiled AS (SELECT adm.doc_id, adm.domain,
+                            coalesce(bo.ct, '') AS ct,
+                            CAST(coalesce(bo.nk, 0) AS BIGINT) AS n_boiler_kept
+                     FROM adm LEFT JOIN bo USING (doc_id)),
+          pg AS (SELECT doc_id, domain, n_boiler_kept,
+                   'Automated crawl record ' || CAST(doc_id AS VARCHAR)
+                   || ' from ' || domain || ' follows.' || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'Please enable JavaScript to view this page.' || chr(10)
+                           ELSE '' END
+                   || 'Home About Contact Privacy Terms' || chr(10)
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN 'function f() { return 1; }' || chr(10) ELSE '' END
+                   || substr(ct, 1, 80) || ' tail words end here.' AS page
+                 FROM boiled),
+          ln AS (SELECT doc_id, domain, n_boiler_kept, page,
+                   list_transform(string_split(page, chr(10)),
+                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
+                 FROM pg),
+          c4 AS (SELECT doc_id, domain, n_boiler_kept, page,
+                   list_filter(ls, l ->
+                     length(l) > 0
+                     AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
+                           w -> w <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+                 FROM ln),
+          c4k AS (SELECT doc_id, domain, n_boiler_kept,
+                         array_to_string(kept, chr(10)) AS clean_page
+                  FROM c4
+                  WHERE len(kept) >= 2 AND NOT contains(page, '{')
+                    AND NOT contains(lower(page), 'lorem ipsum')),
+          tk AS (SELECT doc_id, clean_page AS text, ${sqlTokens("clean_page")} AS t,
+                        string_split(clean_page, chr(10)) AS ls
+                 FROM c4k),
+          $sqlGopherStCte,
+          gated AS (SELECT c.doc_id, c.domain, c.n_boiler_kept, c.clean_page
+                    FROM c4k c JOIN st ON st.doc_id = c.doc_id
+                    WHERE ${sqlGopherKeep(18L, 0L)})
+          SELECT g.doc_id, g.domain, g.n_boiler_kept, g.clean_page,
+                 (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_input,
+                 (SELECT CAST(count(*) AS BIGINT) FROM allowed) AS n_allowed,
+                 (SELECT CAST(count(*) AS BIGINT) FROM adm) AS n_admitted,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c4k) AS n_c4
+          FROM gated g"""
   )
 }

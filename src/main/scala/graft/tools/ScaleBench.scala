@@ -315,7 +315,12 @@ object ScaleBench {
     // round-19: template families — scan-side tag fingerprint + one
     // 60-bit-keyed aggregate; family count is layout-bound, not
     // corpus-bound
-    "q168_template_families")
+    "q168_template_families",
+    // round-20: the composed five-stage front door — blocklist
+    // broadcast anti-probe + quota window (admitted set is CAP-bound,
+    // so stages 3-5 are constant-size; the exponent measures the
+    // block+quota scan over the growing corpus)
+    "q169_front_door")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1593,4 +1593,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) <= 5, s"q156 shuffle budget exceeded:\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
   }
+
+  test("q169: composed front door — broadcast stages, domain-keyed exchanges only, scalar count frames") {
+    val plan = planOf("q169_front_door")
+    // all three native stage kernels survive into the fused plan
+    assert(plan.contains("cut_segments_by_fp") && plan.contains("c4_clean") &&
+      plan.contains("gopher_stats"), s"q169 lost a stage kernel:\n$plan")
+    // blocklist is a broadcast anti-probe; the profile broadcasts back
+    assert(plan.contains("LeftAnti"), s"q169 blocklist is not an anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q169 lost its broadcasts:\n$plan")
+    // no partitioning expression ever carries document text
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text"),
+        s"doc text keyed an exchange: ${m.group(0)}"))
+    // the four survivor-count frames attach as one-row scalar broadcasts
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 4,
+      s"q169 expects exactly four scalar count joins:\n$plan")
+    // shuffle budget: quota window + blocklist build + the mine's
+    // scalar aggregates — the corpus-sized apply/C4/gate side is
+    // exchange-free
+    assert(shuffles(plan) <= 8, s"q169 shuffle budget exceeded:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q169 path:\n$plan")
+  }
 }
