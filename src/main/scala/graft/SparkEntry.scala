@@ -2707,22 +2707,45 @@ object SparkEntry {
     * 60-bit-keyed aggregate; HTML never shuffles (plan-audited).
     * Oracle: the same RE2-compatible extraction + md5-60 arithmetic.
     */
-  private def q168_template_families(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>T</title></head><body>"),
-      when(col("doc_id") % 3 === 0, lit("<h1>H</h1>")).otherwise(lit("")),
-      when(col("doc_id") % 3 === 1,
-        lit("<div><ul><li>A</li><li>B</li></ul></div>")).otherwise(lit("")),
-      lit("<p>"), col("text"), lit("</p>"),
-      when(col("doc_id") % 7 === 0,
-        when(col("doc_id") % 2 === 0, lit("<footer><p>f</p></footer>"))
-          .otherwise(lit("<aside>s</aside>"))).otherwise(lit("")),
-      lit("</body></html>"))
+  /** The q168/q170 layout fixture: three big families gated by
+    * `doc_id % 3`, six small sub-families carved out by the `% 7`
+    * slice — shared by the family TABLE (q168) and the family CAP
+    * (q170) so the two stages see identical fingerprints.
+    */
+  private def q168Html: Column = concat(
+    lit("<html><head><title>T</title></head><body>"),
+    when(col("doc_id") % 3 === 0, lit("<h1>H</h1>")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 1,
+      lit("<div><ul><li>A</li><li>B</li></ul></div>")).otherwise(lit("")),
+    lit("<p>"), col("text"), lit("</p>"),
+    when(col("doc_id") % 7 === 0,
+      when(col("doc_id") % 2 === 0, lit("<footer><p>f</p></footer>"))
+        .otherwise(lit("<aside>s</aside>"))).otherwise(lit("")),
+    lit("</body></html>"))
+
+  private def q168_template_families(s: SparkSession, dir: String): DataFrame =
     operators.Templates.templateFamilies(
       Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), html.alias("raw")),
+        .select(col("doc_id"), q168Html.alias("raw")),
       "doc_id", "raw", minPages = 500L)
-  }
+
+  /** Template-family cap (round 20): the round-19 verdict's missing #3
+    * — q168 OBSERVES layout families, this ENFORCES them:
+    * [[graft.operators.Templates.capPerFamily]] caps each family's
+    * contribution at 100 pages via the q147 seeded-hash window keyed
+    * on the 60-bit fingerprint, so the three big `% 3` families sample
+    * down while the `% 7` sub-families bypass untouched (the
+    * two-phase under/over-cap plan — only over-cap families sort their
+    * own slice, HTML never keys an exchange). Membership is the
+    * deterministic nested hash sample, so the oracle replays the exact
+    * admitted set: q168's fingerprint SQL + q147's window SQL.
+    */
+  private def q170_template_cap(s: SparkSession, dir: String): DataFrame =
+    operators.Templates.capPerFamily(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), q168Html.alias("raw")),
+      "doc_id", "raw", cap = 100)
+      .select("doc_id", "tag_fp")
 
 
   /** The composed five-stage front door (round 20): blocklist → quota
@@ -3918,7 +3941,8 @@ object SparkEntry {
     "q166_script_stats" -> (q166_script_stats _),
     "q167_bq_rerank" -> (q167_bq_rerank _),
     "q168_template_families" -> (q168_template_families _),
-    "q169_front_door" -> (q169_front_door _)
+    "q169_front_door" -> (q169_front_door _),
+    "q170_template_cap" -> (q170_template_cap _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7277,6 +7301,34 @@ object SparkEntry {
                  min(doc_id) AS first_doc,
                  count(*) >= 500 AS is_template
           FROM t GROUP BY tag_fp""",
+    // q170 = q168's fingerprint SQL + q147's seeded-hash window cap,
+    // keyed on the fingerprint instead of the domain
+    "q170_template_cap" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+              '<html><head><title>T</title></head><body>'
+              || CASE WHEN doc_id % 3 = 0 THEN '<h1>H</h1>' ELSE '' END
+              || CASE WHEN doc_id % 3 = 1
+                      THEN '<div><ul><li>A</li><li>B</li></ul></div>' ELSE '' END
+              || '<p>' || text || '</p>'
+              || CASE WHEN doc_id % 7 = 0 THEN
+                   CASE WHEN doc_id % 2 = 0 THEN '<footer><p>f</p></footer>'
+                        ELSE '<aside>s</aside>' END
+                 ELSE '' END
+              || '</body></html>' AS raw
+            FROM documents WHERE text IS NOT NULL),
+          t AS (SELECT doc_id,
+                  ${sqlMd5h60(
+                    "lower(array_to_string(regexp_extract_all(raw, " +
+                      "'<(/?[A-Za-z][A-Za-z0-9]*)', 1), ' '))")} AS tag_fp
+                FROM h)
+          SELECT doc_id, tag_fp FROM (
+            SELECT doc_id, tag_fp,
+                   row_number() OVER (PARTITION BY tag_fp
+                     ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                              doc_id) AS rn
+            FROM t)
+          WHERE rn <= 100""",
     // q169 = the five stages replayed end-to-end: the factored
     // q142/q147 domain chain, NOT IN blocklist, the q147 seeded-hash
     // window cap, the q156 slice-mined page-frequency boilerplate cut,

@@ -86,4 +86,31 @@ object Templates {
       .join(broadcast(fams), col("tag_fp") <=> col("__graft_fam_fp"))
       .drop("__graft_fam_fp")
   }
+
+  /** Per-family cap ENFORCEMENT — the q147 domain-quota shape keyed on
+    * the layout fingerprint: each template family contributes at most
+    * `cap` pages (the seeded-hash sample within the family, so
+    * membership is deterministic, nested in the cap, and
+    * oracle-replayable), while families at or under the cap bypass
+    * untouched. This is the front-door stage the family TABLE
+    * ([[templateFamilies]]) only reports: "cap pages per layout" the
+    * way the domain quota caps pages per registrable domain — the
+    * dedup ladder's rung-13 action. Output: every admitted input row +
+    * its `tag_fp`.
+    *
+    * Scale shape inherits [[graft.operators.Sampling.capPerGroup]]'s
+    * two-phase plan: under-cap families (the long tail of layouts)
+    * bypass via a broadcast anti-join with zero sort; only the few
+    * over-cap families hash-exchange ON THE 60-BIT KEY and window
+    * their own slice — HTML never keys an exchange.
+    */
+  def capPerFamily(
+      docs: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      cap: Int,
+      seed: Long = 42L): DataFrame =
+    Sampling.capPerGroup(
+      docs.withColumn("tag_fp", tagFingerprint(col(htmlCol))),
+      idCol, "tag_fp", cap, seed)
 }

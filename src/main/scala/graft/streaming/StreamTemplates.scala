@@ -98,6 +98,47 @@ object StreamTemplates {
     sink.read(spark, table, stateSchema)
       .withColumn("is_template", col("n_pages") >= minPages)
 
+  /** Streaming per-family admission — the live twin of
+    * [[graft.operators.Templates.capPerFamily]] (the rung-13
+    * ENFORCEMENT the observer above only reports): each layout
+    * family's first `cap` pages are admitted in arrival order and the
+    * rest drop, so a crawl caps machine-generated families WHILE
+    * ingesting. The fingerprint is computed scan-side (HTML never
+    * reaches the state operator); admission state is ONE long per
+    * family via [[StreamQuota.admit]]'s first-come semantics —
+    * layouts are thousands, not millions, the same cardinality
+    * contract as the observer's state table.
+    *
+    * Semantics vs the batch operator (the [[StreamQuota]] rule): the
+    * batch cap samples each family by the seeded-hash order over the
+    * whole corpus; a stream cannot reorder the future, so admission is
+    * first-come — per-family admitted COUNTS always match the batch
+    * operator on the same rows, and feeding arrivals in the batch's
+    * hash order reproduces its exact membership (spec-pinned both
+    * ways). Null-html rows are DROPPED here (a null fingerprint
+    * cannot key streaming state) — the batch operator's null-family
+    * routing is a batch-only concept; spec-pinned so the divergence
+    * is deliberate, not silent.
+    *
+    * Output: `(tag_fp, doc_id, admitted_rank)` — rank 0-based within
+    * the family.
+    */
+  def admitByFamily(
+      stream: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      cap: Long): DataFrame = {
+    val admitted = StreamQuota.admit(
+      stream
+        .where(col(htmlCol).isNotNull)
+        .withColumn("__tmpl_fp", Templates.tagFingerprint(col(htmlCol))),
+      idCol, "__tmpl_fp", cap)
+    admitted.toDF().select(
+      col("group").cast("long").alias("tag_fp"),
+      col("doc_id"),
+      col("admitted_rank"))
+  }
+
   /** Start the observer over a streaming frame of `(id, html)` rows. */
   def start(
       docs: DataFrame,

@@ -320,7 +320,11 @@ object ScaleBench {
     // broadcast anti-probe + quota window (admitted set is CAP-bound,
     // so stages 3-5 are constant-size; the exponent measures the
     // block+quota scan over the growing corpus)
-    "q169_front_door")
+    "q169_front_door",
+    // round-20: template-family cap — q168's fingerprint scan + the
+    // two-phase cap on the 60-bit key; admitted set is cap-bound per
+    // family, families are layout-bound
+    "q170_template_cap")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -1594,6 +1594,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
   }
 
+  test("q170: template cap — two-phase plan keyed on the 60-bit fingerprint, HTML never in an exchange") {
+    val plan = planOf("q170_template_cap")
+    assert(plan.contains("regexp_extract_all"), s"q170 lost the tag extraction:\n$plan")
+    // under-cap families bypass via broadcast anti-join; over-cap
+    // families window their own slice keyed on tag_fp
+    assert(plan.contains("LeftAnti"), s"q170 lost the under-cap bypass:\n$plan")
+    assert(plan.contains("Window"), s"q170 lost the over-cap window:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(l => l.contains("tag_fp") || l.contains("__graft_over_g")),
+      s"q170 exchange keys off the fingerprint:\n$plan")
+    assert(exchangeLines.forall(l => !l.contains("raw")),
+      s"q170 HTML crossed an exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q170 path:\n$plan")
+  }
+
   test("q169: composed front door — broadcast stages, domain-keyed exchanges only, scalar count frames") {
     val plan = planOf("q169_front_door")
     // all three native stage kernels survive into the fused plan

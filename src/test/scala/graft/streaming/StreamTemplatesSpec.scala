@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.operators.Templates
 import graft.sinks.InMemoryKVSink
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** [[StreamTemplates]] — the live layout-family observer: the state
@@ -72,6 +73,53 @@ class StreamTemplatesSpec extends SparkTestBase {
     val after = StreamTemplates.families(spark, sink, "tmpl", minPages = 3L)
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(after === Seq((after.head._1, 4L, 0L, true)))
+  }
+
+  test("admitByFamily: count parity under any batching; hash-order feed reproduces batch membership") {
+    // two over-cap families (%2 gate) + one tiny family; cap = 5
+    def html(i: Long): String =
+      if (i >= 90L) "<table><tr><td>t</td></tr></table>"
+      else if (i % 2 == 0) s"<div><p>a$i</p></div>"
+      else s"<ul><li>b$i</li></ul>"
+    val docs = ((0L until 24L) ++ Seq(90L, 91L, 92L)).map(i => (i, html(i)))
+    val batch = Templates.capPerFamily(
+        docs.toDF("doc_id", "raw"), "doc_id", "raw", cap = 5)
+      .select("tag_fp", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    def run(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val out = StreamTemplates.admitByFamily(
+        input.toDF().toDF("doc_id", "raw"), "doc_id", "raw", cap = 5L)
+      val name = s"stc_out_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name).select("tag_fp", "doc_id")
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    // (1) arbitrary batching: per-family admitted COUNTS match the batch cap
+    val streamed = run(Seq(docs.take(10), docs.slice(10, 11), docs.drop(11)))
+    def counts(s: Set[(Long, Long)]) =
+      s.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts(streamed) === counts(batch))
+    // the tiny family bypasses whole in both forms
+    val tinyFp = streamed.filter(_._2 >= 90L).map(_._1)
+    assert(tinyFp.size === 1 && streamed.count(_._1 == tinyFp.head) === 3)
+    // (2) one doc per trigger in the batch's seeded-hash order ->
+    // identical MEMBERSHIP, not just counts
+    val hashOrder = docs.toDF("doc_id", "raw")
+      .withColumn("hk", graft.functions.TextFunctions.seededHash60(42L, col("doc_id")))
+      .orderBy(col("hk"), col("doc_id"))
+      .select("doc_id", "raw").as[(Long, String)].collect().toSeq
+    val streamedOrdered = run(hashOrder.map(Seq(_)))
+    assert(streamedOrdered === batch,
+      "hash-order feed must reproduce the batch cap's exact membership")
+    // (3) null html drops in the stream (documented divergence from
+    // the batch operator's null family)
+    val withNull = run(Seq(Seq((500L, null.asInstanceOf[String])) ++ docs.take(4)))
+    assert(!withNull.exists(_._2 == 500L))
   }
 
   test("non-integral id column fails loudly (no silent NULL first_doc under cast)") {
