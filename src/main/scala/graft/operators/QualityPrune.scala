@@ -220,6 +220,68 @@ object QualityPrune {
       .drop("__c4")
   }
 
+  /** Script-ROUTED quality gate (round 20): consume the
+    * [[graft.functions.expressions.ScriptStatsExpr]] `main_script`
+    * signal (q166 — "the multilingual front door's FIRST routing
+    * signal") to select the gate ARTIFACT per script, instead of
+    * pushing every page through the Latin-trained rule set — the C4
+    * starvation lesson, multilingual edition: a CJK page has
+    * `frac_alpha = 0` and zero English stop hits, so the q137 gate
+    * silently drops entire non-Latin populations; routing sends each
+    * script to rules that can actually measure it.
+    *
+    * Routes (the artifact name is emitted so the decision is
+    * auditable):
+    *  - `latin` → `latin_gate`: the full seven-rule Gopher gate
+    *    (Latin-trained stop list and `[a-z]` alpha fraction apply);
+    *  - `greek`/`cyrillic`/`arabic` → `nostop_gate`: the Gopher
+    *    rules MINUS the two Latin-trained ones (stop hits, alpha
+    *    fraction) — token shape, length, and symbol rules still
+    *    apply to space-separated scripts;
+    *  - `cjk`/`kana`/`hangul` → `charcount_gate`: token rules are
+    *    meaningless for space-free scripts; keep on letter MASS
+    *    (`n_cjk + n_kana + n_hangul >= minLetters`);
+    *  - `none` (no classified letters, incl. null text) → `drop`.
+    *
+    * Output: every input row's `(id, main_script, route, keep)` —
+    * the audit form. One fused native scan (both kernels are codegen
+    * expressions over the same column), zero exchanges, no UDF.
+    */
+  def scriptRoutedGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 25L,
+      minStopHits: Long = 1L,
+      minLetters: Long = 20L): DataFrame = {
+    val st = docs.select(
+      col(idCol),
+      graft.functions.expressions.ScriptStatsExpr.scriptStats(col(textCol)).as("sc"),
+      graft.functions.expressions.GopherStatsExpr.gopherStats(col(textCol)).as("g"))
+    val main = col("sc.main_script")
+    val g: String => Column = f => col(s"g.$f")
+    val all = gopherRules(g, minTokens, 100000L, 3.0, 10.0, 0.8, minStopHits,
+      0.3, 0.9, 0.1)
+    val latinKeep = all.map(_._2).reduce(_ && _)
+    val noStopKeep = all
+      .filterNot { case (name, _) => name == "alpha" || name == "stop" }
+      .map(_._2).reduce(_ && _)
+    val letters = col("sc.n_cjk") + col("sc.n_kana") + col("sc.n_hangul")
+    st.select(
+      col(idCol),
+      coalesce(main, lit("none")).alias("main_script"),
+      when(main === "latin", lit("latin_gate"))
+        .when(main.isin("cjk", "kana", "hangul"), lit("charcount_gate"))
+        .when(main.isin("greek", "cyrillic", "arabic"), lit("nostop_gate"))
+        .otherwise(lit("drop")).alias("route"),
+      coalesce(
+        when(main === "latin", latinKeep)
+          .when(main.isin("cjk", "kana", "hangul"), letters >= minLetters)
+          .when(main.isin("greek", "cyrillic", "arabic"), noStopKeep)
+          .otherwise(lit(false)),
+        lit(false)).alias("keep"))
+  }
+
   /** [[c4Clean]]'s enforcement form: surviving pages only, their
     * `textCol` REPLACED by the cleaned line-joined text — the
     * stateless projection+filter shape that chains in front of any

@@ -324,7 +324,11 @@ object ScaleBench {
     // round-20: template-family cap — q168's fingerprint scan + the
     // two-phase cap on the 60-bit key; admitted set is cap-bound per
     // family, families are layout-bound
-    "q170_template_cap")
+    "q170_template_cap",
+    // round-20: script-routed gate — one fused script_stats +
+    // gopher_stats scan over the decorated scaled documents; pure
+    // scan linearity
+    "q171_script_routed_gate")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

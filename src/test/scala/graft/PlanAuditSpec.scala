@@ -1594,6 +1594,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
   }
 
+  test("q171: script-routed gate is one fused native scan — no exchange, no UDF") {
+    val plan = planOf("q171_script_routed_gate")
+    assert(plan.contains("script_stats") && plan.contains("gopher_stats"),
+      s"q171 lost a routing kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q171 is a pure scan query:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q171 path:\n$plan")
+  }
+
   test("q170: template cap — two-phase plan keyed on the 60-bit fingerprint, HTML never in an exchange") {
     val plan = planOf("q170_template_cap")
     assert(plan.contains("regexp_extract_all"), s"q170 lost the tag extraction:\n$plan")

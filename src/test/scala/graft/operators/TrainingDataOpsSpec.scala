@@ -836,4 +836,43 @@ class TrainingDataOpsSpec extends SparkTestBase {
     // doc 8: 20 '#' over 26 tokens
     assert(st(8L)._3 == 20.0 / 26.0, s"symbol ratio: ${st(8L)}")
   }
+
+  test("scriptRoutedGate: each script lands on its own artifact; Latin rules never judge non-Latin pages") {
+    val latinGood = "the quick brown fox jumps over the lazy dog and then " +
+      "sits down with a friendly cat to talk about dinner plans"
+    val docs = Seq[(Long, String)](
+      (1L, latinGood),                       // latin + passes the full gate
+      (2L, "short latin page here."),        // latin + fails len
+      (3L, "Привет мир " * 10),              // cyrillic: would fail alpha+stop in
+                                             // a Latin gate; nostop passes it
+      (4L, "Привет мир"),                    // cyrillic but only 2 tokens: len fails
+      (5L, "你好世界 " * 6),                  // cjk: 24 letters >= 20 -> keep
+      (6L, "你好"),                           // cjk but 2 letters < 20 -> drop
+      (7L, "12345 67890 !!! ???")            // no letters at all -> none/drop
+    ).toDF("doc_id", "text")
+    val nullDoc = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val got = QualityPrune.scriptRoutedGate(
+      docs.unionByName(nullDoc), "doc_id", "text",
+      minTokens = 15L, minStopHits = 1L, minLetters = 20L)
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ("latin", "latin_gate", true))
+    assert(got(2L) == ("latin", "latin_gate", false))
+    assert(got(3L) == ("cyrillic", "nostop_gate", true),
+      s"Cyrillic page must bypass the Latin-trained rules: ${got(3L)}")
+    assert(got(4L) == ("cyrillic", "nostop_gate", false))
+    assert(got(5L) == ("cjk", "charcount_gate", true),
+      s"CJK page must keep on letter mass, not token rules: ${got(5L)}")
+    assert(got(6L) == ("cjk", "charcount_gate", false))
+    assert(got(7L) == ("none", "drop", false))
+    assert(got(9L) == ("none", "drop", false), "null text fails closed")
+    // the load-bearing claim: the same Cyrillic page DIES in the
+    // unrouted Latin gate (frac_alpha = 0, zero stop hits)
+    val unrouted = QualityPrune.gopherGate(
+      docs.filter($"doc_id" === 3L), "doc_id", "text",
+      minTokens = 15L, minStopHits = 1L)
+      .select("keep").as[Boolean].collect()
+    assert(unrouted.toSeq == Seq(false),
+      "fixture must demonstrate the starvation the router prevents")
+  }
 }
