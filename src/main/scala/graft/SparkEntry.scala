@@ -2384,6 +2384,36 @@ object SparkEntry {
   }
 
 
+  /** Freeze-gated deployment (round 20): the round-19 verdict's
+    * missing #2 — q160 computes the freeze/refuse decision but nothing
+    * CONSUMED it; this query closes the loop:
+    * [[graft.operators.QualityClassifier.gateIfFrozen]] reads the
+    * calibration table's `freeze_ok` + argmax-F1 cutoff as one
+    * broadcast row and routes deployment over the scored table — gate
+    * ON (keep = score ≥ cutoff) when frozen, PASS-THROUGH with
+    * `gate_applied = false` when refused. On this fixture the probe
+    * REFUSES (held-out 525000µ < the 700000µ floor), so the oracle
+    * pins the refuse path end-to-end: every row passes, and the hash
+    * still covers the entire trainer through `score_micro`; the
+    * freeze path is spec-pinned on a separable fixture
+    * (`ProbeCalibrationSpec`). ONE trainer run feeds calibration and
+    * deployment (the q160 internals, restructured around a shared
+    * checkpoint).
+    */
+  private def q172_freeze_gated_deploy(s: SparkSession, dir: String): DataFrame = {
+    val scored = q157_probe_holdout(s, dir).localCheckpoint()
+    val heldOut = scored.filter(!col("is_train"))
+    val cal = operators.QualityClassifier
+      .cutoffSweep(heldOut, "label", "score_micro",
+        Seq(-5000000L, -2500000L, 0L, 2500000L, 5000000L))
+      .transform(operators.QualityClassifier.markSelectedCutoffs(_, 900000L))
+      .transform(operators.QualityClassifier
+        .markFreezeDecision(_, heldOut, "correct", 700000L))
+    operators.QualityClassifier.gateIfFrozen(scored, cal, "score_micro")
+      .select("vec_id", "score_micro", "gate_applied", "kept")
+  }
+
+
   /** Domain blocklist (round 18): the front door's FIRST stage —
     * [[graft.operators.UrlFilter.markBlocked]] over the q147 URL
     * fixture with a 3-domain list. Matching is on the REGISTRABLE
@@ -3973,7 +4003,8 @@ object SparkEntry {
     "q168_template_families" -> (q168_template_families _),
     "q169_front_door" -> (q169_front_door _),
     "q170_template_cap" -> (q170_template_cap _),
-    "q171_script_routed_gate" -> (q171_script_routed_gate _)
+    "q171_script_routed_gate" -> (q171_script_routed_gate _),
+    "q172_freeze_gated_deploy" -> (q172_freeze_gated_deploy _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7018,6 +7049,53 @@ object SparkEntry {
                  (SELECT holdout_acc_micro FROM acc) AS holdout_acc_micro,
                  (SELECT holdout_acc_micro FROM acc) >= 700000 AS freeze_ok
           FROM keyed""",
+    // q172 = the q160 trainer + sweep + F1 ranking nested once, the
+    // decision reduced to one row (freeze_ok scalar + the argmax-F1
+    // cutoff), then the per-row deployment CASE — on this fixture the
+    // probe refuses, so every row passes with gate_applied = false
+    "q172_freeze_gated_deploy" ->
+      s"""WITH sc AS MATERIALIZED (SELECT * FROM (${sqlProbeOracle(dim = 64, iters = 40,
+            lr = 0.001, trainWhere = Some("vec_id % 5 = 0"))})),
+          ho AS MATERIALIZED (SELECT * FROM sc WHERE NOT is_train),
+          acc AS (SELECT CAST(round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                   * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS holdout_acc_micro
+                  FROM ho),
+          cuts AS (SELECT unnest([-5000000, -2500000, 0, 2500000, 5000000]) AS cutoff_micro),
+          sweep AS (
+          SELECT CAST(c.cutoff_micro AS BIGINT) AS cutoff_micro,
+                 CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CASE WHEN sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS precision_micro,
+                 CASE WHEN sum(CASE WHEN s.label THEN 1 ELSE 0 END) > 0
+                      THEN CAST(round(
+                        CAST(sum(CASE WHEN s.score_micro >= c.cutoff_micro AND s.label THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0
+                        / CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS DOUBLE)) AS BIGINT)
+                 END AS recall_micro
+          FROM ho s CROSS JOIN cuts c
+          GROUP BY c.cutoff_micro),
+          keyed AS (
+          SELECT cutoff_micro,
+                 CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+                           AND precision_micro + recall_micro > 0
+                      THEN 2.0 * CAST(precision_micro * recall_micro AS DOUBLE)
+                           / CAST(precision_micro + recall_micro AS DOUBLE)
+                 END AS f1d
+          FROM sweep),
+          sel AS (SELECT min(cutoff_micro) AS cut FROM (
+                    SELECT cutoff_micro,
+                           rank() OVER (ORDER BY coalesce(f1d, -1.0) DESC,
+                                        cutoff_micro ASC) AS rnk
+                    FROM keyed) WHERE rnk = 1),
+          dec AS (SELECT (SELECT holdout_acc_micro FROM acc) >= 700000 AS freeze_ok,
+                         (SELECT cut FROM sel) AS cut)
+          SELECT sc.vec_id, sc.score_micro,
+                 dec.freeze_ok AS gate_applied,
+                 CASE WHEN dec.freeze_ok THEN sc.score_micro >= dec.cut
+                      ELSE TRUE END AS kept
+          FROM sc, dec""",
     // q161 = the multiplicative-weights trainer replayed round-by-round
     // (weighted avg -> step -> renormalize -> smooth, all integer
     // micros), then the q73 rate/hash resample — see sqlMixtureOracle

@@ -342,6 +342,55 @@ object QualityClassifier {
       .withColumn("sel_recall_floor", eligible && rank().over(wFloor) === 1)
   }
 
+  /** Deployment CONSUMPTION of the freeze/refuse decision (round 20):
+    * the [[markFreezeDecision]] arc completed — the calibration table
+    * computed `freeze_ok`, but a pipeline that then freezes its gate
+    * artifact UNCONDITIONALLY has learned nothing (the C4
+    * frozen-artifact starvation rule, generalized). This operator
+    * reads the decision IN-PLAN and routes deployment: when
+    * `freeze_ok`, rows gate on `scoreCol >= ` the argmax-F1 selected
+    * cutoff; when refused, the gate is OFF and every row passes
+    * through — with `gate_applied` emitted so the pass-through is an
+    * auditable decision, not silence.
+    *
+    * The calibration frame is cutoffs-sized by contract (≤ a handful
+    * of rows), so the decision reduces to ONE broadcast row
+    * (`min(freeze_ok)` — constant across rows by construction — and
+    * the `sel_max_f1` row's cutoff); the scored corpus pays a scan,
+    * never a shuffle. Output: every input row + `gate_applied` +
+    * `kept`.
+    */
+  def gateIfFrozen(
+      scored: DataFrame,
+      calibration: DataFrame,
+      scoreCol: String): DataFrame = {
+    val dec = calibration.agg(
+      min(col("freeze_ok")).as("__gate_freeze_ok"),
+      min(when(col("sel_max_f1"), col("cutoff_micro"))).as("__gate_cutoff"))
+    scored
+      .crossJoin(broadcast(dec))
+      .withColumn("gate_applied", col("__gate_freeze_ok"))
+      .withColumn("kept",
+        when(col("__gate_freeze_ok"), col(scoreCol) >= col("__gate_cutoff"))
+          .otherwise(lit(true)))
+      .drop("__gate_freeze_ok", "__gate_cutoff")
+  }
+
+  /** The driver-side form of the same consumption — for compositions
+    * whose gate artifact already lives on the driver (the trained
+    * weight array): read the calibration table's scalar decision,
+    * loudly (a calibration frame with zero or conflicting `freeze_ok`
+    * values is a caller bug, not a silent default). The collect is
+    * cutoffs-sized by contract.
+    */
+  def freezeDecision(calibration: DataFrame): Boolean = {
+    val vals = calibration.select(col("freeze_ok")).distinct().collect()
+      .map(_.getBoolean(0)).toSeq
+    require(vals.length == 1,
+      s"freeze_ok must be one scalar decision, got ${vals.length} distinct values")
+    vals.head
+  }
+
   /** The composed distillation: featurize with the Gopher teacher,
     * train, score, and report per-doc agreement — the auditable form
     * (`label`/`pred`/`correct` per document, so a pipeline can measure

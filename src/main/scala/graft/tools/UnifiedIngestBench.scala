@@ -223,16 +223,43 @@ object UnifiedIngestBench {
     // q145 artifact applied in the streaming front door). Measures the
     // learned gate at the rule gate's position in the same composition.
     val clsGate = sys.env.get("SPARK_GRAFT_UB_CLSGATE").contains("1")
-    val clsW: Array[Long] =
+    // round 20: the freeze/refuse protocol CONSUMED (q160 -> q172 arc):
+    // the gate trains on an 80% slice, the 20% hold-out calibrates, and
+    // the frozen artifact deploys ONLY when freezeDecision says the
+    // transfer clears the floor — a refused gate stays OFF
+    // (pass-through) and says so, instead of silently curating noise.
+    val (clsW: Array[Long], clsFrozen: Boolean) =
       if (clsGate) {
         val train0 = (0 until 5000).map(doc).map(d => (d._1, d._2)).toDF("doc_id", "text")
         val train = if (c4On) c4Clean(train0) else train0
-        graft.operators.QualityClassifier.train(
-          graft.operators.QualityClassifier.gopherFeatures(
-            train, "doc_id", "text", dim = 256, minTokens = 5L, minStopHits = 0L),
-          "feats", "y", 256 + 17, iters = 30)
-      } else null
-    if (clsGate) println("[composed] gate = trained classifier (keepByScore, dim=256)")
+        val feats = graft.operators.QualityClassifier.gopherFeatures(
+            train, "doc_id", "text", dim = 256, minTokens = 5L, minStopHits = 0L)
+          .withColumn("is_train", col("doc_id") % 5 > 0)
+          .localCheckpoint()
+        val w = graft.operators.QualityClassifier.train(
+          feats.filter(col("is_train")), "feats", "y", 256 + 17, iters = 30)
+        val heldOut = graft.operators.QualityClassifier
+          .score(feats.filter(!col("is_train")), "feats", w)
+          .select(
+            (col("y") === 1L).as("label"),
+            col("score_micro"),
+            (col("pred") === (col("y") === 1L)).as("correct"))
+          .localCheckpoint()
+        val cal = graft.operators.QualityClassifier
+          .cutoffSweep(heldOut, "label", "score_micro",
+            Seq(-500000L, -250000L, 0L, 250000L, 500000L))
+          .transform(graft.operators.QualityClassifier.markSelectedCutoffs(_, 900000L))
+          .transform(graft.operators.QualityClassifier
+            .markFreezeDecision(_, heldOut, "correct", 700000L))
+        val ok = graft.operators.QualityClassifier.freezeDecision(cal)
+        val acc = cal.select("holdout_acc_micro").head().getLong(0)
+        println(s"[composed] gate freeze decision: " +
+          (if (ok) s"FROZEN (holdout ${acc}µ >= 700000µ)"
+           else s"REFUSED (holdout ${acc}µ < 700000µ) — gate stage OFF, pass-through"))
+        (w, ok)
+      } else (null, false)
+    if (clsGate && clsFrozen)
+      println("[composed] gate = trained classifier (keepByScore, dim=256)")
 
     val tiers = Seq("exact", "quality", "near", "sem", "ann")
     val qNames = Seq("unified", "card", "dist", "freq", "pack")
@@ -339,8 +366,10 @@ object UnifiedIngestBench {
           c4Clean(boiled)
         } else boiled
       val gated =
-        if (clsGate)
+        if (clsGate && clsFrozen)
           graft.operators.QualityClassifier.keepByScore(c4d, "text", clsW, dim = 256)
+        else if (clsGate)
+          c4d // gate REFUSED by the freeze decision: pass-through
         else
           graft.operators.QualityPrune.keepByGopher(
             c4d, "text", minTokens = 5L, minStopHits = 0L)

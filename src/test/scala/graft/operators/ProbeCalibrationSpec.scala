@@ -29,31 +29,40 @@ class ProbeCalibrationSpec extends SparkTestBase {
   private def entangled(n: Int, dim: Int): Seq[(Long, Array[Float], Int)] =
     separable(n, dim).map { case (id, v, _) => (id, v, if (id % 4 < 2) 0 else 1) }
 
-  /** The q160 composition on a local fixture. */
-  private def calibrate(
+  /** The q160 composition on a local fixture — returns the full scored
+    * table (the deployment target) and the calibration table.
+    */
+  private def calibrateWithScored(
       rows: Seq[(Long, Array[Float], Int)],
-      accFloorMicro: Long): DataFrame = {
+      accFloorMicro: Long): (DataFrame, DataFrame) = {
     val df = rows.toDF("vec_id", "embedding", "label")
     val feats = EmbeddingProbe.features(df, "vec_id", "embedding", col("label") === 0)
       .withColumn("is_train", col("vec_id") % 2 === 0)
       .localCheckpoint()
     val w = EmbeddingProbe.train(
       feats.filter(col("is_train")), "codes", "y", 17, iters = 25, lr = 0.001)
-    val heldOut = EmbeddingProbe.score(feats, "codes", w)
-      .filter(!col("is_train"))
+    val scored = EmbeddingProbe.score(feats, "codes", w)
       .select(
         col("vec_id"),
         (col("y") === 1L).as("label"),
         col("score_micro"),
-        (col("pred") === (col("y") === 1L)).as("correct"))
+        (col("pred") === (col("y") === 1L)).as("correct"),
+        col("is_train"))
       .localCheckpoint()
-    QualityClassifier
+    val heldOut = scored.filter(!col("is_train"))
+    val cal = QualityClassifier
       .cutoffSweep(heldOut, "label", "score_micro",
         Seq(-1000000L, 0L, 1000000L))
       .transform(QualityClassifier.markSelectedCutoffs(_, 900000L))
       .transform(QualityClassifier
         .markFreezeDecision(_, heldOut, "correct", accFloorMicro))
+    (scored, cal)
   }
+
+  private def calibrate(
+      rows: Seq[(Long, Array[Float], Int)],
+      accFloorMicro: Long): DataFrame =
+    calibrateWithScored(rows, accFloorMicro)._2
 
   test("separable fixture: held-out accuracy clears the floor and every sweep row says freeze_ok") {
     val out = calibrate(separable(160, 16), accFloorMicro = 700000L)
@@ -74,6 +83,35 @@ class ProbeCalibrationSpec extends SparkTestBase {
       s"entangled probe froze at acc=${out.head._1} — the refuse arm is dead")
     assert(out.head._1 <= 650000L,
       s"entangled fixture unexpectedly generalized: ${out.head._1}")
+  }
+
+  test("gateIfFrozen: frozen probe gates on the selected cutoff; refused probe passes through, audited") {
+    // FREEZE branch: separable geometry -> gate ON with the argmax-F1 cutoff
+    val (scoredS, calS) = calibrateWithScored(separable(160, 16), 700000L)
+    val cut = calS.filter(col("sel_max_f1")).select("cutoff_micro")
+      .as[Long].collect().head
+    val outS = QualityClassifier.gateIfFrozen(scoredS, calS, "score_micro")
+      .select("vec_id", "score_micro", "gate_applied", "kept")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(outS.forall(_._3), "frozen probe must report gate_applied on every row")
+    assert(outS.forall(r => r._4 == (r._2 >= cut)),
+      "frozen gate must keep exactly score >= selected cutoff")
+    assert(outS.exists(_._4) && outS.exists(!_._4), "frozen gate must discriminate")
+    assert(QualityClassifier.freezeDecision(calS))
+    // REFUSE branch: entangled labels -> gate OFF, everything passes
+    val (scoredE, calE) = calibrateWithScored(entangled(160, 16), 700000L)
+    val outE = QualityClassifier.gateIfFrozen(scoredE, calE, "score_micro")
+      .select("gate_applied", "kept")
+      .as[(Boolean, Boolean)].collect()
+    assert(outE.forall(r => !r._1 && r._2),
+      "refused probe must pass every row through with gate_applied = false")
+    assert(!QualityClassifier.freezeDecision(calE))
+    // conflicting decisions fail loudly in the driver-side form
+    val conflicted = calS.withColumn("freeze_ok", col("cutoff_micro") >= 0L)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.freezeDecision(conflicted)
+    }
+    assert(e.getMessage.contains("one scalar decision"))
   }
 
   test("cutoffSweep micro P/R pinned on a hand fixture; markFreezeDecision is exact HALF_UP") {
