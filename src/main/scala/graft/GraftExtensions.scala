@@ -277,6 +277,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.expressions.ScriptStatsExpr].getName,
           "script_stats"),
         GraftFunctions.scriptStatsBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier("srp_expand"),
+        new ExpressionInfo(
+          classOf[graft.functions.expressions.SrpExpandExpr].getName,
+          "srp_expand"),
+        GraftFunctions.srpExpandBuilder))
   }
 }
 
@@ -503,6 +510,13 @@ object GraftFunctions {
     graft.functions.expressions.ScriptStatsExpr(
       arity(exprs, 1, "script_stats(text)").head)
 
+  private[graft] def srpExpandBuilder: Seq[Expr] => Expr = { exprs0 =>
+    val exprs = arity(exprs0, 3, "srp_expand(vec, out_dim, prefix)")
+    graft.functions.expressions.SrpExpandExpr(
+      exprs.head, intLit(exprs(1), "srp_expand out_dim"),
+      strLit(exprs(2), "srp_expand prefix"))
+  }
+
   def register(spark: SparkSession): Unit = {
     Bridge.registerTempFunction(spark, "md5_hash60", md5Hash60Builder)
     Bridge.registerTempFunction(spark, "dot_f", dotFBuilder)
@@ -547,5 +561,6 @@ object GraftFunctions {
     Bridge.registerTempFunction(spark, "secret_scrub", secretScrubBuilder)
     Bridge.registerTempFunction(spark, "c4_clean", c4CleanBuilder)
     Bridge.registerTempFunction(spark, "script_stats", scriptStatsBuilder)
+    Bridge.registerTempFunction(spark, "srp_expand", srpExpandBuilder)
   }
 }

@@ -2721,6 +2721,38 @@ object SparkEntry {
   }
 
 
+  /** SRP-expanded BQ rerank (round 20): the round-19 verdict's missing
+    * #5, resolved against the MEASURED fixture — the embeddings table
+    * at head is 64-dim (not the 16 the round-19 record assumed;
+    * BASELINE round-20 corrects the ledger), and raw coordinate-sign
+    * Hamming still recalls only ~7/20 there, so the production fix is
+    * GEOMETRIC, not a new fixture: [[graft.operators.Similarity
+    * .bqTopKExpanded]] projects every vector through 256 deterministic
+    * ±1 hyperplanes (`srp_expand`, md5-seeded — the q56 plane
+    * convention, portable to DuckDB) and runs the candidate tier on
+    * 256 angle-preserving sign bits, re-ranking the bounded survivors
+    * by exact cosine on the ORIGINAL floats. Honest numbers (BqProbe
+    * round-20 ledger): at equal depths the expanded tier dominates raw
+    * signs (top-20 recall 9.8/15.0/18.2 at @20/@50/@100 vs
+    * 7.4/11.4/15.6), but full exact-top-10 coverage on this fixture
+    * still needs ~240-deep cuts under EITHER sketch — so the cut stays
+    * at q167's 200 and the expansion buys recall per bit, not a
+    * shallower cut. Oracle replays the expansion fold (list_reduce,
+    * k-ascending, double→float) bit-for-bit, then both total-order
+    * cuts.
+    */
+  private def q173_bq_rerank_srp(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    Similarity.bqTopKExpanded(Tables.embeddings(s, dir), "vec_id", "embedding",
+      q, 10, rerank = 200, outDim = 256, prefix = "rp")
+  }
+
+
   /** Template-page families by tag-structure fingerprint (round 19):
     * the LAYOUT-level dedup rung — templated pages (listings,
     * profiles, archives) share a tag sequence while sharing no text,
@@ -4004,7 +4036,8 @@ object SparkEntry {
     "q169_front_door" -> (q169_front_door _),
     "q170_template_cap" -> (q170_template_cap _),
     "q171_script_routed_gate" -> (q171_script_routed_gate _),
-    "q172_freeze_gated_deploy" -> (q172_freeze_gated_deploy _)
+    "q172_freeze_gated_deploy" -> (q172_freeze_gated_deploy _),
+    "q173_bq_rerank_srp" -> (q173_bq_rerank_srp _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7455,6 +7488,30 @@ object SparkEntry {
                          AND coalesce(symbol_ratio <= 0.1, FALSE))
                       ELSE FALSE END AS keep
           FROM ms JOIN st ON st.doc_id = ms.doc_id""",
+    // q173 = the SRP expansion replayed per row (md5-signed fold,
+    // k-ascending, double -> float), positional sign-mismatch Hamming
+    // in the EXPANDED space for the candidate cut, exact cosine on the
+    // ORIGINAL floats for the re-rank — both total orders replayed
+    "q173_bq_rerank_srp" ->
+      s"""WITH e AS (
+            SELECT vec_id, embedding,
+              list_transform(range(0, 256), j ->
+                CAST(list_reduce(list_transform(range(0, 64), k ->
+                  CASE WHEN ${sqlMd5h60(
+                    "'rp:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 2 = 0
+                       THEN CAST(embedding[CAST(k + 1 AS INT)] AS DOUBLE)
+                       ELSE -CAST(embedding[CAST(k + 1 AS INT)] AS DOUBLE) END),
+                  (a, b) -> a + b) AS FLOAT)) AS ex
+            FROM embeddings),
+          q AS (SELECT embedding AS qv, ex AS qx FROM e WHERE vec_id = 0),
+          h AS (SELECT vec_id, embedding,
+                  CAST(len(list_filter(list_zip(ex, qx),
+                    p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS ham
+                FROM e, q
+                ORDER BY ham ASC, vec_id ASC LIMIT 200)
+          SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
+          FROM h, q
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     // q167 = the same positional sign-mismatch Hamming for the
     // candidate cut (total order: ham, vec_id), then the exact cosine
     // re-rank over the bounded 200 — both cuts replayed exactly

@@ -220,6 +220,45 @@ object Similarity {
     }
   }
 
+  /** [[bqTopK]] with the candidate tier in SRP-EXPANDED sign space
+    * (round 20): coordinate-sign BQ keys on whatever basis the
+    * embedding shipped in — at low storage dimension its Hamming
+    * ranking is noise-dominated (BASELINE BqProbe tables). Here each
+    * vector first projects through `outDim` deterministic ±1
+    * hyperplanes ([[graft.functions.expressions.SrpExpandExpr]], one
+    * fused codegen pass, no md5 on the row path), so the candidate
+    * tier gets `outDim` ANGLE-PRESERVING sign bits regardless of
+    * storage dimension; the exact cosine re-rank stays on the
+    * ORIGINAL floats. Same plan shape as [[bqTopK]]'s rerank arm: one
+    * scan into a bounded TakeOrdered carrying the vector, no join, no
+    * second corpus pass, zero exchanges.
+    */
+  def bqTopKExpanded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      rerank: Int,
+      outDim: Int,
+      prefix: String = "rp"): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k = $k")
+    val qx = graft.functions.expressions.SrpExpandExpr
+      .expandLocal(query, outDim, prefix)
+    val qw = graft.functions.expressions.BinaryQuantExprs.packLocal(qx)
+    val cand = emb
+      .select(col(idCol), col(vecCol),
+        graft.functions.expressions.BinaryQuantExprs
+          .bqHamming(
+            graft.functions.expressions.SrpExpandExpr
+              .srpExpand(col(vecCol), outDim, prefix),
+            qw)
+          .alias("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(rerank)
+    bruteForceTopK(cand, idCol, vecCol, query.map(_.toDouble).toSeq, k)
+  }
+
   /** [[bqTopK]] over a PERSISTED binary-codes table (the artifact read
     * path — pure XOR/popcount, no float vector ever loaded; follow
     * with an exact re-rank join against the float table when recall

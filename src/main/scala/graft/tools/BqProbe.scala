@@ -46,11 +46,52 @@ object BqProbe {
         f"bq@200=${bqM(3)}%.1f | sq8@20=${sqM(0)}%.1f sq8@50=${sqM(1)}%.1f (of 20)")
     }
 
-    // Dimension dependence: the fixture's 16-dim embeddings give BQ
-    // only 16 Hamming levels, so ties (not sign information) dominate
-    // its ranking there. Production BQ lives at transformer dims —
-    // measure a seeded synthetic panel at 64/256/1024 dims, clustered
-    // like real embedding space (shared cluster axes + noise).
+    // Round 20: the SRP-EXPANDED candidate tier (q173) on the real
+    // fixture — project through outDim deterministic ±1 hyperplanes
+    // first (srp_expand), then Hamming on the angle-preserving sign
+    // bits. Measures candidate recall (exact-top-20 hits inside the
+    // expanded Hamming top-k) and exact-top-10 coverage at the q173
+    // cut depth (50), beside the raw-sign rows above.
+    for (dir <- dirs; outDim <- Seq(128, 256)) {
+      val emb = graft.tables.Tables.embeddings(spark, dir)
+      val qids = Seq(0L, 7L, 31L, 100L, 250L)
+      val results = for (qid <- qids) yield {
+        val q = emb.filter(col("vec_id") === qid).select("embedding")
+          .head().getSeq[Float](0).toArray
+        val qx = graft.functions.expressions.SrpExpandExpr
+          .expandLocal(q, outDim, "rp")
+        val qw = graft.functions.expressions.BinaryQuantExprs.packLocal(qx)
+        def cand(k: Int) = emb
+          .select(col("vec_id"),
+            graft.functions.expressions.BinaryQuantExprs
+              .bqHamming(graft.functions.expressions.SrpExpandExpr
+                .srpExpand(col("embedding"), outDim, "rp"), qw)
+              .alias("ham"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(k)
+          .select("vec_id")
+        def exactTop(n: Int) = graft.operators.Similarity
+          .bruteForceTopK(emb, "vec_id", "embedding", q.map(_.toDouble).toSeq, n)
+          .select("vec_id")
+        def hits(n: Int, k: Int): Long =
+          exactTop(n).join(cand(k), Seq("vec_id")).count()
+        (Seq(20, 50, 100).map(k => hits(20, k)), hits(10, 50))
+      }
+      def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+      val top20 = (0 until 3).map(i => mean(results.map(_._1(i))))
+      val top10at50 = mean(results.map(_._2))
+      println(f"[bqprobe] $dir srp-expanded outDim=$outDim exact-top-20 recall: " +
+        f"bq@20=${top20(0)}%.1f bq@50=${top20(1)}%.1f bq@100=${top20(2)}%.1f (of 20) | " +
+        f"exact-top-10 in ham@50: $top10at50%.1f (of 10)")
+    }
+
+    // Dimension dependence: at LOW storage dimension, coordinate-sign
+    // BQ rankings are noise-dominated (see the fixture rows above; the
+    // round-19 record called the fixture 16-dim — it measures 64-dim
+    // at head, and the conclusion direction is unchanged). Production
+    // BQ lives at transformer dims — measure a seeded synthetic panel
+    // at 64/256/1024 dims, clustered like real embedding space
+    // (shared cluster axes + noise).
     import spark.implicits._
     for (dim <- Seq(64, 256, 1024)) {
       def f(seed: Int, d: Int): Float = {

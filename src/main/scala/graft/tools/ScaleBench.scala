@@ -328,7 +328,11 @@ object ScaleBench {
     // round-20: script-routed gate — one fused script_stats +
     // gopher_stats scan over the decorated scaled documents; pure
     // scan linearity
-    "q171_script_routed_gate")
+    "q171_script_routed_gate",
+    // round-20: SRP-expanded BQ rerank — fused srp_expand + Hamming
+    // scan into a 200-heap + bounded exact re-rank; q167's shape with
+    // a 256×64 multiply-add kernel on the scan
+    "q173_bq_rerank_srp")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -475,4 +475,32 @@ class GraftExtensionsSpec extends SparkTestBase {
       .as[(Long, Long, String)].head()
     assert(sc === ((2L, 2L, "latin"))) // 2-2 tie → priority order
   }
+
+  test("srp_expand callable from SQL; column form bit-equals the driver-side twin") {
+    import graft.functions.expressions.SrpExpandExpr
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val v = Array(0.5f, -1.25f, 2.0f, 0.0f)
+    val fromSql = spark.sql(
+      "SELECT srp_expand(array(CAST(0.5 AS FLOAT), CAST(-1.25 AS FLOAT), " +
+        "CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)), 8, 'rp') AS e")
+      .as[Seq[Float]].head()
+    assert(fromSql === SrpExpandExpr.expandLocal(v, 8, "rp").toSeq)
+    // independent reference: sign from the shared md5-60 convention
+    val ref = (0 until 8).map { j =>
+      (0 until 4).map { k =>
+        val s = if (TextFunctions.md5Hash60Local(s"rp:$j:$k") % 2 == 0) 1.0 else -1.0
+        s * v(k).toDouble
+      }.sum.toFloat
+    }
+    assert(fromSql === ref)
+    // column form over a table; null vector → null
+    val df = Seq((1L, Some(Seq(1.0f, -2.0f))), (2L, Option.empty[Seq[Float]]))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        SrpExpandExpr.srpExpand(col("v").cast("array<float>"), 4, "rp").as("e"))
+      .as[(Long, Option[Seq[Float]])].collect().toMap
+    assert(got(1L).get === SrpExpandExpr.expandLocal(Array(1.0f, -2.0f), 4, "rp").toSeq)
+    assert(got(2L).isEmpty)
+  }
 }

@@ -1594,6 +1594,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
   }
 
+  test("q173: SRP-expanded BQ rerank — expansion fused into the candidate scan, two heaps, zero exchanges") {
+    val plan = planOf("q173_bq_rerank_srp")
+    assert(plan.contains("srp_expand") && plan.contains("bq_hamming"),
+      s"q173 lost the expansion or Hamming kernel:\n$plan")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"q173 lost a top-k heap (candidate cut or re-rank):\n$plan")
+    assert(shuffles(plan) == 0, s"q173 must not join or exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q173 path:\n$plan")
+  }
+
   test("q171: script-routed gate is one fused native scan — no exchange, no UDF") {
     val plan = planOf("q171_script_routed_gate")
     assert(plan.contains("script_stats") && plan.contains("gopher_stats"),
