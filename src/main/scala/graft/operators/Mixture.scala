@@ -120,6 +120,35 @@ object Mixture {
     * decision is the deterministic scan-side hash predicate — corpus
     * never shuffles; the learned rates broadcast.
     */
+  /** The trainer + rate derivation over a COLLECTED per-source stats
+    * table `(source, n_docs, quality_micro)` — the driver-side core
+    * [[learnedMixture]] runs, factored out so the STREAMING twin
+    * ([[graft.streaming.StreamMixture]]) re-learns the identical
+    * table from its live per-source state (bit-for-bit: stats sort
+    * source-ascending, the same integer-micro trainer, the same q73
+    * rate arithmetic). Returns
+    * `(source, n_docs, quality_micro, weight_micro, n_target,
+    * rate_pm)` rows.
+    */
+  def learnedRatesLocal(
+      stats: Seq[(String, Long, Long)],
+      budgetPermille: Int,
+      iters: Int = 30,
+      lr: Double = 0.5,
+      epsMicro: Long = 100000L): Seq[(String, Long, Long, Long, Long, Long)] = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      "budget in [0, 1000] permille")
+    val sorted = stats.sortBy(_._1) // deterministic driver-side order
+    val w = trainWeights(sorted.map(_._3).toArray, iters, lr, epsMicro)
+    val nTotal = sorted.map(_._2).sum
+    val budget = nTotal * budgetPermille / 1000L // integer floor, both engines
+    sorted.zipWithIndex.map { case ((src, n, q), i) =>
+      val target = roundHalfUp(budget.toDouble * w(i).toDouble / 1000000.0)
+      val ratePm = math.min(1000L, target * 1000L / n) // integer floor
+      (src, n, q, w(i), target, ratePm)
+    }
+  }
+
   def learnedMixture(
       docs: DataFrame,
       keyCol: String,
@@ -129,8 +158,6 @@ object Mixture {
       iters: Int = 30,
       lr: Double = 0.5,
       epsMicro: Long = 100000L): DataFrame = {
-    require(budgetPermille >= 0 && budgetPermille <= 1000,
-      "budget in [0, 1000] permille")
     val spark = docs.sparkSession
     import spark.implicits._
     // config-scale by contract: one row per source
@@ -138,16 +165,10 @@ object Mixture {
       .select("source", "n_docs", "quality_micro")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1) // deterministic driver-side order (not arithmetic-relevant)
-    val w = trainWeights(stats.map(_._3), iters, lr, epsMicro)
-    val nTotal = stats.map(_._2).sum
-    val budget = nTotal * budgetPermille / 1000L // integer floor, both engines
-    val rates = stats.zipWithIndex.map { case ((src, n, q), i) =>
-      val target = roundHalfUp(budget.toDouble * w(i).toDouble / 1000000.0)
-      val ratePm = math.min(1000L, target * 1000L / n) // integer floor
-      (src, n, q, w(i), target, ratePm)
-    }.toSeq.toDF("source", "n_docs", "quality_micro", "weight_micro",
-      "n_target", "rate_pm")
+      .toSeq
+    val rates = learnedRatesLocal(stats, budgetPermille, iters, lr, epsMicro)
+      .toDF("source", "n_docs", "quality_micro", "weight_micro",
+        "n_target", "rate_pm")
     docs
       .select(col(keyCol), col(sourceCol).alias("source"))
       .join(broadcast(rates), Seq("source"))
