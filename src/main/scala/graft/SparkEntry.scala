@@ -2902,6 +2902,82 @@ object SparkEntry {
   }
 
 
+  /** SIX-stage front door (round 20): [[q169_front_door]] with the
+    * round's rung-13 enforcement INSIDE the composed oracle —
+    * blocklist → domain quota → TEMPLATE-FAMILY CAP → boilerplate →
+    * C4 → gate, the `UnifiedIngestBench` streaming order replayed as
+    * one batch query. Each doc carries both fixtures: the q147 URL
+    * (domain stages) and a q168-style layout wrap of its text (three
+    * big `% 3` families + the `% 7` aside sub-families — the admitted
+    * population is all-odd after the blocklist, so the aside branch is
+    * single-variant). The new interactions are real: the family cap
+    * (30/family) samples INSIDE the quota's survivors, and the
+    * boilerplate miner's `% 3 > 0` slice correlates with the `% 3`
+    * family gates — which docs reach the miner now depends on BOTH
+    * caps. Output carries `tag_fp` per kept doc plus five survivor
+    * totals. Scale shape: q169's plan + one more two-phase cap keyed
+    * on the 60-bit fingerprint; HTML and text never key an exchange.
+    */
+  private def q174_front_door6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = element_at(
+      typedLit(Seq("www", "cdn", "static", "m")),
+      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
+      col("text"))
+      .withColumn("raw", q168Html)
+    // stages 1-2: blocklist, per-domain quota (the q169 front)
+    val allowed = operators.UrlFilter.keepAllowed(
+      docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
+    val admDomain = operators.Sampling
+      .capPerGroup(allowed, "doc_id", "domain", cap = 25)
+    // stage 3: per-LAYOUT-FAMILY cap (q170) inside the composition
+    val admFamily = operators.Templates
+      .capPerFamily(admDomain, "doc_id", "raw", cap = 30)
+      .drop("raw")
+      .localCheckpoint() // both caps feed mine + apply + counts
+    // stages 4-6: boilerplate mined on the doubly-capped slice, C4,
+    // gate — the q169 tail over the family-capped population
+    val profile = operators.Dedup.boilerplateProfile(
+      admFamily.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
+      delim = " ", maxPagePct = 75, minPages = 10L)
+    val boiled = operators.Dedup.applyBoilerplateProfile(
+      admFamily, profile, "doc_id", "domain", "text", delim = " ")
+    val nl = lit("\n")
+    val page = concat(
+      lit("Automated crawl record "), col("doc_id").cast("string"),
+      lit(" from "), col("domain"), lit(" follows."), nl,
+      when(col("doc_id") % 5 === 0,
+        concat(lit("Please enable JavaScript to view this page."), nl))
+        .otherwise(lit("")),
+      lit("Home About Contact Privacy Terms"), nl,
+      when(col("doc_id") % 13 === 0,
+        concat(lit("function f() { return 1; }"), nl)).otherwise(lit("")),
+      substring(col("clean_text"), 1, 80), lit(" tail words end here."))
+    val paged = boiled.select(
+      col("doc_id"), col("domain"), col("tag_fp"),
+      col("n_kept").alias("n_boiler_kept"), page.alias("clean_page"))
+    val c4d = operators.QualityPrune.keepByC4(
+      paged, "clean_page", minWords = 5, minKeptLines = 2)
+    val gated = operators.QualityPrune.keepByGopher(
+      c4d, "clean_page", minTokens = 18L, minStopHits = 0L)
+    def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
+    gated
+      .crossJoin(broadcast(n(docs, "n_input")))
+      .crossJoin(broadcast(n(allowed, "n_allowed")))
+      .crossJoin(broadcast(n(admDomain, "n_domain_cap")))
+      .crossJoin(broadcast(n(admFamily, "n_family_cap")))
+      .crossJoin(broadcast(n(c4d, "n_c4")))
+  }
+
+
   /** q166's planted script snippets — ONE constant each, interpolated
     * into BOTH the Spark page construction and the oracle SQL, so the
     * two engines classify byte-identical text.
@@ -4037,7 +4113,8 @@ object SparkEntry {
     "q170_template_cap" -> (q170_template_cap _),
     "q171_script_routed_gate" -> (q171_script_routed_gate _),
     "q172_freeze_gated_deploy" -> (q172_freeze_gated_deploy _),
-    "q173_bq_rerank_srp" -> (q173_bq_rerank_srp _)
+    "q173_bq_rerank_srp" -> (q173_bq_rerank_srp _),
+    "q174_front_door6" -> (q174_front_door6 _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7129,6 +7206,123 @@ object SparkEntry {
                  CASE WHEN dec.freeze_ok THEN sc.score_micro >= dec.cut
                       ELSE TRUE END AS kept
           FROM sc, dec""",
+    // q174 = the q169 five-stage replay with the q170 family cap
+    // spliced between the domain cap and the boilerplate mine: the
+    // q168 fingerprint SQL over the domain-capped survivors, one more
+    // seeded-hash window keyed on tag_fp, then the q169 tail over the
+    // doubly-capped population — five survivor totals ride along
+    "q174_front_door6" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          $sqlDomainChain,
+          base AS (SELECT d.doc_id, dm.domain, d.text,
+                     '<html><head><title>T</title></head><body>'
+                     || CASE WHEN d.doc_id % 3 = 0 THEN '<h1>H</h1>' ELSE '' END
+                     || CASE WHEN d.doc_id % 3 = 1
+                             THEN '<div><ul><li>A</li><li>B</li></ul></div>' ELSE '' END
+                     || '<p>' || d.text || '</p>'
+                     || CASE WHEN d.doc_id % 7 = 0 THEN
+                          CASE WHEN d.doc_id % 2 = 0 THEN '<footer><p>f</p></footer>'
+                               ELSE '<aside>s</aside>' END
+                        ELSE '' END
+                     || '</body></html>' AS raw
+                   FROM documents d JOIN dom dm ON d.doc_id = dm.doc_id),
+          allowed AS (SELECT * FROM base
+                      WHERE domain NOT IN ('seofarm.com', 'site3.com')),
+          admd AS (SELECT doc_id, domain, text, raw FROM (
+                     SELECT doc_id, domain, text, raw,
+                            row_number() OVER (PARTITION BY domain
+                              ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                                       doc_id) AS rn
+                     FROM allowed)
+                   WHERE rn <= 25),
+          tf AS (SELECT doc_id, domain, text,
+                   ${sqlMd5h60(
+                     "lower(array_to_string(regexp_extract_all(raw, " +
+                       "'<(/?[A-Za-z][A-Za-z0-9]*)', 1), ' '))")} AS tag_fp
+                 FROM admd),
+          admf AS (SELECT doc_id, domain, text, tag_fp FROM (
+                     SELECT doc_id, domain, text, tag_fp,
+                            row_number() OVER (PARTITION BY tag_fp
+                              ORDER BY ${sqlMd5h60("'42:' || CAST(doc_id AS VARCHAR)")},
+                                       doc_id) AS rn
+                     FROM tf)
+                   WHERE rn <= 30),
+          slice AS (SELECT * FROM admf WHERE doc_id % 3 > 0),
+          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
+                 FROM slice),
+          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
+          hot AS (SELECT g.domain, g.s
+                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
+                  JOIN pages USING (domain)
+                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
+          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
+                   FROM (SELECT doc_id, domain,
+                           unnest(list_transform(string_split(text, ' '),
+                             (x, i) -> struct_pack(s := x, pos := i))) AS w
+                         FROM admf)),
+          keptw AS (SELECT a.doc_id, a.s, a.pos
+                    FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
+                    WHERE h.s IS NULL),
+          bo AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                        count(*) AS nk
+                 FROM keptw GROUP BY doc_id),
+          boiled AS (SELECT admf.doc_id, admf.domain, admf.tag_fp,
+                            coalesce(bo.ct, '') AS ct,
+                            CAST(coalesce(bo.nk, 0) AS BIGINT) AS n_boiler_kept
+                     FROM admf LEFT JOIN bo USING (doc_id)),
+          pg AS (SELECT doc_id, domain, tag_fp, n_boiler_kept,
+                   'Automated crawl record ' || CAST(doc_id AS VARCHAR)
+                   || ' from ' || domain || ' follows.' || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'Please enable JavaScript to view this page.' || chr(10)
+                           ELSE '' END
+                   || 'Home About Contact Privacy Terms' || chr(10)
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN 'function f() { return 1; }' || chr(10) ELSE '' END
+                   || substr(ct, 1, 80) || ' tail words end here.' AS page
+                 FROM boiled),
+          ln AS (SELECT doc_id, domain, tag_fp, n_boiler_kept, page,
+                   list_transform(string_split(page, chr(10)),
+                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
+                 FROM pg),
+          c4 AS (SELECT doc_id, domain, tag_fp, n_boiler_kept, page,
+                   list_filter(ls, l ->
+                     length(l) > 0
+                     AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
+                           w -> w <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+                 FROM ln),
+          c4k AS (SELECT doc_id, domain, tag_fp, n_boiler_kept,
+                         array_to_string(kept, chr(10)) AS clean_page
+                  FROM c4
+                  WHERE len(kept) >= 2 AND NOT contains(page, '{')
+                    AND NOT contains(lower(page), 'lorem ipsum')),
+          tk AS (SELECT doc_id, clean_page AS text, ${sqlTokens("clean_page")} AS t,
+                        string_split(clean_page, chr(10)) AS ls
+                 FROM c4k),
+          $sqlGopherStCte,
+          gated AS (SELECT c.doc_id, c.domain, c.tag_fp, c.n_boiler_kept,
+                           c.clean_page
+                    FROM c4k c JOIN st ON st.doc_id = c.doc_id
+                    WHERE ${sqlGopherKeep(18L, 0L)})
+          SELECT g.doc_id, g.domain, g.tag_fp, g.n_boiler_kept, g.clean_page,
+                 (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_input,
+                 (SELECT CAST(count(*) AS BIGINT) FROM allowed) AS n_allowed,
+                 (SELECT CAST(count(*) AS BIGINT) FROM admd) AS n_domain_cap,
+                 (SELECT CAST(count(*) AS BIGINT) FROM admf) AS n_family_cap,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c4k) AS n_c4
+          FROM gated g""",
     // q161 = the multiplicative-weights trainer replayed round-by-round
     // (weighted avg -> step -> renormalize -> smooth, all integer
     // micros), then the q73 rate/hash resample — see sqlMixtureOracle

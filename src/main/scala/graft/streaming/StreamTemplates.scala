@@ -139,6 +139,34 @@ object StreamTemplates {
       col("admitted_rank"))
   }
 
+  /** [[admitByFamily]] carrying the document payload through — the
+    * form that CHAINS as a front-door stage (the
+    * [[StreamQuota.admitDocs]] shape keyed on the layout fingerprint):
+    * admitted docs continue into the boilerplate/C4/gate/ingest
+    * stages with their text and embedding, dropped ones never reach
+    * any downstream state. Same first-come semantics, fingerprint
+    * computed scan-side, one long of state per family.
+    */
+  def admitDocsByFamily(
+      stream: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      textCol: String,
+      embCol: String,
+      cap: Long): DataFrame = {
+    val admitted = StreamQuota.admitDocs(
+      stream
+        .where(col(htmlCol).isNotNull)
+        .withColumn("__tmpl_fp", Templates.tagFingerprint(col(htmlCol))),
+      idCol, "__tmpl_fp", textCol, embCol, cap)
+    admitted.toDF().select(
+      col("group").cast("long").alias("tag_fp"),
+      col("doc_id"),
+      col("admitted_rank"),
+      col("text"),
+      col("embedding"))
+  }
+
   /** Start the observer over a streaming frame of `(id, html)` rows. */
   def start(
       docs: DataFrame,

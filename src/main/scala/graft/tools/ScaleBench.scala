@@ -332,7 +332,11 @@ object ScaleBench {
     // round-20: SRP-expanded BQ rerank — fused srp_expand + Hamming
     // scan into a 200-heap + bounded exact re-rank; q167's shape with
     // a 256×64 multiply-add kernel on the scan
-    "q173_bq_rerank_srp")
+    "q173_bq_rerank_srp",
+    // round-20: six-stage front door — q169's shape plus one more
+    // two-phase cap on the layout fingerprint; downstream stays
+    // cap-bound, the exponent measures the front scans
+    "q174_front_door6")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

@@ -47,6 +47,9 @@ import scala.collection.mutable
   * never reach the quota, the gate, any dedup state, or any observer
   * — leak-checked against the final card/shard state after each
   * run), SPARK_GRAFT_UB_QUOTA=1 the per-domain admission quota,
+  * SPARK_GRAFT_UB_TMPLCAP=1 the per-layout-family admission cap
+  * (q170's live twin — a one-family flood capped before any
+  * downstream state, cap-checked against the packed shards),
   * SPARK_GRAFT_UB_BOILER=1 the frozen boilerplate profile).
   */
 object UnifiedIngestBench {
@@ -324,6 +327,34 @@ object UnifiedIngestBench {
         } else src
       if (quotaOn && batchSize == 2500)
         println(s"[composed] quota = per-domain cap $quotaCap, hot-domain flood (1/2 of stream)")
+      // SPARK_GRAFT_UB_TMPLCAP=1 chains the per-LAYOUT-FAMILY admission
+      // cap (q170's live twin, round 20) between the quota and the
+      // boilerplate stage — front-door stage 6 in the PipelineBench
+      // order: every doc carries a synthetic layout (HALF the stream is
+      // ONE template family — the machine-generated flood; the other
+      // half spreads over a 37-layout tail), the fingerprint is
+      // computed scan-side, and admitDocsByFamily admits each family's
+      // first `tmplCap` docs — the flood is capped BEFORE it reaches
+      // the boiler/gate/dedup state. Checkable from the final state:
+      // packed-shard rows from the big family (doc_id % 2 == 0) must
+      // not exceed the cap (printed after each run).
+      val tmplOn = sys.env.get("SPARK_GRAFT_UB_TMPLCAP").contains("1")
+      val tmplCap = 3000L
+      val capped =
+        if (tmplOn) {
+          val tail = pmod(col("doc_id"), lit(37)).cast("string")
+          val html = when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("<html><body><h1>t</h1><p>x</p></body></html>"))
+            .otherwise(concat(lit("<html><body><p>x</p><i"), tail,
+              lit("></i"), tail, lit("></body></html>")))
+          if (batchSize == 2500)
+            println(s"[composed] template cap = per-family cap $tmplCap, " +
+              "one-family flood (1/2 of stream) + 37-layout tail")
+          graft.streaming.StreamTemplates.admitDocsByFamily(
+              base.withColumn("raw", html),
+              "doc_id", "raw", "text", "embedding", cap = tmplCap)
+            .select("doc_id", "text", "embedding")
+        } else base
       // SPARK_GRAFT_UB_BOILER=1 chains the FROZEN boilerplate profile
       // (q156's apply) in front of the gate: the profile is the frozen
       // artifact by contract (mined offline — here a fixed 3-word
@@ -341,10 +372,10 @@ object UnifiedIngestBench {
           if (batchSize == 2500)
             println(s"[composed] boilerplate profile = ${hotWords.size} fps × 4 domains, frozen")
           graft.operators.Dedup.applyBoilerplateProfile(
-              base.withColumn("domain", concat(lit("s"), pmod(col("doc_id"), lit(4)))),
+              capped.withColumn("domain", concat(lit("s"), pmod(col("doc_id"), lit(4)))),
               profile, "doc_id", "domain", "text", delim = " ")
             .select(col("doc_id"), col("clean_text").alias("text"), col("embedding"))
-        } else base
+        } else capped
       // SPARK_GRAFT_UB_C4=1 chains the C4 line cleaner (q165's
       // keepByC4) between the boilerplate stage and the gate — the
       // SALVAGE position: every doc is wrapped into a page carrying a
@@ -446,6 +477,16 @@ object UnifiedIngestBench {
           .filter(pmod(col("doc_id"), lit(4)) === 3).count()
         println(s"[composed] blocklist leak check: card s3 docs = $cardLeak, " +
           s"packed doc_id%4==3 rows = $packLeak (contract: 0, 0)")
+      }
+      if (tmplOn) {
+        // cap check: the one-family flood (doc_id % 2 == 0) must not
+        // exceed the per-family cap in any downstream state — the
+        // packed-shard parquet carries every doc the front door let
+        // through to the loader path
+        val bigFam = spark.read.parquet(s"$root/packed")
+          .filter(pmod(col("doc_id"), lit(2)) === 0).count()
+        println(s"[composed] template cap check: packed big-family rows = " +
+          s"$bigFam (contract: <= $tmplCap)")
       }
     }
   }

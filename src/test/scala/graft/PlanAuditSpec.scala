@@ -1594,6 +1594,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q156 path:\n$plan")
   }
 
+  test("q174: six-stage front door — both caps two-phase, neither text nor HTML in an exchange") {
+    val plan = planOf("q174_front_door6")
+    // the fingerprint/cap stages live BEFORE the composition's
+    // localCheckpoint, so the final plan shows the tail kernels (the
+    // fingerprint's own plan shape is audited standalone by q170)
+    assert(plan.contains("cut_segments_by_fp") && plan.contains("c4_clean") &&
+      plan.contains("gopher_stats"),
+      s"q174 lost a stage kernel:\n$plan")
+    assert(plan.contains("LeftAnti"), s"q174 lost a cap bypass/blocklist anti-join:\n$plan")
+    "Exchange (hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan)
+      .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("raw"),
+        s"payload keyed an exchange: ${m.group(0)}"))
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 5,
+      s"q174 expects exactly five scalar count joins:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q174 path:\n$plan")
+  }
+
   test("q173: SRP-expanded BQ rerank — expansion fused into the candidate scan, two heaps, zero exchanges") {
     val plan = planOf("q173_bq_rerank_srp")
     assert(plan.contains("srp_expand") && plan.contains("bq_hamming"),

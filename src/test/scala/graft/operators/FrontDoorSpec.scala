@@ -43,6 +43,27 @@ class FrontDoorSpec extends SparkTestBase {
     assert(minTokens >= 18, s"gate leaked a $minTokens-token page")
   }
 
+  test("q174: the six-stage funnel is monotone; the family cap binds inside the quota's survivors") {
+    val out = graft.SparkEntry.queries("q174_front_door6")(spark, dir)
+      .localCheckpoint()
+    val counts = out
+      .select("n_input", "n_allowed", "n_domain_cap", "n_family_cap", "n_c4")
+      .distinct()
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+    assert(counts.length === 1)
+    val (nIn, nAllowed, nDom, nFam, nC4) = counts.head
+    val nGate = out.count()
+    assert(nIn >= nAllowed && nAllowed >= nDom && nDom >= nFam &&
+      nFam >= nC4 && nC4 >= nGate,
+      s"non-monotone funnel: $nIn/$nAllowed/$nDom/$nFam/$nC4/$nGate")
+    assert(nDom > nFam, "family cap dropped nothing — stage 3 is dead")
+    // no surviving family exceeds the 30-page cap
+    val maxFam = out.groupBy("tag_fp").count()
+      .agg(max("count")).as[Long].collect().head
+    assert(maxFam <= 30L, s"a family leaked past the cap: $maxFam")
+  }
+
   test("interaction: a doc whose content the boiler consumed dies at C4, not at the gate") {
     // one domain, 12 pages; every page shares the word 'hot' (mined as
     // boilerplate at 75%); doc 0 is ALL boilerplate, doc 1 keeps prose
