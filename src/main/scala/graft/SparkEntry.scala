@@ -2844,37 +2844,28 @@ object SparkEntry {
     * boilerplate joins, two native scans, and four one-row count
     * frames broadcast back — text never keys an exchange.
     */
-  private def q169_front_door(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q169/q174 front-door URL fixture — ONE definition (even ids =
+    * the subdomain-rotating SEO farm, odd ids = a 7-site tail) so the
+    * five- and six-stage compositions can never drift apart.
+    */
+  private def frontDoorUrl: Column = {
     val sub = element_at(
       typedLit(Seq("www", "cdn", "static", "m")),
       (floor(col("doc_id") / 2) % 4).cast("int") + 1)
-    val url = when(col("doc_id") % 2 === 0,
+    when(col("doc_id") % 2 === 0,
         concat(lit("http://"), sub, lit(".seofarm.com/p/"),
           col("doc_id").cast("string")))
       .otherwise(concat(lit("http://www.site"), (col("doc_id") % 7).cast("string"),
         lit(".com/p/"), col("doc_id").cast("string")))
-    val docs = Tables.documents(s, dir).select(
-      col("doc_id"),
-      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
-      col("text"))
-    // stage 1: domain blocklist (q159's enforcement form)
-    val allowed = operators.UrlFilter.keepAllowed(
-      docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
-    // stage 2: per-domain admission quota (q147's cap)
-    val admitted = operators.Sampling
-      .capPerGroup(allowed, "doc_id", "domain", cap = 25)
-      .localCheckpoint() // one quota pass feeds mine + apply + count
-    // stage 3: boilerplate profile mined on the admitted slice,
-    // applied to every admitted page (q156's frozen-profile shape)
-    val profile = operators.Dedup.boilerplateProfile(
-      admitted.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
-      delim = " ", maxPagePct = 75, minPages = 10L)
-    val boiled = operators.Dedup.applyBoilerplateProfile(
-      admitted, profile, "doc_id", "domain", "text", delim = " ")
-    // stage 4: C4 line cleaning over a page wrapping the BOILED text
+  }
+
+  /** The q169/q174 C4-page wrap around the BOILED text (expects
+    * `doc_id`/`domain`/`clean_text` in scope) — shared with the same
+    * no-drift contract as [[frontDoorUrl]].
+    */
+  private def frontDoorPage: Column = {
     val nl = lit("\n")
-    val page = concat(
+    concat(
       lit("Automated crawl record "), col("doc_id").cast("string"),
       lit(" from "), col("domain"), lit(" follows."), nl,
       when(col("doc_id") % 5 === 0,
@@ -2884,14 +2875,47 @@ object SparkEntry {
       when(col("doc_id") % 13 === 0,
         concat(lit("function f() { return 1; }"), nl)).otherwise(lit("")),
       substring(col("clean_text"), 1, 80), lit(" tail words end here."))
+  }
+
+  /** Front-door stages boilerplate → C4 → gate over an ADMITTED frame
+    * (`doc_id`, `domain`, `text` + any `carry` columns) — the shared
+    * tail of q169 (five stages) and q174 (six). Returns `(c4d, gated)`
+    * so callers can count the C4 survivors.
+    */
+  private def frontDoorTail(
+      admitted: DataFrame,
+      carry: Seq[String]): (DataFrame, DataFrame) = {
+    val profile = operators.Dedup.boilerplateProfile(
+      admitted.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
+      delim = " ", maxPagePct = 75, minPages = 10L)
+    val boiled = operators.Dedup.applyBoilerplateProfile(
+      admitted, profile, "doc_id", "domain", "text", delim = " ")
     val paged = boiled.select(
-      col("doc_id"), col("domain"),
-      col("n_kept").alias("n_boiler_kept"), page.alias("clean_page"))
+      (Seq(col("doc_id"), col("domain")) ++ carry.map(col) ++ Seq(
+        col("n_kept").alias("n_boiler_kept"),
+        frontDoorPage.alias("clean_page"))): _*)
     val c4d = operators.QualityPrune.keepByC4(
       paged, "clean_page", minWords = 5, minKeptLines = 2)
-    // stage 5: the Gopher rule gate over the C4-cleaned page
     val gated = operators.QualityPrune.keepByGopher(
       c4d, "clean_page", minTokens = 18L, minStopHits = 0L)
+    (c4d, gated)
+  }
+
+  private def q169_front_door(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(frontDoorUrl)).alias("domain"),
+      col("text"))
+    // stage 1: domain blocklist (q159's enforcement form)
+    val allowed = operators.UrlFilter.keepAllowed(
+      docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
+    // stage 2: per-domain admission quota (q147's cap)
+    val admitted = operators.Sampling
+      .capPerGroup(allowed, "doc_id", "domain", cap = 25)
+      .localCheckpoint() // one quota pass feeds mine + apply + count
+    // stages 3-5: the shared boiler → C4 → gate tail
+    val (c4d, gated) = frontDoorTail(admitted, carry = Seq.empty)
     // per-stage survivor totals ride along as one-row broadcast frames
     def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
     gated
@@ -2920,17 +2944,9 @@ object SparkEntry {
     */
   private def q174_front_door6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = element_at(
-      typedLit(Seq("www", "cdn", "static", "m")),
-      (floor(col("doc_id") / 2) % 4).cast("int") + 1)
-    val url = when(col("doc_id") % 2 === 0,
-        concat(lit("http://"), sub, lit(".seofarm.com/p/"),
-          col("doc_id").cast("string")))
-      .otherwise(concat(lit("http://www.site"), (col("doc_id") % 7).cast("string"),
-        lit(".com/p/"), col("doc_id").cast("string")))
     val docs = Tables.documents(s, dir).select(
       col("doc_id"),
-      UrlExprs.registrableDomain(UrlExprs.urlHost(url)).alias("domain"),
+      UrlExprs.registrableDomain(UrlExprs.urlHost(frontDoorUrl)).alias("domain"),
       col("text"))
       .withColumn("raw", q168Html)
     // stages 1-2: blocklist, per-domain quota (the q169 front)
@@ -2943,31 +2959,8 @@ object SparkEntry {
       .capPerFamily(admDomain, "doc_id", "raw", cap = 30)
       .drop("raw")
       .localCheckpoint() // both caps feed mine + apply + counts
-    // stages 4-6: boilerplate mined on the doubly-capped slice, C4,
-    // gate — the q169 tail over the family-capped population
-    val profile = operators.Dedup.boilerplateProfile(
-      admFamily.filter(col("doc_id") % 3 > 0), "doc_id", "domain", "text",
-      delim = " ", maxPagePct = 75, minPages = 10L)
-    val boiled = operators.Dedup.applyBoilerplateProfile(
-      admFamily, profile, "doc_id", "domain", "text", delim = " ")
-    val nl = lit("\n")
-    val page = concat(
-      lit("Automated crawl record "), col("doc_id").cast("string"),
-      lit(" from "), col("domain"), lit(" follows."), nl,
-      when(col("doc_id") % 5 === 0,
-        concat(lit("Please enable JavaScript to view this page."), nl))
-        .otherwise(lit("")),
-      lit("Home About Contact Privacy Terms"), nl,
-      when(col("doc_id") % 13 === 0,
-        concat(lit("function f() { return 1; }"), nl)).otherwise(lit("")),
-      substring(col("clean_text"), 1, 80), lit(" tail words end here."))
-    val paged = boiled.select(
-      col("doc_id"), col("domain"), col("tag_fp"),
-      col("n_kept").alias("n_boiler_kept"), page.alias("clean_page"))
-    val c4d = operators.QualityPrune.keepByC4(
-      paged, "clean_page", minWords = 5, minKeptLines = 2)
-    val gated = operators.QualityPrune.keepByGopher(
-      c4d, "clean_page", minTokens = 18L, minStopHits = 0L)
+    // stages 4-6: the shared boiler → C4 → gate tail, tag_fp carried
+    val (c4d, gated) = frontDoorTail(admFamily, carry = Seq("tag_fp"))
     def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
     gated
       .crossJoin(broadcast(n(docs, "n_input")))
@@ -4220,6 +4213,91 @@ object SparkEntry {
                 END
               END AS url
             FROM documents)"""
+
+  /** DuckDB twin of [[frontDoorUrl]] — the `u(doc_id, url)` CTE the
+    * q169/q174 oracles feed into [[sqlUrlNormChain]]. ONE definition,
+    * like the Spark side.
+    */
+  private def sqlFrontDoorUrlCte: String =
+    """u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
+                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                     WHEN 2 THEN 'static' ELSE 'm' END
+                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              END AS url
+            FROM documents)"""
+
+  /** DuckDB twin of [[frontDoorTail]] — the boilerplate-mine + C4 +
+    * gate CTE chain over an admitted CTE `input(doc_id, domain, text
+    * [, carry…])`, ending with `gated`. `carry` is the extra column
+    * list carried through (e.g. ", tag_fp"), `carryC` its
+    * `c.`-qualified form. ONE definition for the q169/q174 oracles so
+    * the replayed stages can never drift from each other.
+    */
+  private def sqlFrontDoorTailCtes(
+      input: String, carry: String, carryC: String): String =
+    s"""slice AS (SELECT * FROM $input WHERE doc_id % 3 > 0),
+          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
+                 FROM slice),
+          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
+          hot AS (SELECT g.domain, g.s
+                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
+                  JOIN pages USING (domain)
+                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
+          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
+                   FROM (SELECT doc_id, domain,
+                           unnest(list_transform(string_split(text, ' '),
+                             (x, i) -> struct_pack(s := x, pos := i))) AS w
+                         FROM $input)),
+          keptw AS (SELECT a.doc_id, a.s, a.pos
+                    FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
+                    WHERE h.s IS NULL),
+          bo AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
+                        count(*) AS nk
+                 FROM keptw GROUP BY doc_id),
+          boiled AS (SELECT $input.doc_id, $input.domain$carry,
+                            coalesce(bo.ct, '') AS ct,
+                            CAST(coalesce(bo.nk, 0) AS BIGINT) AS n_boiler_kept
+                     FROM $input LEFT JOIN bo USING (doc_id)),
+          pg AS (SELECT doc_id, domain$carry, n_boiler_kept,
+                   'Automated crawl record ' || CAST(doc_id AS VARCHAR)
+                   || ' from ' || domain || ' follows.' || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'Please enable JavaScript to view this page.' || chr(10)
+                           ELSE '' END
+                   || 'Home About Contact Privacy Terms' || chr(10)
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN 'function f() { return 1; }' || chr(10) ELSE '' END
+                   || substr(ct, 1, 80) || ' tail words end here.' AS page
+                 FROM boiled),
+          ln AS (SELECT doc_id, domain$carry, n_boiler_kept, page,
+                   list_transform(string_split(page, chr(10)),
+                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
+                 FROM pg),
+          c4 AS (SELECT doc_id, domain$carry, n_boiler_kept, page,
+                   list_filter(ls, l ->
+                     length(l) > 0
+                     AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+                     AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
+                           w -> w <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+                 FROM ln),
+          c4k AS (SELECT doc_id, domain$carry, n_boiler_kept,
+                         array_to_string(kept, chr(10)) AS clean_page
+                  FROM c4
+                  WHERE len(kept) >= 2 AND NOT contains(page, '{')
+                    AND NOT contains(lower(page), 'lorem ipsum')),
+          tk AS (SELECT doc_id, clean_page AS text, ${sqlTokens("clean_page")} AS t,
+                        string_split(clean_page, chr(10)) AS ls
+                 FROM c4k),
+          $sqlGopherStCte,
+          gated AS (SELECT c.doc_id, c.domain$carryC, c.n_boiler_kept,
+                           c.clean_page
+                    FROM c4k c JOIN st ON st.doc_id = c.doc_id
+                    WHERE ${sqlGopherKeep(18L, 0L)})"""
 
   /** The seven-rule keep predicate over [[sqlGopherStCte]]'s columns. */
   private def sqlGopherKeep(minTokens: Long, minStopHits: Long): String =
@@ -7212,16 +7290,7 @@ object SparkEntry {
     // seeded-hash window keyed on tag_fp, then the q169 tail over the
     // doubly-capped population — five survivor totals ride along
     "q174_front_door6" ->
-      s"""WITH u AS (
-            SELECT doc_id,
-              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
-                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
-                     WHEN 2 THEN 'static' ELSE 'm' END
-                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
-              ELSE 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
-                || '.com/p/' || CAST(doc_id AS VARCHAR)
-              END AS url
-            FROM documents),
+      s"""WITH $sqlFrontDoorUrlCte,
           $sqlUrlNormChain,
           $sqlDomainChain,
           base AS (SELECT d.doc_id, dm.domain, d.text,
@@ -7257,65 +7326,7 @@ object SparkEntry {
                                        doc_id) AS rn
                      FROM tf)
                    WHERE rn <= 30),
-          slice AS (SELECT * FROM admf WHERE doc_id % 3 > 0),
-          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
-                 FROM slice),
-          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
-          hot AS (SELECT g.domain, g.s
-                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
-                  JOIN pages USING (domain)
-                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
-          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
-                   FROM (SELECT doc_id, domain,
-                           unnest(list_transform(string_split(text, ' '),
-                             (x, i) -> struct_pack(s := x, pos := i))) AS w
-                         FROM admf)),
-          keptw AS (SELECT a.doc_id, a.s, a.pos
-                    FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
-                    WHERE h.s IS NULL),
-          bo AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
-                        count(*) AS nk
-                 FROM keptw GROUP BY doc_id),
-          boiled AS (SELECT admf.doc_id, admf.domain, admf.tag_fp,
-                            coalesce(bo.ct, '') AS ct,
-                            CAST(coalesce(bo.nk, 0) AS BIGINT) AS n_boiler_kept
-                     FROM admf LEFT JOIN bo USING (doc_id)),
-          pg AS (SELECT doc_id, domain, tag_fp, n_boiler_kept,
-                   'Automated crawl record ' || CAST(doc_id AS VARCHAR)
-                   || ' from ' || domain || ' follows.' || chr(10)
-                   || CASE WHEN doc_id % 5 = 0
-                           THEN 'Please enable JavaScript to view this page.' || chr(10)
-                           ELSE '' END
-                   || 'Home About Contact Privacy Terms' || chr(10)
-                   || CASE WHEN doc_id % 13 = 0
-                           THEN 'function f() { return 1; }' || chr(10) ELSE '' END
-                   || substr(ct, 1, 80) || ' tail words end here.' AS page
-                 FROM boiled),
-          ln AS (SELECT doc_id, domain, tag_fp, n_boiler_kept, page,
-                   list_transform(string_split(page, chr(10)),
-                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
-                 FROM pg),
-          c4 AS (SELECT doc_id, domain, tag_fp, n_boiler_kept, page,
-                   list_filter(ls, l ->
-                     length(l) > 0
-                     AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
-                     AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
-                           w -> w <> '')) >= 5
-                     AND NOT contains(lower(l), 'javascript')) AS kept
-                 FROM ln),
-          c4k AS (SELECT doc_id, domain, tag_fp, n_boiler_kept,
-                         array_to_string(kept, chr(10)) AS clean_page
-                  FROM c4
-                  WHERE len(kept) >= 2 AND NOT contains(page, '{')
-                    AND NOT contains(lower(page), 'lorem ipsum')),
-          tk AS (SELECT doc_id, clean_page AS text, ${sqlTokens("clean_page")} AS t,
-                        string_split(clean_page, chr(10)) AS ls
-                 FROM c4k),
-          $sqlGopherStCte,
-          gated AS (SELECT c.doc_id, c.domain, c.tag_fp, c.n_boiler_kept,
-                           c.clean_page
-                    FROM c4k c JOIN st ON st.doc_id = c.doc_id
-                    WHERE ${sqlGopherKeep(18L, 0L)})
+          ${sqlFrontDoorTailCtes("admf", ", tag_fp", ", c.tag_fp")}
           SELECT g.doc_id, g.domain, g.tag_fp, g.n_boiler_kept, g.clean_page,
                  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_input,
                  (SELECT CAST(count(*) AS BIGINT) FROM allowed) AS n_allowed,
@@ -7779,16 +7790,7 @@ object SparkEntry {
     // the q165 line rules over the rebuilt page, and the q137 gopher
     // keep — plus the per-stage survivor totals as scalar subqueries
     "q169_front_door" ->
-      s"""WITH u AS (
-            SELECT doc_id,
-              CASE WHEN doc_id % 2 = 0 THEN 'http://' ||
-                CASE (doc_id // 2) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
-                     WHEN 2 THEN 'static' ELSE 'm' END
-                || '.seofarm.com/p/' || CAST(doc_id AS VARCHAR)
-              ELSE 'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
-                || '.com/p/' || CAST(doc_id AS VARCHAR)
-              END AS url
-            FROM documents),
+      s"""WITH $sqlFrontDoorUrlCte,
           $sqlUrlNormChain,
           $sqlDomainChain,
           base AS (SELECT d.doc_id, dm.domain, d.text
@@ -7802,64 +7804,7 @@ object SparkEntry {
                                       doc_id) AS rn
                     FROM allowed)
                   WHERE rn <= 25),
-          slice AS (SELECT * FROM adm WHERE doc_id % 3 > 0),
-          sg AS (SELECT DISTINCT doc_id, domain, unnest(string_split(text, ' ')) AS s
-                 FROM slice),
-          pages AS (SELECT domain, count(*) AS n_pages FROM slice GROUP BY domain),
-          hot AS (SELECT g.domain, g.s
-                  FROM (SELECT domain, s, count(*) AS f FROM sg GROUP BY domain, s) g
-                  JOIN pages USING (domain)
-                  WHERE n_pages >= 10 AND f * 100 > n_pages * 75),
-          aseg AS (SELECT doc_id, domain, w.s AS s, w.pos AS pos
-                   FROM (SELECT doc_id, domain,
-                           unnest(list_transform(string_split(text, ' '),
-                             (x, i) -> struct_pack(s := x, pos := i))) AS w
-                         FROM adm)),
-          keptw AS (SELECT a.doc_id, a.s, a.pos
-                    FROM aseg a LEFT JOIN hot h ON h.domain = a.domain AND h.s = a.s
-                    WHERE h.s IS NULL),
-          bo AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS ct,
-                        count(*) AS nk
-                 FROM keptw GROUP BY doc_id),
-          boiled AS (SELECT adm.doc_id, adm.domain,
-                            coalesce(bo.ct, '') AS ct,
-                            CAST(coalesce(bo.nk, 0) AS BIGINT) AS n_boiler_kept
-                     FROM adm LEFT JOIN bo USING (doc_id)),
-          pg AS (SELECT doc_id, domain, n_boiler_kept,
-                   'Automated crawl record ' || CAST(doc_id AS VARCHAR)
-                   || ' from ' || domain || ' follows.' || chr(10)
-                   || CASE WHEN doc_id % 5 = 0
-                           THEN 'Please enable JavaScript to view this page.' || chr(10)
-                           ELSE '' END
-                   || 'Home About Contact Privacy Terms' || chr(10)
-                   || CASE WHEN doc_id % 13 = 0
-                           THEN 'function f() { return 1; }' || chr(10) ELSE '' END
-                   || substr(ct, 1, 80) || ' tail words end here.' AS page
-                 FROM boiled),
-          ln AS (SELECT doc_id, domain, n_boiler_kept, page,
-                   list_transform(string_split(page, chr(10)),
-                     l -> rtrim(l, ' ' || chr(9) || chr(13))) AS ls
-                 FROM pg),
-          c4 AS (SELECT doc_id, domain, n_boiler_kept, page,
-                   list_filter(ls, l ->
-                     length(l) > 0
-                     AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
-                     AND len(list_filter(string_split_regex(l, '[ ' || chr(9) || ']+'),
-                           w -> w <> '')) >= 5
-                     AND NOT contains(lower(l), 'javascript')) AS kept
-                 FROM ln),
-          c4k AS (SELECT doc_id, domain, n_boiler_kept,
-                         array_to_string(kept, chr(10)) AS clean_page
-                  FROM c4
-                  WHERE len(kept) >= 2 AND NOT contains(page, '{')
-                    AND NOT contains(lower(page), 'lorem ipsum')),
-          tk AS (SELECT doc_id, clean_page AS text, ${sqlTokens("clean_page")} AS t,
-                        string_split(clean_page, chr(10)) AS ls
-                 FROM c4k),
-          $sqlGopherStCte,
-          gated AS (SELECT c.doc_id, c.domain, c.n_boiler_kept, c.clean_page
-                    FROM c4k c JOIN st ON st.doc_id = c.doc_id
-                    WHERE ${sqlGopherKeep(18L, 0L)})
+          ${sqlFrontDoorTailCtes("adm", "", "")}
           SELECT g.doc_id, g.domain, g.n_boiler_kept, g.clean_page,
                  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_input,
                  (SELECT CAST(count(*) AS BIGINT) FROM allowed) AS n_allowed,

@@ -366,14 +366,22 @@ object QualityClassifier {
       scoreCol: String): DataFrame = {
     val dec = calibration.agg(
       min(col("freeze_ok")).as("__gate_freeze_ok"),
-      min(when(col("sel_max_f1"), col("cutoff_micro"))).as("__gate_cutoff"))
+      min(when(col("sel_max_f1"), col("cutoff_micro"))).as("__gate_cutoff"),
+      count(lit(1)).as("__gate_n"))
+    // an EMPTY calibration frame must fail loudly (the freezeDecision
+    // rule) — min() over zero rows is NULL, and `when(NULL, ...)` would
+    // silently admit the whole corpus with no decision ever computed
+    val ok = when(col("__gate_n") > 0L, col("__gate_freeze_ok"))
+      .otherwise(raise_error(
+        lit("gateIfFrozen: calibration frame is empty — no freeze decision"))
+        .cast("boolean"))
     scored
       .crossJoin(broadcast(dec))
-      .withColumn("gate_applied", col("__gate_freeze_ok"))
+      .withColumn("gate_applied", ok)
       .withColumn("kept",
-        when(col("__gate_freeze_ok"), col(scoreCol) >= col("__gate_cutoff"))
+        when(col("gate_applied"), col(scoreCol) >= col("__gate_cutoff"))
           .otherwise(lit(true)))
-      .drop("__gate_freeze_ok", "__gate_cutoff")
+      .drop("__gate_freeze_ok", "__gate_cutoff", "__gate_n")
   }
 
   /** The driver-side form of the same consumption — for compositions

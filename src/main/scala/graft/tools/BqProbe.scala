@@ -61,21 +61,27 @@ object BqProbe {
         val qx = graft.functions.expressions.SrpExpandExpr
           .expandLocal(q, outDim, "rp")
         val qw = graft.functions.expressions.BinaryQuantExprs.packLocal(qx)
-        def cand(k: Int) = emb
+        // one Hamming scan (the deepest cut) and one exact top-20 per
+        // query — the shallower cuts and the top-10 derive driver-side
+        // from the collected rank order, not from re-scans
+        val cand100 = emb
           .select(col("vec_id"),
             graft.functions.expressions.BinaryQuantExprs
               .bqHamming(graft.functions.expressions.SrpExpandExpr
                 .srpExpand(col("embedding"), outDim, "rp"), qw)
               .alias("ham"))
           .orderBy(col("ham").asc, col("vec_id").asc)
-          .limit(k)
+          .limit(100)
           .select("vec_id")
-        def exactTop(n: Int) = graft.operators.Similarity
-          .bruteForceTopK(emb, "vec_id", "embedding", q.map(_.toDouble).toSeq, n)
+          .collect().map(_.getLong(0)) // rank order preserved
+        val exact20 = graft.operators.Similarity
+          .bruteForceTopK(emb, "vec_id", "embedding", q.map(_.toDouble).toSeq, 20)
           .select("vec_id")
-        def hits(n: Int, k: Int): Long =
-          exactTop(n).join(cand(k), Seq("vec_id")).count()
-        (Seq(20, 50, 100).map(k => hits(20, k)), hits(10, 50))
+          .collect().map(_.getLong(0)) // cos-descending order preserved
+        val exact10 = exact20.take(10).toSet
+        def hits(exact: Set[Long], k: Int): Long =
+          cand100.take(k).count(exact.contains).toLong
+        (Seq(20, 50, 100).map(k => hits(exact20.toSet, k)), hits(exact10, 50))
       }
       def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
       val top20 = (0 until 3).map(i => mean(results.map(_._1(i))))

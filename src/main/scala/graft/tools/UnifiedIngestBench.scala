@@ -231,7 +231,9 @@ object UnifiedIngestBench {
     // the frozen artifact deploys ONLY when freezeDecision says the
     // transfer clears the floor — a refused gate stays OFF
     // (pass-through) and says so, instead of silently curating noise.
-    val (clsW: Array[Long], clsFrozen: Boolean) =
+    // no type ascriptions here: a typed tuple pattern never matches the
+    // null in the else branch and would MatchError the default path
+    val (clsW, clsFrozen) =
       if (clsGate) {
         val train0 = (0 until 5000).map(doc).map(d => (d._1, d._2)).toDF("doc_id", "text")
         val train = if (c4On) c4Clean(train0) else train0

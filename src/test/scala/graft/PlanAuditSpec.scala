@@ -1480,6 +1480,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"q160 accuracy scalar did not broadcast:\n$plan")
   }
 
+  test("q172: freeze-gated deploy — one decision row broadcast onto the scored checkpoint") {
+    val plan = planOf("q172_freeze_gated_deploy")
+    assert(!plan.contains("FileScan"), s"q172 re-scanned the embeddings:\n$plan")
+    // the q160 sweep budget + the one-row decision aggregate; every
+    // exchange carries cutoff/decision scalars, never scores or codes
+    assert(shuffles(plan) <= 4, s"q172 shuffle budget exceeded:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("codes#") && !exchanged.contains("embedding#"),
+      s"q172 shuffled a payload:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q172 decision row did not broadcast onto the scan:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q172 path:\n$plan")
+  }
+
   test("q159: blocklist — one broadcast probe, corpus side never shuffles") {
     val plan = planOf("q159_domain_blocklist")
     assert(plan.contains("BroadcastHashJoin"), s"blocklist did not broadcast:\n$plan")

@@ -112,6 +112,13 @@ class ProbeCalibrationSpec extends SparkTestBase {
       QualityClassifier.freezeDecision(conflicted)
     }
     assert(e.getMessage.contains("one scalar decision"))
+    // an EMPTY calibration frame fails loudly in the in-plan form too
+    // (min over zero rows is NULL — must not silently admit everything)
+    val emptyCal = calS.filter(col("cutoff_micro") > Long.MaxValue - 1)
+    val e2 = intercept[Exception] {
+      QualityClassifier.gateIfFrozen(scoredS, emptyCal, "score_micro").collect()
+    }
+    assert(e2.getMessage.contains("calibration frame is empty"))
   }
 
   test("cutoffSweep micro P/R pinned on a hand fixture; markFreezeDecision is exact HALF_UP") {

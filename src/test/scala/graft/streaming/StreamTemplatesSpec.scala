@@ -122,6 +122,49 @@ class StreamTemplatesSpec extends SparkTestBase {
     assert(!withNull.exists(_._2 == 500L))
   }
 
+  test("admitDocsByFamily: payload rides through; admissions identical to the scalar form") {
+    def html(i: Long): String =
+      if (i % 2 == 0) "<div><p>a</p></div>" else "<ul><li>b</li></ul>"
+    val docs = (0L until 10L).map(i =>
+      (i, html(i), s"text $i", Seq(i.toFloat)))
+    val input = MemoryStream[(Long, String, String, Seq[Float])](spark)
+    val out = StreamTemplates.admitDocsByFamily(
+      input.toDF().toDF("doc_id", "raw", "text", "embedding"),
+      "doc_id", "raw", "text", "embedding", cap = 3L)
+    val name = s"stdf_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("tag_fp", "doc_id", "admitted_rank", "text", "embedding")
+        .as[(Long, Long, Long, String, Seq[Float])].collect()
+      // same admissions as the scalar form on the same trigger
+      val scalarInput = MemoryStream[(Long, String)](spark)
+      val scalarOut = StreamTemplates.admitByFamily(
+        scalarInput.toDF().toDF("doc_id", "raw"), "doc_id", "raw", cap = 3L)
+      val sname = s"stdf_s_${System.nanoTime()}"
+      val sq = scalarOut.writeStream.format("memory").queryName(sname)
+        .outputMode("append").start()
+      try {
+        scalarInput.addData(docs.map(d => (d._1, d._2)))
+        sq.processAllAvailable()
+        val scalar = spark.table(sname)
+          .select("tag_fp", "doc_id", "admitted_rank")
+          .as[(Long, Long, Long)].collect()
+        assert(got.map(o => (o._1, o._2, o._3)).sorted.toSeq ===
+          scalar.sorted.toSeq)
+      } finally sq.stop()
+      // the payload is the admitted doc's own, untouched
+      val byId = got.map(o => o._2 -> o).toMap
+      assert(byId(0L)._4 === "text 0" && byId(0L)._5 === Seq(0.0f))
+      assert(byId(1L)._4 === "text 1")
+      // each family admitted exactly cap of its 5 docs
+      assert(got.groupBy(_._1).forall(_._2.length === 3))
+    } finally q.stop()
+  }
+
   test("non-integral id column fails loudly (no silent NULL first_doc under cast)") {
     val sink = new InMemoryKVSink
     val st = sink.read(spark, "tmpl", StreamTemplates.stateSchema)
