@@ -2844,6 +2844,36 @@ object SparkEntry {
     * boilerplate joins, two native scans, and four one-row count
     * frames broadcast back — text never keys an exchange.
     */
+  /** URL path-prefix blocklist (round 20):
+    * [[graft.operators.UrlFilter.markBlockedByPath]] — the UT1-style
+    * rung BELOW the q159 domain list: block machine-generated page
+    * CLASSES (`/search`, `/tag/`, `/login`) across every domain, on
+    * the NORMALIZED path so the `%`-encoded evasion the fixture
+    * plants (`/t%61g/N` — `%61` = `a`) blocks under the plain
+    * `/tag/` entry (the q159 subdomain-rotation lesson, path
+    * edition). The `% 17` slice is unparseable and passes with a
+    * null path (the documented null rule). Pure scan — the prefix
+    * list compiles to a literal OR chain, no join, no exchange.
+    * Oracle: the factored q142 normalize chain + the same two
+    * anchored path regexes + the same starts_with OR.
+    */
+  private def q175_path_blocklist(s: SparkSession, dir: String): DataFrame = {
+    val n = col("doc_id").cast("string")
+    val site = (col("doc_id") % 9).cast("string")
+    val url = when(col("doc_id") % 17 === 0, concat(lit("not a url "), n))
+      .otherwise(concat(lit("http://www.site"), site, lit(".example.com"),
+        when(col("doc_id") % 4 === 0, concat(lit("/search?q="), n))
+          .when(col("doc_id") % 4 === 1, concat(lit("/t%61g/"), n))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/article/"), n, lit("?id="), n))
+          .otherwise(concat(lit("/about/"), n, lit(".html")))))
+    operators.UrlFilter.markBlockedByPath(
+        Tables.documents(s, dir).select(col("doc_id"), url.alias("url")),
+        "url", Seq("/search", "/tag/", "/login"))
+      .select("doc_id", "path", "blocked")
+  }
+
+
   /** The q169/q174 front-door URL fixture — ONE definition (even ids =
     * the subdomain-rotating SEO farm, odd ids = a 7-site tail) so the
     * five- and six-stage compositions can never drift apart.
@@ -4107,7 +4137,8 @@ object SparkEntry {
     "q171_script_routed_gate" -> (q171_script_routed_gate _),
     "q172_freeze_gated_deploy" -> (q172_freeze_gated_deploy _),
     "q173_bq_rerank_srp" -> (q173_bq_rerank_srp _),
-    "q174_front_door6" -> (q174_front_door6 _)
+    "q174_front_door6" -> (q174_front_door6 _),
+    "q175_path_blocklist" -> (q175_path_blocklist _)
   )
 
   /** The Stupid-Backoff perplexity oracle, shared VERBATIM by q101 and
@@ -7784,6 +7815,33 @@ object SparkEntry {
                               doc_id) AS rn
             FROM t)
           WHERE rn <= 100""",
+    // q175 = the factored q142 normalize chain + the same two anchored
+    // path regexes + the same starts_with OR chain (null paths pass)
+    "q175_path_blocklist" ->
+      s"""WITH u AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://www.site' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' ||
+                CASE doc_id % 4
+                  WHEN 0 THEN '/search?q=' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN '/t%61g/' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN '/article/' || CAST(doc_id AS VARCHAR)
+                    || '?id=' || CAST(doc_id AS VARCHAR)
+                  ELSE '/about/' || CAST(doc_id AS VARCHAR) || '.html'
+                END
+              END AS url
+            FROM documents),
+          $sqlUrlNormChain,
+          p AS (SELECT doc_id,
+                  CASE WHEN norm_url IS NULL THEN NULL
+                       ELSE regexp_replace(regexp_replace(norm_url,
+                              '^[a-z][a-z0-9+.-]*://[^/?]*', ''), '\\?.*$$', '')
+                  END AS path
+                FROM norm)
+          SELECT doc_id, path,
+                 coalesce(starts_with(path, '/search') OR starts_with(path, '/tag/')
+                          OR starts_with(path, '/login'), FALSE) AS blocked
+          FROM p""",
     // q169 = the five stages replayed end-to-end: the factored
     // q142/q147 domain chain, NOT IN blocklist, the q147 seeded-hash
     // window cap, the q156 slice-mined page-frequency boilerplate cut,

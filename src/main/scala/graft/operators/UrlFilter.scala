@@ -55,4 +55,58 @@ object UrlFilter {
     docs.join(
       broadcast(bl), docs(domainCol) === col("__bl_domain"), "left_anti")
   }
+
+  /** Path-PREFIX blocklist (round 20) — the UT1-style rung BELOW the
+    * domain list: block by URL path prefix across domains
+    * (`/search`, `/tag/`, `/login` — the machine-generated page
+    * classes a domain list can't name). Matching is on the
+    * NORMALIZED path ([[graft.functions.expressions.UrlExprs
+    * .urlNormalize]]: fragment dropped, query split off, unreserved
+    * percent-escapes decoded), so the classic `%`-encoded evasion
+    * (`/t%61g/…`) blocks under the plain `/tag/` entry — the q159
+    * subdomain-rotation lesson, path edition. The prefix list is
+    * config-scale by contract and compiles to a literal OR chain on
+    * the scan — no join, no broadcast, no exchange at all (cheaper
+    * than the domain list's anti-join). Unparseable URLs carry a
+    * null path and PASS ([[markBlocked]]'s null rule; chain a
+    * parseability gate first when that matters).
+    *
+    * Audit form: every row + `path` + `blocked`. Enforcement:
+    * [[keepAllowedByPath]].
+    */
+  def markBlockedByPath(
+      docs: DataFrame,
+      urlCol: String,
+      prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty, "markBlockedByPath needs at least one prefix")
+    val path = pathOf(col(urlCol))
+    val hit = prefixes.map(p => path.startsWith(lit(p))).reduce(_ || _)
+    docs
+      .withColumn("path", path)
+      .withColumn("blocked", coalesce(hit, lit(false)))
+  }
+
+  /** [[markBlockedByPath]]'s enforcement form: listed-path rows drop,
+    * everything else (null paths included) passes. Pure scan filter.
+    */
+  def keepAllowedByPath(
+      docs: DataFrame,
+      urlCol: String,
+      prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty, "keepAllowedByPath needs at least one prefix")
+    val path = pathOf(col(urlCol))
+    val hit = prefixes.map(p => path.startsWith(lit(p))).reduce(_ || _)
+    docs.filter(!coalesce(hit, lit(false)))
+  }
+
+  /** The normalized PATH: strip scheme+authority, then the query, from
+    * the [[graft.functions.expressions.UrlExprs.urlNormalize]] form —
+    * two anchored regexes, each with a byte-identical DuckDB twin.
+    */
+  private def pathOf(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        graft.functions.expressions.UrlExprs.urlNormalize(url),
+        "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
+      "\\?.*$", "")
 }

@@ -336,7 +336,10 @@ object ScaleBench {
     // round-20: six-stage front door — q169's shape plus one more
     // two-phase cap on the layout fingerprint; downstream stays
     // cap-bound, the exponent measures the front scans
-    "q174_front_door6")
+    "q174_front_door6",
+    // round-20: path-prefix blocklist — one normalize + regex scan,
+    // literal OR chain, zero exchanges; pure scan linearity
+    "q175_path_blocklist")
   // q155 (Luhn scrub) reads `customer`, which the derived corpus does
   // not scale — its kernel sweeps over scaled DOCUMENTS text via the
   // luhn_scrub(docs) custom entry below instead.

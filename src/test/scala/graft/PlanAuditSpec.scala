@@ -1494,6 +1494,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q172 path:\n$plan")
   }
 
+  test("q175: path blocklist — a pure scan, literal OR chain, zero exchanges") {
+    val plan = planOf("q175_path_blocklist")
+    assert(plan.contains("url_normalize"), s"q175 lost the normalize kernel:\n$plan")
+    assert(shuffles(plan) == 0, s"q175 must not exchange (the prefix list is a literal):\n$plan")
+    assert(!plan.contains("Join"), s"q175 must not join:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q175 path:\n$plan")
+  }
+
   test("q159: blocklist — one broadcast probe, corpus side never shuffles") {
     val plan = planOf("q159_domain_blocklist")
     assert(plan.contains("BroadcastHashJoin"), s"blocklist did not broadcast:\n$plan")

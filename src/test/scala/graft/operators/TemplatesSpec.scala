@@ -59,6 +59,29 @@ class TemplatesSpec extends SparkTestBase {
       .as[Long].collect().toSet === Set(200L, 201L, 202L))
   }
 
+  test("capPerFamily: per-family bound holds and samples are NESTED across caps") {
+    // two big families + one small; the seeded-hash sample must be
+    // monotone in the cap (the Sampling family's nesting guarantee)
+    val docs = ((0 until 30).map(i => (i.toLong,
+        if (i % 2 == 0) "<div><p>a</p></div>" else "<ul><li>b</li></ul>")) ++
+      (0 until 2).map(i => (100L + i, "<table><tr><td>c</td></tr></table>")))
+      .toDF("doc_id", "raw")
+    def kept(cap: Int): Set[Long] =
+      Templates.capPerFamily(docs, "doc_id", "raw", cap)
+        .select("doc_id").as[Long].collect().toSet
+    val k3 = kept(3); val k5 = kept(5); val k8 = kept(8)
+    // bound: no family over cap
+    def famCounts(s: Set[Long]) =
+      s.groupBy(id => if (id >= 100L) 2 else (id % 2).toInt).view.mapValues(_.size)
+    assert(famCounts(k3).forall { case (f, n) => n <= (if (f == 2) 2 else 3) })
+    assert(famCounts(k5).forall { case (f, n) => n <= (if (f == 2) 2 else 5) })
+    // nesting: the cap-3 sample is a subset of cap-5, cap-5 of cap-8
+    assert(k3.subsetOf(k5) && k5.subsetOf(k8),
+      "seeded-hash family samples must be nested in the cap")
+    // under-cap family bypasses whole at every cap
+    assert(Seq(k3, k5, k8).forall(s => s.contains(100L) && s.contains(101L)))
+  }
+
   test("null html rows form the null family in BOTH forms (null-safe mark join)") {
     val docs = ((0 until 12).map(i => (i.toLong, Some(s"<p>x$i</p>"))) ++
       Seq((100L, None), (101L, None), (102L, None)))

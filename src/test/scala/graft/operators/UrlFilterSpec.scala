@@ -43,4 +43,33 @@ class UrlFilterSpec extends SparkTestBase {
     assert(kept === viaMark)
     assert(kept === Set(3L, 4L, 5L))
   }
+
+  test("path-prefix blocklist: normalized-path matching defeats %-encoding; nulls pass; forms agree") {
+    val urls = Seq(
+      (1L, "http://a.com/search?q=x"),       // query split off -> '/search'
+      (2L, "http://b.org/t%61g/5"),          // %61='a' -> '/tag/5' blocks
+      (3L, "http://a.com/article/9"),        // allowed
+      (4L, "http://a.com/tagging/9"),        // '/tag/' prefix does NOT match '/tagging/'
+      (5L, "not a url"),                     // null path -> passes
+      (6L, "http://c.net/searchable"),       // '/search' prefix DOES match (documented prefix semantics)
+      (7L, "http://c.net"))                  // empty path normalizes to '/'
+      .toDF("doc_id", "url")
+    val prefixes = Seq("/search", "/tag/")
+    val marked = UrlFilter.markBlockedByPath(urls, "url", prefixes)
+      .select("doc_id", "path", "blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(marked(1L) == (Some("/search"), true))
+    assert(marked(2L) == (Some("/tag/5"), true),
+      "percent-encoded path must block after normalization")
+    assert(marked(3L) == (Some("/article/9"), false))
+    assert(marked(4L) == (Some("/tagging/9"), false),
+      "'/tag/' must not match '/tagging/'")
+    assert(marked(5L) == (None, false), "unparseable URL passes with null path")
+    assert(marked(6L)._2, "prefix semantics: '/search' matches '/searchable'")
+    assert(marked(7L) == (Some("/"), false))
+    val kept = UrlFilter.keepAllowedByPath(urls, "url", prefixes)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L, 7L))
+  }
 }
