@@ -2844,36 +2844,6 @@ object SparkEntry {
     * boilerplate joins, two native scans, and four one-row count
     * frames broadcast back — text never keys an exchange.
     */
-  /** URL path-prefix blocklist (round 20):
-    * [[graft.operators.UrlFilter.markBlockedByPath]] — the UT1-style
-    * rung BELOW the q159 domain list: block machine-generated page
-    * CLASSES (`/search`, `/tag/`, `/login`) across every domain, on
-    * the NORMALIZED path so the `%`-encoded evasion the fixture
-    * plants (`/t%61g/N` — `%61` = `a`) blocks under the plain
-    * `/tag/` entry (the q159 subdomain-rotation lesson, path
-    * edition). The `% 17` slice is unparseable and passes with a
-    * null path (the documented null rule). Pure scan — the prefix
-    * list compiles to a literal OR chain, no join, no exchange.
-    * Oracle: the factored q142 normalize chain + the same two
-    * anchored path regexes + the same starts_with OR.
-    */
-  private def q175_path_blocklist(s: SparkSession, dir: String): DataFrame = {
-    val n = col("doc_id").cast("string")
-    val site = (col("doc_id") % 9).cast("string")
-    val url = when(col("doc_id") % 17 === 0, concat(lit("not a url "), n))
-      .otherwise(concat(lit("http://www.site"), site, lit(".example.com"),
-        when(col("doc_id") % 4 === 0, concat(lit("/search?q="), n))
-          .when(col("doc_id") % 4 === 1, concat(lit("/t%61g/"), n))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("/article/"), n, lit("?id="), n))
-          .otherwise(concat(lit("/about/"), n, lit(".html")))))
-    operators.UrlFilter.markBlockedByPath(
-        Tables.documents(s, dir).select(col("doc_id"), url.alias("url")),
-        "url", Seq("/search", "/tag/", "/login"))
-      .select("doc_id", "path", "blocked")
-  }
-
-
   /** The q169/q174 front-door URL fixture — ONE definition (even ids =
     * the subdomain-rotating SEO farm, odd ids = a 7-site tail) so the
     * five- and six-stage compositions can never drift apart.
@@ -2999,6 +2969,41 @@ object SparkEntry {
       .crossJoin(broadcast(n(admFamily, "n_family_cap")))
       .crossJoin(broadcast(n(c4d, "n_c4")))
   }
+
+
+  /** URL path-prefix blocklist (round 20):
+    * [[graft.operators.UrlFilter.markBlockedByPath]] — the UT1-style
+    * rung BELOW the q159 domain list: block machine-generated page
+    * CLASSES (`/search`, `/tag/`, `/login`) across every domain, on
+    * the NORMALIZED path so the `%`-encoded evasion the fixture
+    * plants (`/t%61g/N` — `%61` = `a`) blocks under the plain
+    * `/tag/` entry (the q159 subdomain-rotation lesson, path
+    * edition). Every prefix in the list is exercised (`/search`,
+    * `/tag/`, and the `% 4 = 3 ∧ % 3 = 0` `/login` slice); the
+    * `% 17` slice is unparseable and passes with a null path (the
+    * documented null rule). Pure scan — the prefix list compiles to
+    * a literal OR chain over ONE materialized path column, no join,
+    * no exchange. Oracle: the factored q142 normalize chain + the
+    * same anchored regex + the same first-`?` split + starts_with OR.
+    */
+  private def q175_path_blocklist(s: SparkSession, dir: String): DataFrame = {
+    val n = col("doc_id").cast("string")
+    val site = (col("doc_id") % 9).cast("string")
+    val url = when(col("doc_id") % 17 === 0, concat(lit("not a url "), n))
+      .otherwise(concat(lit("http://www.site"), site, lit(".example.com"),
+        when(col("doc_id") % 4 === 0, concat(lit("/search?q="), n))
+          .when(col("doc_id") % 4 === 1, concat(lit("/t%61g/"), n))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/article/"), n, lit("?id="), n))
+          .otherwise(
+            when(col("doc_id") % 3 === 0, lit("/login"))
+              .otherwise(concat(lit("/about/"), n, lit(".html"))))))
+    operators.UrlFilter.markBlockedByPath(
+        Tables.documents(s, dir).select(col("doc_id"), url.alias("url")),
+        "url", Seq("/search", "/tag/", "/login"))
+      .select("doc_id", "path", "blocked")
+  }
+
 
 
   /** q166's planted script snippets — ONE constant each, interpolated
@@ -7827,15 +7832,16 @@ object SparkEntry {
                   WHEN 1 THEN '/t%61g/' || CAST(doc_id AS VARCHAR)
                   WHEN 2 THEN '/article/' || CAST(doc_id AS VARCHAR)
                     || '?id=' || CAST(doc_id AS VARCHAR)
-                  ELSE '/about/' || CAST(doc_id AS VARCHAR) || '.html'
+                  ELSE CASE WHEN doc_id % 3 = 0 THEN '/login'
+                            ELSE '/about/' || CAST(doc_id AS VARCHAR) || '.html' END
                 END
               END AS url
             FROM documents),
           $sqlUrlNormChain,
           p AS (SELECT doc_id,
                   CASE WHEN norm_url IS NULL THEN NULL
-                       ELSE regexp_replace(regexp_replace(norm_url,
-                              '^[a-z][a-z0-9+.-]*://[^/?]*', ''), '\\?.*$$', '')
+                       ELSE string_split(regexp_replace(norm_url,
+                              '^[a-z][a-z0-9+.-]*://[^/?]*', ''), '?')[1]
                   END AS path
                 FROM norm)
           SELECT doc_id, path,

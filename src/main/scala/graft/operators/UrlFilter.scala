@@ -79,34 +79,47 @@ object UrlFilter {
       urlCol: String,
       prefixes: Seq[String]): DataFrame = {
     require(prefixes.nonEmpty, "markBlockedByPath needs at least one prefix")
-    val path = pathOf(col(urlCol))
-    val hit = prefixes.map(p => path.startsWith(lit(p))).reduce(_ || _)
-    docs
-      .withColumn("path", path)
-      .withColumn("blocked", coalesce(hit, lit(false)))
+    Seq("path", "blocked").filter(docs.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"markBlockedByPath reserves column name '$c'; rename it in the input first")
+    }
+    // path materializes ONCE; the prefix tests reference the column, so
+    // the plan carries one normalize kernel, not one per list entry
+    val withPath = docs.withColumn("path", pathOf(col(urlCol)))
+    val hit = prefixes.map(p => col("path").startsWith(lit(p))).reduce(_ || _)
+    withPath.withColumn("blocked", coalesce(hit, lit(false)))
   }
 
   /** [[markBlockedByPath]]'s enforcement form: listed-path rows drop,
-    * everything else (null paths included) passes. Pure scan filter.
+    * everything else (null paths included) passes, input columns
+    * untouched. Pure scan filter (the path rides an internal reserved
+    * column that is dropped again).
     */
   def keepAllowedByPath(
       docs: DataFrame,
       urlCol: String,
       prefixes: Seq[String]): DataFrame = {
     require(prefixes.nonEmpty, "keepAllowedByPath needs at least one prefix")
-    val path = pathOf(col(urlCol))
-    val hit = prefixes.map(p => path.startsWith(lit(p))).reduce(_ || _)
-    docs.filter(!coalesce(hit, lit(false)))
+    val tmp = "__graft_url_path"
+    val hit = prefixes.map(p => col(tmp).startsWith(lit(p))).reduce(_ || _)
+    docs
+      .withColumn(tmp, pathOf(col(urlCol)))
+      .filter(!coalesce(hit, lit(false)))
+      .drop(tmp)
   }
 
-  /** The normalized PATH: strip scheme+authority, then the query, from
-    * the [[graft.functions.expressions.UrlExprs.urlNormalize]] form —
-    * two anchored regexes, each with a byte-identical DuckDB twin.
+  /** The normalized PATH from the [[graft.functions.expressions
+    * .UrlExprs.urlNormalize]] form: strip scheme+authority with one
+    * ANCHORED regex (negated classes — identical semantics in Java
+    * and RE2), then split off the query at the FIRST `?`
+    * (`substring_index` / `string_split(...)[1]` — deliberately NOT a
+    * `.*$`-style regex, whose `.` and `$` treat line terminators
+    * differently across the two engines).
     */
   private def pathOf(url: Column): Column =
-    regexp_replace(
+    substring_index(
       regexp_replace(
         graft.functions.expressions.UrlExprs.urlNormalize(url),
         "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
-      "\\?.*$", "")
+      "?", 1)
 }
