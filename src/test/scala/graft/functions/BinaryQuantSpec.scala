@@ -93,6 +93,35 @@ class BinaryQuantSpec extends SparkTestBase {
     assert(reranked === brute, "full-depth rerank must equal exact brute force")
   }
 
+  test("bqTopKExpanded: expanded Hamming matches the local expand+pack reference; full depth equals brute force") {
+    import graft.functions.expressions.SrpExpandExpr
+    val vs = (0 until 60).map(i => (i.toLong, vec(i, 16).toSeq))
+    val df = vs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = vec(7, 16)
+    // the candidate tier's metric is Hamming between EXPANDED sign
+    // patterns — checked against the driver-side twin per row
+    val qx = SrpExpandExpr.expandLocal(q, 48, "rp")
+    val cand = df.select(col("vec_id"),
+        graft.functions.expressions.BinaryQuantExprs.bqHamming(
+          SrpExpandExpr.srpExpand(col("embedding"), 48, "rp"),
+          BinaryQuantExprs.packLocal(qx)).as("ham"))
+      .as[(Long, Long)].collect().toMap
+    vs.foreach { case (id, v) =>
+      val vx = SrpExpandExpr.expandLocal(v.toArray, 48, "rp")
+      assert(cand(id) === refHam(vx, qx), s"expanded ham mismatch id=$id")
+    }
+    // at full candidate depth the exact re-rank IS brute force — the
+    // expansion can only change the candidate ORDER, never the result
+    val expanded = Similarity.bqTopKExpanded(
+        df, "vec_id", "embedding", q, 10, rerank = 60, outDim = 48)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity
+      .bruteForceTopK(df, "vec_id", "embedding", q.map(_.toDouble).toSeq, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(expanded === brute, "full-depth expanded rerank must equal exact brute force")
+  }
+
   test("bqTopKFromCodes equals the fused path over the quantized artifact") {
     val vs = (0 until 50).map(i => (i.toLong, vec(i + 3, 40).toSeq))
     val df = vs.toDF("vec_id", "embedding")
