@@ -79,33 +79,58 @@ object EmbeddingProbe {
       width: Int,
       iters: Int = 40,
       lr: Double = 0.001): Array[Long] = {
-    val cached = feats.select(col(codesCol), col(labelCol)).localCheckpoint()
-    val n = cached.count()
-    val w = new Array[Long](width)
-    if (n == 0L) return w
-    var t = 0
-    while (t < iters) {
-      val z = Int8Exprs.int8Dot(col(codesCol), w)
-      val m = z.cast("double") / lit(1000000.0)
-      val pMicro = round(
-        (lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))) * lit(1000000.0))
-        .cast("long")
-      val e = (pMicro - col(labelCol) * lit(Micro)).as("e")
-      val grads = cached
-        .select(col(codesCol), e)
-        .select(posexplode(col(codesCol)).as(Seq("j", "c")), col("e"))
-        .groupBy("j")
-        .agg(sum(col("e") * col("c").cast("long")).alias("g"))
-        .collect() // bounded by contract: <= width rows (code positions)
-      grads.foreach { r =>
-        val j = r.getInt(0)
-        if (j >= 0 && j < width)
-          w(j) -= QualityClassifier.roundHalfUp(
-            r.getLong(1).toDouble / n.toDouble * lr)
+    // r21: same restructure as [[QualityClassifier.train]] — one
+    // persisted primitive RDD, one treeAggregate per iteration, no
+    // per-iteration Catalyst plan / posexplode / exchange / collect.
+    // Per-row math is [[QualityClassifier.errMicro]] (the Catalyst
+    // twin) over the int8_dot margin; gradient entries are the same
+    // long sums (`e·code[j]`) in a different commutative order.
+    // Bit-equality vs the r20 DataFrame loop pinned by
+    // `TrainerParitySpec`.
+    val rdd = feats.select(col(codesCol), col(labelCol))
+      .queryExecution.toRdd
+      .map { r =>
+        val ca = if (r.isNullAt(0)) null else r.getArray(0).toByteArray()
+        val ok = !r.isNullAt(1)
+        val y = if (ok) r.getLong(1) else 0L
+        (ca, y, ok)
       }
-      t += 1
-    }
-    w
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rdd.count()
+      val w = new Array[Long](width)
+      if (n == 0L) return w
+      var t = 0
+      while (t < iters) {
+        val wCur = w.clone()
+        val grad = rdd.treeAggregate(new Array[Long](width))(
+          seqOp = { (g, row) =>
+            val (ca, y, ok) = row
+            if (ca != null && ok) {
+              // z = int8_dot(codes, w): Σ codes[j]·w[j] over the
+              // min(len, width) prefix — Int8Exprs.dotCodes verbatim
+              val lim = math.min(ca.length, width)
+              var z = 0L
+              var j = 0
+              while (j < lim) { z += ca(j).toLong * wCur(j); j += 1 }
+              val e = QualityClassifier.errMicro(z, y)
+              j = 0
+              while (j < lim) { g(j) += e * ca(j).toLong; j += 1 }
+            }
+            g
+          },
+          combOp = QualityClassifier.addInto)
+        var j = 0
+        while (j < width) {
+          if (grad(j) != 0L)
+            w(j) -= QualityClassifier.roundHalfUp(
+              grad(j).toDouble / n.toDouble * lr)
+          j += 1
+        }
+        t += 1
+      }
+      w
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Applies trained weights to a feature frame: adds `score_micro`

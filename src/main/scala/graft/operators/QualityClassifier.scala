@@ -66,10 +66,42 @@ object QualityClassifier {
     * (both BigDecimal-style HALF_UP). NOT `Math.round` (floor(x+.5),
     * which rounds -0.5 up and misrounds values a ULP below a half).
     */
-  private[operators] def roundHalfUp(x: Double): Long =
+  private[graft] def roundHalfUp(x: Double): Long =
     new java.math.BigDecimal(x)
       .setScale(0, java.math.RoundingMode.HALF_UP)
       .longValueExact()
+
+  /** Bit-exact Scala twin of the in-plan margin→error chain the r20
+    * trainer evaluated through Catalyst per iteration:
+    *
+    *   m       = z_micro / 1e6                      (double)
+    *   p_micro = round((0.5·(1 + m/(1+|m|)))·1e6)   (long)
+    *   e       = p_micro - y·1e6                    (long)
+    *
+    * Spark's `round()` on DoubleType is (interpreted AND codegen)
+    * `java.math.BigDecimal.valueOf(x).setScale(0, HALF_UP).doubleValue()`
+    * with NaN/Inf passthrough — `x` here is always finite, and the
+    * arithmetic below reproduces the Catalyst expression's operand
+    * order exactly, so the IEEE double (and hence the rounded micro)
+    * is identical. Pinned by `TrainerParitySpec`.
+    */
+  private[graft] def errMicro(zMicro: Long, y: Long): Long = {
+    val m = zMicro.toDouble / 1000000.0
+    val x = (0.5 * (1.0 + m / (1.0 + math.abs(m)))) * 1000000.0
+    val p = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    p.toLong - y * Micro
+  }
+
+  /** Sums `delta` into `acc` element-wise — the gradient combiner
+    * (long adds commute and associate exactly, so tree combine order
+    * cannot change the result).
+    */
+  private[graft] def addInto(acc: Array[Long], delta: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < acc.length) { acc(i) += delta(i); i += 1 }
+    acc
+  }
 
   /** The log2 token-count bucket feature id, `dim+1+min(len(bin(n+1))-1, 15)`. */
   private def lenBucketFeat(nTokens: Column, dim: Int): Column =
@@ -121,9 +153,31 @@ object QualityClassifier {
 
   /** Fixed-budget full-batch GD over a `(featsCol: array<long>,
     * labelCol: long 0/1)` frame. Returns the `width`-long weight array
-    * in micros. The input is localCheckpoint-ed here (eager), so the
-    * caller's lineage — typically the one corpus text scan — runs
-    * exactly once however many iterations follow.
+    * in micros.
+    *
+    * r21 optimization (guide §1.2 step 1 / §2.4): the r20 loop built a
+    * fresh Catalyst plan per iteration (analyze + optimize + codegen
+    * lookup), exploded every doc's feature array into one row per
+    * occurrence, hash-aggregated them through a 32-partition exchange,
+    * and collected — measured ~100-150 ms/iteration at sf0.1 against
+    * ~5 ms of actual arithmetic. The loop now materializes the
+    * `(feats, y)` projection ONCE as a persisted primitive RDD and
+    * runs each iteration as one `treeAggregate` of the width-long
+    * gradient array: no per-iteration planning, no explode row
+    * blow-up, no exchange — per-partition partial gradients combine
+    * in a tree exactly like MLlib's GD. Bit-identical by
+    * construction: the per-row error chain is [[errMicro]] (the
+    * Catalyst twin, spec-pinned), gradient entries are the same long
+    * sums in a different (commutative) order, and the weight update
+    * is byte-for-byte the r20 code. `TrainerParitySpec` pins the
+    * whole-trainer equality against an in-spec replica of the r20
+    * DataFrame loop.
+    *
+    * Scale shape is unchanged or better: the corpus-sized table is
+    * scanned once per iteration either way; what the r20 version
+    * shuffled (≤ width rows per map partition) the tree combine now
+    * moves as one width-long array per partition, and the driver
+    * still only ever sees width-long arrays.
     */
   def train(
       feats: DataFrame,
@@ -132,33 +186,57 @@ object QualityClassifier {
       width: Int,
       iters: Int = 40,
       lr: Double = 16.0): Array[Long] = {
-    val cached = feats.select(col(featsCol), col(labelCol)).localCheckpoint()
-    val n = cached.count()
-    val w = new Array[Long](width)
-    if (n == 0L) return w
-    var t = 0
-    while (t < iters) {
-      val wlit = typedLit(w.toSeq)
-      val z = PresenceDotExpr.presenceDot(col(featsCol), wlit)
-      val m = z.cast("double") / lit(1000000.0)
-      val pMicro = round(
-        (lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))) * lit(1000000.0))
-        .cast("long")
-      val e = (pMicro - col(labelCol) * lit(Micro)).as("e")
-      val grads = cached
-        .select(col(featsCol), e)
-        .select(explode(col(featsCol)).as("feat"), col("e"))
-        .groupBy("feat")
-        .agg(sum("e").as("g"))
-        .collect() // bounded by contract: <= width rows (feature ids)
-      grads.foreach { r =>
-        val f = r.getLong(0)
-        if (f >= 0L && f < width)
-          w(f.toInt) -= roundHalfUp(r.getLong(1).toDouble / n.toDouble * lr)
+    // rows with a NULL feature array or NULL label contribute nothing
+    // to any gradient (the r20 explode/sum semantics) but DO count in n
+    val rdd = feats.select(col(featsCol), col(labelCol))
+      .queryExecution.toRdd
+      .map { r =>
+        val fa = if (r.isNullAt(0)) null else r.getArray(0).toLongArray()
+        val ok = !r.isNullAt(1)
+        val y = if (ok) r.getLong(1) else 0L
+        (fa, y, ok)
       }
-      t += 1
-    }
-    w
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rdd.count()
+      val w = new Array[Long](width)
+      if (n == 0L) return w
+      var t = 0
+      while (t < iters) {
+        val wCur = w.clone()
+        val grad = rdd.treeAggregate(new Array[Long](width))(
+          seqOp = { (g, row) =>
+            val (fa, y, ok) = row
+            if (fa != null && ok) {
+              // z = presence_dot(feats, w): Σ w[f] for in-range f
+              var z = 0L
+              var i = 0
+              while (i < fa.length) {
+                val f = fa(i)
+                if (f >= 0L && f < width) z += wCur(f.toInt)
+                i += 1
+              }
+              val e = errMicro(z, y)
+              i = 0
+              while (i < fa.length) {
+                val f = fa(i)
+                if (f >= 0L && f < width) g(f.toInt) += e
+                i += 1
+              }
+            }
+            g
+          },
+          combOp = addInto)
+        var f = 0
+        while (f < width) {
+          if (grad(f) != 0L)
+            w(f) -= roundHalfUp(grad(f).toDouble / n.toDouble * lr)
+          f += 1
+        }
+        t += 1
+      }
+      w
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Applies trained weights to a feature frame: adds
