@@ -71,6 +71,15 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed window: drop this query's cached relations
+      // (operators persist multi-consumer intermediates — TfIdf/NgramLm/
+      // Skew since r21). Without this the entries accumulate across the
+      // 175-query roster and later queries pay CacheManager plan-matching
+      // against hundreds of stale plans plus storage-eviction churn
+      // (measured: q120 2.7 s isolated vs 5.0 s late in a polluted
+      // session). Each query is measured from clean session state — the
+      // r20 methodology, where operators held no session caches at all.
+      spark.sharedState.cacheManager.clearCache()
       if (gcDebug)
         System.err.println(f"[gc] p$pass $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
       (name, sec, ok)

@@ -2173,7 +2173,7 @@ object SparkEntry {
     val feats = operators.QualityClassifier.gopherFeatures(
       Tables.documents(s, dir), "doc_id", "text", dim = 256,
       minTokens = 25L, minStopHits = 1L)
-      .localCheckpoint()
+      .localCheckpoint(true)
     val w = operators.QualityClassifier.train(
       feats.filter(col("doc_id") % 5 === 0), "feats", "y",
       256 + 17, iters = 40, lr = 16.0)
@@ -2339,7 +2339,7 @@ object SparkEntry {
     val feats = operators.EmbeddingProbe.features(
       Tables.embeddings(s, dir), "vec_id", "embedding", col("label") < 5)
       .withColumn("is_train", col("vec_id") % 5 === 0)
-      .localCheckpoint()
+      .localCheckpoint(true)
     val w = operators.EmbeddingProbe.train(
       feats.filter(col("is_train")), "codes", "y", 65, iters = 40, lr = 0.001)
     operators.EmbeddingProbe.score(feats, "codes", w)
@@ -2374,7 +2374,7 @@ object SparkEntry {
   private def q160_probe_calibration(s: SparkSession, dir: String): DataFrame = {
     val heldOut = q157_probe_holdout(s, dir)
       .filter(!col("is_train"))
-      .localCheckpoint() // one trainer run feeds sweep AND accuracy
+      .localCheckpoint(true) // one trainer run feeds sweep AND accuracy
     operators.QualityClassifier
       .cutoffSweep(heldOut, "label", "score_micro",
         Seq(-5000000L, -2500000L, 0L, 2500000L, 5000000L))
@@ -2401,7 +2401,7 @@ object SparkEntry {
     * checkpoint).
     */
   private def q172_freeze_gated_deploy(s: SparkSession, dir: String): DataFrame = {
-    val scored = q157_probe_holdout(s, dir).localCheckpoint()
+    val scored = q157_probe_holdout(s, dir).localCheckpoint(true)
     val heldOut = scored.filter(!col("is_train"))
     val cal = operators.QualityClassifier
       .cutoffSweep(heldOut, "label", "score_micro",
@@ -2913,7 +2913,7 @@ object SparkEntry {
     // stage 2: per-domain admission quota (q147's cap)
     val admitted = operators.Sampling
       .capPerGroup(allowed, "doc_id", "domain", cap = 25)
-      .localCheckpoint() // one quota pass feeds mine + apply + count
+      .localCheckpoint(true) // one quota pass feeds mine + apply + count
     // stages 3-5: the shared boiler → C4 → gate tail
     val (c4d, gated) = frontDoorTail(admitted, carry = Seq.empty)
     // per-stage survivor totals ride along as one-row broadcast frames
@@ -2958,7 +2958,7 @@ object SparkEntry {
     val admFamily = operators.Templates
       .capPerFamily(admDomain, "doc_id", "raw", cap = 30)
       .drop("raw")
-      .localCheckpoint() // both caps feed mine + apply + counts
+      .localCheckpoint(true) // both caps feed mine + apply + counts
     // stages 4-6: the shared boiler → C4 → gate tail, tag_fp carried
     val (c4d, gated) = frontDoorTail(admFamily, carry = Seq("tag_fp"))
     def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))

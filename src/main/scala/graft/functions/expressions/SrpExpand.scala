@@ -60,9 +60,33 @@ object SrpExpandExpr {
       a
     })
 
-  /** Called from generated code. */
-  def run(a: ArrayData, outDim: Int, prefix: String): ArrayData = {
+  /** Called from generated code. `pin` is the per-expression-instance
+    * input-dimension pin (ADVICE r20 latents #3/#4): the sign matrix is
+    * a pure function of `(prefix, outDim, inDim)`, so MIXED-length
+    * vectors in one column would silently project through different
+    * matrices and rank incomparably — the first row pins `inDim` and
+    * any later mismatch fails loud. Null ELEMENTS would read as 0.0
+    * through `getFloat` (outside the "null vector → null" contract),
+    * so they fail loud too.
+    */
+  def run(a: ArrayData, outDim: Int, prefix: String,
+      pin: java.util.concurrent.atomic.AtomicInteger): ArrayData = {
     val inDim = a.numElements()
+    if (!pin.compareAndSet(-1, inDim)) {
+      val p = pin.get()
+      if (p != inDim)
+        throw new IllegalArgumentException(
+          s"srp_expand: mixed input dimensions in one column ($p then $inDim) — " +
+            "each srp_expand column requires one fixed vector dimension")
+    }
+    var k0 = 0
+    while (k0 < inDim) {
+      if (a.isNullAt(k0))
+        throw new IllegalArgumentException(
+          s"srp_expand: null vector element at index $k0 — " +
+            "null elements have no sign-projection semantics (null VECTOR -> null)")
+      k0 += 1
+    }
     val s = signs(prefix, outDim, inDim)
     val out = new Array[Float](outDim)
     var j = 0
@@ -104,6 +128,10 @@ case class SrpExpandExpr(child: Expression, outDim: Int, prefix: String)
     extends UnaryExpression {
   require(outDim >= 1, s"srp_expand outDim must be >= 1, got $outDim")
 
+  // per-instance (hence at worst per-task after serialization) input-
+  // dimension pin — see [[SrpExpandExpr.run]]; -1 = not yet pinned
+  private val inDimPin = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -114,12 +142,14 @@ case class SrpExpandExpr(child: Expression, outDim: Int, prefix: String)
   override def prettyName: String = "srp_expand"
 
   override protected def nullSafeEval(a: Any): Any =
-    SrpExpandExpr.run(a.asInstanceOf[ArrayData], outDim, prefix)
+    SrpExpandExpr.run(a.asInstanceOf[ArrayData], outDim, prefix, inDimPin)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("srpPrefix", prefix, "java.lang.String")
+    val pinRef = ctx.addReferenceObj("srpPin", inDimPin,
+      "java.util.concurrent.atomic.AtomicInteger")
     defineCodeGen(ctx, ev, a =>
-      s"graft.functions.expressions.SrpExpandExpr.run($a, $outDim, $pRef)")
+      s"graft.functions.expressions.SrpExpandExpr.run($a, $outDim, $pRef, $pinRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SrpExpandExpr =

@@ -203,10 +203,31 @@ object Bpe {
     filter(split(merged, " "), t => length(t) > 0 && t =!= lit("\n"))
 
   /** `(id, toks: array<string>)` — the tokenized corpus. Pure
-    * projection: scan → codegen'd replace chain → split; no exchange.
+    * projection: scan → native per-word merge kernel; no exchange.
+    *
+    * r21: the chained-`replace` form (nMerges full-document string
+    * passes) is replaced by [[graft.functions.expressions.BpeApplyExpr]]
+    * — per-word mergePass chain with a per-task distinct-word cache;
+    * row-identical (`BpeKernelSpec` pins kernel == replace chain; the
+    * `tokenizeViaWords` parity spec already pins the per-word ==
+    * whole-document argument). The coalesce preserves the replace
+    * chain's null-text behavior (null text → empty token array).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame =
+    docs.select(
+      col(idCol).alias("id"),
+      coalesce(
+        graft.functions.expressions.BpeApplyExpr
+          .bpeApply(TextFunctions.tokens(col(textCol)), merges),
+        typedlit(Seq.empty[String])).alias("toks"))
+
+  /** The r20 chained-replace tokenize — kept as the spec reference
+    * ([[graft.functions.expressions.BpeApplyExpr]]'s parity oracle).
+    */
+  private[graft] def tokenizeViaReplaceChain(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
     docs.select(
       col(idCol).alias("id"),
       parseTokens(applyMerges(spacedSymbols(col(textCol)), merges)).alias("toks"))

@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the clustering
   * step of every near-duplicate pipeline: LSH/Jaccard emits PAIRS, but
@@ -10,9 +12,8 @@ import org.apache.spark.sql.functions._
   * nothing); this is a training-data-pipeline extension per SURVEY.md §7.8.
   *
   * Algorithm: alternating min-label propagation and pointer-jumping
-  * (path compression), the DataFrame rendering of the classic
-  * two-phase CC recipe (cf. Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14):
+  * (path compression), the classic two-phase CC recipe (cf. Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14):
   *
   *   1. propagate: l(v) ← min(l(v), min over neighbors u of l(u))
   *   2. compress:  l(v) ← l(l(v))
@@ -20,32 +21,35 @@ import org.apache.spark.sql.functions._
   * Propagation alone needs O(diameter) rounds (a path graph of length d
   * takes d rounds); the compression join halves the pointer depth each
   * round, so convergence is O(log d) rounds — at 100 TB that is the
-  * difference between 40 shuffles and 6. Each round is two shuffles
-  * (neighbor-min groupBy + label-of-label join), both on long keys.
-  * `localCheckpoint` truncates the growing lineage
-  * per round so the plan doesn't deepen, and the convergence check is an
-  * exact changed-label count over the just-materialized blocks (a
-  * one-row aggregate, not a collect of the labels).
+  * difference between 40 shuffles and 6.
+  *
+  * r21 rendering (guide §1.2 step 1): the loop runs on pair RDDs with a
+  * FIXED HashPartitioner, not on DataFrames. The r20 DataFrame loop
+  * paid, per round, a fresh Catalyst plan + an eager localCheckpoint of
+  * the propagated frame + another of the compressed frame + a separate
+  * convergence count — ~10 driver-blocking jobs/round once AQE splits
+  * each materialization into stage-jobs (measured: q77's 10-round CC
+  * accounted for ~100 of the query's 123 jobs, with per-stage work of
+  * 20-80 ms). The RDD loop co-partitions edges and labels once, so the
+  * neighborhood join is NARROW (no exchange); each round shuffles only
+  * the (vertex, candidate-label) messages and the pointer-jump
+  * redistribution, and runs exactly ONE driver job (the convergence
+  * count, with the changed-counter riding an accumulator on the same
+  * pass). Labels are canonical (min reachable id), so the output is a
+  * pure graph property — algorithm-step changes cannot alter it
+  * (`ComponentsSpec` pins it against a local union-find oracle).
   */
 object Components {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** The RDD whose blocks back an eagerly `localCheckpoint`ed frame, so
-    * a finished round's storage can be freed instead of accumulating for
-    * the whole loop (None when the plan isn't a checkpoint scan).
-    */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
-  private def freeCheckpoint(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
-
   /** `(id, cluster_id)` for every vertex, where `cluster_id` is the
     * minimum vertex id reachable in the undirected graph
     * `vertices ∪ edges` — singletons map to themselves.
+    *
+    * Edge/vertex ids must be integral (every dedup caller's ids are
+    * longs already); edges with a NULL endpoint are inert, exactly as
+    * in the r20 DataFrame form (a NULL key never equi-joins).
     *
     * @param edges    two-column frame of undirected edges (each pair
     *                 listed once in either orientation)
@@ -59,13 +63,49 @@ object Components {
       vertices: DataFrame,
       idCol: String,
       maxIterations: Int = 20): DataFrame = {
-    // materialize the (possibly expensive — e.g. a whole dedup pipeline)
-    // edge frame ONCE, then derive both orientations from the
-    // checkpointed blocks; a union of two projections of the raw plan
-    // would execute it twice
-    val e = edges.select(col(srcCol).alias("s"), col(dstCol).alias("d"))
-      .localCheckpoint(true)
-    val und = e.union(e.select(col("d").alias("s"), col("s").alias("d")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq(edges.schema(srcCol), edges.schema(dstCol), vertices.schema(idCol))
+      .foreach { f =>
+        val ok = f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        require(ok,
+          s"connectedComponents needs integral ids, got ${f.name}: ${f.dataType.catalogString}")
+      }
+
+    // both orientations — the (possibly expensive: a whole dedup
+    // pipeline) edge lineage executes exactly once, into this persist
+    val eRdd = edges
+      .select(col(srcCol).cast("long").alias("s"), col(dstCol).cast("long").alias("d"))
+      .queryExecution.toRdd
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val s = r.getLong(0)
+          val d = r.getLong(1)
+          Iterator((s, d), (d, s))
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // scale-adaptive reducer count, DERIVED from the measured edge
+    // count (guide §2: partitioning must adapt to input size, not a
+    // constant tuned for one deployment): ~64k edge rows per reduce
+    // partition, capped by the session's shuffle-partition knob — the
+    // RDD loop gets no AQE coalescing, so without this every round of
+    // a 50k-edge graph would schedule 3 stages × 32 near-empty tasks
+    // (measured: q77's 10-round CC slower than the DataFrame form it
+    // replaced until this line existed)
+    val nUnd = eRdd.count()
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = new HashPartitioner(
+      math.max(1L, math.min(maxP.toLong, nUnd / 65536L + 1L)).toInt)
+    val und = eRdd.partitionBy(p).persist(StorageLevel.MEMORY_AND_DISK)
 
     // Iterate ONLY over edge-incident vertices: a vertex with no edges
     // can never change label, and in a dedup pipeline the pair graph is
@@ -77,56 +117,62 @@ object Components {
     // Star/pair clusters (the bulk of near-dup graphs) are already at
     // their fixpoint after this, so the loop's first changed-count hits
     // zero one round earlier.
-    var labels = und.groupBy(col("s"))
-      .agg(min(col("d")).alias("nbr_min"))
-      .select(col("s").alias("id"), least(col("s"), col("nbr_min")).alias("label"))
-      .localCheckpoint(true)
+    var labels = und
+      .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(
+        _.map { case (v, nm) => (v, math.min(v, nm)) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
+    // the previous round's propagated blocks stay persisted until the
+    // NEXT round's action has materialized the (lazy) compress that
+    // reads them — freed here at the top of that round
+    var pendingFree: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && iter < maxIterations) {
-      // 1. propagate: min label over the neighborhood (old label rides
-      //    along so convergence needs no extra join afterwards).
-      //    Checkpoint BEFORE the convergence check and the compress
-      //    self-join: propagation stability is the exact fixpoint
-      //    criterion (a stable labeling is constant per component at the
-      //    component min — compress is only an accelerator), so a
-      //    converged round skips the compress join entirely; and in an
-      //    unconverged round both sides of the compress self-join read
-      //    the materialized blocks instead of recomputing the propagate
-      //    join+aggregate twice (the two sides exchange on different
-      //    keys, so ReuseExchange cannot dedup them).
+      // 1. propagate: min label over the neighborhood. und and labels
+      //    share the partitioner, so the join is narrow; only the
+      //    (neighbor, label) messages shuffle (reduceByKey min).
       val nbrMin = und
-        .join(labels, und("s") === labels("id"))
-        .groupBy(col("d").alias("id"))
-        .agg(min(col("label")).alias("nbr_min"))
+        .join(labels)
+        .map { case (_, (d, lbl)) => (d, lbl) }
+        .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      // changed-count rides an accumulator on the materializing pass —
+      // a transformation-side accumulator can only OVER-count (on task
+      // retry), which at worst buys one extra idempotent round, never a
+      // premature exit (exit needs changed == 0, and a retried round at
+      // the fixpoint adds 0)
+      val changedAcc = spark.sparkContext.longAccumulator("cc.changed")
       val propagated = labels
-        .withColumnRenamed("label", "old_label")
-        .join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("old_label"),
-          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).alias("label"))
-        .localCheckpoint(true)
-      // convergence: one tiny aggregate over the just-materialized blocks
-      val changed = propagated.filter(col("label") =!= col("old_label")).count()
-      if (changed == 0) {
+        .leftOuterJoin(nbrMin) // narrow: both sides carry p
+        .mapValues { case (old, nm) =>
+          val next = math.min(old, nm.getOrElse(old))
+          if (next != old) changedAcc.add(1L)
+          next
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      propagated.count() // the round's ONE driver job
+      pendingFree.foreach(_.unpersist(blocking = false))
+      pendingFree = None
+      val changed = changedAcc.value
+      if (changed == 0L) {
         // labels are already the fixpoint — the propagated frame adds
         // nothing; keep the previous round's blocks as the answer
-        freeCheckpoint(propagated)
+        propagated.unpersist(blocking = false)
         converged = true
       } else {
-        // 2. compress: label ← label(label) (pointer jumping) over the
-        //    checkpointed blocks — halves pointer depth per round
-        val lab2 = propagated.select(col("id").alias("l_id"), col("label").alias("l_label"))
+        // 2. compress: label ← label(label) (pointer jumping) — halves
+        //    pointer depth per round. Left lazy: the next round's single
+        //    action materializes it into its persist, so compression
+        //    costs no extra driver job.
         val compressed = propagated
-          .join(lab2, propagated("label") === lab2("l_id"), "left")
-          .select(col("id"), coalesce(col("l_label"), col("label")).alias("label"))
-          .localCheckpoint(true)
-        // the new round is materialized — the previous round's blocks
-        // are dead weight now; free them instead of accumulating
-        // executor storage across every round
-        freeCheckpoint(labels)
-        freeCheckpoint(propagated)
+          .map { case (v, l) => (l, v) }
+          .leftOuterJoin(propagated) // propagated carries p; left side shuffles
+          .map { case (l, (v, ll)) => (v, ll.getOrElse(l)) }
+          .partitionBy(p)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        labels.unpersist(blocking = false)
+        pendingFree = Some(propagated)
         labels = compressed
       }
       iter += 1
@@ -138,12 +184,18 @@ object Components {
         s"connectedComponents exhausted maxIterations=$maxIterations without converging; " +
           "the returned labeling may still contain unmerged components " +
           "(raise maxIterations for graphs with very large diameter)")
-    // the loop is done with the edge frame; only the (checkpointed)
-    // labels feed the final join
-    freeCheckpoint(e)
-    vertices.select(col(idCol).alias("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).alias("cluster_id"))
+    val labelsDf = labels.toDF("id", "label")
+    val idType = vertices.schema(idCol).dataType
+    val out = vertices.select(col(idCol).cast("long").alias("id"))
+      .join(labelsDf, Seq("id"), "left")
+      .select(
+        col("id").cast(idType).alias("id"),
+        coalesce(col("label"), col("id")).cast(idType).alias("cluster_id"))
+    // the loop is done with the edge blocks; labels must stay persisted
+    // (they back the returned plan) — freed with the RDD's GC
+    und.unpersist(blocking = false)
+    eRdd.unpersist(blocking = false)
+    out
   }
 
   /** Deduplication view of a component labeling: one row per cluster

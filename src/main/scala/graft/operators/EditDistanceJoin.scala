@@ -61,10 +61,28 @@ object EditDistanceJoin {
     i * (l / nSeg).cast("int") +
       greatest(lit(0), i - (lit(nSeg) - pmod(l, lit(nSeg))))
 
+  // r21 (guide §8 / §2.6): the O(d³) probe fan-out and the O(d) segment
+  // index are CPU-heavy map-side expansions over tiny (id, key) rows;
+  // when the upstream scan yields few partitions (one parquet file, a
+  // filtered slice, a single-file crawl shard) the whole expansion —
+  // and the candidate join built on it — runs on that handful of tasks
+  // (measured: q122 at sf0.1 spent 2.4 s in two single-task stages).
+  // Hash-repartitioning the pre-expansion rows costs one exchange of
+  // ~25-byte rows and spreads the expansion across the session's
+  // shuffle parallelism — scale-adaptive via the conf knob, and a
+  // no-op-sized shuffle at any corpus size relative to the d³ blow-up
+  // it parallelizes. The partition count is pinned EXPLICITLY: AQE's
+  // coalescing is bytes-based and blind to downstream CPU fan-out, so
+  // an unpinned repartition of these tiny rows collapses straight back
+  // to one task (measured — q122's verify stage ran 1.3 s single-task
+  // under `repartition(col)` alone).
   private def keyed(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.select(col(idCol).alias("__id"), col(keyCol).alias("__key"))
       .na.drop(Seq("__key"))
       .withColumn("__len", length(col("__key")))
+      .repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col("__id"))
 
   /** Index side: the d+1 segments of every key, keyed by
     * `(len, segIdx, segText)` — a constant-fanout map-side projection.

@@ -171,7 +171,7 @@ object EmbeddingProbe {
       iters: Int = 40,
       lr: Double = 0.001): DataFrame = {
     val feats = features(embs, idCol, vecCol, positive)
-      .localCheckpoint() // one vector scan, shared by train + score
+      .localCheckpoint(false) // one vector scan, shared by train + score
     val w = train(feats, "codes", "y", dim + 1, iters, lr)
     score(feats, "codes", w)
       .select(

@@ -207,12 +207,19 @@ object NgramLm {
     // trade at any corpus scale; measured 4.1 → ~1.9 s on the q120
     // gate query (sf0.1, the collapse's interpreted-HOF md5 pass was
     // running 7× instead of 3×).
+    // r21: materialized for EVERY hot/cold mode, not just auto — with
+    // hotKeys > 0 the count tables are referenced by the hot-set
+    // TakeOrdereds AND both join branches per level, and an in-plan LM
+    // re-executes its training aggregates per reference that exchange
+    // reuse cannot dedup (the references exchange on different keys).
+    // Lazy persist (not eager localCheckpoint): no blocking driver job;
+    // the first action materializes once. Tables are vocabulary-bounded.
     val effLm =
-      if (hotKeys < 0)
+      if (hotKeys != 0)
         LmTables(
-          lm.uni.localCheckpoint(true),
-          lm.bi.localCheckpoint(true),
-          lm.nTok.localCheckpoint(true))
+          lm.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          lm.bi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          lm.nTok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else lm
     val effHotKeys = if (hotKeys < 0) autoHotKeys(effLm) else hotKeys
     val uniW1 = effLm.uni.select(col("w").alias("w1"), col("c").alias("c1"))
@@ -472,12 +479,13 @@ object NgramLm {
     // same in-plan-LM materialization rule as [[score]]: auto
     // resolution must not re-execute the in-plan training lineage per
     // driver action (the tables are vocabulary-bounded)
+    // r21: lazy persist, same rationale as [[scoreGrams]]'s effLm
     val effLm =
-      if (hotKeys < 0)
+      if (hotKeys != 0)
         LmTables(
-          lm0.uni.localCheckpoint(true),
-          lm0.bi.localCheckpoint(true),
-          lm0.nTok.localCheckpoint(true))
+          lm0.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          lm0.bi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          lm0.nTok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else lm0
     val nBi = effLm.bi.agg(sum(col("c12")).alias("n_bi"))
     val pmi =

@@ -456,8 +456,13 @@ object QualityClassifier {
     scored
       .crossJoin(broadcast(dec))
       .withColumn("gate_applied", ok)
+      // fail-closed on a NULL score under a frozen gate (the
+      // keepByGopher/keepByScore convention): without the coalesce a
+      // null scoreCol row would emit kept = NULL — neither admitted
+      // nor counted as dropped (ADVICE r20 latent #2)
       .withColumn("kept",
-        when(col("gate_applied"), col(scoreCol) >= col("__gate_cutoff"))
+        when(col("gate_applied"),
+          coalesce(col(scoreCol) >= col("__gate_cutoff"), lit(false)))
           .otherwise(lit(true)))
       .drop("__gate_freeze_ok", "__gate_cutoff", "__gate_n")
   }
@@ -502,7 +507,7 @@ object QualityClassifier {
     val feats = gopherFeatures(docs, idCol, textCol, dim, minTokens, maxTokens,
       minMeanLen, maxMeanLen, minAlphaFrac, minStopHits, maxEllipsisFrac,
       maxBulletFrac, maxSymbolRatio)
-      .localCheckpoint() // one corpus text scan, shared by train + score
+      .localCheckpoint(false) // one corpus text scan, shared by train + score
     val w = train(feats, "feats", "y", dim + 1 + LenBuckets, iters, lr)
     score(feats, "feats", w)
       .select(

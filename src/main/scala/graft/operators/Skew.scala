@@ -58,12 +58,20 @@ object Skew {
       keys: Seq[String],
       hotKeys: DataFrame): DataFrame = {
     require(keys.nonEmpty, "hotColdLeftJoin: no join keys")
-    // the probe feeds BOTH branches — materialize it once (the
-    // codebase's localCheckpoint idiom) or chained splits re-execute
-    // their upstream per branch, doubling per level (measured 5x wall
-    // on the 3-level LM chain before this line existed). One linear
-    // scalar-row materialization per split, never the corpus text.
-    val p = probe.localCheckpoint(true)
+    // the probe feeds BOTH branches — materialize it once (or chained
+    // splits re-execute their upstream per branch, doubling per level;
+    // measured 5x wall on the 3-level LM chain before this line
+    // existed). One linear scalar-row materialization per split, never
+    // the corpus text. r21: lazy PERSIST instead of the eager
+    // checkpoint — measured best of the three materializations here
+    // (q118 3.75 → 1.2 s): no blocking driver job per split level, both
+    // branches read the cached blocks, and (unlike localCheckpoint's
+    // stat-less LogicalRDD) the cached relation carries statistics, so
+    // the planner can still auto-broadcast genuinely small sides of the
+    // downstream joins. The CacheManager entry is session-scoped;
+    // long-lived sessions clear between pipelines (graft.Bench/Verify
+    // clear per query).
+    val p = probe.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hk = hotKeys.select(keys.map(col): _*).distinct()
     val hot = p
       .join(broadcast(hk), keys, "left_semi")

@@ -113,7 +113,7 @@ object TfIdf {
           terms.zipWithIndex.map { case (t, i) =>
             coalesce(try_element_at(col("tc"), lit(t)), lit(0L)).alias(s"tf_$i")
           }: _*)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val stats = base.agg(
       count(lit(1)).alias("n_docs"),
@@ -184,7 +184,7 @@ object TfIdf {
     val qv = qt.select("term").distinct()
     val tf = postings(docs, idCol, textCol)
       .join(qv, Seq("term"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = corpusStats(docs, textCol)
     val dfq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
 
@@ -432,7 +432,7 @@ object TfIdf {
       wText: Double,
       wVec: Double,
       topK: Int): DataFrame = {
-    val lex = lexIn.localCheckpoint(true)
+    val lex = lexIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The candidate-id set is bounded by |Q|·candidates ints — always
     // broadcastable. Without the explicit hint Catalyst cannot see
     // that (the localCheckpoint lineage carries no stats) and plans a
@@ -505,7 +505,7 @@ object TfIdf {
       wText: Double,
       wVec: Double,
       topK: Int): DataFrame = {
-    val cand = lex.localCheckpoint(true)
+    val cand = lex.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candEmb = emb.join(
       broadcast(cand.select(col("doc_id").alias("__cand_id"))),
       col(embIdCol) === col("__cand_id"),

@@ -45,18 +45,28 @@ object StreamTemplates {
     * so the type is checked loudly here — use the batch operator
     * ([[Templates.templateFamilies]]) for non-integral ids.
     */
-  def mergeState(
-      state: DataFrame,
-      batch: DataFrame,
-      idCol: String,
-      htmlCol: String): DataFrame = {
-    val idType = batch.schema(idCol).dataType
+  /** The integral-id guard every StreamTemplates surface shares: a
+    * non-numeric id would silently become NULL under `cast("long")`
+    * (degrading `first_doc` in the observer, and hitting the
+    * primitive-Long Dataset decode inside [[StreamQuota.admit]] in the
+    * admission forms) instead of erroring — fail loud at plan time.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val idType = df.schema(idCol).dataType
     val integral = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     require(integral,
       s"StreamTemplates requires an integral id column; '$idCol' is $idType")
+  }
+
+  def mergeState(
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      htmlCol: String): DataFrame = {
+    requireIntegralId(batch, idCol)
     val delta = batch
       .select(col(idCol).cast("long").alias("__id"),
         Templates.tagFingerprint(col(htmlCol)).alias("tag_fp"))
@@ -128,6 +138,7 @@ object StreamTemplates {
       idCol: String,
       htmlCol: String,
       cap: Long): DataFrame = {
+    requireIntegralId(stream, idCol)
     val admitted = StreamQuota.admit(
       stream
         .where(col(htmlCol).isNotNull)
@@ -154,6 +165,7 @@ object StreamTemplates {
       textCol: String,
       embCol: String,
       cap: Long): DataFrame = {
+    requireIntegralId(stream, idCol)
     val admitted = StreamQuota.admitDocs(
       stream
         .where(col(htmlCol).isNotNull)

@@ -48,9 +48,11 @@ object QProfile {
         jobs += ((je.jobId, je.time - jobStart.getOrElse(je.jobId, je.time), 0))
     }
 
-    // warm pass(es) without listener
+    // warm pass(es) without listener; caches cleared so the measured
+    // pass computes from parquet (graft.Bench's per-query hygiene)
     (1 until reps).foreach { _ =>
       graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()

@@ -146,4 +146,34 @@ class BinaryQuantSpec extends SparkTestBase {
     assert(got(0)._2.isDefined && got(0)._3.isDefined)
     assert(got(1)._2.isEmpty && got(1)._3.isEmpty)
   }
+
+  test("srp_expand: null vector -> null; mixed input dims and null ELEMENTS fail loud") {
+    import graft.functions.expressions.SrpExpandExpr
+    // null vector passes through as null (the family contract)
+    val dfNull = Seq((1L, Some(Seq(1.0f, -1.0f, 0.5f, 2.0f))), (2L, None))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val gotNull = dfNull
+      .select(col("id"), SrpExpandExpr.srpExpand(col("v"), 8, "t0").as("x"))
+      .as[(Long, Option[Seq[Float]])].collect().toSeq.sortBy(_._1)
+    assert(gotNull(0)._2.isDefined && gotNull(1)._2.isEmpty)
+    // mixed dimensions in ONE column: the sign matrix is a function of
+    // inDim, so differing lengths would silently project through
+    // different matrices — must error (ADVICE r20 #3)
+    val dfMixed = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -1.0f, 0.5f)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val eMixed = intercept[Exception] {
+      dfMixed.select(SrpExpandExpr.srpExpand(col("v"), 8, "t1")).collect()
+    }
+    assert(eMixed.getMessage.contains("mixed input dimensions"),
+      s"unexpected: ${eMixed.getMessage}")
+    // a null ELEMENT would read as 0.0 through getFloat — outside the
+    // null-vector contract, must error (ADVICE r20 #4)
+    val dfElemNull = Seq((1L, Seq(Some(1.0f), None, Some(0.5f))))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val eElem = intercept[Exception] {
+      dfElemNull.select(SrpExpandExpr.srpExpand(col("v"), 8, "t2")).collect()
+    }
+    assert(eElem.getMessage.contains("null vector element"),
+      s"unexpected: ${eElem.getMessage}")
+  }
 }

@@ -119,6 +119,18 @@ class ProbeCalibrationSpec extends SparkTestBase {
       QualityClassifier.gateIfFrozen(scoredS, emptyCal, "score_micro").collect()
     }
     assert(e2.getMessage.contains("calibration frame is empty"))
+    // NULL score under a FROZEN gate fails closed (kept = false, never
+    // NULL) — the keepByGopher/keepByScore convention (ADVICE r20 #2)
+    val withNull = scoredS.limit(1)
+      .withColumn("score_micro", lit(null).cast("long"))
+      .unionByName(scoredS)
+    val outN = QualityClassifier.gateIfFrozen(withNull, calS, "score_micro")
+      .select("score_micro", "gate_applied", "kept")
+      .as[(Option[Long], Boolean, Option[Boolean])].collect()
+    val nullRows = outN.filter(_._1.isEmpty)
+    assert(nullRows.nonEmpty)
+    assert(nullRows.forall(r => r._2 && r._3.contains(false)),
+      s"null score under a frozen gate must be kept = false, got ${nullRows.toSeq}")
   }
 
   test("cutoffSweep micro P/R pinned on a hand fixture; markFreezeDecision is exact HALF_UP") {

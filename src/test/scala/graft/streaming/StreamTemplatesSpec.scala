@@ -173,5 +173,19 @@ class StreamTemplatesSpec extends SparkTestBase {
       StreamTemplates.mergeState(st, strIds, "doc_id", "raw")
     }
     assert(e.getMessage.contains("integral id column"))
+    // the ADMISSION forms share the guard (ADVICE r20 #1): without it a
+    // string id would cast("long") to NULL inside StreamQuota.admit and
+    // hit the primitive-Long Dataset decode instead of erring loudly
+    val e2 = intercept[IllegalArgumentException] {
+      StreamTemplates.admitByFamily(strIds, "doc_id", "raw", cap = 2L)
+    }
+    assert(e2.getMessage.contains("integral id column"))
+    val strDocs = Seq(("a", "<p>x</p>", "x", Seq(1.0f)))
+      .toDF("doc_id", "raw", "text", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      StreamTemplates.admitDocsByFamily(strDocs, "doc_id", "raw", "text",
+        "embedding", cap = 2L)
+    }
+    assert(e3.getMessage.contains("integral id column"))
   }
 }
