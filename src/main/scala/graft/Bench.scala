@@ -80,6 +80,13 @@ object Bench {
       // session). Each query is measured from clean session state — the
       // r20 methodology, where operators held no session caches at all.
       spark.sharedState.cacheManager.clearCache()
+      // ... and raw RDD persists too (r22): clearCache() only drops
+      // DataFrame cache entries, not RDD-level persists (operator-
+      // internal loops, localCheckpoint blocks) — without this a single
+      // leaked persist pollutes the block manager for the remaining
+      // ~350 query executions (r21: one leaked CC labels RDD inflated
+      // 28 unrelated queries by 20-380% at local[32])
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (gcDebug)
         System.err.println(f"[gc] p$pass $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
       (name, sec, ok)

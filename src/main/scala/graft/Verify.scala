@@ -39,8 +39,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query cache hygiene (see graft.Bench): operators persist
-      // multi-consumer intermediates; drop them between queries
+      // multi-consumer intermediates; drop them between queries —
+      // both CacheManager entries and raw RDD persists (r22)
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -184,15 +184,28 @@ object Components {
         s"connectedComponents exhausted maxIterations=$maxIterations without converging; " +
           "the returned labeling may still contain unmerged components " +
           "(raise maxIterations for graphs with very large diameter)")
-    val labelsDf = labels.toDF("id", "label")
+    // r22 (leak fix): the r21 form returned a plan pinned to the
+    // persisted `labels` RDD and left it registered forever ("freed
+    // with the RDD's GC" — i.e. nondeterministically, maybe never).
+    // Every CC-consuming query leaked vertex-scale blocks into the
+    // block manager for the rest of the session; in a long-lived
+    // library session that is a real memory leak, and it inflated 28
+    // unrelated bench queries at local[32]. The labeling is only
+    // edge-incident-vertex-sized (near-dup pair scale, not corpus
+    // scale), so materialize it eagerly into a localCheckpoint — whose
+    // blocks the ContextCleaner frees when the frame goes unreachable,
+    // and which the per-query RDD hygiene in Bench/Verify drops
+    // deterministically — then unpersist every loop RDD before
+    // returning.
+    val labelsDf = labels.toDF("id", "label").localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    pendingFree.foreach(_.unpersist(blocking = false))
     val idType = vertices.schema(idCol).dataType
     val out = vertices.select(col(idCol).cast("long").alias("id"))
       .join(labelsDf, Seq("id"), "left")
       .select(
         col("id").cast(idType).alias("id"),
         coalesce(col("label"), col("id")).cast(idType).alias("cluster_id"))
-    // the loop is done with the edge blocks; labels must stay persisted
-    // (they back the returned plan) — freed with the RDD's GC
     und.unpersist(blocking = false)
     eRdd.unpersist(blocking = false)
     out

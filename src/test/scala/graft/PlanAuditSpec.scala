@@ -326,9 +326,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"q123 block join must broadcast the batch probes:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"q123 corpus side must not shuffle into the join:\n$plan")
-    // the matched-pair distinct is the plan's ONLY shuffle — the
-    // corpus-sized segment index never leaves its scan stage
-    assert(shuffles(plan) == 1, s"q123 must shuffle only the matched pairs:\n$plan")
+    // two shuffles since r21: the matched-pair distinct (output-sized)
+    // plus EditDistanceJoin.keyed's pre-expansion repartition, which
+    // carries only the ~25-byte (id, key, len) proxy rows — the
+    // EXPANDED d³ segment frame still never shuffles, and no exchange
+    // may carry document text
+    assert(shuffles(plan) == 2, s"q123 must shuffle only proxies + matched pairs:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("partitioning")).mkString("\n")
+    assert(!exchanged.contains("text#") && !exchanged.contains("__seg"),
+      s"q123 shuffled an expanded segment/text payload:\n$plan")
   }
 
   test("q124: count-min lookup broadcasts the sketch; the corpus never meets a sort-merge join") {
@@ -820,10 +826,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(plan) == 0,
       s"merge application must be scan->project (the training job is separate):\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q93 path:\n$plan")
-    // the projection holds HOF lambdas (array filter/transform), which are
-    // not WSCG-able — but every replace in the chain must be the native
-    // StringReplace, and the scan must stay pruned to (doc_id, text)
-    assert(plan.contains("replace(replace("), s"merge chain not chained native replace:\n$plan")
+    // since r21 the merge chain is the native bpe_apply kernel (per-word
+    // merge passes + per-task distinct-word cache, BpeKernelSpec pins
+    // parity with the r20 replace chain); the scan must stay pruned to
+    // (doc_id, text)
+    assert(plan.contains("bpe_apply("), s"merge chain not the native bpe_apply kernel:\n$plan")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan not pruned to the two consumed columns:\n$plan")
   }
@@ -888,8 +895,8 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(shuffles(tokPlan) == 0,
       s"the tokenize phase must stay scan->project:\n$tokPlan")
-    assert(tokPlan.contains("replace(replace("),
-      s"merge chain not chained native replace:\n$tokPlan")
+    assert(tokPlan.contains("bpe_apply("),
+      s"merge chain not the native bpe_apply kernel:\n$tokPlan")
     assert(tokPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan not pruned to the two consumed columns:\n$tokPlan")
     val plan = planOf("q100_bpe_multilevel")
