@@ -86,7 +86,9 @@ object Bench {
       // leaked persist pollutes the block manager for the remaining
       // ~350 query executions (r21: one leaked CC labels RDD inflated
       // 28 unrelated queries by 20-380% at local[32])
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking: the removal work must land HERE, in the untimed gap,
+      // not asynchronously inside the next query's timed window
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       if (gcDebug)
         System.err.println(f"[gc] p$pass $name%-28s ${sec}%6.2f s  gc=${gcMillis - g0} ms")
       (name, sec, ok)

@@ -2911,18 +2911,45 @@ object SparkEntry {
     val allowed = operators.UrlFilter.keepAllowed(
       docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
     // stage 2: per-domain admission quota (q147's cap)
+    // one quota pass feeds mine + apply + count — eager checkpoint: a
+    // lazy persist was MEASURED WORSE here (isolated min-of-4: 1.97 s
+    // checkpoint vs 2.31 s persist) because the mine/apply/count
+    // branches race the first materialization and recompute the
+    // blocklist+cap lineage concurrently before the cache fills
     val admitted = operators.Sampling
       .capPerGroup(allowed, "doc_id", "domain", cap = 25)
-      .localCheckpoint(true) // one quota pass feeds mine + apply + count
+      .localCheckpoint(true)
     // stages 3-5: the shared boiler → C4 → gate tail
     val (c4d, gated) = frontDoorTail(admitted, carry = Seq.empty)
-    // per-stage survivor totals ride along as one-row broadcast frames
-    def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
-    gated
-      .crossJoin(broadcast(n(docs, "n_input")))
-      .crossJoin(broadcast(n(allowed, "n_allowed")))
-      .crossJoin(broadcast(n(admitted, "n_admitted")))
-      .crossJoin(broadcast(n(c4d, "n_c4")))
+    // per-stage survivor totals ride along as ONE one-row broadcast
+    // frame (r22, guide §2.6/§1.2): the r21 form chained four separate
+    // broadcast(df.agg(count)) builds, each a sequential driver-blocking
+    // broadcast-build job over its stage's full lineage — QProfile
+    // measured the q169/q174 pair as pure job-count overhead (33 jobs of
+    // 40-180 ms, stage work << wall). One union of literal-tagged rows
+    // into one conditional aggregate computes all four counts in ONE
+    // broadcast build whose independent branches the scheduler runs
+    // concurrently. Counts (and output columns/types) are identical:
+    // count(when(tag)) over the union ≡ count(lit(1)) per stage frame.
+    gated.crossJoin(broadcast(funnelCounts(Seq(
+      docs -> "n_input", allowed -> "n_allowed",
+      admitted -> "n_admitted", c4d -> "n_c4"))))
+  }
+
+  /** One-row frame of per-stage row counts, computed in a single
+    * union-aggregate pass — the q169/q174 funnel tail (see q169 for the
+    * job-count rationale). Column order/names/types follow `stages`.
+    */
+  private def funnelCounts(stages: Seq[(DataFrame, String)]): DataFrame = {
+    val tagged = stages.map { case (df, tag) =>
+      df.select(lit(tag).alias("__stage"))
+    }.reduce(_.unionByName(_))
+    tagged.agg(
+      count(when(col("__stage") === stages.head._2, lit(1)))
+        .alias(stages.head._2),
+      stages.tail.map { case (_, tag) =>
+        count(when(col("__stage") === tag, lit(1))).alias(tag)
+      }: _*)
   }
 
 
@@ -2948,26 +2975,35 @@ object SparkEntry {
       col("doc_id"),
       UrlExprs.registrableDomain(UrlExprs.urlHost(frontDoorUrl)).alias("domain"),
       col("text"))
-      .withColumn("raw", q168Html)
     // stages 1-2: blocklist, per-domain quota (the q169 front)
     val allowed = operators.UrlFilter.keepAllowed(
       docs, "domain", Seq("seofarm.com", "site3.com").toDF("domain"))
     val admDomain = operators.Sampling
       .capPerGroup(allowed, "doc_id", "domain", cap = 25)
-    // stage 3: per-LAYOUT-FAMILY cap (q170) inside the composition
+    // stage 3: per-LAYOUT-FAMILY cap (q170) inside the composition.
+    // r22 (guide §2.3/§1.2): the HTML wrap is derived AFTER the domain
+    // cap, not on the raw corpus — the multi-KB `raw` column no longer
+    // rides through the domain cap's window exchange, and the wrap +
+    // fingerprint regex are never computed for rows the quota drops
+    // (q168Html is a deterministic projection of doc_id/text, so the
+    // family fingerprints — and the output — are bit-identical).
+    // Both caps feed mine + apply + counts, so the result stays
+    // materialized ONCE (eager checkpoint): a lazy persist here loses —
+    // the mine/apply/count branches race the first materialization and
+    // re-run the whole two-cap lineage concurrently (measured: stage
+    // time 2.6 s -> 10.4 s under persist()).
     val admFamily = operators.Templates
-      .capPerFamily(admDomain, "doc_id", "raw", cap = 30)
+      .capPerFamily(admDomain.withColumn("raw", q168Html), "doc_id", "raw", cap = 30)
       .drop("raw")
-      .localCheckpoint(true) // both caps feed mine + apply + counts
+      .localCheckpoint(true)
     // stages 4-6: the shared boiler → C4 → gate tail, tag_fp carried
     val (c4d, gated) = frontDoorTail(admFamily, carry = Seq("tag_fp"))
-    def n(df: DataFrame, name: String) = df.agg(count(lit(1)).alias(name))
-    gated
-      .crossJoin(broadcast(n(docs, "n_input")))
-      .crossJoin(broadcast(n(allowed, "n_allowed")))
-      .crossJoin(broadcast(n(admDomain, "n_domain_cap")))
-      .crossJoin(broadcast(n(admFamily, "n_family_cap")))
-      .crossJoin(broadcast(n(c4d, "n_c4")))
+    // one union-aggregate broadcast instead of five sequential one-row
+    // broadcast builds — see [[funnelCounts]] / q169 for the rationale
+    gated.crossJoin(broadcast(funnelCounts(Seq(
+      docs -> "n_input", allowed -> "n_allowed",
+      admDomain -> "n_domain_cap", admFamily -> "n_family_cap",
+      c4d -> "n_c4"))))
   }
 
 

@@ -53,6 +53,7 @@ object QProfile {
     (1 until reps).foreach { _ =>
       graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()

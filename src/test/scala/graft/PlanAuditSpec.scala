@@ -1636,8 +1636,11 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(plan)
       .foreach(m => assert(!m.group(2).contains("text") && !m.group(2).contains("raw"),
         s"payload keyed an exchange: ${m.group(0)}"))
-    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 5,
-      s"q174 expects exactly five scalar count joins:\n$plan")
+    // since r22 the five survivor totals ride ONE union-aggregate
+    // broadcast (funnelCounts) — a single scalar cross-join, not five
+    // sequential broadcast builds
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 1,
+      s"q174 expects exactly one scalar count join (funnelCounts):\n$plan")
     assert(!plan.toLowerCase.contains("scalaudf"), s"closure UDF on the q174 path:\n$plan")
   }
 
@@ -1688,9 +1691,10 @@ class PlanAuditSpec extends SparkTestBase {
       .findAllMatchIn(plan)
       .foreach(m => assert(!m.group(2).contains("text"),
         s"doc text keyed an exchange: ${m.group(0)}"))
-    // the four survivor-count frames attach as one-row scalar broadcasts
-    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 4,
-      s"q169 expects exactly four scalar count joins:\n$plan")
+    // the four survivor totals attach as ONE one-row scalar broadcast
+    // (funnelCounts union-aggregate) since r22
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(plan).length == 1,
+      s"q169 expects exactly one scalar count join (funnelCounts):\n$plan")
     // shuffle budget: quota window + blocklist build + the mine's
     // scalar aggregates — the corpus-sized apply/C4/gate side is
     // exchange-free
