@@ -69,8 +69,17 @@ object NgramLm {
   /** Train the LM count tables over `docs` — two gram-keyed hash
     * aggregates plus the 1-row token-mass total.
     */
-  def train(docs: DataFrame, idCol: String, textCol: String): LmTables = {
-    val tk = tokenized(docs, idCol, textCol)
+  def train(docs: DataFrame, idCol: String, textCol: String): LmTables =
+    trainFromTokens(tokenized(docs, idCol, textCol))
+
+  /** [[train]] over an already-tokenized `(doc_id, t: array<string>)`
+    * frame — the seam that lets the skew-hardened path tokenize the
+    * training slice ONCE (see [[perplexity]]): `uni` and `bi` are
+    * separate aggregates over the same token stream, so with an
+    * in-plan tokenization each materializes the upstream projection
+    * independently unless the caller persists `tk`.
+    */
+  private[graft] def trainFromTokens(tk: DataFrame): LmTables = {
     val uni = tk
       .select(explode(col("t")).alias("w"))
       .groupBy("w").agg(count(lit(1)).alias("c"))
@@ -133,13 +142,21 @@ object NgramLm {
       enableShare: Double = 0.05,
       floorK: Int = 64,
       capK: Int = 65536): Int = {
-    val ntRow = lm.nTok.head()
-    val nTok = if (ntRow.isNullAt(0)) 0L else ntRow.getLong(0)
-    if (nTok <= 0L) return 0
-    val headFloor = math.max(1L, math.ceil(headShare * nTok).toLong)
-    val heads = lm.uni.filter(col("c") >= headFloor)
-      .select(col("w"), col("c")).collect()
+    // ONE driver action for total mass + head set (r22, §1.2/§2.6: the
+    // r21 form ran nTok.head() and then uni.filter(...).collect() as two
+    // sequential driver-blocking jobs; the head filter's floor is a pure
+    // function of n_tok, so it rides the same pass as a 1-row broadcast).
+    // The head set stays bounded by 1/headShare rows regardless of
+    // vocabulary size; an empty collect means nTok <= 0 OR no head —
+    // both returned 0 before, both return 0 now.
+    val heads = lm.uni
+      .crossJoin(broadcast(lm.nTok))
+      .filter(col("n_tok").isNotNull && col("n_tok") > 0L &&
+        col("c") >= greatest(
+          lit(1L), ceil(lit(headShare) * col("n_tok")).cast("long")))
+      .select(col("w"), col("c"), col("n_tok")).collect()
     if (heads.isEmpty) return 0
+    val nTok = heads.head.getLong(2)
     val maxShare = heads.map(_.getLong(1)).max.toDouble / nTok.toDouble
     if (maxShare < enableShare) return 0
     val headWords = heads.map(_.getString(0)).toSeq
@@ -306,7 +323,21 @@ object NgramLm {
     require(splitMod > 0, s"splitMod must be positive, got $splitMod")
     require(trainBelow > 0 && trainBelow < splitMod,
       s"trainBelow must be in (0, $splitMod), got $trainBelow")
-    val lm = train(docs.filter(col(idCol) % splitMod < trainBelow), idCol, textCol)
+    val trainSlice = docs.filter(col(idCol) % splitMod < trainBelow)
+    // skew-hardened modes materialize the LM tables anyway (scoreGrams'
+    // effLm persist) — ALSO persist the tokenized training slice, so the
+    // uni and bi aggregates share ONE tokenization pass instead of each
+    // re-running the upstream projection (r22, guide §1.2: on q120 the
+    // upstream is the Zipf-collapse with a per-token md5 — measured 3
+    // full collapse passes before, 2 after: one per corpus slice, the
+    // floor). The default hotKeys = 0 path is untouched: no persists,
+    // q101's plan is exactly the r20 form.
+    val lm =
+      if (hotKeys != 0)
+        trainFromTokens(
+          tokenized(trainSlice, idCol, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else train(trainSlice, idCol, textCol)
     score(docs.filter(col(idCol) % splitMod >= trainBelow), idCol, textCol, lm, backoff,
       hotKeys = hotKeys)
   }
