@@ -3232,6 +3232,11 @@ object SparkEntry {
   private def q117_hybrid_join(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir)
+    // r22 (guide §1.2): the query table feeds THREE sequential broadcast
+    // builds (bm25Join's qt and qv, the rerank's qv) — un-materialized,
+    // each build re-ran the docs scan + embeddings join (QProfile: three
+    // 100-250 ms single-task build stages). The table is |corpus|/97
+    // rows by construction — checkpoint it once.
     val queries = docs
       .filter(col("doc_id") % 97 === 0)
       .select(
@@ -3240,6 +3245,7 @@ object SparkEntry {
       .join(
         emb.select(col("vec_id").alias("qid"), col("embedding").alias("qvec")),
         Seq("qid"))
+      .localCheckpoint(true)
     TfIdf.hybridJoin(
       docs, "doc_id", "text",
       emb, "vec_id", "embedding",
