@@ -158,6 +158,17 @@ object Dedup {
     * see T19); blocks are freed by the ContextCleaner once the returned
     * plan is unreferenced.
     */
+  // r22 MEASURED REJECTION (guide §1.1 — keep the empirical loop
+  // honest): spreading a narrow input before the hashing pass
+  // (Skew.spreadIfNarrow, the fix that bought q56's SRP sketch 1.56×)
+  // was tried here and REVERTED — q18 gained only 7% while the guarded
+  // variants regressed hard (A/B min-of-3 at local[32]: q34 0.54→1.10 s,
+  // q119 0.82→1.22 s, q102 0.76→1.00 s): their post-checkpoint stages
+  // are small aggregates/joins over the hot-pruned candidate set, and a
+  // 32-partition checkpoint makes every one of them pay full-width task
+  // overhead for near-empty partitions. The hashing pass here is
+  // already cheap relative to the join work it feeds (unlike the SRP
+  // plane products), so the single-split case keeps the fused scan.
   private def materializedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     shingleSets(docs, idCol, textCol, n).localCheckpoint(true)
 

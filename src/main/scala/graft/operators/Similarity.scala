@@ -1226,7 +1226,13 @@ object Similarity {
         1.0
       else -1.0
     }
-    val sk = emb.select(
+    // r22: spread a narrow input before the sketch pass (guide §2.6) —
+    // the nPlanes·dim multiply-adds per row otherwise serialize onto a
+    // single-file scan's lone task (measured: q56's whole sketch side
+    // ran as 1 task of 606 ms at sf0.1); no-op on a multi-split corpus,
+    // and the exchange keys on the id, never the vector
+    val embS = Skew.spreadIfNarrow(emb, idCol)
+    val sk = embS.select(
       col(idCol).alias("id"),
       posexplode(
         graft.functions.expressions.SrpBandBucketsExpr
@@ -1239,7 +1245,7 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").alias("id_a"), col("b.id").alias("id_b"))
       .distinct()
-    val v = emb.select(
+    val v = embS.select(
       col(idCol).alias("id"),
       col(vecCol).alias("vec"),
       graft.functions.expressions.Norm2Float.norm2F(col(vecCol)).alias("nrm"))

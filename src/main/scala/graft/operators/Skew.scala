@@ -52,6 +52,23 @@ object Skew {
     * driver-broadcastable) and deterministic (total-order ranked) for
     * reproducible plans; membership does not affect results.
     */
+  /** Hash-repartition `df` up to the session's shuffle parallelism —
+    * ONLY when its physical plan yields fewer partitions (a single
+    * parquet file, a filtered slice, a one-shard crawl segment). The
+    * scale guard is the r22 generalization of EditDistanceJoin.keyed's
+    * unconditional repartition: a real corpus scan already has
+    * thousands of splits and must NOT pay a payload-wide exchange just
+    * to "add parallelism" (guide §2.4 — accidental repartitions), but a
+    * narrow input in front of a CPU-heavy per-row kernel (shingle
+    * hashing, SRP plane products) serializes the whole expansion onto a
+    * handful of tasks. Row set unchanged; partitioning keys on the id,
+    * never on a payload column.
+    */
+  def spreadIfNarrow(df: DataFrame, keyCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
+  }
+
   def hotColdLeftJoin(
       probe: DataFrame,
       build: DataFrame,

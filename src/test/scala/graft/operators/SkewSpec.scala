@@ -40,4 +40,19 @@ class SkewSpec extends SparkTestBase {
       assert(got == plain, s"hot list $hot diverged from the plain left join")
     }
   }
+
+  test("spreadIfNarrow: spreads a narrow input to the session knob, no-ops a wide one, rows unchanged") {
+    val knob = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = (1 to 500).map(i => (i.toLong, s"payload$i"))
+    val narrow = rows.toDF("id", "v").coalesce(1)
+    val spread = Skew.spreadIfNarrow(narrow, "id")
+    assert(spread.rdd.getNumPartitions == knob,
+      s"narrow input not spread to $knob partitions")
+    assert(spread.as[(Long, String)].collect().sorted.toSeq == rows.sorted.toSeq,
+      "spread changed the row set")
+    val wide = rows.toDF("id", "v").repartition(knob + 7)
+    val untouched = Skew.spreadIfNarrow(wide, "id")
+    assert(untouched.rdd.getNumPartitions == knob + 7,
+      "already-parallel input must pass through without a new exchange")
+  }
 }
