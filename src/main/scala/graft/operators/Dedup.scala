@@ -1208,6 +1208,13 @@ object Dedup {
       s"maxPagePct must be in [1, 100], got $maxPagePct")
     require(minPages >= 1L, s"minPages must be >= 1, got $minPages")
     val quoted = java.util.regex.Pattern.quote(delim)
+    // r22 MEASURED REJECTION: Skew.spreadIfNarrow(docs) in front of
+    // this checkpoint (the q56 SRP fix) was tried and REVERTED — A/B
+    // min-of-3 at local[32]: q153 1.28→1.36 s, q156 0.81→0.92 s. The
+    // per-row kernel here (split + md5-per-segment) is too cheap for a
+    // payload exchange + full-width task overhead to beat the fused
+    // single-split scan; only extreme per-row kernels (SRP plane
+    // products) cleared that bar.
     val base = docs
       .select(
         col(idCol).alias("doc_id"),

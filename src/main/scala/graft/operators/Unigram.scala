@@ -151,8 +151,17 @@ object Unigram {
       maxPieceLen: Int,
       pruneSizes: Seq[Int]): Seq[(String, Long)] = {
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
-    val words = docs.select(explode(TextFunctions.tokens(col(textCol))).alias("w"))
-    val wf = words.groupBy("w").agg(count(lit(1)).alias("f"))
+    // ONE corpus tokenize pass (r22, guide §1.2): the r21 form ran the
+    // explode(tokens) projection twice — once under the word-frequency
+    // top-K and again under the alphabet distinct. The grouped word
+    // table is vocabulary-bounded, so persist it and derive BOTH from
+    // it; the alphabet over distinct words is the same set as over the
+    // token stream (distinctness doesn't weight by frequency).
+    val wfAll = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("w"))
+      .groupBy("w").agg(count(lit(1)).alias("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wf = wfAll
       .orderBy(col("f").desc, col("w").asc)
       .limit(maxWords)
       .collect()
@@ -160,7 +169,7 @@ object Unigram {
       .toSeq
     // code-point-exact char explode (substr, not split-on-empty, which
     // would halve astral surrogate pairs)
-    val alphabet = words
+    val alphabet = wfAll
       .select(explode(transform(
         sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1)))).alias("c"))
@@ -168,6 +177,7 @@ object Unigram {
       .collect()
       .map(_.getString(0))
       .toSeq
+    wfAll.unpersist(blocking = false)
     train(wf, alphabet, seedMulti, maxPieceLen, pruneSizes)
   }
 
