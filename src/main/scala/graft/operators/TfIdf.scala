@@ -261,6 +261,12 @@ object TfIdf {
     * index maintenance ([[graft.streaming.SearchIndex]], persisted
     * per batch).
     */
+  // r22 MEASURED REJECTION: Skew.spreadIfNarrow(docs) in front of the
+  // term_counts kernel (the q56 SRP pattern) was tried and REVERTED —
+  // A/B min-of-3 at local[32]: q108/q117 flat, q139 2.12→2.57 s. The
+  // per-doc tokenize+map-build doesn't clear the exchange-plus-width
+  // overhead bar the SRP plane products cleared; the postings persist
+  // keeps the single-split layout.
   private[graft] def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .filter(col(textCol).isNotNull)
