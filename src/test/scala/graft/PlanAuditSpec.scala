@@ -1253,7 +1253,17 @@ class PlanAuditSpec extends SparkTestBase {
       // is bounded by the `maxBlockRows` require + escalation
       // (Dedup.scala block primitive). Not a hint miss.
       "q23_embedding_neardup" ->
-        "block-pair-keyed vector replication is the all-pairs operator's bounded scale design")
+        "block-pair-keyed vector replication is the all-pairs operator's bounded scale design",
+      // r22: Skew.spreadIfNarrow's id-keyed REPARTITION_BY_NUM fires
+      // ONLY when the scan yields fewer partitions than the session
+      // knob — a single-file/filtered input, impossible for a
+      // corpus-scale table at any sane split size — and exists to
+      // spread the nPlanes·dim SRP sketch kernel that otherwise runs
+      // entirely on the lone scan task (measured 1.56× at sf0.1).
+      // On a multi-split corpus the guard disengages and no vector
+      // ever crosses an exchange. Not a hint miss.
+      "q56_srp_neardup" ->
+        "narrow-guarded id-keyed spread before the SRP sketch kernel; no-op on any multi-split corpus")
     def isVec(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case ArrayType(FloatType, _) => true
       case _ => false
