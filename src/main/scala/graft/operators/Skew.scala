@@ -89,7 +89,12 @@ object Skew {
     // long-lived sessions clear between pipelines (graft.Bench/Verify
     // clear per query).
     val p = probe.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hk = hotKeys.select(keys.map(col): _*).distinct()
+    // no .distinct() on the hot list (r22): every consumer is a
+    // left-semi or left-anti probe or a semi prune of the build side —
+    // all duplicate-insensitive — so deduplication buys nothing but an
+    // extra aggregate exchange per split level (×3 on the LM chain);
+    // SkewSpec pins row equality including duplicate hot-list entries
+    val hk = hotKeys.select(keys.map(col): _*)
     val hot = p
       .join(broadcast(hk), keys, "left_semi")
       .join(broadcast(build.join(broadcast(hk), keys, "left_semi")), keys, "left")

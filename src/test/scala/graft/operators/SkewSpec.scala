@@ -33,7 +33,8 @@ class SkewSpec extends SparkTestBase {
       .toDF("k", "b")
     val plain = probe.join(build, Seq("k"), "left")
       .as[(String, Long, Option[Long])].collect().sorted.toSeq
-    for (hot <- Seq(Seq("hot"), Seq("hot", "k1", "k2"), Seq("nope"), Seq.empty[String])) {
+    for (hot <- Seq(Seq("hot"), Seq("hot", "k1", "k2"), Seq("nope"), Seq.empty[String],
+        Seq("hot", "hot", "k1"))) { // duplicate entries must not duplicate rows
       val hk = hot.toDF("k")
       val got = Skew.hotColdLeftJoin(probe, build, Seq("k"), hk)
         .as[(String, Long, Option[Long])].collect().sorted.toSeq
